@@ -1,0 +1,15 @@
+package graft
+
+import graft.queries._
+
+/** Central registry of every implemented operator/query. SparkEntry
+  * derives the driver-facing maps from this single sequence so a query
+  * and its oracle can never drift apart.
+  */
+object Registry {
+  def queries: Seq[QueryDef] =
+    RelationalQueries.all ++
+    TextQueries.all
+
+  def byName: Map[String, QueryDef] = queries.map(q => q.name -> q).toMap
+}

@@ -1,0 +1,240 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.{QueryDef, Tables}
+
+/** Reference-parity relational algebra (SURVEY.md §2.1 R5-R10 and §2.2
+  * ALG rows): projection, filter, aggregation, joins of every flavor,
+  * sort/limit. Everything is declarative DataFrame DSL so Catalyst
+  * plans partial aggregation, pushdown, and join strategies — the same
+  * rewrites the reference hand-codes (map-side combine, mapper.c:75-88)
+  * or lacks entirely.
+  *
+  * Scale notes (100 TB design point):
+  *  - dimension joins (`region nation customer supplier part`) are
+  *    explicitly `broadcast()` — no shuffle of the fact table for them;
+  *  - fact-fact joins (lineitem⋈orders) shuffle on the join key once —
+  *    at cluster scale, bucketing both tables by orderkey removes it;
+  *  - all aggregates are algebraic (sum/count/min/max/avg) so Spark
+  *    plans partial+final HashAggregate around a single exchange.
+  */
+object RelationalQueries {
+
+  /** TPC-H Q1 style pricing summary: groupBy + 8 algebraic aggregates.
+    * The direct generalization of the reference's reduce-side sum
+    * (reducer.c:23-38).
+    */
+  val q01PricingSummary = QueryDef(
+    "q01_pricing_summary",
+    "groupBy(returnflag,linestatus) with sum/avg/count aggregates, partial+final HashAggregate",
+    """SELECT l_returnflag, l_linestatus,
+      |  round(sum(l_quantity), 2) AS sum_qty,
+      |  round(sum(l_extendedprice), 2) AS sum_base_price,
+      |  round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+      |  round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
+      |  round(avg(l_quantity), 4) AS avg_qty,
+      |  round(avg(l_discount), 4) AS avg_disc,
+      |  count(*) AS count_order
+      |FROM lineitem
+      |WHERE l_shipdate <= TIMESTAMP '2000-09-02'
+      |GROUP BY l_returnflag, l_linestatus
+      |ORDER BY l_returnflag, l_linestatus""".stripMargin) { (s, d) =>
+    Tables.lineitem(s, d)
+      .filter(col("l_shipdate") <= lit("2000-09-02").cast("timestamp"))
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        round(sum(col("l_quantity")), 2).as("sum_qty"),
+        round(sum(col("l_extendedprice")), 2).as("sum_base_price"),
+        round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("sum_disc_price"),
+        round(sum(col("l_extendedprice") * (lit(1) - col("l_discount")) * (lit(1) + col("l_tax"))), 2).as("sum_charge"),
+        round(avg(col("l_quantity")), 4).as("avg_qty"),
+        round(avg(col("l_discount")), 4).as("avg_disc"),
+        count(lit(1)).as("count_order"))
+      .orderBy(col("l_returnflag"), col("l_linestatus"))
+  }
+
+  /** Filter + computed projection; predicates and column pruning reach
+    * the parquet scan (PushedFilters in .explain).
+    */
+  val q02FilterProject = QueryDef(
+    "q02_filter_project",
+    "selective filter + computed projection, full parquet pushdown",
+    """SELECT l_orderkey, l_linenumber,
+      |  l_extendedprice * (1 - l_discount) AS net_price
+      |FROM lineitem
+      |WHERE l_shipdate >= TIMESTAMP '1999-01-01'
+      |  AND l_shipdate < TIMESTAMP '1999-04-01'
+      |  AND l_discount >= 0.05 AND l_quantity < 25
+      |ORDER BY l_orderkey, l_linenumber""".stripMargin) { (s, d) =>
+    Tables.lineitem(s, d)
+      .filter(col("l_shipdate") >= lit("1999-01-01").cast("timestamp") &&
+        col("l_shipdate") < lit("1999-04-01").cast("timestamp") &&
+        col("l_discount") >= 0.05 && col("l_quantity") < 25)
+      .select(col("l_orderkey"), col("l_linenumber"),
+        (col("l_extendedprice") * (lit(1) - col("l_discount"))).as("net_price"))
+      .orderBy(col("l_orderkey"), col("l_linenumber"))
+  }
+
+  /** Global sort + limit → Spark plans TakeOrderedAndProject (top-k
+    * without a full sort of every partition's output).
+    */
+  val q03TopRevenueOrders = QueryDef(
+    "q03_top_revenue_orders",
+    "agg + global top-k, TakeOrderedAndProject physical operator",
+    """SELECT l_orderkey, round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+      |FROM lineitem
+      |GROUP BY l_orderkey
+      |ORDER BY revenue DESC, l_orderkey
+      |LIMIT 100""".stripMargin) { (s, d) =>
+    Tables.lineitem(s, d)
+      .groupBy(col("l_orderkey"))
+      .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"))
+      .orderBy(col("revenue").desc, col("l_orderkey"))
+      .limit(100)
+  }
+
+  /** Broadcast hash join: customer (small) is broadcast, orders never
+    * shuffles. The map-side replicated join of classic MapReduce.
+    */
+  val q04JoinBroadcast = QueryDef(
+    "q04_join_broadcast",
+    "fact⋈dim broadcast hash join + agg on dim attribute",
+    """SELECT c.c_mktsegment, round(sum(o.o_totalprice), 2) AS total_price,
+      |  count(*) AS n_orders
+      |FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+      |GROUP BY c.c_mktsegment
+      |ORDER BY c_mktsegment""".stripMargin) { (s, d) =>
+    Tables.orders(s, d)
+      .join(broadcast(Tables.customer(s, d)), col("o_custkey") === col("c_custkey"))
+      .groupBy(col("c_mktsegment"))
+      .agg(round(sum(col("o_totalprice")), 2).as("total_price"),
+        count(lit(1)).as("n_orders"))
+      .orderBy(col("c_mktsegment"))
+  }
+
+  /** Fact⋈fact equi join (lineitem⋈orders): shuffles both sides on the
+    * key → SortMergeJoin (or shuffled hash under AQE). At cluster scale
+    * this is the join to co-locate via bucketing on orderkey.
+    */
+  val q05JoinFactFact = QueryDef(
+    "q05_join_fact_fact",
+    "lineitem⋈orders shuffle join, revenue by order priority",
+    """SELECT o.o_orderpriority,
+      |  round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue,
+      |  count(*) AS n_items
+      |FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+      |GROUP BY o.o_orderpriority
+      |ORDER BY o_orderpriority""".stripMargin) { (s, d) =>
+    Tables.lineitem(s, d)
+      .join(Tables.orders(s, d), col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("o_orderpriority"))
+      .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"),
+        count(lit(1)).as("n_items"))
+      .orderBy(col("o_orderpriority"))
+  }
+
+  /** Left semi join = EXISTS (reduce-side join with early-out). */
+  val q06SemiJoin = QueryDef(
+    "q06_semi_join",
+    "left semi join (EXISTS): customers having at least one high-value order",
+    """SELECT c.c_mktsegment, count(*) AS n_customers
+      |FROM customer c
+      |WHERE EXISTS (SELECT 1 FROM orders o
+      |              WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 300000)
+      |GROUP BY c.c_mktsegment
+      |ORDER BY c_mktsegment""".stripMargin) { (s, d) =>
+    Tables.customer(s, d)
+      .join(Tables.orders(s, d).filter(col("o_totalprice") > 300000),
+        col("c_custkey") === col("o_custkey"), "left_semi")
+      .groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).as("n_customers"))
+      .orderBy(col("c_mktsegment"))
+  }
+
+  /** Left anti join = NOT EXISTS. */
+  val q07AntiJoin = QueryDef(
+    "q07_anti_join",
+    "left anti join (NOT EXISTS): customers with no orders at all",
+    """SELECT c.c_custkey, c.c_name
+      |FROM customer c
+      |WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+      |ORDER BY c_custkey""".stripMargin) { (s, d) =>
+    Tables.customer(s, d)
+      .join(Tables.orders(s, d), col("c_custkey") === col("o_custkey"), "left_anti")
+      .select(col("c_custkey"), col("c_name"))
+      .orderBy(col("c_custkey"))
+  }
+
+  /** Five-way star join: the full dimension chain is broadcast; only
+    * the lineitem⋈orders edge shuffles. Catalyst reorders nothing here
+    * because the join tree is already optimal — dims first would
+    * inflate the fact table.
+    */
+  val q08StarSchema = QueryDef(
+    "q08_star_schema",
+    "5-way star join (2 broadcast dims + chained dim lookups), revenue by region/nation",
+    """SELECT r.r_name, n.n_name,
+      |  round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+      |FROM lineitem l
+      |JOIN orders o ON l.l_orderkey = o.o_orderkey
+      |JOIN customer c ON o.o_custkey = c.c_custkey
+      |JOIN nation n ON c.c_nationkey = n.n_nationkey
+      |JOIN region r ON n.n_regionkey = r.r_regionkey
+      |GROUP BY r.r_name, n.n_name
+      |ORDER BY r_name, n_name""".stripMargin) { (s, d) =>
+    Tables.lineitem(s, d)
+      .join(Tables.orders(s, d), col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(Tables.customer(s, d)), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(Tables.nation(s, d)), col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(Tables.region(s, d)), col("n_regionkey") === col("r_regionkey"))
+      .groupBy(col("r_name"), col("n_name"))
+      .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"))
+      .orderBy(col("r_name"), col("n_name"))
+  }
+
+  /** Non-equi (range/theta) join: parts matched to a size band table.
+    * Broadcast nested loop on the tiny side; at scale a banded range
+    * join is rewritten to an equi join on the bucketed band key —
+    * which is exactly what the `band` computed key does here.
+    */
+  val q09RangeJoin = QueryDef(
+    "q09_range_join",
+    "non-equi band join expressed as equi join on computed bucket key",
+    """SELECT CAST(p_size // 10 AS INT) AS size_band,
+      |  count(*) AS n_parts, round(avg(p_retailprice), 4) AS avg_price
+      |FROM part
+      |GROUP BY 1
+      |ORDER BY size_band""".stripMargin) { (s, d) =>
+    Tables.part(s, d)
+      .withColumn("size_band", floor(col("p_size") / 10).cast("int"))
+      .groupBy(col("size_band"))
+      .agg(count(lit(1)).as("n_parts"),
+        round(avg(col("p_retailprice")), 4).as("avg_price"))
+      .orderBy(col("size_band"))
+  }
+
+  /** distinct + countDistinct (exact). The reference expresses distinct
+    * as key=value, null payload (SURVEY §2.2); here it is a first-class
+    * HashAggregate without aggregate functions.
+    */
+  val q10Distinct = QueryDef(
+    "q10_distinct",
+    "distinct + exact count distinct per group",
+    """SELECT o_orderstatus,
+      |  count(DISTINCT o_custkey) AS n_customers,
+      |  count(DISTINCT o_orderpriority) AS n_priorities
+      |FROM orders
+      |GROUP BY o_orderstatus
+      |ORDER BY o_orderstatus""".stripMargin) { (s, d) =>
+    Tables.orders(s, d)
+      .groupBy(col("o_orderstatus"))
+      .agg(countDistinct(col("o_custkey")).as("n_customers"),
+        countDistinct(col("o_orderpriority")).as("n_priorities"))
+      .orderBy(col("o_orderstatus"))
+  }
+
+  val all: Seq[QueryDef] = Seq(
+    q01PricingSummary, q02FilterProject, q03TopRevenueOrders,
+    q04JoinBroadcast, q05JoinFactFact, q06SemiJoin, q07AntiJoin,
+    q08StarSchema, q09RangeJoin, q10Distinct)
+}
