@@ -9,6 +9,9 @@ import graft.queries._
 object Registry {
   def queries: Seq[QueryDef] =
     RelationalQueries.all ++
+    WindowQueries.all ++
+    GroupingQueries.all ++
+    ScalarQueries.all ++
     TextQueries.all
 
   def byName: Map[String, QueryDef] = queries.map(q => q.name -> q).toMap

@@ -1,6 +1,8 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
 
 /** Loaders for the driver-generated star schema (see TESTDATA.md /
   * FIXTURES.md). One parquet file per table under the sf dir.
@@ -25,7 +27,20 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame       = load(s, d, "part")
   def orders(s: SparkSession, d: String): DataFrame     = load(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame   = load(s, d, "lineitem")
-  def events(s: SparkSession, d: String): DataFrame     = load(s, d, "events")
+  /** `events.ts` is written as parquet TIMESTAMP(NANOS), which Spark
+    * has no native type for (it reads it as a nanos-since-epoch LONG
+    * under `spark.sql.legacy.parquet.nanosAsLong`, set by our session
+    * builders). Normalize to a microsecond TimestampType here — `div`
+    * keeps the arithmetic in LongType; a double division would lose
+    * precision above 2^53 ns. DuckDB's `CAST(ts AS TIMESTAMP)`
+    * truncates ns→us the same way, so oracle parity holds.
+    */
+  def events(s: SparkSession, d: String): DataFrame = {
+    val raw = load(s, d, "events")
+    if (raw.schema("ts").dataType == LongType)
+      raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    else raw
+  }
   def documents(s: SparkSession, d: String): DataFrame  = load(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = load(s, d, "embeddings")
 }

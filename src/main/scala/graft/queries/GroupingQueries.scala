@@ -1,0 +1,121 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.{QueryDef, Tables}
+
+/** Multi-dimensional aggregation (SURVEY.md §2.2: grouping sets /
+  * rollup / cube — "key expansion in map" in the reference's algebra)
+  * and set operators (tagged shuffle in MapReduce terms).
+  *
+  * NULLS FIRST is spelled explicitly in every oracle ORDER BY because
+  * rollup/cube emit NULL group keys and DuckDB defaults to NULLS LAST
+  * while Spark defaults to NULLS FIRST.
+  */
+object GroupingQueries {
+
+  /** Rollup over (year, status): count + exact integer-valued sums.
+    * l_quantity values are integral doubles, so their sum is exact in
+    * IEEE double regardless of order — no rounding needed.
+    */
+  val q17Rollup = QueryDef(
+    "q17_rollup",
+    "rollup (order year, status) with subtotals + grand total",
+    """SELECT order_year, o_orderstatus,
+      |  count(*) AS n_orders,
+      |  round(sum(o_totalprice), 2) AS total_price
+      |FROM (SELECT CAST(year(o_orderdate) AS INT) AS order_year, o_orderstatus, o_totalprice
+      |      FROM orders)
+      |GROUP BY ROLLUP (order_year, o_orderstatus)
+      |ORDER BY order_year NULLS FIRST, o_orderstatus NULLS FIRST""".stripMargin) { (s, d) =>
+    Tables.orders(s, d)
+      .withColumn("order_year", year(col("o_orderdate")).cast("int"))
+      .rollup(col("order_year"), col("o_orderstatus"))
+      .agg(count(lit(1)).as("n_orders"),
+        round(sum(col("o_totalprice")), 2).as("total_price"))
+      .orderBy(col("order_year").asc_nulls_first, col("o_orderstatus").asc_nulls_first)
+  }
+
+  /** Cube over (returnflag, linestatus): all 4 grouping combinations. */
+  val q18Cube = QueryDef(
+    "q18_cube",
+    "cube (returnflag, linestatus): every grouping combination",
+    """SELECT l_returnflag, l_linestatus,
+      |  count(*) AS n_items, sum(l_quantity) AS sum_qty
+      |FROM lineitem
+      |GROUP BY CUBE (l_returnflag, l_linestatus)
+      |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin) { (s, d) =>
+    Tables.lineitem(s, d)
+      .cube(col("l_returnflag"), col("l_linestatus"))
+      .agg(count(lit(1)).as("n_items"), sum(col("l_quantity")).as("sum_qty"))
+      .orderBy(col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first)
+  }
+
+  /** Explicit GROUPING SETS via the SQL entry point (spark.sql over
+    * temp views) — the engine's SQL surface, not just the DSL.
+    */
+  val q19GroupingSets = QueryDef(
+    "q19_grouping_sets",
+    "GROUPING SETS ((mktsegment), (nation), ()) via spark.sql",
+    """SELECT c_mktsegment, CAST(c_nationkey AS INT) AS nationkey,
+      |  count(*) AS n_customers,
+      |  round(sum(c_acctbal), 2) AS total_bal
+      |FROM customer
+      |GROUP BY GROUPING SETS ((c_mktsegment), (c_nationkey), ())
+      |ORDER BY c_mktsegment NULLS FIRST, nationkey NULLS FIRST""".stripMargin) { (s, d) =>
+    Tables.customer(s, d).createOrReplaceTempView("customer")
+    s.sql(
+      """SELECT c_mktsegment, CAST(c_nationkey AS INT) AS nationkey,
+        |  count(*) AS n_customers,
+        |  round(sum(c_acctbal), 2) AS total_bal
+        |FROM customer
+        |GROUP BY GROUPING SETS ((c_mktsegment), (c_nationkey), ())
+        |ORDER BY c_mktsegment ASC NULLS FIRST, nationkey ASC NULLS FIRST""".stripMargin)
+  }
+
+  /** Set operators: customers active in 1998 vs 1999 — INTERSECT /
+    * EXCEPT / UNION branches tagged and unioned into one result.
+    */
+  val q20SetOps = QueryDef(
+    "q20_set_ops",
+    "intersect / except / union over yearly active customer sets",
+    """WITH y98 AS (SELECT DISTINCT o_custkey FROM orders WHERE year(o_orderdate) = 1998),
+      |     y99 AS (SELECT DISTINCT o_custkey FROM orders WHERE year(o_orderdate) = 1999)
+      |SELECT 'both' AS op, o_custkey FROM (SELECT o_custkey FROM y98 INTERSECT SELECT o_custkey FROM y99)
+      |UNION ALL
+      |SELECT 'only98' AS op, o_custkey FROM (SELECT o_custkey FROM y98 EXCEPT SELECT o_custkey FROM y99)
+      |UNION ALL
+      |SELECT 'only99' AS op, o_custkey FROM (SELECT o_custkey FROM y99 EXCEPT SELECT o_custkey FROM y98)
+      |ORDER BY op, o_custkey""".stripMargin) { (s, d) =>
+    val o = Tables.orders(s, d)
+    def activeIn(y: Int) = o.filter(year(col("o_orderdate")) === y)
+      .select(col("o_custkey")).distinct()
+    val y98 = activeIn(1998)
+    val y99 = activeIn(1999)
+    y98.intersect(y99).select(lit("both").as("op"), col("o_custkey"))
+      .union(y98.except(y99).select(lit("only98").as("op"), col("o_custkey")))
+      .union(y99.except(y98).select(lit("only99").as("op"), col("o_custkey")))
+      .orderBy(col("op"), col("o_custkey"))
+  }
+
+  /** UNION ALL with bag semantics preserved (no dedup), plus a
+    * distinct-union contrast on the same inputs.
+    */
+  val q21UnionAll = QueryDef(
+    "q21_union_all",
+    "union all (bag) vs union distinct (set) cardinality per source",
+    """SELECT src, count(*) AS n FROM (
+      |  SELECT 'hi' AS src, o_custkey FROM orders WHERE o_totalprice > 200000
+      |  UNION ALL
+      |  SELECT 'pri' AS src, o_custkey FROM orders WHERE o_orderpriority = '1-URGENT'
+      |) GROUP BY src
+      |ORDER BY src""".stripMargin) { (s, d) =>
+    val o = Tables.orders(s, d)
+    o.filter(col("o_totalprice") > 200000).select(lit("hi").as("src"), col("o_custkey"))
+      .union(o.filter(col("o_orderpriority") === "1-URGENT")
+        .select(lit("pri").as("src"), col("o_custkey")))
+      .groupBy(col("src")).agg(count(lit(1)).as("n"))
+      .orderBy(col("src"))
+  }
+
+  val all: Seq[QueryDef] = Seq(q17Rollup, q18Cube, q19GroupingSets, q20SetOps, q21UnionAll)
+}
