@@ -12,7 +12,12 @@ object Registry {
     WindowQueries.all ++
     GroupingQueries.all ++
     ScalarQueries.all ++
-    TextQueries.all
+    TextQueries.all ++
+    TextAnalysisQueries.all ++
+    DedupQueries.all ++
+    SimilarityQueries.all ++
+    TemporalQueries.all ++
+    AggregatorQueries.all
 
   def byName: Map[String, QueryDef] = queries.map(q => q.name -> q).toMap
 }

@@ -1,0 +1,112 @@
+package graft.queries
+
+import org.apache.spark.sql.{Encoder, Encoders}
+import org.apache.spark.sql.expressions.Aggregator
+import org.apache.spark.sql.functions._
+import graft.{QueryDef, Tables}
+
+/** Custom / typed aggregation (SURVEY.md §2.2 "custom typed
+  * aggregate" + UDx rows): an `Aggregator[IN,BUF,OUT]` registered via
+  * `functions.udaf` (the generalized user reduce hook the reference's
+  * `reduce()` contract implies — reducer.c:23-38 is the `sum`
+  * instance), exact interpolated percentiles, an HLL sketch, and the
+  * typed `Dataset` flatMap→groupByKey→count pipeline (the typed form
+  * of the reference's map/reduce surface).
+  */
+object AggregatorQueries {
+
+  /** Geometric mean as sum-of-logs: associative+commutative buffer
+    * merge — the same algebra contract the reference's combiner
+    * exploits (mapper.c:75-88): partial buffers merge in any order.
+    */
+  object GeoMeanAgg extends Aggregator[Double, (Double, Long), Double] {
+    def zero: (Double, Long) = (0.0, 0L)
+    def reduce(b: (Double, Long), x: Double): (Double, Long) =
+      (b._1 + math.log(x), b._2 + 1)
+    def merge(a: (Double, Long), b: (Double, Long)): (Double, Long) =
+      (a._1 + b._1, a._2 + b._2)
+    def finish(r: (Double, Long)): Double = math.exp(r._1 / r._2)
+    def bufferEncoder: Encoder[(Double, Long)] =
+      Encoders.tuple(Encoders.scalaDouble, Encoders.scalaLong)
+    def outputEncoder: Encoder[Double] = Encoders.scalaDouble
+  }
+
+  val q41CustomAgg = QueryDef(
+    "q41_custom_agg",
+    "typed Aggregator (geometric mean via udaf) over lineitem prices per returnflag",
+    """SELECT l_returnflag, count(*) AS n,
+      |  round(exp(avg(ln(l_extendedprice))), 4) AS geo_mean_price
+      |FROM lineitem
+      |GROUP BY l_returnflag
+      |ORDER BY l_returnflag""".stripMargin) { (s, d) =>
+    val gm = udaf(GeoMeanAgg, Encoders.scalaDouble)
+    Tables.lineitem(s, d)
+      .groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("n"),
+        round(gm(col("l_extendedprice")), 4).as("geo_mean_price"))
+      .orderBy(col("l_returnflag"))
+  }
+
+  /** Exact interpolated percentiles (SQL `percentile` ≡ DuckDB
+    * `quantile_cont`, both the type-7 linear interpolation).
+    */
+  val q45Percentiles = QueryDef(
+    "q45_percentiles",
+    "exact interpolated quartiles of l_quantity per returnflag",
+    """SELECT l_returnflag,
+      |  round(q[1], 4) AS p25, round(q[2], 4) AS p50, round(q[3], 4) AS p75
+      |FROM (SELECT l_returnflag, quantile_cont(l_quantity, [0.25, 0.5, 0.75]) AS q
+      |      FROM lineitem GROUP BY l_returnflag)
+      |ORDER BY l_returnflag""".stripMargin) { (s, d) =>
+    Tables.lineitem(s, d)
+      .groupBy(col("l_returnflag"))
+      .agg(expr("percentile(l_quantity, array(0.25, 0.5, 0.75))").as("q"))
+      .select(col("l_returnflag"),
+        round(element_at(col("q"), 1), 4).as("p25"),
+        round(element_at(col("q"), 2), 4).as("p50"),
+        round(element_at(col("q"), 3), 4).as("p75"))
+      .orderBy(col("l_returnflag"))
+  }
+
+  /** HLL++ sketch (`approx_count_distinct`) — the scalable distinct
+    * estimator (mergeable sketch → partial+final agg like any sum).
+    * Sketch internals differ across engines, so no SQL oracle; the
+    * spec asserts the estimate is within 5% of exact.
+    */
+  val q46ApproxDistinct = QueryDef.noOracle(
+    "q46_approx_distinct",
+    "approx_count_distinct (HLL++) users per event_type vs exact") { (s, d) =>
+    Tables.events(s, d)
+      .groupBy(col("event_type"))
+      .agg(approx_count_distinct(col("user_id")).as("approx_users"),
+        countDistinct(col("user_id")).as("exact_users"))
+      .orderBy(col("event_type"))
+  }
+
+  /** The typed Dataset form of the reference's user hooks
+    * (`Dataset.flatMap` = map(), `groupByKey(...).count` = reduce()):
+    * same result as `wordcount`, produced through Encoders instead of
+    * Column expressions.
+    */
+  val q47TypedMapreduce = QueryDef(
+    "q47_typed_mapreduce",
+    "typed Dataset flatMap → groupByKey → count (the reference's map/reduce hooks, typed)",
+    """SELECT word, count(*) AS cnt
+      |FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents)
+      |WHERE word <> ''
+      |GROUP BY word
+      |ORDER BY word""".stripMargin) { (s, d) =>
+    import s.implicits._
+    Tables.documents(s, d)
+      .select(col("text")).as[String]
+      .flatMap(_.split(" "))
+      .filter(_.nonEmpty)
+      .groupByKey(identity)
+      .count()
+      .toDF("word", "cnt")
+      .orderBy(col("word"))
+  }
+
+  val all: Seq[QueryDef] = Seq(
+    q41CustomAgg, q45Percentiles, q46ApproxDistinct, q47TypedMapreduce)
+}

@@ -1,0 +1,228 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.{QueryDef, Tables}
+import graft.functions.{MinHashSignature, TextFunctions, VectorFunctions}
+
+/** Deduplication operators over `documents` / `embeddings` — the
+  * north-star LLM-pipeline dedup family: exact (content hash), MinHash
+  * + LSH banding, SimHash + hamming banding, exact n-gram Jaccard with
+  * size blocking, and embedding-cosine near-dup.
+  *
+  * Scale design: every variant is equi-join/shuffle shaped — candidate
+  * generation is a hash-partitioned join on a band/bucket key, never a
+  * cross join, so the same plans run on a 1000-executor cluster. The
+  * quadratic exact-pair queries bound their pair space with blocking
+  * keys (size band, label).
+  */
+object DedupQueries {
+
+  private def toks(text: Column): Column =
+    filter(split(text, " "), t => length(t) > 0)
+
+  /** Distinct word-3-gram shingle set per doc (the unit of near-dup
+    * comparison; 3-shingles make the tiny shared vocabulary
+    * discriminative — pairwise shingle-Jaccard on this corpus is
+    * bimodal ≤0.15 / ≥0.9).
+    */
+  private def shingleSets(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .select(col("doc_id"),
+        array_distinct(TextFunctions.wordNgrams(toks(col("text")), 3)).as("sh"))
+      .filter(size(col("sh")) > 0)
+
+  val q33ExactDedup = QueryDef(
+    "q33_exact_dedup",
+    "exact dedup by content hash: sha2(text) groups, min doc_id survives",
+    """SELECT min(doc_id) AS keep_id, count(*) AS n_copies
+      |FROM documents
+      |GROUP BY sha256(text)
+      |ORDER BY keep_id""".stripMargin) { (s, d) =>
+    Tables.documents(s, d)
+      .groupBy(sha2(col("text"), 256))
+      .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_copies"))
+      .select(col("keep_id"), col("n_copies"))
+      .orderBy(col("keep_id"))
+  }
+
+  /** MinHash signature length and LSH banding: 64 hashes in 16 bands
+    * of 4 rows → detection probability 1-(1-j^4)^16 ≈ 0.9998 at j=0.8,
+    * ≈ 1-3e-8 at j=0.9. Candidates are verified with exact Jaccard so
+    * precision is 1.0; the (tiny) recall loss at the 0.8 boundary is
+    * the standard LSH trade-off — hence no SQL oracle, the spec checks
+    * recall against brute force at sf0.001.
+    */
+  private val MinhashK = 64
+  private val BandRows = 4
+
+  val q34MinhashLsh = QueryDef.noOracle(
+    "q34_minhash_lsh",
+    "MinHash(64) + LSH(16 bands × 4) near-dup pairs, exact-Jaccard verified at 0.8") { (s, d) =>
+    // persisted: feeds the signature pipeline and both exact-verify
+    // joins (no cross-branch subplan reuse in Spark)
+    val sh = shingleSets(s, d).persist()
+    // one string hash per shingle; the whole 64-slot signature builds
+    // in a single typed-Aggregator pass (see MinHashSignature — an
+    // exploded groupBy(doc, i).min shape measured 18 s at sf0.1).
+    val sig = sh
+      .select(col("doc_id"), explode(col("sh")).as("g"))
+      .select(col("doc_id"), xxhash64(col("g")).as("h"))
+      .groupBy(col("doc_id"))
+      .agg(MinHashSignature.signature(col("h")).as("sig"))
+    // band key = murmur hash of each 4-slot signature slice
+    val bands = sig.select(col("doc_id"),
+      posexplode(transform(sequence(lit(0), lit(MinhashK / BandRows - 1)),
+        b => hash(slice(col("sig"), b * BandRows + 1, lit(BandRows)))))
+        .as(Seq("band", "bkey")))
+    val cand = bands.alias("x")
+      .join(bands.alias("y"),
+        col("x.band") === col("y.band") && col("x.bkey") === col("y.bkey") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+      .distinct()
+    // exact-Jaccard verification of the candidates only
+    cand
+      .join(sh.select(col("doc_id").as("doc_a"), col("sh").as("sha")), "doc_a")
+      .join(sh.select(col("doc_id").as("doc_b"), col("sh").as("shb")), "doc_b")
+      .select(col("doc_a"), col("doc_b"),
+        round(size(array_intersect(col("sha"), col("shb"))).cast("double") /
+          size(array_union(col("sha"), col("shb"))), 4).as("jaccard"))
+      .filter(col("jaccard") >= 0.8)
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  /** SimHash: 64-bit majority-vote fingerprint of the token hash set.
+    * Hamming-≤6 pairs via 8×8-bit band join — by pigeonhole any pair
+    * with distance ≤ 7 shares at least one intact band, so banding is
+    * EXACT (recall 1.0) for the ≤6 threshold, not approximate.
+    */
+  val q35Simhash = QueryDef.noOracle(
+    "q35_simhash",
+    "SimHash(64-bit) fingerprints; hamming≤6 near-dup pairs via exact 8-band join") { (s, d) =>
+    // per-(token, bit) sign contributions, folded by two partial-agg
+    // groupBys — all codegen'd arithmetic (an interpreted nested-HOF
+    // form of the same majority vote ran 16 s at sf0.1; this is ~1 s).
+    val sim = Tables.documents(s, d)
+      .select(col("doc_id"), explode(toks(col("text"))).as("t"))
+      .select(col("doc_id"), xxhash64(col("t")).as("h"))
+      .select(col("doc_id"), col("h"),
+        explode(sequence(lit(0), lit(63))).as("i"))
+      .select(col("doc_id"), col("i"),
+        expr("IF((shiftright(h, i) & 1) = 1, 1L, -1L)").as("sgn"))
+      .groupBy(col("doc_id"), col("i"))
+      .agg(sum(col("sgn")).as("v"))
+      .groupBy(col("doc_id"))
+      .agg(sum(expr("IF(v > 0, shiftleft(1L, i), 0L)")).as("simhash"))
+    val banded = sim.select(col("doc_id"), col("simhash"),
+      posexplode(expr(
+        "transform(sequence(0, 7), b -> shiftrightunsigned(simhash, 8*b) & 255)"))
+        .as(Seq("b", "bv")))
+    banded.alias("x")
+      .join(banded.alias("y"),
+        col("x.b") === col("y.b") && col("x.bv") === col("y.bv") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
+        expr("bit_count(x.simhash ^ y.simhash)").as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= 6)
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  /** Exact shingle-Jaccard pairs at ≥ 0.5 via the INVERTED-INDEX
+    * count idiom: explode each doc's distinct shingle hashes, self-
+    * join on shingle → per-pair shared-shingle count |A∩B| in one
+    * partial-aggregated groupBy, then J = c/(nA+nB-c) with set sizes
+    * broadcast. One pass over the shingles, every exchange an equi
+    * join — the scale-out shape when shingle document frequency is
+    * bounded. Output equals brute force (the oracle brute-forces at
+    * sf0.01) modulo 64-bit shingle-hash collisions (~1e-8/corpus).
+    * Measured alternatives at sf0.1 on this corpus (31-word vocab →
+    * only ~30k possible shingles, avg df ≈ 50): size-band blocking
+    * degenerates to all-pairs (482 s); PPJoin prefix filtering can't
+    * prune because even the rarest shingles are common (13 s);
+    * inverted index Σdf² ≈ 75M pair rows (8 s) wins — on a realistic
+    * open-vocabulary corpus its df would be ~1-3 and it'd be far
+    * cheaper still; a df cap on hot shingles is the standard
+    * approximation knob if a corpus needs one.
+    */
+  val q36NgramJaccard = QueryDef(
+    "q36_ngram_jaccard",
+    "exact word-3-gram Jaccard ≥ 0.5 pairs with lossless size-band blocking",
+    """WITH t AS (
+      |  SELECT doc_id,
+      |    list_distinct(list_transform(range(1, len(w)-1),
+      |                  i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS sh
+      |  FROM (SELECT doc_id, list_filter(string_split(text, ' '), t -> length(t) > 0) AS w
+      |        FROM documents)),
+      |tb AS (SELECT doc_id, sh, length(bin(len(sh))) AS band FROM t WHERE len(sh) > 0)
+      |SELECT * FROM (
+      |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+      |    round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+      |          / len(list_distinct(list_concat(a.sh, b.sh))), 4) AS jaccard
+      |  FROM tb a
+      |  JOIN (SELECT doc_id, sh, unnest([band-1, band, band+1]) AS jband FROM tb) b
+      |    ON a.band = b.jband AND a.doc_id < b.doc_id)
+      |WHERE jaccard >= 0.5
+      |ORDER BY doc_a, doc_b""".stripMargin) { (s, d) =>
+    // (doc, shingle-hash) postings, one row per distinct shingle/doc.
+    // Persisted: feeds both sides of the self-join and the size
+    // table — Spark has no cross-branch subplan reuse, so without it
+    // the shingle pipeline recomputes 3×.
+    val exd = shingleSets(s, d)
+      .select(col("doc_id"), explode(col("sh")).as("g"))
+      .select(col("doc_id"), xxhash64(col("g")).as("gh"))
+      .distinct()
+      .persist()
+    val inter = exd.alias("a")
+      .join(exd.alias("b"),
+        col("a.gh") === col("b.gh") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .groupBy(col("doc_a"), col("doc_b"))
+      .agg(count(lit(1)).as("c"))
+    val sizes = exd.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+    inter
+      .join(broadcast(sizes.select(col("doc_id").as("doc_a"), col("n").as("na"))), "doc_a")
+      .join(broadcast(sizes.select(col("doc_id").as("doc_b"), col("n").as("nb"))), "doc_b")
+      .select(col("doc_a"), col("doc_b"),
+        round(col("c").cast("double") / (col("na") + col("nb") - col("c")), 4)
+          .as("jaccard"))
+      .filter(col("jaccard") >= 0.5)
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  /** Embedding-cosine near-dup: same-label blocking keeps the pair
+    * space linear-ish per label partition; cosine formula is spelled
+    * identically to the oracle (dot/(sqrt(na*nb))), rounded before the
+    * threshold so both engines make identical include/exclude calls.
+    */
+  val q37EmbeddingNeardup = QueryDef(
+    "q37_embedding_neardup",
+    "embedding cosine ≥ 0.4 near-dup pairs within label blocks",
+    """WITH t AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
+      |SELECT * FROM (
+      |  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+      |    round(list_dot_product(a.v, b.v)
+      |          / sqrt(list_dot_product(a.v, a.v) * list_dot_product(b.v, b.v)), 4) AS cos_sim
+      |  FROM t a JOIN t b ON a.label = b.label AND a.vec_id < b.vec_id)
+      |WHERE cos_sim >= 0.4
+      |ORDER BY vec_a, vec_b""".stripMargin) { (s, d) =>
+    val e = Tables.embeddings(s, d)
+      .select(col("vec_id"), col("label"),
+        VectorFunctions.toDouble(col("embedding")).as("v"))
+      .withColumn("nsq", VectorFunctions.normSq(col("v")))
+    e.alias("a")
+      .join(e.alias("b"),
+        col("a.label") === col("b.label") && col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
+        round(VectorFunctions.cosineWithNorms(
+          VectorFunctions.dot(col("a.v"), col("b.v")),
+          col("a.nsq"), col("b.nsq")), 4).as("cos_sim"))
+      .filter(col("cos_sim") >= 0.4)
+      .orderBy(col("vec_a"), col("vec_b"))
+  }
+
+  val all: Seq[QueryDef] = Seq(
+    q33ExactDedup, q34MinhashLsh, q35Simhash, q36NgramJaccard,
+    q37EmbeddingNeardup)
+}

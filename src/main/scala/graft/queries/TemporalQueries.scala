@@ -1,0 +1,129 @@
+package graft.queries
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.{QueryDef, Tables}
+
+/** Event-time operators over `events` (SURVEY.md §2.2 EXT): as-of
+  * join and the batch twins of the streaming window family (tumbling /
+  * sliding / session). The same window expressions run unchanged
+  * under `readStream` (see graft.streaming); batch execution here
+  * gives them a DuckDB oracle.
+  */
+object TemporalQueries {
+
+  /** As-of join: each purchase matched to the latest view of the same
+    * user at or before it. Implemented as the union–window idiom: tag
+    * both sides, sort by (ts, tag) within user, carry the last
+    * non-null view forward — one shuffle on user_id, no range join,
+    * no per-key driver logic; identical dataflow at any scale.
+    * `last(_, ignoreNulls)` over the tagged union is the standard
+    * scalable as-of plan (a sort-merge within hash partitions).
+    */
+  val q40AsofJoin = QueryDef(
+    "q40_asof_join",
+    "as-of join: latest view ≤ each purchase per user (union + last ignoreNulls idiom)",
+    """WITH p AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'),
+      |     v AS (SELECT user_id, ts, event_id AS view_id FROM events WHERE event_type = 'view')
+      |SELECT p.event_id, p.user_id, v.view_id,
+      |       epoch_us(p.ts) - epoch_us(v.ts) AS us_since_view
+      |FROM p ASOF LEFT JOIN v ON p.user_id = v.user_id AND v.ts <= p.ts
+      |ORDER BY p.event_id""".stripMargin) { (s, d) =>
+    val e = Tables.events(s, d)
+    val p = e.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts"), lit(1).as("tag"),
+        col("event_id"), lit(null).cast("long").as("view_id"),
+        lit(null).cast("timestamp").as("vts"))
+    val v = e.filter(col("event_type") === "view")
+      .select(col("user_id"), col("ts"), lit(0).as("tag"),
+        lit(null).cast("long").as("event_id"), col("event_id").as("view_id"),
+        col("ts").as("vts"))
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("tag"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    p.unionAll(v)
+      .withColumn("m_view", last(col("view_id"), ignoreNulls = true).over(w))
+      .withColumn("m_vts", last(col("vts"), ignoreNulls = true).over(w))
+      .filter(col("tag") === 1)
+      .select(col("event_id"), col("user_id"), col("m_view").as("view_id"),
+        (unix_micros(col("ts")) - unix_micros(col("m_vts"))).as("us_since_view"))
+      .orderBy(col("event_id"))
+  }
+
+  /** Tumbling 1-hour event-time windows — `window()` start aligns to
+    * the epoch exactly like DuckDB's `time_bucket`.
+    */
+  val q42TumblingWindow = QueryDef(
+    "q42_tumbling_window",
+    "tumbling 1h event-time windows: count + sum(value) per window × type",
+    """SELECT time_bucket(INTERVAL '1 hour', ts) AS ws, event_type,
+      |  count(*) AS n, round(sum(value), 4) AS total
+      |FROM events
+      |GROUP BY ws, event_type
+      |ORDER BY ws, event_type""".stripMargin) { (s, d) =>
+    Tables.events(s, d)
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"), round(sum(col("value")), 4).as("total"))
+      .select(col("window.start").as("ws"), col("event_type"), col("n"),
+        col("total"))
+      .orderBy(col("ws"), col("event_type"))
+  }
+
+  /** Sliding 1h/30m windows: each event belongs to exactly two
+    * windows; the oracle enumerates both starts per event
+    * (`time_bucket` with and without a 30-minute phase shift).
+    */
+  val q43SlidingWindow = QueryDef(
+    "q43_sliding_window",
+    "sliding 1h windows every 30m: count + sum(value) per window",
+    """SELECT ws, count(*) AS n, round(sum(value), 4) AS total
+      |FROM (
+      |  SELECT unnest([time_bucket(INTERVAL '1 hour', ts),
+      |                 time_bucket(INTERVAL '1 hour', ts - INTERVAL '30 minutes')
+      |                   + INTERVAL '30 minutes']) AS ws,
+      |         value
+      |  FROM events)
+      |GROUP BY ws
+      |ORDER BY ws""".stripMargin) { (s, d) =>
+    Tables.events(s, d)
+      .groupBy(window(col("ts"), "1 hour", "30 minutes"))
+      .agg(count(lit(1)).as("n"), round(sum(col("value")), 4).as("total"))
+      .select(col("window.start").as("ws"), col("n"), col("total"))
+      .orderBy(col("ws"))
+  }
+
+  /** Session windows (12h inactivity gap) per user. Spark's
+    * `session_window` end = last event + gap; the oracle reproduces
+    * it with the gaps-and-islands idiom, which is also the exact
+    * semantics Structured Streaming's session window implements.
+    */
+  val q44SessionWindow = QueryDef(
+    "q44_session_window",
+    "session windows (12h gap) per user: start, end, event count",
+    """WITH g AS (
+      |  SELECT user_id, ts,
+      |    CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+      |           OR ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts) > INTERVAL '12 hours'
+      |         THEN 1 ELSE 0 END AS new_s
+      |  FROM events),
+      |s AS (SELECT user_id, ts,
+      |        sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
+      |                         ROWS UNBOUNDED PRECEDING) AS sid
+      |      FROM g)
+      |SELECT user_id, min(ts) AS session_start,
+      |       max(ts) + INTERVAL '12 hours' AS session_end,
+      |       count(*) AS n_events
+      |FROM s
+      |GROUP BY user_id, sid
+      |ORDER BY user_id, session_start""".stripMargin) { (s, d) =>
+    Tables.events(s, d)
+      .groupBy(session_window(col("ts"), "12 hours"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("user_id"), col("session_window.start").as("session_start"),
+        col("session_window.end").as("session_end"), col("n_events"))
+      .orderBy(col("user_id"), col("session_start"))
+  }
+
+  val all: Seq[QueryDef] = Seq(
+    q40AsofJoin, q42TumblingWindow, q43SlidingWindow, q44SessionWindow)
+}

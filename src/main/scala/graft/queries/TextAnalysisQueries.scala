@@ -1,0 +1,242 @@
+package graft.queries
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+import graft.{QueryDef, Tables}
+import graft.functions.TextFunctions
+
+/** Text-analysis operators over `documents` (SURVEY.md §2.2 EXT /
+  * north-star "text analysis"): per-doc token statistics, per-language
+  * corpus stats, quality scoring, stopword-profile language ID,
+  * rolling-hash fingerprinting, and n-gram frequency. All pure
+  * Catalyst built-ins / higher-order functions — the same generalized
+  * tokenize→aggregate algebra as the reference's word count
+  * (`/root/reference/src/mapper.c:14-42`), no UDFs, every query a
+  * single scan + (at most) one shuffle.
+  */
+object TextAnalysisQueries {
+
+  /** Whitespace tokens with empties dropped — `documents.text` is
+    * single-space separated so this equals the reference tokenizer on
+    * this corpus, and `string_split(text,' ')` in DuckDB matches it.
+    */
+  private def toks(text: Column): Column =
+    filter(split(text, " "), t => length(t) > 0)
+
+  val q27TokenStats = QueryDef(
+    "q27_token_stats",
+    "per-document token statistics (count/unique/avg len/max len) via HOFs — no explode, no shuffle",
+    """SELECT doc_id,
+      |  len(w) AS n_tokens,
+      |  len(list_distinct(w)) AS n_uniq,
+      |  round(CAST(list_reduce(list_transform(w, t -> CAST(length(t) AS BIGINT)),
+      |                         (a, b) -> a + b) AS DOUBLE) / len(w), 4) AS avg_token_len,
+      |  list_max(list_transform(w, t -> length(t))) AS max_token_len
+      |FROM (SELECT doc_id, list_filter(string_split(text, ' '), t -> length(t) > 0) AS w
+      |      FROM documents)
+      |ORDER BY doc_id""".stripMargin) { (s, d) =>
+    Tables.documents(s, d)
+      .select(col("doc_id"), toks(col("text")).as("w"))
+      .select(
+        col("doc_id"),
+        size(col("w")).as("n_tokens"),
+        size(array_distinct(col("w"))).as("n_uniq"),
+        round(aggregate(col("w"), lit(0L), (a, t) => a + length(t))
+          .cast("double") / size(col("w")), 4).as("avg_token_len"),
+        array_max(transform(col("w"), t => length(t))).as("max_token_len"))
+      .orderBy(col("doc_id"))
+  }
+
+  val q28LangStats = QueryDef(
+    "q28_lang_stats",
+    "per-language corpus statistics: docs, tokens, avg tokens/doc, avg chars",
+    """SELECT lang,
+      |  count(*) AS n_docs,
+      |  CAST(sum(len(list_filter(string_split(text, ' '), t -> length(t) > 0))) AS BIGINT) AS total_tokens,
+      |  round(CAST(sum(len(list_filter(string_split(text, ' '), t -> length(t) > 0))) AS DOUBLE)
+      |        / count(*), 4) AS avg_tokens,
+      |  round(CAST(sum(n_chars) AS DOUBLE) / count(*), 4) AS avg_chars
+      |FROM documents
+      |GROUP BY lang
+      |ORDER BY lang""".stripMargin) { (s, d) =>
+    Tables.documents(s, d)
+      .select(col("lang"), col("n_chars"), size(toks(col("text"))).as("nt"))
+      .groupBy(col("lang"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("nt")).as("total_tokens"),
+        round(sum(col("nt")).cast("double") / count(lit(1)), 4).as("avg_tokens"),
+        round(sum(col("n_chars")).cast("double") / count(lit(1)), 4).as("avg_chars"))
+      .orderBy(col("lang"))
+  }
+
+  /** Stopword set used by the quality score (subset of the corpus
+    * vocabulary plus common English function words).
+    */
+  private val Stopwords =
+    Seq("the", "a", "of", "and", "in", "to", "is", "on", "for", "with")
+  private def sqlList(ws: Seq[String]): String =
+    ws.map(w => s"'$w'").mkString("(", ", ", ")")
+
+  /** Document quality scoring (length, stopword ratio, type-token
+    * ratio) — the heuristic filter stage of an LLM-data pipeline.
+    * All features are integer basis points (floor(10000·k/n)): the
+    * floor of a small-int ratio is bit-identical across engines,
+    * whereas `round()` on a double differs between Spark (rounds the
+    * shortest decimal string, half-up) and DuckDB (rounds the binary
+    * value) exactly on the decimal ties a composite of rounded parts
+    * tends to produce. Integer outputs → no float compare at all.
+    */
+  val q29QualityScore = QueryDef(
+    "q29_quality_score",
+    "per-document quality features + composite score in integer basis points (LLM-pipeline filter stage)",
+    s"""SELECT doc_id, n_tokens, ttr_bp, stop_bp, mean_len_c,
+      |  4*ttr_bp + 3*(10000 - stop_bp) + 3*least(10000, 100*n_tokens) AS quality_bp
+      |FROM (
+      |  SELECT doc_id,
+      |    len(w) AS n_tokens,
+      |    CAST(floor(10000.0 * len(list_distinct(w)) / len(w)) AS BIGINT) AS ttr_bp,
+      |    CAST(floor(10000.0 * len(list_filter(w, t -> t IN ${sqlList(Stopwords)})) / len(w)) AS BIGINT) AS stop_bp,
+      |    CAST(floor(100.0 * list_reduce(list_transform(w, t -> CAST(length(t) AS BIGINT)), (a,b) -> a+b) / len(w)) AS BIGINT) AS mean_len_c
+      |  FROM (SELECT doc_id, list_filter(string_split(text, ' '), t -> length(t) > 0) AS w
+      |        FROM documents))
+      |ORDER BY doc_id""".stripMargin) { (s, d) =>
+    Tables.documents(s, d)
+      .select(col("doc_id"), toks(col("text")).as("w"))
+      .select(
+        col("doc_id"),
+        size(col("w")).cast("long").as("n_tokens"),
+        floor(lit(10000.0) * size(array_distinct(col("w"))) / size(col("w")))
+          .cast("long").as("ttr_bp"),
+        floor(lit(10000.0) * size(filter(col("w"), t => t.isin(Stopwords: _*))) /
+          size(col("w"))).cast("long").as("stop_bp"),
+        floor(lit(100.0) * aggregate(col("w"), lit(0L), (a, t) => a + length(t)) /
+          size(col("w"))).cast("long").as("mean_len_c"))
+      .withColumn("quality_bp",
+        lit(4) * col("ttr_bp") + lit(3) * (lit(10000) - col("stop_bp")) +
+          lit(3) * least(lit(10000L), lit(100L) * col("n_tokens")))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Per-language stopword profiles for the language-ID heuristic. */
+  private val LangProfiles: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "a", "of", "and", "to", "in", "is"),
+    "es" -> Seq("el", "la", "de", "y", "en", "es", "un"),
+    "de" -> Seq("der", "die", "das", "und", "zu", "ist", "ein"),
+    "fr" -> Seq("le", "la", "de", "et", "est", "un", "une"))
+
+  /** Language identification by stopword-profile hit counting — the
+    * classic cheap lang-ID heuristic (n-gram profiles degenerate to
+    * word unigrams on a space-separated corpus). Deterministic argmax
+    * with a fixed priority order on ties, spelled identically as a
+    * CASE in both engines.
+    */
+  val q30Langid = QueryDef(
+    "q30_langid",
+    "heuristic language ID: per-language stopword hit counts + deterministic argmax",
+    s"""SELECT doc_id, s_en, s_es, s_de, s_fr,
+      |  CASE WHEN s_en >= s_es AND s_en >= s_de AND s_en >= s_fr THEN 'en'
+      |       WHEN s_es >= s_de AND s_es >= s_fr THEN 'es'
+      |       WHEN s_de >= s_fr THEN 'de'
+      |       ELSE 'fr' END AS pred_lang
+      |FROM (
+      |  SELECT doc_id,
+      |    len(list_filter(w, t -> t IN ${sqlList(LangProfiles(0)._2)})) AS s_en,
+      |    len(list_filter(w, t -> t IN ${sqlList(LangProfiles(1)._2)})) AS s_es,
+      |    len(list_filter(w, t -> t IN ${sqlList(LangProfiles(2)._2)})) AS s_de,
+      |    len(list_filter(w, t -> t IN ${sqlList(LangProfiles(3)._2)})) AS s_fr
+      |  FROM (SELECT doc_id, list_filter(string_split(text, ' '), t -> length(t) > 0) AS w
+      |        FROM documents))
+      |ORDER BY doc_id""".stripMargin) { (s, d) =>
+    val scored = Tables.documents(s, d)
+      .select(col("doc_id"), toks(col("text")).as("w"))
+      .select(col("doc_id") +: LangProfiles.map { case (l, ws) =>
+        size(filter(col("w"), t => t.isin(ws: _*))).as(s"s_$l")
+      }: _*)
+    scored.withColumn("pred_lang",
+        when(col("s_en") >= col("s_es") && col("s_en") >= col("s_de") &&
+          col("s_en") >= col("s_fr"), "en")
+          .when(col("s_es") >= col("s_de") && col("s_es") >= col("s_fr"), "es")
+          .when(col("s_de") >= col("s_fr"), "de")
+          .otherwise("fr"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Split to single characters, dropping the trailing empty string
+    * Spark's `split(s, "")` (Java `split` with limit -1) produces —
+    * DuckDB's `string_split(s, '')` has no such artifact.
+    */
+  private def chars(c: Column): Column =
+    filter(split(c, ""), ch => length(ch) > 0)
+
+  /** Polynomial rolling hash of a string column: left fold of
+    * `acc*31 + codepoint`, optionally mod a prime. Matches DuckDB's
+    * `list_reduce` (seeded with the first element ≡ fold from 0).
+    */
+  private def polyHash(text: Column, mod: Option[Long]): Column = {
+    val codes = transform(chars(text), ch => ascii(ch).cast("long"))
+    mod match {
+      case Some(p) =>
+        aggregate(codes, lit(0L), (a, x) => (a * 31 + x) % p)
+      case None =>
+        aggregate(codes, lit(0L), (a, x) => a * 31 + x)
+    }
+  }
+
+  /** Document fingerprinting (north-star "document fingerprinting"):
+    * a whole-text Karp–Rabin polynomial hash plus a winnowing-style
+    * minimum over rolling 8-gram hashes. Both are order-sensitive —
+    * near-identical docs that differ anywhere get different
+    * poly_hash but usually share min_gram_hash (the winnow survives
+    * local edits), which is exactly the fingerprint-dedup trade-off.
+    */
+  val q31Fingerprint = QueryDef(
+    "q31_fingerprint",
+    "Karp–Rabin full-text hash + winnowed min 8-gram rolling hash per document",
+    """SELECT doc_id,
+      |  list_reduce(list_transform(string_split(text, ''), c -> CAST(ascii(c) AS BIGINT)),
+      |              (acc, x) -> (acc*31 + x) % 1000000007) AS poly_hash,
+      |  list_min(list_transform(
+      |     list_transform(range(1, length(text)-6), i -> substring(text, i, 8)),
+      |     g -> list_reduce(list_transform(string_split(g, ''), c -> CAST(ascii(c) AS BIGINT)),
+      |                      (acc, x) -> acc*31 + x))) AS min_gram_hash
+      |FROM documents
+      |ORDER BY doc_id""".stripMargin) { (s, d) =>
+    Tables.documents(s, d)
+      .select(
+        col("doc_id"),
+        polyHash(col("text"), Some(1000000007L)).as("poly_hash"),
+        array_min(transform(
+          transform(sequence(lit(1), length(col("text")) - 7),
+            i => col("text").substr(i, lit(8))),
+          g => polyHash(g, None))).as("min_gram_hash"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Word-bigram frequency — the n-gram generalization of the
+    * reference word count: per-doc n-gram generation is map-side,
+    * the global count is one partial+final HashAggregate.
+    */
+  val q32NgramStats = QueryDef(
+    "q32_ngram_stats",
+    "top-100 word bigrams by frequency (ngram explode + groupBy count)",
+    """SELECT bigram, count(*) AS cnt
+      |FROM (
+      |  SELECT unnest(list_transform(range(1, len(w)), i -> w[i] || ' ' || w[i+1])) AS bigram
+      |  FROM (SELECT list_filter(string_split(text, ' '), t -> length(t) > 0) AS w
+      |        FROM documents))
+      |GROUP BY bigram
+      |ORDER BY cnt DESC, bigram
+      |LIMIT 100""".stripMargin) { (s, d) =>
+    Tables.documents(s, d)
+      .select(explode(TextFunctions.wordNgrams(toks(col("text")), 2)).as("bigram"))
+      .groupBy(col("bigram"))
+      .agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("bigram"))
+      .limit(100)
+  }
+
+  val all: Seq[QueryDef] = Seq(
+    q27TokenStats, q28LangStats, q29QualityScore, q30Langid,
+    q31Fingerprint, q32NgramStats)
+}
