@@ -17,7 +17,8 @@ object Registry {
     DedupQueries.all ++
     SimilarityQueries.all ++
     TemporalQueries.all ++
-    AggregatorQueries.all
+    AggregatorQueries.all ++
+    MultimodalQueries.all
 
   def byName: Map[String, QueryDef] = queries.map(q => q.name -> q).toMap
 }

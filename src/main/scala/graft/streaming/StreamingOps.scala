@@ -1,0 +1,134 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Structured Streaming operators (SURVEY.md §2.2 Streaming rows).
+  *
+  * Each transform takes an unbounded `DataFrame` with the `events`
+  * schema (`ts timestamp, user_id long, event_type string, value
+  * double`) and returns a streaming `DataFrame` — the batch twins in
+  * `graft.queries.TemporalQueries` (q42–q44) run the same window
+  * expressions over bounded data and carry the DuckDB oracles; these
+  * add watermarks (bounded state, late-data drop) for true streams.
+  * The reference has no streaming surface (its one socket exchange,
+  * worker_manager.c:198-230, is shuffle transport, not a source);
+  * this is north-star extension surface.
+  *
+  * Scale: all state here is keyed and watermark-bounded — state store
+  * partitions follow `spark.sql.shuffle.partitions`, so the same code
+  * runs with RocksDB state stores on a large cluster.
+  */
+object StreamingOps {
+
+  /** Tumbling 1h window counts with a watermark: late events older
+    * than `lateness` beyond the max seen event time are dropped and
+    * window state older than that is evicted.
+    */
+  def tumblingCounts(events: DataFrame, lateness: String = "10 minutes"): DataFrame =
+    events
+      .withWatermark("ts", lateness)
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("value")).as("total"))
+      .select(col("window.start").as("ws"), col("event_type"), col("n"), col("total"))
+
+  /** Sliding 1h/30m window counts with a watermark. */
+  def slidingCounts(events: DataFrame, lateness: String = "10 minutes"): DataFrame =
+    events
+      .withWatermark("ts", lateness)
+      .groupBy(window(col("ts"), "1 hour", "30 minutes"))
+      .agg(count(lit(1)).as("n"), sum(col("value")).as("total"))
+      .select(col("window.start").as("ws"), col("n"), col("total"))
+
+  /** Session windows (gap-based) per user with a watermark — the
+    * streaming form of q44_session_window.
+    */
+  def sessionCounts(events: DataFrame, gap: String = "12 hours",
+      lateness: String = "10 minutes"): DataFrame =
+    events
+      .withWatermark("ts", lateness)
+      .groupBy(session_window(col("ts"), gap), col("user_id"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("user_id"), col("session_window.start").as("session_start"),
+        col("session_window.end").as("session_end"), col("n_events"))
+
+  // ---- custom stateful processing (flatMapGroupsWithState) ----
+
+  case class Event(ts: java.sql.Timestamp, user_id: Long,
+      event_type: String, value: Double)
+
+  case class SessionState(start: Long, lastTs: Long, nEvents: Long, total: Double)
+
+  case class SessionOut(user_id: Long, session_start: java.sql.Timestamp,
+      session_end: java.sql.Timestamp, n_events: Long, total: Double)
+
+  /** Custom per-key session aggregation with explicit state — the
+    * arbitrary-stateful-processing hook (`flatMapGroupsWithState`)
+    * that generalizes the built-in session window: here each emitted
+    * session also carries a running `sum(value)`, something
+    * `session_window` alone can't produce per custom logic. Sessions
+    * are emitted when the event-time watermark passes their gap
+    * timeout. State is one small record per active user — bounded.
+    */
+  def sessionize(spark: SparkSession, events: Dataset[Event],
+      gapMs: Long): Dataset[SessionOut] = {
+    import spark.implicits._
+    events
+      .withWatermark("ts", "10 minutes")
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessionState, SessionOut](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        (userId: Long, rows: Iterator[Event], state: GroupState[SessionState]) =>
+          if (state.hasTimedOut) {
+            val s = state.get
+            state.remove()
+            Iterator(SessionOut(userId,
+              new java.sql.Timestamp(s.start), new java.sql.Timestamp(s.lastTs + gapMs),
+              s.nEvents, s.total))
+          } else {
+            // fold the batch's events into the open session; close and
+            // emit whenever a gap larger than `gapMs` appears
+            val sorted = rows.toSeq.sortBy(_.ts.getTime)
+            var closed = List.empty[SessionOut]
+            var cur = state.getOption
+            sorted.foreach { e =>
+              val t = e.ts.getTime
+              cur match {
+                case Some(s) if t - s.lastTs <= gapMs =>
+                  cur = Some(s.copy(lastTs = t, nEvents = s.nEvents + 1,
+                    total = s.total + e.value))
+                case Some(s) =>
+                  closed ::= SessionOut(userId, new java.sql.Timestamp(s.start),
+                    new java.sql.Timestamp(s.lastTs + gapMs), s.nEvents, s.total)
+                  cur = Some(SessionState(t, t, 1L, e.value))
+                case None =>
+                  cur = Some(SessionState(t, t, 1L, e.value))
+              }
+            }
+            cur.foreach { s =>
+              state.update(s)
+              state.setTimeoutTimestamp(s.lastTs + gapMs)
+            }
+            closed.reverseIterator
+          }
+      }
+  }
+
+  /** File-based streaming source over the driver's parquet events —
+    * `readStream` with `availableNow` semantics turns the bounded
+    * table into a replayed stream (the socket-source analogue of
+    * reference R4 for batch-testable pipelines).
+    */
+  def eventsStream(spark: SparkSession, sfDir: String): DataFrame = {
+    val schema = spark.read.parquet(s"$sfDir/events.parquet").schema
+    // the streaming file source wants a directory: stream the sf dir
+    // filtered to the events file(s)
+    val raw = spark.readStream.schema(schema)
+      .option("pathGlobFilter", "events.parquet").parquet(sfDir)
+    // same TIMESTAMP(NANOS) normalization as Tables.events
+    if (schema("ts").dataType == org.apache.spark.sql.types.LongType)
+      raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    else raw
+  }
+}

@@ -1,0 +1,113 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.functions.TextFunctions
+
+/** Algorithm-quality checks the DuckDB oracle can't express
+  * (SURVEY.md §5): LSH recall against brute force, SimHash banding
+  * exactness, IVF recall, HLL tolerance. All at sf0.001 where brute
+  * force is cheap.
+  */
+class DedupQualitySpec extends SparkSpec {
+
+  private def toks(c: org.apache.spark.sql.Column) =
+    filter(split(c, " "), t => length(t) > 0)
+
+  /** Brute-force word-3-gram Jaccard pairs ≥ threshold. */
+  private def brutePairs(threshold: Double): Set[(Long, Long)] = {
+    val sh = Tables.documents(spark, sfDir)
+      .select(col("doc_id"),
+        array_distinct(TextFunctions.wordNgrams(toks(col("text")), 3)).as("sh"))
+      .filter(size(col("sh")) > 0)
+    sh.alias("a").crossJoin(sh.alias("b"))
+      .filter(col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id"), col("b.doc_id"),
+        (size(array_intersect(col("a.sh"), col("b.sh"))).cast("double") /
+          size(array_union(col("a.sh"), col("b.sh")))).as("j"))
+      .filter(col("j") >= threshold)
+      .select(col("a.doc_id"), col("b.doc_id"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+  }
+
+  test("minhash-LSH finds every high-similarity pair (recall ≈ 1 at j ≥ 0.9)") {
+    val got = Registry.byName("q34_minhash_lsh").fn(spark, sfDir)
+      .select(col("doc_a"), col("doc_b"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val want = brutePairs(0.9)
+    assert(want.nonEmpty, "corpus should contain planted near-dups")
+    // 16 bands × 4 rows: P(miss | j≥0.9) ≈ 3e-8 per pair
+    assert(want.subsetOf(got),
+      s"LSH missed high-sim pairs: ${want.diff(got)}")
+  }
+
+  test("minhash-LSH output is a subset of brute force at the 0.8 threshold (precision 1)") {
+    val got = Registry.byName("q34_minhash_lsh").fn(spark, sfDir)
+      .select(col("doc_a"), col("doc_b"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val want = brutePairs(0.8)
+    assert(got.subsetOf(want), s"false positives: ${got.diff(want)}")
+  }
+
+  test("simhash banding is exact for hamming ≤ 6 (pigeonhole over 8 bands)") {
+    // brute-force simhash distances vs the banded join's results
+    val sim = Registry.byName("q35_simhash").fn(spark, sfDir)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getAs[Number](2).longValue)).toSet
+    // recompute simhashes directly and brute-force pairs
+    val hs = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), explode(toks(col("text"))).as("t"))
+      .select(col("doc_id"), xxhash64(col("t")).as("h"))
+      .select(col("doc_id"), col("h"),
+        explode(sequence(lit(0), lit(63))).as("i"))
+      .select(col("doc_id"), col("i"),
+        expr("IF((shiftright(h, i) & 1) = 1, 1L, -1L)").as("sgn"))
+      .groupBy(col("doc_id"), col("i")).agg(sum(col("sgn")).as("v"))
+      .groupBy(col("doc_id"))
+      .agg(sum(expr("IF(v > 0, shiftleft(1L, i), 0L)")).as("simhash"))
+    val brute = hs.alias("a").crossJoin(hs.alias("b"))
+      .filter(col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id"), col("b.doc_id"),
+        expr("bit_count(a.simhash ^ b.simhash)").as("d"))
+      .filter(col("d") <= 6)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getAs[Number](2).longValue)).toSet
+    assert(sim == brute,
+      s"banded join != brute force: missing=${brute.diff(sim)} extra=${sim.diff(brute)}")
+  }
+
+  test("IVF ANN attains useful recall@10 against brute-force top-10") {
+    val brute = Registry.byName("q38_cosine_topk").fn(spark, sfDir)
+    val ann = Registry.byName("q39_ann_ivf").fn(spark, sfDir)
+    // q38 queries vec_id<20, q39 queries 20..29 — recompute brute for
+    // the ANN query ids via the same plan shape on the raw table
+    import graft.functions.VectorFunctions
+    val t = Tables.embeddings(spark, sfDir)
+      .select(col("vec_id"), VectorFunctions.toDouble(col("embedding")).as("v"))
+    val q = t.filter(col("vec_id") >= 20 && col("vec_id") < 30)
+      .select(col("vec_id").as("q_id"), col("v").as("qv"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("q_id")).orderBy(col("cs").desc, col("vec_id"))
+    val bruteAnn = t.crossJoin(broadcast(q))
+      .filter(col("vec_id") =!= col("q_id"))
+      .withColumn("cs", VectorFunctions.cosine(col("qv"), col("v")))
+      .withColumn("rn", row_number().over(w)).filter(col("rn") <= 10)
+      .select(col("q_id"), col("vec_id"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val annPairs = ann.select(col("q_id"), col("n_id"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = annPairs.intersect(bruteAnn).size.toDouble / bruteAnn.size
+    assert(recall >= 0.25, f"IVF recall@10 too low: $recall%.2f")
+    // sanity: brute top-k exists for every query
+    assert(brute.count() > 0)
+  }
+
+  test("approx_count_distinct within 5% of exact") {
+    val rows = Registry.byName("q46_approx_distinct").fn(spark, sfDir).collect()
+    rows.foreach { r =>
+      val approx = r.getAs[Long]("approx_users").toDouble
+      val exact = r.getAs[Long]("exact_users").toDouble
+      assert(math.abs(approx - exact) / exact <= 0.05,
+        s"${r.getString(0)}: approx=$approx exact=$exact")
+    }
+  }
+}

@@ -1,0 +1,101 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+
+/** Source/sink coverage (SURVEY.md §2.1 R1/R2/R14/R15, §2.2 sources):
+  * text, wholetext dir scan with input_file_name (the reference's
+  * native input mode, mapper.c:44-66/95-117), csv and json round
+  * trips, and the binaryFile source for multimodal blobs. Files are
+  * written under target/ (inside the repo) and compared back against
+  * the parquet-derived truth.
+  */
+class SourcesSpec extends SparkSpec {
+
+  private lazy val tmpRoot = {
+    val p = Files.createTempDirectory(
+      java.nio.file.Paths.get("target"), "sources-spec")
+    p.toFile.deleteOnExit()
+    p.toString
+  }
+
+  test("wholetext dir scan + tokenize reproduces the documents word count (R1/R2 parity)") {
+    import spark.implicits._
+    val docs = Tables.documents(spark, sfDir).select($"doc_id", $"text")
+    // write each doc as its own text file — the reference's ./data layout
+    val dir = s"$tmpRoot/data"
+    docs.collect().foreach { r =>
+      Files.createDirectories(java.nio.file.Paths.get(dir))
+      Files.writeString(
+        java.nio.file.Paths.get(dir, s"doc_${r.getLong(0)}.txt"), r.getString(1))
+    }
+    val fromFiles = spark.read.option("wholetext", true).text(dir)
+      .select(input_file_name().as("fname"), $"value")
+    assert(fromFiles.count() == docs.count())
+    // word count over the files == word count over the parquet column
+    val wcFiles = fromFiles
+      .select(explode(split(lower($"value"), "[^\\p{L}\\p{N}]+")).as("word"))
+      .filter(length($"word") > 0)
+      .groupBy($"word").count().orderBy($"word")
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    val wcParquet = Registry.byName("wordcount").fn(spark, sfDir)
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    assert(wcFiles.toSeq == wcParquet.toSeq)
+  }
+
+  test("csv round trip preserves lineitem aggregates") {
+    val li = Tables.lineitem(spark, sfDir)
+      .select(col("l_orderkey"), col("l_quantity"), col("l_returnflag"))
+    val path = s"$tmpRoot/lineitem_csv"
+    li.write.mode("overwrite").option("header", true).csv(path)
+    val back = spark.read.option("header", true)
+      .option("inferSchema", true).csv(path)
+    val a = li.groupBy(col("l_returnflag")).agg(sum(col("l_quantity")).as("s"))
+      .orderBy(col("l_returnflag")).collect().map(r => (r.getString(0), r.getDouble(1)))
+    val b = back.groupBy(col("l_returnflag")).agg(sum(col("l_quantity")).as("s"))
+      .orderBy(col("l_returnflag")).collect().map(r => (r.getString(0), r.getDouble(1)))
+    assert(a.toSeq == b.toSeq)
+  }
+
+  test("json round trip preserves schema and row count") {
+    val ev = Tables.events(spark, sfDir)
+      .select(col("event_id"), col("user_id"), col("event_type"), col("value"))
+    val path = s"$tmpRoot/events_json"
+    ev.write.mode("overwrite").json(path)
+    val back = spark.read.json(path)
+    assert(back.count() == ev.count())
+    assert(back.columns.sorted.toSeq == ev.columns.sorted.toSeq)
+    val a = ev.agg(sum(col("value"))).collect()(0).getDouble(0)
+    val b = back.agg(sum(col("value"))).collect()(0).getDouble(0)
+    assert(math.abs(a - b) < 1e-6)
+  }
+
+  test("binaryFile source reads blobs with metadata (multimodal ingest path)") {
+    val dir = s"$tmpRoot/blobs"
+    Files.createDirectories(java.nio.file.Paths.get(dir))
+    Files.write(java.nio.file.Paths.get(dir, "a.bin"), Array[Byte](1, 2, 3))
+    Files.write(java.nio.file.Paths.get(dir, "b.bin"), Array[Byte](4, 5))
+    val df = spark.read.format("binaryFile").load(dir)
+    val rows = df.select(col("path"), col("length"), col("content"))
+      .orderBy(col("path")).collect()
+    assert(rows.length == 2)
+    assert(rows(0).getLong(1) == 3 && rows(1).getLong(1) == 2)
+    assert(rows(0).getAs[Array[Byte]](2).toSeq == Seq[Byte](1, 2, 3))
+  }
+
+  test("text line sink + line-KV parse source round trip (R3/R14 parity)") {
+    import spark.implicits._
+    // the reference's "key : value" wire format (mapper.c:85)
+    val wc = Registry.byName("wordcount").fn(spark, sfDir).limit(50)
+    val path = s"$tmpRoot/kv_lines"
+    wc.select(concat_ws(" : ", $"word", $"cnt").as("value"))
+      .coalesce(1).write.mode("overwrite").text(path)
+    val back = spark.read.text(path)
+      .select(split($"value", " : ").as("kv"))
+      .select($"kv".getItem(0).as("word"), $"kv".getItem(1).cast("long").as("cnt"))
+    val a = wc.orderBy($"word").collect().map(r => (r.getString(0), r.getLong(1)))
+    val b = back.orderBy($"word").collect().map(r => (r.getString(0), r.getLong(1)))
+    assert(a.toSeq == b.toSeq)
+  }
+}

@@ -1,0 +1,131 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.streaming.StreamingQuery
+
+import graft.streaming.StreamingOps
+import graft.streaming.StreamingOps.Event
+
+/** Structured Streaming semantics (no DuckDB oracle possible —
+  * SURVEY.md §5 risk 2): windows, watermark late-data drop, and
+  * stateful sessionization, all driven through MemoryStream with
+  * hand-computed expectations.
+  */
+class StreamingSpec extends SparkSpec {
+
+  private def ts(minutes: Long): Timestamp =
+    new Timestamp(1704067200000L + minutes * 60000L) // 2024-01-01 00:00 UTC
+
+  private def runAll(q: StreamingQuery): Unit = {
+    q.processAllAvailable()
+  }
+
+  test("tumbling window stream counts match batch semantics") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val input = MemoryStream[Event]
+    val q = StreamingOps.tumblingCounts(input.toDF())
+      .writeStream.format("memory").queryName("tumbling_t")
+      .outputMode("update").start()
+    try {
+      input.addData(
+        Event(ts(5), 1L, "view", 1.0),
+        Event(ts(10), 1L, "view", 2.0),
+        Event(ts(65), 2L, "click", 3.0))
+      runAll(q)
+      val rows = spark.table("tumbling_t")
+        .select($"ws", $"event_type", $"n").as[(Timestamp, String, Long)]
+        .collect().toSet
+      assert(rows.contains((ts(0), "view", 2L)))
+      assert(rows.contains((ts(60), "click", 1L)))
+    } finally q.stop()
+  }
+
+  test("watermark drops events later than the allowed lateness") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val input = MemoryStream[Event]
+    val q = StreamingOps.tumblingCounts(input.toDF(), lateness = "10 minutes")
+      .writeStream.format("memory").queryName("late_t")
+      .outputMode("update").start()
+    try {
+      input.addData(Event(ts(5), 1L, "view", 1.0))
+      runAll(q)
+      // advance watermark far past the first window (+10m lateness)
+      input.addData(Event(ts(600), 1L, "view", 1.0))
+      runAll(q)
+      // this event is now older than watermark → must be dropped
+      input.addData(Event(ts(6), 1L, "view", 100.0))
+      runAll(q)
+      val n = spark.table("late_t")
+        .filter($"ws" === ts(0)).select($"n").as[Long].collect().max
+      assert(n == 1L, "late event leaked past the watermark")
+    } finally q.stop()
+  }
+
+  test("session window stream groups by inactivity gap") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val input = MemoryStream[Event]
+    val q = StreamingOps.sessionCounts(input.toDF(), gap = "30 minutes")
+      .writeStream.format("memory").queryName("session_t")
+      .outputMode("complete").start()
+    try {
+      // two sessions for user 1 (gap 40m > 30m), one for user 2
+      input.addData(
+        Event(ts(0), 1L, "view", 1.0),
+        Event(ts(10), 1L, "view", 1.0),
+        Event(ts(50), 1L, "view", 1.0),
+        Event(ts(0), 2L, "view", 1.0))
+      runAll(q)
+      val rows = spark.table("session_t")
+        .select($"user_id", $"n_events").as[(Long, Long)].collect().toSeq
+      assert(rows.count(_._1 == 1L) == 2)
+      assert(rows.filter(_._1 == 1L).map(_._2).sorted == Seq(1L, 2L))
+      assert(rows.count(_._1 == 2L) == 1)
+    } finally q.stop()
+  }
+
+  test("flatMapGroupsWithState sessionize emits closed sessions with totals") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val input = MemoryStream[Event]
+    val gapMs = 30L * 60000L
+    val q = StreamingOps.sessionize(spark, input.toDS(), gapMs)
+      .writeStream.format("memory").queryName("fmgws_t")
+      .outputMode("append").start()
+    try {
+      input.addData(
+        Event(ts(0), 1L, "view", 1.5),
+        Event(ts(10), 1L, "click", 2.5))
+      runAll(q)
+      // in-batch gap close: a later event for the same user both closes
+      // the first session inline and opens a new one
+      input.addData(Event(ts(120), 1L, "view", 9.0))
+      runAll(q)
+      // advance the watermark far ahead so the open session times out
+      input.addData(Event(ts(2000), 99L, "view", 0.0))
+      runAll(q)
+      input.addData(Event(ts(2100), 99L, "view", 0.0))
+      runAll(q)
+      val rows = spark.table("fmgws_t")
+        .select($"user_id", $"n_events", $"total")
+        .as[(Long, Long, Double)].collect().toSet
+      assert(rows.contains((1L, 2L, 4.0)), s"first session missing: $rows")
+      assert(rows.contains((1L, 1L, 9.0)), s"timed-out session missing: $rows")
+    } finally q.stop()
+  }
+
+  test("eventsStream replays the parquet events table as a stream") {
+    val out = StreamingOps.tumblingCounts(
+      StreamingOps.eventsStream(spark, sfDir), lateness = "0 seconds")
+    val q = out.writeStream.format("memory").queryName("replay_t")
+      .outputMode("update").start()
+    try {
+      q.processAllAvailable()
+      assert(spark.table("replay_t").count() > 0)
+    } finally q.stop()
+  }
+}
