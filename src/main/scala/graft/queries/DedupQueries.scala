@@ -3,7 +3,8 @@ package graft.queries
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.{QueryDef, Tables}
-import graft.functions.{MinHashSignature, TextFunctions, VectorFunctions}
+import graft.functions.{MinHashSignature, TextFunctions}
+import graft.plans.GraftFunctions
 
 /** Deduplication operators over `documents` / `embeddings` — the
   * north-star LLM-pipeline dedup family: exact (content hash), MinHash
@@ -192,8 +193,10 @@ object DedupQueries {
   }
 
   /** Embedding-cosine near-dup: same-label blocking keeps the pair
-    * space linear-ish per label partition; cosine formula is spelled
-    * identically to the oracle (dot/(sqrt(na*nb))), rounded before the
+    * space linear-ish per label partition; cosine is the native
+    * codegen'd `cosine_sim` expression (graft.plans.CosineSimilarity)
+    * reading the float vectors directly — same double-accumulation
+    * formula as the oracle (dot/(sqrt(na*nb))), rounded before the
     * threshold so both engines make identical include/exclude calls.
     */
   val q37EmbeddingNeardup = QueryDef(
@@ -207,17 +210,15 @@ object DedupQueries {
       |  FROM t a JOIN t b ON a.label = b.label AND a.vec_id < b.vec_id)
       |WHERE cos_sim >= 0.4
       |ORDER BY vec_a, vec_b""".stripMargin) { (s, d) =>
+    GraftFunctions.register(s)
     val e = Tables.embeddings(s, d)
-      .select(col("vec_id"), col("label"),
-        VectorFunctions.toDouble(col("embedding")).as("v"))
-      .withColumn("nsq", VectorFunctions.normSq(col("v")))
+      .select(col("vec_id"), col("label"), col("embedding"))
     e.alias("a")
       .join(e.alias("b"),
         col("a.label") === col("b.label") && col("a.vec_id") < col("b.vec_id"))
       .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
-        round(VectorFunctions.cosineWithNorms(
-          VectorFunctions.dot(col("a.v"), col("b.v")),
-          col("a.nsq"), col("b.nsq")), 4).as("cos_sim"))
+        round(GraftFunctions.cosineSim(col("a.embedding"), col("b.embedding")), 4)
+          .as("cos_sim"))
       .filter(col("cos_sim") >= 0.4)
       .orderBy(col("vec_a"), col("vec_b"))
   }
