@@ -18,7 +18,8 @@ object Registry {
     SimilarityQueries.all ++
     TemporalQueries.all ++
     AggregatorQueries.all ++
-    MultimodalQueries.all
+    MultimodalQueries.all ++
+    UdxQueries.all
 
   def byName: Map[String, QueryDef] = queries.map(q => q.name -> q).toMap
 }

@@ -1,0 +1,73 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.{QueryDef, Tables}
+
+/** Remaining UDx + collection-function surface (SURVEY.md §2.2
+  * "array/map fns" and "scalar UDF" rows): higher-order array
+  * functions over per-group collected arrays, and a Scala `udf` (the
+  * arbitrary-map user hook — kept OUT of other hot paths on purpose;
+  * a udf is the fallback, built-ins/custom expressions the default).
+  */
+object UdxQueries {
+
+  /** Array HOFs (transform/filter/aggregate) over deterministic
+    * per-order quantity arrays. `collect_list` order is
+    * nondeterministic, so the array is built from
+    * sort_array(collect_list(struct(...))) — same trick as DuckDB's
+    * `list(x ORDER BY y)`.
+    */
+  val q49ArrayFuncs = QueryDef(
+    "q49_array_funcs",
+    "array HOFs: per-order quantity vectors → filter/transform/aggregate",
+    """SELECT o_orderkey, n_lines,
+      |  CAST(list_reduce(qs, (a, b) -> a + b) AS DOUBLE) AS qty_sum,
+      |  list_max(qs) AS qty_max,
+      |  len(list_filter(qs, q -> q > 25)) AS n_large,
+      |  CAST(list_reduce(list_transform(qs, q -> q * 2), (a, b) -> a + b) AS DOUBLE) AS doubled_sum
+      |FROM (
+      |  SELECT l_orderkey AS o_orderkey, count(*) AS n_lines,
+      |         list(l_quantity ORDER BY l_linenumber) AS qs
+      |  FROM lineitem GROUP BY l_orderkey)
+      |WHERE o_orderkey < 300
+      |ORDER BY o_orderkey""".stripMargin) { (s, d) =>
+    Tables.lineitem(s, d)
+      .filter(col("l_orderkey") < 300)
+      .groupBy(col("l_orderkey").as("o_orderkey"))
+      .agg(count(lit(1)).as("n_lines"),
+        transform(sort_array(collect_list(struct(col("l_linenumber"), col("l_quantity")))),
+          x => x.getField("l_quantity")).as("qs"))
+      .select(col("o_orderkey"), col("n_lines"),
+        aggregate(col("qs"), lit(0.0), (a, q) => a + q).as("qty_sum"),
+        array_max(col("qs")).as("qty_max"),
+        size(filter(col("qs"), q => q > 25)).as("n_large"),
+        aggregate(transform(col("qs"), q => q * 2), lit(0.0), (a, q) => a + q)
+          .as("doubled_sum"))
+      .orderBy(col("o_orderkey"))
+  }
+
+  /** Scala scalar UDF — the reference's arbitrary `map()` hook at
+    * expression granularity. Parses the numeric rank off
+    * `o_orderpriority` ("1-URGENT" → 1); the oracle does the same
+    * with string functions, proving the UDF's contract.
+    */
+  val q50ScalarUdf = QueryDef(
+    "q50_scalar_udf",
+    "Scala scalar udf(): parse priority rank, aggregate per rank",
+    """SELECT CAST(string_split(o_orderpriority, '-')[1] AS INT) AS prio_rank,
+      |  count(*) AS n,
+      |  round(sum(o_totalprice), 2) AS total
+      |FROM orders
+      |GROUP BY prio_rank
+      |ORDER BY prio_rank""".stripMargin) { (s, d) =>
+    val rankOf = udf((p: String) => p.split("-")(0).toInt)
+    Tables.orders(s, d)
+      .select(rankOf(col("o_orderpriority")).as("prio_rank"), col("o_totalprice"))
+      .groupBy(col("prio_rank"))
+      .agg(count(lit(1)).as("n"),
+        round(sum(col("o_totalprice")), 2).as("total"))
+      .orderBy(col("prio_rank"))
+  }
+
+  val all: Seq[QueryDef] = Seq(q49ArrayFuncs, q50ScalarUdf)
+}

@@ -1,0 +1,84 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalacheck.{Gen, Prop, Test => SCTest}
+
+/** Property-based algebraic laws (SURVEY.md §5.3) — the invariants
+  * the reference's design embodies, checked over generated data:
+  * partition-invariance of aggregation (the R11 contract: placement
+  * never changes results), combiner correctness (partial+final ==
+  * direct — mapper.c:75-88 vs reducer.c:23-38 equivalence), dedup
+  * idempotence, and set-op laws.
+  */
+class PropertySpec extends SparkSpec {
+
+  private val params = SCTest.Parameters.default.withMinSuccessfulTests(5)
+
+  private def check(prop: Prop): Unit = {
+    val res = SCTest.check(params, prop)
+    assert(res.passed, res.status.toString)
+  }
+
+  private val kvGen: Gen[List[(String, Long)]] =
+    Gen.listOfN(60, Gen.zip(Gen.oneOf("a", "b", "c", "d", "e"), Gen.choose(-50L, 50L)))
+
+  test("groupBy sum is invariant under repartitioning (R11 placement contract)") {
+    import spark.implicits._
+    check(Prop.forAll(kvGen, Gen.choose(1, 8)) { (xs, n) =>
+      val expected = xs.groupBy(_._1).view.mapValues(_.map(_._2).sum).toMap
+      val got = xs.toDF("k", "v").repartition(n, $"k")
+        .groupBy($"k").agg(sum($"v").as("s"))
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      got == expected
+    })
+  }
+
+  test("partial+final aggregation equals direct aggregation (combiner law)") {
+    import spark.implicits._
+    check(Prop.forAll(kvGen) { xs =>
+      val df = xs.toDF("k", "v")
+      // simulate explicit two-phase combine: per-partition partial sums
+      // unioned, then final sum — must equal the one-shot groupBy
+      val partial = df.repartition(4, $"k")
+        .groupBy(spark_partition_id().as("p"), $"k").agg(sum($"v").as("s"))
+        .groupBy($"k").agg(sum($"s").as("s"))
+      val direct = df.groupBy($"k").agg(sum($"v").as("s"))
+      partial.collect().map(r => r.getString(0) -> r.getLong(1)).toMap ==
+        direct.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    })
+  }
+
+  test("dropDuplicates is idempotent") {
+    import spark.implicits._
+    check(Prop.forAll(kvGen) { xs =>
+      val once = xs.toDF("k", "v").dropDuplicates()
+      once.count() == once.dropDuplicates().count()
+    })
+  }
+
+  test("set-op laws: A except A = ∅, |A union B| = |A|+|B|, intersect ⊆ both") {
+    import spark.implicits._
+    check(Prop.forAll(kvGen, kvGen) { (as, bs) =>
+      val a = as.toDF("k", "v")
+      val b = bs.toDF("k", "v")
+      val exceptSelf = a.except(a).count() == 0
+      val unionAll = a.union(b).count() == as.size + bs.size
+      val inter = a.intersect(b).collect().map(r => (r.getString(0), r.getLong(1))).toSet
+      val interSub = inter.subsetOf(as.toSet) && inter.subsetOf(bs.toSet)
+      exceptSelf && unionAll && interSub
+    })
+  }
+
+  test("tokenizer matches the reference's iswalnum/towlower semantics on fixtures") {
+    import spark.implicits._
+    // mapper.c:14-42: maximal alnum runs, lowercased; digits included;
+    // punctuation and whitespace both delimit
+    val fixture = "Hello, WORLD!  it's 42 degrees—x2  "
+    val expected = Seq("hello", "world", "it", "s", "42", "degrees", "x2")
+    val got = Seq(fixture).toDF("text")
+      .select(explode(split(lower($"text"), "[^\\p{L}\\p{N}]+")).as("w"))
+      .filter(length($"w") > 0)
+      .as[String].collect().toSeq
+    assert(got == expected)
+  }
+}
