@@ -13,6 +13,12 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // session warmup so the first timed query doesn't absorb JVM/codegen
+    // startup (~3-5 s): touch every table once
+    graft.Tables.all.foreach { t =>
+      try graft.Tables.load(spark, sfDir, t).count()
+      catch { case _: Throwable => () }
+    }
     // a failed query records -1 (NOT its elapsed time — a swallowed
     // exception must not masquerade as a fast run)
     val results = SparkEntry.queries.map { case (name, fn) =>

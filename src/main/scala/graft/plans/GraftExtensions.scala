@@ -18,24 +18,45 @@ import org.apache.spark.sql.functions.call_function
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
-    ext.injectFunction(GraftFunctions.cosineSimDescriptor)
+    GraftFunctions.descriptors.foreach(ext.injectFunction)
   }
 }
 
 object GraftFunctions {
-  val cosineSimDescriptor: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) =
+  type Descriptor = (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)
+
+  val cosineSimDescriptor: Descriptor =
     (FunctionIdentifier("cosine_sim"),
       new ExpressionInfo(classOf[CosineSimilarity].getName, "cosine_sim"),
       (children: Seq[Expression]) => CosineSimilarity(children(0), children(1)))
 
+  val minhashSigDescriptor: Descriptor =
+    (FunctionIdentifier("minhash_sig"),
+      new ExpressionInfo(classOf[MinHashSigAgg].getName, "minhash_sig"),
+      (children: Seq[Expression]) => MinHashSigAgg(children.head))
+
+  val simhashDescriptor: Descriptor =
+    (FunctionIdentifier("simhash_agg"),
+      new ExpressionInfo(classOf[SimHashAgg].getName, "simhash_agg"),
+      (children: Seq[Expression]) => SimHashAgg(children.head))
+
+  val descriptors: Seq[Descriptor] =
+    Seq(cosineSimDescriptor, minhashSigDescriptor, simhashDescriptor)
+
   /** Idempotent per-session registration. */
-  def register(spark: SparkSession): Unit = {
-    val (id, info, builder) = cosineSimDescriptor
-    if (!spark.sessionState.functionRegistry.functionExists(id)) {
-      spark.sessionState.functionRegistry.registerFunction(id, info, builder)
-    }
+  def register(spark: SparkSession): Unit = descriptors.foreach {
+    case (id, info, builder) =>
+      if (!spark.sessionState.functionRegistry.functionExists(id)) {
+        spark.sessionState.functionRegistry.registerFunction(id, info, builder)
+      }
   }
 
   /** Column-API form of the native cosine (requires `register`). */
   def cosineSim(a: Column, b: Column): Column = call_function("cosine_sim", a, b)
+
+  /** Column-API form of the native minhash signature aggregate. */
+  def minhashSig(h: Column): Column = call_function("minhash_sig", h)
+
+  /** Column-API form of the native simhash aggregate. */
+  def simhashAgg(h: Column): Column = call_function("simhash_agg", h)
 }

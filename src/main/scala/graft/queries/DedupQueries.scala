@@ -1,9 +1,9 @@
 package graft.queries
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.{QueryDef, Tables}
-import graft.functions.{MinHashSignature, TextFunctions}
 import graft.plans.GraftFunctions
 
 /** Deduplication operators over `documents` / `embeddings` — the
@@ -22,16 +22,26 @@ object DedupQueries {
   private def toks(text: Column): Column =
     filter(split(text, " "), t => length(t) > 0)
 
-  /** Distinct word-3-gram shingle set per doc (the unit of near-dup
-    * comparison; 3-shingles make the tiny shared vocabulary
-    * discriminative — pairwise shingle-Jaccard on this corpus is
-    * bimodal ≤0.15 / ≥0.9).
+  /** Distinct word-3-gram shingle postings per doc, as (doc_id,
+    * 64-bit shingle hash) rows. 3-shingles make the tiny shared
+    * vocabulary discriminative — pairwise shingle-Jaccard on this
+    * corpus is bimodal ≤0.15 / ≥0.9. Shingles are produced by a
+    * window `lead` over the exploded token stream and hashed as the
+    * token TRIPLE directly (`xxhash64(t, t+1, t+2)`) — fully
+    * codegen'd; the earlier higher-order-function array build
+    * (`transform`+`concat_ws`+`slice` per position) evaluated
+    * interpreted and dominated every dedup query's runtime.
     */
-  private def shingleSets(s: SparkSession, d: String): DataFrame =
+  private def shinglePostings(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("p"))
     Tables.documents(s, d)
-      .select(col("doc_id"),
-        array_distinct(TextFunctions.wordNgrams(toks(col("text")), 3)).as("sh"))
-      .filter(size(col("sh")) > 0)
+      .select(col("doc_id"), posexplode(toks(col("text"))).as(Seq("p", "t")))
+      .select(col("doc_id"), col("p"), col("t"),
+        lead(col("t"), 1).over(w).as("t1"), lead(col("t"), 2).over(w).as("t2"))
+      .filter(col("t2").isNotNull)
+      .select(col("doc_id"), xxhash64(col("t"), col("t1"), col("t2")).as("gh"))
+      .distinct()
+  }
 
   val q33ExactDedup = QueryDef(
     "q33_exact_dedup",
@@ -60,17 +70,18 @@ object DedupQueries {
   val q34MinhashLsh = QueryDef.noOracle(
     "q34_minhash_lsh",
     "MinHash(64) + LSH(16 bands × 4) near-dup pairs, exact-Jaccard verified at 0.8") { (s, d) =>
+    GraftFunctions.register(s)
     // persisted: feeds the signature pipeline and both exact-verify
     // joins (no cross-branch subplan reuse in Spark)
-    val sh = shingleSets(s, d).persist()
-    // one string hash per shingle; the whole 64-slot signature builds
-    // in a single typed-Aggregator pass (see MinHashSignature — an
-    // exploded groupBy(doc, i).min shape measured 18 s at sf0.1).
-    val sig = sh
-      .select(col("doc_id"), explode(col("sh")).as("g"))
-      .select(col("doc_id"), xxhash64(col("g")).as("h"))
+    val posts = shinglePostings(s, d).persist()
+    val sh = posts.groupBy(col("doc_id")).agg(collect_set(col("gh")).as("sh"))
+    // the whole 64-slot signature builds in one native
+    // TypedImperativeAggregate pass over the shingle hashes (see
+    // plans.MinHashSigAgg; an exploded groupBy(doc, i).min shape
+    // measured 18 s at sf0.1, a udaf(Aggregator) ~2× this)
+    val sig = posts
       .groupBy(col("doc_id"))
-      .agg(MinHashSignature.signature(col("h")).as("sig"))
+      .agg(GraftFunctions.minhashSig(col("gh")).as("sig"))
     // band key = murmur hash of each 4-slot signature slice
     val bands = sig.select(col("doc_id"),
       posexplode(transform(sequence(lit(0), lit(MinhashK / BandRows - 1)),
@@ -101,20 +112,16 @@ object DedupQueries {
   val q35Simhash = QueryDef.noOracle(
     "q35_simhash",
     "SimHash(64-bit) fingerprints; hamming≤6 near-dup pairs via exact 8-band join") { (s, d) =>
-    // per-(token, bit) sign contributions, folded by two partial-agg
-    // groupBys — all codegen'd arithmetic (an interpreted nested-HOF
-    // form of the same majority vote ran 16 s at sf0.1; this is ~1 s).
+    GraftFunctions.register(s)
+    // one native TypedImperativeAggregate pass builds the 64-bit
+    // majority-vote fingerprint per doc (plans.SimHashAgg — an
+    // interpreted nested-HOF form ran 16 s at sf0.1, a 64×-exploded
+    // per-bit groupBy ~4-5 s; this is sub-second map-side work)
     val sim = Tables.documents(s, d)
       .select(col("doc_id"), explode(toks(col("text"))).as("t"))
       .select(col("doc_id"), xxhash64(col("t")).as("h"))
-      .select(col("doc_id"), col("h"),
-        explode(sequence(lit(0), lit(63))).as("i"))
-      .select(col("doc_id"), col("i"),
-        expr("IF((shiftright(h, i) & 1) = 1, 1L, -1L)").as("sgn"))
-      .groupBy(col("doc_id"), col("i"))
-      .agg(sum(col("sgn")).as("v"))
       .groupBy(col("doc_id"))
-      .agg(sum(expr("IF(v > 0, shiftleft(1L, i), 0L)")).as("simhash"))
+      .agg(GraftFunctions.simhashAgg(col("h")).as("simhash"))
     val banded = sim.select(col("doc_id"), col("simhash"),
       posexplode(expr(
         "transform(sequence(0, 7), b -> shiftrightunsigned(simhash, 8*b) & 255)"))
@@ -170,11 +177,7 @@ object DedupQueries {
     // Persisted: feeds both sides of the self-join and the size
     // table — Spark has no cross-branch subplan reuse, so without it
     // the shingle pipeline recomputes 3×.
-    val exd = shingleSets(s, d)
-      .select(col("doc_id"), explode(col("sh")).as("g"))
-      .select(col("doc_id"), xxhash64(col("g")).as("gh"))
-      .distinct()
-      .persist()
+    val exd = shinglePostings(s, d).persist()
     val inter = exd.alias("a")
       .join(exd.alias("b"),
         col("a.gh") === col("b.gh") && col("a.doc_id") < col("b.doc_id"))

@@ -117,5 +117,29 @@ object GroupingQueries {
       .orderBy(col("src"))
   }
 
-  val all: Seq[QueryDef] = Seq(q17Rollup, q18Cube, q19GroupingSets, q20SetOps, q21UnionAll)
+  /** Pivot (wide aggregation): one output column per pivot value —
+    * the relational transpose `groupBy().pivot()` plans as a single
+    * conditional aggregate (no extra shuffle vs the plain groupBy),
+    * which is exactly how the oracle spells it.
+    */
+  val q52Pivot = QueryDef(
+    "q52_pivot",
+    "pivot linestatus into columns: quantity totals per returnflag × status",
+    """SELECT l_returnflag,
+      |  round(sum(CASE WHEN l_linestatus = 'F' THEN l_quantity ELSE 0 END), 2) AS F,
+      |  round(sum(CASE WHEN l_linestatus = 'O' THEN l_quantity ELSE 0 END), 2) AS O
+      |FROM lineitem
+      |GROUP BY l_returnflag
+      |ORDER BY l_returnflag""".stripMargin) { (s, d) =>
+    import org.apache.spark.sql.functions.{col, round, sum}
+    Tables.lineitem(s, d)
+      .groupBy(col("l_returnflag"))
+      .pivot("l_linestatus", Seq("F", "O"))
+      .agg(round(sum(col("l_quantity")), 2))
+      .na.fill(0.0, Seq("F", "O"))
+      .orderBy(col("l_returnflag"))
+  }
+
+  val all: Seq[QueryDef] = Seq(
+    q17Rollup, q18Cube, q19GroupingSets, q20SetOps, q21UnionAll, q52Pivot)
 }

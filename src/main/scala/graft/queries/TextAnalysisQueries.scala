@@ -1,9 +1,9 @@
 package graft.queries
 
 import org.apache.spark.sql.Column
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.{QueryDef, Tables}
-import graft.functions.TextFunctions
 
 /** Text-analysis operators over `documents` (SURVEY.md §2.2 EXT /
   * north-star "text analysis"): per-doc token statistics, per-language
@@ -228,8 +228,14 @@ object TextAnalysisQueries {
       |GROUP BY bigram
       |ORDER BY cnt DESC, bigram
       |LIMIT 100""".stripMargin) { (s, d) =>
+    // bigrams via window lead over the token stream (codegen'd) —
+    // the array-HOF form (transform+concat_ws+slice) runs interpreted
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("p"))
     Tables.documents(s, d)
-      .select(explode(TextFunctions.wordNgrams(toks(col("text")), 2)).as("bigram"))
+      .select(col("doc_id"), posexplode(toks(col("text"))).as(Seq("p", "t")))
+      .select(col("doc_id"), col("t"), lead(col("t"), 1).over(w).as("t1"))
+      .filter(col("t1").isNotNull)
+      .select(concat_ws(" ", col("t"), col("t1")).as("bigram"))
       .groupBy(col("bigram"))
       .agg(count(lit(1)).as("cnt"))
       .orderBy(col("cnt").desc, col("bigram"))
