@@ -233,8 +233,52 @@ object RelationalQueries {
       .orderBy(col("o_orderstatus"))
   }
 
+  /** Left outer join with null-absorbing aggregation: customers with
+    * zero orders keep a row (count of a null key column is 0 in both
+    * engines — the outer-join null contract).
+    */
+  val q53LeftOuter = QueryDef(
+    "q53_left_outer",
+    "left outer join: all customers with their order counts (0 for orderless)",
+    """SELECT c.c_custkey, count(o.o_orderkey) AS n_orders,
+      |  round(coalesce(sum(o.o_totalprice), 0), 2) AS total
+      |FROM customer c
+      |LEFT JOIN orders o ON c.c_custkey = o.o_custkey
+      |GROUP BY c.c_custkey
+      |ORDER BY c.c_custkey""".stripMargin) { (s, d) =>
+    Tables.customer(s, d).alias("c")
+      .join(Tables.orders(s, d).alias("o"),
+        col("c.c_custkey") === col("o.o_custkey"), "left_outer")
+      .groupBy(col("c.c_custkey"))
+      .agg(count(col("o.o_orderkey")).as("n_orders"),
+        round(coalesce(sum(col("o.o_totalprice")), lit(0)), 2).as("total"))
+      .orderBy(col("c.c_custkey"))
+  }
+
+  /** Full outer join: per-customer counts of finished vs open orders,
+    * null where a customer appears on only one side.
+    */
+  val q54FullOuter = QueryDef(
+    "q54_full_outer",
+    "full outer join of two per-customer aggregates (nulls on either side)",
+    """WITH f AS (SELECT o_custkey, count(*) AS nf FROM orders
+      |           WHERE o_orderstatus = 'F' GROUP BY o_custkey),
+      |     o AS (SELECT o_custkey, count(*) AS no FROM orders
+      |           WHERE o_orderstatus = 'O' GROUP BY o_custkey)
+      |SELECT coalesce(f.o_custkey, o.o_custkey) AS custkey, f.nf, o.no
+      |FROM f FULL JOIN o ON f.o_custkey = o.o_custkey
+      |ORDER BY custkey""".stripMargin) { (s, d) =>
+    val f = Tables.orders(s, d).filter(col("o_orderstatus") === "F")
+      .groupBy(col("o_custkey").as("fk")).agg(count(lit(1)).as("nf"))
+    val o = Tables.orders(s, d).filter(col("o_orderstatus") === "O")
+      .groupBy(col("o_custkey").as("ok")).agg(count(lit(1)).as("no"))
+    f.join(o, col("fk") === col("ok"), "full_outer")
+      .select(coalesce(col("fk"), col("ok")).as("custkey"), col("nf"), col("no"))
+      .orderBy(col("custkey"))
+  }
+
   val all: Seq[QueryDef] = Seq(
     q01PricingSummary, q02FilterProject, q03TopRevenueOrders,
     q04JoinBroadcast, q05JoinFactFact, q06SemiJoin, q07AntiJoin,
-    q08StarSchema, q09RangeJoin, q10Distinct)
+    q08StarSchema, q09RangeJoin, q10Distinct, q53LeftOuter, q54FullOuter)
 }
