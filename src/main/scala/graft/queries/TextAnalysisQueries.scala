@@ -242,7 +242,59 @@ object TextAnalysisQueries {
       .limit(100)
   }
 
+  /** TF-IDF top terms per document — the classic term-weighting
+    * pipeline: term frequencies per doc (one groupBy), document
+    * frequencies per term (one groupBy), idf = ln((N+1)/(df+1)),
+    * score = (c/n)·idf. Ranking uses the UNROUNDED double (identical
+    * transcendental arithmetic in both engines — decimal-tie rounding
+    * hazards only arise from *rounded* inputs); output rounds at 4dp
+    * for the hash compare.
+    */
+  val q55Tfidf = QueryDef(
+    "q55_tfidf",
+    "TF-IDF: top-5 weighted terms per document (doc_id < 50)",
+    """WITH tok AS (
+      |  SELECT doc_id, unnest(list_filter(string_split(text, ' '), t -> length(t) > 0)) AS term
+      |  FROM documents),
+      |tf AS (SELECT doc_id, term, count(*) AS c FROM tok GROUP BY doc_id, term),
+      |n AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_tokens FROM tf GROUP BY doc_id),
+      |df AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+      |nd AS (SELECT count(DISTINCT doc_id) AS n_docs FROM tok)
+      |SELECT doc_id, term, round(score, 4) AS tfidf, rn FROM (
+      |  SELECT tf.doc_id, tf.term,
+      |    (CAST(tf.c AS DOUBLE) / n.n_tokens)
+      |      * ln((nd.n_docs + 1.0) / (df.df + 1.0)) AS score,
+      |    row_number() OVER (PARTITION BY tf.doc_id ORDER BY
+      |      (CAST(tf.c AS DOUBLE) / n.n_tokens)
+      |        * ln((nd.n_docs + 1.0) / (df.df + 1.0)) DESC, tf.term) AS rn
+      |  FROM tf JOIN n USING (doc_id) JOIN df USING (term), nd
+      |  WHERE tf.doc_id < 50)
+      |WHERE rn <= 5
+      |ORDER BY doc_id, rn""".stripMargin) { (s, d) =>
+    import org.apache.spark.sql.expressions.Window
+    val tok = Tables.documents(s, d)
+      .select(col("doc_id"), explode(toks(col("text"))).as("term"))
+    val tf = tok.groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("c"))
+    val n = tf.groupBy(col("doc_id")).agg(sum(col("c")).as("n_tokens"))
+    val dft = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val nDocs = tok.select(countDistinct(col("doc_id")).as("n_docs"))
+    val w = Window.partitionBy(col("doc_id"))
+      .orderBy(col("score").desc, col("term"))
+    tf.filter(col("doc_id") < 50)
+      .join(n, "doc_id")
+      .join(broadcast(dft), "term")
+      .crossJoin(broadcast(nDocs))
+      .withColumn("score",
+        (col("c").cast("double") / col("n_tokens")) *
+          log((col("n_docs") + 1.0) / (col("df") + 1.0)))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 5)
+      .select(col("doc_id"), col("term"), round(col("score"), 4).as("tfidf"),
+        col("rn"))
+      .orderBy(col("doc_id"), col("rn"))
+  }
+
   val all: Seq[QueryDef] = Seq(
     q27TokenStats, q28LangStats, q29QualityScore, q30Langid,
-    q31Fingerprint, q32NgramStats)
+    q31Fingerprint, q32NgramStats, q55Tfidf)
 }

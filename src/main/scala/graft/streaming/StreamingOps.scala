@@ -115,6 +115,56 @@ object StreamingOps {
       }
   }
 
+  // ---- transformWithState (Spark 4 arbitrary-state API) ----
+
+  /** Running per-user event count + value total via the
+    * `StatefulProcessor` API — the successor to
+    * `flatMapGroupsWithState` with composable typed state variables.
+    * Requires the RocksDB state store provider (set by callers; see
+    * StreamingSpec).
+    */
+  class RunningTotalsProcessor
+      extends org.apache.spark.sql.streaming.StatefulProcessor[
+        Long, Event, (Long, Long, Double)] {
+    @transient private var totals
+        : org.apache.spark.sql.streaming.ValueState[(Long, Double)] = _
+
+    override def init(
+        outputMode: OutputMode,
+        timeMode: org.apache.spark.sql.streaming.TimeMode): Unit = {
+      totals = getHandle.getValueState[(Long, Double)](
+        "totals",
+        org.apache.spark.sql.Encoders.tuple(
+          org.apache.spark.sql.Encoders.scalaLong,
+          org.apache.spark.sql.Encoders.scalaDouble),
+        org.apache.spark.sql.streaming.TTLConfig.NONE)
+    }
+
+    override def handleInputRows(
+        key: Long,
+        rows: Iterator[Event],
+        timerValues: org.apache.spark.sql.streaming.TimerValues)
+        : Iterator[(Long, Long, Double)] = {
+      val (pn, pv) = if (totals.exists()) totals.get() else (0L, 0.0)
+      var n = pn
+      var total = pv
+      rows.foreach { e => n += 1; total += e.value }
+      totals.update((n, total))
+      Iterator((key, n, total))
+    }
+  }
+
+  /** Streaming running totals per user on the new API. */
+  def runningTotals(spark: SparkSession,
+      events: Dataset[Event]): Dataset[(Long, Long, Double)] = {
+    import spark.implicits._
+    events
+      .groupByKey(_.user_id)
+      .transformWithState(new RunningTotalsProcessor,
+        org.apache.spark.sql.streaming.TimeMode.None(),
+        OutputMode.Update())
+  }
+
   /** File-based streaming source over the driver's parquet events —
     * `readStream` with `availableNow` semantics turns the bounded
     * table into a replayed stream (the socket-source analogue of

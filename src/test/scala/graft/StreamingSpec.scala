@@ -118,6 +118,33 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("transformWithState keeps running per-user totals across batches") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    // the new state API requires the RocksDB state store provider
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val input = MemoryStream[Event]
+      val q = StreamingOps.runningTotals(spark, input.toDS())
+        .toDF("user_id", "n", "total")
+        .writeStream.format("memory").queryName("tws_t")
+        .outputMode("update").start()
+      try {
+        input.addData(Event(ts(0), 1L, "view", 1.0), Event(ts(1), 1L, "view", 2.0))
+        runAll(q)
+        input.addData(Event(ts(2), 1L, "click", 3.5))
+        runAll(q)
+        val rows = spark.table("tws_t")
+          .select($"user_id", $"n", $"total").as[(Long, Long, Double)]
+          .collect().toSet
+        assert(rows.contains((1L, 2L, 3.0)), s"first batch state missing: $rows")
+        assert(rows.contains((1L, 3L, 6.5)), s"state not carried across batches: $rows")
+      } finally q.stop()
+    } finally
+      spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+  }
+
   test("eventsStream replays the parquet events table as a stream") {
     val out = StreamingOps.tumblingCounts(
       StreamingOps.eventsStream(spark, sfDir), lateness = "0 seconds")
