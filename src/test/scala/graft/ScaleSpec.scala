@@ -76,6 +76,45 @@ class ScaleSpec extends SparkSpec {
     assert(nDays > 5, "events must span multiple days for this test")
   }
 
+  test("AQE splits skewed join partitions (OptimizeSkewedJoin)") {
+    val conf = spark.conf
+    val saved = Seq(
+      "spark.sql.adaptive.enabled",
+      "spark.sql.adaptive.skewJoin.enabled",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+      "spark.sql.autoBroadcastJoinThreshold")
+      .map(k => k -> conf.getOption(k)).toMap
+    try {
+      conf.set("spark.sql.adaptive.enabled", "true")
+      conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
+      // tiny thresholds so the 3-value l_returnflag key counts as skewed
+      conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "1.0")
+      conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "1KB")
+      conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "1KB")
+      conf.set("spark.sql.autoBroadcastJoinThreshold", "-1") // force SMJ
+      import spark.implicits._
+      val dim = Seq(("A", 0.1), ("N", 0.05), ("R", 0.25)).toDF("flag", "penalty")
+      // repartition first: skew splitting works at map-output block
+      // granularity, so the skewed side needs many map tasks (a single
+      // parquet file = one mapper = unsplittable skew)
+      val joined = Tables.lineitem(spark, sfDir)
+        .repartition(16, col("l_orderkey"))
+        .join(dim.hint("merge"), col("l_returnflag") === col("flag"))
+      // materialize THIS DataFrame's own query execution — count()
+      // and foreach() each build a different QueryExecution, leaving
+      // this plan unexecuted (isFinalPlan=false); collect() drives it
+      joined.collect()
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(plan.contains("skew=true"),
+        s"AQE did not mark the join skewed:\n$plan")
+    } finally saved.foreach {
+      case (k, Some(v)) => conf.set(k, v)
+      case (k, None) => conf.unset(k)
+    }
+  }
+
   test("salted join equals the plain join and spreads the skew key") {
     val salted = Registry.byName("q51_salted_join").fn(spark, sfDir)
     import spark.implicits._

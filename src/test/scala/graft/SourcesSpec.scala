@@ -71,6 +71,58 @@ class SourcesSpec extends SparkSpec {
     assert(math.abs(a - b) < 1e-6)
   }
 
+  test("orc round trip preserves row count and aggregates") {
+    val ord = Tables.orders(spark, sfDir)
+      .select(col("o_orderkey"), col("o_totalprice"), col("o_orderstatus"))
+    val path = s"$tmpRoot/orders_orc"
+    ord.write.mode("overwrite").orc(path)
+    val back = spark.read.orc(path)
+    assert(back.count() == ord.count())
+    val a = ord.agg(sum(col("o_totalprice"))).collect()(0).getDouble(0)
+    val b = back.agg(sum(col("o_totalprice"))).collect()(0).getDouble(0)
+    assert(a == b)
+  }
+
+  test("socket KV source streams 'key : value' lines (R4 analogue)") {
+    import spark.implicits._
+    // tiny TCP server speaking the reference's line protocol
+    // (worker_manager.c:190-193): accept one client, write KV lines
+    val server = new java.net.ServerSocket(0)
+    val lines = Seq("alpha : 1", "beta : 2", "gamma : 3")
+    val t = new Thread(() => {
+      val sock = server.accept()
+      val out = new java.io.PrintWriter(sock.getOutputStream, true)
+      lines.foreach(out.println)
+      out.flush()
+      // keep the connection open until the reader is done
+      Thread.sleep(5000)
+      sock.close()
+    })
+    t.setDaemon(true)
+    t.start()
+    val stream = spark.readStream.format("socket")
+      .option("host", "localhost").option("port", server.getLocalPort)
+      .load()
+      .select(split($"value", " : ").as("kv"))
+      .select($"kv".getItem(0).as("k"), $"kv".getItem(1).cast("long").as("v"))
+    val q = stream.writeStream.format("memory").queryName("socket_t")
+      .outputMode("append").start()
+    try {
+      val deadline = System.currentTimeMillis() + 30000
+      while (spark.table("socket_t").count() < 3 &&
+        System.currentTimeMillis() < deadline) {
+        q.processAllAvailable()
+        Thread.sleep(200)
+      }
+      val got = spark.table("socket_t").orderBy($"k")
+        .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+      assert(got == Seq("alpha" -> 1L, "beta" -> 2L, "gamma" -> 3L))
+    } finally {
+      q.stop()
+      server.close()
+    }
+  }
+
   test("binaryFile source reads blobs with metadata (multimodal ingest path)") {
     val dir = s"$tmpRoot/blobs"
     Files.createDirectories(java.nio.file.Paths.get(dir))
