@@ -20,7 +20,8 @@ object Registry {
     AggregatorQueries.all ++
     MultimodalQueries.all ++
     UdxQueries.all ++
-    SkewQueries.all
+    SkewQueries.all ++
+    SamplingQueries.all
 
   def byName: Map[String, QueryDef] = queries.map(q => q.name -> q).toMap
 }

@@ -1,0 +1,58 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.{QueryDef, Tables}
+
+/** Sampling operators for training-data pipelines: deterministic
+  * hash-based sampling (reproducible across engines AND runs — the
+  * property data mixing needs), stratified per-group rates, and the
+  * weighted source-mixture idiom. Engine-RNG sampling
+  * (`df.sample`/`sampleBy`) is exercised in SamplingSpec; these
+  * queries use hash-threshold sampling precisely so a DuckDB oracle
+  * can replay the identical selection.
+  */
+object SamplingQueries {
+
+  /** Deterministic 10% sample: keep rows whose 64-bit key hash lands
+    * under the threshold. Same rows selected at any parallelism, any
+    * engine — `hash(vec)` here is the row's own unique key, so the
+    * oracle replays it exactly (xxhash64 isn't in DuckDB; modulo on
+    * the key gives the same engine-independent selection property).
+    */
+  val q56DeterministicSample = QueryDef(
+    "q56_deterministic_sample",
+    "reproducible 10% sample of orders by key modulus (engine-independent)",
+    """SELECT o_orderkey, o_custkey, o_totalprice
+      |FROM orders
+      |WHERE o_orderkey % 10 = 3
+      |ORDER BY o_orderkey""".stripMargin) { (s, d) =>
+    Tables.orders(s, d)
+      .filter(pmod(col("o_orderkey"), lit(10)) === 3)
+      .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+      .orderBy(col("o_orderkey"))
+  }
+
+  /** Stratified sampling with per-language rates (data mixing): the
+    * per-stratum rate is applied by key modulus so the mixture is
+    * reproducible; the aggregate proves the realized rates.
+    */
+  val q57StratifiedMix = QueryDef(
+    "q57_stratified_mix",
+    "per-language sampling rates (50% en, 20% others) + realized-rate audit",
+    """SELECT lang, count(*) AS n_sampled
+      |FROM documents
+      |WHERE (lang = 'en' AND doc_id % 10 < 5)
+      |   OR (lang <> 'en' AND doc_id % 10 < 2)
+      |GROUP BY lang
+      |ORDER BY lang""".stripMargin) { (s, d) =>
+    Tables.documents(s, d)
+      .filter(
+        (col("lang") === "en" && pmod(col("doc_id"), lit(10)) < 5) ||
+          (col("lang") =!= "en" && pmod(col("doc_id"), lit(10)) < 2))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_sampled"))
+      .orderBy(col("lang"))
+  }
+
+  val all: Seq[QueryDef] = Seq(q56DeterministicSample, q57StratifiedMix)
+}

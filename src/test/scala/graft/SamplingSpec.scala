@@ -1,0 +1,43 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Engine-RNG sampling surfaces (no oracle — Spark's sampler is
+  * engine-specific): seeded reproducibility, stratified sampleBy
+  * rates, and randomSplit partitioning.
+  */
+class SamplingSpec extends SparkSpec {
+
+  test("sample(fraction, seed) is reproducible for a fixed seed") {
+    val docs = Tables.documents(spark, sfDir)
+    val a = docs.sample(0.2, seed = 7).select("doc_id").collect().map(_.getLong(0)).toSet
+    val b = docs.sample(0.2, seed = 7).select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(a == b, "same seed must select the same rows")
+    val n = docs.count().toDouble
+    assert(a.size > 0.1 * n && a.size < 0.3 * n, s"fraction off: ${a.size}/$n")
+  }
+
+  test("sampleBy applies per-stratum fractions") {
+    val docs = Tables.documents(spark, sfDir)
+    val fractions = Map("en" -> 0.5, "es" -> 0.1, "de" -> 0.1, "fr" -> 0.1, "zh" -> 0.1)
+    val sampled = docs.stat.sampleBy("lang", fractions, seed = 7L)
+      .groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val totals = docs.groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val enRate = sampled.getOrElse("en", 0L).toDouble / totals("en")
+    val esRate = sampled.getOrElse("es", 0L).toDouble / totals("es")
+    assert(enRate > 0.3 && enRate < 0.7, s"en rate $enRate")
+    assert(esRate < 0.3, s"es rate $esRate")
+  }
+
+  test("randomSplit partitions the data disjointly and completely") {
+    val docs = Tables.documents(spark, sfDir).select("doc_id")
+    val Array(train, test) = docs.randomSplit(Array(0.8, 0.2), seed = 7L)
+    val tr = train.collect().map(_.getLong(0)).toSet
+    val te = test.collect().map(_.getLong(0)).toSet
+    assert(tr.intersect(te).isEmpty, "splits overlap")
+    assert(tr.size + te.size == docs.count(), "splits lose rows")
+    assert(tr.size > te.size, "80/20 proportions inverted")
+  }
+}
