@@ -1,6 +1,16 @@
 package graft
 import org.apache.spark.sql.SparkSession
+
+/** Benchmark main: times every registered query at local[32] and
+  * prints ONE JSON line. Noise defense: each query runs 3×; the
+  * headline number is the MEDIAN and per-query min/median/max are
+  * emitted under "detail" so a contended machine produces a
+  * self-diagnosing artifact (round-1's driver run reported 3.3× the
+  * true total from a single contended pass).
+  */
 object Bench {
+  private val Runs = 3
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -19,19 +29,29 @@ object Bench {
       try graft.Tables.load(spark, sfDir, t).count()
       catch { case _: Throwable => () }
     }
-    // a failed query records -1 (NOT its elapsed time — a swallowed
+    // a failed run records -1 (NOT its elapsed time — a swallowed
     // exception must not masquerade as a fast run)
     val results = SparkEntry.queries.map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      val ok = try { fn(spark, sfDir).count(); true }
-        catch { case e: Throwable =>
-          System.err.println(s"[bench] $name failed: ${e.getMessage}"); false }
-      name -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
+      val times = (1 to Runs).map { _ =>
+        val t0 = System.nanoTime()
+        val ok = try { fn(spark, sfDir).count(); true }
+          catch { case e: Throwable =>
+            System.err.println(s"[bench] $name failed: ${e.getMessage}"); false }
+        // release query-scoped persisted inputs (dedup shingle postings)
+        // so cached blocks don't accumulate across the 59-query session
+        spark.sharedState.cacheManager.clearCache()
+        if (ok) (System.nanoTime() - t0) / 1e9 else -1.0
+      }
+      val sorted = times.sorted
+      name -> (sorted.min, sorted(Runs / 2), sorted.max)
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    val qs = results.map { case (k, (_, med, _)) => s"\"" + k + "\":" + med }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val detail = results.map { case (k, (mn, med, mx)) =>
+      s"""\"$k\":{"min":$mn,"med":$med,"max":$mx}"""
+    }.mkString("{", ",", "}")
+    val total = results.values.map(_._2).sum
+    println(s"""{"metric":"total","value":$total,"unit":"sec","runs":$Runs,"queries":$qs,"detail":$detail,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

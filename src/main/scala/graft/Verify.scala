@@ -30,6 +30,10 @@ object Verify {
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
+      // release query-scoped persisted inputs (dedup shingle postings):
+      // one shared session runs all 59 queries, so per-query caches
+      // must not accumulate for the session lifetime
+      spark.sharedState.cacheManager.clearCache()
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the

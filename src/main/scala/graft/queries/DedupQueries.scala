@@ -72,7 +72,10 @@ object DedupQueries {
     "MinHash(64) + LSH(16 bands × 4) near-dup pairs, exact-Jaccard verified at 0.8") { (s, d) =>
     GraftFunctions.register(s)
     // persisted: feeds the signature pipeline and both exact-verify
-    // joins (no cross-branch subplan reuse in Spark)
+    // joins (no cross-branch subplan reuse in Spark). Lifecycle: the
+    // query fn returns a lazy plan so it cannot unpersist itself; the
+    // harnesses (Verify/Bench/SparkSpec) clear the cache manager after
+    // each query's action so blocks never outlive their query
     val posts = shinglePostings(s, d).persist()
     val sh = posts.groupBy(col("doc_id")).agg(collect_set(col("gh")).as("sh"))
     // the whole 64-slot signature builds in one native

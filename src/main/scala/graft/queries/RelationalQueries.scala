@@ -192,26 +192,61 @@ object RelationalQueries {
       .orderBy(col("r_name"), col("n_name"))
   }
 
-  /** Non-equi (range/theta) join: parts matched to a size band table.
-    * Broadcast nested loop on the tiny side; at scale a banded range
-    * join is rewritten to an equi join on the bucketed band key —
-    * which is exactly what the `band` computed key does here.
+  /** The band-bounds dimension for the range join: half-open
+    * [lo, hi) intervals covering the p_size domain (1..50). Tiny by
+    * construction → always broadcast.
+    */
+  private[queries] def sizeBands(s: org.apache.spark.sql.SparkSession) =
+    s.createDataFrame(Seq(
+      (0, 10, 0), (10, 20, 1), (20, 30, 2),
+      (30, 40, 3), (40, 50, 4), (50, 60, 5)))
+      .toDF("lo", "hi", "size_band")
+
+  /** Non-equi (range/theta) join: two tables joined on
+    * `lo <= p_size AND p_size < hi` — a genuine interval predicate,
+    * no equi conjunct, so Spark plans BroadcastNestedLoopJoin with
+    * the 6-row bounds side broadcast. That is the scalable shape for
+    * banded range joins: one pass over the fact table, no shuffle
+    * for the join itself. The equivalent equi rewrite on a computed
+    * bucket key (`floor(p_size/10)`) is asserted to produce the
+    * identical result in PlanSpec ("range join equals its equi
+    * rewrite"); at 100 TB you'd pick the rewrite when the bands are
+    * regular, the BNLJ when they are arbitrary intervals.
     */
   val q09RangeJoin = QueryDef(
     "q09_range_join",
-    "non-equi band join expressed as equi join on computed bucket key",
-    """SELECT CAST(p_size // 10 AS INT) AS size_band,
-      |  count(*) AS n_parts, round(avg(p_retailprice), 4) AS avg_price
-      |FROM part
-      |GROUP BY 1
+    "two-table non-equi range join (lo <= p_size < hi) via BroadcastNestedLoopJoin",
+    """SELECT b.size_band, count(*) AS n_parts,
+      |  round(avg(p.p_retailprice), 4) AS avg_price
+      |FROM part p
+      |JOIN (VALUES (0,10,0),(10,20,1),(20,30,2),(30,40,3),(40,50,4),(50,60,5))
+      |  AS b(lo, hi, size_band)
+      |  ON p.p_size >= b.lo AND p.p_size < b.hi
+      |GROUP BY b.size_band
       |ORDER BY size_band""".stripMargin) { (s, d) =>
     Tables.part(s, d)
-      .withColumn("size_band", floor(col("p_size") / 10).cast("int"))
+      .join(broadcast(sizeBands(s)),
+        col("p_size") >= col("lo") && col("p_size") < col("hi"))
       .groupBy(col("size_band"))
       .agg(count(lit(1)).as("n_parts"),
         round(avg(col("p_retailprice")), 4).as("avg_price"))
       .orderBy(col("size_band"))
   }
+
+  /** The equi-join rewrite of q09 for the regular-band special case:
+    * compute the bucket key on the fact side and equi-join the bounds
+    * table on it. Same result, broadcast hash join instead of BNLJ —
+    * PlanSpec asserts both agree row-for-row.
+    */
+  private[graft] def q09EquiRewrite(
+      s: org.apache.spark.sql.SparkSession, d: String) =
+    Tables.part(s, d)
+      .withColumn("size_band", floor(col("p_size") / 10).cast("int"))
+      .join(broadcast(sizeBands(s)), Seq("size_band"))
+      .groupBy(col("size_band"))
+      .agg(count(lit(1)).as("n_parts"),
+        round(avg(col("p_retailprice")), 4).as("avg_price"))
+      .orderBy(col("size_band"))
 
   /** distinct + countDistinct (exact). The reference expresses distinct
     * as key=value, null payload (SURVEY §2.2); here it is a first-class
@@ -277,8 +312,31 @@ object RelationalQueries {
       .orderBy(col("custkey"))
   }
 
+  /** Right outer join (mirror of q53 with orders on the LEFT): every
+    * customer keeps a row even with zero orders — closes the §2.2
+    * "equi inner/left/right/full" inventory row.
+    */
+  val q58RightOuter = QueryDef(
+    "q58_right_outer",
+    "right outer join: orders ⟖ customer, all customers preserved",
+    """SELECT c.c_custkey, count(o.o_orderkey) AS n_orders,
+      |  round(coalesce(sum(o.o_totalprice), 0), 2) AS total
+      |FROM orders o
+      |RIGHT JOIN customer c ON o.o_custkey = c.c_custkey
+      |GROUP BY c.c_custkey
+      |ORDER BY c.c_custkey""".stripMargin) { (s, d) =>
+    Tables.orders(s, d).alias("o")
+      .join(Tables.customer(s, d).alias("c"),
+        col("o.o_custkey") === col("c.c_custkey"), "right_outer")
+      .groupBy(col("c.c_custkey"))
+      .agg(count(col("o.o_orderkey")).as("n_orders"),
+        round(coalesce(sum(col("o.o_totalprice")), lit(0)), 2).as("total"))
+      .orderBy(col("c.c_custkey"))
+  }
+
   val all: Seq[QueryDef] = Seq(
     q01PricingSummary, q02FilterProject, q03TopRevenueOrders,
     q04JoinBroadcast, q05JoinFactFact, q06SemiJoin, q07AntiJoin,
-    q08StarSchema, q09RangeJoin, q10Distinct, q53LeftOuter, q54FullOuter)
+    q08StarSchema, q09RangeJoin, q10Distinct, q53LeftOuter, q54FullOuter,
+    q58RightOuter)
 }

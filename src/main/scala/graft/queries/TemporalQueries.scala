@@ -96,6 +96,9 @@ object TemporalQueries {
     * `session_window` end = last event + gap; the oracle reproduces
     * it with the gaps-and-islands idiom, which is also the exact
     * semantics Structured Streaming's session window implements.
+    * Sessions are HALF-OPEN [start, last+gap): an event landing
+    * exactly at lastTs+gap starts a NEW session, hence the oracle's
+    * `>=` gap condition.
     */
   val q44SessionWindow = QueryDef(
     "q44_session_window",
@@ -103,7 +106,7 @@ object TemporalQueries {
     """WITH g AS (
       |  SELECT user_id, ts,
       |    CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
-      |           OR ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts) > INTERVAL '12 hours'
+      |           OR ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts) >= INTERVAL '12 hours'
       |         THEN 1 ELSE 0 END AS new_s
       |  FROM events),
       |s AS (SELECT user_id, ts,

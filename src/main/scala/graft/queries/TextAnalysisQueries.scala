@@ -206,10 +206,15 @@ object TextAnalysisQueries {
       .select(
         col("doc_id"),
         polyHash(col("text"), Some(1000000007L)).as("poly_hash"),
-        array_min(transform(
-          transform(sequence(lit(1), length(col("text")) - 7),
-            i => col("text").substr(i, lit(8))),
-          g => polyHash(g, None))).as("min_gram_hash"))
+        // texts shorter than one 8-gram have no rolling hashes: the
+        // oracle's empty range yields NULL, but Spark's sequence(1, n)
+        // with n < 1 DESCENDS (sequence(1,-3) = [1,0,...]) — guard to
+        // the oracle's empty-range → NULL semantics
+        when(length(col("text")) < 8, lit(null).cast("long"))
+          .otherwise(array_min(transform(
+            transform(sequence(lit(1), length(col("text")) - 7),
+              i => col("text").substr(i, lit(8))),
+            g => polyHash(g, None)))).as("min_gram_hash"))
       .orderBy(col("doc_id"))
   }
 

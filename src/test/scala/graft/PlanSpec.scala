@@ -41,6 +41,29 @@ class PlanSpec extends SparkSpec {
       s"expected partial+final aggregate:\n$plan")
   }
 
+  test("q09 range join contains a real join node (BroadcastNestedLoopJoin)") {
+    val df = Registry.byName("q09_range_join").fn(spark, sfDir)
+    val plan = planString(df)
+    assert(plan.contains("BroadcastNestedLoopJoin"),
+      s"expected a non-equi join node in q09's plan:\n$plan")
+  }
+
+  test("q09 range join equals its equi rewrite row-for-row") {
+    val bnlj = Registry.byName("q09_range_join").fn(spark, sfDir)
+    val equi = queries.RelationalQueries.q09EquiRewrite(spark, sfDir)
+    assert(bnlj.exceptAll(equi).count() == 0 && equi.exceptAll(bnlj).count() == 0,
+      "BNLJ range join and equi band-key rewrite disagree")
+  }
+
+  test("q58 plans a genuine right-outer (or equivalent outer) join") {
+    val df = Registry.byName("q58_right_outer").fn(spark, sfDir)
+    // Catalyst may flip RightOuter to LeftOuter with swapped sides —
+    // either marker proves the outer join survived optimization
+    val plan = planString(df)
+    assert(plan.contains("RightOuter") || plan.contains("LeftOuter"),
+      s"expected an outer join in q58's plan:\n$plan")
+  }
+
   test("native cosine_sim equals the HOF cosine bit-for-bit") {
     GraftFunctions.register(spark)
     val e = Tables.embeddings(spark, sfDir).limit(100)

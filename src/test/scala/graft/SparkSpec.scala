@@ -24,4 +24,11 @@ trait SparkSpec extends AnyFunSuite with BeforeAndAfterAll {
     spark.sparkContext.setLogLevel("WARN")
     super.beforeAll()
   }
+
+  override def afterAll(): Unit = {
+    // release query-scoped persisted inputs (dedup shingle postings)
+    // between suites — the session is shared across all of them
+    spark.sharedState.cacheManager.clearCache()
+    super.afterAll()
+  }
 }
