@@ -40,8 +40,15 @@ object GraftFunctions {
       new ExpressionInfo(classOf[SimHashAgg].getName, "simhash_agg"),
       (children: Seq[Expression]) => SimHashAgg(children.head))
 
+  val topkDescriptor: Descriptor =
+    (FunctionIdentifier("topk_by_score"),
+      new ExpressionInfo(classOf[TopKByScore].getName, "topk_by_score"),
+      (children: Seq[Expression]) =>
+        TopKByScore(children(0), children(1), children(2)))
+
   val descriptors: Seq[Descriptor] =
-    Seq(cosineSimDescriptor, minhashSigDescriptor, simhashDescriptor)
+    Seq(cosineSimDescriptor, minhashSigDescriptor, simhashDescriptor,
+      topkDescriptor)
 
   /** Idempotent per-session registration. */
   def register(spark: SparkSession): Unit = descriptors.foreach {
@@ -59,4 +66,11 @@ object GraftFunctions {
 
   /** Column-API form of the native simhash aggregate. */
   def simhashAgg(h: Column): Column = call_function("simhash_agg", h)
+
+  /** Column-API form of the bounded top-k aggregate: best k
+    * (score DESC, id ASC) pairs as a sorted struct array.
+    */
+  def topkByScore(score: Column, id: Column, k: Int): Column =
+    call_function("topk_by_score", score, id,
+      org.apache.spark.sql.functions.lit(k))
 }

@@ -32,9 +32,9 @@ object DedupQueries {
     * (`transform`+`concat_ws`+`slice` per position) evaluated
     * interpreted and dominated every dedup query's runtime.
     */
-  private def shinglePostings(s: SparkSession, d: String): DataFrame = {
+  private[graft] def shinglePostingsOf(docs: DataFrame): DataFrame = {
     val w = Window.partitionBy(col("doc_id")).orderBy(col("p"))
-    Tables.documents(s, d)
+    docs
       .select(col("doc_id"), posexplode(toks(col("text"))).as(Seq("p", "t")))
       .select(col("doc_id"), col("p"), col("t"),
         lead(col("t"), 1).over(w).as("t1"), lead(col("t"), 2).over(w).as("t2"))
@@ -42,6 +42,9 @@ object DedupQueries {
       .select(col("doc_id"), xxhash64(col("t"), col("t1"), col("t2")).as("gh"))
       .distinct()
   }
+
+  private def shinglePostings(s: SparkSession, d: String): DataFrame =
+    shinglePostingsOf(Tables.documents(s, d))
 
   val q33ExactDedup = QueryDef(
     "q33_exact_dedup",
@@ -154,12 +157,14 @@ object DedupQueries {
     * prune because even the rarest shingles are common (13 s);
     * inverted index Σdf² ≈ 75M pair rows (8 s) wins — on a realistic
     * open-vocabulary corpus its df would be ~1-3 and it'd be far
-    * cheaper still; a df cap on hot shingles is the standard
-    * approximation knob if a corpus needs one.
+    * cheaper still. The df cap on hot shingles (see
+    * `ngramJaccardPairs`) bounds the adversarial stop-phrase case:
+    * candidates come from df ≤ MaxShingleDf shingles only, with an
+    * exact per-pair hot-set correction so J stays exact.
     */
   val q36NgramJaccard = QueryDef(
     "q36_ngram_jaccard",
-    "exact word-3-gram Jaccard ≥ 0.5 pairs with lossless size-band blocking",
+    "exact word-3-gram Jaccard ≥ 0.5 pairs, inverted index + df-capped hot-shingle guard",
     """WITH t AS (
       |  SELECT doc_id,
       |    list_distinct(list_transform(range(1, len(w)-1),
@@ -176,21 +181,67 @@ object DedupQueries {
       |    ON a.band = b.jband AND a.doc_id < b.doc_id)
       |WHERE jaccard >= 0.5
       |ORDER BY doc_a, doc_b""".stripMargin) { (s, d) =>
-    // (doc, shingle-hash) postings, one row per distinct shingle/doc.
-    // Persisted: feeds both sides of the self-join and the size
-    // table — Spark has no cross-branch subplan reuse, so without it
-    // the shingle pipeline recomputes 3×.
-    val exd = shinglePostings(s, d).persist()
-    val inter = exd.alias("a")
-      .join(exd.alias("b"),
+    ngramJaccardPairs(shinglePostings(s, d), MaxShingleDf)
+  }
+
+  /** Document-frequency cap for q36's candidate stage: shingles seen
+    * in more than this many documents are excluded from the pair-
+    * generating self-join (a single hot shingle contributes df²
+    * candidate rows — an adversarial stop-phrase would otherwise go
+    * quadratic) and re-counted exactly through the per-doc hot-set
+    * correction below. Far above any df in the synthetic corpora, so
+    * the oracle comparison is unaffected; DedupQualitySpec proves the
+    * capped path exact on a corpus where the cap DOES bind.
+    */
+  private[graft] val MaxShingleDf = 10000L
+
+  /** Exact shingle-Jaccard ≥ 0.5 pairs from a (doc_id, gh) postings
+    * relation, hot-shingle-guarded:
+    *  - shingles with df > maxDf ("hot") are kept OUT of the
+    *    candidate self-join, bounding its output by maxDf·|postings|;
+    *  - |A∩B| is then made exact again by adding |hotset(A)∩hotset(B)|
+    *    — each doc's hot shingles are a ≤|hot| array carried through
+    *    an equi join, so the correction never re-explodes the pairs;
+    *  - set sizes come from the FULL postings, so J is exact for every
+    *    emitted pair. The only approximation: a pair sharing ONLY hot
+    *    shingles is never a candidate — at J ≥ 0.5 that requires a
+    *    document composed of stop-phrases, the standard accepted loss.
+    */
+  private[graft] def ngramJaccardPairs(
+      posts0: DataFrame, maxDf: Long): DataFrame = {
+    // Persisted: feeds the df count, both sides of the self-join, the
+    // size table and the hot-set table — Spark has no cross-branch
+    // subplan reuse, so without it the shingle pipeline recomputes 5×.
+    // Lifecycle: harnesses clear the cache manager after each query.
+    val posts = posts0.persist()
+    // hot = df-capped shingles: ≤ |postings|/maxDf rows by
+    // construction → always broadcast-able
+    val hot = posts.groupBy(col("gh")).agg(count(lit(1)).as("df"))
+      .filter(col("df") > maxDf).select(col("gh"))
+    val capped = posts.join(broadcast(hot), Seq("gh"), "left_anti")
+    val inter = capped.alias("a")
+      .join(capped.alias("b"),
         col("a.gh") === col("b.gh") && col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .groupBy(col("doc_a"), col("doc_b"))
-      .agg(count(lit(1)).as("c"))
-    val sizes = exd.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+      .agg(count(lit(1)).as("c_cap"))
+    // per-doc hot-shingle sets (array length ≤ |hot|); docs with none
+    // simply have no row → null-coalesced to an empty correction
+    val hotSets = posts.join(broadcast(hot), Seq("gh"), "left_semi")
+      .groupBy(col("doc_id")).agg(collect_set(col("gh")).as("hs"))
+    // sizes/hotSets are one row per doc — unbounded at corpus scale,
+    // so NO broadcast hint: AQE picks broadcast when they fit and a
+    // shuffle join when they don't
+    val sizes = posts.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
     inter
-      .join(broadcast(sizes.select(col("doc_id").as("doc_a"), col("n").as("na"))), "doc_a")
-      .join(broadcast(sizes.select(col("doc_id").as("doc_b"), col("n").as("nb"))), "doc_b")
+      .join(sizes.select(col("doc_id").as("doc_a"), col("n").as("na")), "doc_a")
+      .join(sizes.select(col("doc_id").as("doc_b"), col("n").as("nb")), "doc_b")
+      .join(hotSets.select(col("doc_id").as("doc_a"), col("hs").as("ha")),
+        Seq("doc_a"), "left_outer")
+      .join(hotSets.select(col("doc_id").as("doc_b"), col("hs").as("hb")),
+        Seq("doc_b"), "left_outer")
+      .withColumn("c", col("c_cap") +
+        coalesce(size(array_intersect(col("ha"), col("hb"))), lit(0)))
       .select(col("doc_a"), col("doc_b"),
         round(col("c").cast("double") / (col("na") + col("nb") - col("c")), 4)
           .as("jaccard"))

@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.{QueryDef, Tables}
 import graft.plans.GraftFunctions
@@ -13,18 +13,26 @@ import graft.plans.GraftFunctions
   * join, never an all-pairs cross join. Cosine is the native
   * codegen'd `cosine_sim` expression (graft.plans.CosineSimilarity)
   * reading the float vectors directly.
+  *
+  * Ranking is the native bounded `topk_by_score` aggregate
+  * (graft.plans.TopKByScore), NOT a `row_number()` window: a window
+  * partitioned by q_id funnels every scored row into ≤ |queries|
+  * reducer partitions (20 here — a hard parallelism cap at any
+  * cluster size), while the aggregate pre-trims each input partition
+  * to its local top-k before the exchange, so the shuffle carries
+  * ≤ k·partitions rows and the reduce side stays embarrassingly
+  * small regardless of corpus scale.
   */
 object SimilarityQueries {
 
   /** Brute-force cosine top-10 for a small query set (vec_id < 20).
-    * The query side is broadcast — at cluster scale this is one pass
-    * over the corpus with per-query top-k (window + filter), the
-    * classic "score and take" baseline every ANN variant is measured
-    * against.
+    * The query side is broadcast — one pass over the corpus with
+    * per-partition partial top-k, the classic "score and take"
+    * baseline every ANN variant is measured against.
     */
   val q38CosineTopk = QueryDef(
     "q38_cosine_topk",
-    "brute-force cosine top-10 neighbors for query vectors (vec_id < 20)",
+    "brute-force cosine top-10 neighbors for query vectors (partial top-k aggregate)",
     """WITH t AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
       |q AS (SELECT vec_id AS q_id, v AS qv FROM t WHERE vec_id < 20)
       |SELECT q_id, vec_id AS n_id, round(cs, 6) AS cos_sim, rn
@@ -44,61 +52,100 @@ object SimilarityQueries {
     val t = Tables.embeddings(s, d).select(col("vec_id"), col("embedding"))
     val q = t.filter(col("vec_id") < 20)
       .select(col("vec_id").as("q_id"), col("embedding").as("qe"))
-    val w = Window.partitionBy(col("q_id"))
-      .orderBy(col("cs").desc, col("vec_id"))
     t.crossJoin(broadcast(q))
       .filter(col("vec_id") =!= col("q_id"))
       .withColumn("cs", GraftFunctions.cosineSim(col("qe"), col("embedding")))
-      .withColumn("rn", row_number().over(w))
-      .filter(col("rn") <= 10)
-      .select(col("q_id"), col("vec_id").as("n_id"),
-        round(col("cs"), 6).as("cos_sim"), col("rn"))
+      .groupBy(col("q_id"))
+      .agg(GraftFunctions.topkByScore(col("cs"), col("vec_id"), 10).as("top"))
+      .select(col("q_id"), posexplode(col("top")).as(Seq("i", "t")))
+      .select(col("q_id"), col("t.id").as("n_id"),
+        round(col("t.score"), 6).as("cos_sim"),
+        (col("i") + 1).cast("int").as("rn"))
       .orderBy(col("q_id"), col("rn"))
   }
 
-  /** IVF-style approximate NN: 16 deterministic seed centroids
-    * (vec_id < 16), every vector assigned to its nearest centroid
-    * (one broadcast pass), queries probe their 4 nearest centroids
-    * and rank candidates exactly. Recall < 1 by construction (probed
-    * subset), so no SQL oracle — the spec measures recall against
-    * brute force. At scale the assignment is a broadcast join and
-    * search is an equi join on centroid id: both shuffle-light.
+  /** Lloyd's k-means on the embedding table, cosine metric. The
+    * centroid set is driver-resident metadata (k·dim floats — the
+    * same bounded state every k-means implementation, including
+    * Spark MLlib's, keeps on the driver) broadcast to executors each
+    * iteration: assign = one broadcast pass with a partial-aggregable
+    * `max_by` argmax (NO window — no shuffle of the corpus), update =
+    * per-(cell, component) mean. Deterministic: seeds are the first
+    * k vectors, ties split to the lowest centroid id. A cell that
+    * loses every member keeps its previous centroid so k is stable.
+    */
+  private[queries] def trainCentroids(
+      s: SparkSession, t: DataFrame, k: Int, iters: Int): DataFrame = {
+    GraftFunctions.register(s)
+    var cents: Seq[(Int, Seq[Float])] = t.filter(col("vec_id") < k)
+      .select(col("vec_id").cast("int"), col("embedding"))
+      .collect().map(r => (r.getInt(0), r.getSeq[Float](1))).toSeq
+    for (_ <- 1 to iters) {
+      val cdf = s.createDataFrame(cents).toDF("c_id", "ce")
+      val means = t.crossJoin(broadcast(cdf))
+        .withColumn("csim", GraftFunctions.cosineSim(col("embedding"), col("ce")))
+        .groupBy(col("vec_id"))
+        .agg(max_by(struct(col("c_id"), col("embedding")),
+          struct(col("csim"), (-col("c_id")).as("nc"))).as("best"))
+        .select(col("best.c_id").as("c_id"),
+          posexplode(col("best.embedding")).as(Seq("i", "x")))
+        .groupBy(col("c_id"), col("i")).agg(avg(col("x")).as("m"))
+        .groupBy(col("c_id"))
+        .agg(transform(array_sort(collect_list(struct(col("i"), col("m")))),
+          e => e.getField("m").cast("float")).as("ce"))
+        .collect().map(r => (r.getInt(0), r.getSeq[Float](1))).toMap
+      cents = cents.map { case (cid, old) => (cid, means.getOrElse(cid, old)) }
+    }
+    s.createDataFrame(cents).toDF("c_id", "ce")
+  }
+
+  /** IVF-style approximate NN: 16 Lloyd-trained centroids (seeded
+    * from the first 16 vectors, 6 Lloyd iterations, deterministic), every
+    * vector assigned to its nearest centroid via the same broadcast
+    * `max_by` argmax, queries probe their 6 nearest centroids and
+    * rank candidates exactly with the bounded top-k aggregate.
+    * Recall < 1 by construction (probed subset), so no SQL oracle —
+    * the spec measures recall against brute force. At scale the
+    * assignment is a broadcast join and search is an equi join on
+    * centroid id: both shuffle-light.
     */
   val q39AnnIvf = QueryDef.noOracle(
     "q39_ann_ivf",
-    "IVF approximate NN: 16 centroids, nprobe=4, exact rerank of candidates") { (s, d) =>
+    "IVF approximate NN: 16 trained centroids, nprobe=6, exact rerank of candidates") { (s, d) =>
     GraftFunctions.register(s)
     val t = Tables.embeddings(s, d).select(col("vec_id"), col("embedding"))
-    val cents = t.filter(col("vec_id") < 16)
-      .select(col("vec_id").as("c_id"), col("embedding").as("ce"))
-    // assign: nearest centroid by cosine (rank-1 over broadcast join)
-    val wAssign = Window.partitionBy(col("vec_id"))
-      .orderBy(col("csim").desc, col("c_id"))
+    val cents = trainCentroids(s, t, k = 16, iters = 6)
+    // assign: nearest centroid by cosine — partial-aggregable argmax,
+    // no window shuffle of the corpus
     val assigned = t.crossJoin(broadcast(cents))
       .withColumn("csim", GraftFunctions.cosineSim(col("embedding"), col("ce")))
-      .withColumn("arn", row_number().over(wAssign))
-      .filter(col("arn") === 1)
-      .select(col("vec_id"), col("embedding"), col("c_id"))
-    // queries probe their 4 nearest centroids
-    val wProbe = Window.partitionBy(col("q_id"))
-      .orderBy(col("csim").desc, col("c_id"))
+      .groupBy(col("vec_id"))
+      .agg(max_by(struct(col("c_id"), col("embedding")),
+        struct(col("csim"), (-col("c_id")).as("nc"))).as("best"))
+      .select(col("vec_id"), col("best.embedding").as("embedding"),
+        col("best.c_id").as("c_id"))
+    // queries probe their 6 nearest centroids (16 rows per query —
+    // topk over the broadcast centroid set)
     val probes = t.filter(col("vec_id") >= 20 && col("vec_id") < 30)
       .select(col("vec_id").as("q_id"), col("embedding").as("qe"))
       .crossJoin(broadcast(cents))
       .withColumn("csim", GraftFunctions.cosineSim(col("qe"), col("ce")))
-      .withColumn("prn", row_number().over(wProbe))
-      .filter(col("prn") <= 4)
-      .select(col("q_id"), col("qe"), col("c_id"))
-    // candidates = vectors in probed cells; exact rerank
-    val wRank = Window.partitionBy(col("q_id"))
-      .orderBy(col("cs").desc, col("vec_id"))
+      .groupBy(col("q_id"))
+      .agg(first(col("qe")).as("qe"),
+        GraftFunctions.topkByScore(col("csim"), col("c_id").cast("long"), 6).as("pc"))
+      .select(col("q_id"), col("qe"), explode(col("pc.id")).as("c_id"))
+      .withColumn("c_id", col("c_id").cast("int"))
+    // candidates = vectors in probed cells; exact rerank via the same
+    // bounded top-k aggregate
     probes.join(assigned, "c_id")
       .filter(col("vec_id") =!= col("q_id"))
       .withColumn("cs", GraftFunctions.cosineSim(col("qe"), col("embedding")))
-      .withColumn("rn", row_number().over(wRank))
-      .filter(col("rn") <= 10)
-      .select(col("q_id"), col("vec_id").as("n_id"),
-        round(col("cs"), 6).as("cos_sim"), col("rn"))
+      .groupBy(col("q_id"))
+      .agg(GraftFunctions.topkByScore(col("cs"), col("vec_id"), 10).as("top"))
+      .select(col("q_id"), posexplode(col("top")).as(Seq("i", "t")))
+      .select(col("q_id"), col("t.id").as("n_id"),
+        round(col("t.score"), 6).as("cos_sim"),
+        (col("i") + 1).cast("int").as("rn"))
       .orderBy(col("q_id"), col("rn"))
   }
 

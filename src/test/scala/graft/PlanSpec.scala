@@ -64,6 +64,19 @@ class PlanSpec extends SparkSpec {
       s"expected an outer join in q58's plan:\n$plan")
   }
 
+  test("q38 ranks via partial top-k aggregate, not a per-group window") {
+    val df = Registry.byName("q38_cosine_topk").fn(spark, sfDir)
+    val plan = planString(df)
+    // partial+final ObjectHashAggregate means each input partition
+    // pre-trims to local top-k BEFORE the exchange — reducer
+    // parallelism no longer capped at |query ids|
+    assert("ObjectHashAggregate".r.findAllIn(plan).size >= 2,
+      s"expected partial+final top-k aggregate:\n$plan")
+    assert(plan.contains("topk_by_score"), s"topk_by_score not in plan:\n$plan")
+    assert(!plan.contains("RunningWindowFunction") && !plan.contains("Window"),
+      s"q38 must not rank through a window:\n$plan")
+  }
+
   test("native cosine_sim equals the HOF cosine bit-for-bit") {
     GraftFunctions.register(spark)
     val e = Tables.embeddings(spark, sfDir).limit(100)

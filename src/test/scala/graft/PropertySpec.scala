@@ -69,6 +69,20 @@ class PropertySpec extends SparkSpec {
     })
   }
 
+  test("q15 two-pass global ranking equals the built-in single-window form") {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.orderBy(col("c_acctbal"), col("c_custkey"))
+    val builtin = Tables.customer(spark, sfDir)
+      .select(col("c_custkey"),
+        ntile(4).over(w).as("quartile"),
+        percent_rank().over(w).as("pr"))
+      .orderBy(col("c_custkey"))
+    val twoPass = Registry.byName("q15_ntile").fn(spark, sfDir)
+    assert(twoPass.exceptAll(builtin).count() == 0 &&
+      builtin.exceptAll(twoPass).count() == 0,
+      "two-pass ntile/percent_rank diverges from the built-in window")
+  }
+
   test("tokenizer matches the reference's iswalnum/towlower semantics on fixtures") {
     import spark.implicits._
     // mapper.c:14-42: maximal alnum runs, lowercased; digits included;
