@@ -7,14 +7,18 @@ import org.apache.spark.sql.functions._
   * image/audio/video as opaque `binary` columns plus a typed metadata
   * struct, with decode / feature-extraction / frame-sampling stages.
   *
-  * The DECODE KERNEL IS A STUB — this container has no image/audio
-  * codecs, so `decodeFeatures` computes a deterministic fake
-  * "decoding" (byte histogram + moments) where a real deployment
-  * would call the codec. Everything around it is the real dataflow:
-  * schema, per-partition batched processing (`mapPartitions`, the
-  * Scala analogue of an inference-batched pandas UDF), and the
-  * declarative post-processing — swap the kernel body and the rest
-  * ships unchanged to a cluster.
+  * The decode kernel dispatches on mime type:
+  *  - `image/png`, `image/bmp`, `image/gif`: REAL pixel decode via
+  *    the pure-JVM `javax.imageio` readers (no native codecs needed);
+  *    features are the luminance histogram + mean over actual pixels;
+  *  - anything else (jpeg variants without a reader here, audio,
+  *    video): a clearly-marked deterministic STUB (byte histogram +
+  *    moments) standing in for the codec this container lacks.
+  * Everything around the kernel is the real dataflow: schema,
+  * per-partition batched processing (`mapPartitions`, the Scala
+  * analogue of an inference-batched pandas UDF), and the declarative
+  * post-processing — swap the stub branch and the rest ships
+  * unchanged to a cluster.
   *
   * Scale notes: blobs stay opaque through the plan (no
   * per-row driver traffic); feature extraction is embarrassingly
@@ -47,27 +51,63 @@ object MediaOps {
       .as[MediaRow]
   }
 
-  /** Batched per-partition "decode" + feature extraction. The loop
+  /** Mime types `javax.imageio` can decode without native codecs. */
+  private val ImageIoMimes = Set("image/png", "image/bmp", "image/gif")
+
+  /** REAL decode branch: `javax.imageio` pixel decode; features are
+    * the 16-bucket LUMINANCE histogram + mean luminance (ITU-R BT.601
+    * integer weights) over actual decoded pixels, and n_bytes is the
+    * pixel count. Runs on the executor, one image at a time, bounded
+    * memory.
+    */
+  private def imageFeatures(r: MediaRow): MediaFeatures = {
+    val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(r.blob))
+    require(img != null, s"imageio failed to decode doc ${r.doc_id} (${r.mime})")
+    val hist = new Array[Long](16)
+    var sum = 0L
+    var y = 0
+    while (y < img.getHeight) {
+      var x = 0
+      while (x < img.getWidth) {
+        val rgb = img.getRGB(x, y)
+        val lum = (299 * ((rgb >> 16) & 0xff) + 587 * ((rgb >> 8) & 0xff) +
+          114 * (rgb & 0xff)) / 1000
+        hist(lum >> 4) += 1
+        sum += lum
+        x += 1
+      }
+      y += 1
+    }
+    val n = img.getWidth.toLong * img.getHeight
+    MediaFeatures(r.doc_id, n, if (n == 0) 0.0 else sum.toDouble / n, hist)
+  }
+
+  /** Batched per-partition decode + feature extraction. The loop
     * shape matches a real codec integration: one iterator pass per
     * partition, constant per-row state, no driver round-trips.
+    * PNG/BMP/GIF take the genuine `javax.imageio` pixel path; other
+    * mimes take the stub branch (no codecs in this container).
     */
   def decodeFeatures(spark: SparkSession,
       media: Dataset[MediaRow]): Dataset[MediaFeatures] = {
     import spark.implicits._
     media.mapPartitions { rows =>
       rows.map { r =>
-        // --- STUB DECODE: a real implementation decodes r.blob with
-        // an image/audio codec here; we extract deterministic fake
-        // features (16-bucket byte histogram + mean) instead ---
-        val hist = new Array[Long](16)
-        var sum = 0L
-        r.blob.foreach { b =>
-          val u = b & 0xff
-          hist(u >> 4) += 1
-          sum += u
+        if (ImageIoMimes.contains(r.mime)) imageFeatures(r)
+        else {
+          // --- STUB DECODE: a real implementation decodes r.blob
+          // with the matching codec here; we extract deterministic
+          // fake features (16-bucket byte histogram + mean) instead ---
+          val hist = new Array[Long](16)
+          var sum = 0L
+          r.blob.foreach { b =>
+            val u = b & 0xff
+            hist(u >> 4) += 1
+            sum += u
+          }
+          MediaFeatures(r.doc_id, r.blob.length.toLong,
+            if (r.blob.length == 0) 0.0 else sum.toDouble / r.blob.length, hist)
         }
-        MediaFeatures(r.doc_id, r.blob.length.toLong,
-          if (r.blob.length == 0) 0.0 else sum.toDouble / r.blob.length, hist)
       }
     }
   }

@@ -41,6 +41,30 @@ class MultimodalSpec extends SparkSpec {
       Seq("source", "n_media", "total_bytes", "avg_mean_byte"))
   }
 
+  test("decodeFeatures decodes real PNG pixels via javax.imageio") {
+    import spark.implicits._
+    import java.awt.image.BufferedImage
+    def png(gray: Int, w: Int, h: Int): Array[Byte] = {
+      val img = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until h; x <- 0 until w)
+        img.setRGB(x, y, (gray << 16) | (gray << 8) | gray)
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", bos)
+      bos.toByteArray
+    }
+    // gray level g has luminance exactly g under the BT.601 weights
+    val rows = Seq(
+      MediaOps.MediaRow(1L, png(0, 4, 3), "image/png", 4, 3),
+      MediaOps.MediaRow(2L, png(255, 2, 2), "image/png", 2, 2),
+      MediaOps.MediaRow(3L, png(100, 5, 5), "image/png", 5, 5))
+    val f = MediaOps.decodeFeatures(spark, rows.toDS())
+      .collect().map(x => x.doc_id -> x).toMap
+    assert(f(1L).n_bytes == 12 && f(1L).mean_byte == 0.0 && f(1L).hist(0) == 12)
+    assert(f(2L).n_bytes == 4 && f(2L).mean_byte == 255.0 && f(2L).hist(15) == 4)
+    assert(f(3L).n_bytes == 25 && f(3L).mean_byte == 100.0 &&
+      f(3L).hist(100 >> 4) == 25)
+  }
+
   test("sampleFrames slices blobs into strided frames") {
     val m = MediaOps.synthesizeMedia(spark, sfDir).toDF()
     val frames = MediaOps.sampleFrames(m, frameBytes = 48, stride = 2)
