@@ -69,5 +69,31 @@ object UdxQueries {
       .orderBy(col("prio_rank"))
   }
 
-  val all: Seq[QueryDef] = Seq(q49ArrayFuncs, q50ScalarUdf)
+  /** External-process pipe (the reference's spawned-worker contract,
+    * worker_manager.c:96-105, re-expressed per-partition — see
+    * `graft.api.Pipe`). Order keys stream as text lines through an
+    * `awk` child that reduces them mod 97; the engine re-aggregates
+    * the child's output. The oracle computes the same congruence in
+    * SQL, proving the round trip through the external process is
+    * lossless and exact.
+    */
+  val q59Pipe = QueryDef(
+    "q59_pipe",
+    "external-process pipe: order keys through awk mod 97, re-aggregated",
+    """SELECT o_orderkey % 97 AS r, count(*) AS cnt
+      |FROM orders
+      |GROUP BY r
+      |ORDER BY r""".stripMargin) { (s, d) =>
+    import s.implicits._
+    val lines = Tables.orders(s, d)
+      .select(col("o_orderkey").cast("string")).as[String]
+    graft.api.Pipe.through(lines, Seq("awk", "{ print $1 % 97 }"))
+      .toDF("line")
+      .select(col("line").cast("long").as("r"))
+      .groupBy(col("r"))
+      .agg(count(lit(1)).as("cnt"))
+      .orderBy(col("r"))
+  }
+
+  val all: Seq[QueryDef] = Seq(q49ArrayFuncs, q50ScalarUdf, q59Pipe)
 }
