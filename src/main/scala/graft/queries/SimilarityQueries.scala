@@ -149,5 +149,74 @@ object SimilarityQueries {
       .orderBy(col("q_id"), col("rn"))
   }
 
-  val all: Seq[QueryDef] = Seq(q38CosineTopk, q39AnnIvf)
+  /** Deterministic gaussian hyperplanes for signed-random-projection
+    * (cosine) LSH. Driver-resident metadata like the IVF centroids:
+    * n·dim floats, broadcast into the plan as literals.
+    */
+  private[graft] def hyperplanes(dim: Int, n: Int, seed: Long): Seq[Array[Float]] = {
+    val rnd = new scala.util.Random(seed)
+    Seq.fill(n)(Array.fill(dim)(rnd.nextGaussian().toFloat))
+  }
+
+  /** Candidate pairs by random-hyperplane LSH: each vector's signature
+    * bit i = sign(dot(v, plane_i)) (computed via the codegen'd
+    * `cosine_sim` — same sign as the dot product, one fused pass per
+    * plane, no per-row allocation), signatures cut into
+    * `planes.size / bitsPerBand` bands, candidates = pairs equal in
+    * ≥1 band. The self-join is an EQUI join on (band, band_value) —
+    * at 100 TB this is the same bucketed shape as MinHash LSH (q34):
+    * shuffle by band key, never all-pairs. Collision probability per
+    * bit is 1 − θ/π, so `bitsPerBand` is the precision knob: 4 bits
+    * suits this fixture's near-orthogonal vectors at threshold ~0.45;
+    * production embedding dims (≥256) and thresholds (≥0.8) want 8–16
+    * bits per band to keep the candidate rate down.
+    */
+  private[graft] def lshCandidatePairs(
+      t: DataFrame, planes: Seq[Array[Float]], bitsPerBand: Int): DataFrame = {
+    val s = t.sparkSession
+    GraftFunctions.register(s)
+    val nBands = planes.size / bitsPerBand
+    val sig = planes.zipWithIndex.map { case (p, i) =>
+      when(GraftFunctions.cosineSim(col("embedding"), typedlit(p)) > 0,
+        lit(1L << i)).otherwise(lit(0L))
+    }.reduce(_ + _)
+    val banded = t
+      .withColumn("sig", sig)
+      .select(col("vec_id"), col("embedding"),
+        posexplode(array((0 until nBands).map(j =>
+          shiftright(col("sig"), j * bitsPerBand)
+            .bitwiseAND(lit((1L << bitsPerBand) - 1))): _*))
+          .as(Seq("band", "bv")))
+    banded.alias("a")
+      .join(banded.alias("b"),
+        col("a.band") === col("b.band") && col("a.bv") === col("b.bv") &&
+          col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
+        col("a.embedding").as("ea"), col("b.embedding").as("eb"))
+      .dropDuplicates("vec_a", "vec_b")
+  }
+
+  /** Embedding near-dup via cosine LSH (the scale path q37's
+    * label-blocked exact join lacks: no block key needed, candidate
+    * generation is a band equi join). 32 seeded hyperplanes, 8 bands
+    * × 4 bits, candidates verified exactly at cos ≥ 0.45. Approximate
+    * by construction (band recall < 1) → no SQL oracle; recall vs
+    * brute force is pinned in `DedupQualitySpec`, precision is 1 by
+    * the exact verify.
+    */
+  val q60HyperplaneLsh = QueryDef.noOracle(
+    "q60_hyperplane_lsh",
+    "cosine-LSH near-dup: 32 signed projections, 8 bands × 4 bits, exact verify ≥ 0.45") { (s, d) =>
+    GraftFunctions.register(s)
+    val t = Tables.embeddings(s, d).select(col("vec_id"), col("embedding"))
+    val dim = t.select(size(col("embedding"))).head.getInt(0)
+    lshCandidatePairs(t, hyperplanes(dim, n = 32, seed = 7L), bitsPerBand = 4)
+      .withColumn("cos_sim",
+        round(GraftFunctions.cosineSim(col("ea"), col("eb")), 4))
+      .filter(col("cos_sim") >= 0.45)
+      .select(col("vec_a"), col("vec_b"), col("cos_sim"))
+      .orderBy(col("vec_a"), col("vec_b"))
+  }
+
+  val all: Seq[QueryDef] = Seq(q38CosineTopk, q39AnnIvf, q60HyperplaneLsh)
 }

@@ -129,6 +129,62 @@ class DedupQualitySpec extends SparkSpec {
       s"capped path diverged: missing=${uncapped.diff(capped)} extra=${capped.diff(uncapped)}")
   }
 
+  /** Brute-force embedding pairs with cosine ≥ threshold. */
+  private def bruteCosPairs(threshold: Double): Set[(Long, Long)] = {
+    import graft.plans.GraftFunctions
+    GraftFunctions.register(spark)
+    val t = Tables.embeddings(spark, sfDir).select(col("vec_id"), col("embedding"))
+    t.alias("a").crossJoin(t.alias("b"))
+      .filter(col("a.vec_id") < col("b.vec_id"))
+      .filter(GraftFunctions.cosineSim(col("a.embedding"), col("b.embedding"))
+        >= threshold)
+      .select(col("a.vec_id"), col("b.vec_id"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+  }
+
+  test("hyperplane LSH precision 1 (output subset of brute force at 0.45)") {
+    val got = Registry.byName("q60_hyperplane_lsh").fn(spark, sfDir)
+      .select(col("vec_a"), col("vec_b"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got.nonEmpty, "LSH should surface the high-cosine tail pairs")
+    assert(got.subsetOf(bruteCosPairs(0.45 - 1e-4)),
+      "exact-verify stage must kill every band false positive")
+  }
+
+  test("hyperplane LSH recall on near-orthogonal fixture data") {
+    val got = Registry.byName("q60_hyperplane_lsh").fn(spark, sfDir)
+      .select(col("vec_a"), col("vec_b"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val want = bruteCosPairs(0.45)
+    assert(want.nonEmpty)
+    val recall = got.intersect(want).size.toDouble / want.size
+    // 8 bands × 4 bits at cos 0.45 (p_bit ≈ 0.65): expected recall ≈ 0.8
+    // on this fixture's worst-case near-orthogonal vectors; planes are
+    // seed-pinned so the measurement is deterministic
+    assert(recall >= 0.6, f"LSH recall too low: $recall%.2f")
+  }
+
+  test("hyperplane LSH recall ≈ 1 on planted near-duplicates") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(11)
+    val base = (0L until 100L).map(i =>
+      (i, Array.fill(64)(rnd.nextGaussian().toFloat)))
+    // 2i+1000 is a tiny perturbation of base i → cosine ≈ 0.999
+    val dups = base.take(20).map { case (i, v) =>
+      (i + 1000L, v.map(x => x + 0.01f * rnd.nextGaussian().toFloat))
+    }
+    val t = (base ++ dups).toDF("vec_id", "embedding")
+    val pairs = queries.SimilarityQueries.lshCandidatePairs(
+        t, queries.SimilarityQueries.hyperplanes(64, 32, 7L), bitsPerBand = 4)
+      .filter(graft.plans.GraftFunctions.cosineSim(col("ea"), col("eb")) >= 0.9)
+      .select(col("vec_a"), col("vec_b"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val want = (0L until 20L).map(i => (i, i + 1000L)).toSet
+    // P(bit flip) ≈ acos(0.999)/π ≈ 0.014 → P(miss all 8 bands) < 1e-8
+    assert(want.subsetOf(pairs),
+      s"LSH missed planted dups: ${want.diff(pairs)}")
+  }
+
   test("approx_count_distinct within 5% of exact") {
     val rows = Registry.byName("q46_approx_distinct").fn(spark, sfDir).collect()
     rows.foreach { r =>
