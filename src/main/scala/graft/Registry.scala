@@ -21,7 +21,8 @@ object Registry {
     MultimodalQueries.all ++
     UdxQueries.all ++
     SkewQueries.all ++
-    SamplingQueries.all
+    SamplingQueries.all ++
+    CurationQueries.all
 
   def byName: Map[String, QueryDef] = queries.map(q => q.name -> q).toMap
 }

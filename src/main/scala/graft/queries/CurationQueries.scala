@@ -1,0 +1,79 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.{QueryDef, Tables}
+
+/** End-to-end corpus-curation pipeline — the composition story the
+  * individual LLM-pipeline operators exist for, as ONE declarative
+  * plan: tokenize → minimum-length gate → quality filter (type-token
+  * ratio in integer basis points, same arithmetic as q29) → exact
+  * content dedup (sha-256 group, min doc_id survives, as q33) →
+  * deterministic per-language mixing (key-modulus rates, as q57) →
+  * per-(lang, source) audit summary.
+  *
+  * Every stage is engine-independent (integer bp arithmetic, content
+  * hash, key modulus) so the full five-stage pipeline is replayed
+  * exactly by the DuckDB oracle — correctness of the COMPOSITION is
+  * oracle-checked, not just each stage alone.
+  *
+  * Scale shape: one scan; the quality gate is a per-row project +
+  * filter (pushable, no shuffle); dedup is one hash shuffle on the
+  * digest + a key semi join; the final summary is a partial+final
+  * aggregate. No window, no all-pairs, no driver loop — at 100 TB
+  * this runs as three shuffles end to end.
+  */
+object CurationQueries {
+
+  private def toks(c: org.apache.spark.sql.Column) =
+    filter(split(c, " "), t => length(t) > 0)
+
+  val q61CurationPipeline = QueryDef(
+    "q61_curation_pipeline",
+    "curation pipeline: quality gate → exact dedup → deterministic mix → audit summary",
+    """WITH tok AS (
+      |  SELECT doc_id, text, lang, source,
+      |         list_filter(string_split(text, ' '), t -> length(t) > 0) AS w
+      |  FROM documents),
+      |q AS (
+      |  SELECT doc_id, text, lang, source, len(w) AS n_tokens,
+      |         CAST(floor(10000.0 * len(list_distinct(w)) / len(w)) AS BIGINT) AS ttr_bp
+      |  FROM tok WHERE len(w) >= 10),
+      |f AS (SELECT * FROM q WHERE ttr_bp >= 3000),
+      |keep AS (SELECT min(doc_id) AS doc_id FROM f GROUP BY sha256(text)),
+      |dedup AS (SELECT f.* FROM f JOIN keep USING (doc_id)),
+      |mixed AS (
+      |  SELECT * FROM dedup
+      |  WHERE (lang = 'en' AND doc_id % 10 < 5)
+      |     OR (lang <> 'en' AND doc_id % 10 < 2))
+      |SELECT lang, source, count(*) AS n_docs,
+      |       CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+      |       CAST(floor(avg(ttr_bp)) AS BIGINT) AS avg_ttr_bp
+      |FROM mixed
+      |GROUP BY lang, source
+      |ORDER BY lang, source""".stripMargin) { (s, d) =>
+    val gated = Tables.documents(s, d)
+      .select(col("doc_id"), col("text"), col("lang"), col("source"),
+        toks(col("text")).as("w"))
+      .filter(size(col("w")) >= 10)
+      .select(col("doc_id"), col("text"), col("lang"), col("source"),
+        size(col("w")).cast("long").as("n_tokens"),
+        floor(lit(10000.0) * size(array_distinct(col("w"))) / size(col("w")))
+          .cast("long").as("ttr_bp"))
+      .filter(col("ttr_bp") >= 3000)
+    val keepers = gated
+      .groupBy(sha2(col("text"), 256))
+      .agg(min(col("doc_id")).as("doc_id"))
+      .select(col("doc_id"))
+    gated.join(keepers, Seq("doc_id"), "left_semi")
+      .filter(
+        (col("lang") === "en" && pmod(col("doc_id"), lit(10)) < 5) ||
+          (col("lang") =!= "en" && pmod(col("doc_id"), lit(10)) < 2))
+      .groupBy(col("lang"), col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).as("total_tokens"),
+        floor(avg(col("ttr_bp"))).cast("long").as("avg_ttr_bp"))
+      .orderBy(col("lang"), col("source"))
+  }
+
+  val all: Seq[QueryDef] = Seq(q61CurationPipeline)
+}
