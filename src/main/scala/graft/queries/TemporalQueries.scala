@@ -127,6 +127,42 @@ object TemporalQueries {
       .orderBy(col("user_id"), col("session_start"))
   }
 
+  /** Two-stream temporal correlation, batch form: attribute each
+    * click to every preceding view by the same user within 24 hours —
+    * the batch twin (with exact oracle) of the watermarked
+    * stream-stream interval join in
+    * `StreamingOps.attributedClicks` (StreamingSpec pins the
+    * streaming semantics; this pins the values). Plan shape: equi
+    * join on user_id with the time range as a residual predicate —
+    * shuffle by user, never a cross join, so it scales with user
+    * cardinality.
+    */
+  val q62Attribution = QueryDef(
+    "q62_attribution",
+    "interval self-join: clicks attributed to same-user views within 24h",
+    """WITH v AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS view_ts
+      |           FROM events WHERE event_type = 'view'),
+      |     c AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS click_ts, value
+      |           FROM events WHERE event_type = 'click')
+      |SELECT v.user_id, v.view_ts, c.click_ts, c.value
+      |FROM v JOIN c ON v.user_id = c.user_id
+      |  AND c.click_ts >= v.view_ts
+      |  AND c.click_ts <= v.view_ts + INTERVAL '24 hours'
+      |ORDER BY v.user_id, v.view_ts, c.click_ts, c.value""".stripMargin) { (s, d) =>
+    val ev = Tables.events(s, d)
+    val views = ev.filter(col("event_type") === "view")
+      .select(col("user_id"), col("ts").as("view_ts"))
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("user_id").as("cu"), col("ts").as("click_ts"), col("value"))
+    views.join(clicks,
+      col("user_id") === col("cu") &&
+        col("click_ts") >= col("view_ts") &&
+        col("click_ts") <= col("view_ts") + expr("INTERVAL 24 hours"))
+      .select(col("user_id"), col("view_ts"), col("click_ts"), col("value"))
+      .orderBy(col("user_id"), col("view_ts"), col("click_ts"), col("value"))
+  }
+
   val all: Seq[QueryDef] = Seq(
-    q40AsofJoin, q42TumblingWindow, q43SlidingWindow, q44SessionWindow)
+    q40AsofJoin, q42TumblingWindow, q43SlidingWindow, q44SessionWindow,
+    q62Attribution)
 }

@@ -165,6 +165,40 @@ object StreamingOps {
         OutputMode.Update())
   }
 
+  /** Streaming exact dedup — the ingest-time twin of q33's batch
+    * dedup: drop events identical on (user_id, event_type, ts) while
+    * their event time is within the watermark, with per-key state
+    * evicted once the watermark passes (bounded state, unlike plain
+    * `dropDuplicates` whose state grows forever on a stream).
+    */
+  def dedupedEvents(events: DataFrame, lateness: String = "10 minutes"): DataFrame =
+    events
+      .withWatermark("ts", lateness)
+      .dropDuplicatesWithinWatermark("user_id", "event_type", "ts")
+
+  /** Stream-stream interval join: attribute each click to the same
+    * user's preceding view within `within` — the canonical two-stream
+    * temporal correlation (batch twin with DuckDB oracle:
+    * q62_attribution). Both sides are watermarked and the join
+    * condition bounds click_ts to a view_ts range, so Spark can evict
+    * buffered rows once the watermark passes — state stays bounded.
+    */
+  def attributedClicks(events: DataFrame, within: String = "1 hour",
+      lateness: String = "10 minutes"): DataFrame = {
+    val views = events.filter(col("event_type") === "view")
+      .select(col("user_id"), col("ts").as("view_ts"))
+      .withWatermark("view_ts", lateness)
+    val clicks = events.filter(col("event_type") === "click")
+      .select(col("user_id").as("click_user"), col("ts").as("click_ts"),
+        col("value"))
+      .withWatermark("click_ts", lateness)
+    views.join(clicks,
+      col("user_id") === col("click_user") &&
+        col("click_ts") >= col("view_ts") &&
+        col("click_ts") <= col("view_ts") + expr(s"INTERVAL $within"))
+      .select(col("user_id"), col("view_ts"), col("click_ts"), col("value"))
+  }
+
   /** File-based streaming source over the driver's parquet events —
     * `readStream` with `availableNow` semantics turns the bounded
     * table into a replayed stream (the socket-source analogue of

@@ -180,6 +180,56 @@ class StreamingSpec extends SparkSpec {
       s"exactly-once violated across restart: $vals")
   }
 
+  test("dropDuplicatesWithinWatermark dedups the stream on the event key") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val input = MemoryStream[Event]
+    val q = StreamingOps.dedupedEvents(input.toDF())
+      .writeStream.format("memory").queryName("dedup_t")
+      .outputMode("append").start()
+    try {
+      // same (user, type, ts) delivered twice in-batch and once again
+      // in the next batch — all within the watermark → one survivor
+      input.addData(
+        Event(ts(0), 1L, "view", 1.0),
+        Event(ts(0), 1L, "view", 1.0),
+        Event(ts(1), 2L, "click", 2.0))
+      runAll(q)
+      input.addData(Event(ts(0), 1L, "view", 1.0))
+      runAll(q)
+      val rows = spark.table("dedup_t")
+        .select($"user_id", $"event_type").as[(Long, String)].collect().toSeq
+      assert(rows.sorted == Seq((1L, "view"), (2L, "click")).sorted,
+        s"duplicate leaked or row dropped: $rows")
+    } finally q.stop()
+  }
+
+  test("stream-stream interval join attributes clicks to preceding views") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val input = MemoryStream[Event]
+    val q = StreamingOps.attributedClicks(input.toDF(), within = "1 hour")
+      .writeStream.format("memory").queryName("attr_t")
+      .outputMode("append").start()
+    try {
+      input.addData(
+        Event(ts(0), 1L, "view", 0.0),
+        Event(ts(20), 1L, "click", 5.0), // within 1h of the view → joins
+        Event(ts(90), 1L, "click", 7.0), // 90m after the view → outside
+        Event(ts(30), 2L, "click", 9.0)) // no view for user 2
+      runAll(q)
+      // advance both watermarks so buffered state can be evicted
+      input.addData(Event(ts(600), 99L, "view", 0.0),
+        Event(ts(600), 99L, "click", 0.0))
+      runAll(q)
+      val rows = spark.table("attr_t")
+        .select($"user_id", $"value").as[(Long, Double)].collect().toSet
+      assert(rows.contains((1L, 5.0)), s"in-window click not attributed: $rows")
+      assert(!rows.exists(_._2 == 7.0), "out-of-window click attributed")
+      assert(!rows.exists(_._1 == 2L), "viewless click attributed")
+    } finally q.stop()
+  }
+
   test("eventsStream replays the parquet events table as a stream") {
     val out = StreamingOps.tumblingCounts(
       StreamingOps.eventsStream(spark, sfDir), lateness = "0 seconds")
