@@ -22,7 +22,8 @@ object Registry {
     UdxQueries.all ++
     SkewQueries.all ++
     SamplingQueries.all ++
-    CurationQueries.all
+    CurationQueries.all ++
+    SqlQueries.all
 
   def byName: Map[String, QueryDef] = queries.map(q => q.name -> q).toMap
 }
