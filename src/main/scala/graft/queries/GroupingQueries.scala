@@ -140,6 +140,33 @@ object GroupingQueries {
       .orderBy(col("l_returnflag"))
   }
 
+  /** Unpivot (long form — the inverse reshaping of q52's pivot):
+    * wide measure columns melt into (name, value) rows.
+    * `Dataset.unpivot` plans as a single `Expand` (row → one output
+    * row per measure) — no shuffle, no join; the oracle is DuckDB's
+    * UNPIVOT of the same projection.
+    */
+  val q64Unpivot = QueryDef(
+    "q64_unpivot",
+    "unpivot order measures into (measure, val) long form",
+    """SELECT o_orderkey, measure, val FROM (
+      |  UNPIVOT (SELECT o_orderkey, CAST(o_totalprice AS DOUBLE) AS total_price,
+      |                  CAST(o_custkey AS DOUBLE) AS cust_key
+      |           FROM orders WHERE o_orderkey < 200)
+      |  ON total_price, cust_key INTO NAME measure VALUE val)
+      |ORDER BY o_orderkey, measure""".stripMargin) { (s, d) =>
+    import org.apache.spark.sql.functions.col
+    Tables.orders(s, d)
+      .filter(col("o_orderkey") < 200)
+      .select(col("o_orderkey"),
+        col("o_totalprice").cast("double").as("total_price"),
+        col("o_custkey").cast("double").as("cust_key"))
+      .unpivot(Array(col("o_orderkey")),
+        Array(col("total_price"), col("cust_key")), "measure", "val")
+      .orderBy(col("o_orderkey"), col("measure"))
+  }
+
   val all: Seq[QueryDef] = Seq(
-    q17Rollup, q18Cube, q19GroupingSets, q20SetOps, q21UnionAll, q52Pivot)
+    q17Rollup, q18Cube, q19GroupingSets, q20SetOps, q21UnionAll, q52Pivot,
+    q64Unpivot)
 }

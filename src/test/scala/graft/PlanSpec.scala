@@ -77,6 +77,36 @@ class PlanSpec extends SparkSpec {
       s"q38 must not rank through a window:\n$plan")
   }
 
+  test("q62 interval join is an equi join with a range residual, not a cross product") {
+    val df = Registry.byName("q62_attribution").fn(spark, sfDir)
+    val plan = planString(df)
+    // user_id equality must drive the join (hash/merge/broadcast-hash);
+    // the time range stays a residual predicate — a nested-loop or
+    // cartesian here would be quadratic in events per scale-up
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      s"q62 degenerated to an all-pairs join:\n$plan")
+    assert(plan.contains("HashJoin") || plan.contains("SortMergeJoin"),
+      s"expected a keyed join in q62's plan:\n$plan")
+  }
+
+  test("q61 curation pipeline dedups through a left-semi join") {
+    val df = Registry.byName("q61_curation_pipeline").fn(spark, sfDir)
+    val plan = planString(df)
+    assert(plan.contains("LeftSemi"),
+      s"expected the dedup keeper semi join in q61's plan:\n$plan")
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      s"q61 must stay equi-join shaped:\n$plan")
+  }
+
+  test("q64 unpivot plans as Expand (no join, no shuffle before the sort)") {
+    val df = Registry.byName("q64_unpivot").fn(spark, sfDir)
+    val plan = planString(df)
+    assert(plan.contains("Expand"), s"expected Expand in q64's plan:\n$plan")
+    assert(!plan.contains("Join"), s"unpivot must not join:\n$plan")
+  }
+
   test("native cosine_sim equals the HOF cosine bit-for-bit") {
     GraftFunctions.register(spark)
     val e = Tables.embeddings(spark, sfDir).limit(100)
