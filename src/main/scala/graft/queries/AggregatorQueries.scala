@@ -107,6 +107,40 @@ object AggregatorQueries {
       .orderBy(col("word"))
   }
 
+  /** Statistical aggregate family: Pearson correlation, sample/
+    * population variance, sample covariance — single-pass partial-
+    * aggregable moments (each merges as (n, Σx, Σx², Σxy) across
+    * partitions, so the 100 TB plan is the same partial+final
+    * HashAggregate as any sum). Spark and DuckDB share these
+    * definitions exactly (unlike skewness/kurtosis, where DuckDB
+    * applies sample-bias correction and Spark does not — excluded on
+    * purpose). Results are order-dependent in the last ulps
+    * (parallel summation) → rounded to 6 decimals on both sides;
+    * quantity/discount magnitudes (≤50) keep ulp noise ~1e-13, far
+    * under the rounding grain.
+    */
+  val q65StatsAgg = QueryDef(
+    "q65_stats_agg",
+    "statistical aggregates: corr / stddev / variance / covariance per returnflag",
+    """SELECT l_returnflag,
+      |  round(corr(l_quantity, l_extendedprice), 6) AS corr_qp,
+      |  round(stddev_samp(l_quantity), 6) AS sd_q,
+      |  round(var_pop(l_quantity), 6) AS var_q,
+      |  round(covar_samp(l_quantity, l_discount), 6) AS cov_qd
+      |FROM lineitem
+      |GROUP BY l_returnflag
+      |ORDER BY l_returnflag""".stripMargin) { (s, d) =>
+    Tables.lineitem(s, d)
+      .groupBy(col("l_returnflag"))
+      .agg(
+        round(corr(col("l_quantity"), col("l_extendedprice")), 6).as("corr_qp"),
+        round(stddev_samp(col("l_quantity")), 6).as("sd_q"),
+        round(var_pop(col("l_quantity")), 6).as("var_q"),
+        round(covar_samp(col("l_quantity"), col("l_discount")), 6).as("cov_qd"))
+      .orderBy(col("l_returnflag"))
+  }
+
   val all: Seq[QueryDef] = Seq(
-    q41CustomAgg, q45Percentiles, q46ApproxDistinct, q47TypedMapreduce)
+    q41CustomAgg, q45Percentiles, q46ApproxDistinct, q47TypedMapreduce,
+    q65StatsAgg)
 }
