@@ -180,9 +180,13 @@ object SimilarityQueries {
       when(GraftFunctions.cosineSim(col("embedding"), typedlit(p)) > 0,
         lit(1L << i)).otherwise(lit(0L))
     }.reduce(_ + _)
+    // ids only past this point: the band join and the multi-band
+    // dedup shuffle carry 16-byte pairs, not vector payloads — at
+    // corpus scale the exchange is O(pairs), not O(pairs · dim).
+    // Callers rehydrate embeddings by key join (verifiedPairs).
     val banded = t
       .withColumn("sig", sig)
-      .select(col("vec_id"), col("embedding"),
+      .select(col("vec_id"),
         posexplode(array((0 until nBands).map(j =>
           shiftright(col("sig"), j * bitsPerBand)
             .bitwiseAND(lit((1L << bitsPerBand) - 1))): _*))
@@ -191,10 +195,23 @@ object SimilarityQueries {
       .join(banded.alias("b"),
         col("a.band") === col("b.band") && col("a.bv") === col("b.bv") &&
           col("a.vec_id") < col("b.vec_id"))
-      .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
-        col("a.embedding").as("ea"), col("b.embedding").as("eb"))
+      .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"))
       .dropDuplicates("vec_a", "vec_b")
   }
+
+  /** Rehydrate candidate id pairs with their vectors (two key joins —
+    * broadcast at fixture scale, shuffled hash joins at corpus scale)
+    * and keep those with exact cosine ≥ threshold.
+    */
+  private[graft] def verifiedPairs(
+      t: DataFrame, pairs: DataFrame, threshold: Double): DataFrame =
+    pairs
+      .join(t.select(col("vec_id").as("vec_a"), col("embedding").as("ea")), "vec_a")
+      .join(t.select(col("vec_id").as("vec_b"), col("embedding").as("eb")), "vec_b")
+      .withColumn("cos_sim",
+        round(GraftFunctions.cosineSim(col("ea"), col("eb")), 4))
+      .filter(col("cos_sim") >= threshold)
+      .select(col("vec_a"), col("vec_b"), col("cos_sim"))
 
   /** Embedding near-dup via cosine LSH (the scale path q37's
     * label-blocked exact join lacks: no block key needed, candidate
@@ -210,11 +227,9 @@ object SimilarityQueries {
     GraftFunctions.register(s)
     val t = Tables.embeddings(s, d).select(col("vec_id"), col("embedding"))
     val dim = t.select(size(col("embedding"))).head.getInt(0)
-    lshCandidatePairs(t, hyperplanes(dim, n = 32, seed = 7L), bitsPerBand = 4)
-      .withColumn("cos_sim",
-        round(GraftFunctions.cosineSim(col("ea"), col("eb")), 4))
-      .filter(col("cos_sim") >= 0.45)
-      .select(col("vec_a"), col("vec_b"), col("cos_sim"))
+    val cands = lshCandidatePairs(t, hyperplanes(dim, n = 32, seed = 7L),
+      bitsPerBand = 4)
+    verifiedPairs(t, cands, threshold = 0.45)
       .orderBy(col("vec_a"), col("vec_b"))
   }
 

@@ -174,9 +174,9 @@ class DedupQualitySpec extends SparkSpec {
       (i + 1000L, v.map(x => x + 0.01f * rnd.nextGaussian().toFloat))
     }
     val t = (base ++ dups).toDF("vec_id", "embedding")
-    val pairs = queries.SimilarityQueries.lshCandidatePairs(
-        t, queries.SimilarityQueries.hyperplanes(64, 32, 7L), bitsPerBand = 4)
-      .filter(graft.plans.GraftFunctions.cosineSim(col("ea"), col("eb")) >= 0.9)
+    val cands = queries.SimilarityQueries.lshCandidatePairs(
+      t, queries.SimilarityQueries.hyperplanes(64, 32, 7L), bitsPerBand = 4)
+    val pairs = queries.SimilarityQueries.verifiedPairs(t, cands, 0.9)
       .select(col("vec_a"), col("vec_b"))
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     val want = (0L until 20L).map(i => (i, i + 1000L)).toSet
