@@ -75,8 +75,18 @@ object SimilarityQueries {
     * loses every member keeps its previous centroid so k is stable.
     */
   private[queries] def trainCentroids(
-      s: SparkSession, t: DataFrame, k: Int, iters: Int): DataFrame = {
+      s: SparkSession, t0: DataFrame, k: Int, iters: Int): DataFrame = {
     GraftFunctions.register(s)
+    // scoped persist: each Lloyd iteration is an action over the full
+    // corpus (iters + 1 scans without it); released before returning
+    // so no cached blocks outlive the query (round-1 leak lesson)
+    val t = t0.persist()
+    try trainCentroidsOn(s, t, k, iters)
+    finally { t.unpersist(blocking = false); () }
+  }
+
+  private def trainCentroidsOn(
+      s: SparkSession, t: DataFrame, k: Int, iters: Int): DataFrame = {
     var cents: Seq[(Int, Seq[Float])] = t.filter(col("vec_id") < k)
       .select(col("vec_id").cast("int"), col("embedding"))
       .collect().map(r => (r.getInt(0), r.getSeq[Float](1))).toSeq

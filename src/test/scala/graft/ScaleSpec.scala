@@ -127,4 +127,33 @@ class ScaleSpec extends SparkSpec {
       .orderBy(col("flag"))
     assert(salted.collect().toSeq == plain.collect().toSeq)
   }
+
+  test("dynamic partition overwrite rewrites only the touched partitions") {
+    // the incremental-rerun idiom: re-processing one day of a 100 TB
+    // date-partitioned sink must replace exactly that day, not
+    // truncate the table (static overwrite's behavior)
+    import spark.implicits._
+    val path = "target/scale-spec/dyn_overwrite"
+    val orig = spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try {
+      Seq(("2024-01-01", 1L, 10.0), ("2024-01-02", 2L, 20.0),
+        ("2024-01-03", 3L, 30.0))
+        .toDF("day", "id", "v")
+        .write.mode("overwrite").partitionBy("day").parquet(path)
+      // re-run day 2 only, with corrected values
+      Seq(("2024-01-02", 2L, 99.0)).toDF("day", "id", "v")
+        .write.mode("overwrite").partitionBy("day").parquet(path)
+      val got = spark.read.parquet(path)
+        .select($"day", $"v").as[(String, Double)].collect().toSet
+      assert(got == Set(("2024-01-01", 10.0), ("2024-01-02", 99.0),
+        ("2024-01-03", 30.0)),
+        s"dynamic overwrite touched the wrong partitions: $got")
+    } finally {
+      orig match {
+        case Some(v) => spark.conf.set("spark.sql.sources.partitionOverwriteMode", v)
+        case None => spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
+      }
+    }
+  }
 }
