@@ -83,6 +83,25 @@ class PropertySpec extends SparkSpec {
       "two-pass ntile/percent_rank diverges from the built-in window")
   }
 
+  test("unpivot inverts pivot (reshaping round trip)") {
+    import spark.implicits._
+    check(Prop.forAll(kvGen) { xs =>
+      // long → pivot wide on k ∈ {a..e} → unpivot back to long:
+      // must equal the per-(k) sums of the input (pivot aggregates,
+      // so the round trip lands on the aggregated long form)
+      val expected = xs.groupBy(_._1).view.mapValues(_.map(_._2).sum).toMap
+      val wide = xs.toDF("k", "v").groupBy(lit(1).as("g"))
+        .pivot("k", Seq("a", "b", "c", "d", "e")).agg(sum($"v"))
+        .na.fill(0L, Seq("a", "b", "c", "d", "e"))
+      val got = wide
+        .unpivot(Array($"g"), Array($"a", $"b", $"c", $"d", $"e"), "k", "v")
+        .select($"k", $"v").collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+      // keys absent from xs unpivot as 0 (the fill); drop them
+      got.filter(_._2 != 0L) == expected.filter(_._2 != 0L)
+    })
+  }
+
   test("tokenizer matches the reference's iswalnum/towlower semantics on fixtures") {
     import spark.implicits._
     // mapper.c:14-42: maximal alnum runs, lowercased; digits included;
