@@ -299,7 +299,45 @@ object TextAnalysisQueries {
       .orderBy(col("doc_id"), col("rn"))
   }
 
+  /** BPE-ish pre-tokenization (the GPT-2 pre-tokenizer regex family:
+    * contraction suffixes | space?-letters | space?-digits |
+    * space?-punctuation | whitespace) counted against plain
+    * whitespace tokens — the two token-counting bases an LLM data
+    * pipeline budgets with. The input is salted with the source tag,
+    * a contraction and "v2.0!" so every regex branch (letters,
+    * digits, punctuation, apostrophe suffix) fires on every row.
+    * Java regex and DuckDB's RE2 agree on this pattern (no
+    * lookaround; \p{L}/\p{N} Unicode classes in both). Spark needs
+    * explicit group 0 — its regexp_extract_all defaults to group 1.
+    */
+  val q66BpeTokens = QueryDef(
+    "q66_bpe_tokens",
+    "BPE-ish pre-tokenizer counts vs whitespace counts per document",
+    """WITH t AS (
+      |  SELECT doc_id,
+      |    regexp_extract_all(source || ': ' || text || ' it''s v2.0!',
+      |      '''(?:s|t|re|ve|m|ll|d)| ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+|\s+') AS toks,
+      |    list_filter(string_split(text, ' '), x -> length(x) > 0) AS ws
+      |  FROM documents)
+      |SELECT doc_id, len(toks) AS n_bpe, len(list_distinct(toks)) AS n_uniq_bpe,
+      |       len(ws) AS n_ws
+      |FROM t
+      |ORDER BY doc_id""".stripMargin) { (s, d) =>
+    val pat = """'(?:s|t|re|ve|m|ll|d)| ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+|\s+"""
+    Tables.documents(s, d)
+      .select(col("doc_id"),
+        regexp_extract_all(
+          concat(col("source"), lit(": "), col("text"), lit(" it's v2.0!")),
+          lit(pat), lit(0)).as("toks"),
+        toks(col("text")).as("ws"))
+      .select(col("doc_id"),
+        size(col("toks")).cast("long").as("n_bpe"),
+        size(array_distinct(col("toks"))).cast("long").as("n_uniq_bpe"),
+        size(col("ws")).cast("long").as("n_ws"))
+      .orderBy(col("doc_id"))
+  }
+
   val all: Seq[QueryDef] = Seq(
     q27TokenStats, q28LangStats, q29QualityScore, q30Langid,
-    q31Fingerprint, q32NgramStats, q55Tfidf)
+    q31Fingerprint, q32NgramStats, q55Tfidf, q66BpeTokens)
 }
