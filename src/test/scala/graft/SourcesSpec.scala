@@ -150,4 +150,51 @@ class SourcesSpec extends SparkSpec {
     val b = back.orderBy($"word").collect().map(r => (r.getString(0), r.getLong(1)))
     assert(a.toSeq == b.toSeq)
   }
+
+  test("malformed JSON records: PERMISSIVE captures, DROPMALFORMED drops, FAILFAST throws") {
+    import spark.implicits._
+    // a 100 TB ingest always contains garbage lines — the three mode
+    // contracts are what keep a corrupt shard from poisoning the job
+    val dir = java.nio.file.Files.createTempDirectory("graft_badjson")
+      .toFile.getAbsolutePath
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(s"$dir/data.json"),
+      """{"id": 1, "v": 10.0}
+        |{"id": 2, "v": BROKEN
+        |{"id": 3, "v": 30.0}
+        |""".stripMargin)
+    val schema = "id LONG, v DOUBLE, _corrupt_record STRING"
+    val permissive = spark.read.schema(schema)
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", "_corrupt_record")
+      .json(dir)
+    // cache first: the corrupt-record column can't be queried alone
+    permissive.cache()
+    try {
+      assert(permissive.count() == 3)
+      assert(permissive.filter($"_corrupt_record".isNotNull).count() == 1)
+      assert(permissive.filter($"id".isNotNull).count() == 2)
+    } finally { permissive.unpersist(); () }
+    val dropped = spark.read.schema("id LONG, v DOUBLE")
+      .option("mode", "DROPMALFORMED").json(dir)
+    assert(dropped.count() == 2)
+    val ex = intercept[org.apache.spark.SparkException] {
+      spark.read.schema("id LONG, v DOUBLE")
+        .option("mode", "FAILFAST").json(dir).count()
+    }
+    assert(ex.getMessage != null)
+  }
+
+  test("gzip text input decompresses transparently") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_gz")
+      .toFile.getAbsolutePath
+    val out = new java.util.zip.GZIPOutputStream(
+      new java.io.FileOutputStream(s"$dir/part.txt.gz"))
+    out.write("alpha\nbeta\ngamma\n".getBytes("UTF-8"))
+    out.close()
+    val lines = spark.read.text(dir).as[String].collect().toSet
+    assert(lines == Set("alpha", "beta", "gamma"),
+      s"gzip text not decoded: $lines")
+  }
 }
