@@ -20,22 +20,37 @@ import graft.{QueryDef, Tables}
   */
 object SqlQueries {
 
-  private val Sql =
-    """SELECT p_brand, p_partkey, p_retailprice,
-      |  (SELECT count(*) FROM lineitem l WHERE l.l_partkey = p.p_partkey) AS n_li
-      |FROM part p
-      |WHERE p_retailprice > 5 + (SELECT avg(p2.p_retailprice) FROM part p2
-      |                           WHERE p2.p_brand = p.p_brand)
-      |  AND EXISTS (SELECT 1 FROM lineitem l WHERE l.l_partkey = p.p_partkey)
-      |ORDER BY p_brand, p_partkey""".stripMargin
+  /** The query text, parameterized on the two table names so each
+    * invocation can bind its own uniquely-named temp views (temp
+    * views are session-global — fixed names would race when two
+    * queries run concurrently on one shared SparkSession, the normal
+    * deployment for a query library; `ConcurrencySpec` pins this).
+    */
+  private def sqlFor(part: String, lineitem: String): String =
+    s"""SELECT p_brand, p_partkey, p_retailprice,
+       |  (SELECT count(*) FROM $lineitem l WHERE l.l_partkey = p.p_partkey) AS n_li
+       |FROM $part p
+       |WHERE p_retailprice > 5 + (SELECT avg(p2.p_retailprice) FROM $part p2
+       |                           WHERE p2.p_brand = p.p_brand)
+       |  AND EXISTS (SELECT 1 FROM $lineitem l WHERE l.l_partkey = p.p_partkey)
+       |ORDER BY p_brand, p_partkey""".stripMargin
 
   val q63SqlSubqueries = QueryDef(
     "q63_sql_subqueries",
     "spark.sql text with correlated scalar / aggregate / EXISTS subqueries",
-    Sql) { (s, d) =>
-    Tables.part(s, d).createOrReplaceTempView("part")
-    Tables.lineitem(s, d).createOrReplaceTempView("lineitem")
-    s.sql(Sql)
+    sqlFor("part", "lineitem")) { (s, d) =>
+    val tag = java.util.UUID.randomUUID().toString.replace("-", "")
+    val (pv, lv) = (s"part_$tag", s"lineitem_$tag")
+    Tables.part(s, d).createOrReplaceTempView(pv)
+    Tables.lineitem(s, d).createOrReplaceTempView(lv)
+    try s.sql(sqlFor(pv, lv))
+    finally {
+      // the returned plan is already analyzed (views resolved) — the
+      // temp catalog entries can drop immediately
+      s.catalog.dropTempView(pv)
+      s.catalog.dropTempView(lv)
+      ()
+    }
   }
 
   val all: Seq[QueryDef] = Seq(q63SqlSubqueries)
