@@ -236,7 +236,11 @@ object SimilarityQueries {
     "cosine-LSH near-dup: 32 signed projections, 8 bands × 4 bits, exact verify ≥ 0.45") { (s, d) =>
     GraftFunctions.register(s)
     val t = Tables.embeddings(s, d).select(col("vec_id"), col("embedding"))
-    val dim = t.select(size(col("embedding"))).head.getInt(0)
+    // dim probe; on an EMPTY corpus any dim works (zero rows flow
+    // through with the correct schema) — don't throw on the routine
+    // empty-partition case
+    val dim = t.select(size(col("embedding"))).head(1)
+      .headOption.map(_.getInt(0)).getOrElse(1)
     val cands = lshCandidatePairs(t, hyperplanes(dim, n = 32, seed = 7L),
       bitsPerBand = 4)
     verifiedPairs(t, cands, threshold = 0.45)
