@@ -130,6 +130,42 @@ object ScalarQueries {
       .orderBy(col("price_class"))
   }
 
+  /** Null handling — the data-cleaning stage (`DataFrameNaFunctions`):
+    * nulls are synthesized deterministically (nullif on a status
+    * value, a key-modulus hole in price), then `na.fill` imputes the
+    * categorical default and `na.drop` removes rows missing the
+    * required measure. The oracle spells the same cleaning with
+    * COALESCE + IS NOT NULL — proving fill/drop are exactly those
+    * relational forms.
+    */
+  val q67NullHandling = QueryDef(
+    "q67_null_handling",
+    "na.fill / na.drop cleaning over synthesized nulls, audited per status",
+    """WITH t AS (
+      |  SELECT o_orderkey,
+      |         nullif(o_orderstatus, 'O') AS st,
+      |         CASE WHEN o_orderkey % 7 = 0 THEN NULL ELSE o_totalprice END AS price
+      |  FROM orders),
+      |cleaned AS (
+      |  SELECT o_orderkey, coalesce(st, 'UNKNOWN') AS st, price
+      |  FROM t WHERE price IS NOT NULL)
+      |SELECT st, count(*) AS n, round(sum(price), 2) AS total
+      |FROM cleaned
+      |GROUP BY st
+      |ORDER BY st""".stripMargin) { (s, d) =>
+    Tables.orders(s, d)
+      .select(col("o_orderkey"),
+        nullif(col("o_orderstatus"), lit("O")).as("st"),
+        when(pmod(col("o_orderkey"), lit(7)) === 0, lit(null))
+          .otherwise(col("o_totalprice")).as("price"))
+      .na.fill(Map("st" -> "UNKNOWN"))
+      .na.drop(Seq("price"))
+      .groupBy(col("st"))
+      .agg(count(lit(1)).as("n"), round(sum(col("price")), 2).as("total"))
+      .orderBy(col("st"))
+  }
+
   val all: Seq[QueryDef] = Seq(
-    q22StringFuncs, q23DateFuncs, q24JsonFuncs, q25MathFuncs, q26CaseWhen)
+    q22StringFuncs, q23DateFuncs, q24JsonFuncs, q25MathFuncs, q26CaseWhen,
+    q67NullHandling)
 }
