@@ -179,7 +179,39 @@ object WindowQueries {
       .orderBy(col("o_orderpriority"), col("o_orderkey"))
   }
 
+  /** Time-RANGE window frame (vs q12/q14's ROWS frames): per-user
+    * trailing-1-hour event counts and value sums, the sliding-lookback
+    * feature a temporal model computes per event. Spark's DSL range
+    * frame needs a numeric ordering key, so the frame runs over epoch
+    * MICROSECONDS with bounds [-3.6e9, 0] — exactly DuckDB's
+    * `RANGE BETWEEN INTERVAL '1 hour' PRECEDING AND CURRENT ROW`
+    * on the µs-precision timestamp (both ends inclusive in both
+    * engines, peers included by equal ordering value).
+    */
+  val q68RangeFrame = QueryDef(
+    "q68_range_frame",
+    "time-range window frame: trailing 1h count/sum per user-event",
+    """SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_id,
+      |  count(*) OVER w AS n_1h,
+      |  round(sum(value) OVER w, 4) AS sum_1h
+      |FROM events
+      |WHERE user_id < 50
+      |WINDOW w AS (PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP)
+      |             RANGE BETWEEN INTERVAL '1 hour' PRECEDING AND CURRENT ROW)
+      |ORDER BY user_id, ts, event_id""".stripMargin) { (s, d) =>
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(unix_micros(col("ts")))
+      .rangeBetween(-3600L * 1000000L, 0L)
+    Tables.events(s, d)
+      .filter(col("user_id") < 50)
+      .select(col("user_id"), col("ts"), col("event_id"),
+        count(lit(1)).over(w).as("n_1h"),
+        round(sum(col("value")).over(w), 4).as("sum_1h"))
+      .orderBy(col("user_id"), col("ts"), col("event_id"))
+  }
+
   val all: Seq[QueryDef] = Seq(
     q11WindowRank, q12RunningSum, q13LagLead, q14MovingSum, q15Ntile,
-    q16TopKPerGroup)
+    q16TopKPerGroup, q68RangeFrame)
 }
