@@ -53,5 +53,35 @@ object SqlQueries {
     }
   }
 
-  val all: Seq[QueryDef] = Seq(q63SqlSubqueries)
+  /** LATERAL join — the correlated table-valued FROM clause (top-2
+    * orders per customer through the LATERAL path rather than a
+    * window): Catalyst decorrelates the correlated LIMIT subquery
+    * into a ranked join. Identical text runs on DuckDB.
+    */
+  private def lateralSqlFor(customer: String, orders: String): String =
+    s"""SELECT c.c_custkey, o.o_orderkey, o.o_totalprice
+       |FROM $customer c, LATERAL (
+       |  SELECT o_orderkey, o_totalprice FROM $orders
+       |  WHERE o_custkey = c.c_custkey
+       |  ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) o
+       |WHERE c.c_custkey < 50
+       |ORDER BY c_custkey, o_totalprice DESC, o_orderkey""".stripMargin
+
+  val q69LateralJoin = QueryDef(
+    "q69_lateral_join",
+    "LATERAL correlated subquery: top-2 orders per customer",
+    lateralSqlFor("customer", "orders")) { (s, d) =>
+    val tag = java.util.UUID.randomUUID().toString.replace("-", "")
+    val (cv, ov) = (s"customer_$tag", s"orders_$tag")
+    Tables.customer(s, d).createOrReplaceTempView(cv)
+    Tables.orders(s, d).createOrReplaceTempView(ov)
+    try s.sql(lateralSqlFor(cv, ov))
+    finally {
+      s.catalog.dropTempView(cv)
+      s.catalog.dropTempView(ov)
+      ()
+    }
+  }
+
+  val all: Seq[QueryDef] = Seq(q63SqlSubqueries, q69LateralJoin)
 }
