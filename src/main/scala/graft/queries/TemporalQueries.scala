@@ -162,7 +162,46 @@ object TemporalQueries {
       .orderBy(col("user_id"), col("view_ts"), col("click_ts"), col("value"))
   }
 
+  /** Calendar-spine gap filling: a generated hourly spine LEFT-joined
+    * to hourly aggregates so silent hours surface as explicit zero
+    * rows — the time-series shape dashboards and anomaly detectors
+    * need (a groupBy alone cannot emit rows for hours with no
+    * events; the spine spans past the data's end so the zero path is
+    * actually exercised). The spine is `sequence` + explode — a
+    * generated table, no input scan; the join is a broadcast of the
+    * tiny spine side.
+    */
+  val q70TimeSpine = QueryDef(
+    "q70_time_spine",
+    "hourly spine left join: gap-filled counts incl. empty tail hours",
+    """WITH spine AS (
+      |  SELECT unnest(generate_series(TIMESTAMP '2024-01-28 00:00:00',
+      |                                TIMESTAMP '2024-02-02 23:00:00',
+      |                                INTERVAL 1 HOUR)) AS hour_start),
+      |hourly AS (
+      |  SELECT time_bucket(INTERVAL '1 hour', CAST(ts AS TIMESTAMP)) AS hour_start,
+      |         count(*) AS n, round(sum(value), 4) AS total
+      |  FROM events GROUP BY 1)
+      |SELECT s.hour_start, CAST(coalesce(h.n, 0) AS BIGINT) AS n,
+      |       coalesce(h.total, 0.0) AS total
+      |FROM spine s LEFT JOIN hourly h USING (hour_start)
+      |ORDER BY s.hour_start""".stripMargin) { (s, d) =>
+    val spine = s.range(1).select(explode(sequence(
+      lit("2024-01-28 00:00:00").cast("timestamp"),
+      lit("2024-02-02 23:00:00").cast("timestamp"),
+      expr("INTERVAL 1 HOUR"))).as("hour_start"))
+    val hourly = Tables.events(s, d)
+      .groupBy(window(col("ts"), "1 hour"))
+      .agg(count(lit(1)).as("n"), round(sum(col("value")), 4).as("total"))
+      .select(col("window.start").as("hour_start"), col("n"), col("total"))
+    spine.join(hourly, Seq("hour_start"), "left")
+      .select(col("hour_start"),
+        coalesce(col("n"), lit(0L)).as("n"),
+        coalesce(col("total"), lit(0.0)).as("total"))
+      .orderBy(col("hour_start"))
+  }
+
   val all: Seq[QueryDef] = Seq(
     q40AsofJoin, q42TumblingWindow, q43SlidingWindow, q44SessionWindow,
-    q62Attribution)
+    q62Attribution, q70TimeSpine)
 }
