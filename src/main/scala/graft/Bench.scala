@@ -51,7 +51,14 @@ object Bench {
       s"""\"$k\":{"min":$mn,"med":$med,"max":$mx}"""
     }.mkString("{", ",", "}")
     val total = results.values.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","runs":$Runs,"queries":$qs,"detail":$detail,"sf":"$sfDir"}""")
+    val json =
+      s"""{"metric":"total","value":$total,"unit":"sec","runs":$Runs,"queries":$qs,"detail":$detail,"sf":"$sfDir"}"""
+    println(json)
+    // also durably on disk: the driver captures stdout by tail, which
+    // truncated the round-2 artifact mid-JSON — a file survives that
+    val out = java.nio.file.Paths.get("target/bench.json")
+    java.nio.file.Files.createDirectories(out.getParent)
+    java.nio.file.Files.write(out, json.getBytes("UTF-8"))
     spark.stop()
   }
 }

@@ -19,7 +19,11 @@ import org.apache.spark.sql.types._
   * double, sequential element order — bit-identical to the DuckDB
   * oracle formula spelled with `list_dot_product` on `DOUBLE[]`.
   * Null if either input is null; arrays must be equal length and
-  * element-nonnull (embedding vectors).
+  * element-nonnull (embedding vectors). A length MISMATCH throws
+  * (IllegalArgumentException) rather than silently truncating to the
+  * shorter vector: in a mixed-dimension corpus a truncated cosine is
+  * a plausible-looking wrong answer, and the bug should surface at
+  * the first row, not in downstream statistics.
   */
 case class CosineSimilarity(left: Expression, right: Expression)
     extends BinaryExpression {
@@ -47,7 +51,8 @@ case class CosineSimilarity(left: Expression, right: Expression)
   override def nullSafeEval(l: Any, r: Any): Any = {
     val a = l.asInstanceOf[ArrayData]
     val b = r.asInstanceOf[ArrayData]
-    val n = math.min(a.numElements(), b.numElements())
+    val n = a.numElements()
+    CosineSimilarity.requireSameDim(n, b.numElements())
     val leftFloat = elemType(left) == FloatType
     val rightFloat = elemType(right) == FloatType
     var dot = 0.0; var na = 0.0; var nb = 0.0
@@ -74,7 +79,8 @@ case class CosineSimilarity(left: Expression, right: Expression)
       val y = ctx.freshName("y")
       s"""
          |double $dot = 0.0; double $na = 0.0; double $nb = 0.0;
-         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |int $n = $a.numElements();
+         |graft.plans.CosineSimilarity.requireSameDim($n, $b.numElements());
          |for (int $i = 0; $i < $n; $i++) {
          |  double $x = (double) $a.$lGet($i);
          |  double $y = (double) $b.$rGet($i);
@@ -88,4 +94,16 @@ case class CosineSimilarity(left: Expression, right: Expression)
   override protected def withNewChildrenInternal(
       newLeft: Expression, newRight: Expression): CosineSimilarity =
     copy(left = newLeft, right = newRight)
+}
+
+object CosineSimilarity {
+  /** Shared by interpreted eval and generated code (called from the
+    * codegen'd loop header by its JVM name — keep it a static-style
+    * object method).
+    */
+  def requireSameDim(na: Int, nb: Int): Unit =
+    if (na != nb)
+      throw new IllegalArgumentException(
+        s"cosine_sim: vector dimensions differ ($na vs $nb); " +
+          "mixed-dimension inputs are a data bug, refusing to truncate")
 }

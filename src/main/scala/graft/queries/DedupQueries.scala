@@ -75,11 +75,11 @@ object DedupQueries {
     "MinHash(64) + LSH(16 bands × 4) near-dup pairs, exact-Jaccard verified at 0.8") { (s, d) =>
     GraftFunctions.register(s)
     // persisted: feeds the signature pipeline and both exact-verify
-    // joins (no cross-branch subplan reuse in Spark). Lifecycle: the
-    // query fn returns a lazy plan so it cannot unpersist itself; the
-    // harnesses (Verify/Bench/SparkSpec) clear the cache manager after
-    // each query's action so blocks never outlive their query
-    val posts = shinglePostings(s, d).persist()
+    // joins (no cross-branch subplan reuse in Spark). Lifecycle:
+    // AutoUnpersist releases the cache when the first action using
+    // this plan completes, so standalone library callers don't leak;
+    // the harnesses' clearCache stays a harmless second release
+    val posts = graft.AutoUnpersist.scoped(shinglePostings(s, d))
     val sh = posts.groupBy(col("doc_id")).agg(collect_set(col("gh")).as("sh"))
     // the whole 64-slot signature builds in one native
     // TypedImperativeAggregate pass over the shingle hashes (see
@@ -212,8 +212,8 @@ object DedupQueries {
     // Persisted: feeds the df count, both sides of the self-join, the
     // size table and the hot-set table — Spark has no cross-branch
     // subplan reuse, so without it the shingle pipeline recomputes 5×.
-    // Lifecycle: harnesses clear the cache manager after each query.
-    val posts = posts0.persist()
+    // Lifecycle: self-releasing (see AutoUnpersist).
+    val posts = graft.AutoUnpersist.scoped(posts0)
     // hot = df-capped shingles: ≤ |postings|/maxDf rows by
     // construction → always broadcast-able
     val hot = posts.groupBy(col("gh")).agg(count(lit(1)).as("df"))

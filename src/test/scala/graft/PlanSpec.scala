@@ -135,6 +135,21 @@ class PlanSpec extends SparkSpec {
       s"cosine_sim fell out of the codegen span:\n$plan")
   }
 
+  test("cosine_sim refuses mismatched vector dimensions (no silent truncation)") {
+    GraftFunctions.register(spark)
+    import spark.implicits._
+    // data-driven arrays so the check exercises the generated code
+    // path, not constant folding
+    val df = Seq((Array(1.0f, 2.0f, 3.0f), Array(1.0f, 2.0f))).toDF("a", "b")
+      .select(GraftFunctions.cosineSim(col("a"), col("b")).as("c"))
+    val e = intercept[Exception](df.collect())
+    def causes(t: Throwable): Seq[Throwable] =
+      if (t == null) Nil else t +: causes(t.getCause)
+    assert(causes(e).exists(c => c.getMessage != null &&
+      c.getMessage.contains("dimensions differ")),
+      s"expected a loud dimension-mismatch failure, got: $e")
+  }
+
   test("cosine_sim resolves through SQL after extension registration") {
     GraftFunctions.register(spark)
     Tables.embeddings(spark, sfDir).limit(5).createOrReplaceTempView("emb_v")
