@@ -1,5 +1,7 @@
 package graft.multimodal
 
+import java.awt.image.BufferedImage
+
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -20,6 +22,11 @@ import org.apache.spark.sql.functions._
   * post-processing — swap the stub branch and the rest ships
   * unchanged to a cluster.
   *
+  * Both branches run under the registered q48 query: every fourth
+  * document gets a genuine deterministic PNG blob (so the driver-run
+  * path exercises `javax.imageio` for real), the rest keep the fake
+  * mime and take the stub branch.
+  *
   * Scale notes: blobs stay opaque through the plan (no
   * per-row driver traffic); feature extraction is embarrassingly
   * parallel map-side work; frame sampling explodes bounded slices,
@@ -34,31 +41,79 @@ object MediaOps {
   case class MediaRow(doc_id: Long, blob: Array[Byte], mime: String,
       width: Int, height: Int)
 
-  case class MediaFeatures(doc_id: Long, n_bytes: Long, mean_byte: Double,
-      hist: Array[Long])
+  /** Decoded features. `n_bytes` is the decoded size (pixel count for
+    * real images, blob byte count for the stub), `sum_raw` the exact
+    * integer sum of the decoded values (luminance resp. byte values)
+    * — kept as a long so downstream aggregates can stay integer-pure
+    * (hash-stable across engines); `mean_byte = sum_raw / n_bytes`.
+    */
+  case class MediaFeatures(doc_id: Long, mime: String, n_bytes: Long,
+      sum_raw: Long, mean_byte: Double, hist: Array[Long])
 
-  /** Deterministic media table derived from `documents`: the UTF-8
-    * text bytes stand in for an encoded image; width/height metadata
-    * derive from the length. Deterministic → testable.
+  /** Fraction knob: ~every 4th doc gets a real PNG. Selected on
+    * (doc_id / 7) % 4 — NOT doc_id % 4, which is perfectly correlated
+    * with the synthetic `source = srcN(doc_id % 20)` assignment and
+    * would make every source single-branch; dividing first mixes both
+    * decode branches within most sources.
+    */
+  private[graft] val PngEvery = 4L
+
+  private[graft] def isPngId(id: Long): Boolean = (id / 7) % PngEvery == 0
+
+  private[graft] def pngDims(id: Long): (Int, Int) =
+    ((id % 13 + 3).toInt, (id % 7 + 3).toInt)
+
+  /** Deterministic PNG: width×height grayscale, every pixel of row y
+    * at gray level (id*7 + y) % 256 — a row gradient, so the decoded
+    * luminance sum is exactly w · Σ_y (id*7+y)%256 (BT.601 integer
+    * luminance of gray g is g itself: (299+587+114)g / 1000 = g) and
+    * a SQL oracle can recompute it without decoding anything.
+    */
+  private[graft] def syntheticPng(id: Long): Array[Byte] = {
+    val (w, h) = pngDims(id)
+    val img = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < h) {
+      val v = ((id * 7 + y) % 256).toInt
+      val rgb = (v << 16) | (v << 8) | v
+      var x = 0
+      while (x < w) { img.setRGB(x, y, rgb); x += 1 }
+      y += 1
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
+  /** Deterministic media table derived from `documents`: every
+    * `PngEvery`-th doc carries a genuine encoded PNG (decoded by the
+    * real `javax.imageio` branch), the rest carry their UTF-8 text
+    * bytes under a fake mime (stub branch). Deterministic → testable
+    * and SQL-oracle-checkable.
     */
   def synthesizeMedia(spark: SparkSession, sfDir: String): Dataset[MediaRow] = {
     import spark.implicits._
     spark.read.parquet(s"$sfDir/documents.parquet")
-      .select(col("doc_id"), encode(col("text"), "UTF-8").as("blob"))
-      .select(col("doc_id"), col("blob"), lit("image/fake").as("mime"),
-        (length(col("blob")) % 64 + 1).cast("int").as("width"),
-        (length(col("blob")) % 48 + 1).cast("int").as("height"))
-      .as[MediaRow]
+      .select(col("doc_id"), col("text")).as[(Long, String)]
+      .map { case (id, text) =>
+        if (isPngId(id)) {
+          val (w, h) = pngDims(id)
+          MediaRow(id, syntheticPng(id), "image/png", w, h)
+        } else {
+          val b = text.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+          MediaRow(id, b, "image/fake", b.length % 64 + 1, b.length % 48 + 1)
+        }
+      }
   }
 
   /** Mime types `javax.imageio` can decode without native codecs. */
   private val ImageIoMimes = Set("image/png", "image/bmp", "image/gif")
 
   /** REAL decode branch: `javax.imageio` pixel decode; features are
-    * the 16-bucket LUMINANCE histogram + mean luminance (ITU-R BT.601
-    * integer weights) over actual decoded pixels, and n_bytes is the
-    * pixel count. Runs on the executor, one image at a time, bounded
-    * memory.
+    * the 16-bucket LUMINANCE histogram + exact luminance sum + mean
+    * (ITU-R BT.601 integer weights) over actual decoded pixels, and
+    * n_bytes is the pixel count. Runs on the executor, one image at a
+    * time, bounded memory.
     */
   private def imageFeatures(r: MediaRow): MediaFeatures = {
     val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(r.blob))
@@ -79,7 +134,8 @@ object MediaOps {
       y += 1
     }
     val n = img.getWidth.toLong * img.getHeight
-    MediaFeatures(r.doc_id, n, if (n == 0) 0.0 else sum.toDouble / n, hist)
+    MediaFeatures(r.doc_id, r.mime, n, sum,
+      if (n == 0) 0.0 else sum.toDouble / n, hist)
   }
 
   /** Batched per-partition decode + feature extraction. The loop
@@ -105,7 +161,7 @@ object MediaOps {
             hist(u >> 4) += 1
             sum += u
           }
-          MediaFeatures(r.doc_id, r.blob.length.toLong,
+          MediaFeatures(r.doc_id, r.mime, r.blob.length.toLong, sum,
             if (r.blob.length == 0) 0.0 else sum.toDouble / r.blob.length, hist)
         }
       }
@@ -124,18 +180,25 @@ object MediaOps {
       .filter(col("frame_idx") % stride === 0 && length(col("frame_b64")) > 0)
 
   /** Feature aggregation by an upstream key (per-source corpus stats
-    * over decoded features) — the post-decode analytics stage.
+    * over decoded features) — the post-decode analytics stage. Output
+    * is INTEGER-pure (counts and exact sums, no floating aggregates)
+    * so a DuckDB oracle that recomputes the deterministic blobs'
+    * stats symbolically hash-matches bit-for-bit; users derive means
+    * as `png_lum_sum / png_pixels` etc.
     */
   def featureStats(spark: SparkSession, sfDir: String): DataFrame = {
     val media = synthesizeMedia(spark, sfDir)
     val feats = decodeFeatures(spark, media)
     val docs = spark.read.parquet(s"$sfDir/documents.parquet")
       .select(col("doc_id"), col("source"))
+    val isPng = col("mime") === "image/png"
     feats.toDF().join(docs, "doc_id")
       .groupBy(col("source"))
       .agg(count(lit(1)).as("n_media"),
+        sum(isPng.cast("long")).as("n_png"),
         sum(col("n_bytes")).as("total_bytes"),
-        round(avg(col("mean_byte")), 4).as("avg_mean_byte"))
+        sum(when(isPng, col("sum_raw")).otherwise(0L)).as("png_lum_sum"),
+        sum(when(!isPng, col("sum_raw")).otherwise(0L)).as("stub_byte_sum"))
       .orderBy(col("source"))
   }
 }

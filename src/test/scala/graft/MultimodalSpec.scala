@@ -3,24 +3,33 @@ package graft
 import org.apache.spark.sql.functions._
 import graft.multimodal.MediaOps
 
-/** Multimodal pipeline plumbing: deterministic synthetic blobs,
-  * stub-decode feature extraction, frame sampling. The decode kernel
-  * is a stub (no codecs in this container) — these tests pin the
-  * dataflow semantics so swapping the kernel can't silently break
-  * schema/partitioning.
+/** Multimodal pipeline plumbing: deterministic synthetic blobs (every
+  * ~4th doc a genuine PNG, the rest stub-decoded), feature extraction
+  * through BOTH kernel branches, frame sampling. These tests pin the
+  * dataflow semantics so swapping the stub kernel for a real codec
+  * can't silently break schema/partitioning, and prove the registered
+  * q48 path really decodes PNG pixels via `javax.imageio`.
   */
 class MultimodalSpec extends SparkSpec {
 
-  test("synthesized media carries blob + typed metadata per doc") {
+  test("synthesized media carries blob + typed metadata, both mime branches") {
     val m = MediaOps.synthesizeMedia(spark, sfDir)
     val docs = Tables.documents(spark, sfDir).count()
     assert(m.count() == docs)
-    val r = m.head()
-    assert(r.blob.nonEmpty && r.mime == "image/fake" && r.width > 0 && r.height > 0)
+    val byMime = m.toDF().groupBy("mime").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(byMime.getOrElse("image/png", 0L) > 0, "no real-PNG rows synthesized")
+    assert(byMime.getOrElse("image/fake", 0L) > 0, "no stub rows synthesized")
+    assert(m.head().blob.nonEmpty)
+    // the PNG rows really are PNG containers (magic bytes)
+    val png = m.filter(_.mime == "image/png").head()
+    assert((png.blob(0) & 0xff) == 0x89 && png.blob(1) == 'P'.toByte &&
+      png.blob(2) == 'N'.toByte && png.blob(3) == 'G'.toByte,
+      "image/png blob does not start with the PNG signature")
   }
 
-  test("decodeFeatures is deterministic and consistent with blob bytes") {
-    val m = MediaOps.synthesizeMedia(spark, sfDir)
+  test("stub branch features are deterministic and consistent with blob bytes") {
+    val m = MediaOps.synthesizeMedia(spark, sfDir).filter(_.mime == "image/fake")
     val f = MediaOps.decodeFeatures(spark, m)
     val joined = f.toDF().join(m.toDF().select(col("doc_id"), col("blob")), "doc_id")
     joined.collect().foreach { r =>
@@ -28,17 +37,43 @@ class MultimodalSpec extends SparkSpec {
       val hist = r.getAs[scala.collection.Seq[Long]]("hist")
       assert(r.getAs[Long]("n_bytes") == blob.length)
       assert(hist.sum == blob.length, "histogram buckets must cover every byte")
-      val mean = blob.map(_ & 0xff).sum.toDouble / blob.length
-      assert(math.abs(r.getAs[Double]("mean_byte") - mean) < 1e-9)
+      val sum = blob.map(b => (b & 0xff).toLong).sum
+      assert(r.getAs[Long]("sum_raw") == sum)
+      assert(math.abs(r.getAs[Double]("mean_byte") - sum.toDouble / blob.length) < 1e-9)
     }
   }
 
-  test("featureStats groups decoded features per source") {
+  test("PNG branch decodes real pixels: features differ from byte-stub features") {
+    val m = MediaOps.synthesizeMedia(spark, sfDir).filter(_.mime == "image/png")
+    val f = MediaOps.decodeFeatures(spark, m)
+    val joined = f.toDF()
+      .join(m.toDF().select(col("doc_id"), col("blob"), col("width"), col("height")),
+        "doc_id")
+    assert(joined.count() > 0)
+    joined.collect().foreach { r =>
+      val id = r.getAs[Long]("doc_id")
+      val w = r.getAs[Int]("width"); val h = r.getAs[Int]("height")
+      // real decode: n_bytes is the PIXEL count, not the container
+      // byte count — the stub branch could never produce this
+      assert(r.getAs[Long]("n_bytes") == w.toLong * h)
+      assert(r.getAs[Long]("n_bytes") != r.getAs[Array[Byte]]("blob").length,
+        "pixel count coincides with container size — decode not proven")
+      // luminance sum equals the gradient formula the oracle uses
+      val expect = (0 until h).map(y => w.toLong * ((id * 7 + y) % 256)).sum
+      assert(r.getAs[Long]("sum_raw") == expect,
+        s"doc $id decoded luminance sum != synthetic gradient formula")
+    }
+  }
+
+  test("featureStats groups decoded features per source, integer-pure") {
     val stats = MediaOps.featureStats(spark, sfDir)
     val srcs = Tables.documents(spark, sfDir).select("source").distinct().count()
     assert(stats.count() == srcs)
-    assert(stats.columns.toSeq ==
-      Seq("source", "n_media", "total_bytes", "avg_mean_byte"))
+    assert(stats.columns.toSeq == Seq("source", "n_media", "n_png",
+      "total_bytes", "png_lum_sum", "stub_byte_sum"))
+    // both branches contribute somewhere
+    assert(stats.filter(col("n_png") > 0).count() > 0)
+    assert(stats.filter(col("stub_byte_sum") > 0).count() > 0)
   }
 
   test("decodeFeatures decodes real PNG pixels via javax.imageio") {
