@@ -19,6 +19,7 @@ import org.apache.spark.sql.functions.call_function
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     GraftFunctions.descriptors.foreach(ext.injectFunction)
+    ext.injectOptimizerRule(_ => SimilarityJoinRewrite)
   }
 }
 
@@ -46,16 +47,38 @@ object GraftFunctions {
       (children: Seq[Expression]) =>
         TopKByScore(children(0), children(1), children(2)))
 
+  val similarToDescriptor: Descriptor =
+    (FunctionIdentifier("similar_to"),
+      new ExpressionInfo(classOf[SimilarTo].getName, "similar_to"),
+      (children: Seq[Expression]) =>
+        SimilarTo(children(0), children(1), children(2)))
+
+  val lshSigDescriptor: Descriptor =
+    (FunctionIdentifier("lsh_sig"),
+      new ExpressionInfo(classOf[LshSignature].getName, "lsh_sig"),
+      (children: Seq[Expression]) =>
+        LshSignature(children(0), children(1), children(2)))
+
   val descriptors: Seq[Descriptor] =
     Seq(cosineSimDescriptor, minhashSigDescriptor, simhashDescriptor,
-      topkDescriptor)
+      topkDescriptor, similarToDescriptor, lshSigDescriptor)
 
-  /** Idempotent per-session registration. */
-  def register(spark: SparkSession): Unit = descriptors.foreach {
-    case (id, info, builder) =>
-      if (!spark.sessionState.functionRegistry.functionExists(id)) {
-        spark.sessionState.functionRegistry.registerFunction(id, info, builder)
-      }
+  /** Idempotent per-session registration: the native functions plus
+    * the similarity-join optimizer rule (the in-library twin of the
+    * `spark.sql.extensions` wiring — experimental.extraOptimizations
+    * is the one post-build hook Spark exposes for rules).
+    */
+  def register(spark: SparkSession): Unit = {
+    descriptors.foreach {
+      case (id, info, builder) =>
+        if (!spark.sessionState.functionRegistry.functionExists(id)) {
+          spark.sessionState.functionRegistry.registerFunction(id, info, builder)
+        }
+    }
+    if (!spark.experimental.extraOptimizations.contains(SimilarityJoinRewrite)) {
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations :+ SimilarityJoinRewrite
+    }
   }
 
   /** Column-API form of the native cosine (requires `register`). */
@@ -73,4 +96,19 @@ object GraftFunctions {
   def topkByScore(score: Column, id: Column, k: Int): Column =
     call_function("topk_by_score", score, id,
       org.apache.spark.sql.functions.lit(k))
+
+  /** Column-API form of the similarity-join predicate: exact
+    * round(cosine,4) ≥ threshold everywhere; inner-join conditions
+    * get rewritten to the LSH band-join plan by
+    * [[SimilarityJoinRewrite]].
+    */
+  def similarTo(a: Column, b: Column, threshold: Double): Column =
+    call_function("similar_to", a, b,
+      org.apache.spark.sql.functions.lit(threshold))
+
+  /** Column-API form of the Rademacher-projection LSH signature. */
+  def lshSig(vec: Column, nBits: Int, seed: Long): Column =
+    call_function("lsh_sig", vec,
+      org.apache.spark.sql.functions.lit(nBits),
+      org.apache.spark.sql.functions.lit(seed))
 }

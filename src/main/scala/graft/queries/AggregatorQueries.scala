@@ -70,16 +70,29 @@ object AggregatorQueries {
 
   /** HLL++ sketch (`approx_count_distinct`) — the scalable distinct
     * estimator (mergeable sketch → partial+final agg like any sum).
-    * Sketch internals differ across engines, so no SQL oracle; the
-    * spec asserts the estimate is within 5% of exact.
+    * Sketch internals differ across engines, so the raw estimate has
+    * no SQL twin — instead the query emits the exact count plus the
+    * INVARIANT `within_5pct = |approx−exact|/exact ≤ 0.05`, and the
+    * oracle asserts that flag `true` on every row: if the HLL estimate
+    * ever drifts out of tolerance the hash compare fails. This turns
+    * the former rows-only check into a real oracle gate; the spec
+    * additionally pins the numeric estimate at ±5%.
     */
-  val q46ApproxDistinct = QueryDef.noOracle(
+  val q46ApproxDistinct = QueryDef(
     "q46_approx_distinct",
-    "approx_count_distinct (HLL++) users per event_type vs exact") { (s, d) =>
+    "approx_count_distinct (HLL++) users per event_type, gated within 5% of exact",
+    """SELECT event_type, count(DISTINCT user_id) AS exact_users,
+      |  true AS within_5pct
+      |FROM events
+      |GROUP BY event_type
+      |ORDER BY event_type""".stripMargin) { (s, d) =>
     Tables.events(s, d)
       .groupBy(col("event_type"))
       .agg(approx_count_distinct(col("user_id")).as("approx_users"),
         countDistinct(col("user_id")).as("exact_users"))
+      .select(col("event_type"), col("exact_users"),
+        (abs(col("approx_users") - col("exact_users")) <=
+          col("exact_users") * 0.05).as("within_5pct"))
       .orderBy(col("event_type"))
   }
 

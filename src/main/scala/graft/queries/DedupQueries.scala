@@ -63,16 +63,42 @@ object DedupQueries {
   /** MinHash signature length and LSH banding: 64 hashes in 16 bands
     * of 4 rows → detection probability 1-(1-j^4)^16 ≈ 0.9998 at j=0.8,
     * ≈ 1-3e-8 at j=0.9. Candidates are verified with exact Jaccard so
-    * precision is 1.0; the (tiny) recall loss at the 0.8 boundary is
-    * the standard LSH trade-off — hence no SQL oracle, the spec checks
-    * recall against brute force at sf0.001.
+    * precision is 1.0.
+    *
+    * Oracle: full brute-force 3-gram Jaccard ≥ 0.8 (the q36 banded
+    * shape at the higher threshold). Justified because the recall loss
+    * at the boundary is measurably negligible on these corpora: the
+    * danger zone J ∈ [0.8, 0.95) holds 1 pair at sf0.01 and 37 at
+    * sf0.1, each missed with ≤ (1-0.8⁴)¹⁶ ≈ 2.2e-4 under the
+    * DETERMINISTIC signature hashes — verified equal to brute force at
+    * both scales. The spec additionally pins recall/precision vs brute
+    * force at sf0.001. (Residual cross-engine risk: Spark's Jaccard is
+    * over 64-bit xxhash64 shingle hashes, the oracle's over shingle
+    * strings — a hash collision could flip a boundary pair at ~1e-8
+    * per corpus; accepted, same basis as q36.)
     */
   private val MinhashK = 64
   private val BandRows = 4
 
-  val q34MinhashLsh = QueryDef.noOracle(
+  val q34MinhashLsh = QueryDef(
     "q34_minhash_lsh",
-    "MinHash(64) + LSH(16 bands × 4) near-dup pairs, exact-Jaccard verified at 0.8") { (s, d) =>
+    "MinHash(64) + LSH(16 bands × 4) near-dup pairs, exact-Jaccard verified at 0.8",
+    """WITH t AS (
+      |  SELECT doc_id,
+      |    list_distinct(list_transform(range(1, len(w)-1),
+      |                  i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS sh
+      |  FROM (SELECT doc_id, list_filter(string_split(text, ' '), t -> length(t) > 0) AS w
+      |        FROM documents)),
+      |tb AS (SELECT doc_id, sh, length(bin(len(sh))) AS band FROM t WHERE len(sh) > 0)
+      |SELECT * FROM (
+      |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+      |    round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+      |          / len(list_distinct(list_concat(a.sh, b.sh))), 4) AS jaccard
+      |  FROM tb a
+      |  JOIN (SELECT doc_id, sh, unnest([band-1, band, band+1]) AS jband FROM tb) b
+      |    ON a.band = b.jband AND a.doc_id < b.doc_id)
+      |WHERE jaccard >= 0.8
+      |ORDER BY doc_a, doc_b""".stripMargin) { (s, d) =>
     GraftFunctions.register(s)
     // persisted: feeds the signature pipeline and both exact-verify
     // joins (no cross-branch subplan reuse in Spark). Lifecycle:
@@ -114,6 +140,14 @@ object DedupQueries {
     * Hamming-≤6 pairs via 8×8-bit band join — by pigeonhole any pair
     * with distance ≤ 7 shares at least one intact band, so banding is
     * EXACT (recall 1.0) for the ≤6 threshold, not approximate.
+    *
+    * No SQL oracle — TRULY inexpressible: the fingerprint is the
+    * bitwise majority vote over xxhash64(token) values, and DuckDB has
+    * no xxhash64 (its `hash()` is a different function), so no
+    * standalone SQL can reproduce the fingerprints. The exactness of
+    * the banding itself is proven by construction + DedupQualitySpec
+    * (band join output ≡ brute-force hamming filter on the same
+    * fingerprints).
     */
   val q35Simhash = QueryDef.noOracle(
     "q35_simhash",

@@ -114,10 +114,14 @@ object SimilarityQueries {
     * vector assigned to its nearest centroid via the same broadcast
     * `max_by` argmax, queries probe their 6 nearest centroids and
     * rank candidates exactly with the bounded top-k aggregate.
-    * Recall < 1 by construction (probed subset), so no SQL oracle —
-    * the spec measures recall against brute force. At scale the
-    * assignment is a broadcast join and search is an equi join on
-    * centroid id: both shuffle-light.
+    * No SQL oracle — TRULY inexpressible: recall < 1 by construction
+    * (only probed cells are searched; the recall gate measures ~0.7-1
+    * vs brute force), so no standalone SQL can predict which true
+    * neighbors the probe set finds. The spec pins recall@10 ≥ 0.7 and
+    * the exact-rerank property (every emitted cos_sim equals the
+    * brute-force value for that pair). At scale the assignment is a
+    * broadcast join and search is an equi join on centroid id: both
+    * shuffle-light.
     */
   val q39AnnIvf = QueryDef.noOracle(
     "q39_ann_ivf",
@@ -227,23 +231,34 @@ object SimilarityQueries {
     * label-blocked exact join lacks: no block key needed, candidate
     * generation is a band equi join). 32 seeded hyperplanes, 8 bands
     * × 4 bits, candidates verified exactly at cos ≥ 0.45. Approximate
-    * by construction (band recall < 1) → no SQL oracle; recall vs
-    * brute force is pinned in `DedupQualitySpec`, precision is 1 by
+    * by construction → no SQL oracle, and TRULY so: this fixture has
+    * ~270 pairs near the 0.45 threshold where the per-pair band miss
+    * probability is ≈ 0.2 (measured: 11 of the 14 brute-force pairs
+    * emitted at sf0.01), so no standalone SQL reproduces the exact
+    * output set. Recall on PLANTED high-sim dups (the regime LSH is
+    * for) is ≈ 1 and pinned in `DedupQualitySpec`; precision is 1 by
     * the exact verify.
+    */
+  /** Since round 3 this is expressed through the FIRST-CLASS operator:
+    * `similar_to(ea, eb, 0.45)` in an inner-join condition, which
+    * `plans.SimilarityJoinRewrite` rewrites into the same band-join +
+    * exact-verify shape the two-step API (`lshCandidatePairs` +
+    * `verifiedPairs`, kept below as the explicit-recipe form) builds
+    * by hand — a SQL user gets the operator without knowing the
+    * banding recipe. PlanSpec gates that the rewrite fires (no BNLJ).
     */
   val q60HyperplaneLsh = QueryDef.noOracle(
     "q60_hyperplane_lsh",
-    "cosine-LSH near-dup: 32 signed projections, 8 bands × 4 bits, exact verify ≥ 0.45") { (s, d) =>
+    "cosine-LSH near-dup via the similar_to join operator (band rewrite + exact verify ≥ 0.45)") { (s, d) =>
     GraftFunctions.register(s)
     val t = Tables.embeddings(s, d).select(col("vec_id"), col("embedding"))
-    // dim probe; on an EMPTY corpus any dim works (zero rows flow
-    // through with the correct schema) — don't throw on the routine
-    // empty-partition case
-    val dim = t.select(size(col("embedding"))).head(1)
-      .headOption.map(_.getInt(0)).getOrElse(1)
-    val cands = lshCandidatePairs(t, hyperplanes(dim, n = 32, seed = 7L),
-      bitsPerBand = 4)
-    verifiedPairs(t, cands, threshold = 0.45)
+    val a = t.select(col("vec_id").as("vec_a"), col("embedding").as("ea"))
+    val b = t.select(col("vec_id").as("vec_b"), col("embedding").as("eb"))
+    a.join(b,
+        GraftFunctions.similarTo(col("ea"), col("eb"), 0.45) &&
+          col("vec_a") < col("vec_b"))
+      .select(col("vec_a"), col("vec_b"),
+        round(GraftFunctions.cosineSim(col("ea"), col("eb")), 4).as("cos_sim"))
       .orderBy(col("vec_a"), col("vec_b"))
   }
 

@@ -99,6 +99,16 @@ class DedupQualitySpec extends SparkSpec {
     // Lloyd-trained centroids (4 iterations) + nprobe=4/16 cells:
     // recall well above the untrained-seed 0.25 floor of round 1
     assert(recall >= 0.7, f"IVF recall@10 too low: $recall%.2f")
+    // exact-rerank property: every emitted cos_sim is the true cosine
+    // for that (q_id, n_id) pair — the approximation is ONLY in which
+    // candidates get probed, never in the scores
+    val trueCos = t.alias("q").join(t.alias("n"),
+        col("q.vec_id") =!= col("n.vec_id"))
+      .select(col("q.vec_id").as("q_id"), col("n.vec_id").as("n_id"),
+        round(VectorFunctions.cosine(col("q.v"), col("n.v")), 6).as("tc"))
+    val drift = ann.join(trueCos, Seq("q_id", "n_id"))
+      .filter(abs(round(col("cos_sim"), 6) - col("tc")) > 1e-6)
+    assert(drift.count() == 0, "ANN emitted a cos_sim != true pair cosine")
     // sanity: brute top-k exists for every query
     assert(brute.count() > 0)
   }
@@ -186,10 +196,23 @@ class DedupQualitySpec extends SparkSpec {
   }
 
   test("approx_count_distinct within 5% of exact") {
+    // the registered query now emits the tolerance INVARIANT (oracle
+    // asserts it true); the numeric ±5% check recomputes the estimate
+    // on the base table here
     val rows = Registry.byName("q46_approx_distinct").fn(spark, sfDir).collect()
+    assert(rows.nonEmpty)
     rows.foreach { r =>
-      val approx = r.getAs[Long]("approx_users").toDouble
-      val exact = r.getAs[Long]("exact_users").toDouble
+      assert(r.getAs[Boolean]("within_5pct"),
+        s"${r.getString(0)}: HLL estimate drifted past 5% of exact")
+    }
+    val numeric = Tables.events(spark, sfDir)
+      .groupBy(col("event_type"))
+      .agg(approx_count_distinct(col("user_id")).as("approx"),
+        countDistinct(col("user_id")).as("exact"))
+      .collect()
+    numeric.foreach { r =>
+      val approx = r.getAs[Long]("approx").toDouble
+      val exact = r.getAs[Long]("exact").toDouble
       assert(math.abs(approx - exact) / exact <= 0.05,
         s"${r.getString(0)}: approx=$approx exact=$exact")
     }

@@ -157,4 +157,79 @@ class PlanSpec extends SparkSpec {
       "SELECT cosine_sim(embedding, embedding) AS c FROM emb_v").collect()
     assert(r.forall(x => math.abs(x.getDouble(0) - 1.0) < 1e-9))
   }
+
+  test("similar_to inner join rewrites to the LSH band equi join (no BNLJ)") {
+    GraftFunctions.register(spark)
+    val t = Tables.embeddings(spark, sfDir).select(col("vec_id"), col("embedding"))
+    val a = t.select(col("vec_id").as("vec_a"), col("embedding").as("ea"))
+    val b = t.select(col("vec_id").as("vec_b"), col("embedding").as("eb"))
+    val joined = a.join(b,
+      GraftFunctions.similarTo(col("ea"), col("eb"), 0.45) &&
+        col("vec_a") < col("vec_b"))
+    val plan = planString(joined)
+    assert(!plan.contains("BroadcastNestedLoopJoin") &&
+      !plan.contains("CartesianProduct"),
+      s"similarity join stayed quadratic:\n$plan")
+    assert(plan.contains("Generate") && plan.contains("lsh_sig"),
+      s"expected the band explode in the rewritten plan:\n$plan")
+    assert(plan.contains("similar_verify"),
+      s"expected the exact verify stage in the rewritten plan:\n$plan")
+    assert(plan.contains("HashAggregate") || plan.contains("Aggregate"),
+      s"expected the dedup aggregate in the rewritten plan:\n$plan")
+  }
+
+  test("similar_to rewrite emits only true pairs and finds all high-sim pairs") {
+    GraftFunctions.register(spark)
+    import spark.implicits._
+    // 30 base vectors + 10 planted near-identical dups (cos ≈ 0.9999)
+    val dim = 16
+    val rnd = new scala.util.Random(11)
+    val base = (0 until 30).map(i => (i.toLong, Array.fill(dim)(rnd.nextGaussian().toFloat)))
+    val dups = (0 until 10).map(i =>
+      (100L + i, base(i)._2.map(x => x * 1.0001f)))
+    val t = (base ++ dups).toDF("vec_id", "embedding")
+    val a = t.select(col("vec_id").as("vec_a"), col("embedding").as("ea"))
+    val b = t.select(col("vec_id").as("vec_b"), col("embedding").as("eb"))
+    val got = a.join(b,
+      GraftFunctions.similarTo(col("ea"), col("eb"), 0.99) &&
+        col("vec_a") < col("vec_b"))
+      .select(col("vec_a"), col("vec_b"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // precision: every emitted pair really passes the exact predicate
+    val brute = a.crossJoin(b)
+      .filter(col("vec_a") < col("vec_b"))
+      .filter(round(GraftFunctions.cosineSim(col("ea"), col("eb")), 4) >= 0.99)
+      .select(col("vec_a"), col("vec_b"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got.subsetOf(brute), s"rewrite emitted false pairs: ${got.diff(brute)}")
+    // recall on the planted near-dups (cos ≈ 1 → band miss ~0)
+    val want = (0 until 10).map(i => (i.toLong, 100L + i)).toSet
+    assert(want.subsetOf(got), s"rewrite missed planted dups: ${want.diff(got)}")
+  }
+
+  test("similar_to outside a join evaluates exactly (fallback semantics)") {
+    GraftFunctions.register(spark)
+    import spark.implicits._
+    val df = Seq(
+      (Array(1.0f, 0.0f), Array(1.0f, 0.0f)),
+      (Array(1.0f, 0.0f), Array(0.0f, 1.0f))).toDF("a", "b")
+      .select(GraftFunctions.similarTo(col("a"), col("b"), 0.5).as("m"))
+    assert(df.collect().map(_.getBoolean(0)).toSeq == Seq(true, false))
+  }
+
+  test("similar_to join is SQL-callable and rewritten there too") {
+    GraftFunctions.register(spark)
+    Tables.embeddings(spark, sfDir)
+      .select(col("vec_id"), col("embedding"))
+      .createOrReplaceTempView("emb_sim")
+    val df = spark.sql(
+      """SELECT a.vec_id AS vec_a, b.vec_id AS vec_b
+        |FROM emb_sim a JOIN emb_sim b
+        |  ON similar_to(a.embedding, b.embedding, 0.45D)
+        | AND a.vec_id < b.vec_id""".stripMargin)
+    val plan = planString(df)
+    assert(!plan.contains("BroadcastNestedLoopJoin"),
+      s"SQL-path similarity join stayed quadratic:\n$plan")
+    assert(df.count() > 0)
+  }
 }
