@@ -74,20 +74,33 @@ object SimilarityQueries {
     * k vectors, ties split to the lowest centroid id. A cell that
     * loses every member keeps its previous centroid so k is stable.
     */
+  /** Trains on a deterministic 1/`sampleMod` hash-mod subset (the q56
+    * sampling idiom): k-means centroids are statistics of the
+    * distribution, not the corpus, so Lloyd passes don't need every
+    * row — at corpus scale this caps training cost at sample size
+    * while the recall gate (≥ 0.7 @ sf0.001) pins that quality holds.
+    * Seeds still come from the FULL table (first k vec_ids) so k is
+    * stable regardless of sampling.
+    */
   private[queries] def trainCentroids(
-      s: SparkSession, t0: DataFrame, k: Int, iters: Int): DataFrame = {
+      s: SparkSession, t0: DataFrame, k: Int, iters: Int,
+      sampleMod: Int = 4): DataFrame = {
     GraftFunctions.register(s)
-    // scoped persist: each Lloyd iteration is an action over the full
-    // corpus (iters + 1 scans without it); released before returning
-    // so no cached blocks outlive the query (round-1 leak lesson)
-    val t = t0.persist()
-    try trainCentroidsOn(s, t, k, iters)
-    finally { t.unpersist(blocking = false); () }
+    // scoped persist of the TRAINING SAMPLE: each Lloyd iteration is
+    // an action over it (iters scans); released before returning so
+    // no cached blocks outlive the query (round-1 leak lesson)
+    val sample = t0
+      .filter(pmod(xxhash64(col("vec_id")), lit(sampleMod)) === 0 ||
+        col("vec_id") < k)
+      .persist()
+    try trainCentroidsOn(s, t0, sample, k, iters)
+    finally { sample.unpersist(blocking = false); () }
   }
 
   private def trainCentroidsOn(
-      s: SparkSession, t: DataFrame, k: Int, iters: Int): DataFrame = {
-    var cents: Seq[(Int, Seq[Float])] = t.filter(col("vec_id") < k)
+      s: SparkSession, full: DataFrame, t: DataFrame, k: Int,
+      iters: Int): DataFrame = {
+    var cents: Seq[(Int, Seq[Float])] = full.filter(col("vec_id") < k)
       .select(col("vec_id").cast("int"), col("embedding"))
       .collect().map(r => (r.getInt(0), r.getSeq[Float](1))).toSeq
     for (_ <- 1 to iters) {

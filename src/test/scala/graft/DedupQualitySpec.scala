@@ -207,7 +207,7 @@ class DedupQualitySpec extends SparkSpec {
     }
     val numeric = Tables.events(spark, sfDir)
       .groupBy(col("event_type"))
-      .agg(approx_count_distinct(col("user_id")).as("approx"),
+      .agg(approx_count_distinct(col("user_id"), rsd = 0.01).as("approx"),
         countDistinct(col("user_id")).as("exact"))
       .collect()
     numeric.foreach { r =>

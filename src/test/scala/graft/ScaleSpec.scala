@@ -128,6 +128,38 @@ class ScaleSpec extends SparkSpec {
     assert(salted.collect().toSeq == plain.collect().toSeq)
   }
 
+  test("q37 hot-label guard: salted block join exact + per-task work bounded") {
+    import spark.implicits._
+    import graft.queries.DedupQueries
+    val rnd = new scala.util.Random(5)
+    // skewed fixture: one hot label with 400 rows (3× the 128 cap) +
+    // two cold labels — the adversarial shape for label blocking
+    val rows = (0L until 400L).map(i => (i, "hot", Array.fill(8)(rnd.nextGaussian().toFloat))) ++
+      (400L until 430L).map(i => (i, "cold1", Array.fill(8)(rnd.nextGaussian().toFloat))) ++
+      (430L until 440L).map(i => (i, "cold2", Array.fill(8)(rnd.nextGaussian().toFloat)))
+    val e = rows.toDF("vec_id", "label", "embedding")
+    val salted = DedupQueries.saltedLabelPairs(e, maxBlock = 128L)
+      .select($"vec_a", $"vec_b")
+    val plain = e.alias("a").join(e.alias("b"),
+        $"a.label" === $"b.label" && $"a.vec_id" < $"b.vec_id")
+      .select($"a.vec_id".as("vec_a"), $"b.vec_id".as("vec_b"))
+    // exact: same pair set, each pair exactly once
+    assert(salted.exceptAll(plain).count() == 0 &&
+      plain.exceptAll(salted).count() == 0,
+      "salted block join disagrees with the plain blocked join")
+    assert(salted.count() == plain.count(), "pair multiplicity differs")
+    // bounded: no (label, salt) bucket exceeds ~cap rows, so no join
+    // cell ever does more than O(cap²) work regardless of block size
+    val counts = e.groupBy($"label").agg(count(lit(1)).as("n"))
+    val maxBucket = e.join(counts, "label")
+      .withColumn("s", ceil($"n" / 128.0).cast("int"))
+      .withColumn("salt", pmod(xxhash64($"vec_id"), $"s"))
+      .groupBy($"label", $"salt").count()
+      .agg(max("count")).head().getLong(0)
+    assert(maxBucket <= 2 * 128,
+      s"a salt bucket still holds $maxBucket rows — guard not bounding work")
+  }
+
   test("dynamic partition overwrite rewrites only the touched partitions") {
     // the incremental-rerun idiom: re-processing one day of a 100 TB
     // date-partitioned sink must replace exactly that day, not
