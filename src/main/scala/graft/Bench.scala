@@ -45,20 +45,25 @@ object Bench {
       val sorted = times.sorted
       name -> (sorted.min, sorted(Runs / 2), sorted.max)
     }
-    val qs = results.map { case (k, (_, med, _)) => s"\"" + k + "\":" + med }
+    def r4(x: Double): String = "%.4f".formatLocal(java.util.Locale.ROOT, x)
+    val qs = results.map { case (k, (_, med, _)) => s"\"" + k + "\":" + r4(med) }
       .mkString("{", ",", "}")
     val detail = results.map { case (k, (mn, med, mx)) =>
       s"""\"$k\":{"min":$mn,"med":$med,"max":$mx}"""
     }.mkString("{", ",", "}")
     val total = results.values.map(_._2).sum
-    val json =
+    // stdout gets the COMPACT line only (medians rounded to 4 decimals):
+    // the driver captures stdout by tail and truncated the round-2 AND
+    // round-3 artifacts mid-JSON when the line carried full-precision
+    // per-query min/med/max. Full detail goes to target/bench.json.
+    val compact =
+      s"""{"metric":"total","value":${r4(total)},"unit":"sec","runs":$Runs,"queries":$qs,"sf":"$sfDir"}"""
+    val full =
       s"""{"metric":"total","value":$total,"unit":"sec","runs":$Runs,"queries":$qs,"detail":$detail,"sf":"$sfDir"}"""
-    println(json)
-    // also durably on disk: the driver captures stdout by tail, which
-    // truncated the round-2 artifact mid-JSON — a file survives that
+    println(compact)
     val out = java.nio.file.Paths.get("target/bench.json")
     java.nio.file.Files.createDirectories(out.getParent)
-    java.nio.file.Files.write(out, json.getBytes("UTF-8"))
+    java.nio.file.Files.write(out, full.getBytes("UTF-8"))
     spark.stop()
   }
 }

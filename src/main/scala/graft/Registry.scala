@@ -14,6 +14,7 @@ object Registry {
     ScalarQueries.all ++
     TextQueries.all ++
     TextAnalysisQueries.all ++
+    HygieneQueries.all ++
     DedupQueries.all ++
     SimilarityQueries.all ++
     TemporalQueries.all ++

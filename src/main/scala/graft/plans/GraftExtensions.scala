@@ -59,9 +59,21 @@ object GraftFunctions {
       (children: Seq[Expression]) =>
         LshSignature(children(0), children(1), children(2)))
 
+  val unicodeNormalizeDescriptor: Descriptor =
+    (FunctionIdentifier("unicode_normalize"),
+      new ExpressionInfo(classOf[UnicodeNormalize].getName, "unicode_normalize"),
+      (children: Seq[Expression]) =>
+        UnicodeNormalize(children(0), children(1)))
+
+  val quantizeI8Descriptor: Descriptor =
+    (FunctionIdentifier("quantize_i8"),
+      new ExpressionInfo(classOf[QuantizeI8].getName, "quantize_i8"),
+      (children: Seq[Expression]) => QuantizeI8(children.head))
+
   val descriptors: Seq[Descriptor] =
     Seq(cosineSimDescriptor, minhashSigDescriptor, simhashDescriptor,
-      topkDescriptor, similarToDescriptor, lshSigDescriptor)
+      topkDescriptor, similarToDescriptor, lshSigDescriptor,
+      unicodeNormalizeDescriptor, quantizeI8Descriptor)
 
   /** Idempotent per-session registration: the native functions plus
     * the similarity-join optimizer rule (the in-library twin of the
@@ -105,6 +117,16 @@ object GraftFunctions {
   def similarTo(a: Column, b: Column, threshold: Double): Column =
     call_function("similar_to", a, b,
       org.apache.spark.sql.functions.lit(threshold))
+
+  /** Column-API form of the native Unicode normalizer
+    * (form ∈ NFC/NFD/NFKC/NFKD).
+    */
+  def unicodeNormalize(s: Column, form: String): Column =
+    call_function("unicode_normalize", s,
+      org.apache.spark.sql.functions.lit(form))
+
+  /** Column-API form of the native int8 max-abs quantizer. */
+  def quantizeI8(vec: Column): Column = call_function("quantize_i8", vec)
 
   /** Column-API form of the Rademacher-projection LSH signature. */
   def lshSig(vec: Column, nBits: Int, seed: Long): Column =

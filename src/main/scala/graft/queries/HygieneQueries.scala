@@ -1,0 +1,253 @@
+package graft.queries
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.{QueryDef, Tables}
+
+/** Training-data hygiene operators — the curation steps a large-scale
+  * LLM-data pipeline runs between raw scrape and training shard
+  * (north-star "text analysis"/"dedup" family, pipeline side):
+  * benchmark decontamination, repetition-based quality filtering
+  * (Gopher-style rules), and PII redaction. Each is a single scan plus
+  * at most one hash-shuffle aggregate or broadcast join, so every plan
+  * survives a 1000-executor 100 TB corpus unchanged.
+  */
+object HygieneQueries {
+
+  /** Corpus tokenizer — identical contract to TextAnalysisQueries:
+    * the synthetic corpus is single-space separated, so a split on
+    * ' ' with empties dropped equals DuckDB `string_split(text,' ')`
+    * filtered the same way.
+    */
+  private def toks(text: Column): Column =
+    filter(split(text, " "), t => length(t) > 0)
+
+  /** Word trigrams via two window leads over the exploded token
+    * stream — stays in whole-stage codegen, unlike the array-HOF
+    * slice/concat form (measured 5-30× slower interpreted; see
+    * q32's scaladoc).
+    */
+  private def trigrams(docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("p"))
+    docs
+      .select(col("doc_id"), posexplode(toks(col("text"))).as(Seq("p", "t")))
+      .select(col("doc_id"), col("t"),
+        lead(col("t"), 1).over(w).as("t1"),
+        lead(col("t"), 2).over(w).as("t2"))
+      .filter(col("t2").isNotNull)
+      .select(col("doc_id"), concat_ws(" ", col("t"), col("t1"), col("t2")).as("g"))
+  }
+
+  /** Benchmark decontamination — the n-gram-overlap check every
+    * training pipeline runs against its eval sets (the GPT-3/PaLM
+    * 13-gram recipe; this corpus's ~31-word vocabulary makes 3-grams
+    * the discriminative window, documented deviation). A deterministic
+    * slice of the corpus (doc_id % 20 = 7) plays the benchmark; its
+    * DISTINCT trigrams are broadcast (eval sets are bounded — MMLU+
+    * friends are ~1e6 n-grams, far under the broadcast threshold at
+    * any corpus scale), and one left join + per-doc aggregate scores
+    * every training doc. No shuffle touches the corpus beyond the
+    * per-doc aggregate; ratios are integer basis points
+    * (floor(10000·k/n)) — bit-identical in both engines, immune to
+    * the round() decimal-tie divergence.
+    */
+  val q72Decontamination = QueryDef(
+    "q72_decontamination",
+    "benchmark decontamination: trigram overlap vs held-out eval slice, per-doc hit stats",
+    """WITH w AS (
+      |  SELECT doc_id, list_filter(string_split(text, ' '), t -> length(t) > 0) AS w
+      |  FROM documents),
+      |g AS (
+      |  SELECT doc_id,
+      |    unnest(list_transform(range(1, len(w) - 1),
+      |      i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS g
+      |  FROM w),
+      |bench AS (SELECT DISTINCT g FROM g WHERE doc_id % 20 = 7),
+      |train AS (SELECT doc_id, g FROM g WHERE doc_id % 20 <> 7)
+      |SELECT t.doc_id,
+      |  CAST(count(*) AS BIGINT) AS n_ngrams,
+      |  CAST(count(b.g) AS BIGINT) AS n_hits,
+      |  CAST(count(DISTINCT b.g) AS BIGINT) AS n_distinct_hits,
+      |  CAST(floor(10000.0 * count(b.g) / count(*)) AS BIGINT) AS contamination_bps
+      |FROM train t LEFT JOIN bench b ON t.g = b.g
+      |GROUP BY t.doc_id
+      |HAVING count(b.g) > 0
+      |ORDER BY t.doc_id""".stripMargin) { (s, d) =>
+    val g = trigrams(Tables.documents(s, d))
+    val bench = g.filter(col("doc_id") % 20 === 7).select(col("g").as("bg")).distinct()
+    g.filter(col("doc_id") % 20 =!= 7)
+      .join(broadcast(bench), col("g") === col("bg"), "left")
+      .groupBy(col("doc_id"))
+      .agg(
+        count(lit(1)).as("n_ngrams"),
+        count(col("bg")).as("n_hits"),
+        countDistinct(col("bg")).as("n_distinct_hits"))
+      .withColumn("contamination_bps",
+        floor(lit(10000.0) * col("n_hits") / col("n_ngrams")).cast("long"))
+      .filter(col("n_hits") > 0)
+      .orderBy(col("doc_id"))
+  }
+
+  /** Repetition-based quality filter — the Gopher/MassiveText rules
+    * re-expressed per document: duplicate-word mass, most-common-word
+    * share, most-common-bigram share, each as integer basis points.
+    * Three per-doc hash aggregates joined back on doc_id (all three
+    * shuffle on the same key — AQE coalesces; nothing is quadratic,
+    * nothing collects). The keep flag applies Gopher-shaped
+    * thresholds recalibrated to this corpus's 31-word vocabulary.
+    */
+  val q73RepetitionQuality = QueryDef(
+    "q73_repetition_quality",
+    "Gopher-style repetition stats: dup-word / top-word / top-bigram mass in basis points + keep flag",
+    """WITH tok AS (
+      |  SELECT doc_id, unnest(list_filter(string_split(text, ' '), t -> length(t) > 0)) AS t
+      |  FROM documents),
+      |base AS (
+      |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+      |    CAST(count(DISTINCT t) AS BIGINT) AS n_distinct
+      |  FROM tok GROUP BY doc_id),
+      |wc AS (
+      |  SELECT doc_id, CAST(max(c) AS BIGINT) AS top_word_cnt
+      |  FROM (SELECT doc_id, t, count(*) AS c FROM tok GROUP BY doc_id, t)
+      |  GROUP BY doc_id),
+      |bg AS (
+      |  SELECT doc_id, CAST(max(c) AS BIGINT) AS top_bigram_cnt, CAST(sum(c) AS BIGINT) AS n_bigrams
+      |  FROM (
+      |    SELECT doc_id, b, count(*) AS c
+      |    FROM (
+      |      SELECT doc_id,
+      |        unnest(list_transform(range(1, len(w)), i -> w[i] || ' ' || w[i+1])) AS b
+      |      FROM (SELECT doc_id, list_filter(string_split(text, ' '), t -> length(t) > 0) AS w
+      |            FROM documents))
+      |    GROUP BY doc_id, b)
+      |  GROUP BY doc_id)
+      |SELECT base.doc_id, n_tokens,
+      |  CAST(floor(10000.0 * (n_tokens - n_distinct) / n_tokens) AS BIGINT) AS dup_word_bps,
+      |  CAST(floor(10000.0 * top_word_cnt / n_tokens) AS BIGINT) AS top_word_bps,
+      |  CAST(floor(10000.0 * top_bigram_cnt / n_bigrams) AS BIGINT) AS top_bigram_bps,
+      |  CAST(CASE WHEN floor(10000.0 * top_word_cnt / n_tokens) < 1500
+      |        AND floor(10000.0 * top_bigram_cnt / n_bigrams) < 800
+      |       THEN 1 ELSE 0 END AS INT) AS keep
+      |FROM base
+      |JOIN wc ON base.doc_id = wc.doc_id
+      |JOIN bg ON base.doc_id = bg.doc_id
+      |ORDER BY base.doc_id""".stripMargin) { (s, d) =>
+    val docs = Tables.documents(s, d)
+    val tok = docs.select(col("doc_id"), explode(toks(col("text"))).as("t"))
+    val base = tok.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_tokens"), countDistinct(col("t")).as("n_distinct"))
+    val wc = tok.groupBy(col("doc_id"), col("t")).agg(count(lit(1)).as("c"))
+      .groupBy(col("doc_id")).agg(max(col("c")).as("top_word_cnt"))
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("p"))
+    val bg = docs
+      .select(col("doc_id"), posexplode(toks(col("text"))).as(Seq("p", "t")))
+      .select(col("doc_id"), col("t"), lead(col("t"), 1).over(w).as("t1"))
+      .filter(col("t1").isNotNull)
+      .select(col("doc_id"), concat_ws(" ", col("t"), col("t1")).as("b"))
+      .groupBy(col("doc_id"), col("b")).agg(count(lit(1)).as("c"))
+      .groupBy(col("doc_id"))
+      .agg(max(col("c")).as("top_bigram_cnt"), sum(col("c")).as("n_bigrams"))
+    val topWordBps = floor(lit(10000.0) * col("top_word_cnt") / col("n_tokens"))
+    val topBigramBps = floor(lit(10000.0) * col("top_bigram_cnt") / col("n_bigrams"))
+    base.join(wc, "doc_id").join(bg, "doc_id")
+      .select(
+        col("doc_id"), col("n_tokens"),
+        floor(lit(10000.0) * (col("n_tokens") - col("n_distinct")) / col("n_tokens"))
+          .cast("long").as("dup_word_bps"),
+        topWordBps.cast("long").as("top_word_bps"),
+        topBigramBps.cast("long").as("top_bigram_bps"),
+        when(topWordBps < 1500 && topBigramBps < 800, 1).otherwise(0)
+          .cast("int").as("keep"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** PII redaction — regex scrub of emails and phone-shaped tokens
+    * with per-doc redaction counts, the audit artifact a compliance
+    * pipeline keeps. The corpus has no organic PII, so a deterministic
+    * contact line derived from doc_id is appended identically in both
+    * engines (the q48 synthesis idiom) — the operator under test is
+    * the redaction itself: Spark `regexp_replace` replaces all
+    * matches; DuckDB needs the explicit 'g' flag (parity trap).
+    * Single scan, no shuffle, fully codegen'd.
+    */
+  val q74PiiRedaction = QueryDef(
+    "q74_pii_redaction",
+    "PII redaction: email/phone regex scrub + per-doc redaction counts",
+    """WITH blob AS (
+      |  SELECT doc_id,
+      |    text || ' contact user' || doc_id || '@mail.example.com or call 555-' ||
+      |      lpad(CAST(doc_id * 7 % 10000 AS VARCHAR), 4, '0') ||
+      |      CASE WHEN doc_id % 3 = 0 THEN ' cc admin@example.org' ELSE '' END AS s
+      |  FROM documents),
+      |red AS (
+      |  SELECT doc_id, s,
+      |    regexp_replace(regexp_replace(s, '[a-z0-9._]+@[a-z0-9.-]+', '<EMAIL>', 'g'),
+      |      '555-[0-9]{4}', '<PHONE>', 'g') AS r
+      |  FROM blob)
+      |SELECT doc_id,
+      |  CAST(len(regexp_extract_all(s, '[a-z0-9._]+@[a-z0-9.-]+')) AS INT) AS n_emails,
+      |  CAST(len(regexp_extract_all(s, '555-[0-9]{4}')) AS INT) AS n_phones,
+      |  CAST(length(r) AS INT) AS redacted_len,
+      |  substr(r, length(r) - 59, 60) AS redacted_tail
+      |FROM red
+      |ORDER BY doc_id""".stripMargin) { (s, d) =>
+    val blob = Tables.documents(s, d).select(col("doc_id"),
+      concat(
+        col("text"), lit(" contact user"), col("doc_id").cast("string"),
+        lit("@mail.example.com or call 555-"),
+        lpad((col("doc_id") * 7 % 10000).cast("string"), 4, "0"),
+        when(col("doc_id") % 3 === 0, " cc admin@example.org").otherwise("")
+      ).as("s"))
+    val redacted = regexp_replace(
+      regexp_replace(col("s"), lit("[a-z0-9._]+@[a-z0-9.-]+"), lit("<EMAIL>")),
+      lit("555-[0-9]{4}"), lit("<PHONE>"))
+    blob.select(
+      col("doc_id"),
+      regexp_count(col("s"), lit("[a-z0-9._]+@[a-z0-9.-]+")).cast("int").as("n_emails"),
+      regexp_count(col("s"), lit("555-[0-9]{4}")).cast("int").as("n_phones"),
+      length(redacted).cast("int").as("redacted_len"),
+      substring(redacted, -60, 60).as("redacted_tail"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Unicode normalization — dedup/fingerprint pipelines must
+    * canonicalize text first or "é" (U+00E9) and "e"+U+0301 count as
+    * different documents. Spark has no built-in, so this drives the
+    * native codegen'd `unicode_normalize` expression
+    * (graft.plans.UnicodeNormalize, java.text.Normalizer under the
+    * hood); DuckDB's `nfc_normalize` is the oracle twin. The corpus
+    * is ASCII, so a decomposed suffix ("cafe"+U+0301) is appended
+    * identically in both engines and the NFC pass must compose
+    * exactly one character away per doc. Single scan, no shuffle.
+    */
+  val q75UnicodeNormalize = QueryDef(
+    "q75_unicode_normalize",
+    "NFC normalization via native unicode_normalize expression (DuckDB nfc_normalize twin)",
+    """WITH r AS (
+      |  SELECT doc_id, text || ' cafe' || chr(769) || ' latte' AS raw FROM documents),
+      |n AS (SELECT doc_id, raw, nfc_normalize(raw) AS nfc FROM r)
+      |SELECT doc_id,
+      |  CAST(length(raw) AS INT) AS len_raw,
+      |  CAST(length(nfc) AS INT) AS len_nfc,
+      |  substr(nfc, length(nfc) - 11, 12) AS nfc_tail
+      |FROM n
+      |ORDER BY doc_id""".stripMargin) { (s, d) =>
+    graft.plans.GraftFunctions.register(s)
+    // decomposed on purpose: 'e' + combining acute (U+0301) so the
+    // NFC pass has real composition work, matching the oracle's
+    // text || ' cafe' || chr(769) || ' latte'
+    val raw = concat(col("text"), lit(" cafe\u0301 latte"))
+    val nfc = graft.plans.GraftFunctions.unicodeNormalize(raw, "NFC")
+    Tables.documents(s, d).select(
+      col("doc_id"),
+      length(raw).cast("int").as("len_raw"),
+      length(nfc).cast("int").as("len_nfc"),
+      substring(nfc, -12, 12).as("nfc_tail"))
+      .orderBy(col("doc_id"))
+  }
+
+  val all: Seq[QueryDef] =
+    Seq(q72Decontamination, q73RepetitionQuality, q74PiiRedaction,
+      q75UnicodeNormalize)
+}

@@ -125,7 +125,7 @@ object SimilarityQueries {
   /** IVF-style approximate NN: 16 Lloyd-trained centroids (seeded
     * from the first 16 vectors, 6 Lloyd iterations, deterministic), every
     * vector assigned to its nearest centroid via the same broadcast
-    * `max_by` argmax, queries probe their 6 nearest centroids and
+    * `max_by` argmax, queries probe their 7 nearest centroids and
     * rank candidates exactly with the bounded top-k aggregate.
     * No SQL oracle — TRULY inexpressible: recall < 1 by construction
     * (only probed cells are searched; the recall gate measures ~0.7-1
@@ -138,7 +138,7 @@ object SimilarityQueries {
     */
   val q39AnnIvf = QueryDef.noOracle(
     "q39_ann_ivf",
-    "IVF approximate NN: 16 trained centroids, nprobe=6, exact rerank of candidates") { (s, d) =>
+    "IVF approximate NN: 16 trained centroids, nprobe=7, exact rerank of candidates") { (s, d) =>
     GraftFunctions.register(s)
     val t = Tables.embeddings(s, d).select(col("vec_id"), col("embedding"))
     val cents = trainCentroids(s, t, k = 16, iters = 6)
@@ -151,7 +151,7 @@ object SimilarityQueries {
         struct(col("csim"), (-col("c_id")).as("nc"))).as("best"))
       .select(col("vec_id"), col("best.embedding").as("embedding"),
         col("best.c_id").as("c_id"))
-    // queries probe their 6 nearest centroids (16 rows per query —
+    // queries probe their 7 nearest centroids (16 rows per query —
     // topk over the broadcast centroid set)
     val probes = t.filter(col("vec_id") >= 20 && col("vec_id") < 30)
       .select(col("vec_id").as("q_id"), col("embedding").as("qe"))
@@ -159,7 +159,7 @@ object SimilarityQueries {
       .withColumn("csim", GraftFunctions.cosineSim(col("qe"), col("ce")))
       .groupBy(col("q_id"))
       .agg(first(col("qe")).as("qe"),
-        GraftFunctions.topkByScore(col("csim"), col("c_id").cast("long"), 6).as("pc"))
+        GraftFunctions.topkByScore(col("csim"), col("c_id").cast("long"), 7).as("pc"))
       .select(col("q_id"), col("qe"), explode(col("pc.id")).as("c_id"))
       .withColumn("c_id", col("c_id").cast("int"))
     // candidates = vectors in probed cells; exact rerank via the same
@@ -275,5 +275,57 @@ object SimilarityQueries {
       .orderBy(col("vec_a"), col("vec_b"))
   }
 
-  val all: Seq[QueryDef] = Seq(q38CosineTopk, q39AnnIvf, q60HyperplaneLsh)
+  /** Quantized vector search — the int8 payload-compression variant
+    * of q38. Vectors are max-abs scalar-quantized by the native
+    * `quantize_i8` expression (4× smaller payload: at 100 TB the
+    * corpus-side shuffle/cache working set shrinks identically), then
+    * ranked with the same broadcast + bounded partial top-k aggregate
+    * plan as the float baseline. Because quantized components are
+    * exact small integers, every dot product is EXACT in doubles and
+    * the cosine is bit-identical to the DuckDB `list_transform` twin —
+    * a full hash-checked oracle, not a tolerance gate. Quantization
+    * quality (recall@10 vs the float baseline) is pinned separately
+    * in DedupQualitySpec.
+    */
+  val q76QuantizedTopk = QueryDef(
+    "q76_quantized_topk",
+    "int8-quantized cosine top-10 (native quantize_i8 + partial top-k aggregate)",
+    """WITH t AS (
+      |  SELECT vec_id,
+      |    list_transform(CAST(embedding AS DOUBLE[]),
+      |      x -> floor(x * (127.0 / list_max(list_transform(CAST(embedding AS DOUBLE[]), y -> abs(y)))) + 0.5)) AS qv
+      |  FROM embeddings),
+      |q AS (SELECT vec_id AS q_id, qv AS qqv FROM t WHERE vec_id < 10)
+      |SELECT q_id, vec_id AS n_id, round(cs, 6) AS cos_sim, rn
+      |FROM (
+      |  SELECT q.q_id, t.vec_id,
+      |    list_dot_product(q.qqv, t.qv)
+      |      / sqrt(list_dot_product(q.qqv, q.qqv) * list_dot_product(t.qv, t.qv)) AS cs,
+      |    row_number() OVER (PARTITION BY q.q_id ORDER BY
+      |      list_dot_product(q.qqv, t.qv)
+      |        / sqrt(list_dot_product(q.qqv, q.qqv) * list_dot_product(t.qv, t.qv)) DESC,
+      |      t.vec_id) AS rn
+      |  FROM q, t
+      |  WHERE t.vec_id <> q.q_id)
+      |WHERE rn <= 10
+      |ORDER BY q_id, rn""".stripMargin) { (s, d) =>
+    GraftFunctions.register(s)
+    val t = Tables.embeddings(s, d)
+      .select(col("vec_id"), GraftFunctions.quantizeI8(col("embedding")).as("qv"))
+    val q = t.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("q_id"), col("qv").as("qqv"))
+    t.crossJoin(broadcast(q))
+      .filter(col("vec_id") =!= col("q_id"))
+      .withColumn("cs", GraftFunctions.cosineSim(col("qqv"), col("qv")))
+      .groupBy(col("q_id"))
+      .agg(GraftFunctions.topkByScore(col("cs"), col("vec_id"), 10).as("top"))
+      .select(col("q_id"), posexplode(col("top")).as(Seq("i", "t")))
+      .select(col("q_id"), col("t.id").as("n_id"),
+        round(col("t.score"), 6).as("cos_sim"),
+        (col("i") + 1).cast("int").as("rn"))
+      .orderBy(col("q_id"), col("rn"))
+  }
+
+  val all: Seq[QueryDef] =
+    Seq(q38CosineTopk, q39AnnIvf, q60HyperplaneLsh, q76QuantizedTopk)
 }

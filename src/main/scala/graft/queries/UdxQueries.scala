@@ -95,5 +95,58 @@ object UdxQueries {
       .orderBy(col("r"))
   }
 
-  val all: Seq[QueryDef] = Seq(q49ArrayFuncs, q50ScalarUdf, q59Pipe)
+  /** Map functions over a real MapType column (SURVEY.md §2.2
+    * "array / map fns" row, map half — previously spec-only because a
+    * DuckDB MAP hash-compare isn't viable). The query builds a
+    * per-order map linenumber→quantity with `map_from_entries`, drives
+    * map_keys/map_values/map_filter/transform_values/map_concat/
+    * element_at through it, then projects every map-derived result to
+    * scalars/strings so the oracle can recompute them relationally —
+    * the MAP never needs to cross the comparison boundary.
+    */
+  val q71MapFuncs = QueryDef(
+    "q71_map_funcs",
+    "map fns: map_from_entries → filter/transform/concat/lookup, projected to scalars",
+    """WITH line AS (
+      |  SELECT l_orderkey, l_linenumber, CAST(sum(CAST(l_quantity AS INT)) AS INT) AS v
+      |  FROM lineitem
+      |  WHERE l_orderkey < 200
+      |  GROUP BY l_orderkey, l_linenumber)
+      |SELECT l_orderkey AS o_orderkey,
+      |  CAST(count(*) AS INT) AS n_keys,
+      |  CAST(sum(v) AS BIGINT) AS qty_total,
+      |  CAST(max(CASE WHEN l_linenumber = 1 THEN v END) AS INT) AS first_qty,
+      |  CAST(max(CASE WHEN l_linenumber = 2 THEN 2 * v END) AS INT) AS second_doubled,
+      |  coalesce(string_agg(CASE WHEN v > 25
+      |      THEN l_linenumber || ':' || v END, ',' ORDER BY l_linenumber), '') AS large_entries,
+      |  CAST(count(*) + 1 AS INT) AS n_after_concat
+      |FROM line
+      |GROUP BY l_orderkey
+      |ORDER BY o_orderkey""".stripMargin) { (s, d) =>
+    // the synthetic lineitem duplicates (orderkey, linenumber) pairs
+    // (unlike real TPC-H), so quantities pre-aggregate per linenumber —
+    // map keys must be unique or map_from_entries raises
+    Tables.lineitem(s, d)
+      .filter(col("l_orderkey") < 200)
+      .groupBy(col("l_orderkey").as("o_orderkey"), col("l_linenumber").as("key"))
+      .agg(sum(col("l_quantity").cast("int")).cast("int").as("value"))
+      .groupBy(col("o_orderkey"))
+      .agg(map_from_entries(
+        sort_array(collect_list(struct(col("key"), col("value"))))).as("m"))
+      .select(
+        col("o_orderkey"),
+        size(col("m")).as("n_keys"),
+        aggregate(map_values(col("m")), lit(0), (a, v) => a + v)
+          .cast("long").as("qty_total"),
+        element_at(col("m"), 1).as("first_qty"),
+        element_at(transform_values(col("m"), (_, v) => v * 2), 2).as("second_doubled"),
+        concat_ws(",",
+          transform(sort_array(map_entries(map_filter(col("m"), (_, v) => v > 25))),
+            e => concat(e.getField("key").cast("string"), lit(":"),
+              e.getField("value").cast("string")))).as("large_entries"),
+        size(map_concat(col("m"), map(lit(0), lit(-1)))).as("n_after_concat"))
+      .orderBy(col("o_orderkey"))
+  }
+
+  val all: Seq[QueryDef] = Seq(q49ArrayFuncs, q50ScalarUdf, q59Pipe, q71MapFuncs)
 }
