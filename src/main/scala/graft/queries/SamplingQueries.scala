@@ -54,5 +54,34 @@ object SamplingQueries {
       .orderBy(col("lang"))
   }
 
-  val all: Seq[QueryDef] = Seq(q56DeterministicSample, q57StratifiedMix)
+  /** Shard-layout audit for the training-shard writer
+    * (`graft.api.Sharder`): per-shard row count and payload mass for a
+    * modulus layout (the oracle-expressible assignment; the writer's
+    * default xxhash64 layout is pinned by `SharderSpec`, where DuckDB
+    * can't follow the hash). The balance columns are what an output
+    * audit dashboard reads before handing shards to trainers.
+    */
+  val q77ShardStats = QueryDef(
+    "q77_shard_stats",
+    "per-shard row count + payload mass audit for the shard writer (modulus layout)",
+    """SELECT CAST(doc_id % 16 AS BIGINT) AS shard_id,
+      |  CAST(count(*) AS BIGINT) AS n_docs,
+      |  CAST(sum(n_chars) AS BIGINT) AS total_chars,
+      |  CAST(min(doc_id) AS BIGINT) AS min_doc,
+      |  CAST(max(doc_id) AS BIGINT) AS max_doc
+      |FROM documents
+      |GROUP BY shard_id
+      |ORDER BY shard_id""".stripMargin) { (s, d) =>
+    Tables.documents(s, d)
+      .withColumn("shard_id", pmod(col("doc_id"), lit(16L)))
+      .groupBy(col("shard_id"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_chars")).as("total_chars"),
+        min(col("doc_id")).as("min_doc"),
+        max(col("doc_id")).as("max_doc"))
+      .orderBy(col("shard_id"))
+  }
+
+  val all: Seq[QueryDef] =
+    Seq(q56DeterministicSample, q57StratifiedMix, q77ShardStats)
 }
