@@ -70,10 +70,15 @@ object GraftFunctions {
       new ExpressionInfo(classOf[QuantizeI8].getName, "quantize_i8"),
       (children: Seq[Expression]) => QuantizeI8(children.head))
 
+  val vectorSumDescriptor: Descriptor =
+    (FunctionIdentifier("vector_sum"),
+      new ExpressionInfo(classOf[VectorSumAgg].getName, "vector_sum"),
+      (children: Seq[Expression]) => VectorSumAgg(children.head))
+
   val descriptors: Seq[Descriptor] =
     Seq(cosineSimDescriptor, minhashSigDescriptor, simhashDescriptor,
       topkDescriptor, similarToDescriptor, lshSigDescriptor,
-      unicodeNormalizeDescriptor, quantizeI8Descriptor)
+      unicodeNormalizeDescriptor, quantizeI8Descriptor, vectorSumDescriptor)
 
   /** Idempotent per-session registration: the native functions plus
     * the similarity-join optimizer rule (the in-library twin of the
@@ -127,6 +132,9 @@ object GraftFunctions {
 
   /** Column-API form of the native int8 max-abs quantizer. */
   def quantizeI8(vec: Column): Column = call_function("quantize_i8", vec)
+
+  /** Column-API form of the native element-wise vector-sum aggregate. */
+  def vectorSum(vec: Column): Column = call_function("vector_sum", vec)
 
   /** Column-API form of the Rademacher-projection LSH signature. */
   def lshSig(vec: Column, nBits: Int, seed: Long): Column =

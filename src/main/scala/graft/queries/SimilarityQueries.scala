@@ -105,18 +105,22 @@ object SimilarityQueries {
       .collect().map(r => (r.getInt(0), r.getSeq[Float](1))).toSeq
     for (_ <- 1 to iters) {
       val cdf = s.createDataFrame(cents).toDF("c_id", "ce")
+      // per-cell mean via the native vector_sum aggregate: ONE vector
+      // per (partition, cell) crosses the exchange — the posexplode →
+      // per-component groupBy idiom this replaces shuffled dim× rows
+      // over one more exchange per Lloyd pass
       val means = t.crossJoin(broadcast(cdf))
         .withColumn("csim", GraftFunctions.cosineSim(col("embedding"), col("ce")))
         .groupBy(col("vec_id"))
         .agg(max_by(struct(col("c_id"), col("embedding")),
           struct(col("csim"), (-col("c_id")).as("nc"))).as("best"))
-        .select(col("best.c_id").as("c_id"),
-          posexplode(col("best.embedding")).as(Seq("i", "x")))
-        .groupBy(col("c_id"), col("i")).agg(avg(col("x")).as("m"))
-        .groupBy(col("c_id"))
-        .agg(transform(array_sort(collect_list(struct(col("i"), col("m")))),
-          e => e.getField("m").cast("float")).as("ce"))
-        .collect().map(r => (r.getInt(0), r.getSeq[Float](1))).toMap
+        .groupBy(col("best.c_id").as("c_id"))
+        .agg(GraftFunctions.vectorSum(col("best.embedding")).as("vs"),
+          count(lit(1)).as("n"))
+        .collect().map { r =>
+          val n = r.getLong(2)
+          (r.getInt(0), r.getSeq[Double](1).map(x => (x / n).toFloat))
+        }.toMap
       cents = cents.map { case (cid, old) => (cid, means.getOrElse(cid, old)) }
     }
     s.createDataFrame(cents).toDF("c_id", "ce")

@@ -76,6 +76,29 @@ class HygieneSpec extends SparkSpec {
     assert(recall >= 0.9, s"int8 quantization recall@10 too low: $recall")
   }
 
+  test("vector_sum aggregates element-wise and rejects mixed dimensions") {
+    GraftFunctions.register(spark)
+    val df = spark.createDataFrame(Seq(
+      (1, Seq(1.0f, 2.0f)), (1, Seq(3.0f, 4.0f)), (2, Seq(5.0f, 6.0f))
+    )).toDF("g", "v")
+    val out = df.groupBy(col("g"))
+      .agg(GraftFunctions.vectorSum(col("v")).as("s"))
+      .collect().map(r => r.getInt(0) -> r.getSeq[Double](1)).toMap
+    assert(out(1) == Seq(4.0, 6.0) && out(2) == Seq(5.0, 6.0))
+    // partial+final ObjectHashAggregate (map-side combine before the exchange)
+    val plan = df.groupBy(col("g"))
+      .agg(GraftFunctions.vectorSum(col("v")))
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("ObjectHashAggregate"), plan)
+    val bad = spark.createDataFrame(Seq(
+      (1, Seq(1.0f)), (1, Seq(1.0f, 2.0f)))).toDF("g", "v")
+    val e = intercept[Exception] {
+      bad.groupBy(col("g")).agg(GraftFunctions.vectorSum(col("v"))).collect()
+    }
+    assert(e.getMessage.contains("dimension mismatch") ||
+      e.getCause != null && e.getCause.getMessage.contains("dimension mismatch"))
+  }
+
   test("q72 decontamination: benchmark slice docs never appear in the output") {
     val out = Registry.byName("q72_decontamination").fn(spark, sfDir)
     assert(out.filter(col("doc_id") % 20 === 7).count() == 0)

@@ -188,4 +188,44 @@ class ScaleSpec extends SparkSpec {
       }
     }
   }
+
+  test("runtime bloom filter prunes the fact side of a selective dim join") {
+    // the remaining big-join lever: a selective filter on one join side
+    // injects a bloom-filter semi-join test into the OTHER side's scan,
+    // so at 100 TB the fact table drops non-joining rows before the
+    // exchange instead of shuffling them. Thresholds are sized for the
+    // test corpus (defaults assume ≥10 MB creation side / ≥10 GB scan).
+    val conf = spark.conf
+    val keep = Seq(
+      "spark.sql.optimizer.runtime.bloomFilter.enabled",
+      "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold",
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+      "spark.sql.autoBroadcastJoinThreshold"
+    ).map(k => k -> conf.getOption(k)).toMap
+    try {
+      conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
+      conf.set("spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold", "100MB")
+      conf.set("spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold", "0")
+      // InjectRuntimeFilter only fires on probable SHUFFLE joins — at test
+      // scale the filtered dim is broadcastable by size, which at 100 TB it
+      // would not be. Model the big-data regime by disabling auto-broadcast.
+      conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val orders = Tables.orders(spark, sfDir)
+        .filter(col("o_orderpriority") === "1-URGENT")
+        .select(col("o_orderkey"))
+      val li = Tables.lineitem(spark, sfDir)
+        .select(col("l_orderkey"), col("l_quantity"))
+      // shuffle join on purpose (bloom filters target non-broadcast joins)
+      val joined = li.hint("merge").join(orders, col("l_orderkey") === col("o_orderkey"))
+      val optimized = joined.queryExecution.optimizedPlan.toString
+      assert(optimized.contains("might_contain") || optimized.contains("bloom_filter"),
+        s"runtime bloom filter should be injected:\n$optimized")
+      // and the filtered plan still returns exactly the join's rows
+      val expect = li.join(orders, col("l_orderkey") === col("o_orderkey")).count()
+      assert(joined.count() == expect)
+    } finally keep.foreach {
+      case (k, Some(v)) => conf.set(k, v)
+      case (k, None) => conf.unset(k)
+    }
+  }
 }
