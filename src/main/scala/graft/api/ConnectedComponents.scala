@@ -1,0 +1,80 @@
+package graft.api
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Distributed connected components over an edge list — the cluster
+  * step every near-dup dedup pipeline needs after pair generation:
+  * MinHash/SimHash/LSH emit *pairs*, but the keep/drop decision is
+  * per *component* (one canonical document survives per duplicate
+  * cluster, cf. the reference's dedup tooling which stops at pairs).
+  *
+  * Algorithm: hash-to-min label propagation. Every node starts
+  * labeled with itself; each round every node takes the min label
+  * across itself and its neighbors. The component minimum travels one
+  * hop per round, so the loop converges in `diameter(G)` rounds —
+  * for duplicate clusters (near-cliques by construction: members are
+  * pairwise similar) that is 1–2 rounds plus one to observe the
+  * fixpoint. Each round is one shuffle join (labels onto edge
+  * endpoints) + one partial-aggregated groupBy min — both plain
+  * hash-partitioned exchanges that scale out; nothing is ever
+  * collected to the driver.
+  *
+  * Scale notes for 100 TB corpora:
+  *  - `localCheckpoint()` after every round truncates the logical
+  *    plan — without it the lineage (and Catalyst analysis time)
+  *    grows linearly with rounds, the classic iterative-algorithm
+  *    trap.
+  *  - Convergence is detected via the SUM of labels: labels only
+  *    ever decrease, so the sum is strictly monotone while anything
+  *    changes and equal exactly at the fixpoint — one cheap scalar
+  *    action per round instead of a change-count join.
+  *  - For adversarial long-path graphs (diameter ≫ log n) the
+  *    textbook upgrade is alternating large-star/small-star
+  *    contraction (O(log n) rounds); duplicate graphs never look
+  *    like that, so the simpler propagation with a round cap is the
+  *    honest default.
+  */
+object ConnectedComponents {
+
+  /** Labels every node with the minimum node id of its component.
+    *
+    * @param nodes single-column DataFrame `id` (one row per node;
+    *              isolated nodes come out as their own component)
+    * @param edges two-column DataFrame `u`, `v` (undirected; may
+    *              contain duplicates, either orientation)
+    * @param maxRounds safety cap on propagation rounds
+    * @return DataFrame (`id`, `component`) where `component` is the
+    *         min id reachable from `id`
+    */
+  def label(nodes: DataFrame, edges: DataFrame, maxRounds: Int = 50): DataFrame = {
+    val sym = edges.select(col("u"), col("v"))
+      .union(edges.select(col("v").as("u"), col("u").as("v")))
+      .distinct()
+      .localCheckpoint()
+    var labels = nodes.select(col("id"), col("id").as("lbl")).localCheckpoint()
+    var prevSum = java.lang.Long.MAX_VALUE
+    var curSum = checksum(labels)
+    var round = 0
+    while (curSum < prevSum && round < maxRounds) {
+      val nbrMin = sym
+        .join(labels.select(col("id").as("v"), col("lbl").as("vlbl")), "v")
+        .groupBy(col("u"))
+        .agg(min(col("vlbl")).as("nbr"))
+        .select(col("u").as("id"), col("nbr"))
+      val next = labels
+        .join(nbrMin, Seq("id"), "left_outer")
+        .select(col("id"),
+          least(col("lbl"), coalesce(col("nbr"), col("lbl"))).as("lbl"))
+        .localCheckpoint()
+      labels = next
+      prevSum = curSum
+      curSum = checksum(labels)
+      round += 1
+    }
+    labels.select(col("id"), col("lbl").as("component"))
+  }
+
+  private def checksum(labels: DataFrame): Long =
+    labels.agg(sum(col("lbl"))).first().getLong(0)
+}

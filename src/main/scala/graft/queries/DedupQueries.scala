@@ -99,6 +99,14 @@ object DedupQueries {
       |    ON a.band = b.jband AND a.doc_id < b.doc_id)
       |WHERE jaccard >= 0.8
       |ORDER BY doc_a, doc_b""".stripMargin) { (s, d) =>
+    minhashVerifiedPairs(s, d).orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  /** The q34 pipeline minus the final ordering — shared with the q78
+    * cluster step. Returns (doc_a, doc_b, jaccard), doc_a < doc_b,
+    * exact Jaccard ≥ 0.8 on verified LSH candidates.
+    */
+  private[graft] def minhashVerifiedPairs(s: SparkSession, d: String): DataFrame = {
     GraftFunctions.register(s)
     // persisted: feeds the signature pipeline and both exact-verify
     // joins (no cross-branch subplan reuse in Spark). Lifecycle:
@@ -133,7 +141,6 @@ object DedupQueries {
         round(size(array_intersect(col("sha"), col("shb"))).cast("double") /
           size(array_union(col("sha"), col("shb"))), 4).as("jaccard"))
       .filter(col("jaccard") >= 0.8)
-      .orderBy(col("doc_a"), col("doc_b"))
   }
 
   /** SimHash: 64-bit majority-vote fingerprint of the token hash set.
@@ -354,7 +361,65 @@ object DedupQueries {
       .orderBy(col("vec_a"), col("vec_b"))
   }
 
+  /** Duplicate CLUSTERS, not pairs: connected components over the
+    * verified MinHash near-dup pairs (q34's output), labeling every
+    * document with the min doc_id of its duplicate component — the
+    * keep/drop decision table a dedup pipeline actually applies
+    * (`is_canonical` marks the one survivor per cluster; singletons
+    * are their own cluster). Components come from
+    * `api.ConnectedComponents` (distributed hash-to-min propagation,
+    * one equi-join shuffle per round, converges in cluster-diameter
+    * rounds — near-dup clusters are near-cliques so 2-3 rounds).
+    *
+    * Oracle: DuckDB `WITH RECURSIVE` min-label reachability over the
+    * brute-force Jaccard ≥ 0.8 pair set (the proven q34 oracle),
+    * seeded with every document — a FULL hash-checked twin of a graph
+    * algorithm SQL can only express recursively.
+    */
+  val q78DupClusters = QueryDef(
+    "q78_dup_clusters",
+    "duplicate clusters: connected components over verified MinHash pairs, canonical per cluster",
+    """WITH RECURSIVE t AS (
+      |  SELECT doc_id,
+      |    list_distinct(list_transform(range(1, len(w)-1),
+      |                  i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS sh
+      |  FROM (SELECT doc_id, list_filter(string_split(text, ' '), t -> length(t) > 0) AS w
+      |        FROM documents)),
+      |tb AS (SELECT doc_id, sh, length(bin(len(sh))) AS band FROM t WHERE len(sh) > 0),
+      |pairs AS (
+      |  SELECT doc_a, doc_b FROM (
+      |    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+      |      CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+      |        / len(list_distinct(list_concat(a.sh, b.sh))) AS jaccard
+      |    FROM tb a
+      |    JOIN (SELECT doc_id, sh, unnest([band-1, band, band+1]) AS jband FROM tb) b
+      |      ON a.band = b.jband AND a.doc_id < b.doc_id)
+      |  WHERE jaccard >= 0.8),
+      |edges AS (SELECT doc_a AS u, doc_b AS v FROM pairs
+      |          UNION ALL SELECT doc_b AS u, doc_a AS v FROM pairs),
+      |reach AS (
+      |  SELECT doc_id AS u, doc_id AS lbl FROM documents
+      |  UNION
+      |  SELECT e.u, r.lbl FROM edges e JOIN reach r ON r.u = e.v),
+      |lab AS (SELECT u AS doc_id, min(lbl) AS cluster_id FROM reach GROUP BY u)
+      |SELECT doc_id, cluster_id,
+      |  CAST(count(*) OVER (PARTITION BY cluster_id) AS INT) AS n_cluster,
+      |  doc_id = cluster_id AS is_canonical
+      |FROM lab
+      |ORDER BY doc_id""".stripMargin) { (s, d) =>
+    val pairs = minhashVerifiedPairs(s, d)
+      .select(col("doc_a").as("u"), col("doc_b").as("v"))
+    val nodes = Tables.documents(s, d).select(col("doc_id").as("id"))
+    val labels = graft.api.ConnectedComponents.label(nodes, pairs)
+    val w = Window.partitionBy(col("cluster_id"))
+    labels
+      .select(col("id").as("doc_id"), col("component").as("cluster_id"))
+      .withColumn("n_cluster", count(lit(1)).over(w).cast("int"))
+      .withColumn("is_canonical", col("doc_id") === col("cluster_id"))
+      .orderBy(col("doc_id"))
+  }
+
   val all: Seq[QueryDef] = Seq(
     q33ExactDedup, q34MinhashLsh, q35Simhash, q36NgramJaccard,
-    q37EmbeddingNeardup)
+    q37EmbeddingNeardup, q78DupClusters)
 }
