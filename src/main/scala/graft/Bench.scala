@@ -53,11 +53,13 @@ object Bench {
     }.mkString("{", ",", "}")
     val total = results.values.map(_._2).sum
     // stdout gets the COMPACT line only (medians rounded to 4 decimals):
-    // the driver captures stdout by tail and truncated the round-2 AND
-    // round-3 artifacts mid-JSON when the line carried full-precision
-    // per-query min/med/max. Full detail goes to target/bench.json.
+    // the driver captures stdout by tail and truncated the round-2/3/4
+    // artifacts mid-JSON when the line outgrew the capture buffer. The
+    // per-query map leads and metric/value/unit land LAST so a
+    // head-truncated tail still shows the headline total. Full
+    // min/med/max detail goes to target/bench.json.
     val compact =
-      s"""{"metric":"total","value":${r4(total)},"unit":"sec","runs":$Runs,"queries":$qs,"sf":"$sfDir"}"""
+      s"""{"runs":$Runs,"sf":"$sfDir","queries":$qs,"metric":"total","unit":"sec","value":${r4(total)}}"""
     val full =
       s"""{"metric":"total","value":$total,"unit":"sec","runs":$Runs,"queries":$qs,"detail":$detail,"sf":"$sfDir"}"""
     println(compact)

@@ -53,10 +53,10 @@ object ConnectedComponents {
       .distinct()
       .localCheckpoint()
     var labels = nodes.select(col("id"), col("id").as("lbl")).localCheckpoint()
-    var prevSum = java.lang.Long.MAX_VALUE
+    var prevSum: BigDecimal = null
     var curSum = checksum(labels)
     var round = 0
-    while (curSum < prevSum && round < maxRounds) {
+    while ((prevSum == null || curSum < prevSum) && round < maxRounds) {
       val nbrMin = sym
         .join(labels.select(col("id").as("v"), col("lbl").as("vlbl")), "v")
         .groupBy(col("u"))
@@ -72,9 +72,23 @@ object ConnectedComponents {
       curSum = checksum(labels)
       round += 1
     }
+    if (round >= maxRounds && prevSum != null && curSum < prevSum) {
+      // exiting via the cap, not the fixpoint: labels are NOT final.
+      // A silent return would hand the caller wrong components.
+      throw new IllegalStateException(
+        s"ConnectedComponents did not converge within $maxRounds rounds " +
+          "(graph diameter exceeds the cap); raise maxRounds")
+    }
     labels.select(col("id"), col("lbl").as("component"))
   }
 
-  private def checksum(labels: DataFrame): Long =
-    labels.agg(sum(col("lbl"))).first().getLong(0)
+  /** Convergence checksum: labels only ever decrease, so the label sum
+    * is strictly monotone until the fixpoint. Summed as decimal(38,0)
+    * — a Long sum could wrap at extreme scale and fake convergence —
+    * and coalesced so an empty node set reads 0 instead of NPE-ing.
+    */
+  private def checksum(labels: DataFrame): BigDecimal =
+    BigDecimal(
+      labels.agg(coalesce(sum(col("lbl").cast("decimal(38,0)")), lit(0))
+        .cast("decimal(38,0)")).first().getDecimal(0))
 }

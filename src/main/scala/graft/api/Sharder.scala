@@ -23,8 +23,11 @@ object Sharder {
     * [0, nShards). Hash-based (not modulus) so clustered key ranges —
     * crawl batches, time-ordered ids — still spread uniformly.
     */
-  def withShard(df: DataFrame, keyCol: String, nShards: Int): DataFrame =
+  def withShard(df: DataFrame, keyCol: String, nShards: Int): DataFrame = {
+    require(!df.columns.contains("shard"),
+      "input already has a 'shard' column; withShard would silently overwrite it")
     df.withColumn("shard", pmod(xxhash64(col(keyCol)), lit(nShards.toLong)))
+  }
 
   /** Writes one directory (`shard=i/`) with exactly one parquet file
     * per shard. Returns the shard layout for auditing.

@@ -80,6 +80,30 @@ object DedupQueries {
   private val MinhashK = 64
   private val BandRows = 4
 
+  /** (doc_id, band, bkey) LSH band keys from a (doc_id, gh) shingle
+    * postings relation: one native-aggregate pass builds the 64-slot
+    * signature, then each 4-slot slice hashes to a band key. Shared
+    * by the q34 self-join and the incremental batch-vs-corpus path
+    * ([[graft.api.IncrementalDedup]]) — both sides of any band join
+    * must come from THIS function so signatures agree bit-for-bit.
+    */
+  private[graft] def minhashBandsOf(posts: DataFrame): DataFrame = {
+    GraftFunctions.register(posts.sparkSession)
+    val sig = posts
+      .groupBy(col("doc_id"))
+      .agg(GraftFunctions.minhashSig(col("gh")).as("sig"))
+    sig.select(col("doc_id"),
+      posexplode(transform(sequence(lit(0), lit(MinhashK / BandRows - 1)),
+        b => hash(slice(col("sig"), b * BandRows + 1, lit(BandRows)))))
+        .as(Seq("band", "bkey")))
+  }
+
+  /** (doc_id, sh) distinct shingle-hash sets — the exact-verification
+    * side of every MinHash path.
+    */
+  private[graft] def shingleSetsOf(posts: DataFrame): DataFrame =
+    posts.groupBy(col("doc_id")).agg(collect_set(col("gh")).as("sh"))
+
   val q34MinhashLsh = QueryDef(
     "q34_minhash_lsh",
     "MinHash(64) + LSH(16 bands × 4) near-dup pairs, exact-Jaccard verified at 0.8",
@@ -114,19 +138,13 @@ object DedupQueries {
     // this plan completes, so standalone library callers don't leak;
     // the harnesses' clearCache stays a harmless second release
     val posts = graft.AutoUnpersist.scoped(shinglePostings(s, d))
-    val sh = posts.groupBy(col("doc_id")).agg(collect_set(col("gh")).as("sh"))
+    val sh = shingleSetsOf(posts)
     // the whole 64-slot signature builds in one native
     // TypedImperativeAggregate pass over the shingle hashes (see
     // plans.MinHashSigAgg; an exploded groupBy(doc, i).min shape
-    // measured 18 s at sf0.1, a udaf(Aggregator) ~2× this)
-    val sig = posts
-      .groupBy(col("doc_id"))
-      .agg(GraftFunctions.minhashSig(col("gh")).as("sig"))
-    // band key = murmur hash of each 4-slot signature slice
-    val bands = sig.select(col("doc_id"),
-      posexplode(transform(sequence(lit(0), lit(MinhashK / BandRows - 1)),
-        b => hash(slice(col("sig"), b * BandRows + 1, lit(BandRows)))))
-        .as(Seq("band", "bkey")))
+    // measured 18 s at sf0.1, a udaf(Aggregator) ~2× this); band key
+    // = murmur hash of each 4-slot signature slice
+    val bands = minhashBandsOf(posts)
     val cand = bands.alias("x")
       .join(bands.alias("y"),
         col("x.band") === col("y.band") && col("x.bkey") === col("y.bkey") &&
@@ -389,8 +407,8 @@ object DedupQueries {
       |pairs AS (
       |  SELECT doc_a, doc_b FROM (
       |    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-      |      CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
-      |        / len(list_distinct(list_concat(a.sh, b.sh))) AS jaccard
+      |      round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+      |        / len(list_distinct(list_concat(a.sh, b.sh))), 4) AS jaccard
       |    FROM tb a
       |    JOIN (SELECT doc_id, sh, unnest([band-1, band, band+1]) AS jband FROM tb) b
       |      ON a.band = b.jband AND a.doc_id < b.doc_id)
@@ -419,7 +437,45 @@ object DedupQueries {
       .orderBy(col("doc_id"))
   }
 
+  /** Incremental batch-vs-corpus near-dup: documents with
+    * doc_id % 10 == 0 play the "newly arrived batch", the rest the
+    * indexed corpus ([[graft.api.IncrementalDedup]]). The probe
+    * shuffles only the batch's band keys against the corpus index —
+    * O(batch + candidates) per ingest instead of re-pairing the
+    * corpus (q34's self-join shape) every run; at 100 TB this is the
+    * only affordable dedup cadence. Oracle: brute-force cross-side
+    * Jaccard ≥ 0.8 with the q34 size-band pruning (J ≥ 0.8 bounds the
+    * set-size ratio, so only adjacent bin-length bands can pair);
+    * same accepted ~2e-4 boundary-recall basis as q34.
+    */
+  val q79IncrementalDedup = QueryDef(
+    "q79_incremental_dedup",
+    "incremental dedup: new batch probes the stored MinHash corpus index, exact-verified at 0.8",
+    """WITH t AS (
+      |  SELECT doc_id,
+      |    list_distinct(list_transform(range(1, len(w)-1),
+      |                  i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS sh
+      |  FROM (SELECT doc_id, list_filter(string_split(text, ' '), t -> length(t) > 0) AS w
+      |        FROM documents)),
+      |tb AS (SELECT doc_id, sh, length(bin(len(sh))) AS band FROM t WHERE len(sh) > 0)
+      |SELECT * FROM (
+      |  SELECT a.doc_id AS new_id, b.doc_id AS dup_of,
+      |    round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+      |          / len(list_distinct(list_concat(a.sh, b.sh))), 4) AS jaccard
+      |  FROM tb a
+      |  JOIN (SELECT doc_id, sh, unnest([band-1, band, band+1]) AS jband FROM tb) b
+      |    ON a.band = b.jband AND a.doc_id % 10 = 0 AND b.doc_id % 10 <> 0)
+      |WHERE jaccard >= 0.8
+      |ORDER BY new_id, dup_of""".stripMargin) { (s, d) =>
+    val docs = Tables.documents(s, d)
+    val ix = graft.api.IncrementalDedup.buildIndex(
+      docs.filter(col("doc_id") % 10 =!= 0))
+    graft.api.IncrementalDedup
+      .newDupPairs(docs.filter(col("doc_id") % 10 === 0), ix)
+      .orderBy(col("new_id"), col("dup_of"))
+  }
+
   val all: Seq[QueryDef] = Seq(
     q33ExactDedup, q34MinhashLsh, q35Simhash, q36NgramJaccard,
-    q37EmbeddingNeardup, q78DupClusters)
+    q37EmbeddingNeardup, q78DupClusters, q79IncrementalDedup)
 }

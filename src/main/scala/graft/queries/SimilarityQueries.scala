@@ -289,7 +289,7 @@ object SimilarityQueries {
     * the cosine is bit-identical to the DuckDB `list_transform` twin —
     * a full hash-checked oracle, not a tolerance gate. Quantization
     * quality (recall@10 vs the float baseline) is pinned separately
-    * in DedupQualitySpec.
+    * in HygieneSpec.
     */
   val q76QuantizedTopk = QueryDef(
     "q76_quantized_topk",

@@ -199,6 +199,27 @@ object StreamingOps {
       .select(col("user_id"), col("view_ts"), col("click_ts"), col("value"))
   }
 
+  /** Streaming ingest NEAR-dup dedup — the stream twin of
+    * [[graft.api.IncrementalDedup]]: every arriving micro-batch of
+    * documents (`doc_id long, text string`) probes the persistent
+    * corpus index via `foreachBatch` (the canonical reuse-the-batch-
+    * pipeline pattern), hands its verified near-dup pairs to `sink`,
+    * then APPENDS itself to the index so later batches dedup against
+    * earlier ones too. State lives in the parquet index, not the
+    * state store — unbounded corpus, bounded executor memory; at
+    * 100 TB the probe cost per batch is O(batch + candidates),
+    * independent of corpus size.
+    */
+  def ingestDedupStream(
+      docs: DataFrame, indexDir: String, threshold: Double = 0.8)(
+      sink: (DataFrame, Long) => Unit): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    docs.writeStream.foreachBatch {
+      (batch: Dataset[org.apache.spark.sql.Row], id: java.lang.Long) =>
+        val ix = graft.api.IncrementalDedup.readIndex(batch.sparkSession, indexDir)
+        sink(graft.api.IncrementalDedup.newDupPairs(batch, ix, threshold), id)
+        graft.api.IncrementalDedup.appendIndex(batch, indexDir)
+    }
+
   /** File-based streaming source over the driver's parquet events —
     * `readStream` with `availableNow` semantics turns the bounded
     * table into a replayed stream (the socket-source analogue of
