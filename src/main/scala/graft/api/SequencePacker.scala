@@ -1,0 +1,65 @@
+package graft.api
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Sequence packing — the last step of a pretraining data pipeline:
+  * documents are concatenated in a deterministic global order and
+  * chunked into fixed token-budget training sequences (the standard
+  * "concat-then-chunk" packing; a document may span a sequence
+  * boundary). The output is per-document placement metadata:
+  * which sequence a doc starts in, where, and how many sequences it
+  * spans — exactly what a loader needs to materialize sequence k
+  * without scanning its neighbors.
+  *
+  * The global running token total is the crux at scale: a bare
+  * `sum(...) OVER (ORDER BY ...)` funnels the corpus through ONE
+  * reducer task. This computes it in two passes instead (the q15
+  * ranking idiom): range-repartition on the order key, cumsum within
+  * each partition on all K tasks, then add per-partition prefix
+  * offsets — K rows of driver metadata, the same order of state the
+  * range sampler itself keeps. Every heavy op stays partitioned at
+  * any corpus size.
+  */
+object SequencePacker {
+
+  /** Placement of each row's `nCol` tokens in B-token sequences,
+    * ordered by `orderCol` (a unique key). Adds:
+    *   - `cum`: running token total INCLUSIVE of this row;
+    *   - `seq_id`: sequence holding the row's first token;
+    *   - `end_seq`: sequence holding its last token;
+    *   - `seq_offset`: token offset of the row within `seq_id`.
+    * Rows with zero/negative token counts must be filtered out by
+    * the caller (they occupy no tokens, so they have no placement).
+    *
+    * The returned plan reads the persisted range-partitioned input;
+    * the persist guarantees the count pass and the cumsum pass see
+    * identical range boundaries (same contract as q15 — harnesses
+    * and tests clear the cache manager per query).
+    */
+  def pack(rows: DataFrame, orderCol: String, nCol: String,
+      budget: Long): DataFrame = {
+    require(budget > 0, s"budget must be positive: $budget")
+    val spark = rows.sparkSession
+    val parts = rows
+      .repartitionByRange(col(orderCol))
+      .withColumn("pid", spark_partition_id())
+      .persist()
+    val totals = parts.groupBy(col("pid"))
+      .agg(sum(col(nCol)).as("t")).collect()
+      .map(r => (r.getInt(0), r.getLong(1))).sortBy(_._1)
+    val offsets = totals.map(_._1)
+      .zip(totals.map(_._2).scanLeft(0L)(_ + _).dropRight(1)).toSeq
+    val offDf = spark.createDataFrame(offsets).toDF("pid", "off")
+    val w = Window.partitionBy(col("pid")).orderBy(col(orderCol))
+    // `div` keeps the arithmetic in LongType end to end — a double
+    // division would lose token positions past 2^53 on a big corpus
+    parts.join(broadcast(offDf), "pid")
+      .withColumn("cum", sum(col(nCol)).over(w) + col("off"))
+      .withColumn("seq_id", expr(s"(cum - $nCol) div $budget"))
+      .withColumn("end_seq", expr(s"(cum - 1) div $budget"))
+      .withColumn("seq_offset", expr(s"(cum - $nCol) % $budget"))
+      .drop("pid", "off")
+  }
+}

@@ -2,6 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.functions._
 import graft.{QueryDef, Tables}
+import graft.api.SequencePacker
 
 /** End-to-end corpus-curation pipeline — the composition story the
   * individual LLM-pipeline operators exist for, as ONE declarative
@@ -75,5 +76,46 @@ object CurationQueries {
       .orderBy(col("lang"), col("source"))
   }
 
-  val all: Seq[QueryDef] = Seq(q61CurationPipeline)
+  /** Sequence packing — the last step before training: documents are
+    * concatenated in deterministic doc_id order and chunked into
+    * 2048-token sequences (standard concat-then-chunk; a doc may span
+    * a boundary). Emits per-document placement metadata (`seq_id`,
+    * `seq_offset`, `end_seq`) — what a loader needs to materialize
+    * sequence k without scanning neighbors. The global running token
+    * total comes from `api.SequencePacker`'s two-pass cumsum (range
+    * repartition + per-partition window + K-row broadcast of prefix
+    * offsets), NOT a single-reducer `sum OVER (ORDER BY ...)` — the
+    * oracle's global window IS that single-reducer plan, which is
+    * exactly what this operator avoids at scale.
+    */
+  val q80SequencePack = QueryDef(
+    "q80_sequence_pack",
+    "sequence packing: concat-then-chunk placement of docs into 2048-token training sequences",
+    """WITH tok AS (
+      |  SELECT doc_id,
+      |         len(list_filter(string_split(text, ' '), t -> length(t) > 0)) AS n_tokens
+      |  FROM documents),
+      |c AS (
+      |  SELECT doc_id, n_tokens,
+      |         sum(n_tokens) OVER (ORDER BY doc_id) AS cum
+      |  FROM tok WHERE n_tokens > 0)
+      |SELECT doc_id,
+      |  CAST(n_tokens AS BIGINT) AS n_tokens,
+      |  CAST(cum AS BIGINT) AS cum,
+      |  CAST((cum - n_tokens) // 2048 AS BIGINT) AS seq_id,
+      |  CAST((cum - 1) // 2048 AS BIGINT) AS end_seq,
+      |  CAST((cum - n_tokens) % 2048 AS BIGINT) AS seq_offset
+      |FROM c
+      |ORDER BY doc_id""".stripMargin) { (s, d) =>
+    val docs = Tables.documents(s, d)
+      .select(col("doc_id"),
+        size(toks(col("text"))).cast("long").as("n_tokens"))
+      .filter(col("n_tokens") > 0)
+    SequencePacker.pack(docs, "doc_id", "n_tokens", 2048L)
+      .select(col("doc_id"), col("n_tokens"), col("cum"),
+        col("seq_id"), col("end_seq"), col("seq_offset"))
+      .orderBy(col("doc_id"))
+  }
+
+  val all: Seq[QueryDef] = Seq(q61CurationPipeline, q80SequencePack)
 }

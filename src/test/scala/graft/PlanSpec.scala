@@ -232,4 +232,16 @@ class PlanSpec extends SparkSpec {
       s"SQL-path similarity join stayed quadratic:\n$plan")
     assert(df.count() > 0)
   }
+
+  test("q80 sequence packing plans no global single-partition window") {
+    import org.apache.spark.sql.catalyst.plans.logical.{Window => LogicalWindow}
+    val df = Registry.byName("q80_sequence_pack").fn(spark, sfDir)
+    val windows = df.queryExecution.optimizedPlan.collect {
+      case w: LogicalWindow => w
+    }
+    assert(windows.nonEmpty, "expected the per-partition cumsum window in q80's plan")
+    assert(windows.forall(_.partitionSpec.nonEmpty),
+      "q80 contains a global window — the corpus would funnel through ONE reducer")
+    spark.sharedState.cacheManager.clearCache()
+  }
 }
