@@ -1,5 +1,6 @@
 package graft.queries
 
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.{QueryDef, Tables}
 
@@ -82,6 +83,58 @@ object SamplingQueries {
       .orderBy(col("shard_id"))
   }
 
+  /** Token-budget data mixing: within each source, take documents in
+    * descending quality order (type-token ratio in integer basis
+    * points, the q29 arithmetic) until a fixed per-source token budget
+    * is exhausted — the selection step of building a training mix with
+    * per-domain token caps. The cumulative token total is a window
+    * PARTITIONED by source, so each source's cumsum runs on its own
+    * task — at 100 TB parallelism is the number of sources; a single
+    * pathologically hot source would need the `api.SequencePacker`
+    * two-pass idiom inside that source (documented, not needed for a
+    * per-domain cap whose whole point is bounding each domain).
+    * Integer-only arithmetic (token counts, basis points) so DuckDB
+    * replays the selection exactly.
+    */
+  val q81TokenBudgetMix = QueryDef(
+    "q81_token_budget_mix",
+    "per-source token-budget mix: quality-ranked docs kept until a 500-token source cap",
+    """WITH tok AS (
+      |  SELECT doc_id, source,
+      |         list_filter(string_split(text, ' '), t -> length(t) > 0) AS w
+      |  FROM documents),
+      |q AS (
+      |  SELECT doc_id, source, len(w) AS n_tokens,
+      |         CAST(floor(10000.0 * len(list_distinct(w)) / len(w)) AS BIGINT) AS ttr_bp
+      |  FROM tok WHERE len(w) > 0),
+      |c AS (
+      |  SELECT doc_id, source, n_tokens, ttr_bp,
+      |         sum(n_tokens) OVER (PARTITION BY source
+      |                             ORDER BY ttr_bp DESC, doc_id) AS cum
+      |  FROM q)
+      |SELECT doc_id, source, CAST(n_tokens AS BIGINT) AS n_tokens,
+      |       ttr_bp, CAST(cum AS BIGINT) AS cum_tokens
+      |FROM c WHERE cum <= 500
+      |ORDER BY doc_id""".stripMargin) { (s, d) =>
+    val toks = filter(split(col("text"), " "), t => length(t) > 0)
+    val scored = Tables.documents(s, d)
+      .select(col("doc_id"), col("source"), toks.as("w"))
+      .filter(size(col("w")) > 0)
+      .select(col("doc_id"), col("source"),
+        size(col("w")).cast("long").as("n_tokens"),
+        floor(lit(10000.0) * size(array_distinct(col("w"))) / size(col("w")))
+          .cast("long").as("ttr_bp"))
+    val w = Window.partitionBy(col("source"))
+      .orderBy(col("ttr_bp").desc, col("doc_id"))
+    scored
+      .withColumn("cum_tokens", sum(col("n_tokens")).over(w))
+      .filter(col("cum_tokens") <= 500)
+      .select(col("doc_id"), col("source"), col("n_tokens"),
+        col("ttr_bp"), col("cum_tokens"))
+      .orderBy(col("doc_id"))
+  }
+
   val all: Seq[QueryDef] =
-    Seq(q56DeterministicSample, q57StratifiedMix, q77ShardStats)
+    Seq(q56DeterministicSample, q57StratifiedMix, q77ShardStats,
+      q81TokenBudgetMix)
 }

@@ -217,4 +217,40 @@ class DedupQualitySpec extends SparkSpec {
         s"${r.getString(0)}: approx=$approx exact=$exact")
     }
   }
+
+  test("PassJoin edit-distance banding is complete vs brute force (shift cases included)") {
+    import spark.implicits._
+    val base = "the quick brown fox jumps over the lazy dog near the rivers!"
+    assert(base.length == 60)
+    // adversarial variants: substitutions, a pure-insertion shift (every
+    // char after position 3 moves right — segment alignment shifts),
+    // a deletion shift, mixed indel+sub at distance exactly 4, and a
+    // distance-5 decoy that MUST be excluded
+    val docs = Seq(
+      (1L, "en", base),
+      (2L, "en", base.updated(5, 'x').updated(20, 'x').updated(40, 'x').updated(58, 'x')),
+      (3L, "en", ("XX" + base).take(60)),     // 2 front inserts + 2 tail deletes: dist 4, alignment shifts right
+      (4L, "en", base.drop(2) + "zz"),        // 2 front deletes + 2 tail inserts: dist 4, alignment shifts left
+      (5L, "en", ("z" + base.updated(30, 'q')).take(60)), // 1 ins + 1 sub + 1 tail del: dist 3
+      (6L, "en", base.updated(1, '#').updated(13, '#').updated(25, '#')
+        .updated(37, '#').updated(49, '#')),  // one sub per segment: dist 5
+      (7L, "fr", base)                        // other lang: never paired
+    ).toDF("doc_id", "lang", "pfx")
+    val got = queries.DedupQueries.editDistancePairs(docs, 4, 12)
+      .select(col("doc_a"), col("doc_b"), col("dist")).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getInt(2)).toMap
+    // brute force over the same frame
+    val brute = docs.alias("a").join(docs.alias("b"),
+        col("a.lang") === col("b.lang") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id"), col("b.doc_id"),
+        levenshtein(col("a.pfx"), col("b.pfx")).as("d"))
+      .filter(col("d") <= 4).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getInt(2)).toMap
+    assert(got == brute,
+      s"PassJoin disagreed with brute force:\n got=$got\n brute=$brute")
+    // the shift variants must actually be among the found pairs
+    assert(got.contains((1L, 3L)) && got.contains((1L, 4L)) && got.contains((1L, 5L)),
+      "insertion/deletion shift pairs missing — probe window broken")
+    assert(!got.contains((1L, 6L)), "distance-5 decoy leaked in")
+  }
 }
