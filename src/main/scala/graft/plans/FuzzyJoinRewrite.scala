@@ -1,0 +1,127 @@
+package graft.plans
+
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.plans.Inner
+import org.apache.spark.sql.catalyst.plans.logical._
+import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.types._
+
+/** Rewrites an inner join whose condition contains `fuzzy_match(a, b, k)`
+  * from the quadratic nested-loop plan Spark would otherwise pick into
+  * the PassJoin segment-band join + bounded-levenshtein verify that
+  * `DedupQueries.editDistancePairs` hand-writes:
+  *
+  * {{{
+  *   Join(l, r, Inner, fuzzy_match(ls, rs, k) AND residual...)
+  * ──▶
+  *   Aggregate(out, out,                    // dedup multi-segment hits
+  *     Project(out,
+  *       Filter(fuzzy_verify(ls, rs, k) AND residual...,
+  *         Join(explodeSegments(l, ls), explodeProbes(r, rs),
+  *              Inner, l.segKey = r.segKey))))
+  * }}}
+  *
+  * Banding (PassJoin pigeonhole — Li/Deng/Feng/Wang, PVLDB 5(3), 2011):
+  * the left string's first (k+1)·SegLen chars are cut into k+1 fixed
+  * segments; if ed(A,B) ≤ k, some segment is untouched by every edit
+  * and appears verbatim in B within ±k of its home position, so the
+  * right side probes all those shifted substrings. Candidate
+  * generation is an EQUI join on `"<i>|<12 chars>"` keys — a hash
+  * shuffle at 100 TB, never all-pairs — and the verify predicate is
+  * the exact bounded kernel. Unlike [[SimilarityJoinRewrite]] (LSH
+  * recall trade-off), this banding is COMPLETE: the rewritten plan is
+  * exactly equivalent to the nested-loop plan on every input (set
+  * semantics on duplicate rows aside), which `PlanSpec` pins against
+  * brute force including alignment-shift fixtures.
+  *
+  * Registration: `GraftExtensions` (injectOptimizerRule) or
+  * `GraftFunctions.register` (experimental.extraOptimizations).
+  * Without the rule the predicate still evaluates exactly via the
+  * honest quadratic BNLJ — also the fallback for non-inner joins.
+  */
+object FuzzyJoinRewrite extends Rule[LogicalPlan] {
+
+  /** 12-char segments: selective enough that a shared segment is a
+    * strong signal, short enough that k+1 segments cover only the
+    * document prefix a fuzzy key comparison wants (the q82-tuned
+    * value).
+    */
+  val SegLen = 12
+
+  override def apply(plan: LogicalPlan): LogicalPlan = plan.transformUp {
+    case j @ Join(l, r, Inner, Some(cond), _) if j.resolved =>
+      val conjuncts = splitConjuncts(cond)
+      val hit = conjuncts.collectFirst {
+        case fm @ FuzzyMatch(a, b, Literal(k: Int, IntegerType))
+            if a.references.subsetOf(l.outputSet) &&
+              b.references.subsetOf(r.outputSet) =>
+          (fm, a, b, k)
+        case fm @ FuzzyMatch(a, b, Literal(k: Int, IntegerType))
+            if b.references.subsetOf(l.outputSet) &&
+              a.references.subsetOf(r.outputSet) =>
+          (fm, b, a, k)
+      }
+      hit match {
+        case Some((fm, ls, rs, k)) if k >= 0 =>
+          val residual = conjuncts.filterNot(_ eq fm)
+          rewrite(j, l, r, ls, rs, k, residual)
+        case _ => j
+      }
+  }
+
+  private def splitConjuncts(e: Expression): Seq[Expression] = e match {
+    case And(a, b) => splitConjuncts(a) ++ splitConjuncts(b)
+    case other => Seq(other)
+  }
+
+  private def segKey(i: Int, sub: Expression): Expression =
+    Concat(Seq(Literal(s"$i|"), sub))
+
+  /** Index side: the k+1 canonical segments of the string's prefix. */
+  private def explodeSegments(side: LogicalPlan, str: Expression,
+      k: Int): (LogicalPlan, Attribute) = {
+    val keys = (0 to k).map { i =>
+      segKey(i, Substring(str, Literal(1 + i * SegLen), Literal(SegLen)))
+    }
+    generate(side, keys)
+  }
+
+  /** Probe side: substrings at every start within ±k of each home
+    * position (clamped to valid positions) — ≤ (k+1)(2k+1) bounded
+    * keys per row, deduplicated.
+    */
+  private def explodeProbes(side: LogicalPlan, str: Expression,
+      k: Int): (LogicalPlan, Attribute) = {
+    val keys = for {
+      i <- 0 to k
+      delta <- -k to k
+      pos = 1 + i * SegLen + delta
+      if pos >= 1
+    } yield segKey(i, Substring(str, Literal(pos), Literal(SegLen)))
+    generate(side, keys, distinct = true)
+  }
+
+  private def generate(side: LogicalPlan, keys: Seq[Expression],
+      distinct: Boolean = false): (LogicalPlan, Attribute) = {
+    val arr: Expression =
+      if (distinct) ArrayDistinct(CreateArray(keys)) else CreateArray(keys)
+    val keyAttr = AttributeReference("graft_seg_key", StringType)()
+    val gen = Generate(Explode(arr), unrequiredChildIndex = Nil,
+      outer = false, qualifier = None, generatorOutput = Seq(keyAttr),
+      child = side)
+    (gen, keyAttr)
+  }
+
+  private def rewrite(j: Join, l: LogicalPlan, r: LogicalPlan,
+      ls: Expression, rs: Expression, k: Int,
+      residual: Seq[Expression]): LogicalPlan = {
+    val (lb, lk) = explodeSegments(l, ls, k)
+    val (rb, rk) = explodeProbes(r, rs, k)
+    val bandJoin = Join(lb, rb, Inner, Some(EqualTo(lk, rk)), JoinHint.NONE)
+    // exact verify via the FuzzyVerify twin (see scaladoc re: re-match)
+    val verify: Expression = FuzzyVerify(ls, rs, Literal(k))
+    val filt = Filter((verify +: residual).reduce(And), bandJoin)
+    val out: Seq[Attribute] = j.output
+    Aggregate(out, out, Project(out, filt))
+  }
+}

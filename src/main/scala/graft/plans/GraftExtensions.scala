@@ -20,6 +20,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     GraftFunctions.descriptors.foreach(ext.injectFunction)
     ext.injectOptimizerRule(_ => SimilarityJoinRewrite)
+    ext.injectOptimizerRule(_ => FuzzyJoinRewrite)
   }
 }
 
@@ -75,10 +76,17 @@ object GraftFunctions {
       new ExpressionInfo(classOf[VectorSumAgg].getName, "vector_sum"),
       (children: Seq[Expression]) => VectorSumAgg(children.head))
 
+  val fuzzyMatchDescriptor: Descriptor =
+    (FunctionIdentifier("fuzzy_match"),
+      new ExpressionInfo(classOf[FuzzyMatch].getName, "fuzzy_match"),
+      (children: Seq[Expression]) =>
+        FuzzyMatch(children(0), children(1), children(2)))
+
   val descriptors: Seq[Descriptor] =
     Seq(cosineSimDescriptor, minhashSigDescriptor, simhashDescriptor,
       topkDescriptor, similarToDescriptor, lshSigDescriptor,
-      unicodeNormalizeDescriptor, quantizeI8Descriptor, vectorSumDescriptor)
+      unicodeNormalizeDescriptor, quantizeI8Descriptor, vectorSumDescriptor,
+      fuzzyMatchDescriptor)
 
   /** Idempotent per-session registration: the native functions plus
     * the similarity-join optimizer rule (the in-library twin of the
@@ -95,6 +103,10 @@ object GraftFunctions {
     if (!spark.experimental.extraOptimizations.contains(SimilarityJoinRewrite)) {
       spark.experimental.extraOptimizations =
         spark.experimental.extraOptimizations :+ SimilarityJoinRewrite
+    }
+    if (!spark.experimental.extraOptimizations.contains(FuzzyJoinRewrite)) {
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations :+ FuzzyJoinRewrite
     }
   }
 
@@ -135,6 +147,15 @@ object GraftFunctions {
 
   /** Column-API form of the native element-wise vector-sum aggregate. */
   def vectorSum(vec: Column): Column = call_function("vector_sum", vec)
+
+  /** Column-API form of the edit-distance join predicate: exact
+    * levenshtein(a,b) ≤ k everywhere; inner-join conditions get
+    * rewritten to the PassJoin segment-band plan by
+    * [[FuzzyJoinRewrite]] (complete banding — exact equivalence).
+    */
+  def fuzzyMatch(a: Column, b: Column, k: Int): Column =
+    call_function("fuzzy_match", a, b,
+      org.apache.spark.sql.functions.lit(k))
 
   /** Column-API form of the Rademacher-projection LSH signature. */
   def lshSig(vec: Column, nBits: Int, seed: Long): Column =

@@ -559,11 +559,27 @@ object DedupQueries {
       |SELECT doc_a, doc_b, lang, CAST(dist AS INT) AS dist
       |FROM p WHERE dist <= 4
       |ORDER BY doc_a, doc_b""".stripMargin) { (s, d) =>
+    // Expressed through the FIRST-CLASS operator: `fuzzy_match(a,b,4)`
+    // in an inner-join condition, which `plans.FuzzyJoinRewrite`
+    // rewrites into the same PassJoin band-join + bounded-verify shape
+    // `editDistancePairs` (kept above as the explicit-recipe form)
+    // builds by hand — and since PassJoin banding is COMPLETE, the
+    // brute-force DuckDB oracle hash-checks the whole operator stack.
+    // PlanSpec gates the rewrite fires (no BNLJ) and equals brute
+    // force on adversarial alignment-shift fixtures.
+    GraftFunctions.register(s)
     val docs = Tables.documents(s, d)
       .select(col("doc_id"), col("lang"),
         substring(col("text"), 1, 60).as("pfx"))
       .filter(octet_length(col("pfx")) === length(col("pfx")))
-    editDistancePairs(docs, 4, 12)
+    val a = docs.toDF("doc_a", "lang", "pfx_a")
+    val b = docs.toDF("doc_b", "lang_b", "pfx_b")
+    a.join(b,
+        col("lang") === col("lang_b") &&
+          col("doc_a") < col("doc_b") &&
+          GraftFunctions.fuzzyMatch(col("pfx_a"), col("pfx_b"), 4))
+      .select(col("doc_a"), col("doc_b"), col("lang"),
+        levenshtein(col("pfx_a"), col("pfx_b")).as("dist"))
       .orderBy(col("doc_a"), col("doc_b"))
   }
 

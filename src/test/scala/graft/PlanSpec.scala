@@ -233,6 +233,74 @@ class PlanSpec extends SparkSpec {
     assert(df.count() > 0)
   }
 
+  private def fuzzyFixture = {
+    import spark.implicits._
+    val base = "the quick brown fox jumps over the lazy dog near the rivers!"
+    Seq(
+      (1L, base),
+      (2L, base.updated(5, 'x').updated(20, 'x').updated(40, 'x').updated(58, 'x')),
+      (3L, ("XX" + base).take(60)),   // front inserts: alignment shift
+      (4L, base.drop(2) + "zz"),      // front deletes: alignment shift
+      (5L, base.updated(1, '#').updated(13, '#').updated(25, '#')
+        .updated(37, '#').updated(49, '#')) // dist 5: must be excluded
+    ).toDF("id", "s")
+  }
+
+  test("fuzzy_match inner join rewrites to the PassJoin segment equi join (no BNLJ)") {
+    GraftFunctions.register(spark)
+    val l = fuzzyFixture.toDF("id_a", "s_a")
+    val r = fuzzyFixture.toDF("id_b", "s_b")
+    val joined = l.join(r,
+      GraftFunctions.fuzzyMatch(col("s_a"), col("s_b"), 4) &&
+        col("id_a") < col("id_b"))
+    val plan = planString(joined)
+    assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"),
+      s"fuzzy_match join stayed quadratic:\n$plan")
+    assert(plan.contains("fuzzy_verify"), s"exact verify filter missing:\n$plan")
+  }
+
+  test("fuzzy_match rewrite equals brute force exactly (shift cases included)") {
+    GraftFunctions.register(spark)
+    val l = fuzzyFixture.toDF("id_a", "s_a")
+    val r = fuzzyFixture.toDF("id_b", "s_b")
+    val got = l.join(r,
+        GraftFunctions.fuzzyMatch(col("s_a"), col("s_b"), 4) &&
+          col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b")).collect()
+      .map(x => (x.getLong(0), x.getLong(1))).toSet
+    val brute = l.join(r,
+        levenshtein(col("s_a"), col("s_b")) <= 4 && col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b")).collect()
+      .map(x => (x.getLong(0), x.getLong(1))).toSet
+    assert(got == brute, s"rewrite != brute force: got=$got brute=$brute")
+    assert(got.contains((1L, 3L)) && got.contains((1L, 4L)),
+      "alignment-shift pairs missing from the rewritten join")
+    assert(!got.contains((1L, 5L)), "distance-5 decoy leaked through verify")
+  }
+
+  test("fuzzy_match outside a join evaluates exactly (fallback semantics)") {
+    GraftFunctions.register(spark)
+    import spark.implicits._
+    val df = Seq(("kitten", "sitting"), ("kitten", "kitten"), ("ab", "wxyz"))
+      .toDF("a", "b")
+      .select(GraftFunctions.fuzzyMatch(col("a"), col("b"), 3).as("m"))
+    assert(df.collect().map(_.getBoolean(0)).toSeq == Seq(true, true, false))
+  }
+
+  test("fuzzy_match join is SQL-callable and rewritten there too") {
+    GraftFunctions.register(spark)
+    fuzzyFixture.createOrReplaceTempView("fuzzy_docs")
+    val df = spark.sql(
+      """SELECT a.id AS id_a, b.id AS id_b
+        |FROM fuzzy_docs a JOIN fuzzy_docs b
+        |  ON fuzzy_match(a.s, b.s, 4)
+        | AND a.id < b.id""".stripMargin)
+    val plan = planString(df)
+    assert(!plan.contains("BroadcastNestedLoopJoin"),
+      s"SQL-path fuzzy join stayed quadratic:\n$plan")
+    assert(df.count() > 0)
+  }
+
   test("q80 sequence packing plans no global single-partition window") {
     import org.apache.spark.sql.catalyst.plans.logical.{Window => LogicalWindow}
     val df = Registry.byName("q80_sequence_pack").fn(spark, sfDir)
