@@ -62,4 +62,29 @@ object SequencePacker {
       .withColumn("seq_offset", expr(s"(cum - $nCol) % $budget"))
       .drop("pid", "off")
   }
+
+  /** Loader-side materialization of `pack`'s placement: one row per
+    * (document × sequence) slice. A doc occupying global token span
+    * [cum − n, cum) intersected with sequence s's span
+    * [s·B, (s+1)·B) yields, per overlapped sequence:
+    *   - `seq`: the sequence id;
+    *   - `tok_start`: first sliced token's offset WITHIN the doc;
+    *   - `seq_off`: where the slice begins within the sequence;
+    *   - `slice_len`: tokens in the slice.
+    * Per-sequence groups of these rows are exactly the fetch plan a
+    * training loader executes to assemble sequence s. The explode is
+    * bounded by each doc's span count (ceil(n/B)+1), so the operator
+    * stays a per-row flatMap — no shuffle beyond `pack`'s own.
+    */
+  def slices(packed: DataFrame, nCol: String, budget: Long): DataFrame =
+    packed
+      .withColumn("seq", explode(sequence(col("seq_id"), col("end_seq"))))
+      .withColumn("glo_start",
+        greatest(col("cum") - col(nCol), col("seq") * budget))
+      .withColumn("glo_end",
+        least(col("cum"), (col("seq") + 1) * budget))
+      .withColumn("tok_start", col("glo_start") - (col("cum") - col(nCol)))
+      .withColumn("seq_off", col("glo_start") - col("seq") * budget)
+      .withColumn("slice_len", col("glo_end") - col("glo_start"))
+      .drop("glo_start", "glo_end")
 }

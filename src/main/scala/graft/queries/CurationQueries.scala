@@ -117,5 +117,46 @@ object CurationQueries {
       .orderBy(col("doc_id"))
   }
 
-  val all: Seq[QueryDef] = Seq(q61CurationPipeline, q80SequencePack)
+  /** The loader-side half of q80: every (document × sequence) slice a
+    * training loader fetches to assemble each 2048-token sequence —
+    * docs spanning a boundary contribute one row per overlapped
+    * sequence. The oracle replays pack's global cumsum and expands
+    * spans with `generate_series` (inclusive, like Spark `sequence`);
+    * all arithmetic stays in BIGINT.
+    */
+  val q83PackSlices = QueryDef(
+    "q83_pack_slices",
+    "sequence-pack slice materialization: per-(doc x sequence) fetch plan rows",
+    """WITH tok AS (
+      |  SELECT doc_id,
+      |         len(list_filter(string_split(text, ' '), t -> length(t) > 0)) AS n_tokens
+      |  FROM documents),
+      |c AS (
+      |  SELECT doc_id, CAST(n_tokens AS BIGINT) AS n,
+      |         CAST(sum(n_tokens) OVER (ORDER BY doc_id) AS BIGINT) AS cum
+      |  FROM tok WHERE n_tokens > 0),
+      |s AS (
+      |  SELECT doc_id, n, cum,
+      |         unnest(generate_series((cum - n) // 2048, (cum - 1) // 2048)) AS seq
+      |  FROM c)
+      |SELECT doc_id, CAST(seq AS BIGINT) AS seq,
+      |  CAST(greatest(cum - n, seq * 2048) - (cum - n) AS BIGINT) AS tok_start,
+      |  CAST(greatest(cum - n, seq * 2048) - seq * 2048 AS BIGINT) AS seq_off,
+      |  CAST(least(cum, (seq + 1) * 2048)
+      |       - greatest(cum - n, seq * 2048) AS BIGINT) AS slice_len
+      |FROM s
+      |ORDER BY doc_id, seq""".stripMargin) { (s, d) =>
+    val docs = Tables.documents(s, d)
+      .select(col("doc_id"),
+        size(toks(col("text"))).cast("long").as("n_tokens"))
+      .filter(col("n_tokens") > 0)
+    val packed = SequencePacker.pack(docs, "doc_id", "n_tokens", 2048L)
+    SequencePacker.slices(packed, "n_tokens", 2048L)
+      .select(col("doc_id"), col("seq"), col("tok_start"),
+        col("seq_off"), col("slice_len"))
+      .orderBy(col("doc_id"), col("seq"))
+  }
+
+  val all: Seq[QueryDef] =
+    Seq(q61CurationPipeline, q80SequencePack, q83PackSlices)
 }

@@ -62,4 +62,37 @@ class SequencePackerSpec extends SparkSpec {
   test("non-positive budget is rejected") {
     intercept[IllegalArgumentException](SequencePacker.pack(fixture, "id", "n", 0L))
   }
+
+  test("slices tile every doc and fill every sequence exactly") {
+    val packed = SequencePacker.pack(fixture, "id", "n", budget)
+    val sl = SequencePacker.slices(packed, "n", budget)
+      .select(col("id"), col("n"), col("seq"), col("tok_start"),
+        col("seq_off"), col("slice_len"))
+      .collect()
+    // per-doc: slices cover [0, n) contiguously in seq order
+    sl.groupBy(_.getLong(0)).foreach { case (_, rows) =>
+      val ordered = rows.sortBy(_.getLong(2))
+      var next = 0L
+      ordered.foreach { r =>
+        assert(r.getLong(3) == next, "doc slices must tile contiguously")
+        next += r.getLong(5)
+      }
+      assert(next == ordered.head.getLong(1), "doc slices must sum to n")
+    }
+    // per-sequence: slices cover [0, budget) exactly (last seq partial)
+    val bySeq = sl.groupBy(_.getLong(2))
+    val lastSeq = bySeq.keys.max
+    bySeq.foreach { case (seq, rows) =>
+      val ordered = rows.sortBy(_.getLong(4))
+      var next = 0L
+      ordered.foreach { r =>
+        assert(r.getLong(4) == next, s"seq $seq has a gap at offset ${r.getLong(4)}")
+        next += r.getLong(5)
+      }
+      if (seq != lastSeq)
+        assert(next == budget, s"seq $seq holds $next tokens, not the full budget")
+      else assert(next <= budget)
+    }
+    spark.sharedState.cacheManager.clearCache()
+  }
 }
