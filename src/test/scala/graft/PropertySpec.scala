@@ -114,4 +114,31 @@ class PropertySpec extends SparkSpec {
       .as[String].collect().toSeq
     assert(got == expected)
   }
+
+  test("sequence packing equals the single-window plan on random corpora") {
+    import spark.implicits._
+    // token counts span tiny docs to docs many times the budget, so
+    // random corpora exercise multi-sequence spanning and exact fits
+    val corpusGen: Gen[List[Long]] =
+      Gen.listOfN(80, Gen.frequency(
+        5 -> Gen.choose(1L, 30L),
+        2 -> Gen.choose(30L, 64L),
+        1 -> Gen.const(64L),        // exact-budget doc
+        1 -> Gen.choose(150L, 400L) // spans 3+ sequences
+      ))
+    check(Prop.forAll(corpusGen) { ns =>
+      val df = ns.zipWithIndex.map { case (n, i) => (i.toLong, n) }.toDF("id", "n")
+      val w = org.apache.spark.sql.expressions.Window.orderBy($"id")
+      val naive = df.withColumn("cum", sum($"n").over(w))
+        .withColumn("seq_id", expr("(cum - n) div 64"))
+        .withColumn("end_seq", expr("(cum - 1) div 64"))
+        .withColumn("seq_offset", expr("(cum - n) % 64"))
+        .select($"id", $"cum", $"seq_id", $"end_seq", $"seq_offset")
+      val packed = graft.api.SequencePacker.pack(df, "id", "n", 64L)
+        .select($"id", $"cum", $"seq_id", $"end_seq", $"seq_offset")
+      val ok = packed.exceptAll(naive).isEmpty && naive.exceptAll(packed).isEmpty
+      spark.sharedState.cacheManager.clearCache()
+      ok
+    })
+  }
 }

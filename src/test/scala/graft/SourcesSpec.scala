@@ -197,4 +197,23 @@ class SourcesSpec extends SparkSpec {
     assert(lines == Set("alpha", "beta", "gamma"),
       s"gzip text not decoded: $lines")
   }
+
+  test("parquet schema evolution: mergeSchema unions columns across file generations") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-evolve").toString
+    // generation 1: (id, a); generation 2 adds a column (id, a, b) — the
+    // shape a long-lived 100 TB corpus takes as pipelines add fields
+    Seq((1L, "x"), (2L, "y")).toDF("id", "a")
+      .write.mode("append").parquet(dir)
+    Seq((3L, "z", 30L)).toDF("id", "a", "b")
+      .write.mode("append").parquet(dir)
+    val merged = spark.read.option("mergeSchema", "true").parquet(dir)
+    assert(merged.columns.sorted.toSeq == Seq("a", "b", "id"),
+      s"merged schema wrong: ${merged.columns.mkString(",")}")
+    val rows = merged.orderBy($"id")
+      .collect().map(r => (r.getLong(0), r.getString(1),
+        if (r.isNullAt(2)) None else Some(r.getLong(2))))
+    assert(rows.toSeq == Seq((1L, "x", None), (2L, "y", None), (3L, "z", Some(30L))),
+      "old-generation rows must read the new column as null")
+  }
 }
