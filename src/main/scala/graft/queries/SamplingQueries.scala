@@ -134,7 +134,54 @@ object SamplingQueries {
       .orderBy(col("doc_id"))
   }
 
+  /** Length-bucketed batching — the inference-side counterpart of
+    * q80's training packing: docs are grouped into token-length
+    * buckets (width 16) and cut into fixed-size batches of 8 within
+    * each bucket, then audited for padding waste (docs in a batch pad
+    * to the batch max; bucketing exists precisely to bound that
+    * waste). The window partitions by bucket, so batch assignment
+    * parallelizes across buckets; all arithmetic is integer, so the
+    * DuckDB twin replays batch boundaries exactly.
+    */
+  val q84LengthBatches = QueryDef(
+    "q84_length_batches",
+    "length-bucketed inference batching: width-16 buckets, batches of 8, padding-waste audit",
+    """WITH tok AS (
+      |  SELECT doc_id,
+      |         len(list_filter(string_split(text, ' '), t -> length(t) > 0)) AS n
+      |  FROM documents),
+      |b AS (SELECT doc_id, n, n // 16 AS bucket FROM tok WHERE n > 0),
+      |r AS (
+      |  SELECT doc_id, n, bucket,
+      |         (row_number() OVER (PARTITION BY bucket ORDER BY doc_id) - 1) // 8 AS batch_id
+      |  FROM b)
+      |SELECT CAST(bucket AS BIGINT) AS bucket,
+      |  CAST(batch_id AS BIGINT) AS batch_id,
+      |  count(*) AS n_docs,
+      |  CAST(max(n) AS BIGINT) AS max_tokens,
+      |  CAST(sum(n) AS BIGINT) AS total_tokens,
+      |  CAST(count(*) * max(n) - sum(n) AS BIGINT) AS pad_waste
+      |FROM r
+      |GROUP BY bucket, batch_id
+      |ORDER BY bucket, batch_id""".stripMargin) { (s, d) =>
+    val toks = filter(split(col("text"), " "), t => length(t) > 0)
+    val b = Tables.documents(s, d)
+      .select(col("doc_id"), size(toks).cast("long").as("n"))
+      .filter(col("n") > 0)
+      .withColumn("bucket", expr("n div 16"))
+    val w = Window.partitionBy(col("bucket")).orderBy(col("doc_id"))
+    b.withColumn("rn", row_number().over(w).cast("long"))
+      .withColumn("batch_id", expr("(rn - 1) div 8"))
+      .drop("rn")
+      .groupBy(col("bucket"), col("batch_id"))
+      .agg(count(lit(1)).as("n_docs"),
+        max(col("n")).as("max_tokens"),
+        sum(col("n")).as("total_tokens"),
+        (count(lit(1)) * max(col("n")) - sum(col("n"))).as("pad_waste"))
+      .orderBy(col("bucket"), col("batch_id"))
+  }
+
   val all: Seq[QueryDef] =
     Seq(q56DeterministicSample, q57StratifiedMix, q77ShardStats,
-      q81TokenBudgetMix)
+      q81TokenBudgetMix, q84LengthBatches)
 }
