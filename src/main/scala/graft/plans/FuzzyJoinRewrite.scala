@@ -48,6 +48,14 @@ object FuzzyJoinRewrite extends Rule[LogicalPlan] {
     */
   val SegLen = 12
 
+  /** Probe fan-out is (k+1)(2k+1) keys per row — quadratic in k — and
+    * segment selectivity decays as k+1 segments spread over a longer
+    * prefix. Past this distance the banding would inflate the shuffle
+    * more than it prunes, so the rule leaves the join alone and the
+    * predicate evaluates via the honest nested-loop fallback.
+    */
+  val MaxRewriteDistance = 8
+
   override def apply(plan: LogicalPlan): LogicalPlan = plan.transformUp {
     case j @ Join(l, r, Inner, Some(cond), _) if j.resolved =>
       val conjuncts = splitConjuncts(cond)
@@ -62,7 +70,7 @@ object FuzzyJoinRewrite extends Rule[LogicalPlan] {
           (fm, b, a, k)
       }
       hit match {
-        case Some((fm, ls, rs, k)) if k >= 0 =>
+        case Some((fm, ls, rs, k)) if k >= 0 && k <= MaxRewriteDistance =>
           val residual = conjuncts.filterNot(_ eq fm)
           rewrite(j, l, r, ls, rs, k, residual)
         case _ => j

@@ -278,6 +278,20 @@ class PlanSpec extends SparkSpec {
     assert(!got.contains((1L, 5L)), "distance-5 decoy leaked through verify")
   }
 
+  test("fuzzy_match beyond MaxRewriteDistance falls back to the exact nested-loop join") {
+    GraftFunctions.register(spark)
+    val l = fuzzyFixture.toDF("id_a", "s_a")
+    val r = fuzzyFixture.toDF("id_b", "s_b")
+    val joined = l.join(r,
+      GraftFunctions.fuzzyMatch(col("s_a"), col("s_b"), 50) &&
+        col("id_a") < col("id_b"))
+    val plan = planString(joined)
+    assert(plan.contains("BroadcastNestedLoopJoin") || plan.contains("CartesianProduct"),
+      s"k=50 should not band-rewrite (probe fan-out would explode):\n$plan")
+    // the fallback is still exact: k=50 admits every pair here
+    assert(joined.count() == 10)
+  }
+
   test("fuzzy_match outside a join evaluates exactly (fallback semantics)") {
     GraftFunctions.register(spark)
     import spark.implicits._
