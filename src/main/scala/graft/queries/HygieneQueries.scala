@@ -247,7 +247,65 @@ object HygieneQueries {
       .orderBy(col("doc_id"))
   }
 
+  /** Sub-document (line-level) dedup — the CCNet/RefinedWeb-style
+    * boilerplate pass that document-level dedup (q33–q36) cannot do:
+    * each doc is cut into consecutive 10-token chunks (the corpus has
+    * no newlines, so fixed windows stand in for lines), chunks are
+    * counted across documents, and every doc gets its duplicated-chunk
+    * ratio in integer basis points — the signal a cleaning pipeline
+    * thresholds to strip shared boilerplate.
+    *
+    * Scale shape: explode to ~n_tokens/10 chunk rows per doc, one hash
+    * shuffle on chunk text for the document-frequency count, a keyed
+    * join back, and a per-doc partial+final aggregate — three keyed
+    * shuffles, no windows, no all-pairs. (At 100 TB the chunk-text
+    * shuffle key would be `xxhash64(chunk)` — 8 bytes instead of the
+    * string; the oracle keys on the text itself so both engines group
+    * identically.)
+    */
+  val q85LineDedup = QueryDef(
+    "q85_line_dedup",
+    "sub-document boilerplate: 10-token chunk document frequency, per-doc duplicated-chunk ratio",
+    """WITH tok AS (
+      |  SELECT doc_id, list_filter(string_split(text, ' '), t -> length(t) > 0) AS w
+      |  FROM documents),
+      |ch AS (
+      |  SELECT DISTINCT doc_id,
+      |    unnest(list_transform(range(0, CAST((len(w) + 9) // 10 AS BIGINT)),
+      |           i -> array_to_string(w[(i*10+1):(i*10+10)], ' '))) AS chunk
+      |  FROM tok WHERE len(w) > 0),
+      |df AS (SELECT chunk, count(*) AS df FROM ch GROUP BY chunk),
+      |per AS (
+      |  SELECT ch.doc_id, count(*) AS n_chunks,
+      |         sum(CASE WHEN df.df >= 2 THEN 1 ELSE 0 END) AS dup_chunks
+      |  FROM ch JOIN df USING (chunk) GROUP BY ch.doc_id)
+      |SELECT doc_id, CAST(n_chunks AS BIGINT) AS n_chunks,
+      |  CAST(dup_chunks AS BIGINT) AS dup_chunks,
+      |  CAST(floor(10000.0 * dup_chunks / n_chunks) AS BIGINT) AS dup_bp
+      |FROM per
+      |ORDER BY doc_id""".stripMargin) { (s, d) =>
+    val toks = filter(split(col("text"), " "), t => length(t) > 0)
+    val chunks = Tables.documents(s, d)
+      .select(col("doc_id"), toks.as("w"))
+      .filter(size(col("w")) > 0)
+      .withColumn("nc", expr("(size(w) + 9) div 10").cast("long"))
+      .select(col("doc_id"),
+        explode(transform(sequence(lit(0L), col("nc") - 1),
+          i => array_join(slice(col("w"), (i * 10 + 1).cast("int"), lit(10)), " ")))
+          .as("chunk"))
+      .distinct()
+    val df = chunks.groupBy(col("chunk")).agg(count(lit(1)).as("df"))
+    chunks.join(df, "chunk")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_chunks"),
+        sum(when(col("df") >= 2, 1L).otherwise(0L)).as("dup_chunks"))
+      .select(col("doc_id"), col("n_chunks"), col("dup_chunks"),
+        floor(lit(10000.0) * col("dup_chunks") / col("n_chunks"))
+          .cast("long").as("dup_bp"))
+      .orderBy(col("doc_id"))
+  }
+
   val all: Seq[QueryDef] =
     Seq(q72Decontamination, q73RepetitionQuality, q74PiiRedaction,
-      q75UnicodeNormalize)
+      q75UnicodeNormalize, q85LineDedup)
 }
