@@ -113,14 +113,16 @@ object DedupQueries {
       |                  i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS sh
       |  FROM (SELECT doc_id, list_filter(string_split(text, ' '), t -> length(t) > 0) AS w
       |        FROM documents)),
-      |tb AS (SELECT doc_id, sh, length(bin(len(sh))) AS band FROM t WHERE len(sh) > 0)
-      |SELECT * FROM (
-      |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-      |    round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
-      |          / len(list_distinct(list_concat(a.sh, b.sh))), 4) AS jaccard
-      |  FROM tb a
-      |  JOIN (SELECT doc_id, sh, unnest([band-1, band, band+1]) AS jband FROM tb) b
-      |    ON a.band = b.jband AND a.doc_id < b.doc_id)
+      |tb AS (SELECT doc_id, len(sh) AS n, sh FROM t WHERE len(sh) > 0),
+      |inv AS (SELECT doc_id, unnest(sh) AS g FROM tb),
+      |co AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+      |       FROM inv a JOIN inv b ON a.g = b.g AND a.doc_id < b.doc_id
+      |       GROUP BY a.doc_id, b.doc_id)
+      |SELECT doc_a, doc_b, jaccard FROM (
+      |  SELECT doc_a, doc_b,
+      |    round(CAST(inter AS DOUBLE) / (na.n + nb.n - inter), 4) AS jaccard
+      |  FROM co JOIN tb na ON na.doc_id = co.doc_a
+      |          JOIN tb nb ON nb.doc_id = co.doc_b)
       |WHERE jaccard >= 0.8
       |ORDER BY doc_a, doc_b""".stripMargin) { (s, d) =>
     minhashVerifiedPairs(s, d).orderBy(col("doc_a"), col("doc_b"))
@@ -230,14 +232,16 @@ object DedupQueries {
       |                  i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS sh
       |  FROM (SELECT doc_id, list_filter(string_split(text, ' '), t -> length(t) > 0) AS w
       |        FROM documents)),
-      |tb AS (SELECT doc_id, sh, length(bin(len(sh))) AS band FROM t WHERE len(sh) > 0)
-      |SELECT * FROM (
-      |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-      |    round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
-      |          / len(list_distinct(list_concat(a.sh, b.sh))), 4) AS jaccard
-      |  FROM tb a
-      |  JOIN (SELECT doc_id, sh, unnest([band-1, band, band+1]) AS jband FROM tb) b
-      |    ON a.band = b.jband AND a.doc_id < b.doc_id)
+      |tb AS (SELECT doc_id, len(sh) AS n, sh FROM t WHERE len(sh) > 0),
+      |inv AS (SELECT doc_id, unnest(sh) AS g FROM tb),
+      |co AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+      |       FROM inv a JOIN inv b ON a.g = b.g AND a.doc_id < b.doc_id
+      |       GROUP BY a.doc_id, b.doc_id)
+      |SELECT doc_a, doc_b, jaccard FROM (
+      |  SELECT doc_a, doc_b,
+      |    round(CAST(inter AS DOUBLE) / (na.n + nb.n - inter), 4) AS jaccard
+      |  FROM co JOIN tb na ON na.doc_id = co.doc_a
+      |          JOIN tb nb ON nb.doc_id = co.doc_b)
       |WHERE jaccard >= 0.5
       |ORDER BY doc_a, doc_b""".stripMargin) { (s, d) =>
     ngramJaccardPairs(shinglePostings(s, d), MaxShingleDf)
@@ -403,15 +407,17 @@ object DedupQueries {
       |                  i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS sh
       |  FROM (SELECT doc_id, list_filter(string_split(text, ' '), t -> length(t) > 0) AS w
       |        FROM documents)),
-      |tb AS (SELECT doc_id, sh, length(bin(len(sh))) AS band FROM t WHERE len(sh) > 0),
+      |tb AS (SELECT doc_id, len(sh) AS n, sh FROM t WHERE len(sh) > 0),
+      |inv AS (SELECT doc_id, unnest(sh) AS g FROM tb),
+      |co AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+      |       FROM inv a JOIN inv b ON a.g = b.g AND a.doc_id < b.doc_id
+      |       GROUP BY a.doc_id, b.doc_id),
       |pairs AS (
       |  SELECT doc_a, doc_b FROM (
-      |    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-      |      round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
-      |        / len(list_distinct(list_concat(a.sh, b.sh))), 4) AS jaccard
-      |    FROM tb a
-      |    JOIN (SELECT doc_id, sh, unnest([band-1, band, band+1]) AS jband FROM tb) b
-      |      ON a.band = b.jband AND a.doc_id < b.doc_id)
+      |    SELECT doc_a, doc_b,
+      |      round(CAST(inter AS DOUBLE) / (na.n + nb.n - inter), 4) AS jaccard
+      |    FROM co JOIN tb na ON na.doc_id = co.doc_a
+      |            JOIN tb nb ON nb.doc_id = co.doc_b)
       |  WHERE jaccard >= 0.8),
       |edges AS (SELECT doc_a AS u, doc_b AS v FROM pairs
       |          UNION ALL SELECT doc_b AS u, doc_a AS v FROM pairs),
