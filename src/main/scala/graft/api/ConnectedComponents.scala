@@ -48,6 +48,14 @@ object ConnectedComponents {
     *         min id reachable from `id`
     */
   def label(nodes: DataFrame, edges: DataFrame, maxRounds: Int = 50): DataFrame = {
+    // integral ids only: the min-label algebra and the decimal
+    // convergence checksum are exact for integers; strings would
+    // propagate lexicographic minima but checksum as null (silently
+    // "converged"), and doubles would truncate in the checksum
+    import org.apache.spark.sql.types._
+    val idType = nodes.schema("id").dataType
+    require(Seq[DataType](ByteType, ShortType, IntegerType, LongType).contains(idType),
+      s"ConnectedComponents needs an integral id column, got ${idType.sql}")
     val sym = edges.select(col("u"), col("v"))
       .union(edges.select(col("v").as("u"), col("u").as("v")))
       .distinct()
@@ -84,11 +92,20 @@ object ConnectedComponents {
 
   /** Convergence checksum: labels only ever decrease, so the label sum
     * is strictly monotone until the fixpoint. Summed as decimal(38,0)
-    * — a Long sum could wrap at extreme scale and fake convergence —
-    * and coalesced so an empty node set reads 0 instead of NPE-ing.
+    * — a Long sum could wrap at extreme scale and fake convergence.
+    * The coalesce covers exactly ONE legitimate null (the empty node
+    * set); a null-producing label cast would silently read 0 every
+    * round and fake convergence, so it is checked and rejected (the
+    * integral-id gate in `label` should make that unreachable).
     */
-  private def checksum(labels: DataFrame): BigDecimal =
-    BigDecimal(
-      labels.agg(coalesce(sum(col("lbl").cast("decimal(38,0)")), lit(0))
-        .cast("decimal(38,0)")).first().getDecimal(0))
+  private def checksum(labels: DataFrame): BigDecimal = {
+    val r = labels.agg(
+      count(lit(1)).as("n"),
+      count(col("lbl").cast("decimal(38,0)")).as("castable"),
+      coalesce(sum(col("lbl").cast("decimal(38,0)")), lit(0))
+        .cast("decimal(38,0)").as("s")).first()
+    require(r.getLong(0) == r.getLong(1),
+      "ConnectedComponents labels stopped being numeric — checksum would be meaningless")
+    BigDecimal(r.getDecimal(2))
+  }
 }

@@ -44,31 +44,44 @@ object IncrementalDedup {
       shingles = DedupQueries.shingleSetsOf(posts))
   }
 
-  /** Durable index: `bands` partitioned by `band` so a probe of band
-    * b scans only `band=b/` (partition pruning); at cluster scale
-    * bucket `bkey` within each band for a shuffle-free probe join.
+  /** Durable index built directly from the corpus: `bands`
+    * partitioned by `band` so a probe of band b scans only `band=b/`
+    * (partition pruning); at cluster scale bucket `bkey` within each
+    * band for a shuffle-free probe join. Takes the raw docs (not a
+    * [[DedupIndex]]) so the shingle postings are computed ONCE and
+    * persisted across the two writes — writing a lazily-built index
+    * would re-run the whole postings pipeline for the second file.
     */
-  def writeIndex(ix: DedupIndex, dir: String): Unit = {
-    ix.bands.write.mode(SaveMode.Overwrite)
-      .partitionBy("band").parquet(s"$dir/bands")
-    ix.shingles.write.mode(SaveMode.Overwrite).parquet(s"$dir/shingles")
-  }
+  def writeIndex(docs: DataFrame, dir: String): Unit =
+    withPostings(docs) { posts =>
+      DedupQueries.minhashBandsOf(posts).write.mode(SaveMode.Overwrite)
+        .partitionBy("band").parquet(s"$dir/bands")
+      DedupQueries.shingleSetsOf(posts).write.mode(SaveMode.Overwrite)
+        .parquet(s"$dir/shingles")
+    }
 
   /** Index maintenance: fold a new (already-deduped) batch INTO the
     * stored index so later batches dedup against it too. Append-only
-    * parquet — no rewrite of the existing 100 TB index; the shingle
-    * postings are computed once and persisted across the two writes
-    * (eager method lifecycle, so the release is explicit, not
+    * parquet — no rewrite of the existing 100 TB index.
+    */
+  def appendIndex(newDocs: DataFrame, dir: String): Unit =
+    withPostings(newDocs)(appendFrom(_, dir))
+
+  private[graft] def appendFrom(posts: DataFrame, dir: String): Unit = {
+    DedupQueries.minhashBandsOf(posts).write.mode(SaveMode.Append)
+      .partitionBy("band").parquet(s"$dir/bands")
+    DedupQueries.shingleSetsOf(posts).write.mode(SaveMode.Append)
+      .parquet(s"$dir/shingles")
+  }
+
+  /** Shingle postings computed once and persisted for the scope of
+    * `f` (eager method lifecycle, so the release is explicit, not
     * listener-based).
     */
-  def appendIndex(newDocs: DataFrame, dir: String): Unit = {
-    val posts = DedupQueries.shinglePostingsOf(newDocs).persist()
-    try {
-      DedupQueries.minhashBandsOf(posts).write.mode(SaveMode.Append)
-        .partitionBy("band").parquet(s"$dir/bands")
-      DedupQueries.shingleSetsOf(posts).write.mode(SaveMode.Append)
-        .parquet(s"$dir/shingles")
-    } finally { posts.unpersist(blocking = false); () }
+  private[graft] def withPostings[A](docs: DataFrame)(f: DataFrame => A): A = {
+    val posts = DedupQueries.shinglePostingsOf(docs).persist()
+    try f(posts)
+    finally { posts.unpersist(blocking = false); () }
   }
 
   def readIndex(spark: SparkSession, dir: String): DedupIndex =
@@ -79,18 +92,29 @@ object IncrementalDedup {
 
   /** Near-dup pairs between a new batch and the indexed corpus:
     * (new_id, dup_of, jaccard) with exact Jaccard ≥ `threshold`,
-    * LSH-banded candidates only. The batch and corpus are assumed
-    * disjoint; a batch doc duplicating several corpus docs emits one
-    * row per match (the caller picks keep/drop policy).
+    * LSH-banded candidates only. A batch doc duplicating several
+    * corpus docs emits one row per match (the caller picks keep/drop
+    * policy). Same-id pairs are dropped, so an index that already
+    * contains the batch (an at-least-once replay) never reports a doc
+    * as a duplicate of itself.
     */
   def newDupPairs(
       newDocs: DataFrame, ix: DedupIndex,
-      threshold: Double = 0.8): DataFrame = {
-    val posts = graft.AutoUnpersist.scoped(DedupQueries.shinglePostingsOf(newDocs))
+      threshold: Double = 0.8): DataFrame =
+    probePairs(graft.AutoUnpersist.scoped(DedupQueries.shinglePostingsOf(newDocs)),
+      ix, threshold)
+
+  /** The probe kernel, from already-built (ideally persisted) batch
+    * postings — lets a caller that also appends reuse one postings
+    * pass for both.
+    */
+  private[graft] def probePairs(
+      posts: DataFrame, ix: DedupIndex, threshold: Double): DataFrame = {
     val cand = DedupQueries.minhashBandsOf(posts).alias("n")
       .join(ix.bands.alias("c"),
         col("n.band") === col("c.band") && col("n.bkey") === col("c.bkey"))
       .select(col("n.doc_id").as("new_id"), col("c.doc_id").as("dup_of"))
+      .filter(col("new_id") =!= col("dup_of"))
       .distinct()
     val newSh = DedupQueries.shingleSetsOf(posts)
     cand

@@ -38,9 +38,24 @@ object SequencePacker {
     * identical range boundaries (same contract as q15 — harnesses
     * and tests clear the cache manager per query).
     */
+  /** Column names `pack` introduces (and `pid`/`off`, which it also
+    * drops): inputs carrying any of these would be silently clobbered,
+    * so they are rejected up front — same contract as
+    * `Sharder.withShard`.
+    */
+  private val packReserved = Seq("pid", "off", "cum", "seq_id", "end_seq", "seq_offset")
+  private val sliceReserved = Seq("seq", "glo_start", "glo_end", "tok_start", "seq_off", "slice_len")
+
+  private def requireFree(df: DataFrame, names: Seq[String], op: String): Unit = {
+    val clash = names.filter(df.columns.contains)
+    require(clash.isEmpty,
+      s"$op would overwrite input column(s) ${clash.mkString(", ")} — rename them first")
+  }
+
   def pack(rows: DataFrame, orderCol: String, nCol: String,
       budget: Long): DataFrame = {
     require(budget > 0, s"budget must be positive: $budget")
+    requireFree(rows, packReserved, "SequencePacker.pack")
     val spark = rows.sparkSession
     val parts = rows
       .repartitionByRange(col(orderCol))
@@ -76,7 +91,8 @@ object SequencePacker {
     * bounded by each doc's span count (ceil(n/B)+1), so the operator
     * stays a per-row flatMap — no shuffle beyond `pack`'s own.
     */
-  def slices(packed: DataFrame, nCol: String, budget: Long): DataFrame =
+  def slices(packed: DataFrame, nCol: String, budget: Long): DataFrame = {
+    requireFree(packed, sliceReserved, "SequencePacker.slices")
     packed
       .withColumn("seq", explode(sequence(col("seq_id"), col("end_seq"))))
       .withColumn("glo_start",
@@ -87,4 +103,5 @@ object SequencePacker {
       .withColumn("seq_off", col("glo_start") - col("seq") * budget)
       .withColumn("slice_len", col("glo_end") - col("glo_start"))
       .drop("glo_start", "glo_end")
+  }
 }

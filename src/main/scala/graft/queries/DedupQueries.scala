@@ -463,14 +463,17 @@ object DedupQueries {
       |                  i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS sh
       |  FROM (SELECT doc_id, list_filter(string_split(text, ' '), t -> length(t) > 0) AS w
       |        FROM documents)),
-      |tb AS (SELECT doc_id, sh, length(bin(len(sh))) AS band FROM t WHERE len(sh) > 0)
-      |SELECT * FROM (
-      |  SELECT a.doc_id AS new_id, b.doc_id AS dup_of,
-      |    round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
-      |          / len(list_distinct(list_concat(a.sh, b.sh))), 4) AS jaccard
-      |  FROM tb a
-      |  JOIN (SELECT doc_id, sh, unnest([band-1, band, band+1]) AS jband FROM tb) b
-      |    ON a.band = b.jband AND a.doc_id % 10 = 0 AND b.doc_id % 10 <> 0)
+      |tb AS (SELECT doc_id, len(sh) AS n, sh FROM t WHERE len(sh) > 0),
+      |inv AS (SELECT doc_id, unnest(sh) AS g FROM tb),
+      |co AS (SELECT a.doc_id AS new_id, b.doc_id AS dup_of, count(*) AS inter
+      |       FROM (SELECT * FROM inv WHERE doc_id % 10 = 0) a
+      |       JOIN (SELECT * FROM inv WHERE doc_id % 10 <> 0) b ON a.g = b.g
+      |       GROUP BY a.doc_id, b.doc_id)
+      |SELECT new_id, dup_of, jaccard FROM (
+      |  SELECT new_id, dup_of,
+      |    round(CAST(inter AS DOUBLE) / (na.n + nb.n - inter), 4) AS jaccard
+      |  FROM co JOIN tb na ON na.doc_id = co.new_id
+      |          JOIN tb nb ON nb.doc_id = co.dup_of)
       |WHERE jaccard >= 0.8
       |ORDER BY new_id, dup_of""".stripMargin) { (s, d) =>
     val docs = Tables.documents(s, d)

@@ -215,9 +215,25 @@ object StreamingOps {
       sink: (DataFrame, Long) => Unit): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
     docs.writeStream.foreachBatch {
       (batch: Dataset[org.apache.spark.sql.Row], id: java.lang.Long) =>
-        val ix = graft.api.IncrementalDedup.readIndex(batch.sparkSession, indexDir)
-        sink(graft.api.IncrementalDedup.newDupPairs(batch, ix, threshold), id)
-        graft.api.IncrementalDedup.appendIndex(batch, indexDir)
+        val spark = batch.sparkSession
+        val ix = graft.api.IncrementalDedup.readIndex(spark, indexDir)
+        // one postings pass serves BOTH the probe and the append
+        graft.api.IncrementalDedup.withPostings(batch.toDF()) { posts =>
+          sink(graft.api.IncrementalDedup.probePairs(posts, ix, threshold), id)
+          // foreachBatch is at-least-once: a replayed batch must not
+          // re-append (the index would grow duplicate rows forever).
+          // A per-batch marker committed AFTER the append makes the
+          // append idempotent; the probe side is already replay-safe
+          // (probePairs drops same-id pairs, so a batch that reached
+          // the index before the crash never matches itself).
+          val fs = org.apache.hadoop.fs.FileSystem.get(
+            new java.net.URI(indexDir), spark.sparkContext.hadoopConfiguration)
+          val marker = new org.apache.hadoop.fs.Path(s"$indexDir/_batches/$id")
+          if (!fs.exists(marker)) {
+            graft.api.IncrementalDedup.appendFrom(posts, indexDir)
+            fs.create(marker, true).close()
+          }
+        }
     }
 
   /** File-based streaming source over the driver's parquet events —

@@ -43,7 +43,7 @@ class IncrementalDedupSpec extends SparkSpec {
     val corpus = docs.filter(col("doc_id") % 10 =!= 0)
     val batch = docs.filter(col("doc_id") % 10 === 0)
     val dir = Files.createTempDirectory("dedup-ix").toString
-    IncrementalDedup.writeIndex(IncrementalDedup.buildIndex(corpus), dir)
+    IncrementalDedup.writeIndex(corpus, dir)
     val fromDisk = IncrementalDedup
       .newDupPairs(batch, IncrementalDedup.readIndex(spark, dir))
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
@@ -56,7 +56,7 @@ class IncrementalDedupSpec extends SparkSpec {
   test("index bands directory is partitioned by band (probe prunes partitions)") {
     val docs = Tables.documents(spark, sfDir).limit(50)
     val dir = Files.createTempDirectory("dedup-ix-p").toString
-    IncrementalDedup.writeIndex(IncrementalDedup.buildIndex(docs), dir)
+    IncrementalDedup.writeIndex(docs, dir)
     val sub = new java.io.File(s"$dir/bands").listFiles()
       .filter(_.isDirectory).map(_.getName)
     assert(sub.nonEmpty && sub.forall(_.startsWith("band=")),
@@ -100,7 +100,7 @@ class IncrementalDedupSpec extends SparkSpec {
     val seedId = corpus.orderBy(col("doc_id")).select(col("doc_id"))
       .head().getLong(0)
     val dir = Files.createTempDirectory("dedup-stream-ix").toString
-    IncrementalDedup.writeIndex(IncrementalDedup.buildIndex(corpus), dir)
+    IncrementalDedup.writeIndex(corpus, dir)
 
     val input = org.apache.spark.sql.execution.streaming.runtime
       .MemoryStream[(Long, String)]
@@ -122,6 +122,31 @@ class IncrementalDedupSpec extends SparkSpec {
       assert(got.contains((20000L, 10000L)),
         s"batch-2 doc should match the batch-1 doc via the appended index: $got")
     } finally q.stop()
+
+    // at-least-once replay: a fresh query on the SAME index dir replays
+    // batch ids 0 and 1 — the per-batch markers must suppress the
+    // re-append (index size unchanged), the probe must still deliver
+    // pairs, and no doc may be reported as a duplicate of itself even
+    // though the replayed batch is already in the index
+    val sizeBefore = spark.read.parquet(s"$dir/bands").count()
+    val replay = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, String)]
+    val got2 = scala.collection.mutable.Set.empty[(Long, Long)]
+    val q2 = graft.streaming.StreamingOps.ingestDedupStream(
+      replay.toDF().toDF("doc_id", "text"), dir) { (pairs, _) =>
+      got2 ++= pairs.collect().map(r => (r.getLong(0), r.getLong(1)))
+    }.start()
+    try {
+      replay.addData((10000L, seedText))
+      q2.processAllAvailable()
+      replay.addData((20000L, seedText))
+      q2.processAllAvailable()
+    } finally q2.stop()
+    assert(spark.read.parquet(s"$dir/bands").count() == sizeBefore,
+      "replayed batches must not re-append to the index")
+    assert(got2.contains((10000L, seedId)), "replay must still deliver pairs")
+    assert(!got2.exists(p => p._1 == p._2),
+      s"replay reported a doc as its own duplicate: $got2")
   }
 
   // ---- Sharder guard (round-4 advice) ----
