@@ -157,6 +157,52 @@ object CurationQueries {
       .orderBy(col("doc_id"), col("seq"))
   }
 
+  /** RAG-style overlap chunking — the retrieval-side twin of q80's
+    * training packer: each document is cut into 64-token windows with
+    * stride 48 (16-token overlap), the unit an embedding/retrieval
+    * index actually stores. Emits the chunk fetch plan (doc, index,
+    * start, length) plus an md5 content fingerprint of each chunk so
+    * the oracle hash-checks the chunk TEXT, not just the arithmetic.
+    *
+    * Scale shape: a single scan with a per-row explode (fan-out
+    * ≤ n_tokens/48 per doc, no shuffle at all except the determinism
+    * ORDER BY) — chunking is embarrassingly parallel and stays inside
+    * whole-stage codegen. Spark `slice(w, start, 64)` and DuckDB
+    * `list_slice(w, start, start+63)` share 1-based inclusive clamped
+    * semantics, and both engines' `md5` emit lowercase hex, so the
+    * fingerprint matches bit-for-bit.
+    */
+  val q86ChunkOverlap = QueryDef(
+    "q86_chunk_overlap",
+    "sliding-window chunking: 64-token chunks at stride 48 with md5 content fingerprints",
+    """WITH t AS (
+      |  SELECT doc_id, list_filter(string_split(text, ' '), t -> length(t) > 0) AS w
+      |  FROM documents),
+      |tb AS (SELECT doc_id, w, len(w) AS n FROM t WHERE len(w) > 0),
+      |st AS (SELECT doc_id, n, w, unnest(range(1, n + 1, 48)) AS tok_start FROM tb)
+      |SELECT doc_id,
+      |  CAST((tok_start - 1) // 48 AS INT) AS chunk_idx,
+      |  CAST(tok_start AS BIGINT) AS tok_start,
+      |  CAST(least(64, n - tok_start + 1) AS BIGINT) AS chunk_len,
+      |  md5(array_to_string(list_slice(w, tok_start, tok_start + 63), ' ')) AS chunk_md5
+      |FROM st
+      |ORDER BY doc_id, chunk_idx""".stripMargin) { (s, d) =>
+    Tables.documents(s, d)
+      .select(col("doc_id"), toks(col("text")).as("w"))
+      .filter(size(col("w")) > 0)
+      .select(col("doc_id"), col("w"), size(col("w")).cast("long").as("n"))
+      .select(col("doc_id"), col("n"), col("w"),
+        posexplode(sequence(lit(1L), col("n"), lit(48L)))
+          .as(Seq("chunk_idx", "tok_start")))
+      .select(col("doc_id"),
+        col("chunk_idx"),
+        col("tok_start"),
+        least(lit(64L), col("n") - col("tok_start") + 1).as("chunk_len"),
+        md5(concat_ws(" ", slice(col("w"), col("tok_start"), lit(64))))
+          .as("chunk_md5"))
+      .orderBy(col("doc_id"), col("chunk_idx"))
+  }
+
   val all: Seq[QueryDef] =
-    Seq(q61CurationPipeline, q80SequencePack, q83PackSlices)
+    Seq(q61CurationPipeline, q80SequencePack, q83PackSlices, q86ChunkOverlap)
 }
