@@ -82,11 +82,17 @@ object GraftFunctions {
       (children: Seq[Expression]) =>
         FuzzyMatch(children(0), children(1), children(2)))
 
+  val freqTopkDescriptor: Descriptor =
+    (FunctionIdentifier("freq_topk"),
+      new ExpressionInfo(classOf[FreqTopK].getName, "freq_topk"),
+      (children: Seq[Expression]) =>
+        FreqTopK(children(0), children(1), children(2)))
+
   val descriptors: Seq[Descriptor] =
     Seq(cosineSimDescriptor, minhashSigDescriptor, simhashDescriptor,
       topkDescriptor, similarToDescriptor, lshSigDescriptor,
       unicodeNormalizeDescriptor, quantizeI8Descriptor, vectorSumDescriptor,
-      fuzzyMatchDescriptor)
+      fuzzyMatchDescriptor, freqTopkDescriptor)
 
   /** Idempotent per-session registration: the native functions plus
     * the similarity-join optimizer rule (the in-library twin of the
@@ -156,6 +162,15 @@ object GraftFunctions {
   def fuzzyMatch(a: Column, b: Column, k: Int): Column =
     call_function("fuzzy_match", a, b,
       org.apache.spark.sql.functions.lit(k))
+
+  /** Column-API form of the Misra–Gries heavy-hitters aggregate:
+    * top-k keys by (estimated) frequency with ≤ `capacity` counters
+    * of partial state per partition.
+    */
+  def freqTopk(key: Column, k: Int, capacity: Int): Column =
+    call_function("freq_topk", key,
+      org.apache.spark.sql.functions.lit(k),
+      org.apache.spark.sql.functions.lit(capacity))
 
   /** Column-API form of the Rademacher-projection LSH signature. */
   def lshSig(vec: Column, nBits: Int, seed: Long): Column =

@@ -158,7 +158,43 @@ object AggregatorQueries {
       .orderBy(col("l_returnflag"))
   }
 
+  /** Corpus heavy hitters via the native Misra–Gries `freq_topk`
+    * aggregate (`plans/FreqTopKAgg`) — the bounded-communication
+    * alternative to `wordcount`'s exact groupBy: partial state is
+    * ≤ 1024 counters per partition, so the exchange moves ≤ 1024 rows
+    * per partition no matter how large the vocabulary. On this
+    * corpus the distinct-token count is far below the capacity, so no
+    * decrement ever fires and every count is EXACT — the oracle
+    * hash-checks the full (rank, word, cnt) table against DuckDB's
+    * exact count. The constrained-capacity regime (estimates
+    * undercount by ≤ N/(cap+1), true heavy hitters survive) is pinned
+    * in `SketchSpec`.
+    */
+  val q87HeavyHitters = QueryDef(
+    "q87_heavy_hitters",
+    "top-20 corpus tokens via the native Misra-Gries freq_topk sketch aggregate",
+    """WITH w AS (
+      |  SELECT unnest(list_filter(string_split(text, ' '), t -> length(t) > 0)) AS word
+      |  FROM documents),
+      |c AS (SELECT word, CAST(count(*) AS BIGINT) AS cnt FROM w GROUP BY word)
+      |SELECT * FROM (
+      |  SELECT CAST(row_number() OVER (ORDER BY cnt DESC, word) AS INT) AS rank,
+      |         word, cnt
+      |  FROM c)
+      |WHERE rank <= 20
+      |ORDER BY rank""".stripMargin) { (s, d) =>
+    graft.plans.GraftFunctions.register(s)
+    Tables.documents(s, d)
+      .select(explode(filter(split(col("text"), " "), t => length(t) > 0))
+        .as("word"))
+      .agg(graft.plans.GraftFunctions.freqTopk(col("word"), 20, 1024).as("tk"))
+      .select(posexplode(col("tk")).as(Seq("pos", "e")))
+      .select((col("pos") + 1).cast("int").as("rank"),
+        col("e.word").as("word"), col("e.cnt").as("cnt"))
+      .orderBy(col("rank"))
+  }
+
   val all: Seq[QueryDef] = Seq(
     q41CustomAgg, q45Percentiles, q46ApproxDistinct, q47TypedMapreduce,
-    q65StatsAgg)
+    q65StatsAgg, q87HeavyHitters)
 }

@@ -1,0 +1,83 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.plans.GraftFunctions
+
+/** Pins the Misra–Gries `freq_topk` aggregate in the regime the
+  * DuckDB oracle cannot reach: capacity SMALLER than the number of
+  * distinct keys, where the sketch's undercount bound
+  * (`true - est ≤ N/(capacity+1)`) and heavy-hitter survival are the
+  * contract, plus merge invariance across partition layouts (the
+  * property that makes the partial-aggregate plan correct at any
+  * cluster size).
+  */
+class SketchSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  /** Zipf-ish stream: key_i appears ~N/i times for i in 1..40 —
+    * 2740 rows, 40 distinct keys, top key has 548 copies.
+    */
+  private lazy val skewed: Seq[String] = {
+    val n = 548
+    (1 to 40).flatMap(i => Seq.fill(n / i)(f"k$i%02d"))
+  }
+
+  private def topkDF(data: Seq[String], k: Int, cap: Int, parts: Int) = {
+    GraftFunctions.register(spark)
+    data.toDF("word").repartition(parts)
+      .agg(GraftFunctions.freqTopk(col("word"), k, cap).as("tk"))
+      .select(posexplode(col("tk")).as(Seq("pos", "e")))
+      .select(col("e.word").as("word"), col("e.cnt").as("cnt"))
+  }
+
+  test("freq_topk is exact when capacity covers the distinct keys") {
+    val got = topkDF(skewed, 10, 1024, 7).as[(String, Long)].collect().toSeq
+    val want = skewed.groupBy(identity).view.mapValues(_.size.toLong).toSeq
+      .sortBy { case (w, c) => (-c, w) }.take(10)
+    assert(got == want, s"exact regime must equal true counts: $got vs $want")
+  }
+
+  test("freq_topk undercounts by at most N/(cap+1) and keeps true heavy hitters") {
+    val cap = 8
+    val n = skewed.size.toLong
+    val truth = skewed.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val est = topkDF(skewed, cap, cap, 7).as[(String, Long)].collect().toMap
+    val bound = n / (cap + 1) // 304
+    est.foreach { case (w, c) =>
+      val t = truth(w)
+      assert(c <= t, s"$w: Misra-Gries must never overcount ($c > $t)")
+      assert(t - c <= bound, s"$w: undercount ${t - c} exceeds N/(cap+1)=$bound")
+    }
+    // every key with true frequency > N/(cap+1) must survive the sketch
+    val mustSurvive = truth.filter(_._2 > bound).keySet
+    assert(mustSurvive.subsetOf(est.keySet),
+      s"heavy hitters lost: ${mustSurvive -- est.keySet}")
+  }
+
+  test("freq_topk output is invariant to the partition layout") {
+    val a = topkDF(skewed, 10, 1024, 1).as[(String, Long)].collect().toSeq
+    val b = topkDF(skewed, 10, 1024, 32).as[(String, Long)].collect().toSeq
+    assert(a == b, "merge must be layout-independent in the exact regime")
+  }
+
+  test("freq_topk plans as partial ObjectHashAggregate before the exchange") {
+    GraftFunctions.register(spark)
+    val plan = skewed.toDF("word").repartition(4)
+      .agg(GraftFunctions.freqTopk(col("word"), 5, 64))
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("ObjectHashAggregate"),
+      s"expected ObjectHashAggregate partial/final pair, got:\n$plan")
+  }
+
+  test("freq_topk is SQL-callable and ignores null keys") {
+    GraftFunctions.register(spark)
+    val got = spark.sql(
+      """SELECT freq_topk(w, 3, 16) AS tk FROM VALUES
+        |  ('a'), ('a'), ('b'), (CAST(NULL AS STRING)), ('a'), ('b'), ('c')
+        |AS t(w)""".stripMargin)
+      .select(explode(col("tk")).as("e"))
+      .select(col("e.word"), col("e.cnt")).as[(String, Long)].collect().toSeq
+    assert(got == Seq(("a", 3L), ("b", 2L), ("c", 1L)))
+  }
+}
