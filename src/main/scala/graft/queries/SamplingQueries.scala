@@ -181,7 +181,60 @@ object SamplingQueries {
       .orderBy(col("bucket"), col("batch_id"))
   }
 
+  /** Temperature-based source mixing (the multilingual-LM sampling
+    * rule): per-source quotas proportional to n_s^alpha with
+    * alpha = 0.5, so low-resource sources are UP-weighted relative to
+    * their share — the standard alternative to q81's hard per-domain
+    * cap. Quota arithmetic is engineered order-free: the IEEE-exact
+    * `sqrt` is floored into integer basis points BEFORE the weight
+    * sum, so no floating accumulation order can diverge between
+    * engines; quota = (target × w) DIV Σw is then pure integer math.
+    *
+    * Scale shape: the weight/quota table is one partial aggregate over
+    * sources (broadcast back, bounded metadata like a range
+    * partitioner's bins); the only real shuffle is the per-source
+    * row_number — parallel across sources, same caveat as q81 (a
+    * pathologically hot source would use the `api.SequencePacker`
+    * two-pass idiom within the source).
+    */
+  val q88TemperatureMix = QueryDef(
+    "q88_temperature_mix",
+    "temperature sampling (alpha=0.5): per-source quotas prop. to sqrt(n), 200-doc target",
+    """WITH c AS (SELECT source, count(*) AS n FROM documents GROUP BY source),
+      |w AS (SELECT source, n,
+      |        CAST(floor(sqrt(CAST(n AS DOUBLE)) * 10000) AS BIGINT) AS weight
+      |      FROM c),
+      |q AS (SELECT source, weight,
+      |        CAST((200 * weight) // (SELECT sum(weight) FROM w) AS BIGINT) AS quota
+      |      FROM w),
+      |r AS (SELECT doc_id, source,
+      |        CAST(row_number() OVER (PARTITION BY source ORDER BY doc_id) AS INT) AS rank
+      |      FROM documents)
+      |SELECT r.doc_id, r.source, r.rank, q.quota, q.weight
+      |FROM r JOIN q USING (source)
+      |WHERE r.rank <= q.quota
+      |ORDER BY r.doc_id""".stripMargin) { (s, d) =>
+    val docs = Tables.documents(s, d).select(col("doc_id"), col("source"))
+    val weights = docs.groupBy(col("source"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("source"),
+        floor(sqrt(col("n").cast("double")) * 10000).cast("long").as("weight"))
+    val quotas = weights
+      .crossJoin(broadcast(weights.agg(sum(col("weight")).as("wsum"))))
+      .select(col("source"), col("weight"),
+        expr("(200 * weight) DIV wsum").as("quota"))
+    docs
+      .withColumn("rank",
+        row_number().over(
+          Window.partitionBy(col("source")).orderBy(col("doc_id"))))
+      .join(broadcast(quotas), "source")
+      .filter(col("rank") <= col("quota"))
+      .select(col("doc_id"), col("source"), col("rank"),
+        col("quota"), col("weight"))
+      .orderBy(col("doc_id"))
+  }
+
   val all: Seq[QueryDef] =
     Seq(q56DeterministicSample, q57StratifiedMix, q77ShardStats,
-      q81TokenBudgetMix, q84LengthBatches)
+      q81TokenBudgetMix, q84LengthBatches, q88TemperatureMix)
 }
