@@ -330,6 +330,68 @@ object SimilarityQueries {
       .orderBy(col("q_id"), col("rn"))
   }
 
+  /** SemDeDup core (cluster-then-dedup, Abbas et al. 2023): k-means
+    * cluster the embeddings, generate candidate pairs ONLY within a
+    * cluster, verify exactly, and drop every vector that has a
+    * smaller-id partner at cosine ≥ threshold in its cluster (min-id
+    * is the kept representative — the deterministic stand-in for the
+    * paper's medoid-distance choice). Exposed for the quality spec,
+    * which drives it with planted-duplicate fixtures.
+    *
+    * Scale shape: assignment is the broadcast argmax (no corpus
+    * shuffle); within-cluster pairs reuse q37's salted-block guard,
+    * so a hot cluster is split into ≤ `MaxLabelBlock` sub-blocks and
+    * no task goes quadratic in the cluster size. At 100 TB, k grows
+    * with the corpus (the paper's regime: n/k docs per cluster) —
+    * candidate volume is Σ(cluster²/salt), bounded by the guard.
+    */
+  private[graft] def semanticDedup(
+      s: SparkSession, t: DataFrame, k: Int, iters: Int,
+      threshold: Double): DataFrame = {
+    GraftFunctions.register(s)
+    val cents = trainCentroids(s, t, k, iters)
+    // one assignment pass, shared by pair generation (twice inside
+    // the salted self-join) and the final keep/drop join
+    val assigned = graft.AutoUnpersist.scoped(
+      t.crossJoin(broadcast(cents))
+        .withColumn("csim", GraftFunctions.cosineSim(col("embedding"), col("ce")))
+        .groupBy(col("vec_id"))
+        .agg(max_by(struct(col("c_id"), col("embedding")),
+          struct(col("csim"), (-col("c_id")).as("nc"))).as("best"))
+        .select(col("vec_id"), col("best.c_id").as("label"),
+          col("best.embedding").as("embedding")))
+    val dropped = DedupQueries
+      .saltedLabelPairs(assigned, DedupQueries.MaxLabelBlock)
+      .filter(round(GraftFunctions.cosineSim(col("ea"), col("eb")), 4)
+        >= threshold)
+      .select(col("vec_b").as("vec_id"))
+      .distinct()
+      .withColumn("dup", lit(true))
+    assigned
+      .join(dropped, Seq("vec_id"), "left")
+      .select(col("vec_id"), col("label").as("cluster"),
+        (!coalesce(col("dup"), lit(false))).as("is_kept"))
+      .orderBy(col("vec_id"))
+  }
+
+  /** Semantic dedup over the embeddings table. No SQL oracle — TRULY
+    * inexpressible for the same reason as q39: the keep/drop decision
+    * depends on Lloyd-trained centroids (which cluster a vector lands
+    * in decides which pairs are even candidates), and no standalone
+    * SQL reproduces the training. `DedupQualitySpec` pins the
+    * contract: precision 1 (every dropped vector has a genuine
+    * ≥ threshold partner, re-checked by brute force) and recall ≈ 1
+    * on planted high-similarity duplicates (near-identical vectors
+    * co-assign almost surely).
+    */
+  val q89SemanticDedup = QueryDef.noOracle(
+    "q89_semantic_dedup",
+    "SemDeDup: k-means clusters, within-cluster cos>=0.85 near-dups dropped, min-id kept") { (s, d) =>
+    val t = Tables.embeddings(s, d).select(col("vec_id"), col("embedding"))
+    semanticDedup(s, t, k = 16, iters = 4, threshold = 0.85)
+  }
+
   val all: Seq[QueryDef] =
-    Seq(q38CosineTopk, q39AnnIvf, q60HyperplaneLsh, q76QuantizedTopk)
+    Seq(q38CosineTopk, q39AnnIvf, q60HyperplaneLsh, q76QuantizedTopk,
+      q89SemanticDedup)
 }

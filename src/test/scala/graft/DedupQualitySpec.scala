@@ -253,4 +253,61 @@ class DedupQualitySpec extends SparkSpec {
       "insertion/deletion shift pairs missing — probe window broken")
     assert(!got.contains((1L, 6L)), "distance-5 decoy leaked in")
   }
+
+  /** Brute-force cosine pairs ≥ threshold over an arbitrary
+    * (vec_id, embedding) frame — the q89 ground truth.
+    */
+  private def bruteCosPairsOf(
+      t: org.apache.spark.sql.DataFrame, threshold: Double): Set[(Long, Long)] = {
+    graft.plans.GraftFunctions.register(spark)
+    t.alias("a").crossJoin(t.alias("b"))
+      .filter(col("a.vec_id") < col("b.vec_id"))
+      .filter(round(graft.plans.GraftFunctions.cosineSim(
+        col("a.embedding"), col("b.embedding")), 4) >= threshold)
+      .select(col("a.vec_id"), col("b.vec_id"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+  }
+
+  test("semantic dedup precision 1: every dropped vector has a genuine partner") {
+    val out = Registry.byName("q89_semantic_dedup").fn(spark, sfDir)
+    val dropped = out.filter(!col("is_kept"))
+      .select(col("vec_id")).collect().map(_.getLong(0)).toSet
+    val t = Tables.embeddings(spark, sfDir)
+      .select(col("vec_id"), col("embedding"))
+    val withPartner = bruteCosPairsOf(t, 0.85)
+      .flatMap { case (a, b) => Seq(a, b) }
+    assert(dropped.subsetOf(withPartner),
+      s"dropped without a real >=0.85 partner: ${dropped -- withPartner}")
+    // min-id canonical: a dropped vector always has a SMALLER kept-or-
+    // dropped partner, so the global minimum of any dup group survives
+    val pairs = bruteCosPairsOf(t, 0.85)
+    dropped.foreach { v =>
+      assert(pairs.exists { case (a, b) => b == v && a < v },
+        s"$v dropped but no smaller-id partner exists")
+    }
+  }
+
+  test("semantic dedup recall ≈ 1 on planted high-similarity duplicates") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(23)
+    val base = (0L until 200L).map(i =>
+      (i, Array.fill(64)(rnd.nextGaussian().toFloat)))
+    // 40 planted near-identical copies (cos ≈ 0.999) of the first 40
+    val dups = base.take(40).map { case (i, v) =>
+      (i + 1000L, v.map(x => x + 0.01f * rnd.nextGaussian().toFloat))
+    }
+    val t = (base ++ dups).toDF("vec_id", "embedding")
+    val out = queries.SimilarityQueries.semanticDedup(
+      spark, t, k = 16, iters = 4, threshold = 0.95)
+    val dropped = out.filter(!col("is_kept"))
+      .select(col("vec_id")).collect().map(_.getLong(0)).toSet
+    // every planted copy should co-assign with its original and drop
+    val want = (1000L until 1040L).toSet
+    val recall = want.intersect(dropped).size.toDouble / want.size
+    assert(recall >= 0.9, f"SemDeDup recall on planted dups: $recall%.2f")
+    // and the originals (the min ids) must all survive
+    assert(out.filter(col("is_kept")).select(col("vec_id"))
+      .collect().map(_.getLong(0)).toSet.intersect((0L until 40L).toSet)
+      .size == 40, "an original (min-id representative) was dropped")
+  }
 }
