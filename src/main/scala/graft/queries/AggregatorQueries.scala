@@ -194,7 +194,50 @@ object AggregatorQueries {
       .orderBy(col("rank"))
   }
 
+  /** Table profiler — the `summary()`-style audit a pipeline runs
+    * before committing a training mix: per-column null count, exact
+    * distinct cardinality, min/max/mean, one output row per column.
+    * Computed as ONE aggregation pass over the scan (Spark plans the
+    * multi-column exact distincts via a single Expand + partial
+    * aggregate — one shuffle total, not one scan per column), then a
+    * `stack` unpivot of the single result row. At 100 TB the exact
+    * per-column distincts are the knob to swap for
+    * `approx_count_distinct` (q46's HLL path); everything else is
+    * plain partial-aggregable min/max/sum.
+    */
+  val q90ColumnProfile = QueryDef(
+    "q90_column_profile",
+    "per-column profile of lineitem (nulls, exact distincts, min/max/mean) in one pass",
+    Seq("l_orderkey", "l_partkey", "l_suppkey", "l_linenumber",
+      "l_quantity", "l_extendedprice", "l_discount", "l_tax")
+      .map(c =>
+        s"""SELECT '$c' AS col_name,
+           |  CAST(sum(CASE WHEN $c IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null,
+           |  CAST(count(DISTINCT $c) AS BIGINT) AS n_distinct,
+           |  CAST(min($c) AS DOUBLE) AS min_v,
+           |  CAST(max($c) AS DOUBLE) AS max_v,
+           |  round(avg($c), 4) AS avg_v
+           |FROM lineitem""".stripMargin)
+      .mkString("SELECT * FROM (\n", "\nUNION ALL\n", "\n) ORDER BY col_name")) { (s, d) =>
+    val cols = Seq("l_orderkey", "l_partkey", "l_suppkey", "l_linenumber",
+      "l_quantity", "l_extendedprice", "l_discount", "l_tax")
+    val aggs = cols.flatMap(c => Seq(
+      sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"${c}_nn"),
+      countDistinct(col(c)).as(s"${c}_nd"),
+      min(col(c)).cast("double").as(s"${c}_min"),
+      max(col(c)).cast("double").as(s"${c}_max"),
+      round(avg(col(c)), 4).as(s"${c}_avg")))
+    val stacked = cols
+      .map(c => s"'$c', ${c}_nn, ${c}_nd, ${c}_min, ${c}_max, ${c}_avg")
+      .mkString(s"stack(${cols.size}, ", ", ",
+        ") AS (col_name, n_null, n_distinct, min_v, max_v, avg_v)")
+    Tables.lineitem(s, d)
+      .agg(aggs.head, aggs.tail: _*)
+      .select(expr(stacked))
+      .orderBy(col("col_name"))
+  }
+
   val all: Seq[QueryDef] = Seq(
     q41CustomAgg, q45Percentiles, q46ApproxDistinct, q47TypedMapreduce,
-    q65StatsAgg, q87HeavyHitters)
+    q65StatsAgg, q87HeavyHitters, q90ColumnProfile)
 }
