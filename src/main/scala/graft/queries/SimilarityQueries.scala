@@ -82,7 +82,7 @@ object SimilarityQueries {
     * Seeds still come from the FULL table (first k vec_ids) so k is
     * stable regardless of sampling.
     */
-  private[queries] def trainCentroids(
+  private[graft] def trainCentroids(
       s: SparkSession, t0: DataFrame, k: Int, iters: Int,
       sampleMod: Int = 4): DataFrame = {
     GraftFunctions.register(s)
