@@ -24,6 +24,7 @@ object Registry {
     SkewQueries.all ++
     SamplingQueries.all ++
     CurationQueries.all ++
+    VersioningQueries.all ++
     SqlQueries.all
 
   def byName: Map[String, QueryDef] = queries.map(q => q.name -> q).toMap

@@ -592,8 +592,65 @@ object DedupQueries {
       .orderBy(col("doc_a"), col("doc_b"))
   }
 
+  /** Leakage-safe train/val/test split: the unit of assignment is the
+    * DUPLICATE CLUSTER (q78's connected component), not the document —
+    * near-duplicate pairs always land in the same split, so the val
+    * and test sets can never be contaminated by a training near-dup.
+    * Split by cluster-id modulus (8/1/1), the q56 engine-independent
+    * idiom applied to the cluster label. Scale shape: the q78
+    * component labeling (band join + a few propagation rounds) plus a
+    * per-row project — no extra shuffle beyond the clustering itself.
+    *
+    * Oracle: the q78 recursive-CTE component labels with the same
+    * modulus CASE — the full per-document assignment is hash-checked.
+    */
+  val q93LeakageSafeSplit = QueryDef(
+    "q93_leakage_safe_split",
+    "leakage-safe split: train/val/test assigned per duplicate CLUSTER so near-dups never straddle",
+    """WITH RECURSIVE t AS (
+      |  SELECT doc_id,
+      |    list_distinct(list_transform(range(1, len(w)-1),
+      |                  i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS sh
+      |  FROM (SELECT doc_id, list_filter(string_split(text, ' '), t -> length(t) > 0) AS w
+      |        FROM documents)),
+      |tb AS (SELECT doc_id, len(sh) AS n, sh FROM t WHERE len(sh) > 0),
+      |inv AS (SELECT doc_id, unnest(sh) AS g FROM tb),
+      |co AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+      |       FROM inv a JOIN inv b ON a.g = b.g AND a.doc_id < b.doc_id
+      |       GROUP BY a.doc_id, b.doc_id),
+      |pairs AS (
+      |  SELECT doc_a, doc_b FROM (
+      |    SELECT doc_a, doc_b,
+      |      round(CAST(inter AS DOUBLE) / (na.n + nb.n - inter), 4) AS jaccard
+      |    FROM co JOIN tb na ON na.doc_id = co.doc_a
+      |            JOIN tb nb ON nb.doc_id = co.doc_b)
+      |  WHERE jaccard >= 0.8),
+      |edges AS (SELECT doc_a AS u, doc_b AS v FROM pairs
+      |          UNION ALL SELECT doc_b AS u, doc_a AS v FROM pairs),
+      |reach AS (
+      |  SELECT doc_id AS u, doc_id AS lbl FROM documents
+      |  UNION
+      |  SELECT e.u, r.lbl FROM edges e JOIN reach r ON r.u = e.v),
+      |lab AS (SELECT u AS doc_id, min(lbl) AS cluster_id FROM reach GROUP BY u)
+      |SELECT doc_id, cluster_id,
+      |  CASE WHEN cluster_id % 10 < 8 THEN 'train'
+      |       WHEN cluster_id % 10 = 8 THEN 'val'
+      |       ELSE 'test' END AS split
+      |FROM lab
+      |ORDER BY doc_id""".stripMargin) { (s, d) =>
+    val pairs = minhashVerifiedPairs(s, d)
+      .select(col("doc_a").as("u"), col("doc_b").as("v"))
+    val nodes = Tables.documents(s, d).select(col("doc_id").as("id"))
+    graft.api.ConnectedComponents.label(nodes, pairs)
+      .select(col("id").as("doc_id"), col("component").as("cluster_id"),
+        when(pmod(col("component"), lit(10)) < 8, "train")
+          .when(pmod(col("component"), lit(10)) === 8, "val")
+          .otherwise("test").as("split"))
+      .orderBy(col("doc_id"))
+  }
+
   val all: Seq[QueryDef] = Seq(
     q33ExactDedup, q34MinhashLsh, q35Simhash, q36NgramJaccard,
     q37EmbeddingNeardup, q78DupClusters, q79IncrementalDedup,
-    q82FuzzyJoin)
+    q82FuzzyJoin, q93LeakageSafeSplit)
 }

@@ -1,0 +1,206 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import graft.{QueryDef, Tables}
+
+/** Corpus-versioning operators — the refresh half of a crawl-scale
+  * data pipeline: apply a CDC changelog to a snapshot (upsert),
+  * diff two corpus versions, and audit a Z-order data layout.
+  *
+  * The changelog/second-version inputs are synthesized from the
+  * `documents` table with mutually-exclusive integer-modulus rules
+  * (the q56 idiom), so both engines derive bit-identical deltas and
+  * the merge/diff logic itself is what the oracle checks.
+  */
+object VersioningQueries {
+
+  /** Deterministic CDC delta over `documents`:
+    * updates (doc_id % 7 == 3), deletes (% 13 == 5, wins over update),
+    * inserts (% 17 == 2, re-keyed past the snapshot id space).
+    */
+  private def changelog(docs: DataFrame): DataFrame = {
+    val upd = docs
+      .filter(pmod(col("doc_id"), lit(7)) === 3 &&
+        pmod(col("doc_id"), lit(13)) =!= 5)
+      .select(col("doc_id"), lit("U").as("op"),
+        concat(col("text"), lit(" rev2")).as("text"),
+        col("lang"), col("source"))
+    val del = docs
+      .filter(pmod(col("doc_id"), lit(13)) === 5)
+      .select(col("doc_id"), lit("D").as("op"), col("text"),
+        col("lang"), col("source"))
+    val ins = docs
+      .filter(pmod(col("doc_id"), lit(17)) === 2)
+      .select((col("doc_id") + 1000000L).as("doc_id"), lit("I").as("op"),
+        concat(lit("new "), col("text")).as("text"),
+        col("lang"), col("source"))
+    upd.unionAll(del).unionAll(ins)
+  }
+
+  private val changelogSql =
+    """SELECT doc_id, 'U' AS op, text || ' rev2' AS text, lang, source
+      |  FROM documents WHERE doc_id % 7 = 3 AND doc_id % 13 <> 5
+      |UNION ALL
+      |SELECT doc_id, 'D', text, lang, source
+      |  FROM documents WHERE doc_id % 13 = 5
+      |UNION ALL
+      |SELECT doc_id + 1000000, 'I', 'new ' || text, lang, source
+      |  FROM documents WHERE doc_id % 17 = 2""".stripMargin
+
+  /** Changelog upsert (MERGE): one full-outer equi join of snapshot
+    * vs delta on the key — delta rows win, op='D' rows drop out, and
+    * untouched snapshot rows pass through. At 100 TB this is a single
+    * key shuffle (or zero with both sides bucketed on the key); no
+    * window, no driver loop. The emitted `content_md5` hash-checks
+    * the merged TEXT, not just which branch won.
+    */
+  val q91ChangelogUpsert = QueryDef(
+    "q91_changelog_upsert",
+    "CDC changelog upsert: snapshot MERGE delta (latest-wins, delete-aware), md5-audited",
+    s"""WITH delta AS ($changelogSql),
+      |merged AS (
+      |  SELECT coalesce(d.doc_id, s.doc_id) AS doc_id,
+      |    CASE WHEN d.doc_id IS NULL THEN 'kept'
+      |         WHEN d.op = 'U' THEN 'updated'
+      |         ELSE 'inserted' END AS status,
+      |    coalesce(d.text, s.text) AS text,
+      |    coalesce(d.lang, s.lang) AS lang,
+      |    coalesce(d.source, s.source) AS source
+      |  FROM documents s FULL OUTER JOIN delta d ON s.doc_id = d.doc_id
+      |  WHERE coalesce(d.op, '') <> 'D')
+      |SELECT doc_id, status, md5(text) AS content_md5, lang, source
+      |FROM merged
+      |ORDER BY doc_id""".stripMargin) { (s, d) =>
+    val snap = Tables.documents(s, d)
+      .select(col("doc_id"), col("text"), col("lang"), col("source"))
+    val delta = changelog(snap)
+    snap.alias("s")
+      .join(delta.alias("d"), col("s.doc_id") === col("d.doc_id"), "full_outer")
+      .filter(coalesce(col("d.op"), lit("")) =!= "D")
+      .select(
+        coalesce(col("d.doc_id"), col("s.doc_id")).as("doc_id"),
+        when(col("d.doc_id").isNull, "kept")
+          .when(col("d.op") === "U", "updated")
+          .otherwise("inserted").as("status"),
+        md5(coalesce(col("d.text"), col("s.text"))).as("content_md5"),
+        coalesce(col("d.lang"), col("s.lang")).as("lang"),
+        coalesce(col("d.source"), col("s.source")).as("source"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Snapshot diff: v2 is the upserted corpus; the diff full-outer
+    * joins v1 vs v2 on the key, classifies each doc by digest
+    * comparison, and rolls up per (source, status). Two shuffles
+    * total (join + final aggregate) — the crawl-delta audit that
+    * decides whether a refresh is sane before it replaces the
+    * previous training snapshot.
+    */
+  val q92SnapshotDiff = QueryDef(
+    "q92_snapshot_diff",
+    "corpus snapshot diff: per-source added/deleted/changed/unchanged counts via digest compare",
+    s"""WITH delta AS ($changelogSql),
+      |v2 AS (
+      |  SELECT coalesce(d.doc_id, s.doc_id) AS doc_id,
+      |    coalesce(d.text, s.text) AS text,
+      |    coalesce(d.source, s.source) AS source
+      |  FROM documents s FULL OUTER JOIN delta d ON s.doc_id = d.doc_id
+      |  WHERE coalesce(d.op, '') <> 'D'),
+      |diff AS (
+      |  SELECT coalesce(a.source, b.source) AS source,
+      |    CASE WHEN a.doc_id IS NULL THEN 'added'
+      |         WHEN b.doc_id IS NULL THEN 'deleted'
+      |         WHEN md5(a.text) <> md5(b.text) THEN 'changed'
+      |         ELSE 'unchanged' END AS status
+      |  FROM documents a FULL OUTER JOIN v2 b ON a.doc_id = b.doc_id)
+      |SELECT source, status, CAST(count(*) AS BIGINT) AS n_docs
+      |FROM diff
+      |GROUP BY source, status
+      |ORDER BY source, status""".stripMargin) { (s, d) =>
+    val v1 = Tables.documents(s, d)
+      .select(col("doc_id"), col("text"), col("lang"), col("source"))
+    val delta = changelog(v1)
+    val v2 = v1.alias("s")
+      .join(delta.alias("d"), col("s.doc_id") === col("d.doc_id"), "full_outer")
+      .filter(coalesce(col("d.op"), lit("")) =!= "D")
+      .select(
+        coalesce(col("d.doc_id"), col("s.doc_id")).as("doc_id"),
+        coalesce(col("d.text"), col("s.text")).as("text"),
+        coalesce(col("d.source"), col("s.source")).as("source"))
+    v1.alias("a")
+      .join(v2.alias("b"), col("a.doc_id") === col("b.doc_id"), "full_outer")
+      .select(
+        coalesce(col("a.source"), col("b.source")).as("source"),
+        when(col("a.doc_id").isNull, "added")
+          .when(col("b.doc_id").isNull, "deleted")
+          .when(md5(col("a.text")) =!= md5(col("b.text")), "changed")
+          .otherwise("unchanged").as("status"))
+      .groupBy(col("source"), col("status"))
+      .agg(count(lit(1)).as("n_docs"))
+      .orderBy(col("source"), col("status"))
+  }
+
+  /** 16-bit Morton (Z-order) interleave of two 8-bit dims — disjoint
+    * bit targets, so the OR-fold is a plain sum and stays inside
+    * whole-stage codegen (shifts + masks only, no UDF).
+    */
+  private def zorder8(x: Column, y: Column): Column =
+    (0 until 8).map { i =>
+      (shiftrightunsigned(x, i).bitwiseAND(lit(1L)) * lit(1L << (2 * i))) +
+        (shiftrightunsigned(y, i).bitwiseAND(lit(1L)) * lit(1L << (2 * i + 1)))
+    }.reduce(_ + _)
+
+  private def zorder8Sql(x: String, y: String): String =
+    (0 until 8).map { i =>
+      s"((($x >> $i) & 1) * ${1L << (2 * i)} + (($y >> $i) & 1) * ${1L << (2 * i + 1)})"
+    }.mkString(" + ")
+
+  /** Z-order layout audit: orders are clustered by the Morton code of
+    * (customer bucket, order day), the curve is cut into 256 equal
+    * z-ranges ("files"), and the audit reports each file's row count
+    * and per-dimension min/max span — exactly the footer stats a
+    * scan planner prunes on. Because the curve preserves 2-D
+    * locality, every file covers a bounded rectangle in BOTH dims, so
+    * a predicate on either customer OR date prunes most files; a
+    * row-order or single-key sort gives that for one dim only. At
+    * 100 TB the write side is `repartitionByRange(zval)` +
+    * per-file parquet min/max footers; this query is the layout's
+    * effectiveness audit and is engine-exact (integer bit arithmetic,
+    * fixed-width z-range cut — no sampled partitioner in the result).
+    */
+  val q94ZorderLayout = QueryDef(
+    "q94_zorder_layout",
+    "Z-order (Morton) layout audit: per-z-range row counts and dim spans for scan pruning",
+    s"""WITH dims AS (
+      |  SELECT o_orderkey, o_custkey % 256 AS x,
+      |         date_diff('day', TIMESTAMP '1992-01-01 00:00:00', o_orderdate) % 256 AS y
+      |  FROM orders),
+      |z AS (SELECT o_orderkey, x, y, ${zorder8Sql("x", "y")} AS zval FROM dims)
+      |SELECT CAST(zval // 256 AS BIGINT) AS zfile,
+      |  CAST(count(*) AS BIGINT) AS n_rows,
+      |  CAST(min(x) AS BIGINT) AS x_min, CAST(max(x) AS BIGINT) AS x_max,
+      |  CAST(min(y) AS BIGINT) AS y_min, CAST(max(y) AS BIGINT) AS y_max,
+      |  CAST((max(x) - min(x) + 1) * (max(y) - min(y) + 1) AS BIGINT) AS cell_span
+      |FROM z
+      |GROUP BY zfile
+      |ORDER BY zfile""".stripMargin) { (s, d) =>
+    val dims = Tables.orders(s, d)
+      .select(col("o_orderkey"),
+        pmod(col("o_custkey"), lit(256L)).as("x"),
+        pmod(datediff(to_date(col("o_orderdate")), lit("1992-01-01")), lit(256))
+          .cast("long").as("y"))
+    dims
+      .select(col("o_orderkey"), col("x"), col("y"),
+        zorder8(col("x"), col("y")).as("zval"))
+      .groupBy((col("zval") / 256).cast("long").as("zfile"))
+      .agg(count(lit(1)).as("n_rows"),
+        min(col("x")).as("x_min"), max(col("x")).as("x_max"),
+        min(col("y")).as("y_min"), max(col("y")).as("y_max"))
+      .withColumn("cell_span",
+        (col("x_max") - col("x_min") + 1) * (col("y_max") - col("y_min") + 1))
+      .orderBy(col("zfile"))
+  }
+
+  val all: Seq[QueryDef] =
+    Seq(q91ChangelogUpsert, q92SnapshotDiff, q94ZorderLayout)
+}

@@ -1,0 +1,77 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Invariants of the corpus-versioning operators (q91–q94) beyond the
+  * DuckDB hash oracle: merge semantics, diff conservation, the
+  * leakage-safety guarantee, and Morton-curve locality.
+  */
+class VersioningSpec extends SparkSpec {
+
+  test("q91 upsert applies deletes, keeps inserts past the id space, changes updated digests") {
+    val out = Registry.byName("q91_changelog_upsert").fn(spark, sfDir).cache()
+    try {
+      val snap = Tables.documents(spark, sfDir)
+      // deleted keys are absent
+      val deleted = snap.filter(pmod(col("doc_id"), lit(13)) === 5)
+        .select(col("doc_id"))
+      assert(out.join(deleted, Seq("doc_id"), "left_semi").count() == 0)
+      // inserted rows are exactly the % 17 == 2 docs, re-keyed
+      val nIns = snap.filter(pmod(col("doc_id"), lit(17)) === 2).count()
+      assert(out.filter(col("status") === "inserted").count() == nIns)
+      assert(out.filter(col("status") === "inserted" && col("doc_id") <= 1000000L).count() == 0)
+      // updated rows carry a digest different from the snapshot's
+      val updDiffer = out.filter(col("status") === "updated")
+        .join(snap.select(col("doc_id"), md5(col("text")).as("orig_md5")), Seq("doc_id"))
+        .filter(col("content_md5") === col("orig_md5"))
+      assert(updDiffer.count() == 0)
+      // kept rows carry the snapshot digest unchanged
+      val keptSame = out.filter(col("status") === "kept")
+        .join(snap.select(col("doc_id"), md5(col("text")).as("orig_md5")), Seq("doc_id"))
+        .filter(col("content_md5") =!= col("orig_md5"))
+      assert(keptSame.count() == 0)
+    } finally out.unpersist()
+  }
+
+  test("q92 diff statuses conserve the keyspace of both versions") {
+    val out = Registry.byName("q92_snapshot_diff").fn(spark, sfDir)
+    val byStatus = out.groupBy(col("status"))
+      .agg(sum(col("n_docs")).as("n")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val snap = Tables.documents(spark, sfDir)
+    val nV1 = snap.count()
+    val nDel = snap.filter(pmod(col("doc_id"), lit(13)) === 5).count()
+    val nIns = snap.filter(pmod(col("doc_id"), lit(17)) === 2).count()
+    // v1 = deleted + changed + unchanged; v2 = added + changed + unchanged
+    assert(byStatus.getOrElse("deleted", 0L) == nDel)
+    assert(byStatus.getOrElse("added", 0L) == nIns)
+    assert(byStatus.values.sum == nV1 + nIns)
+  }
+
+  test("q93 split never separates a verified near-dup pair (the leakage guarantee)") {
+    val split = Registry.byName("q93_leakage_safe_split").fn(spark, sfDir).cache()
+    try {
+      val pairs = Registry.byName("q34_minhash_lsh").fn(spark, sfDir)
+        .select(col("doc_a"), col("doc_b"))
+      val straddling = pairs
+        .join(split.select(col("doc_id").as("doc_a"), col("split").as("sa")), Seq("doc_a"))
+        .join(split.select(col("doc_id").as("doc_b"), col("split").as("sb")), Seq("doc_b"))
+        .filter(col("sa") =!= col("sb"))
+      assert(straddling.count() == 0)
+      // every document is assigned exactly once
+      assert(split.count() == Tables.documents(spark, sfDir).count())
+      assert(split.select(col("split")).distinct().count() <= 3)
+    } finally split.unpersist()
+  }
+
+  test("q94 every 256-cell z-range is a 16x16 block: dim spans bounded for pruning") {
+    val out = Registry.byName("q94_zorder_layout").fn(spark, sfDir)
+    val bad = out.filter(
+      col("x_max") - col("x_min") >= 16 || col("y_max") - col("y_min") >= 16 ||
+        col("cell_span") > 256)
+    assert(bad.count() == 0, "an aligned 4^4 z-range must cover exactly a 16x16 rectangle")
+    // conservation: every order lands in exactly one z-file
+    val total = out.agg(sum(col("n_rows"))).first().getLong(0)
+    assert(total == Tables.orders(spark, sfDir).count())
+  }
+}
