@@ -246,7 +246,28 @@ object AggregatorQueries {
       .orderBy(col("col_name"))
   }
 
+  /** BPE tokenizer training (`api/BpeTrainer`): the corpus is scanned
+    * ONCE into a word-frequency vocab; each of the 24 merge
+    * iterations then runs on that compact relation — explode adjacent
+    * pairs, partial+final count, one-row deterministic argmax
+    * ((count DESC, pair ASC)) to the driver, typed left-to-right
+    * merge application. No SQL oracle: an iterative argmax loop is
+    * not expressible as one DuckDB query — `BpeTrainerSpec` instead
+    * pins the learned merges EXACTLY (order and counts) to a
+    * brute-force Sennrich-style reference on this same table.
+    */
+  val q95BpeTrain = QueryDef.noOracle(
+    "q95_bpe_train",
+    "BPE tokenizer training: 24 learned merges (rank, left, right, count) from the documents corpus") {
+    (s, d) =>
+      import s.implicits._
+      graft.api.BpeTrainer.train(Tables.documents(s, d), "text", 24)
+        .toDF()
+        .select(col("rank"), col("left"), col("right"), col("count"))
+        .orderBy(col("rank"))
+  }
+
   val all: Seq[QueryDef] = Seq(
     q41CustomAgg, q45Percentiles, q46ApproxDistinct, q47TypedMapreduce,
-    q65StatsAgg, q87HeavyHitters, q90ColumnProfile)
+    q65StatsAgg, q87HeavyHitters, q90ColumnProfile, q95BpeTrain)
 }
