@@ -1,0 +1,74 @@
+package graft.api
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Weighted PageRank in EXACT integer fixed-point — scores are longs
+  * scaled by 1e6 and every per-edge contribution is an integer
+  * division, so the result is bit-identical across engines,
+  * partitionings, and summation orders (integer sums commute;
+  * floating-point ones don't). That determinism is what lets a SQL
+  * oracle replay the iteration loop as unrolled CTEs.
+  *
+  * Scale shape: each iteration is one equi-join (edges ⋈ scores on
+  * src — co-partitionable on the key) and one partial+final aggregate
+  * on dst; per-node weighted degree is precomputed once. Scores are
+  * localCheckpointed each iteration so lineage stays O(1). K is small
+  * (PageRank mixes in a few iterations); at 100 TB the working set is
+  * the NODE table, not the corpus.
+  */
+object PageRank {
+
+  val Scale = 1000000L // score fixed-point scale (1.0 == 1e6)
+
+  /** `edges`: (src, dst, w) with positive integer weights, both
+    * directions present for an undirected graph. Returns
+    * (node, score) after `k` damped iterations (d = 0.85), where
+    * score ≈ 1e6 × the PageRank mass. Node set = nodes with wdeg > 0.
+    */
+  def weighted(edges: DataFrame, k: Int): DataFrame = {
+    val wdeg = edges.groupBy(col("src").as("node"))
+      .agg(sum(col("w")).as("wdeg"))
+    var scores = wdeg.select(col("node"), lit(Scale).as("score"))
+    for (_ <- 1 to k) {
+      val contrib = edges
+        .join(scores.withColumnRenamed("node", "src"), "src")
+        .join(wdeg.withColumnRenamed("node", "src"), "src")
+        // (850 * score * w) div (1000 * wdeg): exact integer damping
+        .select(col("dst").as("node"),
+          expr(s"(850 * score * w) div (1000 * wdeg)").as("c"))
+        .groupBy(col("node")).agg(sum(col("c")).as("in_mass"))
+      scores = wdeg
+        .join(contrib, Seq("node"), "left_outer")
+        .select(col("node"),
+          (lit(150L * Scale / 1000L) + coalesce(col("in_mass"), lit(0L)))
+            .as("score"))
+        .localCheckpoint()
+    }
+    scores
+  }
+
+  /** The oracle twin: DuckDB SQL computing the same `k` iterations
+    * with identical integer arithmetic, unrolled as CTE stages.
+    * `edgesSql` must SELECT (src, dst, w).
+    */
+  def oracleSql(edgesSql: String, k: Int): String = {
+    val base =
+      s"""e AS ($edgesSql),
+         |wdeg AS (SELECT src AS node, sum(w) AS wdeg FROM e GROUP BY src),
+         |s0 AS (SELECT node, CAST($Scale AS BIGINT) AS score FROM wdeg)""".stripMargin
+    val iters = (1 to k).map { i =>
+      s"""s$i AS (
+         |  SELECT wdeg.node,
+         |    ${150L * Scale / 1000L} + coalesce(m.in_mass, 0) AS score
+         |  FROM wdeg LEFT JOIN (
+         |    SELECT e.dst AS node,
+         |      sum((850 * s.score * e.w) // (1000 * d.wdeg)) AS in_mass
+         |    FROM e
+         |    JOIN s${i - 1} s ON s.node = e.src
+         |    JOIN wdeg d ON d.node = e.src
+         |    GROUP BY e.dst) m ON m.node = wdeg.node)""".stripMargin
+    }
+    (base +: iters).mkString("WITH ", ",\n", "")
+  }
+}

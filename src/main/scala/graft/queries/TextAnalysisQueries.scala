@@ -337,7 +337,66 @@ object TextAnalysisQueries {
       .orderBy(col("doc_id"))
   }
 
+  /** TextRank keyword extraction: tokens are nodes, adjacent-token
+    * co-occurrence counts are undirected edge weights, importance is
+    * 3 iterations of `api.PageRank` — in EXACT integer fixed-point,
+    * so the DuckDB oracle replays the full iterative loop as unrolled
+    * CTEs and hash-checks every score. Scale shape: the corpus is
+    * touched once to build the bigram edge list (one shuffle); each
+    * PageRank iteration then joins edges ⋈ scores on the key and
+    * partial-aggregates — all on the token-graph relation, which is
+    * vocabulary-sized, not corpus-sized.
+    */
+  val q96Textrank = {
+    val edgesSql =
+      """SELECT l AS src, r AS dst, CAST(count(*) AS BIGINT) AS w FROM (
+        |    SELECT w[i] AS l, w[i+1] AS r
+        |    FROM (SELECT list_filter(string_split(text, ' '), t -> length(t) > 0) AS w
+        |          FROM documents),
+        |         unnest(range(1, len(w))) AS u(i))
+        |  GROUP BY l, r
+        |  UNION ALL
+        |  SELECT r, l, CAST(count(*) AS BIGINT) FROM (
+        |    SELECT w[i] AS l, w[i+1] AS r
+        |    FROM (SELECT list_filter(string_split(text, ' '), t -> length(t) > 0) AS w
+        |          FROM documents),
+        |         unnest(range(1, len(w))) AS u(i))
+        |  GROUP BY l, r""".stripMargin
+    QueryDef(
+      "q96_textrank",
+      "TextRank keywords: top-30 tokens by 3 integer-exact PageRank iterations over the co-occurrence graph",
+      s"""${graft.api.PageRank.oracleSql(edgesSql, 3)}
+        |SELECT * FROM (
+        |  SELECT CAST(row_number() OVER (ORDER BY score DESC, node) AS INT) AS rank,
+        |         node AS token, CAST(score AS BIGINT) AS score
+        |  FROM s3)
+        |WHERE rank <= 30
+        |ORDER BY rank""".stripMargin) { (s, d) =>
+      val bigrams = Tables.documents(s, d)
+        .select(toks(col("text")).as("w"))
+        .filter(size(col("w")) >= 2)
+        .select(posexplode(slice(col("w"), lit(1), size(col("w")) - 1))
+          .as(Seq("i", "l")), col("w"))
+        .select(col("l"), element_at(col("w"), col("i") + 2).as("r"))
+        .groupBy(col("l"), col("r")).agg(count(lit(1)).as("w"))
+      val edges = bigrams.select(col("l").as("src"), col("r").as("dst"), col("w"))
+        .unionAll(bigrams.select(col("r").as("src"), col("l").as("dst"), col("w")))
+      // top-30 via global sort+limit (TakeOrderedAndProject — per-
+      // partition top-k then a 30-row merge, never a full-vocab
+      // single-reducer window); rank assigned on the 30 survivors.
+      graft.api.PageRank.weighted(edges, 3)
+        .select(col("node").as("token"), col("score"))
+        .orderBy(col("score").desc, col("token"))
+        .limit(30)
+        .withColumn("rank",
+          row_number().over(org.apache.spark.sql.expressions.Window
+            .orderBy(col("score").desc, col("token"))).cast("int"))
+        .select(col("rank"), col("token"), col("score"))
+        .orderBy(col("rank"))
+    }
+  }
+
   val all: Seq[QueryDef] = Seq(
     q27TokenStats, q28LangStats, q29QualityScore, q30Langid,
-    q31Fingerprint, q32NgramStats, q55Tfidf, q66BpeTokens)
+    q31Fingerprint, q32NgramStats, q55Tfidf, q66BpeTokens, q96Textrank)
 }
