@@ -201,7 +201,91 @@ object TemporalQueries {
       .orderBy(col("hour_start"))
   }
 
+  /** Ordered funnel (view → click-after-view → purchase-after-click):
+    * stage k counts users whose earliest stage-k event strictly
+    * follows their earliest qualifying stage-(k-1) event — the
+    * MATCH_RECOGNIZE-style sequence query expressed as staged
+    * conditional aggregation. Scale shape: three partial+final
+    * aggregates and two key equi-joins, all on user_id — one shuffle
+    * key end to end, no window, no per-user sort.
+    */
+  val q97Funnel = QueryDef(
+    "q97_funnel",
+    "ordered funnel view->click->purchase: per-stage user counts with strict event ordering",
+    """WITH v AS (
+      |  SELECT user_id, min(ts) AS t1 FROM events
+      |  WHERE event_type = 'view' GROUP BY user_id),
+      |c AS (
+      |  SELECT e.user_id, min(e.ts) AS t2
+      |  FROM events e JOIN v ON v.user_id = e.user_id
+      |  WHERE e.event_type = 'click' AND e.ts > v.t1
+      |  GROUP BY e.user_id),
+      |p AS (
+      |  SELECT e.user_id, min(e.ts) AS t3
+      |  FROM events e JOIN c ON c.user_id = e.user_id
+      |  WHERE e.event_type = 'purchase' AND e.ts > c.t2
+      |  GROUP BY e.user_id)
+      |SELECT stage, n_users FROM (
+      |  SELECT '1_view' AS stage, CAST(count(*) AS BIGINT) AS n_users FROM v
+      |  UNION ALL
+      |  SELECT '2_click_after_view', CAST(count(*) AS BIGINT) FROM c
+      |  UNION ALL
+      |  SELECT '3_purchase_after_click', CAST(count(*) AS BIGINT) FROM p)
+      |ORDER BY stage""".stripMargin) { (s, d) =>
+    val ev = Tables.events(s, d)
+    val v = ev.filter(col("event_type") === "view")
+      .groupBy(col("user_id")).agg(min(col("ts")).as("t1"))
+    val c = ev.filter(col("event_type") === "click").alias("e")
+      .join(v, "user_id")
+      .filter(col("e.ts") > col("t1"))
+      .groupBy(col("user_id")).agg(min(col("e.ts")).as("t2"))
+    val p = ev.filter(col("event_type") === "purchase").alias("e")
+      .join(c, "user_id")
+      .filter(col("e.ts") > col("t2"))
+      .groupBy(col("user_id")).agg(min(col("e.ts")).as("t3"))
+    v.agg(count(lit(1)).as("n_users")).select(lit("1_view").as("stage"), col("n_users"))
+      .unionAll(c.agg(count(lit(1)).as("n_users"))
+        .select(lit("2_click_after_view").as("stage"), col("n_users")))
+      .unionAll(p.agg(count(lit(1)).as("n_users"))
+        .select(lit("3_purchase_after_click").as("stage"), col("n_users")))
+      .orderBy(col("stage"))
+  }
+
+  /** Cohort retention: users grouped by signup week, activity counted
+    * as distinct users per (cohort week, whole-week offset). Week
+    * truncation (Monday) and day-count division are integer-exact in
+    * both engines. Scale shape: one aggregate for cohorts, one
+    * equi-join on user_id, one distinct-aggregate — the exchange
+    * carries (cohort, offset, user) only.
+    */
+  val q98CohortRetention = QueryDef(
+    "q98_cohort_retention",
+    "cohort retention matrix: distinct active users per signup-week cohort and week offset",
+    """WITH coh AS (
+      |  SELECT user_id, date_trunc('week', min(ts)) AS cw
+      |  FROM events WHERE event_type = 'signup' GROUP BY user_id)
+      |SELECT CAST(coh.cw AS DATE) AS cohort_week,
+      |  CAST(date_diff('day', coh.cw, date_trunc('week', e.ts)) // 7 AS INT) AS week_offset,
+      |  CAST(count(DISTINCT e.user_id) AS BIGINT) AS n_active
+      |FROM events e JOIN coh ON coh.user_id = e.user_id
+      |WHERE e.ts >= coh.cw
+      |GROUP BY 1, 2
+      |ORDER BY cohort_week, week_offset""".stripMargin) { (s, d) =>
+    val ev = Tables.events(s, d)
+    val coh = ev.filter(col("event_type") === "signup")
+      .groupBy(col("user_id")).agg(date_trunc("week", min(col("ts"))).as("cw"))
+    ev.alias("e").join(coh, "user_id")
+      .filter(col("e.ts") >= col("cw"))
+      .select(col("cw").cast("date").as("cohort_week"),
+        (datediff(date_trunc("week", col("e.ts")), col("cw")) / 7)
+          .cast("int").as("week_offset"),
+        col("user_id"))
+      .groupBy(col("cohort_week"), col("week_offset"))
+      .agg(countDistinct(col("user_id")).as("n_active"))
+      .orderBy(col("cohort_week"), col("week_offset"))
+  }
+
   val all: Seq[QueryDef] = Seq(
     q40AsofJoin, q42TumblingWindow, q43SlidingWindow, q44SessionWindow,
-    q62Attribution, q70TimeSpine)
+    q62Attribution, q70TimeSpine, q97Funnel, q98CohortRetention)
 }
