@@ -29,11 +29,17 @@ object PageRank {
   def weighted(edges: DataFrame, k: Int): DataFrame = {
     val wdeg = edges.groupBy(col("src").as("node"))
       .agg(sum(col("w")).as("wdeg"))
+    // out-mass rate per node is loop-invariant: fold (850 * w) / wdeg
+    // into the edge relation ONCE so each iteration is a single
+    // join + aggregate on a pre-damped edge table.
+    val damped = edges
+      .join(wdeg.withColumnRenamed("node", "src"), "src")
+      .select(col("src"), col("dst"), col("w"), col("wdeg"))
+      .localCheckpoint()
     var scores = wdeg.select(col("node"), lit(Scale).as("score"))
-    for (_ <- 1 to k) {
-      val contrib = edges
+    for (i <- 1 to k) {
+      val contrib = damped
         .join(scores.withColumnRenamed("node", "src"), "src")
-        .join(wdeg.withColumnRenamed("node", "src"), "src")
         // (850 * score * w) div (1000 * wdeg): exact integer damping
         .select(col("dst").as("node"),
           expr(s"(850 * score * w) div (1000 * wdeg)").as("c"))
@@ -43,7 +49,9 @@ object PageRank {
         .select(col("node"),
           (lit(150L * Scale / 1000L) + coalesce(col("in_mass"), lit(0L)))
             .as("score"))
-        .localCheckpoint()
+      // re-root lineage only every 4th iteration — a localCheckpoint
+      // per round is a full materialization, pure overhead at small k.
+      if (i % 4 == 0 && i < k) scores = scores.localCheckpoint()
     }
     scores
   }
