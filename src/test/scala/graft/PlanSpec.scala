@@ -326,4 +326,44 @@ class PlanSpec extends SparkSpec {
       "q80 contains a global window — the corpus would funnel through ONE reducer")
     spark.sharedState.cacheManager.clearCache()
   }
+
+  test("q96 textrank ranks via TakeOrdered, never a full-vocab global window") {
+    val df = Registry.byName("q96_textrank").fn(spark, sfDir)
+    val plan = planString(df)
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"expected distributed top-k (TakeOrderedAndProject) in q96:\n$plan")
+    // the only Window sorts the 30 survivors AFTER the limit
+    val windowIdx = plan.indexOf("Window")
+    val takeIdx = plan.indexOf("TakeOrderedAndProject")
+    assert(windowIdx < takeIdx,
+      "q96's rank window must sit above the limit, not under it")
+  }
+
+  test("q97 funnel plans with zero window operators (staged aggregation only)") {
+    val df = Registry.byName("q97_funnel").fn(spark, sfDir)
+    val plan = planString(df)
+    assert(!plan.contains("Window"),
+      s"funnel should be joins+aggregates, found a window:\n$plan")
+    assert("HashAggregate".r.findAllIn(plan).size >= 4,
+      "expected partial+final aggregates per funnel stage")
+  }
+
+  test("q94 zorder interleave stays inside whole-stage codegen (no UDF, one agg exchange)") {
+    val df = Registry.byName("q94_zorder_layout").fn(spark, sfDir)
+    val plan = planString(df)
+    assert(!plan.contains("BatchEvalPython") && !plan.contains("ScalaUDF"),
+      "zorder must be pure codegen'd bit arithmetic")
+    val exchanges = "Exchange".r.findAllIn(plan).size
+    assert(exchanges <= 2, // groupBy(zfile) + determinism ORDER BY
+      s"q94 should shuffle once for the aggregate (plus the sort): found $exchanges\n$plan")
+  }
+
+  test("q91 upsert is one join exchange pair on the key (no window, no extra shuffle)") {
+    val df = Registry.byName("q91_changelog_upsert").fn(spark, sfDir)
+    val plan = planString(df)
+    assert(!plan.contains("Window"), "upsert must not need a window")
+    assert(plan.contains("SortMergeJoin") || plan.contains("ShuffledHashJoin") ||
+      plan.contains("BroadcastHashJoin"),
+      s"expected an equi join for the merge:\n$plan")
+  }
 }
