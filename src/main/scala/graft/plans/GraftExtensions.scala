@@ -88,11 +88,16 @@ object GraftFunctions {
       (children: Seq[Expression]) =>
         FreqTopK(children(0), children(1), children(2)))
 
+  val mix64Descriptor: Descriptor =
+    (FunctionIdentifier("mix64"),
+      new ExpressionInfo(classOf[Mix64].getName, "mix64"),
+      (children: Seq[Expression]) => Mix64(children.head))
+
   val descriptors: Seq[Descriptor] =
     Seq(cosineSimDescriptor, minhashSigDescriptor, simhashDescriptor,
       topkDescriptor, similarToDescriptor, lshSigDescriptor,
       unicodeNormalizeDescriptor, quantizeI8Descriptor, vectorSumDescriptor,
-      fuzzyMatchDescriptor, freqTopkDescriptor)
+      fuzzyMatchDescriptor, freqTopkDescriptor, mix64Descriptor)
 
   /** Idempotent per-session registration: the native functions plus
     * the similarity-join optimizer rule (the in-library twin of the
@@ -147,6 +152,11 @@ object GraftFunctions {
   def unicodeNormalize(s: Column, form: String): Column =
     call_function("unicode_normalize", s,
       org.apache.spark.sql.functions.lit(form))
+
+  /** Column-API form of the native 64-bit mixer (wraparound
+    * multiply — ANSI-safe, DuckDB-reproducible).
+    */
+  def mix64(p: Column): Column = call_function("mix64", p)
 
   /** Column-API form of the native int8 max-abs quantizer. */
   def quantizeI8(vec: Column): Column = call_function("quantize_i8", vec)

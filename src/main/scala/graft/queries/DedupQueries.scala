@@ -163,22 +163,68 @@ object DedupQueries {
       .filter(col("jaccard") >= 0.8)
   }
 
+  /** Portable 64-bit token hash: the q31 Karp–Rabin polynomial fold
+    * (mod 1e9+7) finished by the native [[graft.plans.Mix64]]
+    * xor-shift/multiply mixer. Every step is plain mod-2^64 integer
+    * arithmetic with constants < 2^63, so DuckDB reproduces the hash
+    * BIT-FOR-BIT via HUGEINT — unlike `xxhash64`, which is
+    * Spark-internal. The poly stage bounds the input space to ~1e9
+    * values; a collision there merely merges two tokens'
+    * majority-vote weight, which SimHash tolerates by construction
+    * (it is already a lossy 64-bit sketch). Requires
+    * `GraftFunctions.register`.
+    */
+  private[graft] def portableTokenHash64(t: Column): Column =
+    GraftFunctions.mix64(aggregate(
+      transform(filter(split(t, ""), c => length(c) > 0),
+        ch => ascii(ch).cast("long")),
+      lit(0L), (a, x) => (a * 31 + x) % 1000000007L))
+
   /** SimHash: 64-bit majority-vote fingerprint of the token hash set.
     * Hamming-≤6 pairs via 8×8-bit band join — by pigeonhole any pair
     * with distance ≤ 7 shares at least one intact band, so banding is
     * EXACT (recall 1.0) for the ≤6 threshold, not approximate.
     *
-    * No SQL oracle — TRULY inexpressible: the fingerprint is the
-    * bitwise majority vote over xxhash64(token) values, and DuckDB has
-    * no xxhash64 (its `hash()` is a different function), so no
-    * standalone SQL can reproduce the fingerprints. The exactness of
-    * the banding itself is proven by construction + DedupQualitySpec
-    * (band join output ≡ brute-force hamming filter on the same
-    * fingerprints).
+    * Oracle-checked end-to-end: `portableTokenHash64` is reproduced in
+    * DuckDB via HUGEINT mod-2^64 arithmetic, the majority vote as a
+    * per-(doc, bit) ±1 sum, the band join and hamming distance with
+    * the same 8×8 banding — so rows, schema, AND values are gated, not
+    * just the banding exactness (which DedupQualitySpec additionally
+    * pins against a brute-force hamming filter).
     */
-  val q35Simhash = QueryDef.noOracle(
+  val q35Simhash = QueryDef(
     "q35_simhash",
-    "SimHash(64-bit) fingerprints; hamming≤6 near-dup pairs via exact 8-band join") { (s, d) =>
+    "SimHash(64-bit) fingerprints; hamming≤6 near-dup pairs via exact 8-band join",
+    """WITH tok AS (
+      |  SELECT doc_id, unnest(list_filter(string_split(text, ' '), t -> length(t) > 0)) AS t
+      |  FROM documents),
+      |ph AS (
+      |  SELECT doc_id, CAST(list_reduce(list_transform(string_split(t, ''),
+      |           c -> CAST(ascii(c) AS BIGINT)), (a, x) -> (a*31 + x) % 1000000007) AS HUGEINT) AS z
+      |  FROM tok),
+      |m1 AS (SELECT doc_id, (xor(z, z >> 30) * 2685821657736338717) % 18446744073709551616 AS z FROM ph),
+      |m2 AS (SELECT doc_id, (xor(z, z >> 27) * 1181783497276652981) % 18446744073709551616 AS z FROM m1),
+      |hh AS (SELECT doc_id, xor(z, z >> 31) AS h FROM m2),
+      |bits AS (
+      |  SELECT doc_id, b, sum(CASE WHEN (h >> b) % 2 = 1 THEN 1 ELSE -1 END) AS c
+      |  FROM hh CROSS JOIN (SELECT unnest(range(0, 64)) AS b)
+      |  GROUP BY doc_id, b),
+      |sim AS (
+      |  SELECT doc_id, sum(CASE WHEN c > 0 THEN (CAST(1 AS HUGEINT) << b) ELSE 0 END) AS s
+      |  FROM bits GROUP BY doc_id),
+      |banded AS (
+      |  SELECT doc_id, s, b, CAST((s >> CAST(8*b AS INT)) % 256 AS BIGINT) AS bv
+      |  FROM sim CROSS JOIN (SELECT unnest(range(0, 8)) AS b)),
+      |pairs AS (
+      |  SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b, x.s AS sa, y.s AS sb
+      |  FROM banded x JOIN banded y ON x.b = y.b AND x.bv = y.bv AND x.doc_id < y.doc_id)
+      |SELECT doc_a, doc_b, hamming FROM (
+      |  SELECT doc_a, doc_b,
+      |    CAST(list_sum(list_transform(range(0, 64),
+      |      b -> CAST((xor(sa, sb) >> b) % 2 AS BIGINT))) AS INT) AS hamming
+      |  FROM pairs)
+      |WHERE hamming <= 6
+      |ORDER BY doc_a, doc_b""".stripMargin) { (s, d) =>
     GraftFunctions.register(s)
     // one native TypedImperativeAggregate pass builds the 64-bit
     // majority-vote fingerprint per doc (plans.SimHashAgg — an
@@ -186,7 +232,7 @@ object DedupQueries {
     // per-bit groupBy ~4-5 s; this is sub-second map-side work)
     val sim = Tables.documents(s, d)
       .select(col("doc_id"), explode(toks(col("text"))).as("t"))
-      .select(col("doc_id"), xxhash64(col("t")).as("h"))
+      .select(col("doc_id"), portableTokenHash64(col("t")).as("h"))
       .groupBy(col("doc_id"))
       .agg(GraftFunctions.simhashAgg(col("h")).as("simhash"))
     val banded = sim.select(col("doc_id"), col("simhash"),

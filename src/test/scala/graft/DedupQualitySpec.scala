@@ -56,7 +56,8 @@ class DedupQualitySpec extends SparkSpec {
     // recompute simhashes directly and brute-force pairs
     val hs = Tables.documents(spark, sfDir)
       .select(col("doc_id"), explode(toks(col("text"))).as("t"))
-      .select(col("doc_id"), xxhash64(col("t")).as("h"))
+      .select(col("doc_id"),
+        graft.queries.DedupQueries.portableTokenHash64(col("t")).as("h"))
       .select(col("doc_id"), col("h"),
         explode(sequence(lit(0), lit(63))).as("i"))
       .select(col("doc_id"), col("i"),
