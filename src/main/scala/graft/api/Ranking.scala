@@ -1,0 +1,76 @@
+package graft.api
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Scale-safe global and per-group total ordering.
+  *
+  * `row_number() OVER (ORDER BY ...)` (or partitioned by a column with
+  * only a handful of distinct values, like `source`) funnels the whole
+  * table through one reducer task per partition value — the classic
+  * window scale-killer. This helper builds the same dense 1-based rank
+  * in two fully-partitioned passes instead:
+  *
+  *  1. range-repartition on (group, order) keys — every shuffle
+  *     partition holds a contiguous key range, all K tasks busy;
+  *  2. count rows per (partition, group) — a partial+final aggregate
+  *     yielding at most K + G metadata rows — and turn the counts into
+  *     per-(partition, group) rank offsets and per-group totals with a
+  *     window over that METADATA relation (K·G rows, not the table);
+  *  3. rank = within-partition `row_number` (partitioned by
+  *     (__pid, group) — all K tasks busy) + broadcast offset.
+  *
+  * Unlike the q15 inline form this collects nothing on the driver: the
+  * offsets stay a broadcast DataFrame, so the whole thing is ONE lazy
+  * plan. The range-partitioned input is cached via
+  * [[graft.AutoUnpersist]] so both the count branch and the rank
+  * branch see identical partition boundaries within the single action
+  * that materializes the result, and the cache releases itself when
+  * that action completes.
+  *
+  * `orderCols` must be a TOTAL order (include a unique tie-breaker):
+  * ties within a range partition would otherwise rank
+  * nondeterministically — same contract as any deterministic use of
+  * `row_number`.
+  */
+object Ranking {
+
+  /** Adds `rankCol` (1-based dense BIGINT rank within each group by
+    * `orderCols`) and `totalCol` (BIGINT group row count) to `df`.
+    * Empty `groupCols` ranks globally (one group).
+    */
+  def withRank(
+      df: DataFrame,
+      groupCols: Seq[String],
+      orderCols: Seq[Column],
+      rankCol: String = "rn",
+      totalCol: String = "grp_n"): DataFrame = {
+    require(orderCols.nonEmpty, "orderCols must be non-empty")
+    require(!df.columns.contains(rankCol) && !df.columns.contains(totalCol),
+      s"input already has a '$rankCol' or '$totalCol' column")
+    require(!df.columns.contains("__pid"),
+      "input already has a '__pid' column")
+    val parts = graft.AutoUnpersist.scoped(
+      df.repartitionByRange((groupCols.map(col) ++ orderCols): _*)
+        .withColumn("__pid", spark_partition_id()))
+    val counts = parts.groupBy(("__pid" +: groupCols).map(col): _*).count()
+    // offsets + totals over the metadata relation (≤ K + G rows): the
+    // unpartitioned window when groupCols is empty is deliberate — it
+    // runs on K rows of counts, never on the input table
+    val wg =
+      if (groupCols.isEmpty) Window.partitionBy()
+      else Window.partitionBy(groupCols.map(col): _*)
+    val offs = counts
+      .withColumn("__off",
+        coalesce(sum(col("count")).over(wg.orderBy(col("__pid"))
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .withColumn(totalCol, sum(col("count")).over(wg))
+      .drop("count")
+    val ww = Window.partitionBy(("__pid" +: groupCols).map(col): _*)
+      .orderBy(orderCols: _*)
+    parts.join(broadcast(offs), "__pid" +: groupCols)
+      .withColumn(rankCol, row_number().over(ww).cast("long") + col("__off"))
+      .drop("__pid")
+  }
+}

@@ -203,6 +203,53 @@ object CurationQueries {
       .orderBy(col("doc_id"), col("chunk_idx"))
   }
 
+  /** Per-source top-fraction selection — the "keep the best 30% of
+    * every source by quality" stage of a curation pipeline. The rank
+    * is a TRUE global order per source (not a sampled approximation),
+    * built by [[graft.api.Ranking.withRank]]: `documents.source` has
+    * a handful of distinct values, so the naive
+    * `row_number() OVER (PARTITION BY source ORDER BY quality)`
+    * would funnel the whole corpus through that many reducer tasks;
+    * the two-pass grouped ranking keeps all K tasks busy at any
+    * scale (PropertySpec pins it equal to the built-in window form).
+    * Quality is the q61 type-token-ratio integer-bp arithmetic, so
+    * both engines rank identical integers; doc_id breaks ties
+    * deterministically.
+    */
+  val q99SourceTopFraction = QueryDef(
+    "q99_source_top_fraction",
+    "per-source top-30% by quality via scale-safe grouped global ranking",
+    """WITH q AS (
+      |  SELECT doc_id, source,
+      |    CAST(floor(10000.0 * len(list_distinct(w)) / len(w)) AS BIGINT) AS ttr_bp
+      |  FROM (SELECT doc_id, source,
+      |          list_filter(string_split(text, ' '), t -> length(t) > 0) AS w
+      |        FROM documents)
+      |  WHERE len(w) > 0),
+      |r AS (
+      |  SELECT doc_id, source, ttr_bp,
+      |    CAST(row_number() OVER (PARTITION BY source
+      |                            ORDER BY ttr_bp DESC, doc_id) AS BIGINT) AS rn,
+      |    count(*) OVER (PARTITION BY source) AS n
+      |  FROM q)
+      |SELECT source, doc_id, ttr_bp, rn
+      |FROM r
+      |WHERE rn <= CAST(ceil(0.3 * n) AS BIGINT)
+      |ORDER BY source, doc_id""".stripMargin) { (s, d) =>
+    val q = Tables.documents(s, d)
+      .select(col("doc_id"), col("source"), toks(col("text")).as("w"))
+      .filter(size(col("w")) > 0)
+      .select(col("doc_id"), col("source"),
+        floor(lit(10000.0) * size(array_distinct(col("w"))) / size(col("w")))
+          .cast("long").as("ttr_bp"))
+    graft.api.Ranking.withRank(q, Seq("source"),
+      Seq(col("ttr_bp").desc, col("doc_id")))
+      .filter(col("rn") <= ceil(lit(0.3) * col("grp_n")).cast("long"))
+      .select(col("source"), col("doc_id"), col("ttr_bp"), col("rn"))
+      .orderBy(col("source"), col("doc_id"))
+  }
+
   val all: Seq[QueryDef] =
-    Seq(q61CurationPipeline, q80SequencePack, q83PackSlices, q86ChunkOverlap)
+    Seq(q61CurationPipeline, q80SequencePack, q83PackSlices, q86ChunkOverlap,
+      q99SourceTopFraction)
 }

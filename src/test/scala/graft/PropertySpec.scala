@@ -83,6 +83,24 @@ class PropertySpec extends SparkSpec {
       "two-pass ntile/percent_rank diverges from the built-in window")
   }
 
+  test("Ranking.withRank equals the built-in per-group window on random data") {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    check(Prop.forAll(kvGen) { xs =>
+      // unique tie-breaker id makes the order total (the API contract)
+      val df = xs.zipWithIndex.map { case ((k, v), i) => (k, v, i.toLong) }
+        .toDF("k", "v", "id")
+      val got = api.Ranking.withRank(df, Seq("k"),
+          Seq(col("v").desc, col("id")))
+        .select(col("k"), col("id"), col("rn"), col("grp_n"))
+      val w = Window.partitionBy(col("k")).orderBy(col("v").desc, col("id"))
+      val want = df.select(col("k"), col("id"),
+        row_number().over(w).cast("long").as("rn"),
+        count(lit(1)).over(Window.partitionBy(col("k"))).as("grp_n"))
+      got.exceptAll(want).count() == 0 && want.exceptAll(got).count() == 0
+    })
+  }
+
   test("unpivot inverts pivot (reshaping round trip)") {
     import spark.implicits._
     check(Prop.forAll(kvGen) { xs =>
