@@ -25,6 +25,7 @@ object Registry {
     SamplingQueries.all ++
     CurationQueries.all ++
     VersioningQueries.all ++
+    GraphQueries.all ++
     SqlQueries.all
 
   def byName: Map[String, QueryDef] = queries.map(q => q.name -> q).toMap

@@ -366,4 +366,16 @@ class PlanSpec extends SparkSpec {
       plan.contains("BroadcastHashJoin"),
       s"expected an equi join for the merge:\n$plan")
   }
+
+  test("q100 triangles: every join keyed, no cartesian, no window") {
+    val df = Registry.byName("q100_triangles").fn(spark, sfDir)
+    val plan = planString(df)
+    // the wedge self-join and the closing-edge join must both be
+    // equi joins — a cartesian anywhere is quadratic in |E| at scale
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      s"triangle enumeration degenerated to all-pairs:\n$plan")
+    assert(!plan.contains("Window"),
+      s"triangle counting needs no window:\n$plan")
+  }
 }
