@@ -34,6 +34,52 @@ object MapReduce {
       .reduceGroups((a, b) => (a._1, reduce(a._2, b._2)))
       .map(_._2)
 
+  /** SECONDARY SORT — the other classic MapReduce reduce contract
+    * (Hadoop's composite-key + grouping-comparator pattern): shuffle
+    * by key, sort each key's VALUES, hand the reducer one ordered
+    * value stream per key. The reference's sort-based reduce
+    * (`reducer.c:23-38` sorts then merges adjacent equal keys)
+    * already delivers key-grouped runs; this generalizes the run to
+    * be value-ordered so order-sensitive reductions (deltas,
+    * sessionization, first/last) need no window and no per-key
+    * buffering.
+    *
+    * Execution: `repartition(key)` (one hash exchange — every row of
+    * a key lands in one partition) → `sortWithinPartitions(key,
+    * value)` (Spark's sort-based shuffle machinery, no extra
+    * exchange) → `mapPartitions` with a streaming grouped iterator:
+    * the reducer sees each key's values as a lazy Iterator, O(1)
+    * driver/executor state beyond the reducer's own — a key's run is
+    * never materialized unless the reducer itself collects it. The
+    * value type must be Catalyst-orderable (atomic or struct of
+    * atomics, compared field-by-field).
+    */
+  def runSorted[K, V, O](input: Dataset[(K, V)])
+      (reducer: (K, Iterator[V]) => O)
+      (implicit eo: Encoder[O]): Dataset[O] = {
+    // normalize column names (callers may pass aliased columns); the
+    // tuple encoder's own field names are _1/_2
+    val sorted = input.toDF("_1", "_2").as[(K, V)](input.encoder)
+      .repartition(col("_1"))
+      .sortWithinPartitions(col("_1"), col("_2"))
+    sorted.mapPartitions { it =>
+      val b = it.buffered
+      new Iterator[O] {
+        def hasNext: Boolean = b.hasNext
+        def next(): O = {
+          val k = b.head._1
+          val run = new Iterator[V] {
+            def hasNext: Boolean = b.hasNext && b.head._1 == k
+            def next(): V = b.next()._2
+          }
+          val o = reducer(k, run)
+          while (run.hasNext) run.next() // drain unconsumed tail
+          o
+        }
+      }
+    }
+  }
+
   /** The reference's one built-in job — Unicode word count over a
     * directory of text files read whole (mapper.c:44-117) — on the
     * generic contract above: input records are (filename, contents),

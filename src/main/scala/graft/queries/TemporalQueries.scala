@@ -285,7 +285,53 @@ object TemporalQueries {
       .orderBy(col("cohort_week"), col("week_offset"))
   }
 
+  /** Per-user inter-event gap statistics via the MapReduce
+    * SECONDARY-SORT idiom ([[graft.api.MapReduce.runSorted]]): one
+    * hash exchange on user_id, values sorted inside the shuffle (no
+    * extra pass), then a streaming one-pass reducer with O(1) state —
+    * no Window operator anywhere (the lag/window form would also
+    * work; this query exists to exercise the sorted-reduce contract
+    * the reference's sort-merge reducer embodies, reducer.c:23-38).
+    * All arithmetic is integer microseconds (unix_micros ↔ epoch_us),
+    * and the mean gap is integer floor division, so the oracle
+    * hash-matches exactly.
+    */
+  val q101SecondarySort = QueryDef(
+    "q101_secondary_sort",
+    "per-user event gap stats via secondary-sort streaming reduce (no window)",
+    """WITH g AS (
+      |  SELECT user_id,
+      |    epoch_us(ts) - lag(epoch_us(ts))
+      |      OVER (PARTITION BY user_id ORDER BY ts, event_id) AS gap
+      |  FROM events)
+      |SELECT user_id,
+      |  CAST(count(*) AS BIGINT) AS n_events,
+      |  CAST(max(gap) AS BIGINT) AS max_gap_us,
+      |  CAST(sum(gap) // nullif(count(gap), 0) AS BIGINT) AS avg_gap_us
+      |FROM g
+      |GROUP BY user_id
+      |ORDER BY user_id""".stripMargin) { (s, d) =>
+    import s.implicits._
+    val pairs = Tables.events(s, d)
+      .select(col("user_id"),
+        struct(unix_micros(col("ts")).as("us"), col("event_id")).as("v"))
+      .as[(Long, (Long, Long))]
+    graft.api.MapReduce.runSorted(pairs) { (user, vs) =>
+      var n = 0L; var prev = 0L
+      var maxG = Long.MinValue; var sumG = 0L
+      for ((us, _) <- vs) {
+        if (n > 0) { val g = us - prev; if (g > maxG) maxG = g; sumG += g }
+        prev = us; n += 1
+      }
+      (user, n,
+        if (n > 1) Some(maxG) else None,
+        if (n > 1) Some(sumG / (n - 1)) else None)
+    }.toDF("user_id", "n_events", "max_gap_us", "avg_gap_us")
+      .orderBy(col("user_id"))
+  }
+
   val all: Seq[QueryDef] = Seq(
     q40AsofJoin, q42TumblingWindow, q43SlidingWindow, q44SessionWindow,
-    q62Attribution, q70TimeSpine, q97Funnel, q98CohortRetention)
+    q62Attribution, q70TimeSpine, q97Funnel, q98CohortRetention,
+    q101SecondarySort)
 }

@@ -3,6 +3,7 @@ package graft
 import java.nio.file.Files
 
 import org.apache.spark.sql.Encoders
+import org.apache.spark.sql.functions.lit
 
 import graft.api.MapReduce
 
@@ -38,5 +39,32 @@ class MapReduceApiSpec extends SparkSpec {
     }(math.max)(Encoders.scalaBoolean, Encoders.tuple(Encoders.scalaBoolean, Encoders.scalaInt))
       .collect().toMap
     assert(out == Map(false -> 9, true -> 6))
+  }
+
+  test("runSorted delivers each key's values fully sorted, across partitions") {
+    import spark.implicits._
+    // values scattered over many input partitions and inserted in
+    // reverse order — the sorted-run contract must still hold
+    val input = spark.range(0, 1000).repartition(13)
+      .select(($"id" % 7).as("k"), (lit(1000) - $"id").as("v"))
+      .as[(Long, Long)]
+    val runs = MapReduce.runSorted(input) { (k, vs) =>
+      val seq = vs.toSeq
+      (k, seq == seq.sorted, seq.size)
+    }.collect().toSeq
+    assert(runs.size == 7, s"one output row per key: $runs")
+    assert(runs.forall(_._2), s"unsorted run detected: $runs")
+    assert(runs.map(_._3).sum == 1000)
+  }
+
+  test("runSorted tolerates reducers that only partially consume a run") {
+    import spark.implicits._
+    val input = spark.range(0, 100)
+      .select(($"id" % 5).as("k"), $"id".as("v")).as[(Long, Long)]
+    // reducer takes just the first (minimum) value and abandons the
+    // iterator — the framework must drain to the next key unharmed
+    val out = MapReduce.runSorted(input) { (k, vs) => (k, vs.next()) }
+      .collect().toMap
+    assert(out == (0L until 5L).map(k => k -> k).toMap, s"got $out")
   }
 }
