@@ -334,9 +334,65 @@ object RelationalQueries {
       .orderBy(col("c.c_custkey"))
   }
 
+  /** Per-brand SKYLINE (Pareto frontier): parts not dominated on
+    * (cheaper-or-equal price, larger-or-equal size, strictly better
+    * in one) by any same-brand part — the classic `SKYLINE OF price
+    * MIN, size MAX` operator, absent from both engines' SQL.
+    *
+    * One [[graft.api.MapReduce.runSorted]] pass: shuffle on brand,
+    * values sorted (price asc, size desc, key) inside the shuffle,
+    * then an O(1)-state streaming sweep — a row is dominated iff the
+    * running max size M beats it, or equals it with a strictly
+    * cheaper price (pM tracks the cheapest price achieving M; both
+    * orders of the sort make every earlier row price-≤, so the
+    * two-variable state decides dominance exactly). The oracle is
+    * the textbook NOT EXISTS dominance anti-join — quadratic per
+    * brand, fine for DuckDB at oracle scale; the Spark plan is
+    * n log n per brand at any scale. Prices compare as exact integer
+    * cents (floor(×100), same expression both engines).
+    */
+  val q102Skyline = QueryDef(
+    "q102_skyline",
+    "per-brand Pareto skyline (min price, max size) via one sorted streaming sweep",
+    """WITH p AS (
+      |  SELECT p_brand, p_partkey,
+      |    CAST(floor(p_retailprice * 100) AS BIGINT) AS price_c, p_size
+      |  FROM part)
+      |SELECT p_brand, p_partkey, price_c, CAST(p_size AS INT) AS p_size
+      |FROM p a
+      |WHERE NOT EXISTS (
+      |  SELECT 1 FROM p b
+      |  WHERE b.p_brand = a.p_brand
+      |    AND b.price_c <= a.price_c AND b.p_size >= a.p_size
+      |    AND (b.price_c < a.price_c OR b.p_size > a.p_size))
+      |ORDER BY p_brand, p_partkey""".stripMargin) { (s, d) =>
+    import s.implicits._
+    val pairs = Tables.part(s, d)
+      .select(col("p_brand"),
+        struct(
+          floor(col("p_retailprice") * 100).cast("long").as("price_c"),
+          (-col("p_size")).as("neg_size"),
+          col("p_partkey"), col("p_size")).as("v"))
+      .as[(String, (Long, Int, Long, Int))]
+    graft.api.MapReduce.runSorted(pairs) { (brand, vs) =>
+      val out = scala.collection.mutable.ArrayBuffer.empty[(String, Long, Long, Int)]
+      var m = Int.MinValue       // max size seen
+      var pm = Long.MaxValue     // cheapest price achieving m
+      for ((priceC, _, partkey, size) <- vs) {
+        val dominated = m > size || (m == size && pm < priceC)
+        if (!dominated) out += ((brand, partkey, priceC, size))
+        if (size > m) { m = size; pm = priceC }
+        else if (size == m && priceC < pm) pm = priceC
+      }
+      out.toSeq
+    }.flatMap(identity _)
+      .toDF("p_brand", "p_partkey", "price_c", "p_size")
+      .orderBy(col("p_brand"), col("p_partkey"))
+  }
+
   val all: Seq[QueryDef] = Seq(
     q01PricingSummary, q02FilterProject, q03TopRevenueOrders,
     q04JoinBroadcast, q05JoinFactFact, q06SemiJoin, q07AntiJoin,
     q08StarSchema, q09RangeJoin, q10Distinct, q53LeftOuter, q54FullOuter,
-    q58RightOuter)
+    q58RightOuter, q102Skyline)
 }
