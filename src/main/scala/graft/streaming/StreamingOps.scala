@@ -199,6 +199,18 @@ object StreamingOps {
       .select(col("user_id"), col("view_ts"), col("click_ts"), col("value"))
   }
 
+  /** Stream-static enrichment join: each arriving event looks up its
+    * user's dimension row (segment, tier, ...) in a STATIC table —
+    * the canonical streaming-ETL enrichment. Stream-static joins are
+    * STATELESS in Spark (the static side is planned per micro-batch,
+    * re-broadcast if small), so there is no watermark, no state
+    * store, and no eviction concern — at 100 TB of stream the only
+    * scaling knob is the dimension side, which `broadcast()` pins to
+    * a map-side hash join exactly like its batch twin (q04).
+    */
+  def enrichedEvents(events: DataFrame, dim: DataFrame): DataFrame =
+    events.join(broadcast(dim), Seq("user_id"), "left_outer")
+
   /** Streaming ingest NEAR-dup dedup — the stream twin of
     * [[graft.api.IncrementalDedup]]: every arriving micro-batch of
     * documents (`doc_id long, text string`) probes the persistent

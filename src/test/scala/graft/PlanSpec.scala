@@ -367,6 +367,18 @@ class PlanSpec extends SparkSpec {
       s"expected an equi join for the merge:\n$plan")
   }
 
+  test("q101/q102 secondary-sort queries plan zero Window operators") {
+    for (name <- Seq("q101_secondary_sort", "q102_skyline")) {
+      val plan = planString(Registry.byName(name).fn(spark, sfDir))
+      // the whole point of runSorted: the order-sensitive reduce rides
+      // the shuffle's own sort — a Window node would mean we fell back
+      assert(!plan.contains("Window"),
+        s"$name should reduce over the sorted shuffle, found a window:\n$plan")
+      assert(plan.contains("Sort"),
+        s"$name expected a within-partition sort:\n$plan")
+    }
+  }
+
   test("q100 triangles: every join keyed, no cartesian, no window") {
     val df = Registry.byName("q100_triangles").fn(spark, sfDir)
     val plan = planString(df)

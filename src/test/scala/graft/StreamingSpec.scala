@@ -230,6 +230,28 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("stream-static enrichment join looks up the broadcast dimension per event") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val dim = Seq((1L, "gold"), (2L, "silver")).toDF("user_id", "tier")
+    val input = MemoryStream[Event]
+    val q = StreamingOps.enrichedEvents(input.toDF(), dim)
+      .writeStream.format("memory").queryName("enrich_t")
+      .outputMode("append").start()
+    try {
+      input.addData(
+        Event(ts(0), 1L, "view", 1.0),
+        Event(ts(1), 2L, "click", 2.0),
+        Event(ts(2), 3L, "view", 3.0)) // user 3 absent from the dim
+      runAll(q)
+      val rows = spark.table("enrich_t")
+        .select($"user_id", $"tier").as[(Long, Option[String])]
+        .collect().toSet
+      assert(rows == Set((1L, Some("gold")), (2L, Some("silver")), (3L, None)),
+        s"enrichment mismatch: $rows")
+    } finally q.stop()
+  }
+
   test("eventsStream replays the parquet events table as a stream") {
     val out = StreamingOps.tumblingCounts(
       StreamingOps.eventsStream(spark, sfDir), lateness = "0 seconds")
