@@ -249,7 +249,44 @@ object CurationQueries {
       .orderBy(col("source"), col("doc_id"))
   }
 
+  /** Deterministic epoch shuffle — the training-loader requirement
+    * that every epoch visits the corpus in a pseudorandom order that
+    * is REPRODUCIBLE across reruns, resumable mid-epoch, and
+    * engine-independent (no `rand()`, whose draw depends on
+    * partitioning). Position = dense global rank of
+    * `mix64(doc_id + seed)`: the native mixer gives a different but
+    * fixed permutation per seed, and [[graft.api.Ranking.withRank]]
+    * turns it into contiguous 0-based positions without a
+    * single-reducer global window. A new epoch is just a new seed.
+    * The oracle replays the mixer in HUGEINT (converting back to
+    * signed so both engines order the same domain) and ranks with a
+    * plain window — DuckDB's scale is oracle scale.
+    */
+  val q103CorpusShuffle = QueryDef(
+    "q103_corpus_shuffle",
+    "deterministic epoch shuffle: reproducible global pseudorandom order, scale-safe rank",
+    """WITH z0 AS (SELECT doc_id, CAST(doc_id + 2654435769 AS HUGEINT) AS z FROM documents),
+      |m1 AS (SELECT doc_id, (xor(z, z >> 30) * 2685821657736338717) % 18446744073709551616 AS z FROM z0),
+      |m2 AS (SELECT doc_id, (xor(z, z >> 27) * 1181783497276652981) % 18446744073709551616 AS z FROM m1),
+      |h AS (SELECT doc_id,
+      |        CAST(CASE WHEN xor(z, z >> 31) >= 9223372036854775808
+      |             THEN xor(z, z >> 31) - 18446744073709551616
+      |             ELSE xor(z, z >> 31) END AS BIGINT) AS mx
+      |      FROM m2)
+      |SELECT doc_id,
+      |  CAST(row_number() OVER (ORDER BY mx, doc_id) - 1 AS BIGINT) AS pos
+      |FROM h
+      |ORDER BY doc_id""".stripMargin) { (s, d) =>
+    graft.plans.GraftFunctions.register(s)
+    val seeded = Tables.documents(s, d).select(col("doc_id"),
+      graft.plans.GraftFunctions.mix64(col("doc_id") + lit(2654435769L)).as("mx"))
+    graft.api.Ranking.withRank(seeded, Nil,
+        Seq(col("mx"), col("doc_id")), rankCol = "pos")
+      .select(col("doc_id"), (col("pos") - 1).as("pos"))
+      .orderBy(col("doc_id"))
+  }
+
   val all: Seq[QueryDef] =
     Seq(q61CurationPipeline, q80SequencePack, q83PackSlices, q86ChunkOverlap,
-      q99SourceTopFraction)
+      q99SourceTopFraction, q103CorpusShuffle)
 }
