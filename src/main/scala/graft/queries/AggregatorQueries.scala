@@ -246,6 +246,42 @@ object AggregatorQueries {
       .orderBy(col("col_name"))
   }
 
+  /** Equi-width histogram with DATA-DRIVEN bounds — the optimizer-
+    * stats / profiling companion to q90: pass 1 reduces the column to
+    * its (min, max) scalar pair; pass 2 broadcasts that one row and
+    * buckets every value with arithmetic spelled identically in both
+    * engines (same operation order, so the IEEE doubles — and
+    * therefore the floor — agree bit-for-bit). Scale shape: two
+    * partial+final aggregates and a 1-row broadcast; the histogram
+    * never shuffles the fact table beyond its own groupBy.
+    */
+  val q104Histogram = QueryDef(
+    "q104_histogram",
+    "20-bucket equi-width histogram of l_extendedprice per return flag, data-driven bounds",
+    """WITH b AS (
+      |  SELECT min(l_extendedprice) AS lo, max(l_extendedprice) AS hi
+      |  FROM lineitem)
+      |SELECT l_returnflag,
+      |  CAST(least(19, CAST(floor((l_extendedprice - lo) * 20 / (hi - lo)) AS BIGINT)) AS BIGINT) AS bucket,
+      |  CAST(count(*) AS BIGINT) AS n
+      |FROM lineitem, b
+      |GROUP BY l_returnflag, bucket
+      |ORDER BY l_returnflag, bucket""".stripMargin) { (s, d) =>
+    val li = Tables.lineitem(s, d)
+    val bounds = li.agg(
+      min(col("l_extendedprice")).as("lo"),
+      max(col("l_extendedprice")).as("hi"))
+    li.select(col("l_returnflag"), col("l_extendedprice"))
+      .crossJoin(broadcast(bounds))
+      .select(col("l_returnflag"),
+        least(lit(19L),
+          floor((col("l_extendedprice") - col("lo")) * 20 / (col("hi") - col("lo")))
+            .cast("long")).as("bucket"))
+      .groupBy(col("l_returnflag"), col("bucket"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("l_returnflag"), col("bucket"))
+  }
+
   /** BPE tokenizer training (`api/BpeTrainer`): the corpus is scanned
     * ONCE into a word-frequency vocab; each of the 24 merge
     * iterations then runs on that compact relation — explode adjacent
@@ -269,5 +305,6 @@ object AggregatorQueries {
 
   val all: Seq[QueryDef] = Seq(
     q41CustomAgg, q45Percentiles, q46ApproxDistinct, q47TypedMapreduce,
-    q65StatsAgg, q87HeavyHitters, q90ColumnProfile, q95BpeTrain)
+    q65StatsAgg, q87HeavyHitters, q90ColumnProfile, q95BpeTrain,
+    q104Histogram)
 }
