@@ -9,21 +9,26 @@ import graft.{QueryDef, Tables}
   */
 object GraphQueries {
 
-  /** Per-vertex triangle counts over the part co-purchase graph
-    * (parts are adjacent iff some order contains both — the classic
-    * market-basket graph; TPC-H orders hold ≤ 7 lines, so the
-    * per-order pair expansion is bounded by the data model).
+  /** Per-vertex triangle counts over the part co-purchase AFFINITY
+    * graph: parts are adjacent iff they appear together in at least
+    * TWO orders (the standard market-basket support threshold —
+    * single co-occurrence in uniform baskets is noise, and without
+    * the threshold the graph's average degree grows with corpus size
+    * until the exact wedge stage dominates any engine; TPC-H orders
+    * hold ≤ 7 lines, so the per-order pair expansion itself is
+    * bounded by the data model).
     *
     * The Spark side uses DEGREE ORIENTATION — each undirected edge is
     * directed from its lower-degree endpoint (ties by id) and wedges
     * are enumerated from edge sources only — which bounds the wedge
     * stage by O(|E|^1.5) regardless of skew (a hub of degree d costs
     * d² wedges unoriented but only out-degree ≤ √|E| squared
-    * oriented). Every step is an equi-join or hash aggregate: distinct
-    * edges (one shuffle), degree join, source-keyed wedge self-join,
-    * closing-edge equi join, vertex-explode count — no cartesian, no
-    * window, no driver loop; each undirected triangle is found exactly
-    * once, then credited to its three vertices.
+    * oriented). Every step is an equi-join or hash aggregate:
+    * support-counted edges (one shuffle), degree join, source-keyed
+    * wedge self-join, closing-edge equi join, vertex-explode count —
+    * no cartesian, no window, no driver loop; each undirected
+    * triangle is found exactly once, then credited to its three
+    * vertices.
     *
     * The oracle closes triangles directly with the textbook three-way
     * self-join on the u<v edge list — same triangle set, no
@@ -31,10 +36,13 @@ object GraphQueries {
     */
   val q100Triangles = QueryDef(
     "q100_triangles",
-    "per-vertex triangle counts on the part co-purchase graph, degree-oriented wedge join",
+    "per-vertex triangle counts on the part co-purchase graph (support ≥ 2), degree-oriented wedge join",
     """WITH li AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
-      |e AS (SELECT DISTINCT a.p AS u, b.p AS v
-      |      FROM li a JOIN li b ON a.o = b.o AND a.p < b.p),
+      |e AS (SELECT u, v FROM (
+      |        SELECT a.p AS u, b.p AS v, count(*) AS c
+      |        FROM li a JOIN li b ON a.o = b.o AND a.p < b.p
+      |        GROUP BY a.p, b.p)
+      |      WHERE c >= 2),
       |tri AS (SELECT ab.u AS x, ab.v AS y, bc.v AS z
       |        FROM e ab
       |        JOIN e bc ON bc.u = ab.v
@@ -43,13 +51,30 @@ object GraphQueries {
       |FROM (SELECT unnest([x, y, z]) AS vertex FROM tri)
       |GROUP BY vertex
       |ORDER BY vertex""".stripMargin) { (s, d) =>
-    val li = Tables.lineitem(s, d)
+    // pair generation is MAP-SIDE: one shuffle groups each order's
+    // basket (≤ 7 parts by the data model), a sorted-array HOF emits
+    // its u<v pairs without a self-join, and one more shuffle counts
+    // pair support. The support-filtered edge set is tiny relative to
+    // the fact table, so it is cached (self-releasing) — it feeds
+    // both the orientation branch and the closing-edge join below.
+    val baskets = Tables.lineitem(s, d)
       .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
-      .distinct()
-    val e = li.alias("a")
-      .join(li.alias("b"), col("a.o") === col("b.o") && col("a.p") < col("b.p"))
-      .select(col("a.p").as("u"), col("b.p").as("v"))
-      .distinct()
+      .groupBy(col("o")).agg(sort_array(collect_set(col("p"))).as("ps"))
+    // single-part baskets yield no pairs — guarded explicitly because
+    // sequence(0, -1) DESCENDS in Spark rather than being empty
+    val pairs = when(size(col("ps")) < 2,
+      array().cast("array<struct<u:bigint,v:bigint>>"))
+      .otherwise(flatten(transform(
+        sequence(lit(0), size(col("ps")) - 2),
+        i => transform(
+          slice(col("ps"), i + 2, size(col("ps"))),
+          x => struct(element_at(col("ps"), i + 1).as("u"), x.as("v"))))))
+    val e = graft.AutoUnpersist.scoped(baskets
+      .select(explode(pairs).as("uv"))
+      .groupBy(col("uv.u").as("u"), col("uv.v").as("v"))
+      .agg(count(lit(1)).as("c"))
+      .filter(col("c") >= 2)
+      .select(col("u"), col("v")))
     val deg = e.select(col("u").as("x")).unionAll(e.select(col("v").as("x")))
       .groupBy(col("x")).agg(count(lit(1)).as("deg"))
     // orient: lower-degree endpoint → higher (ties by vertex id)
