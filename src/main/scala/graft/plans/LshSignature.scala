@@ -74,9 +74,15 @@ case class LshSignature(vec: Expression, nBits: Expression, seed: Expression)
 
 object LshSignature {
 
-  /** splitmix64-style scramble of (seed, bit, component) → lowest bit
-    * selects the ±1 Rademacher entry. Shared by interpreted eval and
-    * generated code (static forwarder).
+  /** Scramble of (seed, bit, component) → lowest bit selects the ±1
+    * Rademacher entry. The lane key folds Knuth's LCG constants (both
+    * < 2^63) and finishes with the [[Mix64]] kernel, so every step is
+    * mod-2^64 arithmetic a DuckDB oracle reproduces exactly in
+    * HUGEINT (no 128-bit overflow — that is why the splitmix64
+    * constants, which exceed 2^63, are NOT used here). This is what
+    * makes the whole hyperplane-LSH band join oracle-checkable (see
+    * q60). Shared by interpreted eval and generated code (static
+    * forwarder).
     */
   def compute(vec: ArrayData, isFloat: Boolean, nBits: Int, seed: Long): Long = {
     val n = vec.numElements()
@@ -87,10 +93,8 @@ object LshSignature {
       var j = 0
       while (j < n) {
         val x: Double = if (isFloat) vec.getFloat(j).toDouble else vec.getDouble(j)
-        var z = seed + i.toLong * 0x9E3779B97F4A7C15L + (j.toLong + 1L) * 0xC2B2AE3D27D4EB4FL
-        z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
-        z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
-        z ^= (z >>> 31)
+        val z = Mix64.mix(
+          seed + i.toLong * 6364136223846793005L + (j.toLong + 1L) * 1442695040888963407L)
         acc += (if ((z & 1L) == 0L) x else -x)
         j += 1
       }

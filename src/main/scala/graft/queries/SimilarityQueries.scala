@@ -247,26 +247,60 @@ object SimilarityQueries {
   /** Embedding near-dup via cosine LSH (the scale path q37's
     * label-blocked exact join lacks: no block key needed, candidate
     * generation is a band equi join). 32 seeded hyperplanes, 8 bands
-    * × 4 bits, candidates verified exactly at cos ≥ 0.45. Approximate
-    * by construction → no SQL oracle, and TRULY so: this fixture has
-    * ~270 pairs near the 0.45 threshold where the per-pair band miss
-    * probability is ≈ 0.2 (measured: 11 of the 14 brute-force pairs
-    * emitted at sf0.01), so no standalone SQL reproduces the exact
-    * output set. Recall on PLANTED high-sim dups (the regime LSH is
-    * for) is ≈ 1 and pinned in `DedupQualitySpec`; precision is 1 by
-    * the exact verify.
-    */
-  /** Since round 3 this is expressed through the FIRST-CLASS operator:
+    * × 4 bits, candidates verified exactly at cos ≥ 0.45. Recall on
+    * PLANTED high-sim dups (the regime LSH is for) is ≈ 1 and pinned
+    * in `DedupQualitySpec`; precision is 1 by the exact verify.
+    *
+    * Since round 3 this is expressed through the FIRST-CLASS operator:
     * `similar_to(ea, eb, 0.45)` in an inner-join condition, which
-    * `plans.SimilarityJoinRewrite` rewrites into the same band-join +
+    * `plans.SimilarityJoinRewrite` rewrites into the band-join +
     * exact-verify shape the two-step API (`lshCandidatePairs` +
     * `verifiedPairs`, kept below as the explicit-recipe form) builds
     * by hand — a SQL user gets the operator without knowing the
     * banding recipe. PlanSpec gates that the rewrite fires (no BNLJ).
+    *
+    * FULLY oracle-checked since round 5: `plans.LshSignature`'s
+    * Rademacher scramble is the HUGEINT-reproducible Mix64 kernel, so
+    * the oracle below replays the exact hyperplane signs (one ±1
+    * array per projection, folded over components in Spark's order —
+    * bit-identical IEEE sums), the 8×4 banding, the candidate join,
+    * and the round(cos,4) ≥ 0.45 verify. The LSH approximation is in
+    * the result BY DESIGN; the oracle reproduces the same
+    * approximation, so rows+schema+hash all gate.
     */
-  val q60HyperplaneLsh = QueryDef.noOracle(
+  val q60HyperplaneLsh = QueryDef(
     "q60_hyperplane_lsh",
-    "cosine-LSH near-dup via the similar_to join operator (band rewrite + exact verify ≥ 0.45)") { (s, d) =>
+    "cosine-LSH near-dup via the similar_to join operator (band rewrite + exact verify ≥ 0.45)",
+    """WITH t AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      |ij AS (SELECT i, j
+      |       FROM (SELECT unnest(range(0, 32)) AS i)
+      |       CROSS JOIN (SELECT unnest(range(1, 1 + (SELECT max(len(v)) FROM t))) AS j)),
+      |z0 AS (SELECT i, j,
+      |        (CAST(7 AS HUGEINT) + CAST(i AS HUGEINT)*6364136223846793005
+      |         + CAST(j AS HUGEINT)*1442695040888963407) % 18446744073709551616 AS z FROM ij),
+      |z1 AS (SELECT i, j, (xor(z, z >> 30) * 2685821657736338717) % 18446744073709551616 AS z FROM z0),
+      |z2 AS (SELECT i, j, (xor(z, z >> 27) * 1181783497276652981) % 18446744073709551616 AS z FROM z1),
+      |sg AS (SELECT i, list(CASE WHEN xor(z, z >> 31) % 2 = 1 THEN -1.0 ELSE 1.0 END ORDER BY j) AS sgn
+      |       FROM z2 GROUP BY i),
+      |pr AS (SELECT t.vec_id, sg.i,
+      |        list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+      |          list_transform(range(1, len(t.v) + 1), j -> t.v[j] * sg.sgn[j])),
+      |          (a, x) -> a + x) AS proj
+      |       FROM t CROSS JOIN sg),
+      |sig AS (SELECT vec_id,
+      |          CAST(sum(CASE WHEN proj > 0 THEN (CAST(1 AS BIGINT) << i) ELSE 0 END) AS BIGINT) AS sig
+      |        FROM pr GROUP BY vec_id),
+      |bands AS (SELECT vec_id, b*16 + ((sig >> CAST(4*b AS INT)) % 16) AS bk
+      |          FROM sig CROSS JOIN (SELECT unnest(range(0, 8)) AS b)),
+      |cand AS (SELECT DISTINCT x.vec_id AS vec_a, y.vec_id AS vec_b
+      |         FROM bands x JOIN bands y ON x.bk = y.bk AND x.vec_id < y.vec_id)
+      |SELECT vec_a, vec_b, cos_sim FROM (
+      |  SELECT vec_a, vec_b,
+      |    round(list_dot_product(a.v, b.v)
+      |          / sqrt(list_dot_product(a.v, a.v) * list_dot_product(b.v, b.v)), 4) AS cos_sim
+      |  FROM cand JOIN t a ON a.vec_id = cand.vec_a JOIN t b ON b.vec_id = cand.vec_b)
+      |WHERE cos_sim >= 0.45
+      |ORDER BY vec_a, vec_b""".stripMargin) { (s, d) =>
     GraftFunctions.register(s)
     val t = Tables.embeddings(s, d).select(col("vec_id"), col("embedding"))
     val a = t.select(col("vec_id").as("vec_a"), col("embedding").as("ea"))
