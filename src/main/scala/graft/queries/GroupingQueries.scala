@@ -166,7 +166,39 @@ object GroupingQueries {
       .orderBy(col("o_orderkey"), col("measure"))
   }
 
+  /** Ordered string aggregation (SQL `string_agg(x ORDER BY ...)` /
+    * `group_concat`) — the reporting-layer collect-to-string
+    * operator. Spark has no ordered string_agg, but
+    * `array_sort(collect_list(...))` + `array_join` is the exact
+    * equivalent: collect_list is a partial-aggregable buffer, the
+    * per-group sort happens once on the FINISHED group (bounded by
+    * the LIMIT-like nature of group content, not table size), and
+    * determinism comes from sorting on the aggregated values
+    * themselves rather than trusting input order — the only safe
+    * contract under parallel aggregation in any engine.
+    */
+  val q105StringAgg = QueryDef(
+    "q105_string_agg",
+    "ordered string_agg per group: supplier roster per nation",
+    """SELECT n.n_name,
+      |  CAST(count(DISTINCT s.s_name) AS BIGINT) AS n_suppliers,
+      |  string_agg(DISTINCT s.s_name, ',' ORDER BY s.s_name) AS roster
+      |FROM supplier s JOIN nation n ON n.n_nationkey = s.s_nationkey
+      |WHERE s.s_suppkey % 7 = 0
+      |GROUP BY n.n_name
+      |ORDER BY n.n_name""".stripMargin) { (s, d) =>
+    Tables.supplier(s, d)
+      .filter(col("s_suppkey") % 7 === 0)
+      .join(broadcast(Tables.nation(s, d)),
+        col("n_nationkey") === col("s_nationkey"))
+      .groupBy(col("n_name"))
+      .agg(
+        countDistinct(col("s_name")).as("n_suppliers"),
+        array_join(array_sort(collect_set(col("s_name"))), ",").as("roster"))
+      .orderBy(col("n_name"))
+  }
+
   val all: Seq[QueryDef] = Seq(
     q17Rollup, q18Cube, q19GroupingSets, q20SetOps, q21UnionAll, q52Pivot,
-    q64Unpivot)
+    q64Unpivot, q105StringAgg)
 }
