@@ -82,6 +82,20 @@ object SimilarityQueries {
     * Seeds still come from the FULL table (first k vec_ids) so k is
     * stable regardless of sampling.
     */
+  /** Lloyd k-means over the corpus, EXACT-INTEGER variant: members
+    * are int8-quantized (`quantize_i8` — exact small integers in
+    * doubles) before the per-cell mean, so the `vector_sum` partials
+    * are integer-valued doubles whose addition is ASSOCIATIVE EXACTLY
+    * (|Σ| ≤ 127·n ≪ 2^53) — centroid arithmetic is independent of
+    * partition order, and `floor(sum / n)` keeps every centroid
+    * component an exact integer. Together with the mix64 sample hash
+    * this makes the whole training loop deterministic AND replayable
+    * by unrolled SQL (see q39's oracle) — the float-mean version's
+    * order-dependent sums were the one thing no oracle could pin.
+    * Assignment still scores the ORIGINAL float vector against the
+    * integer centroid (same reproducible-double contract as q38's
+    * float cosine).
+    */
   private[graft] def trainCentroids(
       s: SparkSession, t0: DataFrame, k: Int, iters: Int,
       sampleMod: Int = 4): DataFrame = {
@@ -90,8 +104,9 @@ object SimilarityQueries {
     // an action over it (iters scans); released before returning so
     // no cached blocks outlive the query (round-1 leak lesson)
     val sample = t0
-      .filter(pmod(xxhash64(col("vec_id")), lit(sampleMod)) === 0 ||
+      .filter(pmod(GraftFunctions.mix64(col("vec_id")), lit(sampleMod)) === 0 ||
         col("vec_id") < k)
+      .withColumn("qv", GraftFunctions.quantizeI8(col("embedding")))
       .persist()
     try trainCentroidsOn(s, t0, sample, k, iters)
     finally { sample.unpersist(blocking = false); () }
@@ -100,9 +115,10 @@ object SimilarityQueries {
   private def trainCentroidsOn(
       s: SparkSession, full: DataFrame, t: DataFrame, k: Int,
       iters: Int): DataFrame = {
-    var cents: Seq[(Int, Seq[Float])] = full.filter(col("vec_id") < k)
-      .select(col("vec_id").cast("int"), col("embedding"))
-      .collect().map(r => (r.getInt(0), r.getSeq[Float](1))).toSeq
+    var cents: Seq[(Int, Seq[Double])] = full.filter(col("vec_id") < k)
+      .select(col("vec_id").cast("int"),
+        GraftFunctions.quantizeI8(col("embedding")))
+      .collect().map(r => (r.getInt(0), r.getSeq[Double](1))).toSeq
     for (_ <- 1 to iters) {
       val cdf = s.createDataFrame(cents).toDF("c_id", "ce")
       // per-cell mean via the native vector_sum aggregate: ONE vector
@@ -112,37 +128,106 @@ object SimilarityQueries {
       val means = t.crossJoin(broadcast(cdf))
         .withColumn("csim", GraftFunctions.cosineSim(col("embedding"), col("ce")))
         .groupBy(col("vec_id"))
-        .agg(max_by(struct(col("c_id"), col("embedding")),
+        .agg(max_by(struct(col("c_id"), col("qv")),
           struct(col("csim"), (-col("c_id")).as("nc"))).as("best"))
         .groupBy(col("best.c_id").as("c_id"))
-        .agg(GraftFunctions.vectorSum(col("best.embedding")).as("vs"),
+        .agg(GraftFunctions.vectorSum(col("best.qv")).as("vs"),
           count(lit(1)).as("n"))
         .collect().map { r =>
           val n = r.getLong(2)
-          (r.getInt(0), r.getSeq[Double](1).map(x => (x / n).toFloat))
+          (r.getInt(0), r.getSeq[Double](1).map(x => math.floor(x / n)))
         }.toMap
       cents = cents.map { case (cid, old) => (cid, means.getOrElse(cid, old)) }
     }
     s.createDataFrame(cents).toDF("c_id", "ce")
   }
 
-  /** IVF-style approximate NN: 16 Lloyd-trained centroids (seeded
-    * from the first 16 vectors, 6 Lloyd iterations, deterministic), every
-    * vector assigned to its nearest centroid via the same broadcast
-    * `max_by` argmax, queries probe their 7 nearest centroids and
-    * rank candidates exactly with the bounded top-k aggregate.
-    * No SQL oracle — TRULY inexpressible: recall < 1 by construction
-    * (only probed cells are searched; the recall gate measures ~0.7-1
-    * vs brute force), so no standalone SQL can predict which true
-    * neighbors the probe set finds. The spec pins recall@10 ≥ 0.7 and
-    * the exact-rerank property (every emitted cos_sim equals the
-    * brute-force value for that pair). At scale the assignment is a
-    * broadcast join and search is an equi join on centroid id: both
-    * shuffle-light.
+  /** One unrolled Lloyd iteration of the q39 oracle: assign the
+    * training sample to the previous centroids (same float-cosine +
+    * c_id tie-break as the Spark argmax), then the exact-integer
+    * floor-mean over the members' quantized vectors; empty cells
+    * keep their previous centroid (COALESCE), exactly like the Spark
+    * loop's `getOrElse`.
     */
-  val q39AnnIvf = QueryDef.noOracle(
+  private def lloydIterSql(r: Int): String = {
+    val prev = s"c${r - 1}"
+    s"""a$r AS (SELECT vec_id, qv, c_id FROM (
+       |    SELECT s.vec_id, s.qv, c.c_id,
+       |      row_number() OVER (PARTITION BY s.vec_id ORDER BY
+       |        list_dot_product(s.v, c.ce) / sqrt(list_dot_product(s.v, s.v) * list_dot_product(c.ce, c.ce)) DESC,
+       |        c.c_id) AS rn
+       |    FROM samp s CROSS JOIN $prev c) WHERE rn = 1),
+       |n$r AS (SELECT c_id, count(*) AS n FROM a$r GROUP BY c_id),
+       |s$r AS (SELECT a.c_id, d.j, sum(a.qv[d.j]) AS sv
+       |        FROM a$r a CROSS JOIN dims d GROUP BY a.c_id, d.j),
+       |c$r AS (SELECT p.c_id, COALESCE(m.ce, p.ce) AS ce
+       |        FROM $prev p LEFT JOIN (
+       |          SELECT s.c_id, list(CAST(floor(s.sv / n.n) AS DOUBLE) ORDER BY s.j) AS ce
+       |          FROM s$r s JOIN n$r n USING (c_id) GROUP BY s.c_id) m USING (c_id)),""".stripMargin
+  }
+
+  /** IVF-style approximate NN: 16 Lloyd-trained centroids (seeded
+    * from the first 16 vectors, 6 Lloyd iterations, deterministic),
+    * every vector assigned to its nearest centroid via the same
+    * broadcast `max_by` argmax, queries probe their 7 nearest
+    * centroids and rank candidates exactly with the bounded top-k
+    * aggregate. The spec additionally pins recall@10 ≥ 0.7 and the
+    * exact-rerank property. At scale the assignment is a broadcast
+    * join and search is an equi join on centroid id: both
+    * shuffle-light.
+    *
+    * FULLY oracle-checked since round 5: training is the
+    * exact-integer Lloyd of [[trainCentroids]] (mix64 sample hash,
+    * int8-quantized members, order-independent integer sums,
+    * floor-mean centroids), so the oracle below replays all six
+    * iterations as unrolled CTEs — the same PageRank-style unrolling
+    * precedent — then the full-corpus assignment, the 7-cell probe,
+    * and the exact float rerank. Recall < 1 is BY DESIGN; the oracle
+    * reproduces the identical probe decisions, so rows+schema+hash
+    * gate the approximation itself.
+    */
+  val q39AnnIvf = QueryDef(
     "q39_ann_ivf",
-    "IVF approximate NN: 16 trained centroids, nprobe=7, exact rerank of candidates") { (s, d) =>
+    "IVF approximate NN: 16 trained centroids, nprobe=7, exact rerank of candidates",
+    s"""WITH t AS (
+       |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+       |    list_transform(CAST(embedding AS DOUBLE[]),
+       |      x -> floor(x * (127.0 / list_max(list_transform(CAST(embedding AS DOUBLE[]), y -> abs(y)))) + 0.5)) AS qv
+       |  FROM embeddings),
+       |dims AS (SELECT unnest(range(1, 1 + (SELECT max(len(v)) FROM t))) AS j),
+       |hx0 AS (SELECT vec_id, CAST(vec_id AS HUGEINT) AS z FROM t),
+       |hx1 AS (SELECT vec_id, (xor(z, z >> 30) * 2685821657736338717) % 18446744073709551616 AS z FROM hx0),
+       |hx2 AS (SELECT vec_id, (xor(z, z >> 27) * 1181783497276652981) % 18446744073709551616 AS z FROM hx1),
+       |samp AS (SELECT t.* FROM t JOIN hx2 USING (vec_id)
+       |         WHERE vec_id < 16 OR xor(z, z >> 31) % 4 = 0),
+       |c0 AS (SELECT CAST(vec_id AS INT) AS c_id, qv AS ce FROM t WHERE vec_id < 16),
+       |${(1 to 6).map(lloydIterSql).mkString("\n")}
+       |asgn AS (SELECT vec_id, v, c_id FROM (
+       |    SELECT t.vec_id, t.v, c.c_id,
+       |      row_number() OVER (PARTITION BY t.vec_id ORDER BY
+       |        list_dot_product(t.v, c.ce) / sqrt(list_dot_product(t.v, t.v) * list_dot_product(c.ce, c.ce)) DESC,
+       |        c.c_id) AS rn
+       |    FROM t CROSS JOIN c6 c) WHERE rn = 1),
+       |probes AS (SELECT q_id, c_id FROM (
+       |    SELECT q.vec_id AS q_id, c.c_id,
+       |      row_number() OVER (PARTITION BY q.vec_id ORDER BY
+       |        list_dot_product(q.v, c.ce) / sqrt(list_dot_product(q.v, q.v) * list_dot_product(c.ce, c.ce)) DESC,
+       |        c.c_id) AS rn
+       |    FROM t q CROSS JOIN c6 c
+       |    WHERE q.vec_id >= 20 AND q.vec_id < 30) WHERE rn <= 7),
+       |rr AS (
+       |  SELECT p.q_id, a.vec_id AS n_id,
+       |    list_dot_product(qt.v, a.v) / sqrt(list_dot_product(qt.v, qt.v) * list_dot_product(a.v, a.v)) AS cs
+       |  FROM probes p
+       |  JOIN asgn a ON a.c_id = p.c_id
+       |  JOIN t qt ON qt.vec_id = p.q_id
+       |  WHERE a.vec_id <> p.q_id)
+       |SELECT q_id, n_id, round(cs, 6) AS cos_sim, CAST(rn AS INT) AS rn FROM (
+       |  SELECT q_id, n_id, cs,
+       |    row_number() OVER (PARTITION BY q_id ORDER BY cs DESC, n_id) AS rn
+       |  FROM rr)
+       |WHERE rn <= 10
+       |ORDER BY q_id, rn""".stripMargin) { (s, d) =>
     GraftFunctions.register(s)
     val t = Tables.embeddings(s, d).select(col("vec_id"), col("embedding"))
     val cents = trainCentroids(s, t, k = 16, iters = 6)
