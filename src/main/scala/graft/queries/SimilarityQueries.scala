@@ -186,9 +186,12 @@ object SimilarityQueries {
     * reproduces the identical probe decisions, so rows+schema+hash
     * gate the approximation itself.
     */
-  val q39AnnIvf = QueryDef(
-    "q39_ann_ivf",
-    "IVF approximate NN: 16 trained centroids, nprobe=7, exact rerank of candidates",
+  /** Shared oracle preamble for the exact-integer IVF family (q39,
+    * q89): quantization, mix64 sample, seed centroids, `iters`
+    * unrolled Lloyd iterations, and the full-corpus assignment to
+    * the final centroids (CTE `asgn`).
+    */
+  private def ivfPreambleSql(iters: Int): String =
     s"""WITH t AS (
        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
        |    list_transform(CAST(embedding AS DOUBLE[]),
@@ -201,13 +204,18 @@ object SimilarityQueries {
        |samp AS (SELECT t.* FROM t JOIN hx2 USING (vec_id)
        |         WHERE vec_id < 16 OR xor(z, z >> 31) % 4 = 0),
        |c0 AS (SELECT CAST(vec_id AS INT) AS c_id, qv AS ce FROM t WHERE vec_id < 16),
-       |${(1 to 6).map(lloydIterSql).mkString("\n")}
+       |${(1 to iters).map(lloydIterSql).mkString("\n")}
        |asgn AS (SELECT vec_id, v, c_id FROM (
        |    SELECT t.vec_id, t.v, c.c_id,
        |      row_number() OVER (PARTITION BY t.vec_id ORDER BY
        |        list_dot_product(t.v, c.ce) / sqrt(list_dot_product(t.v, t.v) * list_dot_product(c.ce, c.ce)) DESC,
        |        c.c_id) AS rn
-       |    FROM t CROSS JOIN c6 c) WHERE rn = 1),
+       |    FROM t CROSS JOIN c$iters c) WHERE rn = 1)""".stripMargin
+
+  val q39AnnIvf = QueryDef(
+    "q39_ann_ivf",
+    "IVF approximate NN: 16 trained centroids, nprobe=7, exact rerank of candidates",
+    s"""${ivfPreambleSql(6)},
        |probes AS (SELECT q_id, c_id FROM (
        |    SELECT q.vec_id AS q_id, c.c_id,
        |      row_number() OVER (PARTITION BY q.vec_id ORDER BY
@@ -493,19 +501,27 @@ object SimilarityQueries {
       .orderBy(col("vec_id"))
   }
 
-  /** Semantic dedup over the embeddings table. No SQL oracle — TRULY
-    * inexpressible for the same reason as q39: the keep/drop decision
-    * depends on Lloyd-trained centroids (which cluster a vector lands
-    * in decides which pairs are even candidates), and no standalone
-    * SQL reproduces the training. `DedupQualitySpec` pins the
-    * contract: precision 1 (every dropped vector has a genuine
-    * ≥ threshold partner, re-checked by brute force) and recall ≈ 1
-    * on planted high-similarity duplicates (near-identical vectors
-    * co-assign almost surely).
+  /** Semantic dedup over the embeddings table. FULLY oracle-checked
+    * since round 5 (same exact-integer Lloyd machinery as q39): the
+    * oracle replays four unrolled training iterations, the
+    * full-corpus assignment, the within-cluster round(cos,4) ≥ 0.85
+    * pair scan, and the min-id keep/drop decision. `DedupQualitySpec`
+    * additionally pins the quality contract: precision 1 (every
+    * dropped vector has a genuine ≥ threshold partner, re-checked by
+    * brute force) and recall ≈ 1 on planted high-similarity
+    * duplicates.
     */
-  val q89SemanticDedup = QueryDef.noOracle(
+  val q89SemanticDedup = QueryDef(
     "q89_semantic_dedup",
-    "SemDeDup: k-means clusters, within-cluster cos>=0.85 near-dups dropped, min-id kept") { (s, d) =>
+    "SemDeDup: k-means clusters, within-cluster cos>=0.85 near-dups dropped, min-id kept",
+    s"""${ivfPreambleSql(4)},
+       |dropped AS (SELECT DISTINCT b.vec_id
+       |  FROM asgn a JOIN asgn b ON a.c_id = b.c_id AND a.vec_id < b.vec_id
+       |  WHERE round(list_dot_product(a.v, b.v)
+       |        / sqrt(list_dot_product(a.v, a.v) * list_dot_product(b.v, b.v)), 4) >= 0.85)
+       |SELECT a.vec_id, a.c_id AS cluster, d.vec_id IS NULL AS is_kept
+       |FROM asgn a LEFT JOIN dropped d ON d.vec_id = a.vec_id
+       |ORDER BY a.vec_id""".stripMargin) { (s, d) =>
     val t = Tables.embeddings(s, d).select(col("vec_id"), col("embedding"))
     semanticDedup(s, t, k = 16, iters = 4, threshold = 0.85)
   }
