@@ -93,11 +93,17 @@ object GraftFunctions {
       new ExpressionInfo(classOf[Mix64].getName, "mix64"),
       (children: Seq[Expression]) => Mix64(children.head))
 
+  val portableHash64Descriptor: Descriptor =
+    (FunctionIdentifier("portable_hash64"),
+      new ExpressionInfo(classOf[PortableHash64].getName, "portable_hash64"),
+      (children: Seq[Expression]) => PortableHash64(children.head))
+
   val descriptors: Seq[Descriptor] =
     Seq(cosineSimDescriptor, minhashSigDescriptor, simhashDescriptor,
       topkDescriptor, similarToDescriptor, lshSigDescriptor,
       unicodeNormalizeDescriptor, quantizeI8Descriptor, vectorSumDescriptor,
-      fuzzyMatchDescriptor, freqTopkDescriptor, mix64Descriptor)
+      fuzzyMatchDescriptor, freqTopkDescriptor, mix64Descriptor,
+      portableHash64Descriptor)
 
   /** Idempotent per-session registration: the native functions plus
     * the similarity-join optimizer rule (the in-library twin of the
@@ -157,6 +163,11 @@ object GraftFunctions {
     * multiply — ANSI-safe, DuckDB-reproducible).
     */
   def mix64(p: Column): Column = call_function("mix64", p)
+
+  /** Column-API form of the native portable string hash (Karp-Rabin
+    * fold + mix64 — DuckDB-reproducible, see PortableHash64).
+    */
+  def portableHash64(s: Column): Column = call_function("portable_hash64", s)
 
   /** Column-API form of the native int8 max-abs quantizer. */
   def quantizeI8(vec: Column): Column = call_function("quantize_i8", vec)

@@ -163,22 +163,18 @@ object DedupQueries {
       .filter(col("jaccard") >= 0.8)
   }
 
-  /** Portable 64-bit token hash: the q31 Karp–Rabin polynomial fold
-    * (mod 1e9+7) finished by the native [[graft.plans.Mix64]]
-    * xor-shift/multiply mixer. Every step is plain mod-2^64 integer
-    * arithmetic with constants < 2^63, so DuckDB reproduces the hash
-    * BIT-FOR-BIT via HUGEINT — unlike `xxhash64`, which is
-    * Spark-internal. The poly stage bounds the input space to ~1e9
-    * values; a collision there merely merges two tokens'
-    * majority-vote weight, which SimHash tolerates by construction
-    * (it is already a lossy 64-bit sketch). Requires
-    * `GraftFunctions.register`.
+  /** Portable 64-bit token hash — the native codegen'd
+    * [[graft.plans.PortableHash64]] (Karp–Rabin fold mod 1e9+7 +
+    * mix64 finisher). Every step is plain mod-2^64 integer arithmetic
+    * with constants < 2^63, so DuckDB reproduces the hash BIT-FOR-BIT
+    * via HUGEINT — unlike `xxhash64`, which is Spark-internal. The
+    * poly stage bounds the input space to ~1e9 values; a collision
+    * there merely merges two tokens' majority-vote weight, which
+    * SimHash tolerates by construction (it is already a lossy 64-bit
+    * sketch). Requires `GraftFunctions.register`.
     */
   private[graft] def portableTokenHash64(t: Column): Column =
-    GraftFunctions.mix64(aggregate(
-      transform(filter(split(t, ""), c => length(c) > 0),
-        ch => ascii(ch).cast("long")),
-      lit(0L), (a, x) => (a * 31 + x) % 1000000007L))
+    GraftFunctions.portableHash64(t)
 
   /** SimHash: 64-bit majority-vote fingerprint of the token hash set.
     * Hamming-≤6 pairs via 8×8-bit band join — by pigeonhole any pair
