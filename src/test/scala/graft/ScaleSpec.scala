@@ -160,6 +160,50 @@ class ScaleSpec extends SparkSpec {
       s"a salt bucket still holds $maxBucket rows — guard not bounding work")
   }
 
+  test("Ranking.withRank spreads a hot group across many tasks (no one-reducer group)") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // one group holds 99% of rows — the case where
+    // row_number() OVER (PARTITION BY k) funnels everything through a
+    // single task. The range partitioner keys on (group, order), so
+    // the hot group must span many partitions while ranks stay exact.
+    // AQE rightly coalesces this KB-sized test shuffle into a few
+    // partitions, which would mask the property under test (the
+    // partitioner's key layout) — and the cached range-partitioned
+    // relation materializes on the FIRST action, so AQE must be off
+    // for the whole test, not just the probe
+    val aqeKey = "spark.sql.adaptive.enabled"
+    val prevAqe = spark.conf.getOption(aqeKey)
+    spark.conf.set(aqeKey, "false")
+    try {
+    val df = spark.range(0, 20000)
+      .select(when($"id" < 19800, "hot").otherwise(concat(lit("g"), $"id" % 7))
+        .as("k"), $"id".as("v"))
+    val ranked = api.Ranking.withRank(df, Seq("k"), Seq(col("v")))
+    // correctness: dense 1..n per group
+    val stats = ranked.groupBy($"k")
+      .agg(min($"rn").as("lo"), max($"rn").as("hi"), count(lit(1)).as("n"),
+        countDistinct($"rn").as("d"))
+      .collect()
+    stats.foreach { r =>
+      assert(r.getLong(1) == 1L && r.getLong(2) == r.getLong(3) &&
+        r.getLong(3) == r.getLong(4), s"non-dense ranks: $r")
+    }
+    // scale: the hot group's rows occupy many shuffle partitions
+    val np = spark.conf.get("spark.sql.shuffle.partitions").toInt
+    val hotParts = api.Ranking.withRank(
+        df, Seq("k"), Seq(col("v")), rankCol = "rn2", totalCol = "gn2")
+      .filter($"k" === "hot")
+      .select(org.apache.spark.sql.functions.spark_partition_id())
+      .distinct().count()
+    assert(hotParts > np / 2,
+      s"hot group landed on only $hotParts of $np partitions — one-reducer regression")
+    } finally prevAqe match {
+      case Some(v) => spark.conf.set(aqeKey, v)
+      case None => spark.conf.unset(aqeKey)
+    }
+  }
+
   test("dynamic partition overwrite rewrites only the touched partitions") {
     // the incremental-rerun idiom: re-processing one day of a 100 TB
     // date-partitioned sink must replace exactly that day, not
