@@ -234,7 +234,48 @@ object SamplingQueries {
       .orderBy(col("doc_id"))
   }
 
+  /** SYSTEMATIC weighted sampling: take the document covering every
+    * 2000th token of the corpus in doc_id order — selection
+    * probability ∝ document length (longer docs more likely), sample
+    * spread evenly across the corpus (no clustering, unlike Bernoulli
+    * draws), fully deterministic, and integer-exact (a doc spanning
+    * global token interval [cum−n, cum) is selected iff the interval
+    * crosses a 2000-token boundary: `cum div W > (cum − n) div W`).
+    * The global cumulative sum comes from
+    * [[graft.api.SequencePacker.pack]]'s two-pass range-partitioned
+    * cumsum — no single-reducer window at any scale; the oracle
+    * replays it with a plain window cumsum at DuckDB scale.
+    */
+  val q106SystematicSample = QueryDef(
+    "q106_systematic_sample",
+    "systematic length-weighted sampling: the doc covering every 2000th corpus token",
+    """WITH t AS (
+      |  SELECT doc_id,
+      |    CAST(len(list_filter(string_split(text, ' '), x -> length(x) > 0)) AS BIGINT) AS n
+      |  FROM documents),
+      |c AS (
+      |  SELECT doc_id, n,
+      |    sum(n) OVER (ORDER BY doc_id
+      |                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+      |  FROM t)
+      |SELECT doc_id, n AS n_tokens, CAST(cum AS BIGINT) AS cum,
+      |  CAST(cum // 2000 AS BIGINT) AS stratum
+      |FROM c
+      |WHERE cum // 2000 > (cum - n) // 2000
+      |ORDER BY doc_id""".stripMargin) { (s, d) =>
+    val rows = Tables.documents(s, d)
+      .select(col("doc_id"),
+        size(filter(split(col("text"), " "), x => length(x) > 0))
+          .cast("long").as("n"))
+    graft.api.SequencePacker.pack(rows, "doc_id", "n", budget = 2000L)
+      .filter(expr("(cum div 2000) > ((cum - n) div 2000)"))
+      .select(col("doc_id"), col("n").as("n_tokens"), col("cum"),
+        expr("cum div 2000").as("stratum"))
+      .orderBy(col("doc_id"))
+  }
+
   val all: Seq[QueryDef] =
     Seq(q56DeterministicSample, q57StratifiedMix, q77ShardStats,
-      q81TokenBudgetMix, q84LengthBatches, q88TemperatureMix)
+      q81TokenBudgetMix, q84LengthBatches, q88TemperatureMix,
+      q106SystematicSample)
 }
