@@ -68,6 +68,49 @@ class BpeTrainerSpec extends SparkSpec {
     assert(got == want)
   }
 
+  test("merge loop launches ZERO Spark jobs after the single vocab collect") {
+    import spark.implicits._
+    val corpus = Seq(
+      "low low low low low",
+      "lower lower newest newest",
+      "newest newest newest newest",
+      "widest widest widest").toDF("text").localCheckpoint()
+
+    def jobsDuring(body: => Unit): Long = {
+      val n = new java.util.concurrent.atomic.AtomicLong(0)
+      val l = new org.apache.spark.scheduler.SparkListener {
+        override def onJobStart(
+            j: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+          n.incrementAndGet()
+      }
+      spark.sparkContext.addSparkListener(l)
+      try {
+        body
+        // listener delivery is async: wait until the count quiesces.
+        var last = -1L
+        var spins = 0
+        while (last != n.get() && spins < 20) {
+          last = n.get(); Thread.sleep(150); spins += 1
+        }
+      } finally spark.sparkContext.removeSparkListener(l)
+      n.get()
+    }
+
+    val j2 = jobsDuring(BpeTrainer.train(corpus, "text", 2))
+    val j16 = jobsDuring(BpeTrainer.train(corpus, "text", 16))
+    // cost is the one word-frequency collect, INDEPENDENT of merge
+    // count — the driver-local loop never goes back to the cluster.
+    assert(j16 == j2, s"job count grew with merges: $j2 -> $j16")
+    assert(j2 <= 3, s"vocab collect should be a couple of jobs, got $j2")
+  }
+
+  test("trainLocal is insensitive to word-frequency input order") {
+    val freq = Seq("low" -> 5L, "lower" -> 2L, "newest" -> 6L, "widest" -> 3L)
+    val a = BpeTrainer.trainLocal(freq, 8)
+    val b = BpeTrainer.trainLocal(freq.reverse, 8)
+    assert(a == b)
+  }
+
   test("tokenCounts shrinks monotonically with more merges and joins back exactly") {
     val docs = Tables.documents(spark, sfDir).limit(50)
     val merges = BpeTrainer.train(docs, "text", 10)
