@@ -14,12 +14,21 @@ import org.apache.spark.sql.types._
   * {{{
   *   Join(l, r, Inner, fuzzy_match(ls, rs, k) AND residual...)
   * ──▶
-  *   Aggregate(out, out,                    // dedup multi-segment hits
-  *     Project(out,
-  *       Filter(fuzzy_verify(ls, rs, k) AND residual...,
+  *   Filter(fuzzy_verify(ls, rs, k) AND residual...,
+  *     Aggregate(out, out,                  // dedup multi-segment hits
+  *       Project(out,
   *         Join(explodeSegments(l, ls), explodeProbes(r, rs),
   *              Inner, l.segKey = r.segKey))))
   * }}}
+  *
+  * The dedup runs BEFORE the verify (the hand-written
+  * `editDistancePairs` shape): a pair sharing several segments
+  * otherwise pays the bounded-levenshtein kernel once per matching
+  * segment; deduping first verifies each candidate pair exactly once,
+  * and the post-filter rows are already distinct so no second
+  * aggregate is needed. Order swap is sound because the verify and
+  * residual predicates are deterministic row-local functions —
+  * filter∘dedup = dedup∘filter on set semantics.
   *
   * Banding (PassJoin pigeonhole — Li/Deng/Feng/Wang, PVLDB 5(3), 2011):
   * the left string's first (k+1)·SegLen chars are cut into k+1 fixed
@@ -126,10 +135,12 @@ object FuzzyJoinRewrite extends Rule[LogicalPlan] {
     val (lb, lk) = explodeSegments(l, ls, k)
     val (rb, rk) = explodeProbes(r, rs, k)
     val bandJoin = Join(lb, rb, Inner, Some(EqualTo(lk, rk)), JoinHint.NONE)
+    val out: Seq[Attribute] = j.output
+    // dedup multi-segment candidate hits FIRST so each pair pays the
+    // exact verify kernel once (the editDistancePairs recipe's shape)
+    val dedup = Aggregate(out, out, Project(out, bandJoin))
     // exact verify via the FuzzyVerify twin (see scaladoc re: re-match)
     val verify: Expression = FuzzyVerify(ls, rs, Literal(k))
-    val filt = Filter((verify +: residual).reduce(And), bandJoin)
-    val out: Seq[Attribute] = j.output
-    Aggregate(out, out, Project(out, filt))
+    Filter((verify +: residual).reduce(And), dedup)
   }
 }
