@@ -52,6 +52,15 @@ object Bench {
       s"""\"$k\":{"min":$mn,"med":$med,"max":$mx}"""
     }.mkString("{", ",", "}")
     val total = results.values.map(_._2).sum
+    // contention self-diagnosis: on an idle box 3 passes of one query
+    // land within ~2x of each other; a contended driver shows 5-10x
+    // per-query spread (rounds 1/4/5). max_spread = worst max/min over
+    // queries big enough to time reliably (min >= 0.05 s), so a
+    // contended artifact is machine-detectable from the one stdout
+    // line without rerunning. Threshold doc: BASELINE.md.
+    val maxSpread = results.values
+      .collect { case (mn, _, mx) if mn >= 0.05 => mx / mn }
+      .foldLeft(1.0)(math.max)
     // stdout gets the COMPACT line only (medians rounded to 4 decimals):
     // the driver captures stdout by tail and truncated the round-2/3/4
     // artifacts mid-JSON when the line outgrew the capture buffer. The
@@ -59,9 +68,9 @@ object Bench {
     // head-truncated tail still shows the headline total. Full
     // min/med/max detail goes to target/bench.json.
     val compact =
-      s"""{"runs":$Runs,"sf":"$sfDir","queries":$qs,"metric":"total","unit":"sec","value":${r4(total)}}"""
+      s"""{"runs":$Runs,"sf":"$sfDir","queries":$qs,"max_spread":${r4(maxSpread)},"metric":"total","unit":"sec","value":${r4(total)}}"""
     val full =
-      s"""{"metric":"total","value":$total,"unit":"sec","runs":$Runs,"queries":$qs,"detail":$detail,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","runs":$Runs,"max_spread":${r4(maxSpread)},"queries":$qs,"detail":$detail,"sf":"$sfDir"}"""
     println(compact)
     val out = java.nio.file.Paths.get("target/bench.json")
     java.nio.file.Files.createDirectories(out.getParent)
