@@ -49,6 +49,51 @@ object AnnIndex {
     assignedTo(s.read.parquet(s"$dir/centroids"), batch)
       .write.mode(SaveMode.Append).partitionBy("c_id").parquet(s"$dir/cells")
 
+  /** Tombstone-delete: record the ids in `dir/tombstones` (append-only
+    * — no cell rewrite, the same O(batch) cost as a CDC delete row in
+    * q91). [[search]] anti-joins the tombstone set so deleted vectors
+    * are never returned; the physical rows stay until [[compact]].
+    * Re-inserting a deleted id requires a compact first (the tombstone
+    * wins over any cell row, old or re-appended) — the simple
+    * monotonic contract, documented rather than versioned.
+    */
+  def delete(s: SparkSession, dir: String, ids: DataFrame): Unit =
+    ids.select(col("vec_id")).write.mode(SaveMode.Append)
+      .parquet(s"$dir/tombstones")
+
+  /** Rewrites the cell directories without the tombstoned vectors and
+    * clears the tombstone set — the periodic merge a long-lived index
+    * runs so the deleted fraction never degrades probe IO. One
+    * anti-join + one partitioned write of the surviving rows; the
+    * swap is write-new → delete-old → rename, so a crashed compact
+    * leaves the old cells directory intact (and at worst a stale
+    * `cells_compact` temp to clean up).
+    */
+  def compact(s: SparkSession, dir: String): Unit = {
+    val ts = tombstones(s, dir).getOrElse(return)
+    val kept = s.read.parquet(s"$dir/cells")
+      .join(ts, Seq("vec_id"), "left_anti")
+    val tmp = s"$dir/cells_compact"
+    kept.write.mode(SaveMode.Overwrite).partitionBy("c_id").parquet(tmp)
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(tmp), s.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(s"$dir/cells"), true)
+    fs.rename(new org.apache.hadoop.fs.Path(tmp),
+      new org.apache.hadoop.fs.Path(s"$dir/cells"))
+    fs.delete(new org.apache.hadoop.fs.Path(s"$dir/tombstones"), true)
+  }
+
+  /** The live tombstone set, or None when nothing was ever deleted
+    * (or a compact cleared it).
+    */
+  private def tombstones(s: SparkSession, dir: String): Option[DataFrame] = {
+    val p = new org.apache.hadoop.fs.Path(s"$dir/tombstones")
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(s"$dir/tombstones"), s.sparkContext.hadoopConfiguration)
+    if (fs.exists(p)) Some(s.read.parquet(s"$dir/tombstones").distinct())
+    else None
+  }
+
   /** Top-`topk` neighbors per query row (`q_id`, `qe`), probing the
     * `nprobe` nearest cells. Output: (q_id, n_id, cos_sim, rn) —
     * the q39 shape. Only the probed `c_id=` directories are read
@@ -74,8 +119,13 @@ object AnnIndex {
     // directories are never listed into the plan
     val cellIds = probes.select(col("c_id")).distinct()
       .collect().map(_.getInt(0)).toSeq
-    val cells = s.read.parquet(s"$dir/cells")
+    val cells0 = s.read.parquet(s"$dir/cells")
       .filter(col("c_id").isin(cellIds: _*))
+    // tombstoned ids never surface (anti join on the pruned cell scan;
+    // AQE broadcasts the typically-tiny tombstone side)
+    val cells = tombstones(s, dir)
+      .map(ts => cells0.join(ts, Seq("vec_id"), "left_anti"))
+      .getOrElse(cells0)
     probes.join(cells, "c_id")
       .filter(col("vec_id") =!= col("q_id"))
       .withColumn("cs", GraftFunctions.cosineSim(col("qe"), col("embedding")))

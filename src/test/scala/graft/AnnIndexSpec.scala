@@ -89,6 +89,44 @@ class AnnIndexSpec extends SparkSpec {
     assert(bad == 0, s"$bad reranked scores diverge from direct cosine")
   }
 
+  test("delete-then-search never returns tombstoned ids; compact preserves results") {
+    val d = Files.createTempDirectory("ann-delete").toString
+    val t = Tables.embeddings(spark, sfDir)
+      .select(col("vec_id"), col("embedding"))
+    AnnIndex.build(t, d, k = 16, iters = 4)
+    val before = AnnIndex.search(spark, d, queriesDF, nprobe = 7, topk = 10)
+      .select(col("q_id"), col("n_id")).as[(Long, Long)].collect()
+    // tombstone every query's current top neighbors (the hardest case:
+    // the deleted ids are exactly the ones search wants to return)
+    val doomed = before.map(_._2).distinct.take(8)
+    AnnIndex.delete(spark, d, doomed.toSeq.toDF("vec_id"))
+    val after = AnnIndex.search(spark, d, queriesDF, nprobe = 7, topk = 10)
+      .select(col("q_id"), col("n_id")).as[(Long, Long)].collect()
+    assert(after.nonEmpty)
+    assert(!after.exists(p => doomed.contains(p._2)),
+      "a tombstoned id surfaced in search results")
+    // recall on SURVIVORS unchanged: every surviving pre-delete hit is
+    // still returned (deletion only removes, never displaces survivors
+    // from a top-k that now has more room)
+    val afterSet = after.toSet
+    val missing = before.filterNot(p => doomed.contains(p._2))
+      .filterNot(afterSet.contains)
+    assert(missing.isEmpty, s"survivors lost after delete: ${missing.take(5).toSeq}")
+    // compact physically removes the rows and clears the tombstones;
+    // search results are identical before and after the rewrite
+    AnnIndex.compact(spark, d)
+    assert(!new java.io.File(s"$d/tombstones").exists(),
+      "compact must clear the tombstone set")
+    val doomedSet = doomed.toSet
+    val nLive = spark.read.parquet(s"$d/cells")
+      .filter(col("vec_id").isin(doomedSet.toSeq: _*)).count()
+    assert(nLive == 0, "compact left tombstoned rows in the cells")
+    val compacted = AnnIndex.search(spark, d, queriesDF, nprobe = 7, topk = 10)
+      .select(col("q_id"), col("n_id")).as[(Long, Long)].collect()
+    assert(compacted.sorted.toSeq == after.sorted.toSeq,
+      "compact changed search results")
+  }
+
   test("append-then-search finds vectors added after the build") {
     val d = Files.createTempDirectory("ann-append").toString
     val t = Tables.embeddings(spark, sfDir)
