@@ -86,9 +86,35 @@ class IncrementalDedupSpec extends SparkSpec {
     val nodes = (0L to 9L).toDF("id")
     val edges = (0L to 8L).map(i => (i, i + 1)).toDF("u", "v")
     val e = intercept[IllegalStateException] {
-      ConnectedComponents.label(nodes, edges, maxRounds = 2)
+      ConnectedComponents.label(nodes, edges, maxRounds = 2,
+        fallbackToStar = false)
     }
     assert(e.getMessage.contains("did not converge"))
+  }
+
+  test("connected components: chain longer than maxRounds labels via star fallback") {
+    // diameter 120 ≫ maxRounds 5: propagation cannot converge, the
+    // large-star/small-star fallback labels correctly in O(log² n)
+    val nodes = ((0L to 120L) :+ 999L).toDF("id")
+    val edges = (0L to 119L).map(i => (i, i + 1)).toDF("u", "v")
+    val got = ConnectedComponents.label(nodes, edges, maxRounds = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert((0L to 120L).forall(got(_) == 0L), "chain not fully labeled 0")
+    assert(got(999L) == 999L)
+  }
+
+  test("starContract matches propagation labels on a multi-component graph") {
+    val nodes = (0L to 20L).toDF("id")
+    val edges = Seq(
+      (1L, 2L), (2L, 3L), (3L, 1L),          // triangle
+      (5L, 6L), (6L, 7L), (7L, 8L), (8L, 9L), // path
+      (11L, 12L), (12L, 13L), (11L, 13L), (13L, 14L),
+      (17L, 18L)).toDF("u", "v")
+    val a = ConnectedComponents.label(nodes, edges)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    val b = ConnectedComponents.starContract(nodes, edges)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(a == b, s"star=$b propagate=$a")
   }
 
   test("streaming ingest dedup: batches probe the index AND extend it") {
