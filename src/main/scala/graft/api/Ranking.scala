@@ -19,11 +19,13 @@ import org.apache.spark.sql.functions._
   *     per-(partition, group) rank offsets and per-group totals with a
   *     window over that METADATA relation (K·G rows, not the table);
   *  3. rank = within-partition `row_number` (partitioned by
-  *     (__pid, group) — all K tasks busy) + broadcast offset.
+  *     (__pid, group) — all K tasks busy) + the joined-in offset.
   *
   * Unlike the q15 inline form this collects nothing on the driver: the
-  * offsets stay a broadcast DataFrame, so the whole thing is ONE lazy
-  * plan. The range-partitioned input is cached via
+  * offsets stay a DataFrame joined back in (AQE broadcasts it when the
+  * K·G rows fit, falls back to a keyed shuffle join when a
+  * high-cardinality group column makes them large), so the whole thing
+  * is ONE lazy plan. The range-partitioned input is cached via
   * [[graft.AutoUnpersist]] so both the count branch and the rank
   * branch see identical partition boundaries within the single action
   * that materializes the result, and the cache releases itself when
@@ -69,8 +71,22 @@ object Ranking {
       .drop("count")
     val ww = Window.partitionBy(("__pid" +: groupCols).map(col): _*)
       .orderBy(orderCols: _*)
-    parts.join(broadcast(offs), "__pid" +: groupCols)
+    // The offsets relation is K·G rows. For the intended low-G use it
+    // broadcasts; a pathological high-cardinality group column would
+    // overflow a FORCED broadcast, so no hint is given — AQE sees the
+    // materialized size at runtime and picks broadcast when it fits,
+    // shuffle-hash otherwise (both keyed on (__pid, group), both
+    // correct). Join is NULL-SAFE (<=>) on the group columns so rows
+    // with a NULL group key rank as their own group, exactly like the
+    // row_number() window form this equals (RankingSpec pins it).
+    val o = offs.select(
+      (col("__pid").as("__opid") +:
+        groupCols.map(c => col(c).as(s"__og_$c")) :+
+        col("__off") :+ col(totalCol)): _*)
+    val cond = ((col("__pid") === col("__opid")) +:
+      groupCols.map(c => col(c) <=> col(s"__og_$c"))).reduce(_ && _)
+    parts.join(o, cond)
       .withColumn(rankCol, row_number().over(ww).cast("long") + col("__off"))
-      .drop("__pid")
+      .drop("__pid" +: "__opid" +: groupCols.map(c => s"__og_$c"): _*)
   }
 }

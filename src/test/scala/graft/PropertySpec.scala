@@ -101,6 +101,25 @@ class PropertySpec extends SparkSpec {
     })
   }
 
+  test("Ranking.withRank ranks NULL group keys as their own group (null-safe join)") {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val df = Seq(
+      (Some("a"), 3L, 1L), (Some("a"), 1L, 2L), (None, 9L, 3L),
+      (None, 4L, 4L), (None, 7L, 5L), (Some("b"), 5L, 6L))
+      .toDF("k", "v", "id")
+    val got = api.Ranking.withRank(df, Seq("k"), Seq(col("v"), col("id")))
+      .select(col("k"), col("id"), col("rn"), col("grp_n"))
+    val w = Window.partitionBy(col("k")).orderBy(col("v"), col("id"))
+    val want = df.select(col("k"), col("id"),
+      row_number().over(w).cast("long").as("rn"),
+      count(lit(1)).over(Window.partitionBy(col("k"))).as("grp_n"))
+    assert(got.exceptAll(want).count() == 0 && want.exceptAll(got).count() == 0,
+      s"got=${got.collect().toSeq} want=${want.collect().toSeq}")
+    // the NULL rows are present and ranked 1..3, not dropped
+    assert(got.filter(col("k").isNull).count() == 3)
+  }
+
   test("unpivot inverts pivot (reshaping round trip)") {
     import spark.implicits._
     check(Prop.forAll(kvGen) { xs =>
