@@ -53,6 +53,16 @@ object MapReduce {
     * never materialized unless the reducer itself collects it. The
     * value type must be Catalyst-orderable (atomic or struct of
     * atomics, compared field-by-field).
+    *
+    * Key-run boundaries are detected with STRUCTURAL equality
+    * ([[keyEq]]) so it matches the grouping the sort produced:
+    * `Array[Byte]` keys compare element-wise (universal `==` on
+    * arrays is reference identity and would split every run),
+    * Float/Double NaN compares equal to itself (the sort orders NaN
+    * as one key), and Products recurse field-wise. Keys outside
+    * those shapes must have value-semantic `equals` consistent with
+    * their Catalyst ordering — true for all atomics, Strings,
+    * tuples and case classes thereof.
     */
   def runSorted[K, V, O](input: Dataset[(K, V)])
       (reducer: (K, Iterator[V]) => O)
@@ -69,7 +79,7 @@ object MapReduce {
         def next(): O = {
           val k = b.head._1
           val run = new Iterator[V] {
-            def hasNext: Boolean = b.hasNext && b.head._1 == k
+            def hasNext: Boolean = b.hasNext && keyEq(b.head._1, k)
             def next(): V = b.next()._2
           }
           val o = reducer(k, run)
@@ -78,6 +88,21 @@ object MapReduce {
         }
       }
     }
+  }
+
+  /** Value-structural equality matching the shuffle's sort order:
+    * arrays element-wise, NaN == NaN (total IEEE order, as the sort
+    * uses), Products field-wise, everything else via `equals`.
+    */
+  private[graft] def keyEq(a: Any, b: Any): Boolean = (a, b) match {
+    case (x: Array[_], y: Array[_]) =>
+      x.length == y.length && x.indices.forall(i => keyEq(x(i), y(i)))
+    case (x: Double, y: Double) => java.lang.Double.compare(x, y) == 0
+    case (x: Float, y: Float) => java.lang.Float.compare(x, y) == 0
+    case (x: Product, y: Product) =>
+      x.productArity == y.productArity &&
+        x.productIterator.zip(y.productIterator).forall { case (u, v) => keyEq(u, v) }
+    case (x, y) => x == y
   }
 
   /** The reference's one built-in job — Unicode word count over a

@@ -67,4 +67,23 @@ class MapReduceApiSpec extends SparkSpec {
       .collect().toMap
     assert(out == (0L until 5L).map(k => k -> k).toMap, s"got $out")
   }
+
+  test("runSorted groups Array[Byte] and NaN keys by VALUE, not reference") {
+    import spark.implicits._
+    // Array keys decode to fresh JVM arrays per row: universal == is
+    // reference identity and would split every run into singletons
+    val bytes = Seq(
+      (Array[Byte](1, 2), 10L), (Array[Byte](1, 2), 20L),
+      (Array[Byte](3), 30L)).toDS()
+    val byteRuns = MapReduce.runSorted(bytes) { (k, vs) =>
+      (k.toSeq.mkString("-"), vs.size.toLong)
+    }.collect().toMap
+    assert(byteRuns == Map("1-2" -> 2L, "3" -> 1L), s"got $byteRuns")
+    // NaN != NaN under ==, but the sort orders all NaNs adjacent as
+    // one key — the run must match that grouping
+    val nans = Seq((Double.NaN, 1L), (Double.NaN, 2L), (1.5, 3L)).toDS()
+    val nanRuns = MapReduce.runSorted(nans) { (k, vs) => (k.toString, vs.size.toLong) }
+      .collect().toMap
+    assert(nanRuns == Map("NaN" -> 2L, "1.5" -> 1L), s"got $nanRuns")
+  }
 }
