@@ -262,7 +262,9 @@ object AggregatorQueries {
       |  SELECT min(l_extendedprice) AS lo, max(l_extendedprice) AS hi
       |  FROM lineitem)
       |SELECT l_returnflag,
-      |  CAST(least(19, CAST(floor((l_extendedprice - lo) * 20 / (hi - lo)) AS BIGINT)) AS BIGINT) AS bucket,
+      |  CASE WHEN hi = lo THEN 0
+      |       ELSE CAST(least(19, CAST(floor((l_extendedprice - lo) * 20 / (hi - lo)) AS BIGINT)) AS BIGINT)
+      |  END AS bucket,
       |  CAST(count(*) AS BIGINT) AS n
       |FROM lineitem, b
       |GROUP BY l_returnflag, bucket
@@ -273,10 +275,14 @@ object AggregatorQueries {
       max(col("l_extendedprice")).as("hi"))
     li.select(col("l_returnflag"), col("l_extendedprice"))
       .crossJoin(broadcast(bounds))
+      // degenerate single-value range: (hi-lo)=0 would make the bucket
+      // expression 0.0/0.0 = NaN (→ ANSI cast error); all rows belong
+      // in bucket 0 — mirrored in the oracle's CASE
       .select(col("l_returnflag"),
-        least(lit(19L),
-          floor((col("l_extendedprice") - col("lo")) * 20 / (col("hi") - col("lo")))
-            .cast("long")).as("bucket"))
+        when(col("hi") === col("lo"), lit(0L))
+          .otherwise(least(lit(19L),
+            floor((col("l_extendedprice") - col("lo")) * 20 / (col("hi") - col("lo")))
+              .cast("long"))).as("bucket"))
       .groupBy(col("l_returnflag"), col("bucket"))
       .agg(count(lit(1)).as("n"))
       .orderBy(col("l_returnflag"), col("bucket"))
@@ -324,8 +330,10 @@ object AggregatorQueries {
     // full training still runs under the driver; only merge #1 is
     // SQL-checkable, the loop itself is pinned in BpeTrainerSpec.
     val merges = graft.api.BpeTrainer.train(docs, "text", 24)
-    val m1 = merges.head
-    val mergeRow = Seq(("merge_1", m1.left, m1.right, m1.count))
+    // empty corpus → no merges learnable → no merge row (the oracle's
+    // argmax CTE is likewise empty)
+    val mergeRow = merges.headOption.toSeq
+      .map(m => ("merge_1", m.left, m.right, m.count))
       .toDF("kind", "item", "item2", "cnt")
     val words = graft.api.BpeTrainer.wordFrequencies(docs, "text")
       .orderBy(col("n").desc, col("w")).limit(20)
@@ -335,8 +343,142 @@ object AggregatorQueries {
       .orderBy(col("kind"), col("cnt").desc, col("item"), col("item2"))
   }
 
+  /** Count-min sketch over the corpus token stream — the
+    * fixed-memory frequency estimator for vocabularies too large to
+    * count exactly (the mergeable-sketch sibling of q87's Misra–Gries
+    * top-k): d=4 hash rows × w=1024 counters, each occurrence
+    * increments one counter per row, estimate = min over rows. The
+    * counter table is 4096 rows REGARDLESS of corpus size — the
+    * exchange after the partial aggregate is constant, and two
+    * sketches merge by element-wise add (the distributed contract).
+    *
+    * Every hash is engine-portable: the native codegen'd
+    * `portable_hash64` (the q35 HUGEINT-replayable chain) reduced mod
+    * p=1e9+7, then d universal hashes (a_j·h + b_j mod p mod w) in
+    * plain BIGINT arithmetic that never overflows (a_j < 2^30,
+    * h < 2^30 → products < 2^60) — so DuckDB replays the ENTIRE
+    * sketch bit-for-bit and the oracle hash-checks estimates, not
+    * just invariants. Output: the top-20 exact tokens with their CMS
+    * estimate and overcount (≥ 0 by construction — CMS never
+    * undercounts).
+    */
+  private val CmsA = Seq(609598081L, 105459229L, 430648391L, 938475301L)
+  private val CmsB = Seq(334756439L, 887612923L, 213466917L, 754398461L)
+
+  val q107CountMin = QueryDef(
+    "q107_countmin",
+    "count-min sketch (4x1024 portable hashes): estimate vs exact for the top-20 tokens",
+    {
+      val bucketCase = (sel: String) => (0 until 4).map { j =>
+        s"WHEN $j THEN (${CmsA(j)} * $sel + ${CmsB(j)}) % 1000000007 % 1024"
+      }.mkString("CASE j ", " ", " END")
+      s"""WITH tok AS (
+         |  SELECT unnest(list_filter(string_split(text, ' '), t -> length(t) > 0)) AS t
+         |  FROM documents),
+         |ph AS (
+         |  SELECT t, CAST(list_reduce(list_transform(string_split(t, ''),
+         |           c -> CAST(ascii(c) AS BIGINT)), (a, x) -> (a*31 + x) % 1000000007) AS HUGEINT) AS z
+         |  FROM tok),
+         |m1 AS (SELECT t, (xor(z, z >> 30) * 2685821657736338717) % 18446744073709551616 AS z FROM ph),
+         |m2 AS (SELECT t, (xor(z, z >> 27) * 1181783497276652981) % 18446744073709551616 AS z FROM m1),
+         |hu AS (SELECT t, CAST(xor(z, z >> 31) % 1000000007 AS BIGINT) AS h FROM m2),
+         |buck AS (
+         |  SELECT t, CAST(j AS INT) AS j, ${bucketCase("h")} AS bkt
+         |  FROM (SELECT t, h, unnest(range(0, 4)) AS j FROM hu)),
+         |counters AS (
+         |  SELECT j, bkt, CAST(count(*) AS BIGINT) AS c FROM buck GROUP BY j, bkt),
+         |exact AS (
+         |  SELECT t AS word, CAST(count(*) AS BIGINT) AS exact_cnt
+         |  FROM tok GROUP BY t ORDER BY exact_cnt DESC, word LIMIT 20),
+         |qb AS (
+         |  SELECT DISTINCT e.word, e.exact_cnt, b.j, b.bkt
+         |  FROM exact e JOIN buck b ON b.t = e.word),
+         |est AS (
+         |  SELECT word, exact_cnt, min(c) AS cms_est
+         |  FROM qb JOIN counters USING (j, bkt) GROUP BY word, exact_cnt)
+         |SELECT word, exact_cnt, cms_est, cms_est - exact_cnt AS overcount
+         |FROM est ORDER BY exact_cnt DESC, word""".stripMargin
+    }) { (s, d) =>
+    graft.plans.GraftFunctions.register(s)
+    import graft.plans.GraftFunctions
+    val toks = Tables.documents(s, d)
+      .select(explode(filter(split(col("text"), " "), t => length(t) > 0))
+        .as("t"))
+    val two64 = lit(new java.math.BigDecimal("18446744073709551616"))
+    def hmod(t: org.apache.spark.sql.Column) = {
+      val h = GraftFunctions.portableHash64(t)
+      // DuckDB's replay is over the UNSIGNED 64-bit value; lift the
+      // signed Long into decimal(38,0) before the mod so both engines
+      // reduce the same residue
+      pmod(when(h < 0, h.cast("decimal(38,0)") + two64)
+        .otherwise(h.cast("decimal(38,0)")), lit(1000000007L).cast("decimal(38,0)"))
+        .cast("long")
+    }
+    def buckets(h: org.apache.spark.sql.Column) =
+      posexplode(array((0 until 4).map(j =>
+        (lit(CmsA(j)) * h + lit(CmsB(j))) % lit(1000000007L) % lit(1024L)): _*))
+    // sketch build: one corpus pass, constant-size exchange (≤ 4×1024
+    // counters survive the partial aggregate per partition)
+    val counters = toks
+      .select(col("t"), buckets(hmod(col("t"))).as(Seq("j", "bkt")))
+      .groupBy(col("j"), col("bkt")).agg(count(lit(1)).as("c"))
+    // point queries: the top-20 exact tokens (exactness provable at
+    // this vocab size; at 100 TB the exact side is what you DON'T
+    // have — you'd query the sketch alone)
+    val exact = toks.groupBy(col("t")).agg(count(lit(1)).as("exact_cnt"))
+      .orderBy(col("exact_cnt").desc, col("t"))
+      .limit(20)
+      .select(col("t").as("word"), col("exact_cnt"))
+    exact
+      .select(col("word"), col("exact_cnt"),
+        buckets(hmod(col("word"))).as(Seq("j", "bkt")))
+      .join(broadcast(counters), Seq("j", "bkt"))
+      .groupBy(col("word"), col("exact_cnt"))
+      .agg(min(col("c")).as("cms_est"))
+      .select(col("word"), col("exact_cnt"), col("cms_est"),
+        (col("cms_est") - col("exact_cnt")).as("overcount"))
+      .orderBy(col("exact_cnt").desc, col("word"))
+  }
+
+  /** Per-GROUP heavy hitters — q87's Misra–Gries sketch partitioned
+    * by `source`: one `freq_topk` aggregate per group, so the
+    * exchange carries ≤ capacity counters per (partition, source)
+    * instead of the full per-source vocabulary. The grouped form is
+    * what a mixing pipeline actually reads ("what dominates each
+    * source?"); the oracle is the exact per-source count + rank
+    * (capacity ≫ vocab here, so the sketch is provably exact — the
+    * constrained regime is SketchSpec's job).
+    */
+  val q108SourceHitters = QueryDef(
+    "q108_source_hitters",
+    "top-5 tokens PER SOURCE via grouped Misra-Gries freq_topk sketch",
+    """WITH w AS (
+      |  SELECT source,
+      |    unnest(list_filter(string_split(text, ' '), t -> length(t) > 0)) AS word
+      |  FROM documents),
+      |c AS (SELECT source, word, CAST(count(*) AS BIGINT) AS cnt
+      |      FROM w GROUP BY source, word)
+      |SELECT * FROM (
+      |  SELECT source,
+      |         CAST(row_number() OVER (PARTITION BY source ORDER BY cnt DESC, word) AS INT) AS rank,
+      |         word, cnt
+      |  FROM c)
+      |WHERE rank <= 5
+      |ORDER BY source, rank""".stripMargin) { (s, d) =>
+    graft.plans.GraftFunctions.register(s)
+    Tables.documents(s, d)
+      .select(col("source"),
+        explode(filter(split(col("text"), " "), t => length(t) > 0)).as("word"))
+      .groupBy(col("source"))
+      .agg(graft.plans.GraftFunctions.freqTopk(col("word"), 5, 1024).as("tk"))
+      .select(col("source"), posexplode(col("tk")).as(Seq("pos", "e")))
+      .select(col("source"), (col("pos") + 1).cast("int").as("rank"),
+        col("e.word").as("word"), col("e.cnt").as("cnt"))
+      .orderBy(col("source"), col("rank"))
+  }
+
   val all: Seq[QueryDef] = Seq(
     q41CustomAgg, q45Percentiles, q46ApproxDistinct, q47TypedMapreduce,
     q65StatsAgg, q87HeavyHitters, q90ColumnProfile, q95BpeTrain,
-    q104Histogram)
+    q104Histogram, q107CountMin, q108SourceHitters)
 }

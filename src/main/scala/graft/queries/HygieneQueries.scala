@@ -305,7 +305,61 @@ object HygieneQueries {
       .orderBy(col("doc_id"))
   }
 
+  /** Per-language RELATIVE quality gate: keep documents longer than
+    * their language's exact median length — the "top half per
+    * stratum" filter real curation applies so low-resource languages
+    * aren't judged by high-resource thresholds.
+    *
+    * The median is computed WITHOUT per-group value buffering
+    * (Spark's exact `percentile` holds every value of a group in one
+    * aggregation buffer — the memory cliff at corpus scale): the
+    * table compresses to (lang, n_chars, count) — distinct values per
+    * language, orders of magnitude below row count — and a window
+    * over that METADATA relation yields cumulative positions; the
+    * type-7 interpolated median is then the mean of the values at
+    * positions ⌊(n−1)/2⌋ and ⌈(n−1)/2⌉, exactly `quantile_cont(0.5)`.
+    * Scale shape: one partial+final count aggregate, one tiny-window
+    * pass, one broadcast join back; the corpus itself is never
+    * windowed or buffered.
+    */
+  val q109MedianFilter = QueryDef(
+    "q109_median_filter",
+    "per-language quality gate: docs above their language's exact interpolated median length",
+    """WITH m AS (
+      |  SELECT lang, quantile_cont(n_chars, 0.5) AS lang_median
+      |  FROM documents GROUP BY lang)
+      |SELECT doc_id, d.lang AS lang, n_chars, round(lang_median, 4) AS lang_median
+      |FROM documents d JOIN m ON d.lang = m.lang
+      |WHERE n_chars > lang_median
+      |ORDER BY doc_id""".stripMargin) { (s, d) =>
+    val docs = Tables.documents(s, d)
+    // compressed per-(lang, value) counts: the only corpus-scale agg
+    val comp = docs.groupBy(col("lang"), col("n_chars"))
+      .agg(count(lit(1)).as("c"))
+    val w = Window.partitionBy(col("lang")).orderBy(col("n_chars"))
+    // value v covers 0-based positions [hi-c, hi) in the sorted order
+    val cum = comp.withColumn("hi", sum(col("c")).over(w))
+      .withColumn("lo", col("hi") - col("c"))
+    val pos = comp.groupBy(col("lang")).agg(sum(col("c")).as("n"))
+      .select(col("lang"),
+        floor((col("n") - 1) / 2).as("p1"),
+        ((col("n") - 1) - floor((col("n") - 1) / 2)).as("p2"))
+    val v1 = cum.join(pos, "lang")
+      .filter(col("p1") >= col("lo") && col("p1") < col("hi"))
+      .select(col("lang"), col("n_chars").as("m1"))
+    val v2 = cum.join(pos, "lang")
+      .filter(col("p2") >= col("lo") && col("p2") < col("hi"))
+      .select(col("lang"), col("n_chars").as("m2"))
+    val med = v1.join(v2, "lang")
+      .select(col("lang"),
+        round((col("m1") + col("m2")) / 2.0, 4).as("lang_median"))
+    docs.join(broadcast(med), "lang")
+      .filter(col("n_chars") > col("lang_median"))
+      .select(col("doc_id"), col("lang"), col("n_chars"), col("lang_median"))
+      .orderBy(col("doc_id"))
+  }
+
   val all: Seq[QueryDef] =
     Seq(q72Decontamination, q73RepetitionQuality, q74PiiRedaction,
-      q75UnicodeNormalize, q85LineDedup)
+      q75UnicodeNormalize, q85LineDedup, q109MedianFilter)
 }

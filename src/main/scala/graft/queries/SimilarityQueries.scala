@@ -526,7 +526,83 @@ object SimilarityQueries {
     semanticDedup(s, t, k = 16, iters = 4, threshold = 0.85)
   }
 
+  /** Embedding-distribution drift between corpus snapshots — the
+    * monitoring read a pipeline runs after every refresh: per label,
+    * the cosine between the OLD snapshot's centroid (vec_id % 10 ≠ 0
+    * plays the previous corpus) and the CURRENT one. A drop flags a
+    * shifted cluster (ingest bug, upstream distribution change)
+    * before it poisons the trained ANN/SemDeDup structures built on
+    * those centroids.
+    *
+    * Exactness across engines uses the established exact-integer
+    * trick (q39/q89's Lloyd oracle): dims quantize to
+    * ⌊x·10⁴⌋ BIGINT, per-(label, dim) sums / dot products / norms
+    * are all exact integer arithmetic, and cosine(Σa, Σb) =
+    * cosine(mean_a, mean_b) since the counts cancel — so no division
+    * happens until the final rounded double. Scale shape: one
+    * explode + one partial+final (label, dim) aggregate — the sums
+    * relation is |labels|·|dims| rows of metadata; nothing else
+    * shuffles. Overflow headroom: |q| ≤ 10⁴, so a dot term needs
+    * ~10⁹ same-label rows per dim to threaten 2⁶³ — repartition the
+    * quantization to ⌊x·10²⌋ at that scale.
+    */
+  val q110CentroidDrift = QueryDef(
+    "q110_centroid_drift",
+    "per-label centroid cosine drift between the old snapshot (vec_id%10!=0) and the full corpus",
+    """WITH dims AS (
+      |  SELECT label, vec_id,
+      |    CAST(floor(CAST(embedding[CAST(i AS INT)] AS DOUBLE) * 10000) AS BIGINT) AS q,
+      |    CAST(i AS INT) AS dim
+      |  FROM (SELECT label, vec_id, embedding,
+      |          unnest(range(1, len(embedding) + 1)) AS i
+      |        FROM embeddings)),
+      |sums AS (
+      |  SELECT label, dim,
+      |    CAST(sum(CASE WHEN vec_id % 10 <> 0 THEN q ELSE 0 END) AS BIGINT) AS qa,
+      |    CAST(sum(q) AS BIGINT) AS qb
+      |  FROM dims GROUP BY label, dim),
+      |agg AS (
+      |  SELECT label,
+      |    CAST(sum(qa * qb) AS BIGINT) AS dot,
+      |    CAST(sum(qa * qa) AS BIGINT) AS na,
+      |    CAST(sum(qb * qb) AS BIGINT) AS nb
+      |  FROM sums GROUP BY label),
+      |cnt AS (
+      |  SELECT label,
+      |    CAST(count(CASE WHEN vec_id % 10 <> 0 THEN 1 END) AS BIGINT) AS n_old,
+      |    CAST(count(*) AS BIGINT) AS n_new
+      |  FROM embeddings GROUP BY label)
+      |SELECT label,
+      |  round(CAST(dot AS DOUBLE) / sqrt(CAST(na AS DOUBLE) * CAST(nb AS DOUBLE)), 6) AS cos_drift,
+      |  n_old, n_new
+      |FROM agg JOIN cnt USING (label)
+      |ORDER BY label""".stripMargin) { (s, d) =>
+    val e = Tables.embeddings(s, d)
+    val dims = e
+      .select(col("label"), col("vec_id"),
+        posexplode(col("embedding")).as(Seq("dim", "x")))
+      .select(col("label"), col("vec_id"), col("dim"),
+        floor(col("x").cast("double") * 10000).cast("long").as("q"))
+    val sums = dims.groupBy(col("label"), col("dim"))
+      .agg(sum(when(col("vec_id") % 10 =!= 0, col("q")).otherwise(0L)).as("qa"),
+        sum(col("q")).as("qb"))
+    val agg = sums.groupBy(col("label"))
+      .agg(sum(col("qa") * col("qb")).as("dot"),
+        sum(col("qa") * col("qa")).as("na"),
+        sum(col("qb") * col("qb")).as("nb"))
+    val cnt = e.groupBy(col("label"))
+      .agg(count(when(col("vec_id") % 10 =!= 0, lit(1))).as("n_old"),
+        count(lit(1)).as("n_new"))
+    agg.join(cnt, "label")
+      .select(col("label"),
+        round(col("dot").cast("double") /
+          sqrt(col("na").cast("double") * col("nb").cast("double")), 6)
+          .as("cos_drift"),
+        col("n_old"), col("n_new"))
+      .orderBy(col("label"))
+  }
+
   val all: Seq[QueryDef] =
     Seq(q38CosineTopk, q39AnnIvf, q60HyperplaneLsh, q76QuantizedTopk,
-      q89SemanticDedup)
+      q89SemanticDedup, q110CentroidDrift)
 }
