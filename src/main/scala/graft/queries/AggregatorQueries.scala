@@ -477,8 +477,47 @@ object AggregatorQueries {
       .orderBy(col("source"), col("rank"))
   }
 
+  /** Quantile sketch (`approx_percentile`, the Greenwald–Khanna-style
+    * `QuantileSummaries`) — the LAST member of the sketch family
+    * (HLL q46, Misra–Gries q87/q108, count-min q107): bounded-memory
+    * mergeable quantiles for corpus-scale distributions. The sketch's
+    * merge order varies run to run, so the VALUES have no stable twin
+    * — what IS deterministic is the GK guarantee itself: the rank of
+    * the returned quantile lies within ε·n of the target (ε = 1/
+    * accuracy = 0.01). The query therefore emits the rank-error GATE,
+    * q46-style: rank(approx_p) counted exactly against the corpus,
+    * flag true iff within 2ε·n + 1 (lenient two-sided form covering
+    * the ≤-vs-< rank convention). A sketch regression (or a broken
+    * merge) flips a flag and fails the hash compare.
+    */
+  val q112QuantileSketchGate = QueryDef(
+    "q112_quantile_sketch_gate",
+    "approx_percentile (GK sketch) p50/p90 per event_type, exact rank-error gate",
+    """SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+      |  true AS ok50, true AS ok90
+      |FROM events
+      |GROUP BY event_type
+      |ORDER BY event_type""".stripMargin) { (s, d) =>
+    val ev = Tables.events(s, d).select(col("event_type"), col("value"))
+    val aps = ev.groupBy(col("event_type"))
+      .agg(expr("approx_percentile(value, array(0.5, 0.9), 100)").as("ap"),
+        count(lit(1)).as("n"))
+      .select(col("event_type"),
+        element_at(col("ap"), 1).as("ap50"),
+        element_at(col("ap"), 2).as("ap90"), col("n"))
+    ev.join(broadcast(aps), "event_type")
+      .groupBy(col("event_type"))
+      .agg(first(col("n")).as("n"),
+        sum(when(col("value") <= col("ap50"), 1L).otherwise(0L)).as("le50"),
+        sum(when(col("value") <= col("ap90"), 1L).otherwise(0L)).as("le90"))
+      .select(col("event_type"), col("n"),
+        (abs(col("le50") - col("n") * 0.5) <= col("n") * 0.02 + 1).as("ok50"),
+        (abs(col("le90") - col("n") * 0.9) <= col("n") * 0.02 + 1).as("ok90"))
+      .orderBy(col("event_type"))
+  }
+
   val all: Seq[QueryDef] = Seq(
     q41CustomAgg, q45Percentiles, q46ApproxDistinct, q47TypedMapreduce,
     q65StatsAgg, q87HeavyHitters, q90ColumnProfile, q95BpeTrain,
-    q104Histogram, q107CountMin, q108SourceHitters)
+    q104Histogram, q107CountMin, q108SourceHitters, q112QuantileSketchGate)
 }

@@ -286,7 +286,43 @@ object CurationQueries {
       .orderBy(col("doc_id"))
   }
 
+  /** Curriculum staging: order the corpus easy→hard (shorter
+    * documents first — the classic length curriculum) and cut it into
+    * 4 stages of EQUAL CHARACTER BUDGET, not equal doc count, so
+    * every stage feeds the trainer the same volume. The global
+    * running total comes from [[SequencePacker.pack]]'s two-pass
+    * range-partitioned cumsum — the corpus is never funneled through
+    * a single `ORDER BY` reducer — and the stage is integer
+    * arithmetic on (cum, total), so the assignment is engine-exact.
+    * The composite order key packs (n_chars, doc_id) into one long
+    * (n_chars ≤ ~1e5 here; at larger id spaces pass a wider
+    * composite), giving the total order the cumsum contract needs.
+    */
+  val q111CurriculumStages = QueryDef(
+    "q111_curriculum_stages",
+    "length-curriculum staging: 4 equal-character-budget stages, shortest docs first",
+    """WITH c AS (
+      |  SELECT doc_id, n_chars,
+      |    sum(n_chars) OVER (ORDER BY n_chars, doc_id) AS cum,
+      |    sum(n_chars) OVER () AS total
+      |  FROM documents)
+      |SELECT doc_id, n_chars,
+      |  CAST(least(3, ((cum - n_chars) * 4) // total) AS INT) AS stage
+      |FROM c ORDER BY doc_id""".stripMargin) { (s, d) =>
+    val docs = Tables.documents(s, d)
+      .select(col("doc_id"), col("n_chars"),
+        (col("n_chars") * lit(1000000000L) + col("doc_id")).as("ord"))
+    val packed = SequencePacker.pack(docs, "ord", "n_chars", 1L)
+      .select(col("doc_id"), col("n_chars"), col("cum"))
+    val total = Tables.documents(s, d).agg(sum(col("n_chars")).as("total"))
+    packed.crossJoin(broadcast(total))
+      .select(col("doc_id"), col("n_chars"),
+        least(lit(3L), expr("((cum - n_chars) * 4) div total"))
+          .cast("int").as("stage"))
+      .orderBy(col("doc_id"))
+  }
+
   val all: Seq[QueryDef] =
     Seq(q61CurationPipeline, q80SequencePack, q83PackSlices, q86ChunkOverlap,
-      q99SourceTopFraction, q103CorpusShuffle)
+      q99SourceTopFraction, q103CorpusShuffle, q111CurriculumStages)
 }

@@ -367,6 +367,42 @@ class PlanSpec extends SparkSpec {
       s"expected an equi join for the merge:\n$plan")
   }
 
+  test("q109 median gate never buffers per-group values (no exact percentile agg)") {
+    import org.apache.spark.sql.catalyst.plans.logical.{Window => LogicalWindow}
+    val df = Registry.byName("q109_median_filter").fn(spark, sfDir)
+    val plan = planString(df)
+    assert(!plan.toLowerCase.contains("percentile"),
+      s"q109 must compute the median from compressed counts, not percentile():\n$plan")
+    // the cumulative window runs on the compressed (lang, value) rows,
+    // partitioned by lang — never a global window over the corpus
+    val windows = df.queryExecution.optimizedPlan.collect {
+      case w: LogicalWindow => w
+    }
+    assert(windows.nonEmpty && windows.forall(_.partitionSpec.nonEmpty),
+      "q109's cumulative window must be lang-partitioned metadata work")
+  }
+
+  test("q110 centroid drift is one (label, dim) exchange on integer sums") {
+    val df = Registry.byName("q110_centroid_drift").fn(spark, sfDir)
+    val plan = planString(df)
+    assert(!plan.contains("Window") && !plan.contains("CartesianProduct"),
+      s"drift should be pure partial+final aggregation:\n$plan")
+    assert("HashAggregate".r.findAllIn(plan).size >= 4,
+      "expected partial+final pairs for the (label, dim) and label aggregates")
+  }
+
+  test("q111 curriculum staging plans no global single-partition window") {
+    import org.apache.spark.sql.catalyst.plans.logical.{Window => LogicalWindow}
+    val df = Registry.byName("q111_curriculum_stages").fn(spark, sfDir)
+    val windows = df.queryExecution.optimizedPlan.collect {
+      case w: LogicalWindow => w
+    }
+    assert(windows.nonEmpty, "expected the per-partition cumsum window")
+    assert(windows.forall(_.partitionSpec.nonEmpty),
+      "q111 contains a global window — the corpus would funnel through ONE reducer")
+    spark.sharedState.cacheManager.clearCache()
+  }
+
   test("q101/q102 secondary-sort queries plan zero Window operators") {
     for (name <- Seq("q101_secondary_sort", "q102_skyline")) {
       val plan = planString(Registry.byName(name).fn(spark, sfDir))

@@ -70,6 +70,37 @@ class SketchSpec extends SparkSpec {
       s"expected ObjectHashAggregate partial/final pair, got:\n$plan")
   }
 
+  test("count-min estimates never undercount and bound the overcount") {
+    // the CMS invariant pair on the real corpus: est >= exact always
+    // (min over rows that each counted every occurrence), and for the
+    // top tokens the overcount stays within the d-row union bound
+    // (4 * N / w is already loose at this vocab/width ratio)
+    val rows = Registry.byName("q107_countmin").fn(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    val n = Tables.documents(spark, sfDir)
+      .select(explode(split(col("text"), " ")).as("t"))
+      .filter(length(col("t")) > 0).count()
+    rows.foreach { r =>
+      val exact = r.getAs[Long]("exact_cnt")
+      val est = r.getAs[Long]("cms_est")
+      assert(est >= exact, s"CMS undercounted ${r.getAs[String]("word")}")
+      assert(est - exact <= 4L * n / 1024L + 1,
+        s"overcount ${est - exact} beyond the 4N/w bound for ${r.getAs[String]("word")}")
+    }
+  }
+
+  test("count-min counter build plans a partial aggregate before the exchange") {
+    // the constant-size-exchange claim: the (j, bkt) groupBy must
+    // partial-aggregate map-side so at most d*w counter rows per
+    // partition cross the shuffle
+    val plan = Registry.byName("q107_countmin").fn(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    val partials = "HashAggregate\\(keys=\\[j[^\\]]*bkt".r
+      .findAllIn(plan).length
+    assert(partials >= 2,
+      s"expected partial+final HashAggregate pair on (j, bkt), got:\n$plan")
+  }
+
   test("freq_topk is SQL-callable and ignores null keys") {
     GraftFunctions.register(spark)
     val got = spark.sql(
