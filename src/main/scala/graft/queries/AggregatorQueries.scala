@@ -516,8 +516,60 @@ object AggregatorQueries {
       .orderBy(col("event_type"))
   }
 
+  /** Statistical outlier detection (|z| > 3 per group) with EXACT
+    * INTEGER arithmetic — the data-quality gate that flags corrupt
+    * measurements before they skew a training mix. A naive
+    * `(v - avg) / stddev` comparison is engine-DIVERGENT: parallel
+    * float summation makes avg/stddev differ in ulps between Spark
+    * and DuckDB (and between runs), and a value near the 3σ boundary
+    * flips. Instead the predicate is cleared of divisions and square
+    * roots: with v = ⌊100·value⌋ (exact in both engines — one IEEE
+    * multiply + floor),
+    *
+    *   |v − μ| > 3σ  ⇔  (n·v − S)²·(n−1) > 9·n·(n·Q − S²)
+    *
+    * over integer sums S = Σv, Q = Σv² in decimal(38,0) — every
+    * engine computes the identical integers, so the include/exclude
+    * call is bit-exact. Scale shape: one partial+final aggregate to
+    * the per-type moments (5 rows), broadcast back, per-row
+    * predicate — no window, no second shuffle.
+    */
+  val q113Outliers = QueryDef(
+    "q113_outliers",
+    "per-event-type |z|>3 outliers via exact-integer moment arithmetic (no float drift)",
+    """WITH v AS (
+      |  SELECT event_id, event_type,
+      |    CAST(floor(value * 100) AS HUGEINT) AS v
+      |  FROM events),
+      |st AS (
+      |  SELECT event_type, CAST(count(*) AS HUGEINT) AS n,
+      |    CAST(sum(v) AS HUGEINT) AS s, CAST(sum(v*v) AS HUGEINT) AS q
+      |  FROM v GROUP BY event_type)
+      |SELECT event_id, v.event_type AS event_type, CAST(v AS BIGINT) AS value_cents
+      |FROM v JOIN st ON v.event_type = st.event_type
+      |WHERE n > 1
+      |  AND (n*v - s) * (n*v - s) * (n - 1) > 9 * n * (n*q - s*s)
+      |ORDER BY event_id""".stripMargin) { (s, d) =>
+    val ev = Tables.events(s, d)
+      .select(col("event_id"), col("event_type"),
+        floor(col("value") * 100).cast("decimal(38,0)").as("v"))
+    val st = ev.groupBy(col("event_type"))
+      .agg(count(lit(1)).cast("decimal(38,0)").as("n"),
+        sum(col("v")).as("s"),
+        sum(col("v") * col("v")).as("q"))
+    val dev = col("n") * col("v") - col("s")
+    ev.join(broadcast(st), "event_type")
+      .filter(col("n") > 1)
+      .filter(dev * dev * (col("n") - 1) >
+        lit(9) * col("n") * (col("n") * col("q") - col("s") * col("s")))
+      .select(col("event_id"), col("event_type"),
+        col("v").cast("long").as("value_cents"))
+      .orderBy(col("event_id"))
+  }
+
   val all: Seq[QueryDef] = Seq(
     q41CustomAgg, q45Percentiles, q46ApproxDistinct, q47TypedMapreduce,
     q65StatsAgg, q87HeavyHitters, q90ColumnProfile, q95BpeTrain,
-    q104Histogram, q107CountMin, q108SourceHitters, q112QuantileSketchGate)
+    q104Histogram, q107CountMin, q108SourceHitters, q112QuantileSketchGate,
+    q113Outliers)
 }

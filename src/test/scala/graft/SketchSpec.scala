@@ -101,6 +101,35 @@ class SketchSpec extends SparkSpec {
       s"expected partial+final HashAggregate pair on (j, bkt), got:\n$plan")
   }
 
+  test("q113 outlier set equals an independent exact-rational z-score sweep") {
+    // Independent reimplementation: per-type moments in BigInt, the
+    // 3-sigma test via exact integer comparison of squared deviations
+    // — no shared code with the query's decimal(38,0) column arithmetic.
+    val ev = Tables.events(spark, sfDir)
+      .select(col("event_id"), col("event_type"), col("value"))
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1),
+        BigInt(math.floor(r.getDouble(2) * 100).toLong)))
+    val expected = ev.groupBy(_._2).flatMap { case (_, rows) =>
+      val n = BigInt(rows.length)
+      if (n <= 1) Seq.empty[Long]
+      else {
+        val s = rows.map(_._3).sum
+        val q = rows.map(x => x._3 * x._3).sum
+        // |v - S/n| > 3*sqrt((nQ - S^2)/(n(n-1))), squared and cleared
+        // of denominators with exact integers
+        rows.collect { case (id, _, v)
+          if (n * v - s).pow(2) * (n - 1) > 9 * n * (n * q - s * s) => id }
+          .toSeq
+      }
+    }.toSet
+    val got = Registry.byName("q113_outliers").fn(spark, sfDir)
+      .select(col("event_id")).as[Long].collect().toSet
+    assert(got == expected,
+      s"outlier sets differ: extra=${got -- expected} missing=${expected -- got}")
+    assert(got.nonEmpty, "degenerate fixture: no outliers at sf0.001")
+  }
+
   test("freq_topk is SQL-callable and ignores null keys") {
     GraftFunctions.register(spark)
     val got = spark.sql(
