@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{Encoder, Encoders}
 import org.apache.spark.sql.expressions.Aggregator
 import org.apache.spark.sql.functions._
-import graft.{QueryDef, Tables}
+import graft.{AutoUnpersist, QueryDef, Tables}
 
 /** Custom / typed aggregation (SURVEY.md §2.2 "custom typed
   * aggregate" + UDx rows): an `Aggregator[IN,BUF,OUT]` registered via
@@ -351,6 +351,11 @@ object AggregatorQueries {
     * counter table is 4096 rows REGARDLESS of corpus size — the
     * exchange after the partial aggregate is constant, and two
     * sketches merge by element-wise add (the distributed contract).
+    * Here the build is the WEIGHTED form over the word-count relation
+    * the exact twin needs anyway (increment by cnt — identical
+    * counters, one corpus scan for the whole query, hashes once per
+    * distinct word); a standalone sketch would partial-aggregate
+    * (j, bkt) straight off the token stream.
     *
     * Every hash is engine-portable: the native codegen'd
     * `portable_hash64` (the q35 HUGEINT-replayable chain) reduced mod
@@ -417,18 +422,27 @@ object AggregatorQueries {
     def buckets(h: org.apache.spark.sql.Column) =
       posexplode(array((0 until 4).map(j =>
         (lit(CmsA(j)) * h + lit(CmsB(j))) % lit(1000000007L) % lit(1024L)): _*))
-    // sketch build: one corpus pass, constant-size exchange (≤ 4×1024
-    // counters survive the partial aggregate per partition)
-    val counters = toks
-      .select(col("t"), buckets(hmod(col("t"))).as(Seq("j", "bkt")))
-      .groupBy(col("j"), col("bkt")).agg(count(lit(1)).as("c"))
+    // ONE corpus pass: map-side-combined word counts; both the sketch
+    // and the exact side derive from it. The CMS counters are the
+    // weighted build (increment by cnt instead of 1 per occurrence —
+    // identical counters, hashes computed once per DISTINCT word, and
+    // the (j, bkt) exchange still carries ≤ 4×1024 partial sums). The
+    // corpus-token exchange this saves is exactly the word-count
+    // exchange the query's exact side pays anyway; a pure-streaming
+    // sketch with NO exact twin would instead partial-aggregate
+    // (j, bkt) directly for a constant-size exchange.
+    val wc = AutoUnpersist.scoped(
+      toks.groupBy(col("t")).agg(count(lit(1)).as("cnt")))
+    val counters = wc
+      .select(col("cnt"), buckets(hmod(col("t"))).as(Seq("j", "bkt")))
+      .groupBy(col("j"), col("bkt")).agg(sum(col("cnt")).as("c"))
     // point queries: the top-20 exact tokens (exactness provable at
     // this vocab size; at 100 TB the exact side is what you DON'T
     // have — you'd query the sketch alone)
-    val exact = toks.groupBy(col("t")).agg(count(lit(1)).as("exact_cnt"))
-      .orderBy(col("exact_cnt").desc, col("t"))
+    val exact = wc
+      .orderBy(col("cnt").desc, col("t"))
       .limit(20)
-      .select(col("t").as("word"), col("exact_cnt"))
+      .select(col("t").as("word"), col("cnt").as("exact_cnt"))
     exact
       .select(col("word"), col("exact_cnt"),
         buckets(hmod(col("word"))).as(Seq("j", "bkt")))
