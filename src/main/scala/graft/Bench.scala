@@ -31,7 +31,15 @@ object Bench {
     }
     // a failed run records -1 (NOT its elapsed time — a swallowed
     // exception must not masquerade as a fast run)
-    val results = SparkEntry.queries.map { case (name, fn) =>
+    // SPARK_GRAFT_ONLY=q1,q2 times a subset (local iteration only —
+    // the driver never sets it, so its artifact always covers all)
+    val only = sys.env.get("SPARK_GRAFT_ONLY")
+      .map(_.split(",").map(_.trim).toSet)
+    val picked = only match {
+      case Some(names) => SparkEntry.queries.filter { case (n, _) => names(n) }
+      case None => SparkEntry.queries
+    }
+    val results = picked.map { case (name, fn) =>
       val times = (1 to Runs).map { _ =>
         val t0 = System.nanoTime()
         val ok = try { fn(spark, sfDir).count(); true }

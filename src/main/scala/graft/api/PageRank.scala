@@ -27,12 +27,19 @@ object PageRank {
     * score ≈ 1e6 × the PageRank mass. Node set = nodes with wdeg > 0.
     */
   def weighted(edges: DataFrame, k: Int): DataFrame = {
-    val wdeg = edges.groupBy(col("src").as("node"))
+    // materialize the (aggregated, node-table-sized) edge relation
+    // ONCE: it feeds wdeg, the damped-edge build, and — via wdeg —
+    // every iteration's re-seed join, and without the checkpoint each
+    // of those replays the caller's corpus-side lineage (q96 pays the
+    // full bigram scan per materialization).
+    val e = edges.localCheckpoint()
+    val wdeg = e.groupBy(col("src").as("node"))
       .agg(sum(col("w")).as("wdeg"))
+      .localCheckpoint()
     // out-mass rate per node is loop-invariant: fold (850 * w) / wdeg
     // into the edge relation ONCE so each iteration is a single
     // join + aggregate on a pre-damped edge table.
-    val damped = edges
+    val damped = e
       .join(wdeg.withColumnRenamed("node", "src"), "src")
       .select(col("src"), col("dst"), col("w"), col("wdeg"))
       .localCheckpoint()
