@@ -26,6 +26,8 @@ object Registry {
     CurationQueries.all ++
     VersioningQueries.all ++
     GraphQueries.all ++
+    MiningQueries.all ++
+    RetrievalQueries.all ++
     SqlQueries.all
 
   def byName: Map[String, QueryDef] = queries.map(q => q.name -> q).toMap
