@@ -201,6 +201,50 @@ object VersioningQueries {
       .orderBy(col("zfile"))
   }
 
+  /** SCD Type-2 dimension build — the warehouse-standard "history
+    * table": each user's event_type stream becomes versioned rows
+    * with [effective_from, effective_to) validity and an is_current
+    * flag. Two stages, ONE key shuffle: change detection (lag over
+    * the user timeline drops no-op versions — consecutive repeats of
+    * the same state are not new versions) then effective ranges
+    * (lead/row_number over the SAME partitioning, so Catalyst plans
+    * both windows on one exchange). At 100 TB the key (user/entity
+    * id) is high-cardinality, so the window partitioning is the
+    * natural parallel unit — no global sort, no driver state.
+    */
+  val q115ScdType2 = QueryDef(
+    "q115_scd_type2",
+    "SCD Type-2 build: versioned state history with effective ranges + is_current, one key shuffle",
+    """WITH h AS (
+      |  SELECT user_id, ts, event_id, event_type,
+      |    lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+      |  FROM events),
+      |c AS (SELECT user_id, ts, event_id, event_type FROM h
+      |      WHERE prev IS NULL OR prev <> event_type)
+      |SELECT user_id,
+      |  CAST(row_number() OVER w AS INT) AS version_n,
+      |  event_type AS state,
+      |  ts AS effective_from,
+      |  lead(ts) OVER w AS effective_to,
+      |  lead(ts) OVER w IS NULL AS is_current
+      |FROM c
+      |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+      |ORDER BY user_id, version_n""".stripMargin) { (s, d) =>
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    Tables.events(s, d)
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+      .withColumn("prev", lag(col("event_type"), 1).over(w))
+      .filter(col("prev").isNull || col("prev") =!= col("event_type"))
+      .select(col("user_id"),
+        row_number().over(w).cast("int").as("version_n"),
+        col("event_type").as("state"),
+        col("ts").as("effective_from"),
+        lead(col("ts"), 1).over(w).as("effective_to"),
+        lead(col("ts"), 1).over(w).isNull.as("is_current"))
+      .orderBy(col("user_id"), col("version_n"))
+  }
+
   val all: Seq[QueryDef] =
-    Seq(q91ChangelogUpsert, q92SnapshotDiff, q94ZorderLayout)
+    Seq(q91ChangelogUpsert, q92SnapshotDiff, q94ZorderLayout, q115ScdType2)
 }
