@@ -1,0 +1,97 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.{QueryDef, Tables}
+
+/** Pattern-mining operators: association rules over the order/part
+  * market baskets (the q100 co-purchase graph's rule-mining twin).
+  */
+object MiningQueries {
+
+  /** Association rules (support / confidence / lift) over per-order
+    * part baskets — Apriori's pair stage, the classic co-purchase
+    * recommender signal.
+    *
+    * Scale shape (the q100 idiom): one shuffle groups each order's
+    * basket (≤ 7 parts by the TPC-H data model), a sorted-array HOF
+    * emits u<v pairs MAP-SIDE (never a corpus self-join), one more
+    * shuffle counts pair support; per-part counts and the order total
+    * derive from the same cached basket relation. Rules materialize
+    * only for pairs at support ≥ 2 — the support threshold is what
+    * keeps the rule set sub-quadratic at any scale (a pair must
+    * co-occur twice, so |rules| ≤ |co-occurring pairs|, not |parts|²).
+    * Top-100 by lift via sort+limit (TakeOrderedAndProject).
+    *
+    * Determinism: counts are exact ints; confidence and lift are each
+    * ONE double expression of exact ints, structurally identical in
+    * the oracle; ranking uses the unrounded double (q55 convention),
+    * rounding at 4dp only at output.
+    */
+  val q116AssociationRules = QueryDef(
+    "q116_association_rules",
+    "association rules: support>=2 part pairs with confidence + lift, map-side basket expansion, top-100 by lift",
+    """WITH li AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+      |n AS (SELECT CAST(count(DISTINCT o) AS BIGINT) AS n_orders FROM li),
+      |pc AS (SELECT p, CAST(count(*) AS BIGINT) AS n_p FROM li GROUP BY p),
+      |pr AS (SELECT a.p AS u, b.p AS v, CAST(count(*) AS BIGINT) AS c
+      |       FROM li a JOIN li b ON a.o = b.o AND a.p < b.p
+      |       GROUP BY a.p, b.p),
+      |rules AS (
+      |  SELECT u AS antecedent, v AS consequent, c AS n_ab FROM pr WHERE c >= 2
+      |  UNION ALL
+      |  SELECT v, u, c FROM pr WHERE c >= 2),
+      |scored AS (
+      |  SELECT r.antecedent, r.consequent, r.n_ab, pa.n_p AS n_a, pb.n_p AS n_b,
+      |    CAST(r.n_ab AS DOUBLE) / pa.n_p AS conf,
+      |    (CAST(r.n_ab AS DOUBLE) * n.n_orders) / (CAST(pa.n_p AS DOUBLE) * pb.n_p) AS lift
+      |  FROM rules r
+      |  JOIN pc pa ON pa.p = r.antecedent
+      |  JOIN pc pb ON pb.p = r.consequent, n)
+      |SELECT antecedent, consequent, n_ab, n_a, n_b,
+      |  round(conf, 4) AS confidence, round(lift, 4) AS lift
+      |FROM (SELECT * FROM scored
+      |      ORDER BY lift DESC, antecedent, consequent LIMIT 100)
+      |ORDER BY lift DESC, antecedent, consequent""".stripMargin) { (s, d) =>
+    val baskets = graft.AutoUnpersist.scoped(
+      Tables.lineitem(s, d)
+        .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
+        .groupBy(col("o")).agg(sort_array(collect_set(col("p"))).as("ps")))
+    // u<v pairs map-side from each sorted basket (the q100 guard:
+    // sequence(0,-1) DESCENDS, so single-part baskets are explicit)
+    val pairs = when(size(col("ps")) < 2,
+      array().cast("array<struct<u:bigint,v:bigint>>"))
+      .otherwise(flatten(transform(
+        sequence(lit(0), size(col("ps")) - 2),
+        i => transform(
+          slice(col("ps"), i + 2, size(col("ps"))),
+          x => struct(element_at(col("ps"), i + 1).as("u"), x.as("v"))))))
+    val pr = baskets
+      .select(explode(pairs).as("uv"))
+      .groupBy(col("uv.u").as("u"), col("uv.v").as("v"))
+      .agg(count(lit(1)).as("c"))
+      .filter(col("c") >= 2)
+    val pc = baskets.select(explode(col("ps")).as("p"))
+      .groupBy(col("p")).agg(count(lit(1)).as("n_p"))
+    val n = baskets.select(count(lit(1)).as("n_orders"))
+    val rules = pr.select(col("u").as("antecedent"), col("v").as("consequent"),
+        col("c").as("n_ab"))
+      .unionAll(pr.select(col("v").as("antecedent"), col("u").as("consequent"),
+        col("c").as("n_ab")))
+    rules
+      .join(pc.select(col("p").as("antecedent"), col("n_p").as("n_a")), "antecedent")
+      .join(pc.select(col("p").as("consequent"), col("n_p").as("n_b")), "consequent")
+      .crossJoin(broadcast(n))
+      .withColumn("conf", col("n_ab").cast("double") / col("n_a"))
+      .withColumn("lift",
+        (col("n_ab").cast("double") * col("n_orders")) /
+          (col("n_a").cast("double") * col("n_b")))
+      .orderBy(col("lift").desc, col("antecedent"), col("consequent"))
+      .limit(100)
+      .select(col("antecedent"), col("consequent"), col("n_ab"),
+        col("n_a"), col("n_b"),
+        round(col("conf"), 4).as("confidence"), round(col("lift"), 4).as("lift"))
+      .orderBy(col("lift").desc, col("antecedent"), col("consequent"))
+  }
+
+  val all: Seq[QueryDef] = Seq(q116AssociationRules)
+}
