@@ -396,7 +396,58 @@ object TextAnalysisQueries {
     }
   }
 
+  /** Vocabulary growth curve (Heaps' law audit): distinct-type count
+    * vs cumulative token count across 20 equal doc-id slices of the
+    * corpus in ingestion order — the curve that tells you whether
+    * more data still buys vocabulary (and how a tokenizer's OOV rate
+    * will trend).
+    *
+    * Scale shape: "vocab after prefix b" is NOT a running distinct
+    * over the token stream (which would need corpus-ordered state) —
+    * each term contributes at its FIRST bucket only (groupBy term →
+    * min bucket: one vocabulary-sized aggregate), and the curve is a
+    * cumulative sum over the 20-row bucket spine. The only window
+    * runs on 20 rows; the corpus is touched by exactly two keyed
+    * aggregates (per-bucket token counts, per-term first bucket).
+    */
+  val q117VocabGrowth = QueryDef(
+    "q117_vocab_growth",
+    "vocabulary growth curve: cumulative tokens vs distinct types over 20 corpus slices, first-occurrence aggregation",
+    """WITH tok AS (
+      |  SELECT doc_id, unnest(list_filter(string_split(text, ' '), t -> length(t) > 0)) AS term
+      |  FROM documents),
+      |mx AS (SELECT CAST(max(doc_id) + 1 AS BIGINT) AS nd FROM documents),
+      |tb AS (SELECT CAST((doc_id * 20) // nd AS BIGINT) AS bucket, term FROM tok, mx),
+      |per AS (SELECT bucket, CAST(count(*) AS BIGINT) AS n_toks FROM tb GROUP BY bucket),
+      |fb AS (SELECT term, min(bucket) AS fb FROM tb GROUP BY term),
+      |nv AS (SELECT fb AS bucket, CAST(count(*) AS BIGINT) AS new_terms FROM fb GROUP BY fb)
+      |SELECT bucket,
+      |  CAST(sum(n_toks) OVER w AS BIGINT) AS cum_tokens,
+      |  CAST(sum(coalesce(new_terms, 0)) OVER w AS BIGINT) AS cum_vocab
+      |FROM per LEFT JOIN nv USING (bucket)
+      |WINDOW w AS (ORDER BY bucket ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+      |ORDER BY bucket""".stripMargin) { (s, d) =>
+    val tok = Tables.documents(s, d)
+      .select(col("doc_id"), explode(toks(col("text"))).as("term"))
+    val mx = Tables.documents(s, d)
+      .agg((max(col("doc_id")) + 1L).as("nd"))
+    val tb = tok.crossJoin(broadcast(mx))
+      .select(expr("(doc_id * 20) div nd").as("bucket"), col("term"))
+    val per = tb.groupBy(col("bucket")).agg(count(lit(1)).as("n_toks"))
+    val nv = tb.groupBy(col("term")).agg(min(col("bucket")).as("bucket"))
+      .groupBy(col("bucket")).agg(count(lit(1)).as("new_terms"))
+    // the cumulative window runs on the 20-row bucket spine only
+    val w = Window.orderBy(col("bucket"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    per.join(nv, Seq("bucket"), "left_outer")
+      .select(col("bucket"),
+        sum(col("n_toks")).over(w).as("cum_tokens"),
+        sum(coalesce(col("new_terms"), lit(0L))).over(w).as("cum_vocab"))
+      .orderBy(col("bucket"))
+  }
+
   val all: Seq[QueryDef] = Seq(
     q27TokenStats, q28LangStats, q29QualityScore, q30Langid,
-    q31Fingerprint, q32NgramStats, q55Tfidf, q66BpeTokens, q96Textrank)
+    q31Fingerprint, q32NgramStats, q55Tfidf, q66BpeTokens, q96Textrank,
+    q117VocabGrowth)
 }
