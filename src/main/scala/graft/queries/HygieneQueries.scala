@@ -359,7 +359,58 @@ object HygieneQueries {
       .orderBy(col("doc_id"))
   }
 
+  /** N-gram novelty score — the LM-coverage quality signal: how much
+    * of each document is NOT built from the corpus's most common
+    * trigram stock. Low novelty ⇒ boilerplate/templated text; high
+    * novelty ⇒ fresh content (or noise — both ends are what a
+    * curation pipeline inspects).
+    *
+    * Scale shape: the reference set (top-500 trigrams by corpus
+    * frequency, ties broken lexically) is sort+limit bounded metadata
+    * — broadcast, like q72's eval-set n-grams. Each doc's distinct
+    * trigrams anti-join that broadcast map-side; the only corpus
+    * shuffles are the trigram frequency count and the per-doc
+    * aggregate. Ratios are integer basis points (floor(10000·k/n)) —
+    * bit-identical in both engines.
+    */
+  val q118NgramNovelty = QueryDef(
+    "q118_ngram_novelty",
+    "n-gram novelty: fraction of per-doc distinct trigrams outside the corpus top-500 set, basis points",
+    """WITH g AS (
+      |  SELECT doc_id, unnest(list_transform(range(1, len(w)-1),
+      |                i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS g
+      |  FROM (SELECT doc_id, list_filter(string_split(text, ' '), t -> length(t) > 0) AS w
+      |        FROM documents)),
+      |top AS (SELECT g FROM (
+      |  SELECT g, count(*) AS c FROM g GROUP BY g ORDER BY c DESC, g LIMIT 500)),
+      |dg AS (SELECT DISTINCT doc_id, g FROM g),
+      |nt AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_grams FROM dg GROUP BY doc_id),
+      |nov AS (SELECT dg.doc_id, CAST(count(*) AS BIGINT) AS n_novel
+      |        FROM dg ANTI JOIN top USING (g) GROUP BY dg.doc_id)
+      |SELECT nt.doc_id, nt.n_grams,
+      |  CAST(coalesce(nov.n_novel, 0) AS BIGINT) AS n_novel,
+      |  CAST(floor(10000.0 * coalesce(nov.n_novel, 0) / nt.n_grams) AS BIGINT) AS novelty_bp
+      |FROM nt LEFT JOIN nov USING (doc_id)
+      |ORDER BY nt.doc_id""".stripMargin) { (s, d) =>
+    val g = graft.AutoUnpersist.scoped(trigrams(Tables.documents(s, d)))
+    val top = g.groupBy(col("g")).agg(count(lit(1)).as("c"))
+      .orderBy(col("c").desc, col("g"))
+      .limit(500)
+      .select(col("g"))
+    val dg = g.distinct()
+    val nt = dg.groupBy(col("doc_id")).agg(count(lit(1)).as("n_grams"))
+    val nov = dg.join(broadcast(top), Seq("g"), "left_anti")
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("n_novel"))
+    nt.join(nov, Seq("doc_id"), "left_outer")
+      .select(col("doc_id"), col("n_grams"),
+        coalesce(col("n_novel"), lit(0L)).as("n_novel"),
+        floor(lit(10000.0) * coalesce(col("n_novel"), lit(0L)) / col("n_grams"))
+          .cast("long").as("novelty_bp"))
+      .orderBy(col("doc_id"))
+  }
+
   val all: Seq[QueryDef] =
     Seq(q72Decontamination, q73RepetitionQuality, q74PiiRedaction,
-      q75UnicodeNormalize, q85LineDedup, q109MedianFilter)
+      q75UnicodeNormalize, q85LineDedup, q109MedianFilter,
+      q118NgramNovelty)
 }

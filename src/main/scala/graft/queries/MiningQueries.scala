@@ -93,5 +93,69 @@ object MiningQueries {
       .orderBy(col("lift").desc, col("antecedent"), col("consequent"))
   }
 
-  val all: Seq[QueryDef] = Seq(q116AssociationRules)
+  /** FK-candidate discovery by value containment — the schema-
+    * inference profiler: for column pair (A.x → B.y), containment =
+    * |distinct(A.x) ∩ distinct(B.y)| / |distinct(A.x)|; 10000 bp
+    * means every A.x value exists in B.y, i.e. x is referentially
+    * valid against y. Run over a fixed candidate pair list (schema
+    * metadata — bounded by #columns², not by data) including true
+    * FKs, reverse directions (coverage: do all parents have
+    * children?), and a type-compatible non-FK pair, so the output
+    * demonstrates discrimination, not just confirmation.
+    *
+    * Scale shape: each pair costs two column-pruned distinct
+    * aggregates and one semi join ON THE DISTINCT SETS (never the
+    * fact tables), i.e. shuffles carry |distinct| rows of one
+    * column. Results are 1-row relations unioned driver-side —
+    * the union is over the bounded pair list, not data.
+    * Containment is integer basis points.
+    */
+  val q119FkDiscovery = {
+    val pairs = Seq(
+      ("lineitem", "l_orderkey", "orders", "o_orderkey"),
+      ("lineitem", "l_partkey", "part", "p_partkey"),
+      ("lineitem", "l_suppkey", "supplier", "s_suppkey"),
+      ("orders", "o_custkey", "customer", "c_custkey"),
+      ("customer", "c_nationkey", "nation", "n_nationkey"),
+      ("supplier", "s_nationkey", "nation", "n_nationkey"),
+      ("nation", "n_regionkey", "region", "r_regionkey"),
+      ("orders", "o_orderkey", "lineitem", "l_orderkey"),
+      ("customer", "c_custkey", "orders", "o_custkey"),
+      ("supplier", "s_suppkey", "customer", "c_custkey"))
+    val oracle = pairs.map { case (ft, fc, tt, tc) =>
+      s"""SELECT '$ft.$fc' AS fk_col, '$tt.$tc' AS pk_col,
+         |  CAST((SELECT count(DISTINCT $fc) FROM $ft) AS BIGINT) AS n_distinct,
+         |  CAST((SELECT count(*) FROM
+         |          (SELECT DISTINCT $fc AS v FROM $ft) a
+         |          SEMI JOIN (SELECT DISTINCT $tc AS v FROM $tt) b USING (v))
+         |       AS BIGINT) AS n_contained""".stripMargin
+    }.mkString("WITH raw AS (\n", "\nUNION ALL\n", ")") +
+      """
+        |SELECT fk_col, pk_col, n_distinct, n_contained,
+        |  CAST(floor(10000.0 * n_contained / n_distinct) AS BIGINT) AS containment_bp
+        |FROM raw
+        |ORDER BY fk_col, pk_col""".stripMargin
+    QueryDef(
+      "q119_fk_discovery",
+      "FK-candidate discovery: distinct-value containment profiling over a fixed column-pair list, basis points",
+      oracle) { (s, d) =>
+      val rows = pairs.map { case (ft, fc, tt, tc) =>
+        val a = Tables.load(s, d, ft).select(col(fc).as("v")).distinct()
+        val b = Tables.load(s, d, tt).select(col(tc).as("v")).distinct()
+        val n = a.agg(count(lit(1)).as("n_distinct"))
+        val c = a.join(b, Seq("v"), "left_semi")
+          .agg(count(lit(1)).as("n_contained"))
+        n.crossJoin(c).select(
+          lit(s"$ft.$fc").as("fk_col"), lit(s"$tt.$tc").as("pk_col"),
+          col("n_distinct"), col("n_contained"))
+      }
+      rows.reduceLeft(_ unionAll _)
+        .withColumn("containment_bp",
+          floor(lit(10000.0) * col("n_contained") / col("n_distinct"))
+            .cast("long"))
+        .orderBy(col("fk_col"), col("pk_col"))
+    }
+  }
+
+  val all: Seq[QueryDef] = Seq(q116AssociationRules, q119FkDiscovery)
 }
