@@ -165,6 +165,75 @@ object StreamingOps {
         OutputMode.Update())
   }
 
+  /** Streaming Misra–Gries heavy hitters — the q87/`FreqTopKAgg`
+    * sketch as CONTINUOUS state: per event_type, a capacity-bounded
+    * counter map over user_ids lives in a `MapState` and absorbs each
+    * micro-batch incrementally, so the deterministic sketch guarantee
+    * (true count − N/(cap+1) ≤ sketch count ≤ true count, every key
+    * with frequency > N/(cap+1) present) holds over the WHOLE stream
+    * prefix, not per batch. State is ≤ `capacity` entries per key
+    * REGARDLESS of stream length — the bounded-state contract that
+    * makes the operator runnable forever, and exactly what a
+    * watermarkless `groupBy(user).count()` cannot promise.
+    */
+  class HeavyHittersProcessor(capacity: Int)
+      extends org.apache.spark.sql.streaming.StatefulProcessor[
+        String, Event, (String, Long, Long)] {
+    @transient private var counters
+        : org.apache.spark.sql.streaming.MapState[Long, Long] = _
+
+    override def init(
+        outputMode: OutputMode,
+        timeMode: org.apache.spark.sql.streaming.TimeMode): Unit = {
+      counters = getHandle.getMapState[Long, Long](
+        "mg",
+        org.apache.spark.sql.Encoders.scalaLong,
+        org.apache.spark.sql.Encoders.scalaLong,
+        org.apache.spark.sql.streaming.TTLConfig.NONE)
+    }
+
+    override def handleInputRows(
+        key: String,
+        rows: Iterator[Event],
+        timerValues: org.apache.spark.sql.streaming.TimerValues)
+        : Iterator[(String, Long, Long)] = {
+      // hydrate the bounded state (≤ capacity entries) locally,
+      // absorb the batch with the classic MG step, write back once
+      val m = scala.collection.mutable.LongMap.empty[Long]
+      counters.iterator().foreach { case (u, c) => m(u) = c }
+      rows.foreach { e =>
+        val u = e.user_id
+        if (m.contains(u)) m(u) += 1L
+        else if (m.size < capacity) m(u) = 1L
+        else {
+          // decrement-all: every tracked count drops by one, zeros
+          // evict — the step that buys the N/(cap+1) error bound
+          val dead = scala.collection.mutable.ArrayBuffer.empty[Long]
+          m.foreach { case (k, c) =>
+            if (c == 1L) dead += k else m(k) = c - 1L
+          }
+          dead.foreach(m.remove)
+        }
+      }
+      counters.clear()
+      m.foreach { case (u, c) => counters.updateValue(u, c) }
+      m.iterator.map { case (u, c) => (key, u, c) }
+    }
+  }
+
+  /** Streaming heavy hitters per event_type (Update mode: each batch
+    * re-emits the keys' current counter maps).
+    */
+  def heavyHitters(spark: SparkSession, events: Dataset[Event],
+      capacity: Int = 8): Dataset[(String, Long, Long)] = {
+    import spark.implicits._
+    events
+      .groupByKey(_.event_type)
+      .transformWithState(new HeavyHittersProcessor(capacity),
+        org.apache.spark.sql.streaming.TimeMode.None(),
+        OutputMode.Update())
+  }
+
   /** Streaming exact dedup — the ingest-time twin of q33's batch
     * dedup: drop events identical on (user_id, event_type, ts) while
     * their event time is within the watermark, with per-key state

@@ -145,6 +145,53 @@ class StreamingSpec extends SparkSpec {
       spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
   }
 
+  test("streaming Misra-Gries heavy hitters: bounded state, error bound, cross-batch accumulation") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val input = MemoryStream[Event]
+      val cap = 8
+      val q = StreamingOps.heavyHitters(spark, input.toDS(), cap)
+        .toDF("event_type", "user_id", "approx")
+        .writeStream.format("memory").queryName("hh_t")
+        .outputMode("update").start()
+      try {
+        // heavy user 1: 15 + 15 events; singletons 2..11 then 12..21
+        // (20 distinct users through a capacity-8 sketch). N = 50, so
+        // the MG bound is N/(cap+1) = 5: user 1 must survive with
+        // 25 <= approx <= 30 — and > 15 PROVES the MapState carried
+        // across batches (either batch alone caps at 15).
+        input.addData(
+          (1 to 15).map(i => Event(ts(i), 1L, "click", 1.0)) ++
+            (2L to 11L).map(u => Event(ts(20 + u.toInt), u, "click", 1.0)): _*)
+        runAll(q)
+        input.addData(
+          (1 to 15).map(i => Event(ts(40 + i), 1L, "click", 1.0)) ++
+            (12L to 21L).map(u => Event(ts(60 + u.toInt), u, "click", 1.0)): _*)
+        runAll(q)
+        val rows = spark.table("hh_t")
+          .select($"event_type", $"user_id", $"approx")
+          .as[(String, Long, Long)].collect()
+        val u1Max = rows.collect { case ("click", 1L, c) => c }.max
+        assert(u1Max >= 25 && u1Max <= 30,
+          s"MG bound violated for the heavy user: $u1Max")
+        assert(u1Max > 15, s"state not carried across batches: $u1Max")
+        // never an overcount for ANY emitted user (true counts: 15/30
+        // for user 1 at the two emission points, 1 for singletons)
+        rows.foreach { case (_, u, c) =>
+          if (u != 1L) assert(c <= 1L, s"overcount for singleton $u: $c")
+        }
+        // bounded state: each batch emits the full counter map, which
+        // must never exceed the capacity
+        val perBatchCap = rows.length <= 2 * cap
+        assert(perBatchCap, s"counter map exceeded capacity: ${rows.length} rows")
+      } finally q.stop()
+    } finally
+      spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+  }
+
   test("durable file sink + checkpoint: exactly-once across stop/restart") {
     import spark.implicits._
     // R15's durable-sink contract under Spark semantics: a parquet
