@@ -409,8 +409,64 @@ object HygieneQueries {
       .orderBy(col("doc_id"))
   }
 
+  /** Bigram-LM quality score — the CCNet/KenLM-style perplexity
+    * filter: score every document by its average negative log-prob
+    * under a bigram language model trained on the corpus itself
+    * (atypical word sequences ⇒ high NLP ⇒ candidate junk; extremely
+    * low NLP ⇒ boilerplate). No smoothing needed: every scored bigram
+    * is by construction in the training counts.
+    *
+    * Scale shape: the model is VOCABULARY²-bounded (two aggregates of
+    * the bigram stream), joined back to the stream on the bigram key
+    * — AQE broadcasts it when it fits, shuffle-joins when it doesn't.
+    * Log-probs are fixed-point MICROS (floor(1e6·ln p) as BIGINT), so
+    * the per-doc score is an INTEGER sum — commutative, bit-identical
+    * across partitionings and engines; no floating aggregate exists
+    * anywhere in the plan. The average is integer division of
+    * positive longs (identical truncation semantics both engines).
+    */
+  val q121LmQuality = QueryDef(
+    "q121_lm_quality",
+    "bigram-LM quality score: per-doc avg negative log-prob in integer micros, model joined back on the bigram key",
+    """WITH w AS (
+      |  SELECT doc_id, list_filter(string_split(text, ' '), t -> length(t) > 0) AS w
+      |  FROM documents),
+      |bi AS (SELECT doc_id, w[i] AS l, w[i+1] AS r
+      |       FROM w, unnest(range(1, len(w))) AS u(i)),
+      |m AS (SELECT l, r, CAST(count(*) AS BIGINT) AS c_lr FROM bi GROUP BY l, r),
+      |ml AS (SELECT l, CAST(sum(c_lr) AS BIGINT) AS c_l FROM m GROUP BY l),
+      |lp AS (SELECT m.l, m.r,
+      |         CAST(floor(1000000.0 * ln(CAST(m.c_lr AS DOUBLE) / ml.c_l)) AS BIGINT) AS lp_micro
+      |       FROM m JOIN ml ON ml.l = m.l)
+      |SELECT bi.doc_id,
+      |  CAST(count(*) AS BIGINT) AS n_bigrams,
+      |  CAST(-sum(lp.lp_micro) AS BIGINT) AS nlp_micro_sum,
+      |  CAST((-sum(lp.lp_micro)) // count(*) AS BIGINT) AS avg_nlp_micro
+      |FROM bi JOIN lp ON lp.l = bi.l AND lp.r = bi.r
+      |GROUP BY bi.doc_id
+      |ORDER BY bi.doc_id""".stripMargin) { (s, d) =>
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("p"))
+    val bi = graft.AutoUnpersist.scoped(
+      Tables.documents(s, d)
+        .select(col("doc_id"), posexplode(toks(col("text"))).as(Seq("p", "t")))
+        .select(col("doc_id"), col("t").as("l"), lead(col("t"), 1).over(w).as("r"))
+        .filter(col("r").isNotNull))
+    val m = bi.groupBy(col("l"), col("r")).agg(count(lit(1)).as("c_lr"))
+    val ml = m.groupBy(col("l")).agg(sum(col("c_lr")).as("c_l"))
+    val lp = m.join(ml, "l")
+      .select(col("l"), col("r"),
+        floor(lit(1000000.0) * log(col("c_lr").cast("double") / col("c_l")))
+          .cast("long").as("lp_micro"))
+    bi.join(lp, Seq("l", "r"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_bigrams"), (-sum(col("lp_micro"))).as("nlp_micro_sum"))
+      .select(col("doc_id"), col("n_bigrams"), col("nlp_micro_sum"),
+        expr("nlp_micro_sum div n_bigrams").as("avg_nlp_micro"))
+      .orderBy(col("doc_id"))
+  }
+
   val all: Seq[QueryDef] =
     Seq(q72Decontamination, q73RepetitionQuality, q74PiiRedaction,
       q75UnicodeNormalize, q85LineDedup, q109MedianFilter,
-      q118NgramNovelty)
+      q118NgramNovelty, q121LmQuality)
 }
