@@ -1,0 +1,115 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Invariant + plan-shape gates for the retrieval / mining /
+  * profiling family (q114–q121) beyond the driver's oracle hash:
+  * the properties here are the ones the DuckDB twin can't see —
+  * physical plan shape, cross-row invariants, and schema contracts.
+  */
+class DiscoverySpec extends SparkSpec {
+
+  private def plan(name: String): String =
+    Registry.byName(name).fn(spark, sfDir)
+      .queryExecution.executedPlan.toString
+
+  test("q114 BM25 scans without explode and ranks monotonically") {
+    // the per-term TFs are HOFs per row — no Generate node anywhere
+    assert(!plan("q114_bm25").contains("Generate"),
+      "BM25 should not explode the token stream")
+    val rows = Registry.byName("q114_bm25").fn(spark, sfDir)
+      .orderBy(col("rn")).select(col("bm25")).collect().map(_.getDouble(0))
+    assert(rows.nonEmpty && rows.sliding(2).forall {
+      case Array(a, b) => a >= b; case _ => true
+    }, s"BM25 scores not monotone over rank: ${rows.toSeq}")
+  }
+
+  test("q116 association rules: no cartesian, counts consistent, lift symmetric") {
+    val p = plan("q116_association_rules")
+    assert(!p.contains("CartesianProduct"),
+      "rule mining must not plan a cartesian pair join")
+    val rows = Registry.byName("q116_association_rules").fn(spark, sfDir)
+      .select("antecedent", "consequent", "n_ab", "n_a", "n_b", "lift")
+      .collect()
+    rows.foreach { r =>
+      assert(r.getLong(2) <= r.getLong(3) && r.getLong(2) <= r.getLong(4),
+        s"pair support exceeds item support: $r")
+    }
+    // lift is direction-free: where both directions survive the
+    // top-100 cut, their lifts agree
+    val lift = rows.map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(5)).toMap
+    lift.foreach { case ((a, b), l) =>
+      lift.get((b, a)).foreach(l2 => assert(l == l2,
+        s"lift asymmetric for ($a,$b): $l vs $l2"))
+    }
+  }
+
+  test("q119 FK discovery: true FKs at 10000 bp, everything bounded") {
+    val rows = Registry.byName("q119_fk_discovery").fn(spark, sfDir)
+      .select("fk_col", "containment_bp").collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    Seq("lineitem.l_orderkey", "lineitem.l_partkey", "lineitem.l_suppkey",
+      "orders.o_custkey", "nation.n_regionkey").foreach { fk =>
+      assert(rows(fk) == 10000L, s"true FK $fk not fully contained: ${rows(fk)}")
+    }
+    rows.values.foreach(bp => assert(bp >= 0L && bp <= 10000L))
+  }
+
+  test("q120 golden record: survivorship picks CRM names and full coverage") {
+    val df = Registry.byName("q120_golden_record").fn(spark, sfDir)
+    val rows = df.select("n_sources", "name", "segment").collect()
+    rows.foreach { r =>
+      assert(r.getLong(0) == 3L, s"entity missing a feed: $r")
+      // priority rule: the CRM (as-is) name must win over the
+      // upper-cased web and padded legacy variants
+      assert(r.getString(1).startsWith("Customer#"), s"mangled survivor: $r")
+      assert(r.getString(1).trim == r.getString(1), s"padded survivor: $r")
+      // web always supplies a segment, so the non-null rule never
+      // leaves a hole
+      assert(!r.isNullAt(2), s"segment survivorship dropped to null: $r")
+    }
+  }
+
+  test("q115 SCD2: one current version per key, dense version numbers") {
+    val df = Registry.byName("q115_scd_type2").fn(spark, sfDir)
+    import spark.implicits._
+    val perUser = df.groupBy(col("user_id"))
+      .agg(sum(col("is_current").cast("long")).as("n_current"),
+        max(col("version_n")).as("maxv"), count(lit(1)).as("n"))
+      .collect()
+    perUser.foreach { r =>
+      assert(r.getLong(1) == 1L, s"user ${r.getLong(0)}: ${r.getLong(1)} current rows")
+      assert(r.getInt(2).toLong == r.getLong(3),
+        s"user ${r.getLong(0)}: version numbers not dense")
+    }
+  }
+
+  test("q117 vocab growth: curve is monotone and lands on the true totals") {
+    val rows = Registry.byName("q117_vocab_growth").fn(spark, sfDir)
+      .orderBy(col("bucket")).collect()
+    assert(rows.length == 20, s"expected 20 buckets, got ${rows.length}")
+    rows.sliding(2).foreach {
+      case Array(a, b) =>
+        assert(b.getLong(1) > a.getLong(1), "cum_tokens not strictly increasing")
+        assert(b.getLong(2) >= a.getLong(2), "cum_vocab decreased")
+      case _ => ()
+    }
+    val toksAll = Tables.documents(spark, sfDir)
+      .select(explode(filter(split(col("text"), " "), t => length(t) > 0)).as("t"))
+    val total = toksAll.count()
+    val vocab = toksAll.distinct().count()
+    assert(rows.last.getLong(1) == total, "final cum_tokens != corpus tokens")
+    assert(rows.last.getLong(2) == vocab, "final cum_vocab != corpus vocabulary")
+  }
+
+  test("q121 LM quality: integer scores cover every bigram exactly once") {
+    val df = Registry.byName("q121_lm_quality").fn(spark, sfDir)
+    val agg = df.agg(sum(col("n_bigrams")), min(col("avg_nlp_micro"))).collect()(0)
+    val trueBigrams = Tables.documents(spark, sfDir)
+      .select(size(filter(split(col("text"), " "), t => length(t) > 0)).as("n"))
+      .agg(sum(when(col("n") >= 2, col("n") - 1).otherwise(0L))).collect()(0).getLong(0)
+    assert(agg.getLong(0) == trueBigrams,
+      s"bigram join lost rows: ${agg.getLong(0)} vs $trueBigrams")
+    assert(agg.getLong(1) >= 0L, "negative log-prob must be non-negative")
+  }
+}
