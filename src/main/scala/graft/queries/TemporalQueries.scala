@@ -330,8 +330,69 @@ object TemporalQueries {
       .orderBy(col("user_id"))
   }
 
+  /** OHLC time-bar downsampling — the market-data resample (and the
+    * generic "first/last/extremes per time bucket" reduction any
+    * telemetry pipeline runs): 6-hour bars per event_type with
+    * open/high/low/close, event count, and integer-cent volume.
+    *
+    * Scale shape: ONE partial-aggregable shuffle on (type, bucket) —
+    * open/close are `min_by`/`max_by` over an INTEGER within-bucket
+    * ordering ((ts_µs mod bucket_µs)·1e6 + event_id: unique, overflow
+    * -safe because the offset is bucket-bounded), so no per-bucket
+    * sort and no window exists anywhere. Volume sums CENTS as longs —
+    * no floating aggregate, so partition order can't perturb the
+    * hash. first/last-style semantics without ordering guarantees are
+    * exactly what `first()`/`last()` do NOT provide under parallel
+    * aggregation — the composite-ordered arg-extremes are the
+    * deterministic contract.
+    */
+  val q122OhlcBars = QueryDef(
+    "q122_ohlc_bars",
+    "OHLC 6-hour bars per event_type: arg-extreme open/close over integer orderings, integer-cent volume, one shuffle",
+    """WITH e AS (
+      |  SELECT event_type, value, event_id,
+      |    epoch_us(CAST(ts AS TIMESTAMP)) AS us
+      |  FROM events),
+      |b AS (
+      |  SELECT event_type, value,
+      |    us // 21600000000 AS bucket,
+      |    (us % 21600000000) * 1000000 + event_id AS ord
+      |  FROM e)
+      |SELECT event_type,
+      |  make_timestamp(bucket * 21600000000) AS bar_start,
+      |  arg_min(value, ord) AS open,
+      |  max(value) AS high,
+      |  min(value) AS low,
+      |  arg_max(value, ord) AS close,
+      |  CAST(count(*) AS BIGINT) AS n_events,
+      |  CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS volume_cents
+      |FROM b
+      |GROUP BY event_type, bucket
+      |ORDER BY event_type, bar_start""".stripMargin) { (s, d) =>
+    val barUs = 21600000000L // 6 hours in microseconds
+    Tables.events(s, d)
+      .select(col("event_type"), col("value"), col("event_id"),
+        unix_micros(col("ts")).as("us"))
+      .select(col("event_type"), col("value"),
+        expr(s"us div $barUs").as("bucket"),
+        (pmod(col("us"), lit(barUs)) * 1000000L + col("event_id")).as("ord"))
+      .groupBy(col("event_type"), col("bucket"))
+      .agg(
+        min_by(col("value"), col("ord")).as("open"),
+        max(col("value")).as("high"),
+        min(col("value")).as("low"),
+        max_by(col("value"), col("ord")).as("close"),
+        count(lit(1)).as("n_events"),
+        sum(round(col("value") * 100).cast("long")).as("volume_cents"))
+      .select(col("event_type"),
+        timestamp_micros(col("bucket") * barUs).as("bar_start"),
+        col("open"), col("high"), col("low"), col("close"),
+        col("n_events"), col("volume_cents"))
+      .orderBy(col("event_type"), col("bar_start"))
+  }
+
   val all: Seq[QueryDef] = Seq(
     q40AsofJoin, q42TumblingWindow, q43SlidingWindow, q44SessionWindow,
     q62Attribution, q70TimeSpine, q97Funnel, q98CohortRetention,
-    q101SecondarySort)
+    q101SecondarySort, q122OhlcBars)
 }
