@@ -259,6 +259,183 @@ object MiningQueries {
       .orderBy(col("match_key"))
   }
 
+  /** Contingency-table independence profiling — Pearson residuals
+    * for the (lang × source) cross-tab: residual = (O − E)/√E per
+    * cell, the signed measure of which language/source combinations
+    * are over/under-represented vs independence (|r| ≳ 2 flags a
+    * cell). The per-cell breakdown is deliberately emitted INSTEAD of
+    * the summed χ² statistic: a cross-row floating sum is summation-
+    * order-dependent (not engine-stable), and the cells are what a
+    * curation pipeline acts on anyway.
+    *
+    * Scale shape: one corpus shuffle (the cell counts); margins and
+    * the total derive from the cell relation (cardinality = |langs|×
+    * |sources| — metadata-sized), so every join after the first
+    * aggregate is broadcast-sized. Expected/residual are single
+    * fixed-shape double expressions of exact counts.
+    */
+  val q124Contingency = QueryDef(
+    "q124_contingency",
+    "lang x source contingency profiling: observed vs expected + Pearson residual per cell, one corpus shuffle",
+    """WITH obs AS (
+      |  SELECT lang, source, CAST(count(*) AS BIGINT) AS o
+      |  FROM documents GROUP BY lang, source),
+      |rt AS (SELECT lang, CAST(sum(o) AS BIGINT) AS r FROM obs GROUP BY lang),
+      |ct AS (SELECT source, CAST(sum(o) AS BIGINT) AS c FROM obs GROUP BY source),
+      |n AS (SELECT CAST(sum(o) AS BIGINT) AS n FROM obs)
+      |SELECT obs.lang, obs.source, obs.o AS observed,
+      |  round(CAST(rt.r AS DOUBLE) * ct.c / n.n, 4) AS expected,
+      |  round((obs.o - CAST(rt.r AS DOUBLE) * ct.c / n.n)
+      |        / sqrt(CAST(rt.r AS DOUBLE) * ct.c / n.n), 4) AS residual
+      |FROM obs JOIN rt USING (lang) JOIN ct USING (source), n
+      |ORDER BY obs.lang, obs.source""".stripMargin) { (s, d) =>
+    val obs = graft.AutoUnpersist.scoped(
+      Tables.documents(s, d)
+        .groupBy(col("lang"), col("source")).agg(count(lit(1)).as("o")))
+    val rt = obs.groupBy(col("lang")).agg(sum(col("o")).as("r"))
+    val ct = obs.groupBy(col("source")).agg(sum(col("o")).as("c"))
+    val n = obs.agg(sum(col("o")).as("n"))
+    val e = col("r").cast("double") * col("c") / col("n")
+    obs.join(broadcast(rt), "lang")
+      .join(broadcast(ct), "source")
+      .crossJoin(broadcast(n))
+      .select(col("lang"), col("source"), col("o").as("observed"),
+        round(e, 4).as("expected"),
+        round((col("o") - e) / sqrt(e), 4).as("residual"))
+      .orderBy(col("lang"), col("source"))
+  }
+
+  /** Event-sequence transition mining — the first-order Markov
+    * matrix over per-user event streams: P(next event type | current)
+    * with transition counts, the "what do users do after X" signal
+    * (and the generative model behind next-event prediction
+    * baselines and funnel hypothesis generation).
+    *
+    * Scale shape: ONE key shuffle (the per-user lead window — user_id
+    * is high-cardinality, the natural parallel unit; same exchange
+    * shape as q115's SCD build), then a transition-matrix aggregate
+    * whose cardinality is |event types|² — metadata-sized. Row
+    * probabilities are integer basis points off the cell relation.
+    */
+  val q125MarkovTransitions = QueryDef(
+    "q125_markov_transitions",
+    "event-sequence transition matrix: per-user lead window, |types|^2 aggregate, row-probability basis points",
+    """WITH seq AS (
+      |  SELECT event_type AS from_type,
+      |    lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS to_type
+      |  FROM events),
+      |t AS (SELECT from_type, to_type, CAST(count(*) AS BIGINT) AS n
+      |      FROM seq WHERE to_type IS NOT NULL GROUP BY from_type, to_type),
+      |rt AS (SELECT from_type, CAST(sum(n) AS BIGINT) AS total FROM t GROUP BY from_type)
+      |SELECT t.from_type, t.to_type, t.n AS n_transitions,
+      |  CAST(floor(10000.0 * t.n / rt.total) AS BIGINT) AS prob_bp
+      |FROM t JOIN rt USING (from_type)
+      |ORDER BY t.from_type, t.to_type""".stripMargin) { (s, d) =>
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val t = graft.AutoUnpersist.scoped(
+      Tables.events(s, d)
+        .select(col("user_id"), col("ts"), col("event_id"),
+          col("event_type").as("from_type"))
+        .withColumn("to_type", lead(col("from_type"), 1).over(w))
+        .filter(col("to_type").isNotNull)
+        .groupBy(col("from_type"), col("to_type"))
+        .agg(count(lit(1)).as("n")))
+    val rt = t.groupBy(col("from_type")).agg(sum(col("n")).as("total"))
+    t.join(broadcast(rt), "from_type")
+      .select(col("from_type"), col("to_type"), col("n").as("n_transitions"),
+        floor(lit(10000.0) * col("n") / col("total")).cast("long").as("prob_bp"))
+      .orderBy(col("from_type"), col("to_type"))
+  }
+
+  /** Data-contract audit — the "expectations" validation every
+    * production table carries (Great-Expectations/dbt-test style):
+    * domain, range, positivity, and referential-integrity rules
+    * evaluated to per-rule violation counts with a pass flag. A
+    * pipeline gates promotion of a new snapshot on this table being
+    * all-pass; the per-rule counts (not just a boolean) are what make
+    * a failure diagnosable.
+    *
+    * Scale shape: all single-column rules for one table fold into ONE
+    * conditional-aggregate scan (a 1-row relation unpivoted into rule
+    * rows — the unpivot runs on metadata, not data); the referential
+    * rule is one anti join on the key. Nothing shuffles more than the
+    * FK check; rule NULLs count as unchecked in both engines (CASE /
+    * `when` fall through identically).
+    */
+  val q126ContractAudit = QueryDef(
+    "q126_contract_audit",
+    "data-contract audit: range/domain/positivity/referential rules to per-rule violation counts, one scan per table + one anti join",
+    """WITH li AS (SELECT CAST(count(*) AS BIGINT) AS n,
+      |  CAST(sum(CASE WHEN NOT (l_quantity BETWEEN 1 AND 50) THEN 1 ELSE 0 END) AS BIGINT) AS v_qty,
+      |  CAST(sum(CASE WHEN NOT (l_extendedprice > 0) THEN 1 ELSE 0 END) AS BIGINT) AS v_price,
+      |  CAST(sum(CASE WHEN NOT (l_discount BETWEEN 0.0 AND 0.1) THEN 1 ELSE 0 END) AS BIGINT) AS v_disc,
+      |  CAST(sum(CASE WHEN l_returnflag NOT IN ('A', 'N', 'R') THEN 1 ELSE 0 END) AS BIGINT) AS v_rf
+      |  FROM lineitem),
+      |o AS (SELECT CAST(count(*) AS BIGINT) AS n,
+      |  CAST(sum(CASE WHEN o_orderstatus NOT IN ('O', 'F', 'P') THEN 1 ELSE 0 END) AS BIGINT) AS v_st,
+      |  CAST(sum(CASE WHEN NOT (o_totalprice > 0) THEN 1 ELSE 0 END) AS BIGINT) AS v_tp,
+      |  CAST(sum(CASE WHEN NOT (CAST(o_orderdate AS TIMESTAMP)
+      |      BETWEEN TIMESTAMP '1992-01-01 00:00:00' AND TIMESTAMP '1998-12-31 23:59:59')
+      |      THEN 1 ELSE 0 END) AS BIGINT) AS v_od
+      |  FROM orders),
+      |fk AS (SELECT (SELECT n FROM li) AS n, CAST(count(*) AS BIGINT) AS v
+      |       FROM lineitem ANTI JOIN orders ON l_orderkey = o_orderkey),
+      |raw AS (
+      |  SELECT 'lineitem' AS table_name, 'discount_domain' AS rule, n AS n_checked, v_disc AS n_violations FROM li
+      |  UNION ALL SELECT 'lineitem', 'orderkey_references_orders', n, v FROM fk
+      |  UNION ALL SELECT 'lineitem', 'price_positive', n, v_price FROM li
+      |  UNION ALL SELECT 'lineitem', 'quantity_in_range', n, v_qty FROM li
+      |  UNION ALL SELECT 'lineitem', 'returnflag_domain', n, v_rf FROM li
+      |  UNION ALL SELECT 'orders', 'orderdate_in_range', n, v_od FROM o
+      |  UNION ALL SELECT 'orders', 'status_domain', n, v_st FROM o
+      |  UNION ALL SELECT 'orders', 'totalprice_positive', n, v_tp FROM o)
+      |SELECT table_name, rule, n_checked, n_violations,
+      |  n_violations = 0 AS pass
+      |FROM raw
+      |ORDER BY table_name, rule""".stripMargin) { (s, d) =>
+    def viol(c: org.apache.spark.sql.Column) =
+      sum(when(c, 1L).otherwise(0L))
+    val liAgg = Tables.lineitem(s, d).agg(
+      count(lit(1)).as("n"),
+      viol(!col("l_quantity").between(1, 50)).as("v_qty"),
+      viol(!(col("l_extendedprice") > 0)).as("v_price"),
+      viol(!col("l_discount").between(0.0, 0.1)).as("v_disc"),
+      viol(!col("l_returnflag").isin("A", "N", "R")).as("v_rf"))
+    val oAgg = Tables.orders(s, d).agg(
+      count(lit(1)).as("n"),
+      viol(!col("o_orderstatus").isin("O", "F", "P")).as("v_st"),
+      viol(!(col("o_totalprice") > 0)).as("v_tp"),
+      viol(!col("o_orderdate").cast("timestamp").between(
+        lit("1992-01-01 00:00:00").cast("timestamp"),
+        lit("1998-12-31 23:59:59").cast("timestamp"))).as("v_od"))
+    val fk = Tables.lineitem(s, d)
+      .join(Tables.orders(s, d),
+        col("l_orderkey") === col("o_orderkey"), "left_anti")
+      .agg(count(lit(1)).as("v"))
+    // unpivot the 1-row aggregates into rule rows — metadata, not data
+    def rules(agg: org.apache.spark.sql.DataFrame, table: String,
+        rs: Seq[(String, String)]) =
+      agg.select(explode(array(rs.map { case (rule, vc) =>
+        struct(lit(table).as("table_name"), lit(rule).as("rule"),
+          col("n").as("n_checked"), col(vc).as("n_violations"))
+      }: _*)).as("r")).select(col("r.*"))
+    val liRules = rules(liAgg, "lineitem", Seq(
+      "discount_domain" -> "v_disc", "price_positive" -> "v_price",
+      "quantity_in_range" -> "v_qty", "returnflag_domain" -> "v_rf"))
+    val oRules = rules(oAgg, "orders", Seq(
+      "orderdate_in_range" -> "v_od", "status_domain" -> "v_st",
+      "totalprice_positive" -> "v_tp"))
+    val fkRule = liAgg.select(col("n")).crossJoin(fk)
+      .select(lit("lineitem").as("table_name"),
+        lit("orderkey_references_orders").as("rule"),
+        col("n").as("n_checked"), col("v").as("n_violations"))
+    liRules.unionAll(oRules).unionAll(fkRule)
+      .withColumn("pass", col("n_violations") === 0L)
+      .orderBy(col("table_name"), col("rule"))
+  }
+
   val all: Seq[QueryDef] =
-    Seq(q116AssociationRules, q119FkDiscovery, q120GoldenRecord)
+    Seq(q116AssociationRules, q119FkDiscovery, q120GoldenRecord,
+      q124Contingency, q125MarkovTransitions, q126ContractAudit)
 }

@@ -391,8 +391,78 @@ object TemporalQueries {
       .orderBy(col("event_type"), col("bar_start"))
   }
 
+  /** Forward-fill resampling (LOCF) — the gap-filling twin of q70's
+    * zero-fill: every (event_type, hour) grid cell carries the most
+    * recent observed value, so downstream consumers see a dense
+    * series (the telemetry/market-data "carry the last tick"
+    * contract). The fill looks back through the FULL history (grid
+    * spans the whole corpus), then only the audit window is emitted —
+    * leading cells of the output window inherit from before it.
+    *
+    * Scale shape: per-hour last-observations are the q122 idiom (one
+    * partial-aggregable shuffle, integer within-hour ordering); the
+    * LOCF window partitions by SERIES (event_type) — the natural
+    * parallel unit; the hour spine is generated metadata, never data.
+    */
+  val q123ForwardFill = QueryDef(
+    "q123_forward_fill",
+    "forward-fill (LOCF) hourly resample per event_type: dense grid, last-tick carry, series-partitioned window",
+    """WITH spine AS (
+      |  SELECT unnest(generate_series(TIMESTAMP '2024-01-01 00:00:00',
+      |                                TIMESTAMP '2024-02-02 23:00:00',
+      |                                INTERVAL 1 HOUR)) AS hour_start),
+      |types AS (SELECT DISTINCT event_type FROM events),
+      |grid AS (SELECT event_type, hour_start FROM types, spine),
+      |e AS (SELECT event_type, value, event_id,
+      |        epoch_us(CAST(ts AS TIMESTAMP)) AS us FROM events),
+      |hourly AS (
+      |  SELECT event_type, us // 3600000000 AS bucket,
+      |    arg_max(value, (us % 3600000000) * 1000000 + event_id) AS last_obs
+      |  FROM e GROUP BY event_type, bucket),
+      |h2 AS (SELECT event_type,
+      |         make_timestamp(bucket * 3600000000) AS hour_start, last_obs
+      |       FROM hourly),
+      |filled AS (
+      |  SELECT g.event_type, g.hour_start, h.last_obs,
+      |    last_value(h.last_obs IGNORE NULLS) OVER (
+      |      PARTITION BY g.event_type ORDER BY g.hour_start
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS filled
+      |  FROM grid g LEFT JOIN h2 h USING (event_type, hour_start))
+      |SELECT event_type, hour_start, filled,
+      |  last_obs IS NULL AS is_gap
+      |FROM filled
+      |WHERE hour_start >= TIMESTAMP '2024-01-28 00:00:00'
+      |ORDER BY event_type, hour_start""".stripMargin) { (s, d) =>
+    import org.apache.spark.sql.expressions.Window
+    val hourUs = 3600000000L
+    val spine = s.range(1).select(explode(sequence(
+      lit("2024-01-01 00:00:00").cast("timestamp"),
+      lit("2024-02-02 23:00:00").cast("timestamp"),
+      expr("INTERVAL 1 HOUR"))).as("hour_start"))
+    val types = Tables.events(s, d).select(col("event_type")).distinct()
+    val grid = types.crossJoin(broadcast(spine))
+    val hourly = Tables.events(s, d)
+      .select(col("event_type"), col("value"),
+        unix_micros(col("ts")).as("us"), col("event_id"))
+      .groupBy(col("event_type"), expr(s"us div $hourUs").as("bucket"))
+      .agg(max_by(col("value"),
+        pmod(col("us"), lit(hourUs)) * 1000000L + col("event_id"))
+        .as("last_obs"))
+      .select(col("event_type"),
+        timestamp_micros(col("bucket") * hourUs).as("hour_start"),
+        col("last_obs"))
+    val w = Window.partitionBy(col("event_type")).orderBy(col("hour_start"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    grid.join(hourly, Seq("event_type", "hour_start"), "left")
+      .select(col("event_type"), col("hour_start"),
+        last(col("last_obs"), ignoreNulls = true).over(w).as("filled"),
+        col("last_obs").isNull.as("is_gap"))
+      .filter(col("hour_start") >= lit("2024-01-28 00:00:00").cast("timestamp"))
+      .orderBy(col("event_type"), col("hour_start"))
+  }
+
   val all: Seq[QueryDef] = Seq(
     q40AsofJoin, q42TumblingWindow, q43SlidingWindow, q44SessionWindow,
     q62Attribution, q70TimeSpine, q97Funnel, q98CohortRetention,
-    q101SecondarySort, q122OhlcBars)
+    q101SecondarySort, q122OhlcBars, q123ForwardFill)
 }
