@@ -376,7 +376,7 @@ object MiningQueries {
       |  CAST(sum(CASE WHEN o_orderstatus NOT IN ('O', 'F', 'P') THEN 1 ELSE 0 END) AS BIGINT) AS v_st,
       |  CAST(sum(CASE WHEN NOT (o_totalprice > 0) THEN 1 ELSE 0 END) AS BIGINT) AS v_tp,
       |  CAST(sum(CASE WHEN NOT (CAST(o_orderdate AS TIMESTAMP)
-      |      BETWEEN TIMESTAMP '1992-01-01 00:00:00' AND TIMESTAMP '1998-12-31 23:59:59')
+      |      BETWEEN TIMESTAMP '1992-01-01 00:00:00' AND TIMESTAMP '2002-12-31 23:59:59')
       |      THEN 1 ELSE 0 END) AS BIGINT) AS v_od
       |  FROM orders),
       |fk AS (SELECT (SELECT n FROM li) AS n, CAST(count(*) AS BIGINT) AS v
@@ -408,7 +408,7 @@ object MiningQueries {
       viol(!(col("o_totalprice") > 0)).as("v_tp"),
       viol(!col("o_orderdate").cast("timestamp").between(
         lit("1992-01-01 00:00:00").cast("timestamp"),
-        lit("1998-12-31 23:59:59").cast("timestamp"))).as("v_od"))
+        lit("2002-12-31 23:59:59").cast("timestamp"))).as("v_od"))
     val fk = Tables.lineitem(s, d)
       .join(Tables.orders(s, d),
         col("l_orderkey") === col("o_orderkey"), "left_anti")

@@ -102,6 +102,52 @@ class DiscoverySpec extends SparkSpec {
     assert(rows.last.getLong(2) == vocab, "final cum_vocab != corpus vocabulary")
   }
 
+  test("q122 OHLC bars: extremes bound open/close, no window in the plan") {
+    assert(!plan("q122_ohlc_bars").contains("Window"),
+      "OHLC must aggregate, not sort-within-window")
+    Registry.byName("q122_ohlc_bars").fn(spark, sfDir)
+      .select("open", "high", "low", "close").collect().foreach { r =>
+        val (o, h, l, c) = (r.getDouble(0), r.getDouble(1), r.getDouble(2), r.getDouble(3))
+        assert(h >= o && h >= c && l <= o && l <= c, s"bar extremes violated: $r")
+      }
+  }
+
+  test("q123 forward fill: dense grid, gaps inherit the previous tick") {
+    val rows = Registry.byName("q123_forward_fill").fn(spark, sfDir)
+      .orderBy(col("event_type"), col("hour_start"))
+      .select("event_type", "filled", "is_gap").collect()
+    val types = rows.map(_.getString(0)).distinct
+    assert(rows.length == 144 * types.length,
+      s"grid not dense: ${rows.length} rows for ${types.length} types")
+    rows.grouped(144).foreach { series =>
+      series.sliding(2).foreach {
+        case Array(prev, cur) =>
+          if (cur.getBoolean(2) && !prev.isNullAt(1))
+            assert(!cur.isNullAt(1) && cur.getDouble(1) == prev.getDouble(1),
+              s"gap did not carry the last tick: $prev -> $cur")
+        case _ => ()
+      }
+    }
+  }
+
+  test("q125 Markov transitions: counts tie out to events minus users") {
+    val total = Registry.byName("q125_markov_transitions").fn(spark, sfDir)
+      .agg(sum(col("n_transitions"))).collect()(0).getLong(0)
+    val e = Tables.events(spark, sfDir)
+    val expected = e.count() - e.select(col("user_id")).distinct().count()
+    assert(total == expected,
+      s"transition total $total != events - users $expected")
+  }
+
+  test("q126 contract audit: clean TPC-H data passes every rule") {
+    val rows = Registry.byName("q126_contract_audit").fn(spark, sfDir)
+      .select("rule", "n_violations", "pass").collect()
+    assert(rows.length == 8, s"expected 8 rules, got ${rows.length}")
+    rows.foreach { r =>
+      assert(r.getBoolean(2) && r.getLong(1) == 0L, s"rule failed on clean data: $r")
+    }
+  }
+
   test("q121 LM quality: integer scores cover every bigram exactly once") {
     val df = Registry.byName("q121_lm_quality").fn(spark, sfDir)
     val agg = df.agg(sum(col("n_bigrams")), min(col("avg_nlp_micro"))).collect()(0)
