@@ -51,30 +51,13 @@ object GraphQueries {
       |FROM (SELECT unnest([x, y, z]) AS vertex FROM tri)
       |GROUP BY vertex
       |ORDER BY vertex""".stripMargin) { (s, d) =>
-    // pair generation is MAP-SIDE: one shuffle groups each order's
-    // basket (≤ 7 parts by the data model), a sorted-array HOF emits
-    // its u<v pairs without a self-join, and one more shuffle counts
-    // pair support. The support-filtered edge set is tiny relative to
-    // the fact table, so it is cached (self-releasing) — it feeds
-    // both the orientation branch and the closing-edge join below.
-    val baskets = Tables.lineitem(s, d)
-      .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
-      .groupBy(col("o")).agg(sort_array(collect_set(col("p"))).as("ps"))
-    // single-part baskets yield no pairs — guarded explicitly because
-    // sequence(0, -1) DESCENDS in Spark rather than being empty
-    val pairs = when(size(col("ps")) < 2,
-      array().cast("array<struct<u:bigint,v:bigint>>"))
-      .otherwise(flatten(transform(
-        sequence(lit(0), size(col("ps")) - 2),
-        i => transform(
-          slice(col("ps"), i + 2, size(col("ps"))),
-          x => struct(element_at(col("ps"), i + 1).as("u"), x.as("v"))))))
-    val e = graft.AutoUnpersist.scoped(baskets
-      .select(explode(pairs).as("uv"))
-      .groupBy(col("uv.u").as("u"), col("uv.v").as("v"))
-      .agg(count(lit(1)).as("c"))
-      .filter(col("c") >= 2)
-      .select(col("u"), col("v")))
+    // The support-counted edge set is the SHARED co-purchase relation
+    // (MiningQueries.pairSupport — map-side basket pair expansion,
+    // memoized + checkpointed, also consumed by q116's rule mining):
+    // the basket shuffle and pair count are paid once per session,
+    // and the checkpointed edge list feeds the orientation branch and
+    // the closing-edge join below without recomputation.
+    val e = MiningQueries.pairSupport(s, d).select(col("u"), col("v"))
     val deg = e.select(col("u").as("x")).unionAll(e.select(col("v").as("x")))
       .groupBy(col("x")).agg(count(lit(1)).as("deg"))
     // orient: lower-degree endpoint → higher (ties by vertex id)
