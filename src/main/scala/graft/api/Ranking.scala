@@ -53,6 +53,8 @@ object Ranking {
       s"input already has a '$rankCol' or '$totalCol' column")
     require(!df.columns.contains("__pid"),
       "input already has a '__pid' column")
+    require(!df.columns.contains("__off"),
+      "input already has a '__off' column")
     val parts = graft.AutoUnpersist.scoped(
       df.repartitionByRange((groupCols.map(col) ++ orderCols): _*)
         .withColumn("__pid", spark_partition_id()))
@@ -87,6 +89,6 @@ object Ranking {
       groupCols.map(c => col(c) <=> col(s"__og_$c"))).reduce(_ && _)
     parts.join(o, cond)
       .withColumn(rankCol, row_number().over(ww).cast("long") + col("__off"))
-      .drop("__pid" +: "__opid" +: groupCols.map(c => s"__og_$c"): _*)
+      .drop("__pid" +: "__opid" +: "__off" +: groupCols.map(c => s"__og_$c"): _*)
   }
 }

@@ -112,5 +112,72 @@ object RetrievalQueries {
     }
   }
 
-  val all: Seq[QueryDef] = Seq(q114Bm25)
+  /** Quality-ensemble ranking — rank aggregation (Borda count) over
+    * three independent per-doc quality signals: document length,
+    * lexical diversity (distinct-token ratio), and mean token length.
+    * Combining RANKS instead of raw scores is the standard way to
+    * blend signals with incomparable scales; the ensemble winner list
+    * feeds curation the same way q81's quality rank does.
+    *
+    * Scale shape: signals are per-row HOFs (one corpus scan, no
+    * shuffle); each global rank runs through `api.Ranking.withRank` —
+    * range repartition + metadata-sized offsets, NEVER the
+    * single-reducer `row_number() OVER (ORDER BY ...)` the SQL twin
+    * uses (fine for DuckDB, a funnel at 100 TB). Dense rank over a
+    * TOTAL order (doc_id tie-break) equals row_number, so the oracle
+    * twin is exact. Signals and the Borda sum are all integers.
+    */
+  val q127QualityEnsemble = QueryDef(
+    "q127_quality_ensemble",
+    "Borda-count quality ensemble: three integer signals ranked via scale-safe withRank, top-50 by rank sum",
+    """WITH per AS (
+      |  SELECT doc_id,
+      |    CAST(n_chars AS BIGINT) AS s_len,
+      |    CAST(floor(10000.0 * len(list_distinct(w)) / len(w)) AS BIGINT) AS s_div,
+      |    CAST(floor(1000000.0 * length(array_to_string(w, '')) / len(w)) AS BIGINT) AS s_tok
+      |  FROM (SELECT doc_id, n_chars,
+      |          list_filter(string_split(text, ' '), t -> length(t) > 0) AS w
+      |        FROM documents)
+      |  WHERE len(w) > 0),
+      |ranked AS (
+      |  SELECT doc_id, s_len, s_div, s_tok,
+      |    CAST(row_number() OVER (ORDER BY s_len DESC, doc_id) AS BIGINT) AS r_len,
+      |    CAST(row_number() OVER (ORDER BY s_div DESC, doc_id) AS BIGINT) AS r_div,
+      |    CAST(row_number() OVER (ORDER BY s_tok DESC, doc_id) AS BIGINT) AS r_tok
+      |  FROM per)
+      |SELECT doc_id, r_len, r_div, r_tok,
+      |  r_len + r_div + r_tok AS borda,
+      |  CAST(row_number() OVER (ORDER BY r_len + r_div + r_tok, doc_id) AS INT) AS rn
+      |FROM ranked
+      |ORDER BY borda, doc_id
+      |LIMIT 50""".stripMargin) { (s, d) =>
+    val per = Tables.documents(s, d)
+      .select(col("doc_id"), col("n_chars"), toks(col("text")).as("w"))
+      .filter(size(col("w")) > 0)
+      .select(col("doc_id"),
+        col("n_chars").cast("long").as("s_len"),
+        floor(lit(10000.0) * size(array_distinct(col("w"))) / size(col("w")))
+          .cast("long").as("s_div"),
+        floor(lit(1000000.0) * length(concat_ws("", col("w"))) / size(col("w")))
+          .cast("long").as("s_tok"))
+    val ranked = Seq(
+      ("s_len", "r_len"), ("s_div", "r_div"), ("s_tok", "r_tok"))
+      .foldLeft(per) { case (df, (sig, rk)) =>
+        graft.api.Ranking.withRank(df, Seq.empty,
+          Seq(col(sig).desc, col("doc_id")), rk, s"__t_$rk")
+          .drop(s"__t_$rk")
+      }
+    ranked
+      .withColumn("borda", col("r_len") + col("r_div") + col("r_tok"))
+      .orderBy(col("borda"), col("doc_id"))
+      .limit(50)
+      .withColumn("rn",
+        row_number().over(org.apache.spark.sql.expressions.Window
+          .orderBy(col("borda"), col("doc_id"))).cast("int"))
+      .select(col("doc_id"), col("r_len"), col("r_div"), col("r_tok"),
+        col("borda"), col("rn"))
+      .orderBy(col("rn"))
+  }
+
+  val all: Seq[QueryDef] = Seq(q114Bm25, q127QualityEnsemble)
 }

@@ -461,8 +461,52 @@ object TemporalQueries {
       .orderBy(col("event_type"), col("hour_start"))
   }
 
+  /** Year-over-year growth — the reporting staple: monthly revenue
+    * with the % change vs the same month last year (lag 12 over the
+    * monthly series).
+    *
+    * Scale shape: revenue is summed as integer CENTS (the per-row
+    * `round(price·(1−disc)·100)` is one fixed-shape double expression
+    * cast to long, then ONLY integer sums cross the exchange — a
+    * floating `sum(price)` would be summation-order-dependent and
+    * never hash-stable). The lag window runs on the ~80-row monthly
+    * relation — metadata, not data; the corpus pays one join and one
+    * aggregate. Growth is `floor(10000·Δ/prev)` basis points — floor
+    * (toward −∞) is identical in both engines for negative months.
+    */
+  val q128YoyGrowth = QueryDef(
+    "q128_yoy_growth",
+    "year-over-year monthly revenue growth: integer-cent sums, lag-12 over the metadata-sized monthly series",
+    """WITH m AS (
+      |  SELECT date_trunc('month', CAST(o_orderdate AS TIMESTAMP)) AS month,
+      |    CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)) AS BIGINT)
+      |      AS revenue_cents
+      |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      |  GROUP BY 1)
+      |SELECT month, revenue_cents,
+      |  CAST(floor(10000.0 *
+      |    (revenue_cents - lag(revenue_cents, 12) OVER (ORDER BY month))
+      |    / lag(revenue_cents, 12) OVER (ORDER BY month)) AS BIGINT) AS yoy_bp
+      |FROM m
+      |ORDER BY month""".stripMargin) { (s, d) =>
+    import org.apache.spark.sql.expressions.Window
+    val m = Tables.lineitem(s, d)
+      .join(Tables.orders(s, d), col("l_orderkey") === col("o_orderkey"))
+      .groupBy(date_trunc("month", col("o_orderdate").cast("timestamp"))
+        .as("month"))
+      .agg(sum(round(col("l_extendedprice") * (lit(1) - col("l_discount"))
+        * 100).cast("long")).as("revenue_cents"))
+    // the lag window runs on the ~80-row monthly series only
+    val w = Window.orderBy(col("month"))
+    m.select(col("month"), col("revenue_cents"),
+      floor(lit(10000.0) *
+        (col("revenue_cents") - lag(col("revenue_cents"), 12).over(w)) /
+        lag(col("revenue_cents"), 12).over(w)).cast("long").as("yoy_bp"))
+      .orderBy(col("month"))
+  }
+
   val all: Seq[QueryDef] = Seq(
     q40AsofJoin, q42TumblingWindow, q43SlidingWindow, q44SessionWindow,
     q62Attribution, q70TimeSpine, q97Funnel, q98CohortRetention,
-    q101SecondarySort, q122OhlcBars, q123ForwardFill)
+    q101SecondarySort, q122OhlcBars, q123ForwardFill, q128YoyGrowth)
 }
