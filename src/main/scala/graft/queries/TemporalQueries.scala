@@ -505,8 +505,59 @@ object TemporalQueries {
       .orderBy(col("month"))
   }
 
+  /** SCD point-in-time lookup — the temporal-dimension join every
+    * warehouse fact load runs: each fact row picks up the dimension
+    * VERSION valid at its event time (here: the state carried by the
+    * most recent dimension-feed event at or before the fact's ts; the
+    * feed is a deterministic event subset so the lookup is genuinely
+    * non-trivial — facts between feed updates inherit the stale
+    * version, facts before the first see NULL).
+    *
+    * Scale shape: the q40 as-of idiom — union facts with the (much
+    * smaller) version stream, ONE key shuffle, last-ignoreNulls over
+    * the per-user timeline; ties at equal ts sort the dimension row
+    * first (tag 0 < 1), matching ASOF's inclusive `<=` exactly. No
+    * range join, no per-fact probe.
+    */
+  val q129ScdLookup = QueryDef(
+    "q129_scd_lookup",
+    "SCD point-in-time lookup: facts join the dimension version valid at event time via the as-of union idiom",
+    """WITH dim AS (SELECT user_id, ts, event_type AS state
+      |            FROM events WHERE event_id % 3 = 0),
+      |f AS (SELECT event_id, user_id, ts, event_type FROM events)
+      |SELECT f.event_id, f.user_id, f.event_type,
+      |  d.state AS state_at_event,
+      |  epoch_us(f.ts) - epoch_us(d.ts) AS us_since_state
+      |FROM f ASOF LEFT JOIN dim d
+      |  ON f.user_id = d.user_id AND d.ts <= f.ts
+      |ORDER BY f.event_id""".stripMargin) { (s, d) =>
+    val e = Tables.events(s, d)
+    val dim = e.filter(pmod(col("event_id"), lit(3)) === 0)
+      .select(col("user_id"), col("ts"), lit(0).as("tag"),
+        lit(null).cast("long").as("event_id"),
+        lit(null).cast("string").as("event_type"),
+        col("event_type").as("state"), col("ts").as("sts"))
+    val f = e.select(col("user_id"), col("ts"), lit(1).as("tag"),
+      col("event_id"), col("event_type"),
+      lit(null).cast("string").as("state"),
+      lit(null).cast("timestamp").as("sts"))
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("tag"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    dim.unionAll(f)
+      .withColumn("m_state", last(col("state"), ignoreNulls = true).over(w))
+      .withColumn("m_sts", last(col("sts"), ignoreNulls = true).over(w))
+      .filter(col("tag") === 1)
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        col("m_state").as("state_at_event"),
+        (unix_micros(col("ts")) - unix_micros(col("m_sts")))
+          .as("us_since_state"))
+      .orderBy(col("event_id"))
+  }
+
   val all: Seq[QueryDef] = Seq(
     q40AsofJoin, q42TumblingWindow, q43SlidingWindow, q44SessionWindow,
     q62Attribution, q70TimeSpine, q97Funnel, q98CohortRetention,
-    q101SecondarySort, q122OhlcBars, q123ForwardFill, q128YoyGrowth)
+    q101SecondarySort, q122OhlcBars, q123ForwardFill, q128YoyGrowth,
+    q129ScdLookup)
 }

@@ -245,6 +245,66 @@ object VersioningQueries {
       .orderBy(col("user_id"), col("version_n"))
   }
 
+  /** Incremental materialized-view maintenance — the delta-merge that
+    * keeps a per-(lang, source) rollup current WITHOUT rescanning the
+    * corpus: the base view (computed once from the v1 snapshot) is
+    * merged with per-key contributions derived from the CDC changelog
+    * alone (+1/+chars for inserts, −1/−chars for deletes, char DIFF
+    * for updates — old values come from a delta-sized key join back
+    * to the snapshot, never a second corpus scan).
+    *
+    * The ORACLE recomputes the view from the fully-upserted v2 corpus
+    * (q91's merge), so the hash gate proves the algebraic identity
+    * incremental(base, Δ) ≡ full-recompute(v2) — the correctness
+    * contract of every incremental-view engine. At 100 TB the base
+    * aggregate is a stored table and ONLY the changelog is processed
+    * per refresh; all sums are integer (counts + char counts).
+    */
+  val q130ViewMaintenance = QueryDef(
+    "q130_view_maintenance",
+    "incremental view maintenance: base rollup + changelog delta contributions ≡ full recompute from v2 (oracle-proven)",
+    s"""WITH delta AS ($changelogSql),
+      |v2 AS (
+      |  SELECT coalesce(d.doc_id, s.doc_id) AS doc_id,
+      |    coalesce(d.text, s.text) AS text,
+      |    coalesce(d.lang, s.lang) AS lang,
+      |    coalesce(d.source, s.source) AS source
+      |  FROM documents s FULL OUTER JOIN delta d ON s.doc_id = d.doc_id
+      |  WHERE coalesce(d.op, '') <> 'D')
+      |SELECT lang, source, CAST(count(*) AS BIGINT) AS n_docs,
+      |  CAST(sum(length(text)) AS BIGINT) AS total_chars
+      |FROM v2
+      |GROUP BY lang, source
+      |ORDER BY lang, source""".stripMargin) { (s, d) =>
+    val snap = Tables.documents(s, d)
+      .select(col("doc_id"), col("text"), col("lang"), col("source"))
+    val base = snap.groupBy(col("lang"), col("source"))
+      .agg(count(lit(1)).as("b_docs"),
+        sum(length(col("text")).cast("long")).as("b_chars"))
+    // old values for U/D come from a DELTA-sized key join, not a scan
+    val old = snap.select(col("doc_id"), length(col("text")).cast("long").as("old_len"))
+    val contrib = changelog(snap)
+      .join(old, Seq("doc_id"), "left_outer")
+      .select(col("lang"), col("source"),
+        when(col("op") === "I", 1L).when(col("op") === "D", -1L)
+          .otherwise(0L).as("d_docs"),
+        when(col("op") === "I", length(col("text")).cast("long"))
+          .when(col("op") === "D", -col("old_len"))
+          .otherwise(length(col("text")).cast("long") - col("old_len"))
+          .as("d_chars"))
+      .groupBy(col("lang"), col("source"))
+      .agg(sum(col("d_docs")).as("d_docs"), sum(col("d_chars")).as("d_chars"))
+    base.join(contrib, Seq("lang", "source"), "full_outer")
+      .select(col("lang"), col("source"),
+        (coalesce(col("b_docs"), lit(0L)) + coalesce(col("d_docs"), lit(0L)))
+          .as("n_docs"),
+        (coalesce(col("b_chars"), lit(0L)) + coalesce(col("d_chars"), lit(0L)))
+          .as("total_chars"))
+      .filter(col("n_docs") > 0)
+      .orderBy(col("lang"), col("source"))
+  }
+
   val all: Seq[QueryDef] =
-    Seq(q91ChangelogUpsert, q92SnapshotDiff, q94ZorderLayout, q115ScdType2)
+    Seq(q91ChangelogUpsert, q92SnapshotDiff, q94ZorderLayout, q115ScdType2,
+      q130ViewMaintenance)
 }
