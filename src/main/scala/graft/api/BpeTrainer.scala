@@ -155,4 +155,37 @@ object BpeTrainer {
       }
       .toDF(idCol, "n_bpe_tokens")
   }
+
+  /** Full corpus ENCODING: applies the ordered merge list and emits
+    * each document's BPE token sequence — the artifact the packing /
+    * training-shard stages consume ([[SequencePacker]], `Sharder`).
+    *
+    * Scale shape: merges are bounded metadata captured into the
+    * closure (Spark broadcasts task binaries); encoding is a pure
+    * per-partition map with a per-partition WORD memo — word
+    * frequencies are Zipfian, so the cache collapses the per-word
+    * merge loop to one execution per distinct word per partition
+    * (exactly what production tokenizers do). No shuffle at all.
+    */
+  def encode(
+      df: DataFrame, idCol: String, textCol: String,
+      merges: Seq[Merge]): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val ordered = merges.sortBy(_.rank).map(m => (m.left, m.right))
+    df.select(col(idCol).cast("long").as("id"), col(textCol).as("text"))
+      .as[(Long, String)]
+      .mapPartitions { it =>
+        val cache = scala.collection.mutable.HashMap.empty[String, Seq[String]]
+        def enc(w: String): Seq[String] = cache.getOrElseUpdate(w, {
+          var syms: Seq[String] = w.map(_.toString).toSeq
+          ordered.foreach { case (l, r) => syms = applyMerge(syms, l, r) }
+          syms
+        })
+        it.map { case (id, text) =>
+          (id, text.split(" ").filter(_.nonEmpty).toSeq.flatMap(enc))
+        }
+      }
+      .toDF(idCol, "bpe_tokens")
+  }
 }

@@ -121,4 +121,29 @@ class BpeTrainerSpec extends SparkSpec {
     assert(n10 < n0, "applying merges must reduce total symbol count")
     assert(BpeTrainer.tokenCounts(docs, "doc_id", "text", merges).count() == 50)
   }
+
+  test("encode round-trips the text, agrees with tokenCounts, survives repartitioning") {
+    import org.apache.spark.sql.functions._
+    val docs = Tables.documents(spark, sfDir).limit(50)
+    val merges = BpeTrainer.train(docs, "text", 12)
+    val enc = BpeTrainer.encode(docs, "doc_id", "text", merges)
+    // lossless: concatenated tokens == the text with spaces stripped
+    val broken = enc.alias("e")
+      .join(docs.alias("d"), col("e.doc_id") === col("d.doc_id"))
+      .filter(concat_ws("", col("e.bpe_tokens")) =!=
+        regexp_replace(col("d.text"), " ", ""))
+      .count()
+    assert(broken == 0, "encode lost or reordered characters")
+    // token counts agree with the counting-only path
+    val mismatch = enc
+      .select(col("doc_id"), size(col("bpe_tokens")).cast("long").as("n_enc"))
+      .join(BpeTrainer.tokenCounts(docs, "doc_id", "text", merges), "doc_id")
+      .filter(col("n_enc") =!= col("n_bpe_tokens")).count()
+    assert(mismatch == 0, "encode and tokenCounts disagree")
+    // the per-partition word cache must not change results
+    val a = enc.orderBy("doc_id").collect().map(_.toSeq)
+    val b = BpeTrainer.encode(docs.repartition(7), "doc_id", "text", merges)
+      .orderBy("doc_id").collect().map(_.toSeq)
+    assert(a.sameElements(b), "encoding depends on the partition layout")
+  }
 }
