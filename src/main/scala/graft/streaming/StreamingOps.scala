@@ -234,6 +234,86 @@ object StreamingOps {
         OutputMode.Update())
   }
 
+  /** Timer-driven sessionization on the `transformWithState` API —
+    * the successor of [[sessionize]]'s `flatMapGroupsWithState`
+    * version, using EVENT-TIME TIMERS as the session-close mechanism:
+    * each batch re-arms a timer at lastTs + gap, and the session is
+    * emitted from `handleExpiredTimer` once the watermark passes it.
+    * Stale timers (a session extended after its old timer was armed)
+    * are recognized by comparing the firing expiry against the
+    * state's CURRENT deadline — no timer bookkeeping list needed.
+    * State is one record per active key, deleted on close.
+    */
+  class TimerSessionProcessor(gapMs: Long)
+      extends org.apache.spark.sql.streaming.StatefulProcessor[
+        Long, Event, SessionOut] {
+    @transient private var st
+        : org.apache.spark.sql.streaming.ValueState[SessionState] = _
+
+    override def init(
+        outputMode: OutputMode,
+        timeMode: org.apache.spark.sql.streaming.TimeMode): Unit = {
+      st = getHandle.getValueState[SessionState](
+        "sess", org.apache.spark.sql.Encoders.product[SessionState],
+        org.apache.spark.sql.streaming.TTLConfig.NONE)
+    }
+
+    override def handleInputRows(
+        key: Long,
+        rows: Iterator[Event],
+        timerValues: org.apache.spark.sql.streaming.TimerValues)
+        : Iterator[SessionOut] = {
+      var s = if (st.exists()) st.get() else null
+      rows.foreach { e =>
+        val t = e.ts.getTime
+        s = if (s == null) SessionState(t, t, 1L, e.value)
+        else SessionState(math.min(s.start, t), math.max(s.lastTs, t),
+          s.nEvents + 1L, s.total + e.value)
+      }
+      if (s != null) {
+        st.update(s)
+        getHandle.registerTimer(s.lastTs + gapMs)
+      }
+      Iterator.empty
+    }
+
+    override def handleExpiredTimer(
+        key: Long,
+        timerValues: org.apache.spark.sql.streaming.TimerValues,
+        expiredTimerInfo: org.apache.spark.sql.streaming.ExpiredTimerInfo)
+        : Iterator[SessionOut] = {
+      if (!st.exists()) Iterator.empty
+      else {
+        val s = st.get()
+        // a stale timer from before the session was extended fires
+        // early — the session's CURRENT deadline is still ahead
+        if (expiredTimerInfo.getExpiryTimeInMs < s.lastTs + gapMs)
+          Iterator.empty
+        else {
+          st.clear()
+          Iterator(SessionOut(key,
+            new java.sql.Timestamp(s.start),
+            new java.sql.Timestamp(s.lastTs + gapMs),
+            s.nEvents, s.total))
+        }
+      }
+    }
+  }
+
+  /** Timer-closed sessions per user (Append mode — a session row is
+    * final once its close timer fires).
+    */
+  def timerSessions(spark: SparkSession, events: Dataset[Event],
+      gapMs: Long): Dataset[SessionOut] = {
+    import spark.implicits._
+    events
+      .withWatermark("ts", "10 minutes")
+      .groupByKey(_.user_id)
+      .transformWithState(new TimerSessionProcessor(gapMs),
+        org.apache.spark.sql.streaming.TimeMode.EventTime(),
+        OutputMode.Append())
+  }
+
   /** Streaming exact dedup — the ingest-time twin of q33's batch
     * dedup: drop events identical on (user_id, event_type, ts) while
     * their event time is within the watermark, with per-key state

@@ -192,6 +192,45 @@ class StreamingSpec extends SparkSpec {
       spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
   }
 
+  test("event-time timers close sessions on the transformWithState API") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val input = MemoryStream[Event]
+      val gapMs = 30L * 60000L
+      val q = StreamingOps.timerSessions(spark, input.toDS(), gapMs)
+        .writeStream.format("memory").queryName("tws_sess")
+        .outputMode("append").start()
+      try {
+        input.addData(
+          Event(ts(0), 1L, "view", 1.5),
+          Event(ts(10), 1L, "click", 2.5))
+        runAll(q)
+        // extends the session AFTER a timer was armed at ts(10)+30min:
+        // the stale timer must NOT close it early
+        input.addData(Event(ts(120), 1L, "view", 9.0))
+        runAll(q)
+        // advance the watermark far past the session deadline; the
+        // second batch lets the expired timer fire with the advanced
+        // watermark visible
+        input.addData(Event(ts(2000), 99L, "view", 0.0))
+        runAll(q)
+        input.addData(Event(ts(2100), 99L, "view", 0.0))
+        runAll(q)
+        val rows = spark.table("tws_sess")
+          .select($"user_id", $"n_events", $"total", $"session_end")
+          .as[(Long, Long, Double, java.sql.Timestamp)].collect()
+        assert(rows.map(r => (r._1, r._2, r._3)).toSet == Set((1L, 3L, 13.0)),
+          s"expected exactly user 1's timer-closed session: ${rows.toSeq}")
+        assert(rows.head._4 == ts(150),
+          s"session_end must be lastTs + gap: ${rows.head._4}")
+      } finally q.stop()
+    } finally
+      spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+  }
+
   test("durable file sink + checkpoint: exactly-once across stop/restart") {
     import spark.implicits._
     // R15's durable-sink contract under Spark semantics: a parquet
