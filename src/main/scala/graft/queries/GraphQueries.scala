@@ -83,5 +83,49 @@ object GraphQueries {
       .orderBy(col("vertex"))
   }
 
-  val all: Seq[QueryDef] = Seq(q100Triangles)
+  /** Hierarchy flattening by POINTER DOUBLING — the scalable answer
+    * to "resolve every node's root and depth" (BOM explosion, org
+    * charts, category trees): each round composes ancestor jumps
+    * (2^k → 2^(k+1)), so a depth-D hierarchy resolves in ⌈log₂ D⌉
+    * keyed self-joins instead of D sequential parent-walk rounds —
+    * the difference between 8 and 200 shuffles on a deep tree. Roots
+    * self-loop with distance 0, so converged rows are fixpoints and
+    * extra rounds are no-ops. The hierarchy is synthetic (parent =
+    * key − 100, forest of 100 chains) so the DuckDB WITH RECURSIVE
+    * twin replays the exact walk.
+    *
+    * Scale shape: every round is one equi join + localCheckpoint of a
+    * node-table-sized relation; 8 rounds cover depth 256 (the sf0.1
+    * max is 199). Nothing collects; lineage stays O(1).
+    */
+  val q131HierarchyFlatten = QueryDef(
+    "q131_hierarchy_flatten",
+    "hierarchy flattening: root + depth per node via pointer doubling, log(depth) keyed self-joins",
+    """WITH RECURSIVE walk AS (
+      |  SELECT p_partkey AS node, p_partkey AS cur, 0 AS d FROM part
+      |  UNION ALL
+      |  SELECT node, cur - 100, d + 1 FROM walk WHERE cur >= 100)
+      |SELECT node AS p_partkey, CAST(cur AS BIGINT) AS root,
+      |  CAST(d AS BIGINT) AS depth
+      |FROM walk WHERE cur < 100
+      |ORDER BY p_partkey""".stripMargin) { (s, d) =>
+    var anc = Tables.load(s, d, "part").select(col("p_partkey").as("node"))
+      .select(col("node"),
+        when(col("node") >= 100, col("node") - 100).otherwise(col("node"))
+          .as("anc"),
+        when(col("node") >= 100, 1L).otherwise(0L).as("dist"))
+      .localCheckpoint()
+    for (_ <- 1 to 8) {
+      anc = anc.alias("a")
+        .join(anc.alias("b"), col("a.anc") === col("b.node"))
+        .select(col("a.node").as("node"), col("b.anc").as("anc"),
+          (col("a.dist") + col("b.dist")).as("dist"))
+        .localCheckpoint()
+    }
+    anc.select(col("node").as("p_partkey"), col("anc").as("root"),
+      col("dist").as("depth"))
+      .orderBy(col("p_partkey"))
+  }
+
+  val all: Seq[QueryDef] = Seq(q100Triangles, q131HierarchyFlatten)
 }

@@ -555,9 +555,70 @@ object TemporalQueries {
       .orderBy(col("event_id"))
   }
 
+  /** Interval coalescing (gaps-and-islands) — merge each user's
+    * overlapping activity intervals ([ts, ts+5min) around every
+    * event) into maximal disjoint spans: the classic "contiguous
+    * coverage" reduction behind uptime reports, meeting-room merges,
+    * and session stitching with explicit horizons.
+    *
+    * Scale shape: one key shuffle (the per-user window); island
+    * boundaries come from comparing each start to the RUNNING MAX of
+    * prior ends (not lag(end) — intervals can nest, so the previous
+    * row's end is not the coverage frontier), then islands aggregate
+    * by (user, island-id = running sum of boundary flags). Timestamp
+    * comparisons are exact in both engines.
+    */
+  val q132IntervalMerge = QueryDef(
+    "q132_interval_merge",
+    "interval coalescing per user: running-max frontier + island-id running sum, one key shuffle",
+    """WITH iv AS (
+      |  SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS s,
+      |    CAST(ts AS TIMESTAMP) + INTERVAL 5 MINUTE AS e
+      |  FROM events),
+      |flagged AS (
+      |  SELECT user_id, s, e,
+      |    CASE WHEN max(e) OVER (PARTITION BY user_id ORDER BY s, event_id
+      |                           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+      |              IS NULL
+      |           OR s > max(e) OVER (PARTITION BY user_id ORDER BY s, event_id
+      |                               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+      |         THEN 1 ELSE 0 END AS new_island,
+      |    event_id
+      |  FROM iv),
+      |islands AS (
+      |  SELECT user_id, s, e,
+      |    sum(new_island) OVER (PARTITION BY user_id ORDER BY s, event_id
+      |                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+      |      AS island
+      |  FROM flagged)
+      |SELECT user_id, min(s) AS span_start, max(e) AS span_end,
+      |  CAST(count(*) AS BIGINT) AS n_events
+      |FROM islands
+      |GROUP BY user_id, island
+      |ORDER BY user_id, span_start""".stripMargin) { (s, d) =>
+    import org.apache.spark.sql.expressions.Window
+    val iv = Tables.events(s, d)
+      .select(col("user_id"), col("event_id"), col("ts").as("s"),
+        (col("ts") + expr("INTERVAL 5 MINUTES")).as("e"))
+    val w = Window.partitionBy(col("user_id")).orderBy(col("s"), col("event_id"))
+    iv
+      .withColumn("pmax",
+        max(col("e")).over(w.rowsBetween(Window.unboundedPreceding, -1)))
+      .withColumn("new_island",
+        when(col("pmax").isNull || col("s") > col("pmax"), 1L).otherwise(0L))
+      .withColumn("island",
+        sum(col("new_island"))
+          .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col("user_id"), col("island"))
+      .agg(min(col("s")).as("span_start"), max(col("e")).as("span_end"),
+        count(lit(1)).as("n_events"))
+      .select(col("user_id"), col("span_start"), col("span_end"), col("n_events"))
+      .orderBy(col("user_id"), col("span_start"))
+  }
+
   val all: Seq[QueryDef] = Seq(
     q40AsofJoin, q42TumblingWindow, q43SlidingWindow, q44SessionWindow,
     q62Attribution, q70TimeSpine, q97Funnel, q98CohortRetention,
     q101SecondarySort, q122OhlcBars, q123ForwardFill, q128YoyGrowth,
-    q129ScdLookup)
+    q129ScdLookup, q132IntervalMerge)
 }
