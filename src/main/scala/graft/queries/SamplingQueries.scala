@@ -274,8 +274,53 @@ object SamplingQueries {
       .orderBy(col("doc_id"))
   }
 
+  /** Replication-based source rebalancing (UPSAMPLING) — the other
+    * half of the q88 story: temperature mixing DOWN-samples the head,
+    * this materializes repeat copies of under-represented sources so
+    * every source approaches the largest one's token volume (the
+    * low-resource-language recipe; the epoch-repeat factor every
+    * multilingual training mix publishes). Repeat factors are exact
+    * integer ceil division `(max + n − 1) div n`, capped at 4× — the
+    * standard bound that keeps upsampling from memorizing a tiny
+    * source.
+    *
+    * Scale shape: per-source token totals are one aggregate; the
+    * factor table is sources-sized and broadcast back; replication is
+    * a map-side `explode(sequence(1, rep))` — the corpus is scanned
+    * once and never shuffled.
+    */
+  val q133SourceUpsampling = QueryDef(
+    "q133_source_upsampling",
+    "replication upsampling: integer-ceil repeat factors to the largest source (cap 4x), map-side explode",
+    """WITH t AS (
+      |  SELECT doc_id, source,
+      |    len(list_filter(string_split(text, ' '), x -> length(x) > 0)) AS n
+      |  FROM documents),
+      |s AS (SELECT source, CAST(sum(n) AS BIGINT) AS n_toks FROM t GROUP BY source),
+      |m AS (SELECT max(n_toks) AS mx FROM s),
+      |k AS (SELECT source, n_toks,
+      |        least(4, (mx + n_toks - 1) // n_toks) AS rep FROM s, m)
+      |SELECT t.doc_id, t.source, CAST(u.i AS BIGINT) AS copy_idx,
+      |  CAST(k.rep AS BIGINT) AS rep
+      |FROM t JOIN k USING (source), unnest(generate_series(1, k.rep)) AS u(i)
+      |ORDER BY doc_id, copy_idx""".stripMargin) { (s, d) =>
+    val t = Tables.documents(s, d)
+      .select(col("doc_id"), col("source"),
+        size(filter(split(col("text"), " "), x => length(x) > 0)).cast("long")
+          .as("n"))
+    val perSource = t.groupBy(col("source")).agg(sum(col("n")).as("n_toks"))
+    val mx = perSource.agg(max(col("n_toks")).as("mx"))
+    val k = perSource.crossJoin(broadcast(mx))
+      .select(col("source"),
+        least(lit(4L), expr("(mx + n_toks - 1) div n_toks")).as("rep"))
+    t.join(broadcast(k), "source")
+      .select(col("doc_id"), col("source"),
+        explode(sequence(lit(1L), col("rep"))).as("copy_idx"), col("rep"))
+      .orderBy(col("doc_id"), col("copy_idx"))
+  }
+
   val all: Seq[QueryDef] =
     Seq(q56DeterministicSample, q57StratifiedMix, q77ShardStats,
       q81TokenBudgetMix, q84LengthBatches, q88TemperatureMix,
-      q106SystematicSample)
+      q106SystematicSample, q133SourceUpsampling)
 }

@@ -602,7 +602,58 @@ object SimilarityQueries {
       .orderBy(col("label"))
   }
 
+  /** Deterministic negative sampling for contrastive training — for
+    * each anchor vector, K pseudorandom negatives drawn from
+    * DIFFERENT-label vectors. The "random" draw is the codegen'd
+    * `mix64` of (anchor, candidate) — reproducible across runs,
+    * engines and partitionings (the q103 contract: no `rand()` in a
+    * training pipeline), replayed bit-exactly by the oracle's HUGEINT
+    * chain. The hash is shifted to 52 unsigned bits before entering
+    * the double-scored top-k aggregate so no precision is lost.
+    *
+    * Scale shape: the anchor set is bounded (a query/batch), so it
+    * broadcasts; candidates stream through ONE pass with a bounded
+    * per-anchor top-k aggregate (`plans/TopKAgg` — the q38 shape);
+    * nothing corpus-scale shuffles.
+    */
+  val q134NegativeSampling = QueryDef(
+    "q134_negative_sampling",
+    "contrastive negative sampling: mix64-scored different-label top-4 per anchor, broadcast anchors + bounded top-k",
+    """WITH a AS (SELECT vec_id AS a_id, label AS a_label FROM embeddings WHERE vec_id < 20),
+      |c AS (SELECT vec_id, label FROM embeddings),
+      |z0 AS (SELECT a_id, vec_id,
+      |         CAST(a_id * 1000003 + vec_id AS HUGEINT) AS z
+      |       FROM a, c WHERE c.label <> a.a_label),
+      |m1 AS (SELECT a_id, vec_id,
+      |         (xor(z, z >> 30) * 2685821657736338717) % 18446744073709551616 AS z FROM z0),
+      |m2 AS (SELECT a_id, vec_id,
+      |         (xor(z, z >> 27) * 1181783497276652981) % 18446744073709551616 AS z FROM m1),
+      |u AS (SELECT a_id, vec_id, xor(z, z >> 31) // 4096 AS u52 FROM m2)
+      |SELECT a_id, vec_id AS neg_id, CAST(rn AS INT) AS rn FROM (
+      |  SELECT a_id, vec_id,
+      |    row_number() OVER (PARTITION BY a_id ORDER BY u52 DESC, vec_id) AS rn
+      |  FROM u)
+      |WHERE rn <= 4
+      |ORDER BY a_id, rn""".stripMargin) { (s, d) =>
+    GraftFunctions.register(s)
+    val e = Tables.embeddings(s, d)
+    val anchors = e.filter(col("vec_id") < 20)
+      .select(col("vec_id").as("a_id"), col("label").as("a_label"))
+    e.select(col("vec_id"), col("label"))
+      .join(broadcast(anchors), col("label") =!= col("a_label"))
+      .withColumn("u52",
+        shiftrightunsigned(
+          GraftFunctions.mix64(col("a_id") * 1000003L + col("vec_id")), 12)
+          .cast("double"))
+      .groupBy(col("a_id"))
+      .agg(GraftFunctions.topkByScore(col("u52"), col("vec_id"), 4).as("top"))
+      .select(col("a_id"), posexplode(col("top")).as(Seq("i", "t")))
+      .select(col("a_id"), col("t.id").as("neg_id"),
+        (col("i") + 1).cast("int").as("rn"))
+      .orderBy(col("a_id"), col("rn"))
+  }
+
   val all: Seq[QueryDef] =
     Seq(q38CosineTopk, q39AnnIvf, q60HyperplaneLsh, q76QuantizedTopk,
-      q89SemanticDedup, q110CentroidDrift)
+      q89SemanticDedup, q110CentroidDrift, q134NegativeSampling)
 }
