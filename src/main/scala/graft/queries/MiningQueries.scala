@@ -463,7 +463,62 @@ object MiningQueries {
       .orderBy(col("table_name"), col("rule"))
   }
 
+  /** Grouped trend regression — per-series ordinary least squares
+    * (value vs time) in ONE partial-aggregable pass: the closed-form
+    * slope/intercept from the five moment sums (n, Σx, Σy, Σxy, Σx²).
+    * The drift detector behind "is this metric trending" alerts, per
+    * event_type.
+    *
+    * Determinism: x is integer MINUTES from a fixed origin (≤ 5e4
+    * here) and y integer CENTS, so every moment is an exact integer
+    * sum — commutative across partitions — and xy ≤ 2.5e8 per row
+    * keeps Σxy far from long overflow at any row count this corpus
+    * reaches (at true 100 TB scale the same shape runs with
+    * DECIMAL(38,0) sums). Slope/intercept are single fixed-shape
+    * double expressions of the exact moments, rounded only at output.
+    */
+  val q135TrendRegression = QueryDef(
+    "q135_trend_regression",
+    "grouped OLS trend: per-type slope/intercept from exact integer moment sums, one aggregate pass",
+    """WITH p AS (
+      |  SELECT event_type,
+      |    epoch_us(CAST(ts AS TIMESTAMP)) // 60000000 - 28401120 AS x,
+      |    CAST(round(value * 100) AS BIGINT) AS y
+      |  FROM events),
+      |m AS (
+      |  SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+      |    CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+      |    CAST(sum(x * y) AS BIGINT) AS sxy, CAST(sum(x * x) AS BIGINT) AS sxx
+      |  FROM p GROUP BY event_type)
+      |SELECT event_type, n,
+      |  round((CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
+      |      / (CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx), 6) AS slope_cents_per_min,
+      |  round((CAST(sy AS DOUBLE) - ((CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
+      |      / (CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx)) * sx) / n, 4) AS intercept_cents
+      |FROM m
+      |ORDER BY event_type""".stripMargin) { (s, d) =>
+    // x origin: 2024-01-01 in epoch-minutes (28401120) keeps x small
+    val p = Tables.events(s, d)
+      .select(col("event_type"),
+        (expr("unix_micros(ts) div 60000000") - 28401120L).as("x"),
+        round(col("value") * 100).cast("long").as("y"))
+    val m = p.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("x")).as("sx"),
+        sum(col("y")).as("sy"), sum(col("x") * col("y")).as("sxy"),
+        sum(col("x") * col("x")).as("sxx"))
+    val slope = (col("n").cast("double") * col("sxy") -
+      col("sx").cast("double") * col("sy")) /
+      (col("n").cast("double") * col("sxx") -
+        col("sx").cast("double") * col("sx"))
+    m.select(col("event_type"), col("n"),
+      round(slope, 6).as("slope_cents_per_min"),
+      round((col("sy").cast("double") - slope * col("sx")) / col("n"), 4)
+        .as("intercept_cents"))
+      .orderBy(col("event_type"))
+  }
+
   val all: Seq[QueryDef] =
     Seq(q116AssociationRules, q119FkDiscovery, q120GoldenRecord,
-      q124Contingency, q125MarkovTransitions, q126ContractAudit)
+      q124Contingency, q125MarkovTransitions, q126ContractAudit,
+      q135TrendRegression)
 }

@@ -148,6 +148,72 @@ class DiscoverySpec extends SparkSpec {
     }
   }
 
+  test("q131 hierarchy: doubling result equals the closed form") {
+    val rows = Registry.byName("q131_hierarchy_flatten").fn(spark, sfDir)
+      .collect()
+    rows.foreach { r =>
+      val (p, root, depth) = (r.getLong(0), r.getLong(1), r.getLong(2))
+      assert(root == p % 100 && depth == p / 100,
+        s"pointer doubling wrong for $p: root=$root depth=$depth")
+    }
+  }
+
+  test("q132 interval merge: spans are disjoint and ordered per user") {
+    val byUser = Registry.byName("q132_interval_merge").fn(spark, sfDir)
+      .orderBy(col("user_id"), col("span_start")).collect()
+      .groupBy(_.getLong(0))
+    byUser.values.foreach { spans =>
+      spans.sliding(2).foreach {
+        case Array(a, b) =>
+          assert(!b.getTimestamp(1).before(a.getTimestamp(2)),
+            s"overlapping merged spans: $a / $b")
+        case _ => ()
+      }
+    }
+  }
+
+  test("q133 upsampling: repeat factors bounded and copies dense") {
+    val rows = Registry.byName("q133_source_upsampling").fn(spark, sfDir)
+      .groupBy(col("doc_id"), col("rep"))
+      .agg(count(lit(1)).as("copies"), max(col("copy_idx")).as("mx"))
+      .collect()
+    rows.foreach { r =>
+      assert(r.getLong(1) >= 1 && r.getLong(1) <= 4, s"rep out of bounds: $r")
+      assert(r.getLong(2) == r.getLong(1) && r.getLong(3) == r.getLong(1),
+        s"copies not dense 1..rep: $r")
+    }
+  }
+
+  test("q134 negative sampling: negatives never share the anchor's label") {
+    val e = Tables.embeddings(spark, sfDir).select(col("vec_id"), col("label"))
+    val bad = Registry.byName("q134_negative_sampling").fn(spark, sfDir)
+      .join(e.select(col("vec_id").as("a_id"), col("label").as("la")), "a_id")
+      .join(e.select(col("vec_id").as("neg_id"), col("label").as("ln")), "neg_id")
+      .filter(col("la") === col("ln")).count()
+    assert(bad == 0, s"$bad negatives share the anchor label")
+    val perAnchor = Registry.byName("q134_negative_sampling").fn(spark, sfDir)
+      .groupBy(col("a_id")).agg(count(lit(1)).as("k")).collect()
+    perAnchor.foreach(r => assert(r.getLong(1) == 4L, s"anchor without 4 negatives: $r"))
+  }
+
+  test("q135 trend regression: moments reproduce the driver-side OLS") {
+    val rows = Registry.byName("q135_trend_regression").fn(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    // recompute one group's slope naively and compare at output precision
+    val sample = Tables.events(spark, sfDir)
+      .filter(col("event_type") === rows.head.getString(0))
+      .select((expr("unix_micros(ts) div 60000000") - 28401120L).cast("double"),
+        round(col("value") * 100).cast("double"))
+      .collect().map(r => (r.getDouble(0), r.getDouble(1)))
+    val n = sample.length.toDouble
+    val (sx, sy) = (sample.map(_._1).sum, sample.map(_._2).sum)
+    val sxy = sample.map(p => p._1 * p._2).sum
+    val sxx = sample.map(p => p._1 * p._1).sum
+    val slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    assert(math.abs(rows.head.getDouble(2) - slope) < 1e-4,
+      s"slope mismatch: ${rows.head.getDouble(2)} vs $slope")
+  }
+
   test("q121 LM quality: integer scores cover every bigram exactly once") {
     val df = Registry.byName("q121_lm_quality").fn(spark, sfDir)
     val agg = df.agg(sum(col("n_bigrams")), min(col("avg_nlp_micro"))).collect()(0)
