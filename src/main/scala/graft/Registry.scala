@@ -27,6 +27,7 @@ object Registry {
     VersioningQueries.all ++
     GraphQueries.all ++
     MiningQueries.all ++
+    StatisticsQueries.all ++
     RetrievalQueries.all ++
     SqlQueries.all
 

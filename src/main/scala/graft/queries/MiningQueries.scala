@@ -517,8 +517,97 @@ object MiningQueries {
       .orderBy(col("event_type"))
   }
 
+  /** Item–item cosine similarity from co-purchase counts — the
+    * classical neighborhood recommender signal (`sim(u,v) =
+    * co(u,v) / √(n_u·n_v)`), and the THIRD consumer of the memoized
+    * [[pairSupport]] relation after q100 (triangles) and q116
+    * (rules): the production shape where the co-occurrence edge list
+    * is materialized once and every downstream graph/rule/recommender
+    * job reads it — within this process the basket shuffle and pair
+    * count are already paid, so this query is joins + scoring only.
+    *
+    * Determinism: counts exact ints; cosine is ONE double expression
+    * of exact ints (q116's convention), ranking by the unrounded
+    * value with a unique (u, v) tiebreak, rounded 4dp at output.
+    */
+  val q140ItemSimilarity = QueryDef(
+    "q140_item_similarity",
+    "item-item co-purchase cosine: third consumer of the memoized pair relation, top-50 by similarity",
+    """WITH li AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+      |pc AS (SELECT p, CAST(count(*) AS BIGINT) AS n_p FROM li GROUP BY p),
+      |pr AS (SELECT a.p AS u, b.p AS v, CAST(count(*) AS BIGINT) AS c
+      |       FROM li a JOIN li b ON a.o = b.o AND a.p < b.p
+      |       GROUP BY a.p, b.p),
+      |sc AS (SELECT u, v, c, pu.n_p AS n_u, pv.n_p AS n_v,
+      |         CAST(c AS DOUBLE) / sqrt(CAST(pu.n_p AS DOUBLE) * pv.n_p) AS cos
+      |       FROM pr JOIN pc pu ON pu.p = pr.u JOIN pc pv ON pv.p = pr.v
+      |       WHERE c >= 2)
+      |SELECT u, v, c AS co_count, n_u, n_v, round(cos, 4) AS cosine
+      |FROM (SELECT * FROM sc ORDER BY cos DESC, u, v LIMIT 50)
+      |ORDER BY cosine DESC, u, v""".stripMargin) { (s, d) =>
+    val pr = pairSupport(s, d)
+    val pc = orderBaskets(s, d).select(explode(col("ps")).as("p"))
+      .groupBy(col("p")).agg(count(lit(1)).as("n_p"))
+    pr
+      .join(pc.select(col("p").as("u"), col("n_p").as("n_u")), "u")
+      .join(pc.select(col("p").as("v"), col("n_p").as("n_v")), "v")
+      .withColumn("cos",
+        col("c").cast("double") / sqrt(col("n_u").cast("double") * col("n_v")))
+      .orderBy(col("cos").desc, col("u"), col("v"))
+      .limit(50)
+      .select(col("u"), col("v"), col("c").as("co_count"),
+        col("n_u"), col("n_v"), round(col("cos"), 4).as("cosine"))
+      .orderBy(col("cosine").desc, col("u"), col("v"))
+  }
+
+  /** Ordered first-occurrence pattern mining — which event type tends
+    * to FIRST APPEAR before which other (q125's Markov matrix counts
+    * adjacent transitions; this counts journey-level precedence, the
+    * funnel-discovery signal). Per user, one min(ts) per type (ONE
+    * high-cardinality key shuffle); the precedence pairs come from a
+    * per-user self-join bounded by the 5-value type enum — ≤ 25 rows
+    * per user, map-side after the equi key matches — then a
+    * metadata-sized (first, then) count.
+    *
+    * Determinism: simultaneous first occurrences (equal min ts) order
+    * by type name — a documented fixed tie resolution, identical in
+    * the oracle. Support fractions are integer basis points.
+    */
+  val q142SeqPatterns = QueryDef(
+    "q142_seq_patterns",
+    "first-occurrence precedence mining: per-user min-ts per type, bounded pair self-join, support in bp",
+    """WITH f AS (SELECT user_id, event_type, min(CAST(ts AS TIMESTAMP)) AS ft
+      |           FROM events GROUP BY user_id, event_type),
+      |u AS (SELECT CAST(count(DISTINCT user_id) AS BIGINT) AS n_users FROM events),
+      |pr AS (SELECT a.event_type AS first_type, b.event_type AS then_type,
+      |              CAST(count(*) AS BIGINT) AS support
+      |       FROM f a JOIN f b ON a.user_id = b.user_id
+      |         AND (a.ft < b.ft OR (a.ft = b.ft AND a.event_type < b.event_type))
+      |       GROUP BY 1, 2)
+      |SELECT first_type, then_type, support, (10000 * support) // n_users AS user_frac_bp
+      |FROM pr, u
+      |ORDER BY first_type, then_type""".stripMargin) { (s, d) =>
+    val f = Tables.events(s, d)
+      .groupBy(col("user_id"), col("event_type")).agg(min(col("ts")).as("ft"))
+    val a = f.select(col("user_id"), col("event_type").as("first_type"),
+      col("ft").as("fta"))
+    val b = f.select(col("user_id"), col("event_type").as("then_type"),
+      col("ft").as("ftb"))
+    val nUsers = Tables.events(s, d)
+      .agg(count_distinct(col("user_id")).as("n_users"))
+    a.join(b, Seq("user_id"))
+      .filter(col("fta") < col("ftb") ||
+        (col("fta") === col("ftb") && col("first_type") < col("then_type")))
+      .groupBy(col("first_type"), col("then_type"))
+      .agg(count(lit(1)).as("support"))
+      .crossJoin(broadcast(nUsers))
+      .select(col("first_type"), col("then_type"), col("support"),
+        expr("(10000 * support) div n_users").as("user_frac_bp"))
+      .orderBy(col("first_type"), col("then_type"))
+  }
+
   val all: Seq[QueryDef] =
     Seq(q116AssociationRules, q119FkDiscovery, q120GoldenRecord,
       q124Contingency, q125MarkovTransitions, q126ContractAudit,
-      q135TrendRegression)
+      q135TrendRegression, q140ItemSimilarity, q142SeqPatterns)
 }

@@ -1,0 +1,343 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.{QueryDef, Tables}
+
+/** Statistical-testing and sketch-style audit operators: the model-
+  * evaluation / drift-monitoring layer a training-data pipeline runs
+  * on top of the relational core. Everything here follows the repo's
+  * determinism contract — exact integer statistics wherever a sum
+  * crosses an exchange, single fixed-shape double expressions (mirrored
+  * operation-for-operation in the oracle) only at final scoring, and
+  * `round(...)` only at output.
+  */
+object StatisticsQueries {
+
+  /** Portable Bloom-filter membership audit — the compact-filter
+    * semi-join reduction pattern (the manual twin of Spark's runtime
+    * bloom pruning, `ScaleSpec`'s conf-gated cousin) made first-class:
+    * build a FIXED-SIZE filter (2^16 bits = 1024 longs) over the
+    * distinct part keys appearing on high-quantity lineitems, probe
+    * every part key, and classify each probe tp/fp/tn against ground
+    * truth. `fn` is impossible by construction — if one ever appeared
+    * the class column would carry 'fn' and the hash gate itself would
+    * fail, so the no-false-negative Bloom invariant is oracle-gated.
+    *
+    * Scale shape: the filter is CONSTANT-SIZE regardless of corpus
+    * (≤ 1024 rows cross the build exchange — the q87/q107 sketch
+    * contract); the probe side joins against the broadcast filter
+    * map-side, and ground truth is one semi-join-shaped key lookup.
+    * At 100 TB this is exactly how a scan-side prune list ships.
+    *
+    * Determinism: one `mix64` per key (replayed by the oracle in
+    * HUGEINT mod-2^64 arithmetic, the q103 idiom), three 16-bit slices
+    * as double-hashing positions, masks built with the same shift in
+    * both engines (DuckDB converts the unsigned 2^63 bit back to the
+    * signed BIGINT domain), `bit_or` aggregation in both.
+    */
+  val q136BloomFilter = QueryDef(
+    "q136_bloom_filter",
+    "portable bloom filter: constant-size build + broadcast probe, tp/fp/tn audit, no-false-negative hash-gated",
+    """WITH bk AS (SELECT DISTINCT l_partkey AS k FROM lineitem WHERE l_quantity >= 48),
+      |pk AS (SELECT p_partkey AS k FROM part),
+      |z0 AS (SELECT k, CAST(k + 40503 AS HUGEINT) AS z FROM pk),
+      |m1 AS (SELECT k, (xor(z, z >> 30) * 2685821657736338717) % 18446744073709551616 AS z FROM z0),
+      |m2 AS (SELECT k, (xor(z, z >> 27) * 1181783497276652981) % 18446744073709551616 AS z FROM m1),
+      |hz AS (SELECT k, xor(z, z >> 31) AS z FROM m2),
+      |pos AS (SELECT k, CAST((z >> (16 * i)) % 65536 AS BIGINT) AS p
+      |        FROM hz CROSS JOIN (VALUES (0), (1), (2)) s(i)),
+      |cells AS (SELECT k, p // 64 AS w,
+      |  CASE WHEN (CAST(1 AS HUGEINT) << (p % 64)) % 18446744073709551616 >= 9223372036854775808
+      |       THEN CAST((CAST(1 AS HUGEINT) << (p % 64)) % 18446744073709551616
+      |                 - 18446744073709551616 AS BIGINT)
+      |       ELSE CAST((CAST(1 AS HUGEINT) << (p % 64)) % 18446744073709551616 AS BIGINT)
+      |  END AS mask
+      |  FROM pos),
+      |bloom AS (SELECT w, bit_or(mask) AS word
+      |          FROM cells JOIN bk USING (k) GROUP BY w),
+      |probe AS (SELECT c.k,
+      |            CAST(count(*) FILTER (WHERE b.word IS NULL
+      |                   OR (b.word & c.mask) <> c.mask) AS BIGINT) AS misses
+      |          FROM cells c LEFT JOIN bloom b ON b.w = c.w GROUP BY c.k),
+      |o AS (SELECT p.k AS p_partkey, (p.misses = 0) AS predicted,
+      |             (bk.k IS NOT NULL) AS actual
+      |      FROM probe p LEFT JOIN bk ON bk.k = p.k)
+      |SELECT p_partkey, predicted, actual,
+      |  CASE WHEN actual AND predicted THEN 'tp'
+      |       WHEN predicted THEN 'fp'
+      |       WHEN actual THEN 'fn' ELSE 'tn' END AS cls
+      |FROM o ORDER BY p_partkey""".stripMargin) { (s, d) =>
+    graft.plans.GraftFunctions.register(s)
+    val bk = Tables.lineitem(s, d).filter(col("l_quantity") >= 48)
+      .select(col("l_partkey").as("k")).distinct()
+    val pk = Tables.part(s, d).select(col("p_partkey").as("k"))
+    // build keys are a subset of probe keys (l_partkey → p_partkey FK),
+    // so ONE hash pass over the probe side serves both
+    val hz = pk.select(col("k"),
+      graft.plans.GraftFunctions.mix64(col("k") + lit(40503L)).as("h"))
+    val cells = hz
+      .select(col("k"), explode(array((0 to 2).map(i =>
+        shiftrightunsigned(col("h"), 16 * i).bitwiseAND(lit(65535L))): _*)).as("p"))
+      .select(col("k"), expr("p div 64").as("w"),
+        expr("shiftleft(cast(1 as bigint), cast(p % 64 as int))").as("mask"))
+    val bloom = cells.join(bk, "k")
+      .groupBy(col("w")).agg(expr("bit_or(mask)").as("word"))
+    val probe = cells.join(broadcast(bloom), Seq("w"), "left")
+      .groupBy(col("k"))
+      .agg(sum(when(col("word").isNull ||
+        col("word").bitwiseAND(col("mask")) =!= col("mask"), 1L)
+        .otherwise(0L)).as("misses"))
+    probe
+      .join(bk.select(col("k"), lit(true).as("in_bk")), Seq("k"), "left")
+      .select(col("k").as("p_partkey"),
+        (col("misses") === 0L).as("predicted"),
+        coalesce(col("in_bk"), lit(false)).as("actual"))
+      .withColumn("cls",
+        when(col("actual") && col("predicted"), "tp")
+          .when(col("predicted"), "fp")
+          .when(col("actual"), "fn").otherwise("tn"))
+      .orderBy(col("p_partkey"))
+  }
+
+  /** ROC AUC by rank-sum (Mann–Whitney U) — the classifier-quality
+    * metric, computed EXACTLY: rank every event by a total order on
+    * (score, event_id) with [[graft.api.Ranking.withRank]] (range
+    * repartition + metadata offsets — never the single-reducer global
+    * window the textbook SQL uses), then
+    * `U = Σ ranks(positives) − P(P+1)/2` and
+    * `AUC_bp = ⌊10000·U / (P·N)⌋`. All integers, so partition order
+    * never touches the result; the deterministic event_id tiebreak
+    * makes tied scores engine-exact (documented: this is AUC under a
+    * fixed tie resolution, not midrank AUC).
+    */
+  val q137RankSumAuc = QueryDef(
+    "q137_rank_sum_auc",
+    "exact ROC AUC via rank-sum U statistic, scale-safe global ranking, integer basis points",
+    """WITH e AS (SELECT event_id, event_type = 'purchase' AS pos,
+      |                  CAST(round(value * 100) AS BIGINT) AS y FROM events),
+      |r AS (SELECT pos, CAST(row_number() OVER (ORDER BY y, event_id) AS BIGINT) AS rn FROM e),
+      |a AS (SELECT CAST(sum(CASE WHEN pos THEN rn ELSE 0 END) AS BIGINT) AS rank_sum,
+      |             CAST(sum(CASE WHEN pos THEN 1 ELSE 0 END) AS BIGINT) AS p_cnt,
+      |             CAST(sum(CASE WHEN NOT pos THEN 1 ELSE 0 END) AS BIGINT) AS n_cnt
+      |      FROM r)
+      |SELECT p_cnt, n_cnt,
+      |  rank_sum - (p_cnt * (p_cnt + 1)) // 2 AS u_stat,
+      |  (10000 * (rank_sum - (p_cnt * (p_cnt + 1)) // 2)) // (p_cnt * n_cnt) AS auc_bp
+      |FROM a""".stripMargin) { (s, d) =>
+    val e = Tables.events(s, d).select(col("event_id"),
+      (col("event_type") === "purchase").as("pos"),
+      expr("cast(round(value * 100) as bigint)").as("y"))
+    val ranked = graft.api.Ranking.withRank(e, Nil,
+      Seq(col("y"), col("event_id")))
+    ranked.agg(
+      sum(when(col("pos"), col("rn")).otherwise(0L)).as("rank_sum"),
+      sum(when(col("pos"), 1L).otherwise(0L)).as("p_cnt"),
+      sum(when(!col("pos"), 1L).otherwise(0L)).as("n_cnt"))
+      .select(col("p_cnt"), col("n_cnt"),
+        expr("rank_sum - (p_cnt * (p_cnt + 1)) div 2").as("u_stat"),
+        expr("(10000 * (rank_sum - (p_cnt * (p_cnt + 1)) div 2)) div (p_cnt * n_cnt)")
+          .as("auc_bp"))
+  }
+
+  /** Two-sample Kolmogorov–Smirnov drift statistic, BINNED — the
+    * distribution-drift monitor between the 'view' and 'click' value
+    * populations. The exact KS needs a global sort of both samples;
+    * the production form bins both sides onto one fixed 256-bucket
+    * spine (integer-cents equi-width over the pooled min/max, the q104
+    * data-driven-bounds idiom but in EXACT INTEGER arithmetic) and
+    * takes D over bin boundaries — a lower bound on exact D that
+    * converges as bins grow, and the standard monitoring tradeoff.
+    *
+    * Scale shape: one partial-aggregable (bin, side) count shuffle;
+    * the CDF window runs on the 256-row METADATA spine (q117's
+    * bucket-spine precedent), never on the corpus. All statistics are
+    * exact integers: D is maximized over |ca_cum·n_b − cb_cum·n_a|
+    * cross-products, divided into basis points only at output.
+    */
+  val q138KsDrift = QueryDef(
+    "q138_ks_drift",
+    "binned two-sample KS drift statistic: integer CDF cross-products over a 256-bucket spine",
+    """WITH src AS (SELECT event_type AS t, CAST(round(value * 100) AS BIGINT) AS y
+      |             FROM events WHERE event_type IN ('view', 'click')),
+      |b AS (SELECT min(y) AS lo, max(y) AS hi FROM src),
+      |bu AS (SELECT t, CASE WHEN hi = lo THEN 0
+      |                      ELSE least(255, ((y - lo) * 256) // (hi - lo)) END AS bin
+      |       FROM src, b),
+      |c AS (SELECT bin, CAST(sum(CASE WHEN t = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS ca,
+      |             CAST(sum(CASE WHEN t = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS cb
+      |      FROM bu GROUP BY bin),
+      |spine AS (SELECT unnest(generate_series(0, 255)) AS bin),
+      |g AS (SELECT CAST(s.bin AS BIGINT) AS bin, coalesce(c.ca, 0) AS ca,
+      |             coalesce(c.cb, 0) AS cb
+      |      FROM spine s LEFT JOIN c ON c.bin = s.bin),
+      |cum AS (SELECT bin, CAST(sum(ca) OVER (ORDER BY bin) AS BIGINT) AS cca,
+      |               CAST(sum(cb) OVER (ORDER BY bin) AS BIGINT) AS ccb
+      |        FROM g),
+      |n AS (SELECT CAST(sum(ca) AS BIGINT) AS n_a, CAST(sum(cb) AS BIGINT) AS n_b FROM g),
+      |dd AS (SELECT bin, abs(cca * n_b - ccb * n_a) AS dn, n_a, n_b FROM cum, n),
+      |mx AS (SELECT max(dn) AS dmax FROM dd)
+      |SELECT n_a, n_b,
+      |  CAST((10000 * dmax) // (n_a * n_b) AS BIGINT) AS d_bp,
+      |  CAST(min(bin) AS BIGINT) AS at_bucket
+      |FROM dd, mx WHERE dn = dmax
+      |GROUP BY n_a, n_b, dmax""".stripMargin) { (s, d) =>
+    val src = Tables.events(s, d)
+      .filter(col("event_type").isin("view", "click"))
+      .select(col("event_type").as("t"),
+        expr("cast(round(value * 100) as bigint)").as("y"))
+    val bounds = src.agg(min(col("y")).as("lo"), max(col("y")).as("hi"))
+    val bu = src.crossJoin(broadcast(bounds))
+      .select(col("t"),
+        when(col("hi") === col("lo"), lit(0L))
+          .otherwise(least(lit(255L), expr("((y - lo) * 256) div (hi - lo)")))
+          .as("bin"))
+    val c = bu.groupBy(col("bin")).agg(
+      sum(when(col("t") === "view", 1L).otherwise(0L)).as("ca"),
+      sum(when(col("t") === "click", 1L).otherwise(0L)).as("cb"))
+    val spine = s.range(0, 256).select(col("id").as("bin"))
+    val g = spine.join(c, Seq("bin"), "left")
+      .select(col("bin"), coalesce(col("ca"), lit(0L)).as("ca"),
+        coalesce(col("cb"), lit(0L)).as("cb"))
+    // CDF window over the 256-row metadata spine, never the corpus
+    val w = Window.partitionBy().orderBy(col("bin"))
+    val cum = g.select(col("bin"),
+      sum(col("ca")).over(w).as("cca"), sum(col("cb")).over(w).as("ccb"))
+    val n = g.agg(sum(col("ca")).as("n_a"), sum(col("cb")).as("n_b"))
+    val dd = cum.crossJoin(broadcast(n))
+      .select(col("bin"),
+        abs(col("cca") * col("n_b") - col("ccb") * col("n_a")).as("dn"),
+        col("n_a"), col("n_b"))
+    val mx = dd.agg(max(col("dn")).as("dmax"))
+    dd.crossJoin(broadcast(mx)).filter(col("dn") === col("dmax"))
+      .groupBy(col("n_a"), col("n_b"), col("dmax"))
+      .agg(min(col("bin")).as("at_bucket"))
+      .select(col("n_a"), col("n_b"),
+        expr("(10000 * dmax) div (n_a * n_b)").as("d_bp"), col("at_bucket"))
+  }
+
+  /** Per-source language-mix Gini impurity — the corpus-composition
+    * audit ("how monolingual is each source?"), in EXACT INTEGERS:
+    * `gini_bp = ⌊10000·(n² − Σc²) / n²⌋` from per-(source, lang)
+    * counts. Two partial-aggregable shuffles total ((source, lang)
+    * then source); at this corpus n² ≤ ~1e10 so the ×10000 product
+    * stays far inside BIGINT (the 100 TB form runs the same shape in
+    * DECIMAL(38,0), the q78 convention).
+    */
+  val q139SourceImpurity = QueryDef(
+    "q139_source_impurity",
+    "per-source language-mix Gini impurity in exact-integer basis points, two aggregate passes",
+    """WITH c AS (SELECT source, lang, CAST(count(*) AS BIGINT) AS c
+      |           FROM documents GROUP BY source, lang),
+      |g AS (SELECT source, CAST(sum(c) AS BIGINT) AS n,
+      |             CAST(sum(c * c) AS BIGINT) AS ss,
+      |             CAST(count(*) AS BIGINT) AS n_langs
+      |      FROM c GROUP BY source)
+      |SELECT source, n, n_langs,
+      |  (10000 * (n * n - ss)) // (n * n) AS gini_bp
+      |FROM g ORDER BY source""".stripMargin) { (s, d) =>
+    val c = Tables.documents(s, d)
+      .groupBy(col("source"), col("lang")).agg(count(lit(1)).as("c"))
+    c.groupBy(col("source"))
+      .agg(sum(col("c")).as("n"), sum(col("c") * col("c")).as("ss"),
+        count(lit(1)).as("n_langs"))
+      .select(col("source"), col("n"), col("n_langs"),
+        expr("(10000 * (n * n - ss)) div (n * n)").as("gini_bp"))
+      .orderBy(col("source"))
+  }
+
+  /** Benford first-digit audit of order totals — the fraud/synthetic-
+    * data screen: observed leading-digit frequencies vs the Benford
+    * expectation. The leading digit comes from the DECIMAL STRING of
+    * the exact integer cents (both engines print integers
+    * identically — no float formatting, no log10 edge cases at power-
+    * of-ten boundaries), and the expected distribution is a literal
+    * ⌊log10(1+1/d)·10⁴⌋ lookup so no runtime transcendental crosses
+    * the gate. One partial-aggregable 9-group shuffle.
+    */
+  val q141BenfordAudit = QueryDef(
+    "q141_benford_audit",
+    "Benford leading-digit audit: exact string-derived digits vs literal expected basis points",
+    """WITH c AS (SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS cents FROM orders),
+      |dg AS (SELECT CAST(substr(CAST(cents AS VARCHAR), 1, 1) AS BIGINT) AS digit FROM c),
+      |n AS (SELECT CAST(count(*) AS BIGINT) AS total FROM dg),
+      |o AS (SELECT digit, CAST(count(*) AS BIGINT) AS n_obs FROM dg GROUP BY digit)
+      |SELECT digit, n_obs, (10000 * n_obs) // total AS obs_bp,
+      |  CASE digit WHEN 1 THEN 3010 WHEN 2 THEN 1760 WHEN 3 THEN 1249
+      |       WHEN 4 THEN 969 WHEN 5 THEN 791 WHEN 6 THEN 669
+      |       WHEN 7 THEN 579 WHEN 8 THEN 511 ELSE 457 END AS exp_bp
+      |FROM o, n ORDER BY digit""".stripMargin) { (s, d) =>
+    val dg = Tables.orders(s, d)
+      .select(expr("cast(round(o_totalprice * 100) as bigint)").as("cents"))
+      .select(substring(col("cents").cast("string"), 1, 1).cast("long").as("digit"))
+    val n = dg.agg(count(lit(1)).as("total"))
+    dg.groupBy(col("digit")).agg(count(lit(1)).as("n_obs"))
+      .crossJoin(broadcast(n))
+      .select(col("digit"), col("n_obs"),
+        expr("(10000 * n_obs) div total").as("obs_bp"),
+        when(col("digit") === 1, 3010L).when(col("digit") === 2, 1760L)
+          .when(col("digit") === 3, 1249L).when(col("digit") === 4, 969L)
+          .when(col("digit") === 5, 791L).when(col("digit") === 6, 669L)
+          .when(col("digit") === 7, 579L).when(col("digit") === 8, 511L)
+          .otherwise(457L).as("exp_bp"))
+      .orderBy(col("digit"))
+  }
+
+  /** A/B experiment readout — Welch's z between the purchase-value
+    * means of two deterministic user cohorts (`user_id % 2`; a real
+    * experiment ships the assignment column, the statistics are
+    * identical). The five sufficient statistics per arm (n, Σy, Σy²
+    * in integer cents) are EXACT partial-aggregable sums — one
+    * shuffle, q135's moment-sum shape — and the mean difference and
+    * z-score are each ONE fixed-shape double expression of those
+    * integers, mirrored operation-for-operation in the oracle and
+    * rounded at 4dp only at output.
+    */
+  val q143AbTest = QueryDef(
+    "q143_ab_test",
+    "A/B Welch z-test from exact integer moment sums, one aggregate pass",
+    """WITH p AS (SELECT CAST(user_id % 2 AS BIGINT) AS arm,
+      |                  CAST(round(value * 100) AS BIGINT) AS y
+      |           FROM events WHERE event_type = 'purchase'),
+      |m AS (SELECT arm, CAST(count(*) AS BIGINT) AS n, CAST(sum(y) AS BIGINT) AS s,
+      |             CAST(sum(y * y) AS BIGINT) AS ss
+      |      FROM p GROUP BY arm),
+      |w AS (SELECT
+      |  max(CASE WHEN arm = 0 THEN n END) AS n0, max(CASE WHEN arm = 0 THEN s END) AS s0,
+      |  max(CASE WHEN arm = 0 THEN ss END) AS ss0,
+      |  max(CASE WHEN arm = 1 THEN n END) AS n1, max(CASE WHEN arm = 1 THEN s END) AS s1,
+      |  max(CASE WHEN arm = 1 THEN ss END) AS ss1
+      |  FROM m)
+      |SELECT n0, n1,
+      |  round(CAST(s0 AS DOUBLE) / n0 - CAST(s1 AS DOUBLE) / n1, 4) AS mean_diff_cents,
+      |  round((CAST(s0 AS DOUBLE) / n0 - CAST(s1 AS DOUBLE) / n1)
+      |    / sqrt((CAST(ss0 AS DOUBLE) - CAST(s0 AS DOUBLE) * s0 / n0) / (n0 - 1) / n0
+      |         + (CAST(ss1 AS DOUBLE) - CAST(s1 AS DOUBLE) * s1 / n1) / (n1 - 1) / n1), 4) AS z_welch
+      |FROM w""".stripMargin) { (s, d) =>
+    val p = Tables.events(s, d).filter(col("event_type") === "purchase")
+      .select((col("user_id") % 2).cast("long").as("arm"),
+        expr("cast(round(value * 100) as bigint)").as("y"))
+    val m = p.groupBy(col("arm")).agg(count(lit(1)).as("n"),
+      sum(col("y")).as("s"), sum(col("y") * col("y")).as("ss"))
+    val w = m.agg(
+      max(when(col("arm") === 0, col("n"))).as("n0"),
+      max(when(col("arm") === 0, col("s"))).as("s0"),
+      max(when(col("arm") === 0, col("ss"))).as("ss0"),
+      max(when(col("arm") === 1, col("n"))).as("n1"),
+      max(when(col("arm") === 1, col("s"))).as("s1"),
+      max(when(col("arm") === 1, col("ss"))).as("ss1"))
+    val mean0 = col("s0").cast("double") / col("n0")
+    val mean1 = col("s1").cast("double") / col("n1")
+    val var0 = (col("ss0").cast("double") - col("s0").cast("double") * col("s0") / col("n0")) /
+      (col("n0") - 1) / col("n0")
+    val var1 = (col("ss1").cast("double") - col("s1").cast("double") * col("s1") / col("n1")) /
+      (col("n1") - 1) / col("n1")
+    w.select(col("n0"), col("n1"),
+      round(mean0 - mean1, 4).as("mean_diff_cents"),
+      round((mean0 - mean1) / sqrt(var0 + var1), 4).as("z_welch"))
+  }
+
+  val all: Seq[QueryDef] =
+    Seq(q136BloomFilter, q137RankSumAuc, q138KsDrift, q139SourceImpurity,
+      q141BenfordAudit, q143AbTest)
+}

@@ -1,0 +1,163 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Invariant + plan-shape gates for the statistics/evaluation family
+  * (q136–q143) beyond the driver's oracle hash: Bloom soundness, exact
+  * brute-force parity for the U/KS/z statistics, and the physical
+  * shapes (broadcast probe, no cartesian) the DuckDB twin can't see.
+  */
+class StatisticsSpec extends SparkSpec {
+
+  private def run(name: String) = Registry.byName(name).fn(spark, sfDir)
+
+  test("q136 bloom filter: no false negatives, broadcast probe, bounded filter") {
+    val rows = run("q136_bloom_filter").collect()
+    assert(rows.nonEmpty)
+    val classes = rows.map(_.getString(3)).toSet
+    assert(!classes.contains("fn"),
+      "bloom filter produced a false negative — membership must be sound")
+    assert(classes.subsetOf(Set("tp", "fp", "tn")), s"unexpected class: $classes")
+    // predicted/actual columns agree with the class label
+    rows.foreach { r =>
+      val (pred, act, cls) = (r.getBoolean(1), r.getBoolean(2), r.getString(3))
+      val expect = if (act && pred) "tp" else if (pred) "fp"
+        else if (act) "fn" else "tn"
+      assert(cls == expect, s"class/flag mismatch: $r")
+    }
+    // the probe side joins the constant-size filter by broadcast
+    val plan = run("q136_bloom_filter")
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"),
+      "probe should join the <=1024-row filter via broadcast")
+  }
+
+  test("q136 bloom filter words stay within the fixed 1024-word layout") {
+    // rebuild the filter relation exactly as the query does and check
+    // the constant-size contract that makes the sketch shippable
+    graft.plans.GraftFunctions.register(spark)
+    val bk = Tables.lineitem(spark, sfDir)
+      .filter(col("l_quantity") >= 48).select(col("l_partkey").as("k")).distinct()
+    val words = bk
+      .select(col("k"),
+        graft.plans.GraftFunctions.mix64(col("k") + lit(40503L)).as("h"))
+      .select(explode(array((0 to 2).map(i =>
+        shiftrightunsigned(col("h"), 16 * i).bitwiseAND(lit(65535L))): _*)).as("p"))
+      .select(expr("p div 64").as("w")).distinct().collect().map(_.getLong(0))
+    assert(words.length <= 1024, s"filter overflows its layout: ${words.length}")
+    assert(words.forall(w => w >= 0 && w < 1024), "word index out of range")
+  }
+
+  test("q137 AUC matches the brute-force pairwise count") {
+    val out = run("q137_rank_sum_auc").collect()(0)
+    val (p, n, u, aucBp) =
+      (out.getLong(0), out.getLong(1), out.getLong(2), out.getLong(3))
+    // brute force under the same (y, event_id) tie resolution: a
+    // positive "beats" a negative iff (y, id) orders above it
+    val ev = Tables.events(spark, sfDir)
+      .select(expr("cast(round(value * 100) as bigint)").as("y"),
+        col("event_id"), (col("event_type") === "purchase").as("pos"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2)))
+    val pos = ev.filter(_._3).map(t => (t._1, t._2))
+    val neg = ev.filterNot(_._3).map(t => (t._1, t._2))
+    assert(p == pos.length && n == neg.length)
+    val wins = pos.map(pp =>
+      neg.count(nn => nn._1 < pp._1 || (nn._1 == pp._1 && nn._2 < pp._2)).toLong).sum
+    assert(u == wins, s"U statistic mismatch: $u vs $wins")
+    assert(aucBp == 10000L * wins / (p * n), "auc_bp inconsistent with U")
+    assert(aucBp >= 0L && aucBp <= 10000L)
+  }
+
+  test("q138 KS statistic matches a driver-side recompute on the same bins") {
+    val out = run("q138_ks_drift").collect()(0)
+    val (na, nb, dBp) = (out.getLong(0), out.getLong(1), out.getLong(2))
+    val src = Tables.events(spark, sfDir)
+      .filter(col("event_type").isin("view", "click"))
+      .select(col("event_type"), expr("cast(round(value * 100) as bigint)").as("y"))
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    val (lo, hi) = (src.map(_._2).min, src.map(_._2).max)
+    def bin(y: Long): Long =
+      if (hi == lo) 0L else math.min(255L, (y - lo) * 256 / (hi - lo))
+    val ca = new Array[Long](256); val cb = new Array[Long](256)
+    src.foreach { case (t, y) =>
+      if (t == "view") ca(bin(y).toInt) += 1 else cb(bin(y).toInt) += 1 }
+    assert(na == ca.sum && nb == cb.sum)
+    var (cca, ccb, dmax) = (0L, 0L, 0L)
+    (0 until 256).foreach { i =>
+      cca += ca(i); ccb += cb(i)
+      dmax = math.max(dmax, math.abs(cca * nb - ccb * na))
+    }
+    assert(dBp == 10000L * dmax / (na * nb),
+      s"KS mismatch: $dBp vs ${10000L * dmax / (na * nb)}")
+  }
+
+  test("q139 Gini impurity bounded by the k-class maximum") {
+    val rows = run("q139_source_impurity").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (n, k, gini) = (r.getLong(1), r.getLong(2), r.getLong(3))
+      assert(n > 0 && k > 0)
+      assert(gini >= 0L && gini <= 10000L * (k - 1) / k,
+        s"gini above the (k-1)/k ceiling: $r")
+    }
+  }
+
+  test("q141 Benford audit covers every order exactly once") {
+    val rows = run("q141_benford_audit").collect()
+    val total = Tables.orders(spark, sfDir).count()
+    assert(rows.map(_.getLong(1)).sum == total, "digit counts must partition orders")
+    rows.foreach { r =>
+      assert(r.getLong(0) >= 1 && r.getLong(0) <= 9, s"bad leading digit: $r") }
+    val bpSum = rows.map(_.getLong(2)).sum
+    assert(bpSum >= 10000L - rows.length && bpSum <= 10000L,
+      s"floored bp shares should sum to just under 10000: $bpSum")
+  }
+
+  test("q142 precedence pairs: no self pairs, support bounded by users") {
+    val rows = run("q142_seq_patterns").collect()
+    assert(rows.nonEmpty)
+    val nUsers = Tables.events(spark, sfDir)
+      .select(col("user_id")).distinct().count()
+    rows.foreach { r =>
+      assert(r.getString(0) != r.getString(1), s"self pair: $r")
+      assert(r.getLong(2) >= 1 && r.getLong(2) <= nUsers,
+        s"support outside [1, n_users]: $r")
+    }
+  }
+
+  test("q143 Welch z matches a driver-side recompute at output precision") {
+    val out = run("q143_ab_test").collect()(0)
+    val ys = Tables.events(spark, sfDir)
+      .filter(col("event_type") === "purchase")
+      .select((col("user_id") % 2).as("arm"),
+        expr("cast(round(value * 100) as bigint)").as("y"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    def arm(a: Long) = ys.filter(_._1 == a).map(_._2.toDouble)
+    val (a0, a1) = (arm(0), arm(1))
+    def stats(v: Array[Double]) = {
+      val n = v.length.toDouble; val m = v.sum / n
+      val s2 = v.map(x => (x - m) * (x - m)).sum / (n - 1)
+      (n, m, s2)
+    }
+    val (n0, m0, v0) = stats(a0); val (n1, m1, v1) = stats(a1)
+    val z = (m0 - m1) / math.sqrt(v0 / n0 + v1 / n1)
+    assert(out.getLong(0) == n0.toLong && out.getLong(1) == n1.toLong)
+    assert(math.abs(out.getDouble(3) - z) < 1e-3,
+      s"z mismatch: ${out.getDouble(3)} vs $z")
+  }
+
+  test("q140 item similarity: cosine bounded, support consistent, no cartesian") {
+    val rows = run("q140_item_similarity").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (c, nu, nv, cos) =
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getDouble(5))
+      assert(c >= 2 && c <= math.min(nu, nv), s"support inconsistent: $r")
+      assert(cos > 0.0 && cos <= 1.0, s"cosine out of range: $r")
+    }
+    val plan = run("q140_item_similarity")
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"),
+      "item similarity must not plan a cartesian join")
+  }
+}
