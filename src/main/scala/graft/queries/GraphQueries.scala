@@ -127,5 +127,59 @@ object GraphQueries {
       .orderBy(col("p_partkey"))
   }
 
-  val all: Seq[QueryDef] = Seq(q100Triangles, q131HierarchyFlatten)
+  /** Multi-source k-hop reachability (bounded BFS) — exact shortest
+    * hop distance (≤ 3) from a deterministic seed set over the
+    * co-purchase graph: the "related products within N hops"
+    * recommender expansion, and the FOURTH consumer of the memoized
+    * [[MiningQueries.pairSupport]] edge list (after q100, q116,
+    * q140) — the materialize-the-edges-once production shape.
+    *
+    * Scale shape: classic frontier expansion — each of the 3 rounds
+    * is ONE keyed equi join (distance relation ⋈ edges) followed by a
+    * partial-aggregable min-distance reduce, so a round's cost is
+    * bounded by |frontier|·avg-degree, never |V|²; the support ≥ 2
+    * threshold keeps average degree bounded as the corpus grows (the
+    * q100 argument). Unlike q131's pointer doubling (which needs the
+    * jump table of a FUNCTIONAL graph — each node one parent), BFS on
+    * a general graph must expand frontiers; the hop cap makes the
+    * round count fixed and the lazy 3-round plan shallow.
+    *
+    * Determinism: distances are exact integer minima; the seed rule
+    * (part key ≡ 0 mod 500, present in the graph) is replayed
+    * verbatim by the oracle's bounded WITH RECURSIVE walk.
+    */
+  val q144KhopReachability = QueryDef(
+    "q144_khop_reachability",
+    "multi-source 3-hop BFS over co-purchase edges: per-round join + min-distance reduce, exact hop distances",
+    """WITH RECURSIVE li AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+      |pr AS (SELECT a.p AS u, b.p AS v, CAST(count(*) AS BIGINT) AS c
+      |       FROM li a JOIN li b ON a.o = b.o AND a.p < b.p
+      |       GROUP BY a.p, b.p),
+      |e AS (SELECT u, v FROM pr WHERE c >= 2
+      |      UNION ALL SELECT v, u FROM pr WHERE c >= 2),
+      |seeds AS (SELECT DISTINCT u AS p FROM e WHERE u % 500 = 0),
+      |walk AS (
+      |  SELECT p, 0 AS d FROM seeds
+      |  UNION
+      |  SELECT e.v, w.d + 1 FROM walk w JOIN e ON e.u = w.p WHERE w.d < 3)
+      |SELECT p AS part_id, CAST(min(d) AS BIGINT) AS dist
+      |FROM walk GROUP BY p
+      |ORDER BY part_id""".stripMargin) { (s, d) =>
+    val pr = MiningQueries.pairSupport(s, d)
+    val edges = pr.select(col("u").as("src"), col("v").as("dst"))
+      .unionAll(pr.select(col("v").as("src"), col("u").as("dst")))
+    val seeds = edges.select(col("src").as("p"))
+      .filter(col("p") % 500 === 0).distinct()
+    var dist = seeds.select(col("p"), lit(0L).as("dist"))
+    for (_ <- 1 to 3) {
+      val nxt = dist.join(edges, col("p") === col("src"))
+        .select(col("dst").as("p"), (col("dist") + 1L).as("dist"))
+      dist = dist.unionAll(nxt)
+        .groupBy(col("p")).agg(min(col("dist")).as("dist"))
+    }
+    dist.select(col("p").as("part_id"), col("dist")).orderBy(col("part_id"))
+  }
+
+  val all: Seq[QueryDef] =
+    Seq(q100Triangles, q131HierarchyFlatten, q144KhopReachability)
 }

@@ -337,7 +337,82 @@ object StatisticsQueries {
       round((mean0 - mean1) / sqrt(var0 + var1), 4).as("z_welch"))
   }
 
+  /** Robust outlier detection via MAD (median absolute deviation) —
+    * q113's 3-sigma sweep breaks when the contamination itself skews
+    * μ/σ; the robust form flags `|y − median| > 3·1.4826·MAD`. Both
+    * medians come from q109's compressed-relation construction (one
+    * (key, value) count shuffle each — never a per-group value
+    * buffer), and everything stays EXACT INTEGER by doubling: with
+    * `med2 = m1 + m2` (twice the interpolated median) the deviation
+    * `dev = |2y − med2|` is an integer, `mad2 = twice the interpolated
+    * median of dev` is an integer (4× the real MAD), and the flag
+    * test `|y−med| > 3·1.4826·MAD` becomes `10000·dev > 22239·mad2`
+    * — only integer products cross the gate. The reported median/MAD
+    * are `med2/2.0` and `mad2/4.0`: exact dyadic rationals, so the
+    * doubles are bit-identical in both engines with no rounding.
+    */
+  val q145MadOutliers = QueryDef(
+    "q145_mad_outliers",
+    "robust MAD outlier counts per event type: two compressed-relation exact medians, integer flag test",
+    """WITH y AS (SELECT event_type, CAST(round(value * 100) AS BIGINT) AS y FROM events),
+      |med AS (SELECT event_type,
+      |          CAST(2 * quantile_cont(y, 0.5) AS BIGINT) AS med2,
+      |          CAST(count(*) AS BIGINT) AS n
+      |        FROM y GROUP BY event_type),
+      |dev AS (SELECT y.event_type, abs(2 * y.y - m.med2) AS dev, m.med2, m.n
+      |        FROM y JOIN med m ON y.event_type = m.event_type),
+      |mad AS (SELECT event_type, CAST(2 * quantile_cont(dev, 0.5) AS BIGINT) AS mad2,
+      |               min(med2) AS med2, min(n) AS n
+      |        FROM dev GROUP BY event_type),
+      |fl AS (SELECT d.event_type,
+      |         CAST(sum(CASE WHEN 10000 * d.dev > 22239 * m.mad2 THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+      |       FROM dev d JOIN mad m ON d.event_type = m.event_type
+      |       GROUP BY d.event_type)
+      |SELECT m.event_type, m.n, m.med2 / 2.0 AS median_cents,
+      |  m.mad2 / 4.0 AS mad_cents, f.n_outliers
+      |FROM mad m JOIN fl f ON f.event_type = m.event_type
+      |ORDER BY m.event_type""".stripMargin) { (s, d) =>
+    val y = Tables.events(s, d).select(col("event_type"),
+      expr("cast(round(value * 100) as bigint)").as("y"))
+    // q109's compressed-relation exact interpolated median, returning
+    // the SUM of the two central values (2× the median) so everything
+    // downstream stays integer
+    def med2Of(df: org.apache.spark.sql.DataFrame, valueCol: String) = {
+      val comp = df.groupBy(col("event_type"), col(valueCol))
+        .agg(count(lit(1)).as("c"))
+      val w = Window.partitionBy(col("event_type")).orderBy(col(valueCol))
+      val cum = comp.withColumn("hi", sum(col("c")).over(w))
+        .withColumn("lo", col("hi") - col("c"))
+      val pos = comp.groupBy(col("event_type")).agg(sum(col("c")).as("n"))
+        .select(col("event_type"), col("n"),
+          floor((col("n") - 1) / 2).as("p1"),
+          ((col("n") - 1) - floor((col("n") - 1) / 2)).as("p2"))
+      val v1 = cum.join(pos, "event_type")
+        .filter(col("p1") >= col("lo") && col("p1") < col("hi"))
+        .select(col("event_type"), col("n"), col(valueCol).as("m1"))
+      val v2 = cum.join(pos, "event_type")
+        .filter(col("p2") >= col("lo") && col("p2") < col("hi"))
+        .select(col("event_type"), col(valueCol).as("m2"))
+      v1.join(v2, "event_type")
+        .select(col("event_type"), col("n"), (col("m1") + col("m2")).as("med2"))
+    }
+    val med = med2Of(y, "y")
+    val dev = y.join(broadcast(med), "event_type")
+      .select(col("event_type"), abs(lit(2) * col("y") - col("med2")).as("dev"))
+    val mad = med2Of(dev, "dev")
+      .select(col("event_type"), col("med2").as("mad2"))
+    val flagged = dev.join(broadcast(mad), "event_type")
+      .groupBy(col("event_type"))
+      .agg(sum(when(lit(10000L) * col("dev") > lit(22239L) * col("mad2"), 1L)
+        .otherwise(0L)).as("n_outliers"))
+    med.join(mad, "event_type").join(flagged, "event_type")
+      .select(col("event_type"), col("n"),
+        (col("med2") / 2.0).as("median_cents"),
+        (col("mad2") / 4.0).as("mad_cents"), col("n_outliers"))
+      .orderBy(col("event_type"))
+  }
+
   val all: Seq[QueryDef] =
     Seq(q136BloomFilter, q137RankSumAuc, q138KsDrift, q139SourceImpurity,
-      q141BenfordAudit, q143AbTest)
+      q141BenfordAudit, q143AbTest, q145MadOutliers)
 }

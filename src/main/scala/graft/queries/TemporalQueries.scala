@@ -616,9 +616,131 @@ object TemporalQueries {
       .orderBy(col("user_id"), col("span_start"))
   }
 
+  /** Linear-interpolation resampling — q123's LOCF carries the last
+    * tick flat; the feature-engineering form interpolates BETWEEN the
+    * surrounding ticks: at each hourly grid point t,
+    * `y = y0 + (y1−y0)·(t−t0)/(t1−t0)` from the last tick at t0 < t
+    * (strictly earlier hours) and the first tick at t1 ≥ t. Grid
+    * points before the first tick fall back to the next tick, after
+    * the last to the previous — no extrapolation.
+    *
+    * Scale shape: per-hour boundary ticks are the q122 integer-
+    * ordered arg-extremes (one partial-aggregable shuffle); the
+    * carry windows partition by SERIES (event_type) over the
+    * metadata-sized grid — four frame variants sharing ONE exchange
+    * (the q115 shared-partitioning shape). The prev/next (us, cents)
+    * column pairs are carried by independent IGNORE-NULLS windows,
+    * consistent because both columns of a cell are null together.
+    *
+    * Determinism: tick times and values are exact integers (µs,
+    * cents); the interpolation is ONE fixed-shape double expression
+    * of four integers, mirrored operation-for-operation and rounded
+    * 4dp at output.
+    */
+  val q146LinearInterp = QueryDef(
+    "q146_linear_interp",
+    "linear-interpolation hourly resample per event_type: integer boundary ticks, one window exchange",
+    """WITH spine AS (
+      |  SELECT unnest(generate_series(TIMESTAMP '2024-01-01 00:00:00',
+      |                                TIMESTAMP '2024-02-02 23:00:00',
+      |                                INTERVAL 1 HOUR)) AS hour_start),
+      |types AS (SELECT DISTINCT event_type FROM events),
+      |grid AS (SELECT event_type, hour_start FROM types, spine),
+      |e AS (SELECT event_type, CAST(round(value * 100) AS BIGINT) AS cents,
+      |        event_id, epoch_us(CAST(ts AS TIMESTAMP)) AS us FROM events),
+      |hourly AS (
+      |  SELECT event_type, us // 3600000000 AS bucket,
+      |    arg_max(us, (us % 3600000000) * 1000000 + event_id) AS last_us,
+      |    arg_max(cents, (us % 3600000000) * 1000000 + event_id) AS last_cents,
+      |    arg_min(us, (us % 3600000000) * 1000000 + event_id) AS first_us,
+      |    arg_min(cents, (us % 3600000000) * 1000000 + event_id) AS first_cents
+      |  FROM e GROUP BY event_type, bucket),
+      |h2 AS (SELECT event_type, make_timestamp(bucket * 3600000000) AS hour_start,
+      |              last_us, last_cents, first_us, first_cents
+      |       FROM hourly),
+      |carried AS (
+      |  SELECT g.event_type, g.hour_start,
+      |    last_value(h.last_us IGNORE NULLS) OVER (
+      |      PARTITION BY g.event_type ORDER BY g.hour_start
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS p_us,
+      |    last_value(h.last_cents IGNORE NULLS) OVER (
+      |      PARTITION BY g.event_type ORDER BY g.hour_start
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS p_cents,
+      |    first_value(h.first_us IGNORE NULLS) OVER (
+      |      PARTITION BY g.event_type ORDER BY g.hour_start
+      |      ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS n_us,
+      |    first_value(h.first_cents IGNORE NULLS) OVER (
+      |      PARTITION BY g.event_type ORDER BY g.hour_start
+      |      ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS n_cents
+      |  FROM grid g LEFT JOIN h2 h USING (event_type, hour_start)),
+      |scored AS (
+      |  SELECT event_type, hour_start,
+      |    CASE
+      |      WHEN p_us IS NOT NULL AND n_us IS NOT NULL AND n_us <> p_us THEN
+      |        round(CAST(p_cents AS DOUBLE)
+      |          + CAST(n_cents - p_cents AS DOUBLE)
+      |            * CAST(epoch_us(hour_start) - p_us AS DOUBLE)
+      |            / CAST(n_us - p_us AS DOUBLE), 4)
+      |      WHEN p_us IS NOT NULL AND n_us IS NOT NULL THEN CAST(p_cents AS DOUBLE)
+      |      WHEN p_us IS NOT NULL THEN CAST(p_cents AS DOUBLE)
+      |      WHEN n_us IS NOT NULL THEN CAST(n_cents AS DOUBLE)
+      |    END AS interp_cents
+      |  FROM carried)
+      |SELECT event_type, hour_start, interp_cents
+      |FROM scored
+      |WHERE hour_start >= TIMESTAMP '2024-01-28 00:00:00'
+      |ORDER BY event_type, hour_start""".stripMargin) { (s, d) =>
+    import org.apache.spark.sql.expressions.Window
+    val hourUs = 3600000000L
+    val spine = s.range(1).select(explode(sequence(
+      lit("2024-01-01 00:00:00").cast("timestamp"),
+      lit("2024-02-02 23:00:00").cast("timestamp"),
+      expr("INTERVAL 1 HOUR"))).as("hour_start"))
+    val types = Tables.events(s, d).select(col("event_type")).distinct()
+    val grid = types.crossJoin(broadcast(spine))
+    val ord = pmod(col("us"), lit(hourUs)) * 1000000L + col("event_id")
+    val hourly = Tables.events(s, d)
+      .select(col("event_type"),
+        expr("cast(round(value * 100) as bigint)").as("cents"),
+        unix_micros(col("ts")).as("us"), col("event_id"))
+      .groupBy(col("event_type"), expr(s"us div $hourUs").as("bucket"))
+      .agg(max_by(col("us"), ord).as("last_us"),
+        max_by(col("cents"), ord).as("last_cents"),
+        min_by(col("us"), ord).as("first_us"),
+        min_by(col("cents"), ord).as("first_cents"))
+      .select(col("event_type"),
+        timestamp_micros(col("bucket") * hourUs).as("hour_start"),
+        col("last_us"), col("last_cents"), col("first_us"), col("first_cents"))
+    val base = Window.partitionBy(col("event_type")).orderBy(col("hour_start"))
+    val wPrev = base.rowsBetween(Window.unboundedPreceding, -1)
+    val wNext = base.rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    val carried = grid.join(hourly, Seq("event_type", "hour_start"), "left")
+      .select(col("event_type"), col("hour_start"),
+        last(col("last_us"), ignoreNulls = true).over(wPrev).as("p_us"),
+        last(col("last_cents"), ignoreNulls = true).over(wPrev).as("p_cents"),
+        first(col("first_us"), ignoreNulls = true).over(wNext).as("n_us"),
+        first(col("first_cents"), ignoreNulls = true).over(wNext).as("n_cents"))
+    val tUs = unix_micros(col("hour_start"))
+    val interp = round(col("p_cents").cast("double")
+      + (col("n_cents") - col("p_cents")).cast("double")
+        * (tUs - col("p_us")).cast("double")
+        / (col("n_us") - col("p_us")).cast("double"), 4)
+    carried
+      .select(col("event_type"), col("hour_start"),
+        when(col("p_us").isNotNull && col("n_us").isNotNull &&
+            col("n_us") =!= col("p_us"), interp)
+          .when(col("p_us").isNotNull && col("n_us").isNotNull,
+            col("p_cents").cast("double"))
+          .when(col("p_us").isNotNull, col("p_cents").cast("double"))
+          .when(col("n_us").isNotNull, col("n_cents").cast("double"))
+          .as("interp_cents"))
+      .filter(col("hour_start") >= lit("2024-01-28 00:00:00").cast("timestamp"))
+      .orderBy(col("event_type"), col("hour_start"))
+  }
+
   val all: Seq[QueryDef] = Seq(
     q40AsofJoin, q42TumblingWindow, q43SlidingWindow, q44SessionWindow,
     q62Attribution, q70TimeSpine, q97Funnel, q98CohortRetention,
     q101SecondarySort, q122OhlcBars, q123ForwardFill, q128YoyGrowth,
-    q129ScdLookup, q132IntervalMerge)
+    q129ScdLookup, q132IntervalMerge, q146LinearInterp)
 }

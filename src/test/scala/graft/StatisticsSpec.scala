@@ -146,6 +146,76 @@ class StatisticsSpec extends SparkSpec {
       s"z mismatch: ${out.getDouble(3)} vs $z")
   }
 
+  test("q144 BFS: seeds at zero, distances within hops and locally consistent") {
+    val rows = run("q144_khop_reachability").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(rows.nonEmpty)
+    assert(rows.values.forall(d => d >= 0 && d <= 3), "distance outside 0..3")
+    // rebuild the edge list and check BFS local consistency: every
+    // node at distance d>0 has a neighbor at d-1, and no edge spans
+    // more than one distance level
+    val pr = queries.MiningQueries.pairSupport(spark, sfDir)
+      .select("u", "v").collect().map(r => (r.getLong(0), r.getLong(1)))
+    val adj = (pr ++ pr.map(_.swap)).groupBy(_._1).map { case (k, vs) =>
+      k -> vs.map(_._2).toSet }
+    val seeds = adj.keySet.filter(_ % 500 == 0)
+    seeds.foreach(p => assert(rows.get(p).contains(0L), s"seed $p not at 0"))
+    rows.foreach { case (p, dd) =>
+      if (dd > 0)
+        assert(adj(p).exists(n => rows.get(n).contains(dd - 1)),
+          s"node $p at $dd has no neighbor at ${dd - 1}")
+    }
+    rows.foreach { case (p, dd) =>
+      adj.getOrElse(p, Set.empty).foreach { n =>
+        rows.get(n).foreach(dn => assert(math.abs(dn - dd) <= 1 || dd == 3 || dn == 3,
+          s"edge ($p,$n) spans distances $dd,$dn"))
+      }
+    }
+  }
+
+  test("q145 MAD outliers match a driver-side exact recompute") {
+    val rows = run("q145_mad_outliers").collect()
+    assert(rows.nonEmpty)
+    val byType = Tables.events(spark, sfDir)
+      .select(col("event_type"), expr("cast(round(value * 100) as bigint)").as("y"))
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+      .groupBy(_._1).map { case (t, vs) => t -> vs.map(_._2).sorted }
+    def med2(v: Seq[Long]): Long = {
+      val n = v.length
+      v((n - 1) / 2) + v(n - 1 - (n - 1) / 2)
+    }
+    rows.foreach { r =>
+      val t = r.getString(0)
+      val ys = byType(t)
+      val m2 = med2(ys)
+      val devs = ys.map(y => math.abs(2 * y - m2)).sorted
+      val mad2 = med2(devs)
+      assert(r.getLong(1) == ys.length, s"n mismatch for $t")
+      assert(r.getDouble(2) == m2 / 2.0, s"median mismatch for $t")
+      assert(r.getDouble(3) == mad2 / 4.0, s"mad mismatch for $t")
+      val out = devs.count(dv => 10000L * dv > 22239L * mad2)
+      assert(r.getLong(4) == out, s"outlier count mismatch for $t")
+    }
+  }
+
+  test("q146 interpolation sits between its surrounding ticks") {
+    val rows = run("q146_linear_interp").collect()
+    assert(rows.nonEmpty)
+    // every non-null interpolated value lies within [min, max] of the
+    // series' observed cents — a property of linear interpolation
+    // with no extrapolation
+    val bounds = Tables.events(spark, sfDir)
+      .select(col("event_type"), expr("cast(round(value * 100) as bigint)").as("c"))
+      .groupBy(col("event_type"))
+      .agg(min(col("c")).as("lo"), max(col("c")).as("hi"))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    rows.filterNot(_.isNullAt(2)).foreach { r =>
+      val (lo, hi) = bounds(r.getString(0))
+      val v = r.getDouble(2)
+      assert(v >= lo && v <= hi, s"interpolated value escapes tick range: $r")
+    }
+  }
+
   test("q140 item similarity: cosine bounded, support consistent, no cartesian") {
     val rows = run("q140_item_similarity").collect()
     assert(rows.nonEmpty)
