@@ -606,8 +606,50 @@ object MiningQueries {
       .orderBy(col("first_type"), col("then_type"))
   }
 
+  /** Time-decayed popularity — recency-weighted item demand
+    * (`Σ 2^(−age/half_life)` per part, half-life 365 days), the
+    * trending-items signal that a plain count can't give. Ages are
+    * exact integer DAYS from a fixed reference date; each row's decay
+    * weight is ONE fixed-shape `⌊10⁶·2^(−age/365)⌋` expression
+    * (q121's fixed-point-transcendental idiom: the floor happens
+    * per row, so only INTEGER micros cross the exchange and the sum
+    * is commutative and engine-exact). One partial-aggregable key
+    * shuffle; top-20 by (score, key) via TakeOrdered.
+    */
+  val q149DecayedPopularity = QueryDef(
+    "q149_decayed_popularity",
+    "exponential time-decayed part popularity: per-row integer decay micros, one aggregate pass, top-20",
+    """WITH a AS (
+      |  SELECT l_partkey AS part,
+      |    (epoch_us(TIMESTAMP '2002-01-01 00:00:00') - epoch_us(CAST(l_shipdate AS TIMESTAMP))) // 86400000000 AS age_days
+      |  FROM lineitem),
+      |wgt AS (SELECT part,
+      |    CAST(floor(1000000.0 * pow(2.0, -CAST(age_days AS DOUBLE) / 365.0)) AS BIGINT) AS w_micro
+      |  FROM a),
+      |sc AS (SELECT part, CAST(count(*) AS BIGINT) AS n_sales,
+      |              CAST(sum(w_micro) AS BIGINT) AS decayed_micro
+      |       FROM wgt GROUP BY part)
+      |SELECT part, n_sales, decayed_micro
+      |FROM sc
+      |ORDER BY decayed_micro DESC, part
+      |LIMIT 20""".stripMargin) { (s, d) =>
+    Tables.lineitem(s, d)
+      .select(col("l_partkey").as("part"),
+        expr("(1009843200000000 - unix_micros(cast(l_shipdate as timestamp))) div 86400000000")
+          .as("age_days"))
+      .select(col("part"),
+        floor(lit(1000000.0) *
+          pow(lit(2.0), -col("age_days").cast("double") / 365.0))
+          .cast("long").as("w_micro"))
+      .groupBy(col("part"))
+      .agg(count(lit(1)).as("n_sales"), sum(col("w_micro")).as("decayed_micro"))
+      .orderBy(col("decayed_micro").desc, col("part"))
+      .limit(20)
+  }
+
   val all: Seq[QueryDef] =
     Seq(q116AssociationRules, q119FkDiscovery, q120GoldenRecord,
       q124Contingency, q125MarkovTransitions, q126ContractAudit,
-      q135TrendRegression, q140ItemSimilarity, q142SeqPatterns)
+      q135TrendRegression, q140ItemSimilarity, q142SeqPatterns,
+      q149DecayedPopularity)
 }

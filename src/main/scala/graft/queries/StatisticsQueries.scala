@@ -412,7 +412,100 @@ object StatisticsQueries {
       .orderBy(col("event_type"))
   }
 
+  /** Score-calibration curve (reliability diagram) — q137's AUC says
+    * whether the score RANKS well; calibration says whether its decile
+    * buckets carry honest outcome rates. Deciles come from the same
+    * scale-safe total order ((score, event_id) via
+    * [[graft.api.Ranking.withRank]], never `ntile()` whose
+    * tie-handling differs between engines), cut by the integer rule
+    * `decile = ⌊(rn−1)·10 / N⌋`; per-decile outcome rates and mean
+    * scores are exact integer arithmetic.
+    */
+  val q147Calibration = QueryDef(
+    "q147_calibration",
+    "decile calibration of score vs purchase outcome: rank-derived integer deciles, exact rates",
+    """WITH e AS (SELECT event_id, event_type = 'purchase' AS pos,
+      |                  CAST(round(value * 100) AS BIGINT) AS y FROM events),
+      |r AS (SELECT pos, y, CAST(row_number() OVER (ORDER BY y, event_id) AS BIGINT) AS rn FROM e),
+      |n AS (SELECT CAST(count(*) AS BIGINT) AS total FROM e),
+      |dec AS (SELECT ((rn - 1) * 10) // total AS decile, pos, y FROM r, n)
+      |SELECT decile, CAST(count(*) AS BIGINT) AS n_events,
+      |  CAST(sum(CASE WHEN pos THEN 1 ELSE 0 END) AS BIGINT) AS n_pos,
+      |  (10000 * CAST(sum(CASE WHEN pos THEN 1 ELSE 0 END) AS BIGINT)) // count(*) AS rate_bp,
+      |  CAST(sum(y) AS BIGINT) // count(*) AS mean_score_cents
+      |FROM dec GROUP BY decile
+      |ORDER BY decile""".stripMargin) { (s, d) =>
+    val e = Tables.events(s, d).select(col("event_id"),
+      (col("event_type") === "purchase").as("pos"),
+      expr("cast(round(value * 100) as bigint)").as("y"))
+    val ranked = graft.api.Ranking.withRank(e, Nil,
+      Seq(col("y"), col("event_id")))
+    ranked
+      .select(col("pos"), col("y"),
+        expr("((rn - 1) * 10) div grp_n").as("decile"))
+      .groupBy(col("decile"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(when(col("pos"), 1L).otherwise(0L)).as("n_pos"),
+        sum(col("y")).as("sum_y"))
+      .select(col("decile"), col("n_events"), col("n_pos"),
+        expr("(10000 * n_pos) div n_events").as("rate_bp"),
+        expr("sum_y div n_events").as("mean_score_cents"))
+      .orderBy(col("decile"))
+  }
+
+  /** Revenue concentration (Pareto / gains curve) — "what share of
+    * revenue do the top decile of parts carry?": per-part revenue in
+    * exact integer cents (q128's per-row fixed-shape round), parts
+    * ranked globally by (revenue desc, key) with the scale-safe
+    * ranking API, deciles by the same integer rule as q147, then the
+    * cumulative share window runs on the 10-row decile relation —
+    * METADATA, never the part table. The classic skew audit that
+    * motivates q51's salting and AQE's skew handling.
+    */
+  val q148RevenueConcentration = QueryDef(
+    "q148_revenue_concentration",
+    "Pareto revenue-concentration curve: exact cents, scale-safe ranking, metadata-sized cumulative window",
+    """WITH rev AS (
+      |  SELECT l_partkey AS part, CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)) AS BIGINT) AS cents
+      |  FROM lineitem GROUP BY l_partkey),
+      |r AS (SELECT part, cents,
+      |        CAST(row_number() OVER (ORDER BY cents DESC, part) AS BIGINT) AS rn
+      |      FROM rev),
+      |n AS (SELECT CAST(count(*) AS BIGINT) AS n_parts, CAST(sum(cents) AS BIGINT) AS total FROM rev),
+      |dec AS (SELECT ((rn - 1) * 10) // n_parts AS decile, cents FROM r, n),
+      |g AS (SELECT decile, CAST(count(*) AS BIGINT) AS n_parts,
+      |             CAST(sum(cents) AS BIGINT) AS decile_cents
+      |      FROM dec GROUP BY decile),
+      |c AS (SELECT decile, n_parts, decile_cents,
+      |        CAST(sum(decile_cents) OVER (ORDER BY decile) AS BIGINT) AS cum_cents
+      |      FROM g)
+      |SELECT decile, n_parts, decile_cents,
+      |  (10000 * cum_cents) // (SELECT total FROM n) AS cum_share_bp
+      |FROM c ORDER BY decile""".stripMargin) { (s, d) =>
+    val rev = Tables.lineitem(s, d)
+      .select(col("l_partkey").as("part"),
+        expr("cast(round(l_extendedprice * (1 - l_discount) * 100) as bigint)")
+          .as("c"))
+      .groupBy(col("part")).agg(sum(col("c")).as("cents"))
+    val ranked = graft.api.Ranking.withRank(rev, Nil,
+      Seq(col("cents").desc, col("part")))
+    val g = ranked
+      .select(expr("((rn - 1) * 10) div grp_n").as("decile"), col("cents"))
+      .groupBy(col("decile"))
+      .agg(count(lit(1)).as("n_parts"), sum(col("cents")).as("decile_cents"))
+    val tot = rev.agg(sum(col("cents")).as("total"))
+    // cumulative share over the 10-row decile relation — metadata
+    val w = Window.partitionBy().orderBy(col("decile"))
+    g.select(col("decile"), col("n_parts"), col("decile_cents"),
+        sum(col("decile_cents")).over(w).as("cum_cents"))
+      .crossJoin(broadcast(tot))
+      .select(col("decile"), col("n_parts"), col("decile_cents"),
+        expr("(10000 * cum_cents) div total").as("cum_share_bp"))
+      .orderBy(col("decile"))
+  }
+
   val all: Seq[QueryDef] =
     Seq(q136BloomFilter, q137RankSumAuc, q138KsDrift, q139SourceImpurity,
-      q141BenfordAudit, q143AbTest, q145MadOutliers)
+      q141BenfordAudit, q143AbTest, q145MadOutliers, q147Calibration,
+      q148RevenueConcentration)
 }

@@ -216,6 +216,46 @@ class StatisticsSpec extends SparkSpec {
     }
   }
 
+  test("q147 calibration: deciles partition events evenly, rates exact") {
+    val rows = run("q147_calibration").collect()
+    val total = Tables.events(spark, sfDir).count()
+    assert(rows.map(_.getLong(1)).sum == total,
+      "decile sizes must partition the events")
+    // the integer decile rule gives balanced buckets: each within 1
+    // of total/10
+    rows.foreach { r =>
+      assert(math.abs(r.getLong(1) - total / 10) <= 1, s"unbalanced decile: $r")
+      assert(r.getLong(3) == 10000L * r.getLong(2) / r.getLong(1),
+        s"rate_bp inconsistent: $r")
+    }
+    assert(rows.map(_.getLong(0)).toSeq == (0L to 9L), "deciles must be 0..9")
+  }
+
+  test("q148 concentration curve is monotone and ends at 10000 bp") {
+    val rows = run("q148_revenue_concentration").collect()
+    assert(rows.map(_.getLong(0)).toSeq == (0L to 9L))
+    val shares = rows.map(_.getLong(3))
+    assert(shares.zip(shares.tail).forall { case (a, b) => a <= b },
+      "cumulative share must be monotone")
+    assert(shares.last == 10000L, s"final share must be 10000 bp: ${shares.last}")
+    // top decile (highest-revenue parts) carries at least its
+    // proportional share
+    assert(shares.head >= 1000L, s"top decile below uniform share: ${shares.head}")
+  }
+
+  test("q149 decayed popularity: weights within bounds, ordering consistent") {
+    val rows = run("q149_decayed_popularity").collect()
+    assert(rows.length == 20)
+    rows.foreach { r =>
+      val (n, sc) = (r.getLong(1), r.getLong(2))
+      // each sale contributes (0, 1e6] micros, so n bounds the score
+      assert(sc > 0L && sc <= n * 1000000L, s"score outside (0, n*1e6]: $r")
+    }
+    val scores = rows.map(_.getLong(2))
+    assert(scores.zip(scores.tail).forall { case (a, b) => a >= b },
+      "top-20 must be sorted by decayed score desc")
+  }
+
   test("q140 item similarity: cosine bounded, support consistent, no cartesian") {
     val rows = run("q140_item_similarity").collect()
     assert(rows.nonEmpty)
