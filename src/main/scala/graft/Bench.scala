@@ -59,7 +59,12 @@ object Bench {
     val detail = results.map { case (k, (mn, med, mx)) =>
       s"""\"$k\":{"min":$mn,"med":$med,"max":$mx}"""
     }.mkString("{", ",", "}")
-    val total = results.values.map(_._2).sum
+    // a query whose 3 runs all failed carries the -1 sentinel in every
+    // slot; summing that INTO the total understated round-6's headline
+    // by 8 s and hid an 8-query regression. The total counts timed
+    // queries only, and the failures get their own loud field.
+    val failed = results.collect { case (k, (_, med, _)) if med < 0 => k }.toSeq.sorted
+    val total = results.values.map(_._2).filter(_ >= 0).sum
     // contention self-diagnosis: on an idle box 3 passes of one query
     // land within ~2x of each other; a contended driver shows 5-10x
     // per-query spread (rounds 1/4/5). max_spread = worst max/min over
@@ -83,11 +88,15 @@ object Bench {
     // per-query map leads and metric/value/unit land LAST so a
     // head-truncated tail still shows the headline total. Full
     // min/med/max detail goes to target/bench.json.
+    val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
     val compact =
-      s"""{"runs":$Runs,"sf":"$sfDir","queries":$qs,"max_spread":${r4(maxSpread)},"med_spread":${r4(medSpread)},"metric":"total","unit":"sec","value":${r4(total)}}"""
+      s"""{"runs":$Runs,"sf":"$sfDir","queries":$qs,"max_spread":${r4(maxSpread)},"med_spread":${r4(medSpread)},"failed":$failedJson,"metric":"total","unit":"sec","value":${r4(total)}}"""
     val full =
-      s"""{"metric":"total","value":$total,"unit":"sec","runs":$Runs,"max_spread":${r4(maxSpread)},"med_spread":${r4(medSpread)},"queries":$qs,"detail":$detail,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","runs":$Runs,"max_spread":${r4(maxSpread)},"med_spread":${r4(medSpread)},"failed":$failedJson,"queries":$qs,"detail":$detail,"sf":"$sfDir"}"""
     println(compact)
+    if (failed.nonEmpty)
+      System.err.println(
+        s"[bench] ${failed.size} queries FAILED (recorded -1, excluded from total): ${failed.mkString(", ")}")
     val out = java.nio.file.Paths.get("target/bench.json")
     java.nio.file.Files.createDirectories(out.getParent)
     java.nio.file.Files.write(out, full.getBytes("UTF-8"))

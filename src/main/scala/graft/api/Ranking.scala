@@ -91,4 +91,61 @@ object Ranking {
       .withColumn(rankCol, row_number().over(ww).cast("long") + col("__off"))
       .drop("__pid" +: "__opid" +: "__off" +: groupCols.map(c => s"__og_$c"): _*)
   }
+
+  /** Adds `cumCol` (inclusive running BIGINT sum of `weightCol` within
+    * each group by `orderCols`) and `totalCol` (BIGINT group weight
+    * total) to `df` — the weighted generalization of [[withRank]]
+    * (rank = running total of weight 1), with the same scale shape:
+    * range repartition, per-(partition, group) weight sums as a
+    * METADATA relation, exclusive offsets + group totals via a window
+    * over that metadata, then a within-partition running sum plus the
+    * joined-in offset. Never a `partitionBy(low-cardinality
+    * group).orderBy` window over the data itself — the cumulative-sum
+    * scale-killer this exists to replace (q145's per-type CDF over a
+    * value-compressed relation that grows with the corpus).
+    *
+    * `orderCols` must be a total order WITHIN each group (e.g. the
+    * key of a `groupBy(group, value).count()` compressed relation):
+    * tied order keys would make the within-partition running sum
+    * nondeterministic, same contract as [[withRank]].
+    */
+  def withRunningTotal(
+      df: DataFrame,
+      groupCols: Seq[String],
+      orderCols: Seq[Column],
+      weightCol: String,
+      cumCol: String = "cum",
+      totalCol: String = "grp_n"): DataFrame = {
+    require(orderCols.nonEmpty, "orderCols must be non-empty")
+    require(!df.columns.contains(cumCol) && !df.columns.contains(totalCol),
+      s"input already has a '$cumCol' or '$totalCol' column")
+    require(!df.columns.contains("__pid") && !df.columns.contains("__off"),
+      "input already has a '__pid' or '__off' column")
+    val parts = graft.AutoUnpersist.scoped(
+      df.repartitionByRange((groupCols.map(col) ++ orderCols): _*)
+        .withColumn("__pid", spark_partition_id()))
+    val counts = parts.groupBy(("__pid" +: groupCols).map(col): _*)
+      .agg(sum(col(weightCol)).as("__w"))
+    val wg =
+      if (groupCols.isEmpty) Window.partitionBy()
+      else Window.partitionBy(groupCols.map(col): _*)
+    val offs = counts
+      .withColumn("__off",
+        coalesce(sum(col("__w")).over(wg.orderBy(col("__pid"))
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .withColumn(totalCol, sum(col("__w")).over(wg))
+      .drop("__w")
+    val ww = Window.partitionBy(("__pid" +: groupCols).map(col): _*)
+      .orderBy(orderCols: _*)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val o = offs.select(
+      (col("__pid").as("__opid") +:
+        groupCols.map(c => col(c).as(s"__og_$c")) :+
+        col("__off") :+ col(totalCol)): _*)
+    val cond = ((col("__pid") === col("__opid")) +:
+      groupCols.map(c => col(c) <=> col(s"__og_$c"))).reduce(_ && _)
+    parts.join(o, cond)
+      .withColumn(cumCol, sum(col(weightCol)).over(ww) + col("__off"))
+      .drop("__pid" +: "__opid" +: "__off" +: groupCols.map(c => s"__og_$c"): _*)
+  }
 }

@@ -408,9 +408,16 @@ object StreamingOps {
     // filtered to the events file(s)
     val raw = spark.readStream.schema(schema)
       .option("pathGlobFilter", "events.parquet").parquet(sfDir)
-    // same TIMESTAMP(NANOS) normalization as Tables.events
-    if (schema("ts").dataType == org.apache.spark.sql.types.LongType)
-      raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
-    else raw
+    // same ts-encoding normalization as Tables.events (nanos-as-LONG
+    // and TIMESTAMP_NTZ generations both appear in driver testdata);
+    // watermarks demand TimestampType, so NTZ must be relabeled here too
+    schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        raw.withColumn("ts",
+          col("ts").cast(org.apache.spark.sql.types.TimestampType))
+      case _ => raw
+    }
   }
 }

@@ -198,6 +198,42 @@ class SourcesSpec extends SparkSpec {
       s"gzip text not decoded: $lines")
   }
 
+  test("Tables.events normalizes all three ts parquet encodings to TimestampType") {
+    import org.apache.spark.sql.types._
+    import spark.implicits._
+    // The driver's testdata generator has shipped events.ts as
+    // TIMESTAMP(NANOS) (read as LONG under nanosAsLong), as
+    // timestamp[us] without timezone (read as TIMESTAMP_NTZ), and as
+    // timestamp[us] with timezone (TimestampType). A generator change
+    // from the first to the second silently broke every
+    // unix_micros/timestamp-comparison query in round 6 — pin all
+    // three here so the loader keeps absorbing the drift.
+    val us = 1724112000000000L // 2024-08-20T00:00:00Z in micros
+    def writeFixture(sub: String)(df: org.apache.spark.sql.DataFrame): String = {
+      val dir = s"$tmpRoot/ts-enc/$sub"
+      df.write.mode("overwrite").parquet(s"$dir/events.parquet")
+      dir
+    }
+    val asLong = writeFixture("nanos") {
+      Seq((1L, us * 1000L)).toDF("event_id", "ts") // nanos-as-LONG shape
+    }
+    val asNtz = writeFixture("ntz") {
+      Seq(Tuple1(1L)).toDF("event_id")
+        .withColumn("ts", timestamp_micros(lit(us)).cast(TimestampNTZType))
+    }
+    val asTz = writeFixture("tz") {
+      Seq(Tuple1(1L)).toDF("event_id")
+        .withColumn("ts", timestamp_micros(lit(us)))
+    }
+    for ((dir, enc) <- Seq(asLong -> "long", asNtz -> "ntz", asTz -> "tz")) {
+      val ev = Tables.events(spark, dir)
+      assert(ev.schema("ts").dataType == TimestampType,
+        s"$enc encoding not normalized: ${ev.schema("ts").dataType}")
+      val got = ev.select(unix_micros($"ts")).as[Long].head()
+      assert(got == us, s"$enc encoding lost the instant: $got != $us")
+    }
+  }
+
   test("parquet schema evolution: mergeSchema unions columns across file generations") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft-evolve").toString
