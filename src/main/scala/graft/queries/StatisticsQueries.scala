@@ -435,15 +435,18 @@ object StatisticsQueries {
             (when(coversP1, 1L).otherwise(0L) +
               when(coversP2, 1L).otherwise(0L))).as("med2"))
     }
-    val med = med2Of(comp, "y")
+    // med and mad are 5-row relations each consumed by TWO branches
+    // (deviation build + final join; flag test + final join) — cache
+    // them or the whole upstream CDF pipeline evaluates twice.
+    val med = graft.AutoUnpersist.scoped(med2Of(comp, "y"))
     val devComp = graft.AutoUnpersist.scoped(
       comp.join(broadcast(med.select(col("event_type"), col("med2"))),
           "event_type")
         .select(col("event_type"),
           abs(lit(2) * col("y") - col("med2")).as("dev"), col("c"))
         .groupBy(col("event_type"), col("dev")).agg(sum(col("c")).as("c")))
-    val mad = med2Of(devComp, "dev")
-      .select(col("event_type"), col("med2").as("mad2"))
+    val mad = graft.AutoUnpersist.scoped(med2Of(devComp, "dev")
+      .select(col("event_type"), col("med2").as("mad2")))
     val flagged = devComp.join(broadcast(mad), "event_type")
       .groupBy(col("event_type"))
       .agg(sum(when(lit(10000L) * col("dev") > lit(22239L) * col("mad2"),

@@ -27,15 +27,40 @@ object TimeQuery {
       try graft.Tables.load(spark, sfDir, t).count()
       catch { case _: Throwable => () }
     }
+    // SPARK_GRAFT_JOBS=1: per-Spark-job wall times for the LAST run of
+    // each query — where a multi-stage query's seconds actually go
+    val traceJobs = sys.env.get("SPARK_GRAFT_JOBS").contains("1")
+    val jobLog =
+      new java.util.concurrent.ConcurrentHashMap[Int, (Long, Long, Int)]()
+    if (traceJobs) spark.sparkContext.addSparkListener(
+      new org.apache.spark.scheduler.SparkListener {
+        override def onJobStart(j: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+          jobLog.put(j.jobId, (j.time, 0L, j.stageInfos.map(_.numTasks).sum))
+        override def onJobEnd(j: org.apache.spark.scheduler.SparkListenerJobEnd): Unit =
+          jobLog.computeIfPresent(j.jobId, (_, v) => (v._1, j.time, v._3))
+      })
     names.foreach { name =>
       val fn = graft.Registry.byName(name).fn
-      val times = (1 to runs).map { _ =>
+      val times = (1 to runs).map { i =>
+        if (i == runs) jobLog.clear()
         val t0 = System.nanoTime()
         val n = fn(spark, sfDir).count()
         spark.sharedState.cacheManager.clearCache()
         val dt = (System.nanoTime() - t0) / 1e9
         println(f"[time] $name%s rows=$n%d  $dt%.3f s")
         dt
+      }
+      if (traceJobs) {
+        import scala.jdk.CollectionConverters._
+        val jobs = jobLog.asScala.toSeq.sortBy(_._1)
+        jobs.foreach { case (id, (st, en, tasks)) =>
+          println(f"[job] $name%s job=$id%-3d ${(en - st) / 1e3}%6.2f s tasks=$tasks%d")
+        }
+        if (jobs.nonEmpty) {
+          val spanMs = jobs.map(_._2._2).max - jobs.map(_._2._1).min
+          val busyMs = jobs.map { case (_, (st, en, _)) => en - st }.sum
+          println(f"[job] $name%s span=${spanMs / 1e3}%.2f s busy=${busyMs / 1e3}%.2f s gaps=${(spanMs - busyMs) / 1e3}%.2f s")
+        }
       }
       println(f"[time] $name%s median=${times.sorted.apply(runs / 2)}%.3f s")
     }

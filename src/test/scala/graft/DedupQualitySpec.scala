@@ -114,17 +114,22 @@ class DedupQualitySpec extends SparkSpec {
     assert(brute.count() > 0)
   }
 
-  test("q36 df cap: capped candidate stage is exact when the cap binds") {
+  /** Corpus where a stop-phrase ("common filler phrase ...") appears
+    * in EVERY doc → its shingles have df = 40, far over a cap of 5,
+    * while each near-dup pair (2i, 2i+1) shares plenty of non-hot
+    * body shingles.
+    */
+  private def stopPhraseDocs = {
     import spark.implicits._
-    // corpus where a stop-phrase ("common filler phrase ...") appears
-    // in EVERY doc → its shingles have df = 40, far over the cap of 5,
-    // while each near-dup pair (2i, 2i+1) shares plenty of non-hot
-    // body shingles
-    val docs = (0L until 40L).map { i =>
+    (0L until 40L).map { i =>
       val pair = i / 2
       val tail = if (i % 2 == 0) "" else " extra tail token"
       (i, s"common filler phrase shared by every doc body$pair alpha$pair beta$pair gamma$pair delta$pair epsilon$pair zeta$pair$tail")
     }.toDF("doc_id", "text")
+  }
+
+  test("q36 df cap: capped candidate stage is exact when the cap binds") {
+    val docs = stopPhraseDocs
     val posts = queries.DedupQueries.shinglePostingsOf(docs)
     // cap binds: at least one shingle is hot at maxDf=5
     val hotCount = posts.groupBy(col("gh")).count()
@@ -138,6 +143,37 @@ class DedupQualitySpec extends SparkSpec {
     // recall impact nil AND jaccard values exact (hot-set correction)
     assert(capped == uncapped,
       s"capped path diverged: missing=${uncapped.diff(capped)} extra=${capped.diff(uncapped)}")
+  }
+
+  test("q36 candidate-pair volume stays sub-quadratic under the df cap") {
+    // The documented scale contract of ngramJaccardPairs: excluding
+    // df > maxDf shingles bounds the pair-generating self-join output
+    // by (maxDf−1)/2 · |capped postings| — LINEAR in corpus size for a
+    // fixed cap, never the df² blowup a hot stop-phrase causes. Pin it
+    // by counting the candidate stage's actual output on the fixture
+    // where the cap binds, against both the per-shingle identity and
+    // the linear bound. An uncapped run on this fixture would emit
+    // ≥ 40·39/2 = 780 pairs from the stop-phrase shingles alone.
+    val maxDf = 5L
+    val posts = queries.DedupQueries.shinglePostingsOf(stopPhraseDocs)
+    val hot = posts.groupBy(col("gh")).agg(count(lit(1)).as("df"))
+      .filter(col("df") > maxDf).select(col("gh"))
+    val capped = posts.join(broadcast(hot), Seq("gh"), "left_anti")
+    val cappedPostings = capped.count()
+    // candidate pairs exactly as the operator's self-join emits them
+    val candidatePairs = capped.alias("a")
+      .join(capped.alias("b"),
+        col("a.gh") === col("b.gh") && col("a.doc_id") < col("b.doc_id"))
+      .count()
+    // exact identity: sum over surviving shingles of df·(df−1)/2
+    val perShingle = capped.groupBy(col("gh")).agg(count(lit(1)).as("df"))
+      .agg(sum(expr("df * (df - 1) div 2")).as("p"))
+      .collect()(0).getLong(0)
+    assert(candidatePairs == perShingle,
+      s"candidate stage emitted $candidatePairs pairs, identity says $perShingle")
+    assert(candidatePairs <= (maxDf - 1) * cappedPostings / 2,
+      s"sub-quadratic bound violated: $candidatePairs pairs from " +
+        s"$cappedPostings capped postings at maxDf=$maxDf")
   }
 
   /** Brute-force embedding pairs with cosine ≥ threshold. */

@@ -198,6 +198,22 @@ class StatisticsSpec extends SparkSpec {
     }
   }
 
+  test("q145 plans no per-type sort window over a data-sized relation") {
+    // The scale contract behind the round-7 rework: both median CDFs
+    // run through Ranking.withRunningTotal (range repartition +
+    // metadata offsets), so the executed plan must contain NO window
+    // partitioned by event_type alone and ordered by the value/dev
+    // column — with ~5 event types that shape funnels each type's
+    // whole distinct-value set (which grows with the corpus) through
+    // one task. The legitimate windows that remain are partitioned by
+    // (__pid, event_type) (all tasks busy) or ordered by __pid over
+    // the K·G-row metadata counts relation.
+    val plan = run("q145_mad_outliers").queryExecution.executedPlan.toString
+    val bad = """windowspecdefinition\(event_type#\d+,\s*(y|dev)#\d+""".r
+    assert(bad.findFirstIn(plan).isEmpty,
+      s"q145 regressed to a per-type sort window over the compressed relation:\n${bad.findFirstIn(plan)}")
+  }
+
   test("q146 interpolation sits between its surrounding ticks") {
     val rows = run("q146_linear_interp").collect()
     assert(rows.nonEmpty)
