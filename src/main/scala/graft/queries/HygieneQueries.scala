@@ -465,8 +465,87 @@ object HygieneQueries {
       .orderBy(col("doc_id"))
   }
 
+  /** Duplicated-span coverage — the token-level generalization of
+    * q85's fixed-chunk boilerplate detector, following the
+    * exact-substring dedup recipe of "Deduplicating Training Data
+    * Makes Language Models Better" (Lee et al., 2022): slide a
+    * stride-1 window of K=8 tokens over every document, count each
+    * span's occurrences across the WHOLE corpus (within-doc repeats
+    * included — a doc repeating its own paragraph is a dup too), and
+    * report per document how many token positions are covered by at
+    * least one duplicated span. Stride-1 spans overlap, so coverage
+    * is an interval-union: with duplicated span starts sorted per
+    * doc, each start contributes `min(K, i − prev_i)` new tokens —
+    * the q132 interval-merge identity specialized to equal-length
+    * intervals.
+    *
+    * Scale shape: the span stream is ~n_tokens rows (K− 1 fewer per
+    * doc); one hash shuffle on the span text for the occurrence
+    * count (at 100 TB the key would be `portable_hash64(span)` — 8
+    * bytes; the oracle keys on the text so both engines group
+    * identically, the q85 convention), one keyed semi-join back, one
+    * per-doc window (doc_id is high-cardinality — every task busy),
+    * one partial+final aggregate. No all-pairs stage anywhere: the
+    * suffix-array machinery of the paper exists to find VARIABLE-
+    * length duplicates; fixed-K coverage needs only counting.
+    */
+  val q150SpanDedup = QueryDef(
+    "q150_span_dedup",
+    "ExactSubstr-style duplicated 8-token-span coverage per document, interval-union over stride-1 spans",
+    """WITH tok AS (
+      |  SELECT doc_id, list_filter(string_split(text, ' '), t -> length(t) > 0) AS w
+      |  FROM documents),
+      |sp AS (SELECT doc_id, CAST(unnest(range(0, len(w) - 7)) AS BIGINT) AS i, w
+      |       FROM tok WHERE len(w) >= 8),
+      |s2 AS (SELECT doc_id, i, array_to_string(w[(i+1):(i+8)], ' ') AS span FROM sp),
+      |dup AS (SELECT span FROM s2 GROUP BY span HAVING count(*) >= 2),
+      |ds AS (SELECT doc_id, i FROM s2 JOIN dup USING (span)),
+      |cov AS (SELECT doc_id, i,
+      |          lag(i) OVER (PARTITION BY doc_id ORDER BY i) AS pi
+      |        FROM ds),
+      |per AS (SELECT doc_id,
+      |          CAST(sum(CASE WHEN pi IS NULL OR i - pi >= 8 THEN 8
+      |                        ELSE i - pi END) AS BIGINT) AS dup_tokens
+      |        FROM cov GROUP BY doc_id),
+      |n AS (SELECT doc_id, CAST(len(w) AS BIGINT) AS n_tokens
+      |      FROM tok WHERE len(w) > 0)
+      |SELECT n.doc_id, n.n_tokens,
+      |  coalesce(per.dup_tokens, 0) AS dup_tokens,
+      |  CAST(floor(10000.0 * coalesce(per.dup_tokens, 0) / n.n_tokens) AS BIGINT) AS dup_bp
+      |FROM n LEFT JOIN per ON per.doc_id = n.doc_id
+      |ORDER BY n.doc_id""".stripMargin) { (s, d) =>
+    val K = 8
+    // token arrays feed the span stream AND the per-doc token counts
+    val tok = graft.AutoUnpersist.scoped(
+      Tables.documents(s, d)
+        .select(col("doc_id"), toks(col("text")).as("w"))
+        .filter(size(col("w")) > 0))
+    val s2 = tok.filter(size(col("w")) >= K)
+      .select(col("doc_id"),
+        explode(transform(sequence(lit(0L), size(col("w")) - K),
+          i => struct(i.as("i"),
+            array_join(slice(col("w"), (i + 1).cast("int"), lit(K)), " ")
+              .as("span")))).as("sp"))
+      .select(col("doc_id"), col("sp.i").as("i"), col("sp.span").as("span"))
+    val dup = s2.groupBy(col("span")).agg(count(lit(1)).as("occ"))
+      .filter(col("occ") >= 2).select(col("span"))
+    val ds = s2.join(dup, Seq("span"), "left_semi")
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("i"))
+    val per = ds.withColumn("pi", lag(col("i"), 1).over(w))
+      .groupBy(col("doc_id"))
+      .agg(sum(when(col("pi").isNull || col("i") - col("pi") >= K, K.toLong)
+        .otherwise(col("i") - col("pi"))).as("dup_tokens"))
+    tok.select(col("doc_id"), size(col("w")).cast("long").as("n_tokens"))
+      .join(per, Seq("doc_id"), "left_outer")
+      .select(col("doc_id"), col("n_tokens"),
+        coalesce(col("dup_tokens"), lit(0L)).as("dup_tokens"),
+        floor(lit(10000.0) * coalesce(col("dup_tokens"), lit(0L)) / col("n_tokens"))
+          .cast("long").as("dup_bp"))
+      .orderBy(col("doc_id"))
+  }
+
   val all: Seq[QueryDef] =
     Seq(q72Decontamination, q73RepetitionQuality, q74PiiRedaction,
       q75UnicodeNormalize, q85LineDedup, q109MedianFilter,
-      q118NgramNovelty, q121LmQuality)
+      q118NgramNovelty, q121LmQuality, q150SpanDedup)
 }

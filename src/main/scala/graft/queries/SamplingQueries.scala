@@ -319,8 +319,107 @@ object SamplingQueries {
       .orderBy(col("doc_id"), col("copy_idx"))
   }
 
+  /** DSIR-style importance weights for data selection — the hashed
+    * n-gram importance-resampling recipe of "Data Selection for
+    * Language Models via Importance Resampling" (Xie et al., 2023):
+    * score every document by `Σ_tokens [log p_target(bucket) −
+    * log p_raw(bucket)]` under two bag-of-hashed-unigrams models, one
+    * fit on the target slice (here `lang = 'en'` stands in for the
+    * curated target corpus), one on the whole raw corpus. Positive
+    * weight ⇒ the doc looks more target-like than raw-average — the
+    * resampling key a mixing pipeline feeds into q88/q133.
+    *
+    * Scale shape: features are hashed into a FIXED 512-bucket space
+    * (`portable_hash64 mod p mod 512` — the q107 engine-portable
+    * chain, so DuckDB replays bucket assignment bit-for-bit), making
+    * the two models a CONSTANT 512-row relation regardless of corpus
+    * or vocabulary size: two partial-aggregable bucket counts, one
+    * broadcast of the finished model, one per-doc aggregate. Log-probs
+    * are fixed-point micros (`floor(1e6·ln((c+1)/(N+512)))`, +1
+    * smoothing over the full bucket spine — the q121 idiom), so the
+    * per-doc score is an exact integer sum, bit-identical across
+    * partitionings and engines.
+    */
+  val q151DsirWeights = QueryDef(
+    "q151_dsir_weights",
+    "DSIR importance weights: hashed-unigram target-vs-raw log-ratio in integer micros, constant-size broadcast model",
+    """WITH tok AS (
+      |  SELECT doc_id, lang,
+      |         unnest(list_filter(string_split(text, ' '), t -> length(t) > 0)) AS t
+      |  FROM documents),
+      |ph AS (
+      |  SELECT doc_id, lang, CAST(list_reduce(list_transform(string_split(t, ''),
+      |           c -> CAST(ascii(c) AS BIGINT)), (a, x) -> (a*31 + x) % 1000000007) AS HUGEINT) AS z
+      |  FROM tok),
+      |m1 AS (SELECT doc_id, lang, (xor(z, z >> 30) * 2685821657736338717) % 18446744073709551616 AS z FROM ph),
+      |m2 AS (SELECT doc_id, lang, (xor(z, z >> 27) * 1181783497276652981) % 18446744073709551616 AS z FROM m1),
+      |hu AS (SELECT doc_id, lang,
+      |         CAST(xor(z, z >> 31) % 1000000007 AS BIGINT) % 512 AS b
+      |       FROM m2),
+      |ct AS (SELECT b, CAST(count(*) AS BIGINT) AS c_t FROM hu WHERE lang = 'en' GROUP BY b),
+      |cs AS (SELECT b, CAST(count(*) AS BIGINT) AS c_s FROM hu GROUP BY b),
+      |nn AS (SELECT CAST((SELECT count(*) FROM hu WHERE lang = 'en') AS BIGINT) AS n_t,
+      |              CAST((SELECT count(*) FROM hu) AS BIGINT) AS n_s),
+      |spine AS (SELECT CAST(unnest(range(0, 512)) AS BIGINT) AS b),
+      |model AS (
+      |  SELECT s.b,
+      |    CAST(floor(1000000.0 * ln(CAST(coalesce(ct.c_t, 0) + 1 AS DOUBLE) / (nn.n_t + 512))) AS BIGINT) AS lt,
+      |    CAST(floor(1000000.0 * ln(CAST(coalesce(cs.c_s, 0) + 1 AS DOUBLE) / (nn.n_s + 512))) AS BIGINT) AS ls
+      |  FROM spine s LEFT JOIN ct ON ct.b = s.b LEFT JOIN cs ON cs.b = s.b, nn)
+      |SELECT hu.doc_id, hu.lang,
+      |  CAST(count(*) AS BIGINT) AS n_tokens,
+      |  CAST(sum(m.lt - m.ls) AS BIGINT) AS dsir_micro,
+      |  (sum(m.lt - m.ls) >= 0) AS targetlike
+      |FROM hu JOIN model m ON m.b = hu.b
+      |GROUP BY hu.doc_id, hu.lang
+      |ORDER BY hu.doc_id""".stripMargin) { (s, d) =>
+    graft.plans.GraftFunctions.register(s)
+    import graft.plans.GraftFunctions
+    val two64 = lit(new java.math.BigDecimal("18446744073709551616"))
+    // portable_hash64 lifted to the unsigned domain mod p — the exact
+    // q107 replay chain — then folded into 512 buckets
+    def bucket(t: org.apache.spark.sql.Column) = {
+      val h = GraftFunctions.portableHash64(t)
+      pmod(when(h < 0, h.cast("decimal(38,0)") + two64)
+        .otherwise(h.cast("decimal(38,0)")),
+        lit(1000000007L).cast("decimal(38,0)"))
+        .cast("long") % 512
+    }
+    // bucketed token stream feeds both model builds and the scoring
+    // pass — one tokenize+hash for the whole query
+    val tok = graft.AutoUnpersist.scoped(
+      Tables.documents(s, d)
+        .select(col("doc_id"), col("lang"),
+          explode(filter(split(col("text"), " "), t => length(t) > 0)).as("t"))
+        .select(col("doc_id"), col("lang"), bucket(col("t")).as("b")))
+    val ct = tok.filter(col("lang") === "en")
+      .groupBy(col("b")).agg(count(lit(1)).as("c_t"))
+    val cs = tok.groupBy(col("b")).agg(count(lit(1)).as("c_s"))
+    val nn = tok.agg(
+      sum(when(col("lang") === "en", 1L).otherwise(0L)).as("n_t"),
+      count(lit(1)).as("n_s"))
+    val spine = s.range(0, 512).select(col("id").as("b"))
+    val model = spine
+      .join(ct, Seq("b"), "left_outer").join(cs, Seq("b"), "left_outer")
+      .crossJoin(broadcast(nn))
+      .select(col("b"),
+        floor(lit(1000000.0) *
+          log((coalesce(col("c_t"), lit(0L)) + 1).cast("double") / (col("n_t") + 512)))
+          .cast("long").as("lt"),
+        floor(lit(1000000.0) *
+          log((coalesce(col("c_s"), lit(0L)) + 1).cast("double") / (col("n_s") + 512)))
+          .cast("long").as("ls"))
+    tok.join(broadcast(model), "b")
+      .groupBy(col("doc_id"), col("lang"))
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(col("lt") - col("ls")).as("dsir_micro"))
+      .select(col("doc_id"), col("lang"), col("n_tokens"), col("dsir_micro"),
+        (col("dsir_micro") >= 0).as("targetlike"))
+      .orderBy(col("doc_id"))
+  }
+
   val all: Seq[QueryDef] =
     Seq(q56DeterministicSample, q57StratifiedMix, q77ShardStats,
       q81TokenBudgetMix, q84LengthBatches, q88TemperatureMix,
-      q106SystematicSample, q133SourceUpsampling)
+      q106SystematicSample, q133SourceUpsampling, q151DsirWeights)
 }

@@ -128,4 +128,61 @@ class HygieneSpec extends SparkSpec {
     assert(out.filter(col("n_emails") < 1 || col("n_phones") < 1).count() == 0,
       "every synthesized doc carries at least one email and one phone")
   }
+
+  test("q150 duplicated-span coverage matches a driver-side interval-union recompute") {
+    val rows = Registry.byName("q150_span_dedup").fn(spark, sfDir)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(rows.nonEmpty)
+    // brute force: count span occurrences corpus-wide, union covered
+    // intervals per doc with a plain sweep
+    val K = 8
+    val docs = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => r.getLong(0) -> r.getString(1).split(" ").filter(_.nonEmpty))
+    val occ = scala.collection.mutable.Map.empty[String, Int]
+    for ((_, w) <- docs; i <- 0 to w.length - K)
+      occ.updateWith(w.slice(i, i + K).mkString(" "))(c => Some(c.getOrElse(0) + 1))
+    for ((id, w) <- docs if w.nonEmpty) {
+      val starts = (0 to w.length - K)
+        .filter(i => occ(w.slice(i, i + K).mkString(" ")) >= 2)
+      val covered = starts.flatMap(i => i until i + K).distinct.size.toLong
+      val (nTok, dupTok, dupBp) = rows(id)
+      assert(nTok == w.length.toLong, s"n_tokens mismatch doc $id")
+      assert(dupTok == covered, s"coverage mismatch doc $id: $dupTok != $covered")
+      assert(dupBp == math.floor(10000.0 * covered / w.length).toLong,
+        s"dup_bp mismatch doc $id")
+    }
+    // the fixture corpus must actually exercise the dup path
+    assert(rows.values.exists(_._2 > 0), "no duplicated spans in fixture corpus")
+  }
+
+  test("q150 plans no corpus self-join: dup detection is count-then-semi-join") {
+    val plan = Registry.byName("q150_span_dedup").fn(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"),
+      "span dedup must never plan a cartesian join")
+    assert(plan.contains("LeftSemi"),
+      "duplicated spans should flow back via a semi join on the span key")
+  }
+
+  test("q151 DSIR weights: flag consistency and target slice scores higher") {
+    val out = Registry.byName("q151_dsir_weights").fn(spark, sfDir).collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      assert(r.getBoolean(4) == (r.getLong(3) >= 0L),
+        s"targetlike flag inconsistent: $r")
+      assert(r.getLong(2) > 0, s"doc with zero scored tokens: $r")
+    }
+    // model sanity: the mean importance weight of the target slice
+    // (en) must exceed the mean weight of every other language — the
+    // defining property of an importance-resampling score fit ON that
+    // slice. Per-token averaging removes doc-length confounds.
+    val byLang = out.groupBy(_.getString(1)).map { case (l, rs) =>
+      l -> rs.map(r => r.getLong(3).toDouble / r.getLong(2)).sum / rs.size
+    }
+    val en = byLang("en")
+    byLang.filter(_._1 != "en").foreach { case (l, avg) =>
+      assert(en > avg, s"target slice en ($en) not above $l ($avg)")
+    }
+  }
 }
