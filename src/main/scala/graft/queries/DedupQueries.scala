@@ -232,15 +232,25 @@ object DedupQueries {
     // majority-vote fingerprint per doc (plans.SimHashAgg — an
     // interpreted nested-HOF form ran 16 s at sf0.1, a 64×-exploded
     // per-bit groupBy ~4-5 s; this is sub-second map-side work)
+    // hash-repartition the doc scan BEFORE the per-token hash work: a
+    // single-file table would run the ~n_tokens portable hashes in one
+    // task (0.5 s serial at sf0.1), and partitioning by doc_id both
+    // parallelizes the map side and pre-satisfies the groupBy exchange
     val sim = Tables.documents(s, d)
+      .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
       .select(col("doc_id"), explode(toks(col("text"))).as("t"))
       .select(col("doc_id"), simhashTokenHash64(col("t")).as("h"))
       .groupBy(col("doc_id"))
       .agg(GraftFunctions.simhashAgg(col("h")).as("simhash"))
+    // pin the band-join parallelism: the banded relation is BYTE-tiny
+    // (n_docs×8 longs) so AQE coalesces it to 1-2 partitions, but the
+    // join's pair expansion is the query's real compute — the same
+    // bytes-vs-compute blindness as q60's verify stage
     val banded = sim.select(col("doc_id"), col("simhash"),
       posexplode(expr(
         "transform(sequence(0, 7), b -> shiftrightunsigned(simhash, 8*b) & 255)"))
         .as(Seq("b", "bv")))
+      .repartition(s.sparkContext.defaultParallelism, col("b"), col("bv"))
     banded.alias("x")
       .join(banded.alias("y"),
         col("x.b") === col("y.b") && col("x.bv") === col("y.bv") &&

@@ -396,7 +396,17 @@ object SimilarityQueries {
       |ORDER BY vec_a, vec_b""".stripMargin) { (s, d) =>
     GraftFunctions.register(s)
     val t = Tables.embeddings(s, d).select(col("vec_id"), col("embedding"))
-    val a = t.select(col("vec_id").as("vec_a"), col("embedding").as("ea"))
+    // The band-verify cost scales with CANDIDATE PAIRS, not input
+    // bytes: a small single-file table would otherwise run the whole
+    // quadratic-in-bucket verify in ONE task (measured 2.3 s serial of
+    // q60's 2.6 s at sf0.1). Hash-repartitioning the probe side makes
+    // verify parallelism follow the cluster; the partition count is
+    // pinned to defaultParallelism because AQE would coalesce a
+    // bytes-tiny shuffle back to one partition — the skew is in the
+    // downstream verify compute, which AQE can't see. The build side
+    // stays unrepartitioned — the rewrite broadcasts it anyway.
+    val a = t.repartition(s.sparkContext.defaultParallelism, col("vec_id"))
+      .select(col("vec_id").as("vec_a"), col("embedding").as("ea"))
     val b = t.select(col("vec_id").as("vec_b"), col("embedding").as("eb"))
     a.join(b,
         GraftFunctions.similarTo(col("ea"), col("eb"), 0.45) &&
