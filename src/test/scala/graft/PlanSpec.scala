@@ -426,4 +426,19 @@ class PlanSpec extends SparkSpec {
     assert(!plan.contains("Window"),
       s"triangle counting needs no window:\n$plan")
   }
+
+  test("q60/q35 pin their compute-heavy stages' parallelism against byte-based sizing") {
+    // AQE and the file-layout partitioner size stages by INPUT BYTES;
+    // q60's LSH band-verify and q35's per-token hashing + band
+    // self-join are compute-bound on byte-tiny inputs, so without a
+    // pinned repartition they run in 1-2 tasks (q60 measured 2.3 s
+    // serial of its 2.6 s at sf0.1). REPARTITION_BY_NUM is the only
+    // shuffle origin AQE will not coalesce — assert it survives in
+    // both plans so the fix can't silently regress.
+    for (name <- Seq("q60_hyperplane_lsh", "q35_simhash")) {
+      val plan = planString(Registry.byName(name).fn(spark, sfDir))
+      assert(plan.contains("REPARTITION_BY_NUM"),
+        s"$name lost its pinned repartition (AQE will serialize the hot stage):\n$plan")
+    }
+  }
 }
