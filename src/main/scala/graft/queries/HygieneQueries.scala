@@ -314,13 +314,15 @@ object HygieneQueries {
     * (Spark's exact `percentile` holds every value of a group in one
     * aggregation buffer — the memory cliff at corpus scale): the
     * table compresses to (lang, n_chars, count) — distinct values per
-    * language, orders of magnitude below row count — and a window
-    * over that METADATA relation yields cumulative positions; the
-    * type-7 interpolated median is then the mean of the values at
-    * positions ⌊(n−1)/2⌋ and ⌈(n−1)/2⌉, exactly `quantile_cont(0.5)`.
-    * Scale shape: one partial+final count aggregate, one tiny-window
-    * pass, one broadcast join back; the corpus itself is never
-    * windowed or buffered.
+    * language, orders of magnitude below row count — and
+    * [[graft.api.Ranking.withRunningTotal]] (range repartition +
+    * metadata offsets, the q145 CDF primitive) yields cumulative
+    * positions over it with every task busy; the type-7 interpolated
+    * median is then the mean of the values at positions ⌊(n−1)/2⌋ and
+    * ⌈(n−1)/2⌉, exactly `quantile_cont(0.5)`. Scale shape: one
+    * partial+final count aggregate, one range-partitioned CDF pass,
+    * one broadcast join back; the corpus itself is never windowed or
+    * buffered, and no per-language sort ever lands on a single task.
     */
   val q109MedianFilter = QueryDef(
     "q109_median_filter",
@@ -336,23 +338,27 @@ object HygieneQueries {
     // compressed per-(lang, value) counts: the only corpus-scale agg
     val comp = docs.groupBy(col("lang"), col("n_chars"))
       .agg(count(lit(1)).as("c"))
-    val w = Window.partitionBy(col("lang")).orderBy(col("n_chars"))
-    // value v covers 0-based positions [hi-c, hi) in the sorted order
-    val cum = comp.withColumn("hi", sum(col("c")).over(w))
-      .withColumn("lo", col("hi") - col("c"))
-    val pos = comp.groupBy(col("lang")).agg(sum(col("c")).as("n"))
-      .select(col("lang"),
-        floor((col("n") - 1) / 2).as("p1"),
-        ((col("n") - 1) - floor((col("n") - 1) / 2)).as("p2"))
-    val v1 = cum.join(pos, "lang")
-      .filter(col("p1") >= col("lo") && col("p1") < col("hi"))
-      .select(col("lang"), col("n_chars").as("m1"))
-    val v2 = cum.join(pos, "lang")
-      .filter(col("p2") >= col("lo") && col("p2") < col("hi"))
-      .select(col("lang"), col("n_chars").as("m2"))
-    val med = v1.join(v2, "lang")
-      .select(col("lang"),
-        round((col("m1") + col("m2")) / 2.0, 4).as("lang_median"))
+    // CDF over the compressed relation via the range-partitioned
+    // running total — never `partitionBy(lang)` straight over it:
+    // with a handful of languages that window funnels each language's
+    // whole distinct-length set through one task (the q145 scale
+    // contract; n_chars is bounded today but the same code runs on
+    // unbounded value domains). Value v covers 0-based positions
+    // [hi−c, hi); the two central positions land in ≤ 2 rows and
+    // med2 = Σ v·(covers p1 + covers p2) counts a shared row twice.
+    val cum = graft.api.Ranking.withRunningTotal(
+      comp, Seq("lang"), Seq(col("n_chars")), "c", "hi", "n")
+    val coversP1 = col("p1") >= col("lo") && col("p1") < col("hi")
+    val coversP2 = col("p2") >= col("lo") && col("p2") < col("hi")
+    val med = cum.withColumn("lo", col("hi") - col("c"))
+      .withColumn("p1", expr("(n - 1) div 2"))
+      .withColumn("p2", col("n") - 1 - expr("(n - 1) div 2"))
+      .filter(coversP1 || coversP2)
+      .groupBy(col("lang"))
+      .agg(sum(col("n_chars") *
+        (when(coversP1, 1L).otherwise(0L) +
+          when(coversP2, 1L).otherwise(0L))).as("med2"))
+      .select(col("lang"), round(col("med2") / 2.0, 4).as("lang_median"))
     docs.join(broadcast(med), "lang")
       .filter(col("n_chars") > col("lang_median"))
       .select(col("doc_id"), col("lang"), col("n_chars"), col("lang_median"))

@@ -124,10 +124,15 @@ object SamplingQueries {
         size(col("w")).cast("long").as("n_tokens"),
         floor(lit(10000.0) * size(array_distinct(col("w"))) / size(col("w")))
           .cast("long").as("ttr_bp"))
-    val w = Window.partitionBy(col("source"))
-      .orderBy(col("ttr_bp").desc, col("doc_id"))
-    scored
-      .withColumn("cum_tokens", sum(col("n_tokens")).over(w))
+    // running token total per source via the range-partitioned CDF
+    // primitive — `PARTITION BY source` straight over the doc relation
+    // would funnel each source's whole corpus slice through one task
+    // (~20 sources; the q145/q109 scale contract). The (ttr desc,
+    // doc_id) order is total, so the running sum is deterministic and
+    // equals the SQL twin's RANGE-frame window.
+    graft.api.Ranking.withRunningTotal(
+        scored, Seq("source"), Seq(col("ttr_bp").desc, col("doc_id")),
+        "n_tokens", "cum_tokens", "src_tokens")
       .filter(col("cum_tokens") <= 500)
       .select(col("doc_id"), col("source"), col("n_tokens"),
         col("ttr_bp"), col("cum_tokens"))
@@ -223,10 +228,11 @@ object SamplingQueries {
       .crossJoin(broadcast(weights.agg(sum(col("weight")).as("wsum"))))
       .select(col("source"), col("weight"),
         expr("(200 * weight) DIV wsum").as("quota"))
-    docs
-      .withColumn("rank",
-        row_number().over(
-          Window.partitionBy(col("source")).orderBy(col("doc_id"))))
+    // per-source rank via the scale-safe grouped ranking API — the
+    // low-cardinality `PARTITION BY source` row_number would serialize
+    // each source's slice (same contract as q99)
+    graft.api.Ranking.withRank(docs, Seq("source"), Seq(col("doc_id")),
+        "rank", "src_n")
       .join(broadcast(quotas), "source")
       .filter(col("rank") <= col("quota"))
       .select(col("doc_id"), col("source"), col("rank"),
