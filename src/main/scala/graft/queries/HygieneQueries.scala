@@ -338,26 +338,12 @@ object HygieneQueries {
     // compressed per-(lang, value) counts: the only corpus-scale agg
     val comp = docs.groupBy(col("lang"), col("n_chars"))
       .agg(count(lit(1)).as("c"))
-    // CDF over the compressed relation via the range-partitioned
-    // running total — never `partitionBy(lang)` straight over it:
-    // with a handful of languages that window funnels each language's
-    // whole distinct-length set through one task (the q145 scale
-    // contract; n_chars is bounded today but the same code runs on
-    // unbounded value domains). Value v covers 0-based positions
-    // [hi−c, hi); the two central positions land in ≤ 2 rows and
-    // med2 = Σ v·(covers p1 + covers p2) counts a shared row twice.
-    val cum = graft.api.Ranking.withRunningTotal(
-      comp, Seq("lang"), Seq(col("n_chars")), "c", "hi", "n")
-    val coversP1 = col("p1") >= col("lo") && col("p1") < col("hi")
-    val coversP2 = col("p2") >= col("lo") && col("p2") < col("hi")
-    val med = cum.withColumn("lo", col("hi") - col("c"))
-      .withColumn("p1", expr("(n - 1) div 2"))
-      .withColumn("p2", col("n") - 1 - expr("(n - 1) div 2"))
-      .filter(coversP1 || coversP2)
-      .groupBy(col("lang"))
-      .agg(sum(col("n_chars") *
-        (when(coversP1, 1L).otherwise(0L) +
-          when(coversP2, 1L).otherwise(0L))).as("med2"))
+    // exact per-language median via [[graft.api.Quantiles.median2]]
+    // (range-partitioned CDF — never `partitionBy(lang)` straight
+    // over the compressed relation, which would funnel each
+    // language's whole distinct-length set through one task)
+    val med = graft.api.Quantiles.median2(
+        comp, Seq("lang"), "n_chars", "c")
       .select(col("lang"), round(col("med2") / 2.0, 4).as("lang_median"))
     docs.join(broadcast(med), "lang")
       .filter(col("n_chars") > col("lang_median"))

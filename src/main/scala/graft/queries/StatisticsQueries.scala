@@ -410,31 +410,13 @@ object StatisticsQueries {
         .select(col("event_type"),
           expr("cast(round(value * 100) as bigint)").as("y"))
         .groupBy(col("event_type"), col("y")).agg(count(lit(1)).as("c")))
-    // Exact interpolated median of a weighted compressed relation,
-    // returned as med2 = m1 + m2 (2× the median, integer). The CDF is
-    // [[graft.api.Ranking.withRunningTotal]] — range repartition +
-    // metadata offsets — NOT a partitionBy(event_type) window: with
-    // ~5 event types that window funnels each type's whole distinct-
-    // value set (which grows with the corpus, value being continuous)
-    // through one task. A row covers sorted positions [lo, hi); the
-    // two central positions p1/p2 fall in at most two rows, and
-    // med2 = Σ value·(covers p1 + covers p2) handles the one-row case
-    // (p1 = p2 or both in one bucket) by counting it twice.
-    def med2Of(df: org.apache.spark.sql.DataFrame, valueCol: String) = {
-      val cum = graft.api.Ranking.withRunningTotal(
-        df, Seq("event_type"), Seq(col(valueCol)), "c", "hi", "n")
-      val coversP1 = col("p1") >= col("lo") && col("p1") < col("hi")
-      val coversP2 = col("p2") >= col("lo") && col("p2") < col("hi")
-      cum.withColumn("lo", col("hi") - col("c"))
-        .withColumn("p1", expr("(n - 1) div 2"))
-        .withColumn("p2", col("n") - 1 - expr("(n - 1) div 2"))
-        .filter(coversP1 || coversP2)
-        .groupBy(col("event_type"))
-        .agg(min(col("n")).as("n"),
-          sum(col(valueCol) *
-            (when(coversP1, 1L).otherwise(0L) +
-              when(coversP2, 1L).otherwise(0L))).as("med2"))
-    }
+    // Exact interpolated median of the weighted compressed relation
+    // via [[graft.api.Quantiles.median2]] (range-partitioned CDF,
+    // never a partitionBy(event_type) window — with ~5 event types
+    // that shape funnels each type's whole distinct-value set through
+    // one task). med2 = 2× the median, an integer.
+    def med2Of(df: org.apache.spark.sql.DataFrame, valueCol: String) =
+      graft.api.Quantiles.median2(df, Seq("event_type"), valueCol, "c")
     // med and mad are 5-row relations each consumed by TWO branches
     // (deviation build + final join; flag test + final join) — cache
     // them or the whole upstream CDF pipeline evaluates twice.

@@ -178,4 +178,26 @@ class PropertySpec extends SparkSpec {
       ok
     })
   }
+
+  test("Quantiles.median2 equals the sorted-multiset type-7 median, any grouping") {
+    import spark.implicits._
+    check(Prop.forAll(kvGen.suchThat(_.nonEmpty)) { xs =>
+      {
+        // reference: expand the multiset, sort, m1+m2 at the two
+        // central 0-based positions — exactly 2*quantile_cont(0.5)
+        val expect = xs.groupBy(_._1).map { case (g, vs) =>
+          val sorted = vs.map(_._2).sorted
+          val n = sorted.length
+          g -> (sorted((n - 1) / 2) + sorted(n - 1 - (n - 1) / 2))
+        }
+        val comp = xs.toDF("g", "v").groupBy($"g", $"v")
+          .agg(count(lit(1)).as("w"))
+        val got = graft.api.Quantiles.median2(comp, Seq("g"), "v", "w")
+          .collect().map(r => r.getString(0) -> r.getLong(2)).toMap
+        val ok = got == expect
+        spark.sharedState.cacheManager.clearCache()
+        ok
+      }
+    })
+  }
 }
