@@ -539,8 +539,145 @@ object StatisticsQueries {
       .orderBy(col("decile"))
   }
 
+  /** NDCG@100 of the score ranking against purchase outcomes — the
+    * graded-ranking evaluation that completes the family (q137 AUC:
+    * pairwise order; q147 calibration: bucket honesty; this: position-
+    * discounted top-of-list quality). Positions come from the SAME
+    * memoized [[rankedEvents]] total order (descending position
+    * `n − rn + 1` — no second ranking pass); the discount table
+    * `g(i) = ⌊10⁶·log2(2)/log2(i+1)⌋` is PRECOMPUTED into literals
+    * shared by BOTH engines (the q141 Benford convention — no runtime
+    * transcendental ever crosses the engine boundary), so DCG is an
+    * exact integer sum and IDCG an exact prefix-sum lookup at
+    * min(P, 100). NDCG in basis points by integer division.
+    */
+  private val NdcgK = 100
+  private val NdcgGain: IndexedSeq[Long] =
+    (1 to NdcgK).map(i =>
+      math.floor(1e6 * math.log(2) / math.log(i + 1.0)).toLong)
+  private val NdcgCum: IndexedSeq[Long] = NdcgGain.scanLeft(0L)(_ + _).tail
+
+  val q152NdcgEval = QueryDef(
+    "q152_ndcg_eval",
+    "NDCG@100 of score vs purchase outcome: shared ranked relation, literal discount table, integer DCG",
+    {
+      val gainRows = (1 to NdcgK)
+        .map(i => s"($i, ${NdcgGain(i - 1)})").mkString(", ")
+      val cumRows = (1 to NdcgK)
+        .map(i => s"($i, ${NdcgCum(i - 1)})").mkString(", ")
+      s"""WITH e AS (SELECT event_id, event_type = 'purchase' AS pos,
+         |                  CAST(round(value * 100) AS BIGINT) AS y FROM events),
+         |n AS (SELECT CAST(count(*) AS BIGINT) AS n_events,
+         |             CAST(sum(CASE WHEN pos THEN 1 ELSE 0 END) AS BIGINT) AS n_pos
+         |      FROM e),
+         |r AS (SELECT pos,
+         |        CAST(row_number() OVER (ORDER BY y DESC, event_id DESC) AS BIGINT) AS i
+         |      FROM e),
+         |g(i, gv) AS (VALUES $gainRows),
+         |cg(i, cv) AS (VALUES $cumRows),
+         |dcg AS (SELECT CAST(sum(CASE WHEN r.pos THEN g.gv ELSE 0 END) AS BIGINT) AS dcg_micro
+         |        FROM r JOIN g ON g.i = r.i WHERE r.i <= $NdcgK),
+         |idcg AS (SELECT CAST(cg.cv AS BIGINT) AS idcg_micro
+         |         FROM cg, n WHERE cg.i = least(n.n_pos, $NdcgK))
+         |SELECT n.n_events, n.n_pos, dcg.dcg_micro, idcg.idcg_micro,
+         |  (10000 * dcg.dcg_micro) // idcg.idcg_micro AS ndcg_bp
+         |FROM n, dcg, idcg""".stripMargin
+    }) { (s, d) =>
+    import s.implicits._
+    val ranked = rankedEvents(s, d)
+    // descending position: rn ranks ascending by (y, event_id), so
+    // i = n − rn + 1 is exactly row_number over (y DESC, event_id DESC)
+    val top = ranked
+      .select(col("pos"), (col("grp_n") - col("rn") + 1).as("i"))
+      .filter(col("i") <= NdcgK)
+    val gain = NdcgGain.zipWithIndex
+      .map { case (g, idx) => (idx + 1L, g) }.toDF("i", "gv")
+    val cum = NdcgCum.zipWithIndex
+      .map { case (c, idx) => (idx + 1L, c) }.toDF("i", "cv")
+    val n = ranked.agg(count(lit(1)).as("n_events"),
+      sum(when(col("pos"), 1L).otherwise(0L)).as("n_pos"))
+    val dcg = top.join(broadcast(gain), "i")
+      .agg(sum(when(col("pos"), col("gv")).otherwise(0L)).as("dcg_micro"))
+    val idcg = broadcast(n).crossJoin(broadcast(cum))
+      .filter(col("i") === least(col("n_pos"), lit(NdcgK.toLong)))
+      .select(col("cv").as("idcg_micro"))
+    broadcast(n).crossJoin(broadcast(dcg)).crossJoin(broadcast(idcg))
+      .select(col("n_events"), col("n_pos"), col("dcg_micro"),
+        col("idcg_micro"),
+        expr("(10000 * dcg_micro) div idcg_micro").as("ndcg_bp"))
+  }
+
+  /** Population Stability Index between the 'view' and 'click' value
+    * distributions — the production drift monitor that reports
+    * MAGNITUDE where q138's KS reports a supremum (PSI is what model-
+    * monitoring dashboards threshold at 0.1/0.25): 20 equi-width bins
+    * over the pooled range, add-1 smoothed shares, `PSI = Σ (pᵢ−qᵢ)·
+    * ln(pᵢ/qᵢ)`. Starts from the SAME memoized value-compressed
+    * relation as q138/q145 — no events scan of its own; the per-bin
+    * term is ONE fixed-shape double expression of exact integer counts
+    * (mirrored in the oracle), floored to micros per bin on the 20-row
+    * METADATA spine, so the reported sum is an exact integer.
+    */
+  val q153PsiDrift = QueryDef(
+    "q153_psi_drift",
+    "PSI drift between view/click value distributions: 20-bin spine, smoothed integer-count terms in micros",
+    """WITH src AS (SELECT event_type AS t, CAST(round(value * 100) AS BIGINT) AS y,
+      |                    CAST(count(*) AS BIGINT) AS w
+      |             FROM events WHERE event_type IN ('view', 'click')
+      |             GROUP BY event_type, CAST(round(value * 100) AS BIGINT)),
+      |b AS (SELECT min(y) AS lo, max(y) AS hi FROM src),
+      |bu AS (SELECT t, w, CASE WHEN hi = lo THEN 0
+      |                         ELSE least(19, ((y - lo) * 20) // (hi - lo)) END AS bin
+      |       FROM src, b),
+      |c AS (SELECT bin, CAST(sum(CASE WHEN t = 'view' THEN w ELSE 0 END) AS BIGINT) AS ca,
+      |             CAST(sum(CASE WHEN t = 'click' THEN w ELSE 0 END) AS BIGINT) AS cb
+      |      FROM bu GROUP BY bin),
+      |spine AS (SELECT CAST(unnest(range(0, 20)) AS BIGINT) AS bin),
+      |gg AS (SELECT s.bin, coalesce(c.ca, 0) AS ca, coalesce(c.cb, 0) AS cb
+      |       FROM spine s LEFT JOIN c ON c.bin = s.bin),
+      |n AS (SELECT CAST(sum(ca) AS BIGINT) AS n_a, CAST(sum(cb) AS BIGINT) AS n_b FROM gg),
+      |terms AS (SELECT bin,
+      |    CAST(floor(1000000.0 *
+      |      (CAST(ca + 1 AS DOUBLE) / (n_a + 20) - CAST(cb + 1 AS DOUBLE) / (n_b + 20))
+      |      * ln((CAST(ca + 1 AS DOUBLE) * (n_b + 20)) / (CAST(cb + 1 AS DOUBLE) * (n_a + 20)))
+      |    ) AS BIGINT) AS term_micro
+      |  FROM gg, n)
+      |SELECT n.n_a, n.n_b,
+      |  CAST(sum(t.term_micro) AS BIGINT) AS psi_micro
+      |FROM terms t, n
+      |GROUP BY n.n_a, n.n_b""".stripMargin) { (s, d) =>
+    val src = compressedCents(s, d)
+      .filter(col("event_type").isin("view", "click"))
+      .select(col("event_type").as("t"), col("y"), col("c").as("w"))
+    val bounds = src.agg(min(col("y")).as("lo"), max(col("y")).as("hi"))
+    val bu = src.crossJoin(broadcast(bounds))
+      .select(col("t"), col("w"),
+        when(col("hi") === col("lo"), lit(0L))
+          .otherwise(least(lit(19L), expr("((y - lo) * 20) div (hi - lo)")))
+          .as("bin"))
+    val c = bu.groupBy(col("bin")).agg(
+      sum(when(col("t") === "view", col("w")).otherwise(0L)).as("ca"),
+      sum(when(col("t") === "click", col("w")).otherwise(0L)).as("cb"))
+    val spine = s.range(0, 20).select(col("id").as("bin"))
+    val gg = spine.join(c, Seq("bin"), "left_outer")
+      .select(col("bin"), coalesce(col("ca"), lit(0L)).as("ca"),
+        coalesce(col("cb"), lit(0L)).as("cb"))
+    val n = gg.agg(sum(col("ca")).as("n_a"), sum(col("cb")).as("n_b"))
+    val pa = (col("ca") + 1).cast("double") / (col("n_a") + 20)
+    val pb = (col("cb") + 1).cast("double") / (col("n_b") + 20)
+    val ratio = ((col("ca") + 1).cast("double") * (col("n_b") + 20)) /
+      ((col("cb") + 1).cast("double") * (col("n_a") + 20))
+    gg.crossJoin(broadcast(n))
+      .select(col("n_a"), col("n_b"),
+        floor(lit(1000000.0) * (pa - pb) * log(ratio))
+          .cast("long").as("term_micro"))
+      .groupBy(col("n_a"), col("n_b"))
+      .agg(sum(col("term_micro")).as("psi_micro"))
+      .select(col("n_a"), col("n_b"), col("psi_micro"))
+  }
+
   val all: Seq[QueryDef] =
     Seq(q136BloomFilter, q137RankSumAuc, q138KsDrift, q139SourceImpurity,
       q141BenfordAudit, q143AbTest, q145MadOutliers, q147Calibration,
-      q148RevenueConcentration)
+      q148RevenueConcentration, q152NdcgEval, q153PsiDrift)
 }

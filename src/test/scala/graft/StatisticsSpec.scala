@@ -214,6 +214,57 @@ class StatisticsSpec extends SparkSpec {
       s"q145 regressed to a per-type sort window over the compressed relation:\n${bad.findFirstIn(plan)}")
   }
 
+  test("q152 NDCG matches a driver-side recompute and sits in [0, 10000]") {
+    val r = run("q152_ndcg_eval").collect()(0)
+    val (nEvents, nPos, dcg, idcg, ndcg) =
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))
+    // brute force: sort by (y desc, event_id desc), literal discounts
+    val gain = (1 to 100).map(i =>
+      math.floor(1e6 * math.log(2) / math.log(i + 1.0)).toLong)
+    val evs = Tables.events(spark, sfDir)
+      .select(col("event_id"), col("event_type"),
+        expr("cast(round(value * 100) as bigint)").as("y"))
+      .collect().map(r => (r.getLong(2), r.getLong(0), r.getString(1) == "purchase"))
+    val sorted = evs.sortBy { case (y, id, _) => (-y, -id) }
+    val expectDcg = sorted.take(100).zipWithIndex
+      .map { case ((_, _, pos), i) => if (pos) gain(i) else 0L }.sum
+    val p = evs.count(_._3)
+    val expectIdcg = gain.take(math.min(p, 100)).sum
+    assert(nEvents == evs.length && nPos == p, s"counts mismatch: $r")
+    assert(dcg == expectDcg, s"DCG mismatch: $dcg != $expectDcg")
+    assert(idcg == expectIdcg, s"IDCG mismatch: $idcg != $expectIdcg")
+    assert(dcg <= idcg, "DCG must not exceed the ideal")
+    assert(ndcg == 10000 * dcg / idcg && ndcg >= 0 && ndcg <= 10000,
+      s"NDCG out of range or inconsistent: $r")
+  }
+
+  test("q153 PSI matches a driver-side recompute and is non-negative up to floor error") {
+    val r = run("q153_psi_drift").collect()(0)
+    val (na, nb, psi) = (r.getLong(0), r.getLong(1), r.getLong(2))
+    // brute force over the same 20-bin smoothed construction
+    val src = Tables.events(spark, sfDir)
+      .filter(col("event_type").isin("view", "click"))
+      .select(col("event_type"), expr("cast(round(value * 100) as bigint)").as("y"))
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    val (lo, hi) = (src.map(_._2).min, src.map(_._2).max)
+    def bin(y: Long): Long =
+      if (hi == lo) 0L else math.min(19L, (y - lo) * 20 / (hi - lo))
+    val ca = Array.fill(20)(0L); val cb = Array.fill(20)(0L)
+    src.foreach { case (t, y) =>
+      if (t == "view") ca(bin(y).toInt) += 1 else cb(bin(y).toInt) += 1 }
+    val (ena, enb) = (ca.sum, cb.sum)
+    val expect = (0 until 20).map { i =>
+      val pa = (ca(i) + 1.0) / (ena + 20)
+      val pb = (cb(i) + 1.0) / (enb + 20)
+      val ratio = ((ca(i) + 1.0) * (enb + 20)) / ((cb(i) + 1.0) * (ena + 20))
+      math.floor(1e6 * (pa - pb) * math.log(ratio)).toLong
+    }.sum
+    assert(na == ena && nb == enb, s"counts mismatch: $r")
+    assert(psi == expect, s"PSI mismatch: $psi != $expect")
+    // each exact term (p−q)·ln(p/q) ≥ 0; flooring can lose < 1 micro/bin
+    assert(psi >= -20, s"PSI must be non-negative up to floor error: $psi")
+  }
+
   test("q146 interpolation sits between its surrounding ticks") {
     val rows = run("q146_linear_interp").collect()
     assert(rows.nonEmpty)
