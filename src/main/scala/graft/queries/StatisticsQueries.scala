@@ -171,7 +171,13 @@ object StatisticsQueries {
       sum(when(!col("pos"), 1L).otherwise(0L)).as("n_cnt"))
       .select(col("p_cnt"), col("n_cnt"),
         expr("rank_sum - (p_cnt * (p_cnt + 1)) div 2").as("u_stat"),
-        expr("(10000 * (rank_sum - (p_cnt * (p_cnt + 1)) div 2)) div (p_cnt * n_cnt)")
+        // single-class totality (DegenerateInputSpec): with every
+        // event positive (or every event negative) P·N = 0 and the
+        // integer division throws under ANSI — AUC is undefined
+        // there, report NULL instead of poisoning the run
+        when(col("p_cnt") * col("n_cnt") === 0, lit(null).cast("long"))
+          .otherwise(
+            expr("(10000 * (rank_sum - (p_cnt * (p_cnt + 1)) div 2)) div (p_cnt * n_cnt)"))
           .as("auc_bp"))
   }
 

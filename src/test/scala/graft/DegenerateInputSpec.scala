@@ -1,0 +1,47 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Degenerate-but-nonempty totality: every registered query must run
+  * without throwing against tables that exist and have rows but have
+  * COLLAPSED distributions — every event the same type, every value
+  * identical. At 100 TB this is the routine case of a filtered
+  * partition (one event type after a WHERE), a stuck upstream sensor
+  * (constant values), or a single-language shard. EmptyInputSpec
+  * covers "no rows"; this covers the subtler class where group counts
+  * exist but their COMPLEMENT is zero — the q137/q138 ANSI
+  * divide-by-zero shape (`P·N = 0` when a two-class statistic sees
+  * one class).
+  */
+class DegenerateInputSpec extends SparkSpec {
+
+  private lazy val degenerateDir: String = {
+    val dir = java.nio.file.Files.createTempDirectory("graft_degen")
+      .toFile.getAbsolutePath
+    Tables.all.foreach { t =>
+      val src = spark.read.parquet(s"$sfDir/$t.parquet")
+      val out = t match {
+        // one class, one constant value: every two-population or
+        // spread statistic sees its complement/denominator collapse
+        case "events" =>
+          src.withColumn("event_type", lit("view"))
+            .withColumn("value", lit(1.0))
+        // single language and source: per-stratum operators see one
+        // stratum carrying the whole corpus
+        case "documents" =>
+          src.withColumn("lang", lit("en")).withColumn("source", lit("src0"))
+        case _ => src
+      }
+      out.write.mode("overwrite").parquet(s"$dir/$t.parquet")
+    }
+    dir
+  }
+
+  Registry.queries.foreach { q =>
+    test(s"${q.name} tolerates collapsed-distribution inputs") {
+      val rows = q.fn(spark, degenerateDir).collect()
+      assert(rows.length >= 0) // reaching here (no throw) is the contract
+      spark.sharedState.cacheManager.clearCache()
+    }
+  }
+}
