@@ -214,6 +214,23 @@ class StatisticsSpec extends SparkSpec {
       s"q145 regressed to a per-type sort window over the compressed relation:\n${bad.findFirstIn(plan)}")
   }
 
+  test("ranked-events and compressed-cents relations are memoized per (session, dir)") {
+    import graft.queries.StatisticsQueries
+    // q137/q147/q152 share one ranking pass; q138/q145/q153 share one
+    // compress pass — same pay-once convention as clusterAssignments
+    val r1 = StatisticsQueries.rankedEvents(spark, sfDir)
+    val r2 = StatisticsQueries.rankedEvents(spark, sfDir)
+    assert(r1 eq r2)
+    assert(r1.columns.toSet == Set("event_id", "pos", "y", "rn", "grp_n"))
+    val c1 = StatisticsQueries.compressedCents(spark, sfDir)
+    val c2 = StatisticsQueries.compressedCents(spark, sfDir)
+    assert(c1 eq c2)
+    assert(c1.columns.toSeq == Seq("event_type", "y", "c"))
+    // the compressed relation preserves total mass
+    val total = c1.agg(sum(col("c"))).collect()(0).getLong(0)
+    assert(total == Tables.events(spark, sfDir).count())
+  }
+
   test("q152 NDCG matches a driver-side recompute and sits in [0, 10000]") {
     val r = run("q152_ndcg_eval").collect()(0)
     val (nEvents, nPos, dcg, idcg, ndcg) =
