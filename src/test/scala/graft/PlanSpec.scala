@@ -441,4 +441,18 @@ class PlanSpec extends SparkSpec {
         s"$name lost its pinned repartition (AQE will serialize the hot stage):\n$plan")
     }
   }
+
+  test("no registered query plans a CartesianProduct (suite-wide hygiene gate)") {
+    // CartesianProductExec is the shuffle-based DATA×DATA cross join —
+    // quadratic at scale, never acceptable. BroadcastNestedLoopJoin is
+    // deliberately NOT banned: the suite's crossJoin(broadcast(tiny))
+    // idiom (1-row totals, 10-row spines, bounded stat relations)
+    // plans as BNLJ and is the intended metadata-distribution shape.
+    val offenders = Registry.queries.flatMap { q =>
+      val plan = planString(q.fn(spark, sfDir))
+      if (plan.contains("CartesianProduct")) Some(q.name) else None
+    }
+    assert(offenders.isEmpty,
+      s"queries planning a data-sized cartesian: ${offenders.mkString(", ")}")
+  }
 }
