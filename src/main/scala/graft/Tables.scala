@@ -17,8 +17,24 @@ object Tables {
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings")
 
-  def load(spark: SparkSession, sfDir: String, name: String): DataFrame =
-    spark.read.parquet(s"$sfDir/$name.parquet")
+  /** All loads normalize any TIMESTAMP_NTZ column to the session-zone
+    * `TimestampType`: the driver's generator has already flipped one
+    * table's timestamp encoding between rounds (`events.ts`,
+    * TIMESTAMP(NANOS) → timestamp[us] without timezone — which Spark
+    * reads as TIMESTAMP_NTZ and which `unix_micros`, timestamp
+    * comparisons and watermarks all reject at analysis time), and
+    * `orders.o_orderdate` / `lineitem.l_shipdate` carry the same
+    * parquet shape. Our sessions pin the session timezone to UTC, so
+    * the cast is a lossless relabel and DuckDB (which treats the
+    * column as plain TIMESTAMP either way) stays in parity.
+    */
+  def load(spark: SparkSession, sfDir: String, name: String): DataFrame = {
+    val raw = spark.read.parquet(s"$sfDir/$name.parquet")
+    raw.schema.fields.filter(_.dataType == TimestampNTZType)
+      .foldLeft(raw) { (df, f) =>
+        df.withColumn(f.name, col(f.name).cast(TimestampType))
+      }
+  }
 
   def region(s: SparkSession, d: String): DataFrame     = load(s, d, "region")
   def nation(s: SparkSession, d: String): DataFrame     = load(s, d, "nation")
@@ -28,30 +44,22 @@ object Tables {
   def orders(s: SparkSession, d: String): DataFrame     = load(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame   = load(s, d, "lineitem")
   /** `events.ts` arrives in three parquet encodings depending on the
-    * writer generation; normalize all of them to a session-zone
-    * `TimestampType` so downstream queries (`unix_micros`, timestamp
-    * comparisons, window ranges) see one type:
-    *
-    *  - TIMESTAMP(NANOS): Spark has no native type for it and reads a
-    *    nanos-since-epoch LONG under
-    *    `spark.sql.legacy.parquet.nanosAsLong` (set by our session
-    *    builders). `div` keeps the arithmetic in LongType; a double
-    *    division would lose precision above 2^53 ns. DuckDB's
-    *    `CAST(ts AS TIMESTAMP)` truncates ns→us the same way.
-    *  - timestamp[us] without timezone: Spark reads TIMESTAMP_NTZ,
-    *    which `unix_micros` and TimestampType comparisons reject at
-    *    analysis time. Our sessions pin the session timezone to UTC,
-    *    so casting NTZ→TimestampType is a lossless relabel and DuckDB
-    *    (which treats the column as plain TIMESTAMP) stays in parity.
-    *  - timestamp[us] with timezone: already TimestampType; pass through.
+    * writer generation; all normalize to a session-zone
+    * `TimestampType`. The timestamp[us]-without-timezone (NTZ) and
+    * timestamp[us]-with-timezone generations are handled by [[load]];
+    * the remaining special case is TIMESTAMP(NANOS), which Spark has
+    * no native type for and reads as a nanos-since-epoch LONG under
+    * `spark.sql.legacy.parquet.nanosAsLong` (set by our session
+    * builders). `div` keeps the arithmetic in LongType — a double
+    * division would lose precision above 2^53 ns; DuckDB's
+    * `CAST(ts AS TIMESTAMP)` truncates ns→us the same way, so oracle
+    * parity holds.
     */
   def events(s: SparkSession, d: String): DataFrame = {
     val raw = load(s, d, "events")
     raw.schema("ts").dataType match {
       case LongType =>
         raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
-      case TimestampNTZType =>
-        raw.withColumn("ts", col("ts").cast(TimestampType))
       case _ => raw
     }
   }

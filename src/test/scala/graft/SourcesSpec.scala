@@ -232,6 +232,21 @@ class SourcesSpec extends SparkSpec {
       val got = ev.select(unix_micros($"ts")).as[Long].head()
       assert(got == us, s"$enc encoding lost the instant: $got != $us")
     }
+    // the normalization is loader-wide, not events-specific: any table
+    // whose generator flips a timestamp column to NTZ (orders.o_orderdate
+    // and lineitem.l_shipdate share the shape) reads back TimestampType
+    val ordDir = writeFixture("orders-ntz") {
+      Seq(Tuple1(1L)).toDF("o_orderkey")
+        .withColumn("o_orderdate", timestamp_micros(lit(us)).cast(TimestampNTZType))
+    }
+    // reuse the generic loader under the orders table name
+    java.nio.file.Files.move(
+      java.nio.file.Paths.get(s"$ordDir/events.parquet"),
+      java.nio.file.Paths.get(s"$ordDir/orders.parquet"))
+    val ord = Tables.orders(spark, ordDir)
+    assert(ord.schema("o_orderdate").dataType == TimestampType,
+      s"loader-wide NTZ normalization missing: ${ord.schema("o_orderdate").dataType}")
+    assert(ord.select(unix_micros($"o_orderdate")).as[Long].head() == us)
   }
 
   test("parquet schema evolution: mergeSchema unions columns across file generations") {
