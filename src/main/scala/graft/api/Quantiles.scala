@@ -1,6 +1,6 @@
 package graft.api
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Exact distributed quantiles without per-group value buffering.
@@ -9,8 +9,8 @@ import org.apache.spark.sql.functions._
   * in one aggregation buffer — a memory cliff at corpus scale — and
   * the textbook `PARTITION BY group ORDER BY value` cumulative window
   * funnels each group through a single task when the group column is
-  * low-cardinality. This helper computes the exact type-7 interpolated
-  * median from a value-COMPRESSED weighted relation instead:
+  * low-cardinality. These helpers work from a value-COMPRESSED
+  * weighted relation instead:
   *
   *  1. the caller compresses the corpus to (group, value, weight)
   *     rows (`groupBy(group, value).count()` — distinct values per
@@ -19,40 +19,66 @@ import org.apache.spark.sql.functions._
   *  2. [[Ranking.withRunningTotal]] turns it into a CDF — range
   *     repartition + metadata offsets, every task busy;
   *  3. a row with inclusive running weight `hi` and weight `w` covers
-  *     sorted 0-based positions [hi−w, hi); the two central positions
-  *     p1 = ⌊(n−1)/2⌋ and p2 = (n−1)−p1 land in at most two rows, and
-  *     `med2 = Σ value·(covers p1 + covers p2)` counts a row covering
-  *     both positions twice — exactly `2·quantile_cont(0.5)` and an
-  *     INTEGER whenever values are integers (the determinism contract
-  *     q145's doubled-integer MAD pipeline builds on).
+  *     sorted 0-based positions [hi−w, hi), so the value at ANY
+  *     0-based rank is a filter + one-row-per-group aggregate away.
   *
   * Consumers: q145 (per-type MAD medians), q109 (per-language length
-  * gate). The returned relation has one row per group: the group
-  * columns, `totalCol` (BIGINT total weight) and `med2Col` (twice the
-  * interpolated median, same type as Σ value·weight).
+  * gate), q154 (winsorization bounds).
   */
 object Quantiles {
 
+  /** For each group, the sorted-multiset values at the given 0-based
+    * positions — each position an expression of the group's total
+    * weight (passed as a Column of `totalCol`). One CDF pass serves
+    * every requested position; the result has one row per group with
+    * the group columns, `totalCol` (BIGINT total weight) and one
+    * column per named position.
+    */
+  def valuesAtPositions(
+      comp: DataFrame,
+      groupCols: Seq[String],
+      valueCol: String,
+      weightCol: String,
+      positions: Seq[(String, Column => Column)],
+      totalCol: String = "n"): DataFrame = {
+    require(groupCols.nonEmpty, "groupCols must be non-empty")
+    require(positions.nonEmpty, "positions must be non-empty")
+    val cum = Ranking.withRunningTotal(
+      comp, groupCols, Seq(col(valueCol)), weightCol, "__hi", totalCol)
+    val withLo = cum.withColumn("__lo", col("__hi") - col(weightCol))
+    def covers(posOf: Column => Column) = {
+      val p = posOf(col(totalCol))
+      p >= col("__lo") && p < col("__hi")
+    }
+    val aggs = positions.map { case (name, posOf) =>
+      min(when(covers(posOf), col(valueCol))).as(name)
+    }
+    withLo.filter(positions.map { case (_, p) => covers(p) }.reduce(_ || _))
+      .groupBy(groupCols.map(col): _*)
+      .agg(min(col(totalCol)).as(totalCol), aggs: _*)
+  }
+
+  /** 0-based central positions of the type-7 interpolated median:
+    * p1 = ⌊(n−1)/2⌋ and p2 = (n−1)−p1. Shared with oracle SQL twins.
+    */
+  private def p1(n: Column): Column = floor((n - 1) / lit(2.0)).cast("long")
+  private def p2(n: Column): Column = n - 1 - p1(n)
+
+  /** Twice the exact type-7 interpolated median per group —
+    * `med2 = value@p1 + value@p2`, an INTEGER whenever values are
+    * integers (the determinism contract q145's doubled-integer MAD
+    * pipeline builds on; `med2/2.0` is an exact dyadic rational).
+    * Returns the group columns, `totalCol` and `med2Col`.
+    */
   def median2(
       comp: DataFrame,
       groupCols: Seq[String],
       valueCol: String,
       weightCol: String,
       med2Col: String = "med2",
-      totalCol: String = "n"): DataFrame = {
-    require(groupCols.nonEmpty, "groupCols must be non-empty")
-    val cum = Ranking.withRunningTotal(
-      comp, groupCols, Seq(col(valueCol)), weightCol, "__hi", totalCol)
-    val coversP1 = col("__p1") >= col("__lo") && col("__p1") < col("__hi")
-    val coversP2 = col("__p2") >= col("__lo") && col("__p2") < col("__hi")
-    cum.withColumn("__lo", col("__hi") - col(weightCol))
-      .withColumn("__p1", expr(s"($totalCol - 1) div 2"))
-      .withColumn("__p2", col(totalCol) - 1 - expr(s"($totalCol - 1) div 2"))
-      .filter(coversP1 || coversP2)
-      .groupBy(groupCols.map(col): _*)
-      .agg(min(col(totalCol)).as(totalCol),
-        sum(col(valueCol) *
-          (when(coversP1, 1L).otherwise(0L) +
-            when(coversP2, 1L).otherwise(0L))).as(med2Col))
-  }
+      totalCol: String = "n"): DataFrame =
+    valuesAtPositions(comp, groupCols, valueCol, weightCol,
+      Seq("__m1" -> p1, "__m2" -> p2), totalCol)
+      .withColumn(med2Col, col("__m1") + col("__m2"))
+      .drop("__m1", "__m2")
 }

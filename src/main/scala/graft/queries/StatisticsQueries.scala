@@ -682,8 +682,70 @@ object StatisticsQueries {
       .select(col("n_a"), col("n_b"), col("psi_micro"))
   }
 
+  /** Winsorized robust statistics — the third member of the outlier
+    * family (q113 flags by 3σ, q145 by MAD; winsorization doesn't
+    * flag, it CLAMPS to the exact [p05, p95] quantiles, the standard
+    * way to feed heavy-tailed metrics into means). Bounds are exact
+    * nearest-rank quantiles at the symmetric 0-based positions
+    * k = ⌊(n−1)·5/100⌋ and (n−1)−k, pulled by
+    * [[graft.api.Quantiles.valuesAtPositions]] in ONE
+    * range-partitioned CDF pass over the memoized compressed-cents
+    * relation (third consumer — no events scan of its own); the
+    * clamped sum is exact integer arithmetic against the broadcast
+    * 5-row bounds, divided into a rounded double only at output.
+    */
+  val q154WinsorizedStats = QueryDef(
+    "q154_winsorized_stats",
+    "winsorized per-type mean: exact nearest-rank p05/p95 clamp bounds from one CDF pass, integer clamp sum",
+    """WITH y AS (SELECT event_type, CAST(round(value * 100) AS BIGINT) AS y,
+      |                  CAST(count(*) AS BIGINT) AS c
+      |           FROM events
+      |           GROUP BY event_type, CAST(round(value * 100) AS BIGINT)),
+      |cum AS (SELECT event_type, y, c,
+      |         CAST(sum(c) OVER (PARTITION BY event_type ORDER BY y) AS BIGINT) AS hi
+      |        FROM y),
+      |nn AS (SELECT event_type, CAST(sum(c) AS BIGINT) AS n FROM y GROUP BY event_type),
+      |k AS (SELECT event_type, n,
+      |        CAST(floor((n - 1) * 5 / 100.0) AS BIGINT) AS k_lo,
+      |        (n - 1) - CAST(floor((n - 1) * 5 / 100.0) AS BIGINT) AS k_hi
+      |      FROM nn),
+      |b AS (SELECT k.event_type, k.n,
+      |        min(CASE WHEN k.k_lo >= cum.hi - cum.c AND k.k_lo < cum.hi THEN cum.y END) AS p05,
+      |        min(CASE WHEN k.k_hi >= cum.hi - cum.c AND k.k_hi < cum.hi THEN cum.y END) AS p95
+      |      FROM k JOIN cum ON cum.event_type = k.event_type
+      |      GROUP BY k.event_type, k.n),
+      |w AS (SELECT y.event_type, b.n, b.p05, b.p95,
+      |        CAST(sum(CASE WHEN y.y < b.p05 OR y.y > b.p95 THEN y.c ELSE 0 END) AS BIGINT) AS n_clamped,
+      |        CAST(sum(least(greatest(y.y, b.p05), b.p95) * y.c) AS BIGINT) AS wsum
+      |      FROM y JOIN b ON b.event_type = y.event_type
+      |      GROUP BY y.event_type, b.n, b.p05, b.p95)
+      |SELECT event_type, n, p05 AS p05_cents, p95 AS p95_cents, n_clamped,
+      |  round(CAST(wsum AS DOUBLE) / n, 4) AS wins_mean_cents
+      |FROM w ORDER BY event_type""".stripMargin) { (s, d) =>
+    val comp = compressedCents(s, d)
+    def kLo(n: org.apache.spark.sql.Column) =
+      floor((n - 1) * 5 / lit(100.0)).cast("long")
+    val bounds = graft.api.Quantiles.valuesAtPositions(
+      comp, Seq("event_type"), "y", "c",
+      Seq("p05" -> (n => kLo(n)), "p95" -> (n => n - 1 - kLo(n))))
+    comp.join(broadcast(bounds), "event_type")
+      .groupBy(col("event_type"))
+      .agg(min(col("n")).as("n"),
+        min(col("p05")).as("p05_cents"),
+        min(col("p95")).as("p95_cents"),
+        sum(when(col("y") < col("p05") || col("y") > col("p95"), col("c"))
+          .otherwise(0L)).as("n_clamped"),
+        sum(least(greatest(col("y"), col("p05")), col("p95")) * col("c"))
+          .as("wsum"))
+      .select(col("event_type"), col("n"), col("p05_cents"), col("p95_cents"),
+        col("n_clamped"),
+        round(col("wsum").cast("double") / col("n"), 4).as("wins_mean_cents"))
+      .orderBy(col("event_type"))
+  }
+
   val all: Seq[QueryDef] =
     Seq(q136BloomFilter, q137RankSumAuc, q138KsDrift, q139SourceImpurity,
       q141BenfordAudit, q143AbTest, q145MadOutliers, q147Calibration,
-      q148RevenueConcentration, q152NdcgEval, q153PsiDrift)
+      q148RevenueConcentration, q152NdcgEval, q153PsiDrift,
+      q154WinsorizedStats)
 }

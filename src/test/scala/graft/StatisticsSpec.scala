@@ -282,6 +282,31 @@ class StatisticsSpec extends SparkSpec {
     assert(psi >= -20, s"PSI must be non-negative up to floor error: $psi")
   }
 
+  test("q154 winsorized stats match a driver-side recompute") {
+    val rows = run("q154_winsorized_stats").collect()
+    assert(rows.nonEmpty)
+    val byType = Tables.events(spark, sfDir)
+      .select(col("event_type"), expr("cast(round(value * 100) as bigint)").as("y"))
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+      .groupBy(_._1).map { case (t, vs) => t -> vs.map(_._2).sorted }
+    rows.foreach { r =>
+      val t = r.getString(0)
+      val ys = byType(t)
+      val n = ys.length
+      val kLo = math.floor((n - 1) * 5 / 100.0).toInt
+      val (p05, p95) = (ys(kLo), ys(n - 1 - kLo))
+      val clamped = ys.map(y => math.min(math.max(y, p05), p95))
+      assert(r.getLong(1) == n.toLong, s"n mismatch for $t")
+      assert(r.getLong(2) == p05 && r.getLong(3) == p95,
+        s"bounds mismatch for $t: ${r.getLong(2)}/${r.getLong(3)} != $p05/$p95")
+      assert(r.getLong(4) == ys.count(y => y < p05 || y > p95).toLong,
+        s"clamp count mismatch for $t")
+      val mean = BigDecimal(clamped.sum.toDouble / n)
+        .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert(r.getDouble(5) == mean, s"winsorized mean mismatch for $t")
+    }
+  }
+
   test("q146 interpolation sits between its surrounding ticks") {
     val rows = run("q146_linear_interp").collect()
     assert(rows.nonEmpty)
