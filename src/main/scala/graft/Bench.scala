@@ -64,6 +64,13 @@ object Bench {
     // by 8 s and hid an 8-query regression. The total counts timed
     // queries only, and the failures get their own loud field.
     val failed = results.collect { case (k, (_, med, _)) if med < 0 => k }.toSeq.sorted
+    // a query that failed SOME of its runs (min carries the -1 sentinel
+    // but the median of the surviving runs still counts toward the
+    // total) is invisible to `failed` and to the spread diagnostics —
+    // flag it separately so intermittent errors can't hide in a green
+    // artifact. BASELINE.md treats non-empty flaky like non-empty
+    // failed: the run needs a rerun or an explanation.
+    val flaky = results.collect { case (k, (mn, med, _)) if mn < 0 && med >= 0 => k }.toSeq.sorted
     val total = results.values.map(_._2).filter(_ >= 0).sum
     // contention self-diagnosis: on an idle box 3 passes of one query
     // land within ~2x of each other; a contended driver shows 5-10x
@@ -89,14 +96,18 @@ object Bench {
     // head-truncated tail still shows the headline total. Full
     // min/med/max detail goes to target/bench.json.
     val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
+    val flakyJson = flaky.map("\"" + _ + "\"").mkString("[", ",", "]")
     val compact =
-      s"""{"runs":$Runs,"sf":"$sfDir","queries":$qs,"max_spread":${r4(maxSpread)},"med_spread":${r4(medSpread)},"failed":$failedJson,"metric":"total","unit":"sec","value":${r4(total)}}"""
+      s"""{"runs":$Runs,"sf":"$sfDir","queries":$qs,"max_spread":${r4(maxSpread)},"med_spread":${r4(medSpread)},"failed":$failedJson,"flaky":$flakyJson,"metric":"total","unit":"sec","value":${r4(total)}}"""
     val full =
-      s"""{"metric":"total","value":$total,"unit":"sec","runs":$Runs,"max_spread":${r4(maxSpread)},"med_spread":${r4(medSpread)},"failed":$failedJson,"queries":$qs,"detail":$detail,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","runs":$Runs,"max_spread":${r4(maxSpread)},"med_spread":${r4(medSpread)},"failed":$failedJson,"flaky":$flakyJson,"queries":$qs,"detail":$detail,"sf":"$sfDir"}"""
     println(compact)
     if (failed.nonEmpty)
       System.err.println(
         s"[bench] ${failed.size} queries FAILED (recorded -1, excluded from total): ${failed.mkString(", ")}")
+    if (flaky.nonEmpty)
+      System.err.println(
+        s"[bench] ${flaky.size} queries FLAKY (failed some runs; median of survivors counted): ${flaky.mkString(", ")}")
     val out = java.nio.file.Paths.get("target/bench.json")
     java.nio.file.Files.createDirectories(out.getParent)
     java.nio.file.Files.write(out, full.getBytes("UTF-8"))

@@ -455,18 +455,15 @@ object DedupQueries {
     * assignment table to storage (`api.Sharder`-style) and reading it
     * back; the relation is one row per document either way.
     */
-  private val ccMemo =
-    new java.util.concurrent.ConcurrentHashMap[(Int, String), DataFrame]()
-
   def clusterAssignments(s: SparkSession, d: String): DataFrame =
-    ccMemo.computeIfAbsent((System.identityHashCode(s), d), _ => {
+    graft.SessionMemo.getOrCompute(s, "dedup.clusters:" + d) {
       val pairs = minhashVerifiedPairs(s, d)
         .select(col("doc_a").as("u"), col("doc_b").as("v"))
       val nodes = Tables.documents(s, d).select(col("doc_id").as("id"))
       graft.api.ConnectedComponents.label(nodes, pairs)
         .select(col("id").as("doc_id"), col("component").as("cluster_id"))
         .localCheckpoint()
-    })
+    }
 
   /** Leakage-safe split as a standalone operator over a PRECOMPUTED
     * `(doc_id, cluster_id)` relation (q93's API form): assignment unit

@@ -412,10 +412,16 @@ object HygieneQueries {
     * the bigram stream), joined back to the stream on the bigram key
     * — AQE broadcasts it when it fits, shuffle-joins when it doesn't.
     * Log-probs are fixed-point MICROS (floor(1e6·ln p) as BIGINT), so
-    * the per-doc score is an INTEGER sum — commutative, bit-identical
-    * across partitionings and engines; no floating aggregate exists
-    * anywhere in the plan. The average is integer division of
-    * positive longs (identical truncation semantics both engines).
+    * the per-doc score is an INTEGER sum — commutative, invariant
+    * under partitioning; no floating aggregate exists anywhere in the
+    * plan. The average is integer division of positive longs
+    * (identical truncation semantics both engines). Cross-engine
+    * caveat (same documented tolerance as q151/q153): each floored
+    * log-prob comes from a runtime `ln`, ~1-ulp accurate in both
+    * engines, so a probability whose 1e6·ln lands within an ulp of an
+    * integer could floor one micro apart across engines — unobserved
+    * on the driver's pairing, but the exact-hash gate carries that
+    * residual per-bigram risk.
     */
   val q121LmQuality = QueryDef(
     "q121_lm_quality",

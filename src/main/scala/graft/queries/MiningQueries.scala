@@ -20,17 +20,13 @@ object MiningQueries {
     * `localCheckpoint` pins the relation across consumers. At 100 TB
     * the memo's role is played by writing the edge list to storage.
     */
-  private val basketMemo =
-    new java.util.concurrent.ConcurrentHashMap[(Int, String), org.apache.spark.sql.DataFrame]()
-  private val prMemo =
-    new java.util.concurrent.ConcurrentHashMap[(Int, String), org.apache.spark.sql.DataFrame]()
-
   def orderBaskets(s: org.apache.spark.sql.SparkSession, d: String): org.apache.spark.sql.DataFrame =
-    basketMemo.computeIfAbsent((System.identityHashCode(s), d), _ =>
+    graft.SessionMemo.getOrCompute(s, "mining.baskets:" + d) {
       Tables.lineitem(s, d)
         .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
         .groupBy(col("o")).agg(sort_array(collect_set(col("p"))).as("ps"))
-        .localCheckpoint())
+        .localCheckpoint()
+    }
 
   /** u<v part pairs with co-occurrence support ≥ 2 — map-side HOF
     * expansion of the sorted baskets (never a corpus self-join; the
@@ -38,7 +34,7 @@ object MiningQueries {
     * are handled explicitly), then one pair-keyed count shuffle.
     */
   def pairSupport(s: org.apache.spark.sql.SparkSession, d: String): org.apache.spark.sql.DataFrame =
-    prMemo.computeIfAbsent((System.identityHashCode(s), d), _ => {
+    graft.SessionMemo.getOrCompute(s, "mining.pairs:" + d) {
       val pairCol = when(size(col("ps")) < 2,
         array().cast("array<struct<u:bigint,v:bigint>>"))
         .otherwise(flatten(transform(
@@ -52,7 +48,7 @@ object MiningQueries {
         .agg(count(lit(1)).as("c"))
         .filter(col("c") >= 2)
         .localCheckpoint()
-    })
+    }
 
   /** Association rules (support / confidence / lift) over per-order
     * part baskets — Apriori's pair stage, the classic co-purchase

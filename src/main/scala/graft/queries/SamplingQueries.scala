@@ -343,8 +343,21 @@ object SamplingQueries {
     * broadcast of the finished model, one per-doc aggregate. Log-probs
     * are fixed-point micros (`floor(1e6·ln((c+1)/(N+512)))`, +1
     * smoothing over the full bucket spine — the q121 idiom), so the
-    * per-doc score is an exact integer sum, bit-identical across
-    * partitionings and engines.
+    * per-doc score is an exact integer sum, invariant under
+    * partitioning and aggregation order.
+    *
+    * Cross-engine caveat (documented tolerance): the 512 per-bucket
+    * log-probs are floored from a RUNTIME `ln` — JVM `Math.log` and
+    * DuckDB's libm `log` are each only ~1-ulp accurate, so a product
+    * landing within an ulp of an integer micro boundary could floor
+    * one micro apart across engines/platforms. Everything downstream
+    * of the 512 floored values IS exact integer arithmetic; the
+    * residual risk the exact-hash oracle carries is ≤1 micro per
+    * distinct bucket a doc touches, and has not been observed on the
+    * driver's JVM/DuckDB pairing. The fully-portable alternative
+    * (precomputed literal tables, the q141/q152 convention) is
+    * unavailable here because the log arguments are data-dependent
+    * counts.
     */
   val q151DsirWeights = QueryDef(
     "q151_dsir_weights",

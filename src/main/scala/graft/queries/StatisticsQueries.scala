@@ -22,17 +22,14 @@ object StatisticsQueries {
     * the ranked/decile relation to storage and pointing every
     * evaluation job at it.
     */
-  private val rankedMemo =
-    new java.util.concurrent.ConcurrentHashMap[(Int, String), org.apache.spark.sql.DataFrame]()
-
   def rankedEvents(s: org.apache.spark.sql.SparkSession, d: String): org.apache.spark.sql.DataFrame =
-    rankedMemo.computeIfAbsent((System.identityHashCode(s), d), _ => {
+    graft.SessionMemo.getOrCompute(s, "stats.ranked:" + d) {
       val e = Tables.events(s, d).select(col("event_id"),
         (col("event_type") === "purchase").as("pos"),
         expr("cast(round(value * 100) as bigint)").as("y"))
       graft.api.Ranking.withRank(e, Nil, Seq(col("y"), col("event_id")))
         .localCheckpoint()
-    })
+    }
 
   /** The (event_type, integer-cents, count) value-compressed events
     * relation q138 (KS binning) and q145 (MAD medians) both start
@@ -42,16 +39,14 @@ object StatisticsQueries {
     * magnitude below row count, so every downstream pass (CDFs,
     * binning, deviation build) runs on the compressed relation.
     */
-  private val centsMemo =
-    new java.util.concurrent.ConcurrentHashMap[(Int, String), org.apache.spark.sql.DataFrame]()
-
   def compressedCents(s: org.apache.spark.sql.SparkSession, d: String): org.apache.spark.sql.DataFrame =
-    centsMemo.computeIfAbsent((System.identityHashCode(s), d), _ =>
+    graft.SessionMemo.getOrCompute(s, "stats.cents:" + d) {
       Tables.events(s, d)
         .select(col("event_type"),
           expr("cast(round(value * 100) as bigint)").as("y"))
         .groupBy(col("event_type"), col("y")).agg(count(lit(1)).as("c"))
-        .localCheckpoint())
+        .localCheckpoint()
+    }
 
   /** Portable Bloom-filter membership audit — the compact-filter
     * semi-join reduction pattern (the manual twin of Spark's runtime
@@ -584,7 +579,7 @@ object StatisticsQueries {
          |dcg AS (SELECT CAST(sum(CASE WHEN r.pos THEN g.gv ELSE 0 END) AS BIGINT) AS dcg_micro
          |        FROM r JOIN g ON g.i = r.i WHERE r.i <= $NdcgK),
          |idcg AS (SELECT CAST(cg.cv AS BIGINT) AS idcg_micro
-         |         FROM cg, n WHERE cg.i = least(n.n_pos, $NdcgK))
+         |         FROM n LEFT JOIN cg ON cg.i = least(n.n_pos, $NdcgK))
          |SELECT n.n_events, n.n_pos, dcg.dcg_micro, idcg.idcg_micro,
          |  (10000 * dcg.dcg_micro) // idcg.idcg_micro AS ndcg_bp
          |FROM n, dcg, idcg""".stripMargin
@@ -604,8 +599,12 @@ object StatisticsQueries {
       sum(when(col("pos"), 1L).otherwise(0L)).as("n_pos"))
     val dcg = top.join(broadcast(gain), "i")
       .agg(sum(when(col("pos"), col("gv")).otherwise(0L)).as("dcg_micro"))
-    val idcg = broadcast(n).crossJoin(broadcast(cum))
-      .filter(col("i") === least(col("n_pos"), lit(NdcgK.toLong)))
+    // LEFT join: on single-class input n_pos = 0 matches no cum row —
+    // the q137/q138 convention is a row with a NULL metric, never an
+    // empty result, so the lookup must not filter the counts away
+    val idcg = broadcast(n)
+      .join(broadcast(cum),
+        col("i") === least(col("n_pos"), lit(NdcgK.toLong)), "left_outer")
       .select(col("cv").as("idcg_micro"))
     broadcast(n).crossJoin(broadcast(dcg)).crossJoin(broadcast(idcg))
       .select(col("n_events"), col("n_pos"), col("dcg_micro"),
@@ -621,8 +620,17 @@ object StatisticsQueries {
     * ln(pᵢ/qᵢ)`. Starts from the SAME memoized value-compressed
     * relation as q138/q145 — no events scan of its own; the per-bin
     * term is ONE fixed-shape double expression of exact integer counts
-    * (mirrored in the oracle), floored to micros per bin on the 20-row
-    * METADATA spine, so the reported sum is an exact integer.
+    * (mirrored operation-for-operation in the oracle), floored to
+    * micros per bin on the 20-row METADATA spine, so the reported sum
+    * is an integer of at most 20 floored terms.
+    *
+    * Cross-engine caveat (documented tolerance): the per-bin `ln` runs
+    * at RUNTIME in both engines (data-dependent ratio — not
+    * precomputable into the q141/q152 literal tables), and JVM
+    * `Math.log` vs DuckDB libm `log` are each only ~1-ulp accurate, so
+    * a term within an ulp of an integer micro boundary could floor one
+    * micro apart. Residual exact-hash risk: ≤1 micro per bin (≤20
+    * total), unobserved on the driver's pairing.
     */
   val q153PsiDrift = QueryDef(
     "q153_psi_drift",

@@ -9,6 +9,19 @@ import org.apache.spark.sql.SparkSession
   * Usage: sbt "runMain graft.tools.TimeQuery q34_minhash_lsh[,q60_...] [sfDir] [runs]"
   */
 object TimeQuery {
+  /** Bounded poll until every recorded job has its end timestamp (the
+    * listener bus delivers asynchronously; `listenerBus.waitUntilEmpty`
+    * is private[spark], so poll the visible effect instead). */
+  private def awaitJobEnds(
+      jobLog: java.util.concurrent.ConcurrentHashMap[Int, (Long, Long, Int)],
+      enabled: Boolean): Unit = {
+    if (!enabled) return
+    val deadline = System.nanoTime() + 2_000_000_000L
+    import scala.jdk.CollectionConverters._
+    while (jobLog.asScala.exists(_._2._2 == 0L) && System.nanoTime() < deadline)
+      Thread.sleep(20)
+  }
+
   def main(args: Array[String]): Unit = {
     val names = args.headOption.getOrElse("q34_minhash_lsh").split(",").toSeq
     val sfDir = args.lift(1).getOrElse("/root/testdata/sf0.1")
@@ -42,7 +55,12 @@ object TimeQuery {
     names.foreach { name =>
       val fn = graft.Registry.byName(name).fn
       val times = (1 to runs).map { i =>
-        if (i == runs) jobLog.clear()
+        if (i == runs) {
+          // the listener bus is async: let the previous run's JobEnd
+          // events land before clearing, or they'd resurrect stale ids
+          awaitJobEnds(jobLog, traceJobs)
+          jobLog.clear()
+        }
         val t0 = System.nanoTime()
         val n = fn(spark, sfDir).count()
         spark.sharedState.cacheManager.clearCache()
@@ -52,13 +70,21 @@ object TimeQuery {
       }
       if (traceJobs) {
         import scala.jdk.CollectionConverters._
-        val jobs = jobLog.asScala.toSeq.sortBy(_._1)
-        jobs.foreach { case (id, (st, en, tasks)) =>
+        // drain the async bus before reading: a JobEnd still in flight
+        // leaves end=0 and would print a huge negative duration and
+        // corrupt the span/busy/gaps summary
+        awaitJobEnds(jobLog, traceJobs)
+        val (done, pending) =
+          jobLog.asScala.toSeq.sortBy(_._1).partition(_._2._2 > 0)
+        done.foreach { case (id, (st, en, tasks)) =>
           println(f"[job] $name%s job=$id%-3d ${(en - st) / 1e3}%6.2f s tasks=$tasks%d")
         }
-        if (jobs.nonEmpty) {
-          val spanMs = jobs.map(_._2._2).max - jobs.map(_._2._1).min
-          val busyMs = jobs.map { case (_, (st, en, _)) => en - st }.sum
+        pending.foreach { case (id, _) =>
+          println(s"[job] $name job=$id END NOT DELIVERED (excluded from summary)")
+        }
+        if (done.nonEmpty) {
+          val spanMs = done.map(_._2._2).max - done.map(_._2._1).min
+          val busyMs = done.map { case (_, (st, en, _)) => en - st }.sum
           println(f"[job] $name%s span=${spanMs / 1e3}%.2f s busy=${busyMs / 1e3}%.2f s gaps=${(spanMs - busyMs) / 1e3}%.2f s")
         }
       }

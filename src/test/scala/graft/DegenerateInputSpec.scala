@@ -44,4 +44,18 @@ class DegenerateInputSpec extends SparkSpec {
       spark.sharedState.cacheManager.clearCache()
     }
   }
+
+  test("q152 reports counts with a NULL NDCG on single-class input, not an empty result") {
+    // all events are 'view' ⇒ n_pos = 0 ⇒ IDCG undefined; the
+    // q137/q138 convention is one row with the counts and a NULL
+    // metric, so monitoring joins never silently lose the partition
+    val rows = Registry.byName("q152_ndcg_eval").fn(spark, degenerateDir).collect()
+    assert(rows.length == 1)
+    val r = rows(0)
+    assert(r.getLong(r.fieldIndex("n_pos")) == 0L)
+    assert(r.getLong(r.fieldIndex("n_events")) > 0L)
+    assert(r.isNullAt(r.fieldIndex("idcg_micro")))
+    assert(r.isNullAt(r.fieldIndex("ndcg_bp")))
+    spark.sharedState.cacheManager.clearCache()
+  }
 }
