@@ -469,19 +469,28 @@ object TemporalQueries {
     * `round(price·(1−disc)·100)` is one fixed-shape double expression
     * cast to long, then ONLY integer sums cross the exchange — a
     * floating `sum(price)` would be summation-order-dependent and
-    * never hash-stable). The lag window runs on the ~80-row monthly
-    * relation — metadata, not data; the corpus pays one join and one
-    * aggregate. Growth is `floor(10000·Δ/prev)` basis points — floor
+    * never hash-stable). REDUCE-BEFORE-JOIN: lineitem pre-aggregates
+    * to one `(l_orderkey, order_cents)` row per order BEFORE meeting
+    * orders — integer associativity makes the regrouping exact, and
+    * the join shuffle shrinks by the lines-per-order factor (~4× here,
+    * the same factor at any scale) while the pre-aggregation itself is
+    * partial+final, so the map side combines before its exchange too.
+    * The lag window runs on the ~80-row monthly relation — metadata,
+    * not data. Growth is `floor(10000·Δ/prev)` basis points — floor
     * (toward −∞) is identical in both engines for negative months.
     */
   val q128YoyGrowth = QueryDef(
     "q128_yoy_growth",
     "year-over-year monthly revenue growth: integer-cent sums, lag-12 over the metadata-sized monthly series",
-    """WITH m AS (
-      |  SELECT date_trunc('month', CAST(o_orderdate AS TIMESTAMP)) AS month,
+    """WITH li AS (
+      |  SELECT l_orderkey,
       |    CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)) AS BIGINT)
-      |      AS revenue_cents
-      |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      |      AS order_cents
+      |  FROM lineitem GROUP BY l_orderkey),
+      |m AS (
+      |  SELECT date_trunc('month', CAST(o_orderdate AS TIMESTAMP)) AS month,
+      |    CAST(sum(order_cents) AS BIGINT) AS revenue_cents
+      |  FROM li JOIN orders ON l_orderkey = o_orderkey
       |  GROUP BY 1)
       |SELECT month, revenue_cents,
       |  CAST(floor(10000.0 *
@@ -490,12 +499,17 @@ object TemporalQueries {
       |FROM m
       |ORDER BY month""".stripMargin) { (s, d) =>
     import org.apache.spark.sql.expressions.Window
-    val m = Tables.lineitem(s, d)
+    // reduce-before-join: one row per order crosses the join, not one
+    // per lineitem (exact — integer cents sums regroup associatively)
+    val li = Tables.lineitem(s, d)
+      .groupBy(col("l_orderkey"))
+      .agg(sum(round(col("l_extendedprice") * (lit(1) - col("l_discount"))
+        * 100).cast("long")).as("order_cents"))
+    val m = li
       .join(Tables.orders(s, d), col("l_orderkey") === col("o_orderkey"))
       .groupBy(date_trunc("month", col("o_orderdate").cast("timestamp"))
         .as("month"))
-      .agg(sum(round(col("l_extendedprice") * (lit(1) - col("l_discount"))
-        * 100).cast("long")).as("revenue_cents"))
+      .agg(sum(col("order_cents")).as("revenue_cents"))
     // the lag window runs on the ~80-row monthly series only
     val w = Window.orderBy(col("month"))
     m.select(col("month"), col("revenue_cents"),

@@ -442,6 +442,20 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("q128 pre-aggregates lineitem BELOW the orders join (reduce-before-join)") {
+    // one (l_orderkey, order_cents) row per order crosses the join
+    // instead of one row per lineitem — the shuffle shrinks by the
+    // lines-per-order factor at any scale. In the printed tree a
+    // child renders below its parent, so the per-order HashAggregate
+    // must appear AFTER the join node that consumes it.
+    val plan = planString(Registry.byName("q128_yoy_growth").fn(spark, sfDir))
+    val joinIdx = plan.indexOf("Join")
+    val orderAggIdx = plan.indexOf("HashAggregate(keys=[l_orderkey")
+    assert(joinIdx >= 0, s"q128 lost its orders join:\n$plan")
+    assert(orderAggIdx > joinIdx,
+      s"q128's per-order pre-aggregation must sit below the join:\n$plan")
+  }
+
   test("no registered query plans a CartesianProduct (suite-wide hygiene gate)") {
     // CartesianProductExec is the shuffle-based DATA×DATA cross join —
     // quadratic at scale, never acceptable. BroadcastNestedLoopJoin is
