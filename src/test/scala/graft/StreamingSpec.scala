@@ -266,6 +266,58 @@ class StreamingSpec extends SparkSpec {
       s"exactly-once violated across restart: $vals")
   }
 
+  test("transformWithState state survives kill + restart from checkpoint (exactly-once recovery)") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    // THE production contract of the stateful API: the RocksDB state
+    // snapshot in the checkpoint, not the running JVM, owns the state.
+    // Memory sinks refuse checkpoint recovery outside Complete mode,
+    // so the sink is foreachBatch into a static buffer — the shape a
+    // real pipeline uses anyway.
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val ckpt = java.nio.file.Files.createTempDirectory("graft_tws_ckpt")
+        .toFile.getAbsolutePath
+      val input = MemoryStream[Event]
+      val out = new scala.collection.mutable.ArrayBuffer[(Long, Long, Long, Double)]()
+      def start() = StreamingOps.runningTotals(spark, input.toDS())
+        .toDF("user_id", "n", "total")
+        .writeStream
+        .foreachBatch { (df: org.apache.spark.sql.DataFrame, batchId: Long) =>
+          val rows = df.select($"user_id", $"n", $"total")
+            .as[(Long, Long, Double)].collect()
+          out.synchronized {
+            rows.foreach { case (u, n, t) => out += ((batchId, u, n, t)) }
+          }
+        }
+        .option("checkpointLocation", ckpt)
+        .outputMode("update").start()
+      val q1 = start()
+      try {
+        input.addData(Event(ts(0), 1L, "view", 1.0), Event(ts(1), 1L, "view", 2.0))
+        runAll(q1)
+      } finally q1.stop() // simulated kill after the first commit
+      val afterKill = out.synchronized(out.toSet)
+      assert(afterKill.map { case (_, u, n, t) => (u, n, t) } == Set((1L, 2L, 3.0)),
+        s"pre-kill state wrong: $afterKill")
+      // data arrives while the query is DOWN
+      input.addData(Event(ts(2), 1L, "click", 3.5))
+      val q2 = start() // restart from the SAME checkpoint
+      try runAll(q2) finally q2.stop()
+      val emitted = out.synchronized(out.toList)
+      // state resumed: the outage batch continues from (2, 3.0), so the
+      // count is 3 — a state loss would restart it at 1
+      assert(emitted.map { case (_, u, n, t) => (u, n, t) }.contains((1L, 3L, 6.5)),
+        s"state lost across restart: $emitted")
+      // exactly-once: the restarted query must not re-emit the already
+      // committed first batch
+      assert(emitted.count { case (_, u, _, _) => u == 1L } == 2,
+        s"committed batch re-emitted after recovery: $emitted")
+    } finally
+      spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+  }
+
   test("dropDuplicatesWithinWatermark dedups the stream on the event key") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
