@@ -46,10 +46,37 @@ object SimilarityJoinRewrite extends Rule[LogicalPlan] {
     * fixture thresholds (~0.45) recall ≈ 0.8 on borderline pairs and
     * ≈ 1 on true near-dups; production thresholds (≥ 0.8) push
     * per-band collision probability up and band misses toward 0.
+    *
+    * LSH bands must be SIZED FOR THE CORPUS: with fixed band width r,
+    * expected bucket occupancy grows as n/2^r and candidate pairs as
+    * n²/2^r — the sf0.1→sf1 ladder measured q60 going 19.6× for 10×
+    * data on the 4-bit default, vs ~2.4× after re-tuning to 8-bit
+    * bands (BASELINE.md, round 8). Production rule: grow r by log2 of
+    * the corpus growth to hold bucket occupancy (and therefore
+    * verify cost per row) constant; every real LSH/ANN index re-tunes
+    * this way. The session confs below override the defaults without
+    * touching query code; the defaults stay fixed so the DuckDB
+    * oracle replay (q60) remains bit-identical.
     */
   val NBits = 32
   val BitsPerBand = 4
   val Seed = 7L
+  val NBitsConf = "spark.graft.lsh.nbits"
+  val BitsPerBandConf = "spark.graft.lsh.bitsPerBand"
+
+  /** Effective (nBits, bitsPerBand) — session-tunable, default-stable.
+    * nBits may exceed 64: bands then draw from MULTIPLE independent
+    * 64-bit signature words (seed-offset lanes), which is how recall
+    * is held constant while bands get finer — e.g. 128/8 keeps the
+    * ≥0.9-cosine collision recall of the 32/4 default (≈0.996 vs
+    * ≈0.998) while cutting per-band collision probability 2^4×. */
+  private def params: (Int, Int) = {
+    val nb = conf.getConfString(NBitsConf, NBits.toString).toInt
+    val bpb = conf.getConfString(BitsPerBandConf, BitsPerBand.toString).toInt
+    require(nb >= 1 && nb <= 256 && bpb >= 1 && bpb <= math.min(nb, 64) && nb % bpb == 0,
+      s"invalid LSH banding: nbits=$nb bitsPerBand=$bpb (need 1 <= bpb <= min(nbits,64) <= 256, bpb | nbits)")
+    (nb, bpb)
+  }
 
   override def apply(plan: LogicalPlan): LogicalPlan = plan.transformUp {
     case j @ Join(l, r, Inner, Some(cond), _) if j.resolved =>
@@ -77,16 +104,32 @@ object SimilarityJoinRewrite extends Rule[LogicalPlan] {
     case other => Seq(other)
   }
 
-  /** Project the signature, explode the packed band keys. */
+  /** Project the signature word(s), explode the packed band keys.
+    * Word w's lanes are offset by a seed stride coprime to the
+    * component stride (Mix64's multiplier — NOT the LCG increment,
+    * whose reuse would alias word w's lanes onto word 0's shifted
+    * components); word 0 at the default config reproduces the
+    * original single-word signature bit-for-bit, so the q60 oracle
+    * replay is untouched. */
   private def explodeBands(side: LogicalPlan, vec: Expression): (LogicalPlan, Attribute) = {
-    val sig = Alias(LshSignature(vec, Literal(NBits), Literal(Seed)), "graft_sig")()
-    val proj = Project(side.output :+ sig, side)
-    val bandKeys = (0 until NBits / BitsPerBand).map { b =>
+    val (nBits, bitsPerBand) = params
+    val totalBands = nBits / bitsPerBand
+    val bandsPerWord = 64 / bitsPerBand
+    val nWords = (totalBands + bandsPerWord - 1) / bandsPerWord
+    val sigs = (0 until nWords).map { w =>
+      val bandsInWord = math.min(bandsPerWord, totalBands - w * bandsPerWord)
+      Alias(LshSignature(vec, Literal(bandsInWord * bitsPerBand),
+        Literal(Seed + w.toLong * 2685821657736338717L)), s"graft_sig$w")()
+    }
+    val proj = Project(side.output ++ sigs, side)
+    val bandKeys = (0 until totalBands).map { b =>
+      val w = b / bandsPerWord
+      val off = (b % bandsPerWord) * bitsPerBand
       BitwiseOr(
-        Literal(b.toLong << BitsPerBand),
+        Literal(b.toLong << bitsPerBand),
         BitwiseAnd(
-          ShiftRightUnsigned(sig.toAttribute, Literal(b * BitsPerBand)),
-          Literal((1L << BitsPerBand) - 1))): Expression
+          ShiftRightUnsigned(sigs(w).toAttribute, Literal(off)),
+          Literal((1L << bitsPerBand) - 1))): Expression
     }
     val keyAttr = AttributeReference("graft_band_key", LongType, nullable = false)()
     val gen = Generate(Explode(CreateArray(bandKeys)), unrequiredChildIndex = Nil,

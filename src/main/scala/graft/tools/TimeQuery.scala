@@ -36,6 +36,14 @@ object TimeQuery {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // SPARK_GRAFT_CONF="k=v;k=v" sets session confs before timing —
+    // e.g. the LSH banding overrides (spark.graft.lsh.*) for
+    // scale-ladder runs
+    sys.env.get("SPARK_GRAFT_CONF").foreach(_.split(";").filter(_.contains("="))
+      .foreach { kv =>
+        val Array(k, v) = kv.split("=", 2)
+        spark.conf.set(k.trim, v.trim)
+      })
     graft.Tables.all.foreach { t =>
       try graft.Tables.load(spark, sfDir, t).count()
       catch { case _: Throwable => () }

@@ -232,6 +232,45 @@ class DedupQualitySpec extends SparkSpec {
       s"LSH missed planted dups: ${want.diff(pairs)}")
   }
 
+  test("scale-tuned multi-word banding (128/8) keeps planted-dup recall through the similar_to rewrite") {
+    import spark.implicits._
+    // the corpus-sized banding story: with fixed band width r, bucket
+    // occupancy grows as n/2^r (q60 measured 19.6x wall for 10x data
+    // on the 32/4 default); re-tuning to 16 bands x 8 bits across TWO
+    // independent signature words holds >=0.9-cos collision recall
+    // (~0.996 by the band formula) while cutting per-band collision
+    // 2^4x — the sf1 ladder measured 2.5x for 10x data (BASELINE.md)
+    plans.GraftFunctions.register(spark)
+    spark.conf.set(plans.SimilarityJoinRewrite.NBitsConf, "128")
+    spark.conf.set(plans.SimilarityJoinRewrite.BitsPerBandConf, "8")
+    try {
+      val rnd = new scala.util.Random(11)
+      val base = (0L until 100L).map(i =>
+        (i, Array.fill(64)(rnd.nextGaussian().toFloat)))
+      val dups = base.take(20).map { case (i, v) =>
+        (i + 1000L, v.map(x => x + 0.01f * rnd.nextGaussian().toFloat))
+      }
+      val t = (base ++ dups).toDF("vec_id", "embedding")
+      val a = t.select(col("vec_id").as("vec_a"), col("embedding").as("ea"))
+      val b = t.select(col("vec_id").as("vec_b"), col("embedding").as("eb"))
+      val joined = a.join(b,
+        plans.GraftFunctions.similarTo(col("ea"), col("eb"), 0.9) &&
+          col("vec_a") < col("vec_b"))
+      // the rewrite (not a quadratic BNLJ) must plan the band join
+      assert(!joined.queryExecution.executedPlan.toString
+          .contains("BroadcastNestedLoopJoin"),
+        "similar_to did not rewrite to the band join under the 128/8 conf")
+      val pairs = joined.select(col("vec_a"), col("vec_b"))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val want = (0L until 20L).map(i => (i, i + 1000L)).toSet
+      assert(want.subsetOf(pairs),
+        s"128/8 banding missed planted dups: ${want.diff(pairs)}")
+    } finally {
+      spark.conf.unset(plans.SimilarityJoinRewrite.NBitsConf)
+      spark.conf.unset(plans.SimilarityJoinRewrite.BitsPerBandConf)
+    }
+  }
+
   test("approx_count_distinct within 5% of exact") {
     // the registered query now emits the tolerance INVARIANT (oracle
     // asserts it true); the numeric ±5% check recomputes the estimate
