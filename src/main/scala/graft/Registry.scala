@@ -29,6 +29,7 @@ object Registry {
     MiningQueries.all ++
     StatisticsQueries.all ++
     RetrievalQueries.all ++
+    AnnotationQueries.all ++
     SqlQueries.all
 
   def byName: Map[String, QueryDef] = queries.map(q => q.name -> q).toMap

@@ -168,6 +168,123 @@ object MediaOps {
     }
   }
 
+  // ------------------------------------------------------------------
+  // Perceptual-hash near-dup surface (image dedup at corpus scale)
+  // ------------------------------------------------------------------
+
+  /** Gallery fixture dims — fixed so every image resizes through the
+    * same sample grid (real pipelines resize arbitrary dims; the
+    * nearest-neighbor grid below handles any w ≥ 8, h ≥ 9).
+    */
+  private[graft] val GalleryW = 16
+  private[graft] val GalleryH = 12
+
+  /** Number of planted image prototypes in the gallery fixture. */
+  private[graft] val GalleryProtos = 20L
+
+  /** Deterministic gallery pixel: prototype `id % GalleryProtos`
+    * carries a 2-D integer texture (linear + product-mod terms so
+    * vertical gradient signs VARY per column — a 1-D gradient would
+    * collapse every dHash to the same few values), plus a per-id
+    * sparse noise ridge (+37 gray on the `(5x+3y) ≡ id (mod 50)`
+    * diagonal) so same-prototype images are near- but not exact
+    * duplicates. Integer-only, so a SQL oracle replays it symbolically
+    * (the q48 convention).
+    */
+  private[graft] def galleryPixel(id: Long, x: Int, y: Int): Int = {
+    val p = id % GalleryProtos
+    val base = (31 * p + 7 * x + 13 * y + (x * y * (p + 3)) % 64) % 256
+    val noise = if ((x * 5 + y * 3) % 50 == id % 50) 37 else 0
+    ((base + noise) % 256).toInt
+  }
+
+  /** Deterministic gallery PNG: `GalleryW`×`GalleryH` grayscale with
+    * `galleryPixel` values — a REAL encoded PNG so the dedup pipeline
+    * exercises genuine `javax.imageio` decode end to end.
+    */
+  private[graft] def syntheticGalleryPng(id: Long): Array[Byte] = {
+    val img = new BufferedImage(GalleryW, GalleryH, BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < GalleryH) {
+      var x = 0
+      while (x < GalleryW) {
+        val v = galleryPixel(id, x, y)
+        img.setRGB(x, y, (v << 16) | (v << 8) | v)
+        x += 1
+      }
+      y += 1
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
+  /** One gallery image per document id — the image-corpus stand-in
+    * (FIXTURES has no binary table). Unlike [[synthesizeMedia]] every
+    * row is a genuine PNG: the dedup query's whole decode path is the
+    * real `javax.imageio` branch.
+    */
+  def synthesizeGallery(spark: SparkSession, sfDir: String): Dataset[MediaRow] = {
+    import spark.implicits._
+    spark.read.parquet(s"$sfDir/documents.parquet")
+      .select(col("doc_id")).as[Long]
+      // parallelize the encode+decode compute: the ids arrive from a
+      // single small file, and AQE sizes stages by BYTES (the q35/q60
+      // bytes-vs-compute lesson)
+      .repartition(spark.sparkContext.defaultParallelism)
+      .map(id => MediaRow(id, syntheticGalleryPng(id), "image/png",
+        GalleryW, GalleryH))
+  }
+
+  /** 64-bit difference hash (dHash) over REAL decoded pixels: sample
+    * a 8-wide × 9-tall nearest-neighbor luminance grid (the resize
+    * step — `x_j = j(w−1)/7`, `y_k = k(h−1)/8`, BT.601 integer
+    * luminance) and set bit `8k+j` when the gradient at column j
+    * between sampled rows k and k+1 is positive. Gradient SIGNS
+    * survive brightness/contrast shifts, which is why dHash is the
+    * standard first pass of image dedup pipelines; 64 bits keeps the
+    * whole fingerprint in one BIGINT so banding and hamming reuse the
+    * q35 SimHash machinery unchanged.
+    */
+  def dHash64(img: BufferedImage): Long = {
+    val w = img.getWidth
+    val h = img.getHeight
+    require(w >= 1 && h >= 2, s"dHash needs a decodable image, got ${w}x$h")
+    def lum(x: Int, y: Int): Int = {
+      val rgb = img.getRGB(x, y)
+      (299 * ((rgb >> 16) & 0xff) + 587 * ((rgb >> 8) & 0xff) +
+        114 * (rgb & 0xff)) / 1000
+    }
+    var bits = 0L
+    var k = 0
+    while (k < 8) {
+      var j = 0
+      while (j < 8) {
+        val x = j * (w - 1) / 7
+        if (lum(x, (k + 1) * (h - 1) / 8) > lum(x, k * (h - 1) / 8))
+          bits |= 1L << (8 * k + j)
+        j += 1
+      }
+      k += 1
+    }
+    bits
+  }
+
+  /** Decode every gallery blob (real `javax.imageio` path) and emit
+    * its dHash — the per-partition batched kernel shape of
+    * [[decodeFeatures]], with the hash replacing the histogram.
+    */
+  def galleryDHashes(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    synthesizeGallery(spark, sfDir).mapPartitions { rows =>
+      rows.map { r =>
+        val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(r.blob))
+        require(img != null, s"imageio failed to decode doc ${r.doc_id}")
+        (r.doc_id, dHash64(img))
+      }
+    }.toDF("doc_id", "dhash")
+  }
+
   /** Frame sampling: slice the blob into fixed-size "frames" and keep
     * every `stride`-th — the video-keyframe access pattern. Pure
     * declarative slicing (codegen'd), blobs never leave the executor.

@@ -39,5 +39,85 @@ object MultimodalQueries {
     (s, d) => MediaOps.featureStats(s, d)
   }
 
-  val all: Seq[QueryDef] = Seq(q48MultimodalFeatures)
+  /** Image near-dup dedup via 64-bit perceptual dHash — the multimodal
+    * sibling of q35's SimHash text dedup: REAL `javax.imageio` decode
+    * of a deterministic PNG gallery (20 planted prototypes × per-id
+    * pixel noise), nearest-neighbor 8×9 luminance resize, gradient-
+    * sign fingerprint, then hamming ≤ 7 neighbors via the exact
+    * 8-band pigeonhole join (hamming ≤ 7 ⇒ at least one of 8 bytes is
+    * untouched, so banding loses nothing). Per image: neighbor count
+    * and the dedup decision (`keep` unless a lower-id near-dup
+    * exists) — the survivorship form, so output stays LINEAR in the
+    * corpus while pair volume within dup clusters is quadratic.
+    *
+    * Scale shape: encode/decode/hash are map-side per-partition work
+    * behind a pinned compute-sized repartition (bytes-blind AQE, the
+    * q35/q60 lesson); the band self-join keys on (band, byte) exactly
+    * like q35; the neighbor aggregate keys on doc_id. No all-pairs
+    * path at any point. The oracle replays pixels, luminance, hash,
+    * and the dedup decision symbolically from the gallery formula
+    * (brute-force pairs — oracle-side only) and hash-gates the full
+    * 64-bit fingerprints.
+    */
+  val q157ImageDhashNeardup = QueryDef(
+    "q157_image_dhash_neardup",
+    "image near-dup dedup: real PNG decode -> 64-bit dHash -> exact 8-band hamming<=7 neighbors + keep decision",
+    """WITH ids AS (SELECT doc_id AS id FROM documents),
+      |hsh AS (
+      |  SELECT id, CAST(CASE WHEN u >= (CAST(1 AS HUGEINT) << 63)
+      |                       THEN u - (CAST(1 AS HUGEINT) << 64) ELSE u END AS BIGINT) AS dh
+      |  FROM (
+      |    SELECT id, list_sum(list_transform(range(0, 8), k ->
+      |      list_sum(list_transform(range(0, 8), j ->
+      |        CASE WHEN
+      |          ((31 * (id % 20) + 7 * ((j*15)//7) + 13 * (((k+1)*11)//8)
+      |            + (((j*15)//7) * (((k+1)*11)//8) * (id % 20 + 3)) % 64) % 256
+      |           + CASE WHEN (((j*15)//7) * 5 + (((k+1)*11)//8) * 3) % 50 = id % 50 THEN 37 ELSE 0 END) % 256
+      |          >
+      |          ((31 * (id % 20) + 7 * ((j*15)//7) + 13 * ((k*11)//8)
+      |            + (((j*15)//7) * ((k*11)//8) * (id % 20 + 3)) % 64) % 256
+      |           + CASE WHEN (((j*15)//7) * 5 + ((k*11)//8) * 3) % 50 = id % 50 THEN 37 ELSE 0 END) % 256
+      |        THEN (CAST(1 AS HUGEINT) << CAST(8*k + j AS INT)) ELSE CAST(0 AS HUGEINT) END)))) AS u
+      |    FROM ids)),
+      |pairs AS (
+      |  SELECT a.id AS ia, b.id AS ib
+      |  FROM hsh a JOIN hsh b ON a.id <> b.id AND bit_count(xor(a.dh, b.dh)) <= 7),
+      |agg AS (
+      |  SELECT ia AS id, CAST(count(*) AS BIGINT) AS n_near,
+      |         min(CASE WHEN ib < ia THEN ib END) AS dup_of
+      |  FROM pairs GROUP BY ia)
+      |SELECT h.id AS doc_id, h.dh AS dhash,
+      |  coalesce(a.n_near, 0) AS n_near, a.dup_of,
+      |  a.dup_of IS NULL AS keep
+      |FROM hsh h LEFT JOIN agg a ON a.id = h.id
+      |ORDER BY doc_id""".stripMargin) { (s, d) =>
+    import org.apache.spark.sql.functions._
+    val dp = s.sparkContext.defaultParallelism
+    val hashes = MediaOps.galleryDHashes(s, d)
+    // 8 bands × 8 bits, pinned band-key repartition — q35's plan shape
+    val banded = hashes.select(col("doc_id"), col("dhash"),
+        posexplode(expr(
+          "transform(sequence(0, 7), b -> shiftrightunsigned(dhash, 8*b) & 255)"))
+          .as(Seq("b", "bv")))
+      .repartition(dp, col("b"), col("bv"))
+    val pairs = banded.alias("x")
+      .join(banded.alias("y"),
+        col("x.b") === col("y.b") && col("x.bv") === col("y.bv") &&
+          col("x.doc_id") =!= col("y.doc_id"))
+      .select(col("x.doc_id").as("ia"), col("y.doc_id").as("ib"),
+        expr("bit_count(x.dhash ^ y.dhash)").as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= 7)
+    val agg = pairs.groupBy(col("ia").as("doc_id"))
+      .agg(count(lit(1)).as("n_near"),
+        min(when(col("ib") < col("ia"), col("ib"))).as("dup_of"))
+    hashes.join(agg, Seq("doc_id"), "left_outer")
+      .select(col("doc_id"), col("dhash"),
+        coalesce(col("n_near"), lit(0L)).as("n_near"),
+        col("dup_of"),
+        col("dup_of").isNull.as("keep"))
+      .orderBy(col("doc_id"))
+  }
+
+  val all: Seq[QueryDef] = Seq(q48MultimodalFeatures, q157ImageDhashNeardup)
 }

@@ -107,4 +107,88 @@ class MultimodalSpec extends SparkSpec {
     // every kept frame index is a multiple of the stride
     assert(frames.filter(col("frame_idx") % 2 =!= 0).count() == 0)
   }
+
+  // ---- perceptual-hash near-dup surface -------------------------------
+
+  /** Build a grayscale image from a pixel function (test helper). */
+  private def gray(w: Int, h: Int)(f: (Int, Int) => Int): java.awt.image.BufferedImage = {
+    val img = new java.awt.image.BufferedImage(w, h,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until h; x <- 0 until w) {
+      val v = f(x, y) & 0xff
+      img.setRGB(x, y, (v << 16) | (v << 8) | v)
+    }
+    img
+  }
+
+  private def hamming(a: Long, b: Long): Int = java.lang.Long.bitCount(a ^ b)
+
+  test("dHash64 is brightness-invariant and structure-sensitive") {
+    // smooth texture bounded to [0, 200] so +40 cannot wrap; smooth so
+    // nearest-neighbor resize lands on near-identical values (a
+    // high-frequency texture legitimately drifts under resize)
+    def tex(x: Int, y: Int): Int = (x * 5 + y * 17 + (x * y) / 8) % 200
+    val base = MediaOps.dHash64(gray(32, 24)(tex))
+    // same structure, globally brighter: every gradient SIGN unchanged
+    val brighter = MediaOps.dHash64(gray(32, 24)((x, y) => tex(x, y) + 40))
+    assert(hamming(base, brighter) == 0,
+      "dHash must be invariant to a global brightness shift")
+    // same structure at a different resolution: nearest-neighbor
+    // resize lands on nearby texture, most gradient signs survive
+    val scaled = MediaOps.dHash64(gray(64, 48)((x, y) => tex(x / 2, y / 2)))
+    assert(hamming(base, scaled) <= 7,
+      s"2x upscale drifted ${hamming(base, scaled)} bits (> threshold)")
+    // vertically mirrored structure: every gradient sign flips
+    val flipped = MediaOps.dHash64(gray(32, 24)((x, y) => tex(x, 23 - y)))
+    assert(hamming(base, flipped) > 20,
+      s"mirror kept hamming at ${hamming(base, flipped)} — hash not structural")
+  }
+
+  test("gallery PNGs roundtrip: decoded dHash equals the symbolic formula hash") {
+    val got = MediaOps.galleryDHashes(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got.size == Tables.documents(spark, sfDir).count())
+    got.keys.take(25).foreach { id =>
+      val expected = MediaOps.dHash64(
+        gray(MediaOps.GalleryW, MediaOps.GalleryH)((x, y) =>
+          MediaOps.galleryPixel(id, x, y)))
+      assert(got(id) == expected,
+        s"doc $id: PNG encode/decode must be lossless for the gray texture")
+    }
+  }
+
+  test("gallery plants near-dup structure: same prototype within 7 bits, cross-prototype beyond") {
+    val hs = MediaOps.galleryDHashes(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> r.getLong(1))
+    val byProto = hs.groupBy(_._1 % MediaOps.GalleryProtos)
+    byProto.values.foreach { members =>
+      for (Seq((_, ha), (_, hb)) <- members.toSeq.combinations(2))
+        assert(hamming(ha, hb) <= 7, "within-prototype pair beyond threshold")
+    }
+    // spot-check cross-prototype distances clear the threshold
+    val protos = byProto.keys.toSeq.sorted.take(6)
+    for (Seq(p, q) <- protos.combinations(2)) {
+      val d = hamming(byProto(p).head._2, byProto(q).head._2)
+      assert(d > 7, s"prototypes $p/$q collide at hamming $d")
+    }
+  }
+
+  test("q157 keeps exactly one survivor per duplicate prototype, the min id") {
+    val rows = graft.queries.MultimodalQueries.q157ImageDhashNeardup
+      .fn(spark, sfDir).collect()
+    val n = Tables.documents(spark, sfDir).count()
+    assert(rows.length == n, "survivorship output is linear in the corpus")
+    val kept = rows.filter(_.getAs[Boolean]("keep")).map(_.getLong(0)).sorted
+    assert(kept.length == MediaOps.GalleryProtos,
+      s"expected one survivor per prototype, got ${kept.length}")
+    // the deterministic survivor is the minimum id of its prototype
+    val minByProto = rows.map(_.getLong(0))
+      .groupBy(_ % MediaOps.GalleryProtos).values.map(_.min).toSeq.sorted
+    assert(kept.toSeq == minByProto)
+    rows.filterNot(_.getAs[Boolean]("keep")).foreach { r =>
+      assert(!r.isNullAt(r.fieldIndex("dup_of")) &&
+        r.getAs[Long]("dup_of") < r.getLong(0),
+        "every dropped image names a lower-id near-dup")
+    }
+  }
 }
