@@ -93,10 +93,16 @@ case class MinHashSigAgg(
 
 object MinHashSigAgg {
   val K = 64
-  private val P = 2147483647L // 2^31 - 1
+  val P = 2147483647L // 2^31 - 1
   private[plans] val (coefA, coefB) = {
     val rnd = new scala.util.Random(42)
     (Array.fill(K)(1L + math.abs(rnd.nextLong()) % (P - 1)),
       Array.fill(K)(math.abs(rnd.nextLong()) % P))
   }
+
+  /** The fixed-seed permutation coefficients as immutable sequences —
+    * exported so an oracle (q158) can inline them as SQL literals and
+    * replay the exact signature arithmetic engine-side.
+    */
+  def coefficients: (Seq[Long], Seq[Long]) = (coefA.toSeq, coefB.toSeq)
 }

@@ -735,8 +735,139 @@ object DedupQueries {
     splitByCluster(clusterAssignments(s, d)).orderBy(col("doc_id"))
   }
 
+  /** MinHash sketch calibration audit — the ops counterpart of the
+    * q34 dedup path: for every LSH candidate pair, report the
+    * 64-slot signature ESTIMATE of Jaccard next to the EXACT value
+    * and the absolute error, all in basis points. This is how a
+    * production pipeline validates that its sketch parameters (K,
+    * banding) still hold on a new corpus before trusting the
+    * estimate-only fast path; the expected |error| is
+    * ~√(J(1−J)/64) ≈ 500 bp mid-range, shrinking toward the J→0/1
+    * extremes where dedup thresholds live.
+    *
+    * Unlike q34 (whose signatures hash with Spark-internal
+    * `xxhash64`), the whole stack here is ENGINE-PORTABLE so the
+    * oracle replays it bit-for-bit: shingle strings hash through
+    * `portable_hash64` (Karp–Rabin fold + mix64, the q35 idiom,
+    * HUGEINT-replayable), the signature is `minhash_sig`'s
+    * `(h·aᵢ+bᵢ) mod 2³¹−1` permutation minima with the fixed-seed
+    * coefficients INLINED AS LITERALS into the oracle SQL (the
+    * q141/q152 shared-literal convention, machine-generated from
+    * `MinHashSigAgg.coefficients`), and band keys are the
+    * comma-joined 4-slot slices — a portable string key where q34
+    * uses murmur. Banding/verify shapes are q34's: one native
+    * aggregate pass, (band, key) self-join, candidate-only exact
+    * verification. The portable shingle hash's reduced entropy
+    * (~2^30, see `simhashTokenHash64`) is acceptable here because
+    * both the estimate and the exact side consume the SAME hashed
+    * sets, so a collision perturbs both engines identically.
+    */
+  val q158MinhashCalibration: QueryDef = {
+    val (ca, cb) = graft.plans.MinHashSigAgg.coefficients
+    val aLit = ca.mkString("[", ", ", "]")
+    val bLit = cb.mkString("[", ", ", "]")
+    QueryDef(
+      "q158_minhash_calibration",
+      "sketch calibration: MinHash(64) Jaccard estimate vs exact per LSH candidate pair, error in bp",
+      s"""WITH w AS (SELECT doc_id, list_filter(string_split(text, ' '), t -> length(t) > 0) AS w
+        |           FROM documents),
+        |shs AS (SELECT doc_id,
+        |          unnest(list_distinct(list_transform(range(1, len(w)-1),
+        |                 i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]))) AS sh
+        |        FROM w),
+        |ph AS (SELECT DISTINCT doc_id,
+        |         CAST(list_reduce(list_transform(string_split(sh, ''),
+        |                c -> CAST(ascii(c) AS BIGINT)), (a, x) -> (a*31 + x) % 1000000007) AS HUGEINT) AS z
+        |       FROM shs),
+        |m1 AS (SELECT doc_id, (xor(z, z >> 30) * 2685821657736338717) % 18446744073709551616 AS z FROM ph),
+        |m2 AS (SELECT doc_id, (xor(z, z >> 27) * 1181783497276652981) % 18446744073709551616 AS z FROM m1),
+        |gv AS (SELECT DISTINCT doc_id,
+        |         CAST(CASE WHEN xor(z, z >> 31) >= (CAST(1 AS HUGEINT) << 63)
+        |              THEN xor(z, z >> 31) - (CAST(1 AS HUGEINT) << 64)
+        |              ELSE xor(z, z >> 31) END AS BIGINT) AS g
+        |       FROM m2),
+        |hp AS (SELECT doc_id, g, ((g % 2147483647) + 2147483647) % 2147483647 AS h FROM gv),
+        |ca AS (SELECT CAST($aLit AS BIGINT[]) AS a, CAST($bLit AS BIGINT[]) AS b),
+        |slots AS (SELECT doc_id, i, min((h * a[i+1] + b[i+1]) % 2147483647) AS slot
+        |          FROM hp CROSS JOIN (SELECT unnest(range(0, 64)) AS i) CROSS JOIN ca
+        |          GROUP BY doc_id, i),
+        |sig AS (SELECT doc_id, list(slot ORDER BY i) AS sig FROM slots GROUP BY doc_id),
+        |banded AS (SELECT doc_id, sig, b,
+        |             array_to_string(sig[4*b+1 : 4*b+4], ',') AS bkey
+        |           FROM sig CROSS JOIN (SELECT unnest(range(0, 16)) AS b)),
+        |cand AS (SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b,
+        |                x.sig AS sa, y.sig AS sb
+        |         FROM banded x JOIN banded y
+        |           ON x.b = y.b AND x.bkey = y.bkey AND x.doc_id < y.doc_id),
+        |est AS (SELECT doc_a, doc_b,
+        |          CAST(list_sum(list_transform(range(0, 64),
+        |               i -> CASE WHEN sa[i+1] = sb[i+1] THEN 1 ELSE 0 END)) AS BIGINT) AS matches
+        |        FROM cand),
+        |n AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n FROM gv GROUP BY doc_id),
+        |co AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, CAST(count(*) AS BIGINT) AS inter
+        |       FROM gv a JOIN gv b ON a.g = b.g AND a.doc_id < b.doc_id
+        |       GROUP BY a.doc_id, b.doc_id)
+        |SELECT e.doc_a, e.doc_b,
+        |  (10000 * e.matches) // 64 AS est_bp,
+        |  (10000 * coalesce(co.inter, 0)) // (na.n + nb.n - coalesce(co.inter, 0)) AS exact_bp,
+        |  abs((10000 * e.matches) // 64
+        |      - (10000 * coalesce(co.inter, 0)) // (na.n + nb.n - coalesce(co.inter, 0))) AS err_bp
+        |FROM est e
+        |JOIN n na ON na.doc_id = e.doc_a
+        |JOIN n nb ON nb.doc_id = e.doc_b
+        |LEFT JOIN co ON co.doc_a = e.doc_a AND co.doc_b = e.doc_b
+        |ORDER BY e.doc_a, e.doc_b""".stripMargin) { (s, d) =>
+      GraftFunctions.register(s)
+      val w = Window.partitionBy(col("doc_id")).orderBy(col("p"))
+      // portable shingle hashes: same lead-window shingle stream as
+      // shinglePostingsOf, hashed with portable_hash64 instead of
+      // xxhash64 so the oracle can replay the signatures
+      val posts = graft.AutoUnpersist.scoped(
+        Tables.documents(s, d)
+          .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
+          .select(col("doc_id"), posexplode(toks(col("text"))).as(Seq("p", "t")))
+          .select(col("doc_id"), col("p"), col("t"),
+            lead(col("t"), 1).over(w).as("t1"), lead(col("t"), 2).over(w).as("t2"))
+          .filter(col("t2").isNotNull)
+          .select(col("doc_id"),
+            GraftFunctions.portableHash64(
+              concat_ws(" ", col("t"), col("t1"), col("t2"))).as("g"))
+          .distinct())
+      val sig = posts.groupBy(col("doc_id"))
+        .agg(GraftFunctions.minhashSig(col("g")).as("sig"))
+      val banded = sig.select(col("doc_id"), col("sig"),
+          posexplode(expr(
+            """transform(sequence(0, 15),
+              |  b -> concat_ws(',', transform(slice(sig, 4*b + 1, 4),
+              |                                x -> cast(x as string))))""".stripMargin))
+            .as(Seq("b", "bkey")))
+        .repartition(s.sparkContext.defaultParallelism, col("b"), col("bkey"))
+      val cand = banded.alias("x")
+        .join(banded.alias("y"),
+          col("x.b") === col("y.b") && col("x.bkey") === col("y.bkey") &&
+            col("x.doc_id") < col("y.doc_id"))
+        .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
+          col("x.sig").as("sa"), col("y.sig").as("sb"))
+        .distinct()
+      val est = cand.select(col("doc_a"), col("doc_b"),
+        expr("""aggregate(zip_with(sa, sb, (x, y) -> if(x = y, 1L, 0L)),
+               |          0L, (acc, v) -> acc + v)""".stripMargin).as("matches"))
+      val sets = posts.groupBy(col("doc_id")).agg(collect_set(col("g")).as("sh"))
+      est
+        .join(sets.select(col("doc_id").as("doc_a"), col("sh").as("sha")), "doc_a")
+        .join(sets.select(col("doc_id").as("doc_b"), col("sh").as("shb")), "doc_b")
+        .select(col("doc_a"), col("doc_b"),
+          expr("(10000 * matches) div 64").as("est_bp"),
+          expr("""(10000 * size(array_intersect(sha, shb)))
+                 |  div (size(sha) + size(shb) - size(array_intersect(sha, shb)))""".stripMargin)
+            .as("exact_bp"))
+        .withColumn("err_bp", abs(col("est_bp") - col("exact_bp")))
+        .orderBy(col("doc_a"), col("doc_b"))
+    }
+  }
+
   val all: Seq[QueryDef] = Seq(
     q33ExactDedup, q34MinhashLsh, q35Simhash, q36NgramJaccard,
     q37EmbeddingNeardup, q78DupClusters, q79IncrementalDedup,
-    q82FuzzyJoin, q93LeakageSafeSplit)
+    q82FuzzyJoin, q93LeakageSafeSplit, q158MinhashCalibration)
 }

@@ -369,6 +369,28 @@ class DedupQualitySpec extends SparkSpec {
     assert(got(0)._2 == got(1)._2)
   }
 
+  test("q158 minhash calibration: estimates track exact Jaccard within sketch error, high-J pairs surfaced") {
+    val rows = graft.queries.DedupQueries.q158MinhashCalibration
+      .fn(spark, sfDir).collect()
+    assert(rows.nonEmpty, "LSH banding must surface candidate pairs")
+    rows.foreach { r =>
+      val est = r.getAs[Long]("est_bp")
+      val exact = r.getAs[Long]("exact_bp")
+      assert(est >= 0 && est <= 10000 && exact >= 0 && exact <= 10000)
+      // 64-slot sketch: σ = √(J(1−J)/64) ≤ 625 bp; 3σ + flooring slack.
+      // A systematic bias (wrong permutation replay, off-by-one slot)
+      // would blow far past this on every pair.
+      assert(r.getAs[Long]("err_bp") <= 2000,
+        s"pair (${r.getLong(0)},${r.getLong(1)}): est $est vs exact $exact")
+    }
+    // the audit covers the true near-dup population: every brute-force
+    // J ≥ 0.8 pair appears among the audited candidates
+    val audited = rows.map(r => (r.getLong(0), r.getLong(1))).toSet
+    val hi = brutePairs(0.8)
+    assert(hi.subsetOf(audited),
+      s"missing true pairs from the audit: ${hi -- audited}")
+  }
+
   test("semantic dedup precision 1: every dropped vector has a genuine partner") {
     val out = Registry.byName("q89_semantic_dedup").fn(spark, sfDir)
     val dropped = out.filter(!col("is_kept"))

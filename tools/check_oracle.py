@@ -2,7 +2,11 @@
 """Local mimic of the driver's t2 correctness gate: run graft.Verify
 output against the DuckDB oracle SQL and compare per query.
 
-Usage: python3 tools/check_oracle.py <sfDir> <verifyOutDir>
+Usage: python3 tools/check_oracle.py <sfDir> <verifyOutDir> [--json <artifactPath>]
+
+With --json, also writes a driver-style per-query artifact
+({rows_match, schema_match, hash_match, spark_rows, oracle_rows, err})
+so scale runs (e.g. sf0.1) leave committable evidence, not just prose.
 """
 import glob
 import json
@@ -26,17 +30,23 @@ def norm(df: pd.DataFrame) -> pd.DataFrame:
     return df
 
 
-def main(sf_dir: str, out_dir: str) -> int:
+def main(sf_dir: str, out_dir: str, json_path: str = None) -> int:
     con = duckdb.connect()
     for t in TABLES:
         con.execute(
             f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
     oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
     failures = 0
+    records = {}
     for name, sql in sorted(oracle.items()):
+        rec = {"rows_match": False, "schema_match": False,
+               "hash_match": False, "spark_rows": None,
+               "oracle_rows": None, "err": None}
+        records[name] = rec
         files = sorted(glob.glob(f"{out_dir}/{name}/*.parquet"))
         if not files:
             print(f"FAIL {name}: no spark output")
+            rec["err"] = "no spark output"
             failures += 1
             continue
         try:
@@ -45,19 +55,25 @@ def main(sf_dir: str, out_dir: str) -> int:
             want = norm(con.sql(sql).df())
         except Exception as e:
             print(f"FAIL {name}: oracle error {e}")
+            rec["err"] = f"oracle error {str(e)[:200]}"
             failures += 1
             continue
-        if list(got.columns) != list(want.columns):
+        rec["spark_rows"] = len(got)
+        rec["oracle_rows"] = len(want)
+        rec["schema_match"] = list(got.columns) == list(want.columns)
+        rec["rows_match"] = len(got) == len(want)
+        if not rec["schema_match"]:
             print(f"FAIL {name}: cols spark={list(got.columns)} "
                   f"oracle={list(want.columns)}")
             failures += 1
             continue
-        if len(got) != len(want):
+        if not rec["rows_match"]:
             print(f"FAIL {name}: rows spark={len(got)} oracle={len(want)}")
             failures += 1
             continue
         try:
             pd.testing.assert_frame_equal(got, want, check_exact=True)
+            rec["hash_match"] = True
             print(f"ok   {name} ({len(got)} rows)")
         except AssertionError as e:
             # retry with tolerance to show whether it's a float-ulp issue
@@ -65,12 +81,23 @@ def main(sf_dir: str, out_dir: str) -> int:
                 pd.testing.assert_frame_equal(got, want, rtol=1e-9)
                 print(f"FAIL {name}: exact mismatch but matches at rtol=1e-9 "
                       "(rounding both sides should fix)")
+                rec["err"] = "exact mismatch, matches at rtol=1e-9"
             except AssertionError:
                 print(f"FAIL {name}: value mismatch\n{str(e)[:500]}")
+                rec["err"] = "value mismatch"
             failures += 1
     print(f"\n{len(oracle) - failures}/{len(oracle)} queries match")
+    if json_path:
+        with open(json_path, "w") as f:
+            json.dump(records, f, indent=2)
+        print(f"artifact written: {json_path}")
     return 1 if failures else 0
 
 
 if __name__ == "__main__":
-    sys.exit(main(sys.argv[1], sys.argv[2]))
+    args = [a for a in sys.argv[1:] if not a.startswith("--")]
+    jp = None
+    if "--json" in sys.argv:
+        jp = sys.argv[sys.argv.index("--json") + 1]
+        args = [a for a in args if a != jp]
+    sys.exit(main(args[0], args[1], jp))
