@@ -866,8 +866,133 @@ object DedupQueries {
     }
   }
 
+  /** Document-frequency cap for q161's minimizer postings: a
+    * minimizer appearing in more than this many documents is
+    * boilerplate by DEFINITION and excluded from the sketch in BOTH
+    * engines (mirrored in the oracle SQL), so unlike q36's hot-shingle
+    * guard there is no corrected-vs-uncorrected distinction — the
+    * operator's contract is "containment over the df-capped minimizer
+    * sets". Bounds the pair self-join at maxDf·|postings|.
+    */
+  private[graft] val MaxMinimizerDf = 200L
+
+  /** Minimizer-sketch substring near-dup detection (Roberts et al.
+    * 2004, the winnowing/minimizer scheme behind MOSS, seqkit and
+    * modern web-dedup pipelines) — the third sketch FAMILY next to
+    * MinHash (whole-document set resemblance, q34) and SimHash
+    * (weighted-token fingerprint, q35): for every window of 8
+    * consecutive 3-gram shingle hashes keep the MINIMUM hash; two
+    * documents sharing a long verbatim span necessarily share its
+    * interior minimizers (the winnowing guarantee: any shared
+    * substring of ≥ 10 tokens yields ≥ 1 shared minimizer), so
+    * sharing ≥ 3 minimizers flags substring-level overlap that
+    * whole-set Jaccard dilutes away on long documents. Reported
+    * score is CONTAINMENT (shared / smaller sketch), the asymmetric
+    * measure that catches quote-inclusion where symmetric Jaccard
+    * does not.
+    *
+    * Engine-portable end-to-end (the q158 convention): shingles hash
+    * through `portable_hash64`, so the winner of every window-min is
+    * IDENTICAL in DuckDB's HUGEINT replay and the whole sketch —
+    * selection, df cap, pair counts, integer containment_bp — is
+    * hash-gated, not just row counts. The ~2^30 effective entropy
+    * (see `simhashTokenHash64`) is acceptable: a collision merges two
+    * shingles in both engines identically, and minimizer selection
+    * only needs a consistent total order, not cryptographic spread.
+    *
+    * Scale shape: per-doc windows (partitioned by doc_id — every
+    * task busy, no global sort); sketch density is ~2/(w+1) ≈ 22% of
+    * shingles so postings are 5× smaller than q36's; the pair join is
+    * df-capped. The window-min pass is one pane over the shingle
+    * stream — O(tokens) rows in, O(tokens·2/(w+1)) distinct
+    * minimizers out.
+    */
+  val q161MinimizerDedup = QueryDef(
+    "q161_minimizer_dedup",
+    "minimizer-sketch (w=8, k=3) substring near-dup pairs: portable window-min hashes, df-capped, containment in bp",
+    """WITH w AS (SELECT doc_id, list_filter(string_split(text, ' '), t -> length(t) > 0) AS w
+      |           FROM documents),
+      |ps AS (SELECT doc_id, CAST(e.p AS BIGINT) AS p, e.s AS sh
+      |       FROM (SELECT doc_id,
+      |               unnest(list_transform(range(1, len(w)-1),
+      |                 i -> {'p': i, 's': w[i] || ' ' || w[i+1] || ' ' || w[i+2]})) AS e
+      |             FROM w)),
+      |ph AS (SELECT doc_id, p, CAST(list_reduce(list_transform(string_split(sh, ''),
+      |              c -> CAST(ascii(c) AS BIGINT)), (a, x) -> (a*31 + x) % 1000000007) AS HUGEINT) AS z
+      |       FROM ps),
+      |m1 AS (SELECT doc_id, p, (xor(z, z >> 30) * 2685821657736338717) % 18446744073709551616 AS z FROM ph),
+      |m2 AS (SELECT doc_id, p, (xor(z, z >> 27) * 1181783497276652981) % 18446744073709551616 AS z FROM m1),
+      |gv AS (SELECT doc_id, p,
+      |         CAST(CASE WHEN xor(z, z >> 31) >= (CAST(1 AS HUGEINT) << 63)
+      |              THEN xor(z, z >> 31) - (CAST(1 AS HUGEINT) << 64)
+      |              ELSE xor(z, z >> 31) END AS BIGINT) AS g
+      |       FROM m2),
+      |win AS (SELECT doc_id,
+      |          min(g) OVER (PARTITION BY doc_id ORDER BY p
+      |                       ROWS BETWEEN CURRENT ROW AND 7 FOLLOWING) AS m,
+      |          count(*) OVER (PARTITION BY doc_id ORDER BY p
+      |                         ROWS BETWEEN CURRENT ROW AND 7 FOLLOWING) AS cnt
+      |        FROM gv),
+      |mz AS (SELECT DISTINCT doc_id, m FROM win WHERE cnt = 8),
+      |keepm AS (SELECT m FROM mz GROUP BY m HAVING count(*) <= 200),
+      |cap AS (SELECT mz.doc_id, mz.m FROM mz JOIN keepm ON keepm.m = mz.m),
+      |n AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n FROM cap GROUP BY doc_id),
+      |co AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, CAST(count(*) AS BIGINT) AS shared
+      |       FROM cap a JOIN cap b ON a.m = b.m AND a.doc_id < b.doc_id
+      |       GROUP BY a.doc_id, b.doc_id)
+      |SELECT co.doc_a, co.doc_b, co.shared,
+      |  (10000 * co.shared) // least(na.n, nb.n) AS containment_bp
+      |FROM co JOIN n na ON na.doc_id = co.doc_a
+      |        JOIN n nb ON nb.doc_id = co.doc_b
+      |WHERE co.shared >= 3
+      |ORDER BY co.doc_a, co.doc_b""".stripMargin) { (s, d) =>
+    GraftFunctions.register(s)
+    val lw = Window.partitionBy(col("doc_id")).orderBy(col("p"))
+    val fw = lw.rowsBetween(0, 7)
+    // portable per-position shingle hashes (q158's stream, position
+    // kept): hash-repartition by doc_id first — parallelizes the
+    // serial per-token hash work off a single-file scan AND
+    // pre-satisfies both window panes' partitioning (the q35 idiom)
+    val stream = Tables.documents(s, d)
+      .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
+      .select(col("doc_id"), posexplode(toks(col("text"))).as(Seq("p", "t")))
+      .select(col("doc_id"), col("p"), col("t"),
+        lead(col("t"), 1).over(lw).as("t1"), lead(col("t"), 2).over(lw).as("t2"))
+      .filter(col("t2").isNotNull)
+      .select(col("doc_id"), col("p"),
+        GraftFunctions.portableHash64(
+          concat_ws(" ", col("t"), col("t1"), col("t2"))).as("g"))
+    // cached: the minimizer sets feed the df count and (via the
+    // anti-join) both sides of the pair join plus the size table —
+    // the ngramJaccardPairs lifecycle (AutoUnpersist, self-releasing)
+    val mz = graft.AutoUnpersist.scoped(
+      stream
+        .select(col("doc_id"),
+          min(col("g")).over(fw).as("m"), count(lit(1)).over(fw).as("cnt"))
+        .filter(col("cnt") === 8)
+        .select(col("doc_id"), col("m"))
+        .distinct())
+    val hot = mz.groupBy(col("m")).agg(count(lit(1)).as("df"))
+      .filter(col("df") > MaxMinimizerDf).select(col("m"))
+    val cap = mz.join(broadcast(hot), Seq("m"), "left_anti")
+    val sizes = cap.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+    val co = cap.alias("a")
+      .join(cap.alias("b"),
+        col("a.m") === col("b.m") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("shared"))
+      .filter(col("shared") >= 3L)
+    co
+      .join(sizes.select(col("doc_id").as("doc_a"), col("n").as("na")), "doc_a")
+      .join(sizes.select(col("doc_id").as("doc_b"), col("n").as("nb")), "doc_b")
+      .select(col("doc_a"), col("doc_b"), col("shared"),
+        expr("(10000 * shared) div least(na, nb)").as("containment_bp"))
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
   val all: Seq[QueryDef] = Seq(
     q33ExactDedup, q34MinhashLsh, q35Simhash, q36NgramJaccard,
     q37EmbeddingNeardup, q78DupClusters, q79IncrementalDedup,
-    q82FuzzyJoin, q93LeakageSafeSplit, q158MinhashCalibration)
+    q82FuzzyJoin, q93LeakageSafeSplit, q158MinhashCalibration,
+    q161MinimizerDedup)
 }

@@ -179,5 +179,76 @@ object RetrievalQueries {
       .orderBy(col("rn"))
   }
 
-  val all: Seq[QueryDef] = Seq(q114Bm25, q127QualityEnsemble)
+  /** Reciprocal-rank fusion (RRF, Cormack et al. SIGIR'09) — the
+    * OTHER standard rank aggregator next to q127's Borda count, and
+    * the one hybrid lexical+vector search engines actually ship
+    * (Elasticsearch/OpenSearch hybrid query, Vespa): score(d) =
+    * Σᵣ 1/(k + rankᵣ(d)), k = 60. Where Borda's linear rank sum lets
+    * one ranker's tail drag a document down, RRF's hyperbolic decay
+    * rewards documents near the TOP of any ranker — the property that
+    * makes it robust to fusing incomparable retrievers.
+    *
+    * Fused here: the q127 length and lexical-diversity signals as two
+    * independent rankers. Each per-term 1/(60+r) is kept EXACT as the
+    * integer `10⁶ div (60+r)` (integer division, no float summation
+    * anywhere); ties in the fused score break by doc_id.
+    *
+    * Scale shape: both global ranks ride `api.Ranking.withRank`
+    * (range repartition + metadata offsets — never a single-reducer
+    * global window); the final top-20 is sort+limit
+    * (TakeOrderedAndProject). The SQL twin uses plain row_number —
+    * fine for DuckDB, a funnel at 100 TB (the q127 note).
+    */
+  val q160RrfFusion = QueryDef(
+    "q160_rrf_fusion",
+    "reciprocal-rank fusion of length + diversity rankers: integer 10^6 div (60+rank) terms, top-20",
+    """WITH per AS (
+      |  SELECT doc_id,
+      |    CAST(n_chars AS BIGINT) AS s_len,
+      |    CAST(floor(10000.0 * len(list_distinct(w)) / len(w)) AS BIGINT) AS s_div
+      |  FROM (SELECT doc_id, n_chars,
+      |          list_filter(string_split(text, ' '), t -> length(t) > 0) AS w
+      |        FROM documents)
+      |  WHERE len(w) > 0),
+      |ranked AS (
+      |  SELECT doc_id,
+      |    CAST(row_number() OVER (ORDER BY s_len DESC, doc_id) AS BIGINT) AS r_len,
+      |    CAST(row_number() OVER (ORDER BY s_div DESC, doc_id) AS BIGINT) AS r_div
+      |  FROM per),
+      |fused AS (
+      |  SELECT doc_id, r_len, r_div,
+      |    1000000 // (60 + r_len) + 1000000 // (60 + r_div) AS rrf_micro
+      |  FROM ranked)
+      |SELECT doc_id, r_len, r_div, rrf_micro,
+      |  CAST(row_number() OVER (ORDER BY rrf_micro DESC, doc_id) AS INT) AS rn
+      |FROM fused
+      |ORDER BY rrf_micro DESC, doc_id
+      |LIMIT 20""".stripMargin) { (s, d) =>
+    val per = Tables.documents(s, d)
+      .select(col("doc_id"), col("n_chars"), toks(col("text")).as("w"))
+      .filter(size(col("w")) > 0)
+      .select(col("doc_id"),
+        col("n_chars").cast("long").as("s_len"),
+        floor(lit(10000.0) * size(array_distinct(col("w"))) / size(col("w")))
+          .cast("long").as("s_div"))
+    val ranked = Seq(("s_len", "r_len"), ("s_div", "r_div"))
+      .foldLeft(per) { case (df, (sig, rk)) =>
+        graft.api.Ranking.withRank(df, Seq.empty,
+          Seq(col(sig).desc, col("doc_id")), rk, s"__t_$rk")
+          .drop(s"__t_$rk")
+      }
+    ranked
+      .withColumn("rrf_micro",
+        expr("1000000L div (60 + r_len) + 1000000L div (60 + r_div)"))
+      .orderBy(col("rrf_micro").desc, col("doc_id"))
+      .limit(20)
+      .withColumn("rn",
+        row_number().over(org.apache.spark.sql.expressions.Window
+          .orderBy(col("rrf_micro").desc, col("doc_id"))).cast("int"))
+      .select(col("doc_id"), col("r_len"), col("r_div"), col("rrf_micro"),
+        col("rn"))
+      .orderBy(col("rn"))
+  }
+
+  val all: Seq[QueryDef] = Seq(q114Bm25, q127QualityEnsemble, q160RrfFusion)
 }

@@ -751,9 +751,105 @@ object StatisticsQueries {
       .orderBy(col("event_type"))
   }
 
+  /** Spearman rank correlation between two per-user activity signals
+    * (view count vs click count) — the rank-based dependence monitor
+    * that complements q135's least-squares slope (raw-scale, outlier-
+    * sensitive) and q137's rank-sum AUC (binary-label): Spearman asks
+    * "do the users who view most also click most?" robustly to the
+    * heavy-tailed count scales. Computed as Pearson on average-tie
+    * ranks — the textbook tied-data form.
+    *
+    * Exactness: ranks are VALUE-COMPRESSED — per-user counts collapse
+    * to (count-value, multiplicity) relations of ~Poisson-support size
+    * (dozens of rows at any corpus scale), so the average-tie rank
+    * `2·avg = 2·|less| + m + 1` (scaled by 2 to stay integral) comes
+    * from a running sum over that METADATA relation, never a window
+    * over the user table. All moment sums (Σxy, Σx², …) aggregate the
+    * (a, b)-pair-compressed joint relation with LONG arithmetic —
+    * bounds ~4·n_users⁴ stay inside 2^63 through ~40 M users; past
+    * that, widen the five sums to DECIMAL(38,0) (the q60 HUGEINT
+    * convention). The single final double expression
+    * `⌊10⁴·num / √(d1·d2)⌋` is cross-engine exact: the integer inputs
+    * are < 2^53 (exact as doubles) and IEEE requires correctly-rounded
+    * sqrt/·// — unlike ln (q153's documented tolerance), no 1-ulp
+    * divergence exists. Degenerate zero-variance inputs report NULL
+    * rho (q137/q152 convention), gated in DegenerateInputSpec.
+    *
+    * Scale shape: one events scan → per-user partial+final aggregate;
+    * everything after runs on compressed relations joined back via
+    * broadcast. No data-sized window, no driver collect.
+    */
+  val q159SpearmanActivity = QueryDef(
+    "q159_spearman_activity",
+    "Spearman rank correlation of per-user view vs click counts: value-compressed average-tie ranks, exact integer moments",
+    """WITH ub AS (
+      |  SELECT user_id,
+      |    CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS a,
+      |    CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS b
+      |  FROM events GROUP BY user_id),
+      |ca AS (SELECT a AS v, CAST(count(*) AS BIGINT) AS m FROM ub GROUP BY a),
+      |cb AS (SELECT b AS v, CAST(count(*) AS BIGINT) AS m FROM ub GROUP BY b),
+      |ra AS (SELECT v, 2 * (CAST(sum(m) OVER (ORDER BY v) AS BIGINT) - m) + m + 1 AS r2 FROM ca),
+      |rb AS (SELECT v, 2 * (CAST(sum(m) OVER (ORDER BY v) AS BIGINT) - m) + m + 1 AS r2 FROM cb),
+      |jt AS (SELECT a, b, CAST(count(*) AS BIGINT) AS c FROM ub GROUP BY a, b),
+      |jr AS (SELECT jt.c, ra.r2 AS x, rb.r2 AS y
+      |       FROM jt JOIN ra ON ra.v = jt.a JOIN rb ON rb.v = jt.b),
+      |s AS (SELECT CAST(sum(c) AS BIGINT) AS n,
+      |             CAST(sum(c * x) AS BIGINT) AS sx,
+      |             CAST(sum(c * y) AS BIGINT) AS sy,
+      |             CAST(sum(c * x * y) AS BIGINT) AS sxy,
+      |             CAST(sum(c * x * x) AS BIGINT) AS sxx,
+      |             CAST(sum(c * y * y) AS BIGINT) AS syy
+      |      FROM jr)
+      |SELECT n AS n_users,
+      |  CASE WHEN n * sxx - sx * sx = 0 OR n * syy - sy * sy = 0 THEN NULL
+      |       ELSE CAST(floor((10000.0 * (n * sxy - sx * sy)) /
+      |              sqrt(CAST(n * sxx - sx * sx AS DOUBLE) *
+      |                   CAST(n * syy - sy * sy AS DOUBLE))) AS BIGINT)
+      |  END AS rho_bp
+      |FROM s""".stripMargin) { (s, d) =>
+    val ub = Tables.events(s, d)
+      .groupBy(col("user_id"))
+      .agg(
+        sum(when(col("event_type") === "view", 1L).otherwise(0L)).as("a"),
+        sum(when(col("event_type") === "click", 1L).otherwise(0L)).as("b"))
+    val ubc = graft.AutoUnpersist.scoped(ub)
+    // value-compressed average-tie rank maps: |support| rows, windowed
+    // over THAT metadata relation only (the 20-row-spine precedent)
+    def rankMap(keyCol: String): org.apache.spark.sql.DataFrame = {
+      val cwin = Window.orderBy(col("v"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      ubc.groupBy(col(keyCol).as("v")).agg(count(lit(1)).as("m"))
+        .withColumn("r2",
+          lit(2) * (sum(col("m")).over(cwin) - col("m")) + col("m") + 1)
+        .select(col("v"), col("r2"))
+    }
+    val jt = ubc.groupBy(col("a"), col("b")).agg(count(lit(1)).as("c"))
+    val jr = jt
+      .join(broadcast(rankMap("a")), col("v") === col("a")).drop("v")
+      .withColumnRenamed("r2", "x")
+      .join(broadcast(rankMap("b")), col("v") === col("b")).drop("v")
+      .withColumnRenamed("r2", "y")
+    val agg = jr.agg(
+      sum(col("c")).as("n"),
+      sum(col("c") * col("x")).as("sx"),
+      sum(col("c") * col("y")).as("sy"),
+      sum(col("c") * col("x") * col("y")).as("sxy"),
+      sum(col("c") * col("x") * col("x")).as("sxx"),
+      sum(col("c") * col("y") * col("y")).as("syy"))
+    agg.select(col("n").as("n_users"),
+      when(col("n") * col("sxx") - col("sx") * col("sx") === 0L ||
+           col("n") * col("syy") - col("sy") * col("sy") === 0L, lit(null))
+        .otherwise(floor(
+          (lit(10000.0) * (col("n") * col("sxy") - col("sx") * col("sy"))) /
+            sqrt((col("n") * col("sxx") - col("sx") * col("sx")).cast("double") *
+                 (col("n") * col("syy") - col("sy") * col("sy")).cast("double"))))
+        .cast("long").as("rho_bp"))
+  }
+
   val all: Seq[QueryDef] =
     Seq(q136BloomFilter, q137RankSumAuc, q138KsDrift, q139SourceImpurity,
       q141BenfordAudit, q143AbTest, q145MadOutliers, q147Calibration,
       q148RevenueConcentration, q152NdcgEval, q153PsiDrift,
-      q154WinsorizedStats)
+      q154WinsorizedStats, q159SpearmanActivity)
 }

@@ -433,4 +433,33 @@ class DedupQualitySpec extends SparkSpec {
       .collect().map(_.getLong(0)).toSet.intersect((0L until 40L).toSet)
       .size == 40, "an original (min-id representative) was dropped")
   }
+
+  test("q161 minimizer sketch: winnowing guarantee on a planted shared span, no spurious pairs") {
+    import spark.implicits._
+    // docs 1 and 2 share a verbatim 40-token span inside otherwise
+    // fully distinct filler; doc 3 shares nothing. The winnowing
+    // guarantee: a shared span of L tokens yields L-9 identical
+    // shingle windows, so the pair MUST surface with shared >= 3
+    // (expected distinct shared minimizers ≈ 2(L-2)/9 ≈ 8).
+    val span = (0 until 40).map(i => f"span$i%02d").mkString(" ")
+    def filler(tag: String, n: Int) =
+      (0 until n).map(i => s"$tag$i").mkString(" ")
+    val docs = Seq(
+      (1L, s"${filler("a", 30)} $span ${filler("c", 30)}", "en", "src0", 0L),
+      (2L, s"${filler("b", 25)} $span ${filler("d", 35)}", "en", "src0", 0L),
+      (3L, filler("e", 100), "en", "src0", 0L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val dir = java.nio.file.Files.createTempDirectory("graft_minz")
+      .toFile.getAbsolutePath
+    docs.write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = Registry.byName("q161_minimizer_dedup").fn(spark, dir)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)),
+        r.getAs[Long]("shared"), r.getAs[Long]("containment_bp"))).toList
+    assert(got.map(_._1) == List((1L, 2L)),
+      s"expected exactly the planted pair, got $got")
+    val (_, shared, cont) = got.head
+    assert(shared >= 3L, s"winnowing guarantee violated: shared=$shared")
+    assert(cont > 0L && cont <= 10000L)
+    spark.sharedState.cacheManager.clearCache()
+  }
 }

@@ -58,4 +58,16 @@ class DegenerateInputSpec extends SparkSpec {
     assert(r.isNullAt(r.fieldIndex("ndcg_bp")))
     spark.sharedState.cacheManager.clearCache()
   }
+
+  test("q159 reports counts with a NULL rho on zero-variance input, not an empty result") {
+    // all events are 'view' ⇒ every user's click count is 0 ⇒ the
+    // click-rank variance d2 collapses to 0 ⇒ Spearman undefined; the
+    // q137/q152 convention: one row, counts kept, NULL metric
+    val rows = Registry.byName("q159_spearman_activity").fn(spark, degenerateDir).collect()
+    assert(rows.length == 1)
+    val r = rows(0)
+    assert(r.getLong(r.fieldIndex("n_users")) > 0L)
+    assert(r.isNullAt(r.fieldIndex("rho_bp")))
+    spark.sharedState.cacheManager.clearCache()
+  }
 }
