@@ -751,6 +751,162 @@ object StatisticsQueries {
       .orderBy(col("event_type"))
   }
 
+  /** The spine-filled, 1-indexed hourly event-count series q162 (ACF)
+    * and q163 (seasonal anomaly) both consume — one events scan into
+    * a per-hour partial+final aggregate, gap-filled against a
+    * generated `sequence` spine (q70's shape) so lag arithmetic sees
+    * a REGULAR series, then indexed by one `row_number` window over
+    * the ~720-row METADATA relation (hours grow with calendar span,
+    * not data volume — ~9k rows/year at any corpus size). Memoized
+    * per (session, sf) like [[rankedEvents]]/[[compressedCents]].
+    */
+  def hourlySeries(s: org.apache.spark.sql.SparkSession, d: String): org.apache.spark.sql.DataFrame =
+    graft.SessionMemo.getOrCompute(s, "stats.hourly:" + d) {
+      val hc = Tables.events(s, d)
+        .groupBy(date_trunc("hour", col("ts")).as("h"))
+        .agg(count(lit(1)).as("x"))
+      val b = hc.agg(min(col("h")).as("lo"), max(col("h")).as("hi"))
+      val spine = b.select(
+        explode(sequence(col("lo"), col("hi"), expr("interval 1 hour"))).as("h"))
+      spine.join(hc, Seq("h"), "left_outer")
+        .select(col("h"), coalesce(col("x"), lit(0L)).as("x"))
+        .withColumn("i",
+          row_number().over(Window.orderBy(col("h"))).cast("long"))
+        .localCheckpoint()
+    }
+
+  /** Sample autocorrelation function of the hourly event-count series
+    * at lags 1–24 — the seasonality detector that tells a pipeline
+    * whether its traffic has a daily cycle before it trusts q135's
+    * linear trend or q163's hour-of-day baselines: a spike at lag 24
+    * is the daily period, geometric decay is short-memory noise.
+    * Standard sample ACF: r_k = Σ(x_t−x̄)(x_{t+k}−x̄) / Σ(x_t−x̄)²
+    * (constant denominator, full-series mean — the Box–Jenkins form).
+    *
+    * Exactness: both sides are multiplied through by n² so every term
+    * is the exact integer (n·x_t − S); numerator and denominator are
+    * exact LONG sums and the single final `⌊10⁴·num/den⌋` double
+    * division is cross-engine exact (inputs < 2^53, IEEE ÷ correctly
+    * rounded — the q159 sqrt argument, here without even the sqrt).
+    * Integer `div` would NOT be portable here: Spark truncates toward
+    * zero, DuckDB floors, and ACF numerators go negative.
+    *
+    * Scale shape: everything after the [[hourlySeries]] aggregate
+    * runs on the ~720-row metadata series — the 24 lag joins produce
+    * ~17k rows total. NULL ACF on a constant series (den = 0).
+    */
+  val q162Autocorrelation = QueryDef(
+    "q162_autocorrelation",
+    "hourly-count ACF at lags 1-24: spine-filled series, exact n^2-scaled integer moments, daily-cycle detector",
+    """WITH b AS (SELECT min(date_trunc('hour', CAST(ts AS TIMESTAMP))) AS lo,
+      |                  max(date_trunc('hour', CAST(ts AS TIMESTAMP))) AS hi FROM events),
+      |spine AS (SELECT unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS h FROM b),
+      |hc AS (SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS h, CAST(count(*) AS BIGINT) AS x
+      |       FROM events GROUP BY 1),
+      |ser AS (SELECT row_number() OVER (ORDER BY s.h) AS i, coalesce(hc.x, 0) AS x
+      |        FROM spine s LEFT JOIN hc ON hc.h = s.h),
+      |st AS (SELECT CAST(count(*) AS BIGINT) AS n, CAST(sum(x) AS BIGINT) AS sx FROM ser),
+      |den AS (SELECT CAST(sum((n*x - sx)*(n*x - sx)) AS BIGINT) AS d FROM ser, st),
+      |lags AS (SELECT unnest(range(1, 25)) AS k),
+      |num AS (SELECT k, CAST(count(*) AS BIGINT) AS n_pairs,
+      |          CAST(sum((st.n*a.x - st.sx)*(st.n*b.x - st.sx)) AS BIGINT) AS nu
+      |        FROM lags, ser a JOIN ser b ON b.i = a.i + lags.k, st
+      |        GROUP BY k)
+      |SELECT k AS lag, n_pairs,
+      |  CASE WHEN den.d = 0 THEN NULL
+      |       ELSE CAST(floor((10000.0 * nu) / CAST(den.d AS DOUBLE)) AS BIGINT) END AS acf_bp
+      |FROM num, den ORDER BY lag""".stripMargin) { (s, d) =>
+    val ser = hourlySeries(s, d)
+    val st = ser.agg(count(lit(1)).as("n"), sum(col("x")).as("sx"))
+    val den = ser.crossJoin(broadcast(st))
+      .agg(sum((col("n") * col("x") - col("sx")) *
+               (col("n") * col("x") - col("sx"))).as("d"))
+    val lags = s.range(1, 25).select(col("id").as("k"))
+    val sa = ser.select(col("i").as("ia"), col("x").as("xa"))
+    val sb = ser.select(col("i").as("ib"), col("x").as("xb"))
+    val num = sa.crossJoin(broadcast(lags))
+      .join(sb, col("ib") === col("ia") + col("k"))
+      .crossJoin(broadcast(st))
+      .groupBy(col("k"))
+      .agg(count(lit(1)).as("n_pairs"),
+        sum((col("n") * col("xa") - col("sx")) *
+            (col("n") * col("xb") - col("sx"))).as("nu"))
+    num.crossJoin(broadcast(den))
+      .select(col("k").as("lag"), col("n_pairs"),
+        when(col("d") === 0L, lit(null))
+          .otherwise(floor((lit(10000.0) * col("nu")) / col("d").cast("double")))
+          .cast("long").as("acf_bp"))
+      .orderBy(col("lag"))
+  }
+
+  /** Hour-of-day seasonal anomaly detection with a LEAVE-ONE-OUT
+    * baseline — the on-call traffic monitor: each hour's count is
+    * z-scored against the mean/std of the SAME hour-of-day across
+    * every OTHER day, so the candidate observation never contaminates
+    * its own baseline (the masked-detector property; a global 3σ like
+    * q113 would let a big spike inflate the σ that is supposed to
+    * catch it). Complements q162: ACF says WHETHER there is a daily
+    * cycle, this scores each hour against that cycle.
+    *
+    * Exactness: per-hour-of-day (m, Σx, Σx²) are exact LONG sums;
+    * the LOO variance is multiplied through so
+    * A = (m−1)(Q−x²) − (S−x)² and B = m·x − S are exact integers and
+    * z = B·√((m−2)/((m−1)·A)) is ONE fixed-shape double expression
+    * of exact < 2^53 integers — cross-engine exact by the q159 IEEE
+    * sqrt/÷ argument. NULL z when m < 3 or A ≤ 0 (degenerate
+    * baseline, q137 convention); the anomaly flag is
+    * `coalesce(|z| ≥ 3, false)` so constant groups read "normal",
+    * never NULL.
+    *
+    * Scale shape: one groupBy over the [[hourlySeries]] metadata
+    * relation (24 baseline rows, broadcast back); no data-sized
+    * window, no second events scan.
+    */
+  val q163SeasonalAnomaly = QueryDef(
+    "q163_seasonal_anomaly",
+    "hour-of-day anomalies: leave-one-out seasonal baseline, exact integer moments, z in bp, |z|>=3 flag",
+    """WITH b AS (SELECT min(date_trunc('hour', CAST(ts AS TIMESTAMP))) AS lo,
+      |                  max(date_trunc('hour', CAST(ts AS TIMESTAMP))) AS hi FROM events),
+      |spine AS (SELECT unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS h FROM b),
+      |hc AS (SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS h, CAST(count(*) AS BIGINT) AS x
+      |       FROM events GROUP BY 1),
+      |ser AS (SELECT s.h, CAST(hour(s.h) AS BIGINT) AS hod, coalesce(hc.x, 0) AS x
+      |        FROM spine s LEFT JOIN hc ON hc.h = s.h),
+      |g AS (SELECT hod, CAST(count(*) AS BIGINT) AS m, CAST(sum(x) AS BIGINT) AS sx,
+      |             CAST(sum(x*x) AS BIGINT) AS q FROM ser GROUP BY hod),
+      |zt AS (SELECT ser.h, ser.x, g.m,
+      |         (g.m - 1)*(g.q - ser.x*ser.x) - (g.sx - ser.x)*(g.sx - ser.x) AS a,
+      |         g.m*ser.x - g.sx AS bb
+      |       FROM ser JOIN g ON g.hod = ser.hod),
+      |zz AS (SELECT h, x, CASE WHEN m < 3 OR a <= 0 THEN NULL
+      |         ELSE CAST(floor((10000.0 * bb) *
+      |                sqrt(CAST(m - 2 AS DOUBLE) / (CAST(m - 1 AS DOUBLE) * a))) AS BIGINT)
+      |         END AS z_bp
+      |       FROM zt)
+      |SELECT h AS hour_start, x AS n_events, z_bp,
+      |  coalesce(abs(z_bp) >= 30000, FALSE) AS is_anomaly
+      |FROM zz ORDER BY hour_start""".stripMargin) { (s, d) =>
+    val ser = hourlySeries(s, d)
+      .select(col("h"), hour(col("h")).cast("long").as("hod"), col("x"))
+    val g = ser.groupBy(col("hod"))
+      .agg(count(lit(1)).as("m"), sum(col("x")).as("sx"),
+        sum(col("x") * col("x")).as("q"))
+    val zt = ser.join(broadcast(g), "hod")
+      .select(col("h"), col("x"), col("m"),
+        ((col("m") - 1) * (col("q") - col("x") * col("x")) -
+          (col("sx") - col("x")) * (col("sx") - col("x"))).as("a"),
+        (col("m") * col("x") - col("sx")).as("bb"))
+    val zz = zt.select(col("h"), col("x"),
+      when(col("m") < 3L || col("a") <= 0L, lit(null))
+        .otherwise(floor((lit(10000.0) * col("bb")) *
+          sqrt((col("m") - 2).cast("double") /
+               ((col("m") - 1).cast("double") * col("a")))))
+        .cast("long").as("z_bp"))
+    zz.select(col("h").as("hour_start"), col("x").as("n_events"), col("z_bp"),
+        coalesce(abs(col("z_bp")) >= 30000L, lit(false)).as("is_anomaly"))
+      .orderBy(col("hour_start"))
+  }
+
   /** Spearman rank correlation between two per-user activity signals
     * (view count vs click count) — the rank-based dependence monitor
     * that complements q135's least-squares slope (raw-scale, outlier-
@@ -851,5 +1007,6 @@ object StatisticsQueries {
     Seq(q136BloomFilter, q137RankSumAuc, q138KsDrift, q139SourceImpurity,
       q141BenfordAudit, q143AbTest, q145MadOutliers, q147Calibration,
       q148RevenueConcentration, q152NdcgEval, q153PsiDrift,
-      q154WinsorizedStats, q159SpearmanActivity)
+      q154WinsorizedStats, q159SpearmanActivity, q162Autocorrelation,
+      q163SeasonalAnomaly)
 }

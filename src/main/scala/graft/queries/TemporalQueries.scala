@@ -582,6 +582,37 @@ object TemporalQueries {
     * by (user, island-id = running sum of boundary flags). Timestamp
     * comparisons are exact in both engines.
     */
+  /** The coalesced per-user activity spans q132 (interval merge) and
+    * q164 (concurrency sweep) both consume: each event opens a 5-min
+    * interval, overlapping/adjacent intervals merge via the running-
+    * max-frontier + island-id idiom (one user_id shuffle, per-key
+    * windows). Memoized per (session, sf) with `localCheckpoint` —
+    * the clusterAssignments / compressedCents convention; at 100 TB
+    * the spans table is materialized once and every interval
+    * analytic reads it.
+    */
+  def coalescedSpans(s: org.apache.spark.sql.SparkSession, d: String): org.apache.spark.sql.DataFrame =
+    graft.SessionMemo.getOrCompute(s, "temporal.spans:" + d) {
+      val iv = Tables.events(s, d)
+        .select(col("user_id"), col("event_id"), col("ts").as("s"),
+          (col("ts") + expr("INTERVAL 5 MINUTES")).as("e"))
+      val w = Window.partitionBy(col("user_id")).orderBy(col("s"), col("event_id"))
+      iv
+        .withColumn("pmax",
+          max(col("e")).over(w.rowsBetween(Window.unboundedPreceding, -1)))
+        .withColumn("new_island",
+          when(col("pmax").isNull || col("s") > col("pmax"), 1L).otherwise(0L))
+        .withColumn("island",
+          sum(col("new_island"))
+            .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .groupBy(col("user_id"), col("island"))
+        .agg(min(col("s")).as("span_start"), max(col("e")).as("span_end"),
+          count(lit(1)).as("n_events"))
+        .select(col("user_id"), col("span_start"), col("span_end"),
+          col("n_events"))
+        .localCheckpoint()
+    }
+
   val q132IntervalMerge = QueryDef(
     "q132_interval_merge",
     "interval coalescing per user: running-max frontier + island-id running sum, one key shuffle",
@@ -610,24 +641,93 @@ object TemporalQueries {
       |FROM islands
       |GROUP BY user_id, island
       |ORDER BY user_id, span_start""".stripMargin) { (s, d) =>
-    import org.apache.spark.sql.expressions.Window
-    val iv = Tables.events(s, d)
-      .select(col("user_id"), col("event_id"), col("ts").as("s"),
-        (col("ts") + expr("INTERVAL 5 MINUTES")).as("e"))
-    val w = Window.partitionBy(col("user_id")).orderBy(col("s"), col("event_id"))
-    iv
-      .withColumn("pmax",
-        max(col("e")).over(w.rowsBetween(Window.unboundedPreceding, -1)))
-      .withColumn("new_island",
-        when(col("pmax").isNull || col("s") > col("pmax"), 1L).otherwise(0L))
-      .withColumn("island",
-        sum(col("new_island"))
-          .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
-      .groupBy(col("user_id"), col("island"))
-      .agg(min(col("s")).as("span_start"), max(col("e")).as("span_end"),
-        count(lit(1)).as("n_events"))
-      .select(col("user_id"), col("span_start"), col("span_end"), col("n_events"))
-      .orderBy(col("user_id"), col("span_start"))
+    coalescedSpans(s, d).orderBy(col("user_id"), col("span_start"))
+  }
+
+  /** Sweep-line interval concurrency — the capacity-planning view of
+    * the q132 spans: peak number of simultaneously-active user
+    * sessions per hour, the number an operator sizes connection
+    * pools / serving replicas against. Classic sweep line: every
+    * span contributes (+1 at start, −1 at end), the running sum of
+    * deltas IS the concurrency, half-open `[s, e)` semantics (ends
+    * sort before starts at the same instant, so back-to-back
+    * sessions never double-count). Per-hour peak is
+    * max(in-hour transitions, carry-in level at the hour boundary) —
+    * the carry is the previous transition-hour's LAST running value,
+    * so hours where concurrency only falls are still scored right.
+    *
+    * Scale shape: the global transition ordering rides
+    * `api.Ranking.withRunningTotal` (range repartition + metadata
+    * offsets — NEVER the single-reducer `ORDER BY` running sum the
+    * SQL twin uses); in-hour last values come from an hour-
+    * partitioned window (thousands of partitions, all tasks busy);
+    * the carry lag runs on the ~720-row hourly METADATA relation.
+    * Determinism: (t, delta, user_id) is a total transition order —
+    * per-user merged spans cannot repeat a start or end instant.
+    */
+  val q164IntervalConcurrency = QueryDef(
+    "q164_interval_concurrency",
+    "sweep-line session concurrency: +1/-1 deltas, scale-safe running sum, per-hour peak with boundary carry",
+    """WITH iv AS (
+      |  SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS s,
+      |    CAST(ts AS TIMESTAMP) + INTERVAL 5 MINUTE AS e
+      |  FROM events),
+      |flagged AS (
+      |  SELECT user_id, s, e,
+      |    CASE WHEN max(e) OVER (PARTITION BY user_id ORDER BY s, event_id
+      |                           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) IS NULL
+      |           OR s > max(e) OVER (PARTITION BY user_id ORDER BY s, event_id
+      |                               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+      |         THEN 1 ELSE 0 END AS new_island, event_id
+      |  FROM iv),
+      |islands AS (
+      |  SELECT user_id, s, e,
+      |    sum(new_island) OVER (PARTITION BY user_id ORDER BY s, event_id
+      |                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+      |  FROM flagged),
+      |spans AS (SELECT user_id, min(s) AS ss, max(e) AS se
+      |          FROM islands GROUP BY user_id, island),
+      |tr AS (SELECT ss AS t, CAST(1 AS BIGINT) AS delta, user_id FROM spans
+      |       UNION ALL SELECT se, CAST(-1 AS BIGINT), user_id FROM spans),
+      |c AS (SELECT t, delta, user_id,
+      |        CAST(sum(delta) OVER (ORDER BY t, delta, user_id
+      |               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS c
+      |      FROM tr),
+      |hl AS (SELECT date_trunc('hour', t) AS hour_start, c,
+      |         last_value(c) OVER (PARTITION BY date_trunc('hour', t)
+      |                             ORDER BY t, delta, user_id
+      |                             ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS lastc
+      |       FROM c),
+      |hourly AS (SELECT hour_start, CAST(max(c) AS BIGINT) AS peak_in,
+      |                  CAST(min(lastc) AS BIGINT) AS lastc,
+      |                  CAST(count(*) AS BIGINT) AS n_transitions
+      |           FROM hl GROUP BY hour_start)
+      |SELECT hour_start,
+      |  CAST(greatest(peak_in, coalesce(lag(lastc) OVER (ORDER BY hour_start), 0)) AS BIGINT) AS peak,
+      |  n_transitions
+      |FROM hourly ORDER BY hour_start""".stripMargin) { (s, d) =>
+    val tr = coalescedSpans(s, d)
+      .select(col("span_start").as("t"), lit(1L).as("delta"), col("user_id"))
+      .unionAll(coalescedSpans(s, d)
+        .select(col("span_end").as("t"), lit(-1L).as("delta"), col("user_id")))
+    val c = graft.api.Ranking.withRunningTotal(
+        tr, Nil, Seq(col("t"), col("delta"), col("user_id")), "delta", "c")
+      .drop("grp_n")
+    val hw = Window.partitionBy(date_trunc("hour", col("t")))
+      .orderBy(col("t"), col("delta"), col("user_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val hl = c.select(date_trunc("hour", col("t")).as("hour_start"), col("c"),
+      last(col("c")).over(hw).as("lastc"))
+    val hourly = hl.groupBy(col("hour_start"))
+      .agg(max(col("c")).as("peak_in"), min(col("lastc")).as("lastc"),
+        count(lit(1)).as("n_transitions"))
+    val mw = Window.orderBy(col("hour_start"))
+    hourly
+      .select(col("hour_start"),
+        greatest(col("peak_in"),
+          coalesce(lag(col("lastc"), 1).over(mw), lit(0L))).as("peak"),
+        col("n_transitions"))
+      .orderBy(col("hour_start"))
   }
 
   /** Linear-interpolation resampling — q123's LOCF carries the last
@@ -756,5 +856,6 @@ object TemporalQueries {
     q40AsofJoin, q42TumblingWindow, q43SlidingWindow, q44SessionWindow,
     q62Attribution, q70TimeSpine, q97Funnel, q98CohortRetention,
     q101SecondarySort, q122OhlcBars, q123ForwardFill, q128YoyGrowth,
-    q129ScdLookup, q132IntervalMerge, q146LinearInterp)
+    q129ScdLookup, q132IntervalMerge, q146LinearInterp,
+    q164IntervalConcurrency)
 }

@@ -379,4 +379,88 @@ class StatisticsSpec extends SparkSpec {
     assert(!plan.contains("CartesianProduct"),
       "item similarity must not plan a cartesian join")
   }
+
+  /** Write a synthetic events table where hour (day, h) carries
+    * `perHour(day, h)` events, returning the fixture dir. */
+  private def hourlyFixture(days: Int, perHour: (Int, Int) => Int): String = {
+    import spark.implicits._
+    val base = java.sql.Timestamp.valueOf("2024-03-01 00:00:00").getTime
+    val rows = for {
+      day <- 0 until days
+      h <- 0 until 24
+      j <- 0 until perHour(day, h)
+    } yield {
+      val ts = new java.sql.Timestamp(
+        base + ((day * 24L + h) * 3600L + j) * 1000L)
+      ((day * 24L + h) * 100L + j, ts, j.toLong, "view", 1.0, "{}")
+    }
+    val dir = java.nio.file.Files.createTempDirectory("graft_hourly")
+      .toFile.getAbsolutePath
+    rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    dir
+  }
+
+  test("q162 ACF peaks at lag 24 on a planted daily cycle") {
+    // hour 0 of every day carries 6 events, the rest 1: a pure
+    // 24-period signal, so the sample ACF must attain its lag-1..24
+    // maximum exactly at the period
+    val dir = hourlyFixture(30, (_, h) => if (h == 0) 6 else 1)
+    val acf = Registry.byName("q162_autocorrelation").fn(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toMap
+    assert(acf.size == 24)
+    val best = acf.maxBy(_._2)
+    assert(best._1 == 24L, s"expected lag-24 peak, got $acf")
+    assert(acf(24L) > 9000L, s"periodic series should read ACF≈1, got ${acf(24L)}")
+    assert(acf(12L) < 0L, "anti-phase lag should be negative")
+    spark.sharedState.cacheManager.clearCache()
+  }
+
+  test("q163 flags exactly the planted spike hour against its leave-one-out baseline") {
+    // 10-12 events/hour (day-cycling, so every leave-one-out baseline
+    // has nonzero variance) except ONE spiked hour at ~101; the masked
+    // baseline keeps the spike's own count out of its mean/std, so the
+    // spike z-scores off the quiet days and only it flags — while for
+    // its group-mates the spike DOES inflate σ, pushing their z toward
+    // zero, the exact contamination a non-LOO detector would suffer
+    val dir = hourlyFixture(20, (day, _) => 10 + day % 3)
+    val spikeDay = 7
+    import spark.implicits._
+    val base = java.sql.Timestamp.valueOf("2024-03-01 00:00:00").getTime
+    val extra = (0 until 90).map { j =>
+      val ts = new java.sql.Timestamp(
+        base + ((spikeDay * 24L + 5) * 3600L + 1000L + j) * 1000L)
+      (900000L + j, ts, j.toLong, "view", 1.0, "{}")
+    }
+    extra.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("append").parquet(s"$dir/events.parquet")
+    val out = Registry.byName("q163_seasonal_anomaly").fn(spark, dir).collect()
+    val flagged = out.filter(r => r.getBoolean(r.fieldIndex("is_anomaly")))
+    assert(flagged.length == 1, s"expected one anomaly, got ${flagged.length}")
+    val f = flagged.head
+    assert(f.getLong(f.fieldIndex("n_events")) == 101L)
+    assert(f.getTimestamp(0).toString.startsWith("2024-03-08 05"))
+    // constant groups must read NULL z / false, never NULL flag
+    assert(out.forall(r => !r.isNullAt(r.fieldIndex("is_anomaly"))))
+    spark.sharedState.cacheManager.clearCache()
+  }
+
+  test("q164 sweep-line peaks equal brute-force interval stabbing counts") {
+    val spans = queries.TemporalQueries.coalescedSpans(spark, sfDir)
+      .select(col("span_start"), col("span_end"))
+      .collect().map(r => (r.getTimestamp(0).getTime, r.getTimestamp(1).getTime))
+    def stab(t: Long): Int = spans.count { case (s, e) => s <= t && t < e }
+    val out = run("q164_interval_concurrency").collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      val h0 = r.getTimestamp(0).getTime
+      val h1 = h0 + 3600L * 1000L
+      val cands = h0 +: spans.flatMap { case (s, e) => Seq(s, e) }
+        .filter(t => t >= h0 && t < h1)
+      val brute = cands.map(stab).max
+      assert(r.getLong(r.fieldIndex("peak")) == brute,
+        s"hour ${r.getTimestamp(0)}: sweep ${r.getLong(1)} vs brute $brute")
+    }
+    spark.sharedState.cacheManager.clearCache()
+  }
 }
