@@ -445,6 +445,19 @@ class StatisticsSpec extends SparkSpec {
     spark.sharedState.cacheManager.clearCache()
   }
 
+  test("q164 plans no global running-sum window over the transition relation") {
+    // The scale contract: the sweep-line running sum rides
+    // Ranking.withRunningTotal, so the executed plan must contain NO
+    // unpartitioned window ordered directly by transition time (that
+    // shape funnels every transition through one task). Legitimate
+    // unpartitioned windows that remain order by __pid (the K-row
+    // metadata offsets) or hour_start (the ~720-row carry lag).
+    val plan = run("q164_interval_concurrency").queryExecution.executedPlan.toString
+    val bad = """windowspecdefinition\(t#\d+ ASC""".r
+    assert(bad.findFirstIn(plan).isEmpty,
+      "q164 regressed to a single-reducer global running-sum window")
+  }
+
   test("q164 sweep-line peaks equal brute-force interval stabbing counts") {
     val spans = queries.TemporalQueries.coalescedSpans(spark, sfDir)
       .select(col("span_start"), col("span_end"))
