@@ -1003,10 +1003,166 @@ object StatisticsQueries {
         .cast("long").as("rho_bp"))
   }
 
+  /** Seasonal-naive forecast evaluation — the accuracy floor every
+    * real forecaster is judged against (M-competition practice: if a
+    * model can't beat "same hour yesterday", ship the naive): predict
+    * x̂_t = x_{t−24} on the hourly series, report MAE and sMAPE plus
+    * signed bias. Third consumer of the memoized [[hourlySeries]]
+    * relation (q162 detects the cycle, q163 scores hours against it,
+    * this measures how predictable it actually is).
+    *
+    * Exactness: errors are integer differences; sMAPE is kept exact
+    * by flooring each per-pair term to integer MICROS
+    * (`10⁶·|e| div (a+f)`, counts are non-negative so truncating and
+    * flooring division agree across engines) and summing LONGs —
+    * never a float sum whose order could diverge. MAE reported in
+    * centi-events by the same integer-division argument.
+    */
+  val q165ForecastEval = QueryDef(
+    "q165_forecast_eval",
+    "seasonal-naive (t-24) forecast accuracy on hourly counts: integer MAE/sMAPE/bias, the model-eval floor",
+    """WITH b AS (SELECT min(date_trunc('hour', CAST(ts AS TIMESTAMP))) AS lo,
+      |                  max(date_trunc('hour', CAST(ts AS TIMESTAMP))) AS hi FROM events),
+      |spine AS (SELECT unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS h FROM b),
+      |hc AS (SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS h, CAST(count(*) AS BIGINT) AS x
+      |       FROM events GROUP BY 1),
+      |ser AS (SELECT row_number() OVER (ORDER BY s.h) AS i, coalesce(hc.x, 0) AS x
+      |        FROM spine s LEFT JOIN hc ON hc.h = s.h),
+      |p AS (SELECT a.x AS actual, f.x AS fc FROM ser a JOIN ser f ON a.i = f.i + 24),
+      |t AS (SELECT CAST(count(*) AS BIGINT) AS n,
+      |             CAST(sum(abs(actual - fc)) AS BIGINT) AS tot_abs,
+      |             CAST(sum(actual - fc) AS BIGINT) AS bias,
+      |             CAST(sum(CASE WHEN actual + fc = 0 THEN 0
+      |                  ELSE (1000000 * abs(actual - fc)) // (actual + fc) END) AS BIGINT) AS smape_sum
+      |      FROM p)
+      |SELECT n AS n_pairs, tot_abs AS total_abs_err,
+      |  (100 * tot_abs) // n AS mae_centi,
+      |  smape_sum // n AS smape_micro, bias
+      |FROM t""".stripMargin) { (s, d) =>
+    val ser = hourlySeries(s, d)
+    val a = ser.select(col("i").as("ia"), col("x").as("actual"))
+    val f = ser.select(col("i").as("ifc"), col("x").as("fc"))
+    a.join(f, col("ia") === col("ifc") + 24)
+      .agg(count(lit(1)).as("n"),
+        sum(abs(col("actual") - col("fc"))).as("tot_abs"),
+        sum(col("actual") - col("fc")).as("bias"),
+        sum(when(col("actual") + col("fc") === 0L, 0L)
+          .otherwise(expr("(1000000 * abs(actual - fc)) div (actual + fc)")))
+          .as("smape_sum"))
+      .select(col("n").as("n_pairs"), col("tot_abs").as("total_abs_err"),
+        expr("(100 * tot_abs) div n").as("mae_centi"),
+        expr("smape_sum div n").as("smape_micro"), col("bias"))
+  }
+
+  /** DAU / WAU engagement analytics — per day, the distinct users
+    * active that day (DAU), in the trailing 7 days (WAU), and the
+    * DAU/WAU "stickiness" ratio product dashboards threshold (~50% is
+    * a daily habit). The canonical windowed-COUNT-DISTINCT problem:
+    * distinct counts don't decompose over sliding windows, so the
+    * trailing window is materialized as an explicit 7-offset
+    * day-spine join over the DEDUPLICATED (day, user) relation — a
+    * bounded 7× replication of the compressed relation, never of raw
+    * events, then a partial-aggregable distinct count per day.
+    * Stickiness is exact integer bp (counts are positive, `div`/`//`
+    * agree).
+    */
+  val q166ActiveUsers = QueryDef(
+    "q166_active_users",
+    "DAU/WAU/stickiness per day: dedup to (day,user) once, 7-offset spine join, exact integer bp ratio",
+    """WITH du AS (SELECT DISTINCT date_trunc('day', CAST(ts AS TIMESTAMP)) AS d, user_id FROM events),
+      |days AS (SELECT DISTINCT d FROM du),
+      |dau AS (SELECT d, CAST(count(*) AS BIGINT) AS dau FROM du GROUP BY d),
+      |offs AS (SELECT unnest(range(0, 7)) AS o),
+      |wau AS (SELECT days.d, CAST(count(DISTINCT du.user_id) AS BIGINT) AS wau
+      |        FROM days JOIN offs ON TRUE
+      |                  JOIN du ON du.d = days.d - to_days(CAST(o AS INT))
+      |        GROUP BY days.d)
+      |SELECT dau.d AS day, dau.dau, wau.wau,
+      |  (10000 * dau.dau) // wau.wau AS stickiness_bp
+      |FROM dau JOIN wau ON wau.d = dau.d
+      |ORDER BY day""".stripMargin) { (s, d) =>
+    val du = graft.AutoUnpersist.scoped(
+      Tables.events(s, d)
+        .select(date_trunc("day", col("ts")).as("dd"), col("user_id"))
+        .distinct())
+    val days = du.select(col("dd").as("d2")).distinct()
+    val dau = du.groupBy(col("dd").as("day")).agg(count(lit(1)).as("dau"))
+    val offs = s.range(0, 7).select(col("id").as("o"))
+    val wau = days.crossJoin(broadcast(offs))
+      .join(du, col("dd") === expr("d2 - make_dt_interval(cast(o as int))"))
+      .groupBy(col("d2"))
+      .agg(countDistinct(col("user_id")).as("wau"))
+    dau.join(wau, col("day") === col("d2"))
+      .select(col("day"), col("dau"), col("wau"),
+        expr("(10000 * dau) div wau").as("stickiness_bp"))
+      .orderBy(col("day"))
+  }
+
+  /** Difference-in-differences uplift — the causal-inference step
+    * past q143's Welch z (which only says the groups DIFFER, not
+    * that the treatment moved them): with deterministic parity
+    * assignment (the q56 idiom) and a mid-window cutover, the
+    * pre-period difference absorbs any pre-existing group gap and
+    * DiD = (T̄post−T̄pre) − (C̄post−C̄pre) estimates the treatment
+    * effect under parallel trends. Cell sums/counts are exact LONG
+    * integers off one partial-aggregable (treat, post) aggregate;
+    * the estimate is ONE fixed-shape double expression of the eight
+    * integers, floored to micro-cents — cross-engine exact (q159's
+    * IEEE argument). Any empty cell ⇒ NULL DiD with counts kept
+    * (q137/q152 convention, gated in DegenerateInputSpec).
+    */
+  val q167DidUplift = QueryDef(
+    "q167_did_uplift",
+    "difference-in-differences purchase uplift: parity treatment, mid-window cutover, exact integer cells, NULL on empty cell",
+    """WITH e AS (SELECT user_id % 2 AS treat,
+      |             CASE WHEN CAST(ts AS TIMESTAMP) >= TIMESTAMP '2024-01-16 00:00:00' THEN 1 ELSE 0 END AS post,
+      |             CAST(round(value * 100) AS BIGINT) AS cents
+      |           FROM events WHERE event_type = 'purchase'),
+      |c AS (SELECT treat, post, CAST(count(*) AS BIGINT) AS n, CAST(sum(cents) AS BIGINT) AS s
+      |      FROM e GROUP BY treat, post),
+      |w AS (SELECT
+      |  max(CASE WHEN treat=1 AND post=1 THEN n END) AS n_tp, max(CASE WHEN treat=1 AND post=1 THEN s END) AS s_tp,
+      |  max(CASE WHEN treat=1 AND post=0 THEN n END) AS n_tq, max(CASE WHEN treat=1 AND post=0 THEN s END) AS s_tq,
+      |  max(CASE WHEN treat=0 AND post=1 THEN n END) AS n_cp, max(CASE WHEN treat=0 AND post=1 THEN s END) AS s_cp,
+      |  max(CASE WHEN treat=0 AND post=0 THEN n END) AS n_cq, max(CASE WHEN treat=0 AND post=0 THEN s END) AS s_cq
+      |  FROM c)
+      |SELECT n_tp, n_tq, n_cp, n_cq,
+      |  CASE WHEN n_tp IS NULL OR n_tq IS NULL OR n_cp IS NULL OR n_cq IS NULL THEN NULL
+      |       ELSE CAST(floor(1000000.0 * ((CAST(s_tp AS DOUBLE)/n_tp - CAST(s_tq AS DOUBLE)/n_tq)
+      |                                   - (CAST(s_cp AS DOUBLE)/n_cp - CAST(s_cq AS DOUBLE)/n_cq))) AS BIGINT)
+      |  END AS did_micro_cents
+      |FROM w""".stripMargin) { (s, d) =>
+    val e = Tables.events(s, d)
+      .filter(col("event_type") === "purchase")
+      .select((col("user_id") % 2).as("treat"),
+        when(col("ts") >= lit("2024-01-16 00:00:00").cast("timestamp"), 1)
+          .otherwise(0).as("post"),
+        expr("cast(round(value * 100) as bigint)").as("cents"))
+    val c = e.groupBy(col("treat"), col("post"))
+      .agg(count(lit(1)).as("n"), sum(col("cents")).as("s"))
+    def cell(t: Int, p: Int, v: String) =
+      max(when(col("treat") === t && col("post") === p, col(v)))
+    val w = c.agg(
+      cell(1, 1, "n").as("n_tp"), cell(1, 1, "s").as("s_tp"),
+      cell(1, 0, "n").as("n_tq"), cell(1, 0, "s").as("s_tq"),
+      cell(0, 1, "n").as("n_cp"), cell(0, 1, "s").as("s_cp"),
+      cell(0, 0, "n").as("n_cq"), cell(0, 0, "s").as("s_cq"))
+    w.select(col("n_tp"), col("n_tq"), col("n_cp"), col("n_cq"),
+      when(col("n_tp").isNull || col("n_tq").isNull ||
+           col("n_cp").isNull || col("n_cq").isNull, lit(null))
+        .otherwise(floor(lit(1000000.0) *
+          ((col("s_tp").cast("double") / col("n_tp") -
+            col("s_tq").cast("double") / col("n_tq")) -
+           (col("s_cp").cast("double") / col("n_cp") -
+            col("s_cq").cast("double") / col("n_cq")))))
+        .cast("long").as("did_micro_cents"))
+  }
+
   val all: Seq[QueryDef] =
     Seq(q136BloomFilter, q137RankSumAuc, q138KsDrift, q139SourceImpurity,
       q141BenfordAudit, q143AbTest, q145MadOutliers, q147Calibration,
       q148RevenueConcentration, q152NdcgEval, q153PsiDrift,
       q154WinsorizedStats, q159SpearmanActivity, q162Autocorrelation,
-      q163SeasonalAnomaly)
+      q163SeasonalAnomaly, q165ForecastEval, q166ActiveUsers,
+      q167DidUplift)
 }

@@ -70,4 +70,15 @@ class DegenerateInputSpec extends SparkSpec {
     assert(r.isNullAt(r.fieldIndex("rho_bp")))
     spark.sharedState.cacheManager.clearCache()
   }
+
+  test("q167 reports NULL DiD when a cell is empty, not an empty result") {
+    // all events are 'view' ⇒ zero purchases ⇒ every (treat, period)
+    // cell is empty ⇒ the estimate is undefined; one row, NULL metric
+    val rows = Registry.byName("q167_did_uplift").fn(spark, degenerateDir).collect()
+    assert(rows.length == 1)
+    val r = rows(0)
+    assert(r.isNullAt(r.fieldIndex("n_tp")))
+    assert(r.isNullAt(r.fieldIndex("did_micro_cents")))
+    spark.sharedState.cacheManager.clearCache()
+  }
 }

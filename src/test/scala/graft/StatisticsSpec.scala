@@ -458,6 +458,34 @@ class StatisticsSpec extends SparkSpec {
       "q164 regressed to a single-reducer global running-sum window")
   }
 
+  test("q165 forecast error vanishes on a perfectly periodic series") {
+    // a pure 24-period signal is EXACTLY predicted by seasonal-naive:
+    // every error metric must read zero — any nonzero value means the
+    // lag alignment or spine fill is off by a row
+    val dir = hourlyFixture(30, (_, h) => if (h == 0) 6 else 1)
+    val r = Registry.byName("q165_forecast_eval").fn(spark, dir).collect().head
+    assert(r.getLong(r.fieldIndex("n_pairs")) == 30 * 24 - 24)
+    assert(r.getLong(r.fieldIndex("total_abs_err")) == 0L)
+    assert(r.getLong(r.fieldIndex("smape_micro")) == 0L)
+    assert(r.getLong(r.fieldIndex("bias")) == 0L)
+    spark.sharedState.cacheManager.clearCache()
+  }
+
+  test("q166 DAU/WAU invariants: containment, bounded stickiness, first-day equality") {
+    val rows = run("q166_active_users").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (dau, wau, st) = (r.getLong(1), r.getLong(2), r.getLong(3))
+      assert(dau >= 1L && wau >= dau,
+        s"day ${r.get(0)}: WAU $wau must contain DAU $dau")
+      assert(st >= 1L && st <= 10000L, s"stickiness $st out of (0, 10000]")
+    }
+    val first = rows.minBy(_.getTimestamp(0).getTime)
+    assert(first.getLong(1) == first.getLong(2),
+      "first day's trailing window holds only itself: WAU must equal DAU")
+    spark.sharedState.cacheManager.clearCache()
+  }
+
   test("q164 sweep-line peaks equal brute-force interval stabbing counts") {
     val spans = queries.TemporalQueries.coalescedSpans(spark, sfDir)
       .select(col("span_start"), col("span_end"))
