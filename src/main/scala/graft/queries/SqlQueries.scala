@@ -83,5 +83,44 @@ object SqlQueries {
     }
   }
 
-  val all: Seq[QueryDef] = Seq(q63SqlSubqueries, q69LateralJoin)
+  /** The two subquery rewrites q63 does NOT exercise, in the TPC-H
+    * Q18/Q21 style: an uncorrelated `IN (SELECT … GROUP BY … HAVING)`
+    * over an aggregate (Catalyst: aggregate → left semi join) and a
+    * correlated `NOT EXISTS` with an extra predicate (Catalyst: null-
+    * aware left ANTI join). Together with q63 (scalar/aggregate-
+    * threshold/EXISTS) and q69 (LATERAL) the whole decorrelation
+    * family a SQL user can write is planned, joined, and oracle-
+    * checked — no BroadcastNestedLoop survives (suite-wide PlanSpec
+    * cartesian gate). The correlated scalar SUM in SELECT re-reads
+    * lineitem; all three subqueries decorrelate to keyed joins on
+    * l_orderkey, so the whole plan is equi-join shaped at any scale.
+    */
+  private def antiInSqlFor(orders: String, lineitem: String): String =
+    s"""SELECT o.o_orderkey, o.o_totalprice,
+       |  (SELECT CAST(sum(l_quantity) AS BIGINT) FROM $lineitem l
+       |   WHERE l.l_orderkey = o.o_orderkey) AS total_qty
+       |FROM $orders o
+       |WHERE o.o_orderkey IN (SELECT l_orderkey FROM $lineitem
+       |                       GROUP BY l_orderkey HAVING sum(l_quantity) > 150)
+       |  AND NOT EXISTS (SELECT 1 FROM $lineitem l
+       |                  WHERE l.l_orderkey = o.o_orderkey AND l.l_returnflag = 'R')
+       |ORDER BY o_orderkey""".stripMargin
+
+  val q168SqlAntiIn = QueryDef(
+    "q168_sql_anti_in",
+    "SQL IN-over-aggregate (semi) + correlated NOT EXISTS (anti): heavy clean orders, TPC-H Q18/Q21 style",
+    antiInSqlFor("orders", "lineitem")) { (s, d) =>
+    val tag = java.util.UUID.randomUUID().toString.replace("-", "")
+    val (ov, lv) = (s"orders_$tag", s"lineitem_$tag")
+    Tables.orders(s, d).createOrReplaceTempView(ov)
+    Tables.lineitem(s, d).createOrReplaceTempView(lv)
+    try s.sql(antiInSqlFor(ov, lv))
+    finally {
+      s.catalog.dropTempView(ov)
+      s.catalog.dropTempView(lv)
+      ()
+    }
+  }
+
+  val all: Seq[QueryDef] = Seq(q63SqlSubqueries, q69LateralJoin, q168SqlAntiIn)
 }
