@@ -140,4 +140,29 @@ class SketchSpec extends SparkSpec {
       .select(col("e.word"), col("e.cnt")).as[(String, Long)].collect().toSeq
     assert(got == Seq(("a", 3L), ("b", 2L), ("c", 1L)))
   }
+
+  test("HLL sketches are mergeable: union of per-shard sketches equals the direct global sketch") {
+    // THE 100 TB sketch contract: per-partition/per-day/per-source
+    // sketches unioned later must answer exactly what one monolithic
+    // pass would — HLL registers are max-merged, so shard-then-union
+    // is bit-equivalent to direct aggregation, not merely close.
+    // Spark 4's Datasketches surface: hll_sketch_agg / hll_union_agg
+    // / hll_sketch_estimate.
+    val ev = Tables.events(spark, sfDir)
+    ev.createOrReplaceTempView("hll_events")
+    val direct = spark.sql(
+      "SELECT hll_sketch_estimate(hll_sketch_agg(user_id)) AS est FROM hll_events")
+      .head().getLong(0)
+    val sharded = spark.sql(
+      """SELECT hll_sketch_estimate(hll_union_agg(sk)) AS est FROM (
+        |  SELECT hll_sketch_agg(user_id) AS sk
+        |  FROM hll_events GROUP BY event_type)""".stripMargin)
+      .head().getLong(0)
+    assert(sharded == direct,
+      s"shard-then-union ($sharded) must equal direct sketching ($direct)")
+    val exact = ev.select(countDistinct(col("user_id"))).head().getLong(0)
+    assert(math.abs(direct - exact).toDouble / exact <= 0.05,
+      s"HLL estimate $direct vs exact $exact beyond 5%")
+    spark.catalog.dropTempView("hll_events")
+  }
 }
