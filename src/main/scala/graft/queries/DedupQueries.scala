@@ -329,6 +329,19 @@ object DedupQueries {
     *    document composed of stop-phrases, the standard accepted loss.
     */
   private[graft] def ngramJaccardPairs(
+      posts0: DataFrame, maxDf: Long): DataFrame =
+    ngramCandidateCounts(posts0, maxDf)
+      .select(col("doc_a"), col("doc_b"),
+        round(col("c").cast("double") / (col("na") + col("nb") - col("c")), 4)
+          .as("jaccard"))
+      .filter(col("jaccard") >= 0.5)
+      .orderBy(col("doc_a"), col("doc_b"))
+
+  /** The exact candidate-pair relation behind q36/q169:
+    * (doc_a, doc_b, c = |A∩B|, na, nb) for every pair sharing at
+    * least one non-hot shingle, hot-corrected so c is exact.
+    */
+  private[graft] def ngramCandidateCounts(
       posts0: DataFrame, maxDf: Long): DataFrame = {
     // Persisted: feeds the df count, both sides of the self-join, the
     // size table and the hot-set table — Spark has no cross-branch
@@ -361,13 +374,9 @@ object DedupQueries {
         Seq("doc_a"), "left_outer")
       .join(hotSets.select(col("doc_id").as("doc_b"), col("hs").as("hb")),
         Seq("doc_b"), "left_outer")
-      .withColumn("c", col("c_cap") +
-        coalesce(size(array_intersect(col("ha"), col("hb"))), lit(0)))
-      .select(col("doc_a"), col("doc_b"),
-        round(col("c").cast("double") / (col("na") + col("nb") - col("c")), 4)
-          .as("jaccard"))
-      .filter(col("jaccard") >= 0.5)
-      .orderBy(col("doc_a"), col("doc_b"))
+      .withColumn("c", (col("c_cap") +
+        coalesce(size(array_intersect(col("ha"), col("hb"))), lit(0))).cast("long"))
+      .select(col("doc_a"), col("doc_b"), col("c"), col("na"), col("nb"))
   }
 
   /** Hot-label cap for q37's blocked self-join: a label whose block
@@ -866,6 +875,93 @@ object DedupQueries {
     }
   }
 
+  /** Jaccard threshold-tuning histogram — the ops query a pipeline
+    * runs BEFORE committing to a dedup cutoff: the distribution of
+    * exact 3-gram Jaccard over every candidate pair, bucketed by
+    * integer decile. A bimodal histogram (mass at ≤0.2 and ≥0.9,
+    * like this corpus) says any threshold in the valley is safe; a
+    * flat one says near-dup structure is ambiguous and the cutoff
+    * changes corpus size materially. Rides the SAME hot-guarded
+    * candidate machinery as q36 ([[ngramCandidateCounts]] — shared
+    * shingle-postings memo, df-capped self-join) and buckets with
+    * pure integer arithmetic: `(10·|A∩B|) div |A∪B|` — counts are
+    * positive so truncating (`div`) and flooring (`//`) division
+    * agree, no float Jaccard crosses the gate.
+    */
+  val q169JaccardHistogram = QueryDef(
+    "q169_jaccard_histogram",
+    "dedup threshold tuning: candidate-pair count per exact-Jaccard decile, integer-bucketed",
+    """WITH t AS (
+      |  SELECT doc_id,
+      |    list_distinct(list_transform(range(1, len(w)-1),
+      |                  i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS sh
+      |  FROM (SELECT doc_id, list_filter(string_split(text, ' '), t -> length(t) > 0) AS w
+      |        FROM documents)),
+      |tb AS (SELECT doc_id, len(sh) AS n, sh FROM t WHERE len(sh) > 0),
+      |inv AS (SELECT doc_id, unnest(sh) AS g FROM tb),
+      |co AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, CAST(count(*) AS BIGINT) AS c
+      |       FROM inv a JOIN inv b ON a.g = b.g AND a.doc_id < b.doc_id
+      |       GROUP BY a.doc_id, b.doc_id)
+      |SELECT (10 * co.c) // (na.n + nb.n - co.c) AS bucket,
+      |  CAST(count(*) AS BIGINT) AS n_pairs
+      |FROM co JOIN tb na ON na.doc_id = co.doc_a
+      |        JOIN tb nb ON nb.doc_id = co.doc_b
+      |GROUP BY bucket
+      |ORDER BY bucket""".stripMargin) { (s, d) =>
+    ngramCandidateCounts(shinglePostings(s, d), MaxShingleDf)
+      .select(expr("(10 * c) div (na + nb - c)").as("bucket"))
+      .groupBy(col("bucket")).agg(count(lit(1)).as("n_pairs"))
+      .orderBy(col("bucket"))
+  }
+
+  /** Duplicate-cluster size distribution — "how big are my duplicate
+    * families?": the histogram of q78 connected-component sizes
+    * (singletons included, so the buckets partition the corpus and
+    * `Σ size·n_clusters = |documents|` is a conservation invariant).
+    * The shape drives dedup policy: a heavy tail of giant clusters
+    * means boilerplate families that survivorship should collapse
+    * aggressively; all-singletons means dedup is already done. Pure
+    * projection of the memoized [[clusterAssignments]] relation
+    * (q78/q93's) — two partial-aggregable shuffles, no new pipeline.
+    */
+  val q170ClusterSizes = QueryDef(
+    "q170_cluster_sizes",
+    "duplicate-family size histogram over q78 clusters: conservation-complete, memoized assignments",
+    """WITH RECURSIVE t AS (
+      |  SELECT doc_id,
+      |    list_distinct(list_transform(range(1, len(w)-1),
+      |                  i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS sh
+      |  FROM (SELECT doc_id, list_filter(string_split(text, ' '), t -> length(t) > 0) AS w
+      |        FROM documents)),
+      |tb AS (SELECT doc_id, len(sh) AS n, sh FROM t WHERE len(sh) > 0),
+      |inv AS (SELECT doc_id, unnest(sh) AS g FROM tb),
+      |co AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+      |       FROM inv a JOIN inv b ON a.g = b.g AND a.doc_id < b.doc_id
+      |       GROUP BY a.doc_id, b.doc_id),
+      |pairs AS (
+      |  SELECT doc_a, doc_b FROM (
+      |    SELECT doc_a, doc_b,
+      |      round(CAST(inter AS DOUBLE) / (na.n + nb.n - inter), 4) AS jaccard
+      |    FROM co JOIN tb na ON na.doc_id = co.doc_a
+      |            JOIN tb nb ON nb.doc_id = co.doc_b)
+      |  WHERE jaccard >= 0.8),
+      |edges AS (SELECT doc_a AS u, doc_b AS v FROM pairs
+      |          UNION ALL SELECT doc_b AS u, doc_a AS v FROM pairs),
+      |reach AS (
+      |  SELECT doc_id AS u, doc_id AS lbl FROM documents
+      |  UNION
+      |  SELECT e.u, r.lbl FROM edges e JOIN reach r ON r.u = e.v),
+      |lab AS (SELECT u AS doc_id, min(lbl) AS cluster_id FROM reach GROUP BY u),
+      |cs AS (SELECT cluster_id, CAST(count(*) AS BIGINT) AS sz FROM lab GROUP BY cluster_id)
+      |SELECT sz AS cluster_size, CAST(count(*) AS BIGINT) AS n_clusters
+      |FROM cs GROUP BY sz
+      |ORDER BY cluster_size""".stripMargin) { (s, d) =>
+    clusterAssignments(s, d)
+      .groupBy(col("cluster_id")).agg(count(lit(1)).as("cluster_size"))
+      .groupBy(col("cluster_size")).agg(count(lit(1)).as("n_clusters"))
+      .orderBy(col("cluster_size"))
+  }
+
   /** Document-frequency cap for q161's minimizer postings: a
     * minimizer appearing in more than this many documents is
     * boilerplate by DEFINITION and excluded from the sketch in BOTH
@@ -994,5 +1090,5 @@ object DedupQueries {
     q33ExactDedup, q34MinhashLsh, q35Simhash, q36NgramJaccard,
     q37EmbeddingNeardup, q78DupClusters, q79IncrementalDedup,
     q82FuzzyJoin, q93LeakageSafeSplit, q158MinhashCalibration,
-    q161MinimizerDedup)
+    q161MinimizerDedup, q169JaccardHistogram, q170ClusterSizes)
 }

@@ -434,6 +434,32 @@ class DedupQualitySpec extends SparkSpec {
       .size == 40, "an original (min-id representative) was dropped")
   }
 
+  test("q169 buckets are valid deciles and cover every q36 pair at >= 0.5") {
+    val h = Registry.byName("q169_jaccard_histogram").fn(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(h.keySet.forall(b => b >= 0L && b <= 10L))
+    // every pair q36 emits at J >= 0.5 must sit in a bucket >= 5
+    // (integer floor of 10*J); the histogram over the same candidate
+    // machinery can't lose them
+    val q36n = Registry.byName("q36_ngram_jaccard").fn(spark, sfDir).count()
+    val hi = h.filter(_._1 >= 5L).values.sum
+    assert(hi == q36n,
+      s"bucket>=5 mass $hi must equal q36's pair count $q36n")
+    spark.sharedState.cacheManager.clearCache()
+  }
+
+  test("q170 cluster-size histogram partitions the corpus (conservation)") {
+    val rows = Registry.byName("q170_cluster_sizes").fn(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val docs = Tables.documents(spark, sfDir).count()
+    val mass = rows.map { case (sz, n) => sz * n }.sum
+    assert(mass == docs,
+      s"sum(size*n_clusters)=$mass must equal |documents|=$docs")
+    assert(rows.exists { case (sz, _) => sz > 1L },
+      "corpus has planted near-dups: some cluster must exceed size 1")
+    spark.sharedState.cacheManager.clearCache()
+  }
+
   test("q161 minimizer sketch: winnowing guarantee on a planted shared span, no spurious pairs") {
     import spark.implicits._
     // docs 1 and 2 share a verbatim 40-token span inside otherwise
