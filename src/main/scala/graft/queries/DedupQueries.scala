@@ -302,7 +302,12 @@ object DedupQueries {
       |          JOIN tb nb ON nb.doc_id = co.doc_b)
       |WHERE jaccard >= 0.5
       |ORDER BY doc_a, doc_b""".stripMargin) { (s, d) =>
-    ngramJaccardPairs(shinglePostings(s, d), MaxShingleDf)
+    candidateCounts(s, d)
+      .select(col("doc_a"), col("doc_b"),
+        round(col("c").cast("double") / (col("na") + col("nb") - col("c")), 4)
+          .as("jaccard"))
+      .filter(col("jaccard") >= 0.5)
+      .orderBy(col("doc_a"), col("doc_b"))
   }
 
   /** Document-frequency cap for q36's candidate stage: shingles seen
@@ -328,6 +333,18 @@ object DedupQueries {
     *    shingles is never a candidate — at J ≥ 0.5 that requires a
     *    document composed of stop-phrases, the standard accepted loss.
     */
+  /** The memoized default-cap candidate relation q36 and q169 both
+    * consume — the df-capped self-join is paid once per (session, sf)
+    * and pinned with `localCheckpoint` (the clusterAssignments
+    * convention). `ngramCandidateCounts` stays parameterized for the
+    * spec's cap-binding fixtures.
+    */
+  private def candidateCounts(s: SparkSession, d: String): DataFrame =
+    graft.SessionMemo.getOrCompute(s, "dedup.ngramcand:" + d) {
+      ngramCandidateCounts(shinglePostings(s, d), MaxShingleDf)
+        .localCheckpoint()
+    }
+
   private[graft] def ngramJaccardPairs(
       posts0: DataFrame, maxDf: Long): DataFrame =
     ngramCandidateCounts(posts0, maxDf)
@@ -908,7 +925,7 @@ object DedupQueries {
       |        JOIN tb nb ON nb.doc_id = co.doc_b
       |GROUP BY bucket
       |ORDER BY bucket""".stripMargin) { (s, d) =>
-    ngramCandidateCounts(shinglePostings(s, d), MaxShingleDf)
+    candidateCounts(s, d)
       .select(expr("(10 * c) div (na + nb - c)").as("bucket"))
       .groupBy(col("bucket")).agg(count(lit(1)).as("n_pairs"))
       .orderBy(col("bucket"))
