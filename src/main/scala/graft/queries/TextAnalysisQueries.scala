@@ -446,8 +446,118 @@ object TextAnalysisQueries {
       .orderBy(col("bucket"))
   }
 
+  /** Readability gating — Flesch–Kincaid grade per document,
+    * aggregated per language: the curation filter that catches text
+    * too simple (boilerplate lists) or too complex (OCR garbage) for
+    * a pretraining mix, next to q29's surface-quality score. Syllables
+    * are approximated as `[aeiouy]+` vowel groups per token — the
+    * standard cheap estimator, identical regex semantics in both
+    * engines; sentence count is `max(1, #'.' tokens)` so the formula
+    * stays defined on this punctuation-free corpus. Per-doc grade is
+    * ONE fixed-shape double of three exact integers floored to
+    * micro-grades; the per-language mean floors the exact LONG sum
+    * over n (floor-of-double — portable where integer `div` is not,
+    * because summed grades can be negative and Spark truncates where
+    * DuckDB floors).
+    */
+  val q171Readability = QueryDef(
+    "q171_readability",
+    "Flesch-Kincaid readability per language: vowel-group syllables, integer micro-grades, floored mean",
+    """WITH d AS (SELECT lang, list_filter(string_split(text, ' '), t -> length(t) > 0) AS w
+      |           FROM documents),
+      |m AS (SELECT lang,
+      |        CAST(len(w) AS BIGINT) AS nw,
+      |        CAST(list_sum(list_transform(w, t -> len(regexp_extract_all(t, '[aeiouy]+')))) AS BIGINT) AS syl,
+      |        greatest(CAST(1 AS BIGINT), CAST(len(list_filter(w, t -> t = '.')) AS BIGINT)) AS ns
+      |      FROM d WHERE len(w) > 0),
+      |fk AS (SELECT lang,
+      |         CAST(floor(1000000.0 * (0.39 * (CAST(nw AS DOUBLE) / ns)
+      |                                + 11.8 * (CAST(syl AS DOUBLE) / nw) - 15.59)) AS BIGINT) AS fk_micro
+      |       FROM m)
+      |SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+      |  CAST(floor(CAST(sum(fk_micro) AS DOUBLE) / count(*)) AS BIGINT) AS avg_fk_micro,
+      |  CAST(min(fk_micro) AS BIGINT) AS min_fk_micro,
+      |  CAST(max(fk_micro) AS BIGINT) AS max_fk_micro
+      |FROM fk GROUP BY lang
+      |ORDER BY lang""".stripMargin) { (s, d) =>
+    val m = Tables.documents(s, d)
+      .select(col("lang"), toks(col("text")).as("w"))
+      .filter(size(col("w")) > 0)
+      .select(col("lang"),
+        size(col("w")).cast("long").as("nw"),
+        aggregate(col("w"), lit(0L),
+          (a, t) => a + size(regexp_extract_all(t, lit("[aeiouy]+"), lit(0))))
+          .as("syl"),
+        greatest(lit(1L),
+          size(filter(col("w"), t => t === ".")).cast("long")).as("ns"))
+    val fk = m.select(col("lang"),
+      floor(lit(1000000.0) * (lit(0.39) * (col("nw").cast("double") / col("ns"))
+        + lit(11.8) * (col("syl").cast("double") / col("nw")) - lit(15.59)))
+        .cast("long").as("fk_micro"))
+    fk.groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        floor(sum(col("fk_micro")).cast("double") / count(lit(1)))
+          .cast("long").as("avg_fk_micro"),
+        min(col("fk_micro")).as("min_fk_micro"),
+        max(col("fk_micro")).as("max_fk_micro"))
+      .orderBy(col("lang"))
+  }
+
+  /** Language-label confusion audit — the label-error detector: cross-
+    * tabulate the RECORDED `lang` column against q30's stopword-
+    * profile prediction and report each cell's share of its recorded-
+    * language row. An off-diagonal cell with a large share is either
+    * a mislabeled shard or a drifting detector — both things a
+    * curation pipeline must catch before per-language sampling trusts
+    * the labels. One corpus scan (the per-doc scoring is row-local),
+    * one (lang, pred) partial-aggregable shuffle, a broadcast join
+    * back to the ≤|langs| totals; shares are exact integer bp.
+    */
+  val q172LangConfusion = QueryDef(
+    "q172_lang_confusion",
+    "recorded-vs-detected language confusion matrix with per-recorded-lang shares in bp",
+    s"""WITH p AS (
+      |  SELECT lang,
+      |    CASE WHEN s_en >= s_es AND s_en >= s_de AND s_en >= s_fr THEN 'en'
+      |         WHEN s_es >= s_de AND s_es >= s_fr THEN 'es'
+      |         WHEN s_de >= s_fr THEN 'de'
+      |         ELSE 'fr' END AS pred_lang
+      |  FROM (
+      |    SELECT lang,
+      |      len(list_filter(w, t -> t IN ${sqlList(LangProfiles(0)._2)})) AS s_en,
+      |      len(list_filter(w, t -> t IN ${sqlList(LangProfiles(1)._2)})) AS s_es,
+      |      len(list_filter(w, t -> t IN ${sqlList(LangProfiles(2)._2)})) AS s_de,
+      |      len(list_filter(w, t -> t IN ${sqlList(LangProfiles(3)._2)})) AS s_fr
+      |    FROM (SELECT lang, list_filter(string_split(text, ' '), t -> length(t) > 0) AS w
+      |          FROM documents))),
+      |c AS (SELECT lang, pred_lang, CAST(count(*) AS BIGINT) AS n
+      |      FROM p GROUP BY lang, pred_lang),
+      |t AS (SELECT lang, CAST(sum(n) AS BIGINT) AS total FROM c GROUP BY lang)
+      |SELECT c.lang, c.pred_lang, c.n,
+      |  (10000 * c.n) // t.total AS share_bp
+      |FROM c JOIN t ON t.lang = c.lang
+      |ORDER BY c.lang, c.pred_lang""".stripMargin) { (s, d) =>
+    val scored = Tables.documents(s, d)
+      .select(col("lang"), toks(col("text")).as("w"))
+      .select(col("lang") +: LangProfiles.map { case (l, ws) =>
+        size(filter(col("w"), t => t.isin(ws: _*))).as(s"s_$l")
+      }: _*)
+    val p = scored.select(col("lang"),
+      when(col("s_en") >= col("s_es") && col("s_en") >= col("s_de") &&
+        col("s_en") >= col("s_fr"), "en")
+        .when(col("s_es") >= col("s_de") && col("s_es") >= col("s_fr"), "es")
+        .when(col("s_de") >= col("s_fr"), "de")
+        .otherwise("fr").as("pred_lang"))
+    val c = p.groupBy(col("lang"), col("pred_lang")).agg(count(lit(1)).as("n"))
+    val t = c.groupBy(col("lang")).agg(sum(col("n")).as("total"))
+    c.join(broadcast(t), "lang")
+      .select(col("lang"), col("pred_lang"), col("n"),
+        expr("(10000 * n) div total").as("share_bp"))
+      .orderBy(col("lang"), col("pred_lang"))
+  }
+
   val all: Seq[QueryDef] = Seq(
     q27TokenStats, q28LangStats, q29QualityScore, q30Langid,
     q31Fingerprint, q32NgramStats, q55Tfidf, q66BpeTokens, q96Textrank,
-    q117VocabGrowth)
+    q117VocabGrowth, q171Readability, q172LangConfusion)
 }
