@@ -481,9 +481,18 @@ object DedupQueries {
     * assignment table to storage (`api.Sharder`-style) and reading it
     * back; the relation is one row per document either way.
     */
+  /** Memoized J ≥ 0.8 verified near-dup pairs — the LSH pipeline is
+    * paid once per (session, sf) and shared by the cluster labeling
+    * (q78/q93/q170) and the cross-source overlap audit (q173).
+    */
+  private[graft] def verifiedPairs(s: SparkSession, d: String): DataFrame =
+    graft.SessionMemo.getOrCompute(s, "dedup.verpairs:" + d) {
+      minhashVerifiedPairs(s, d).localCheckpoint()
+    }
+
   def clusterAssignments(s: SparkSession, d: String): DataFrame =
     graft.SessionMemo.getOrCompute(s, "dedup.clusters:" + d) {
-      val pairs = minhashVerifiedPairs(s, d)
+      val pairs = verifiedPairs(s, d)
         .select(col("doc_a").as("u"), col("doc_b").as("v"))
       val nodes = Tables.documents(s, d).select(col("doc_id").as("id"))
       graft.api.ConnectedComponents.label(nodes, pairs)
@@ -979,6 +988,63 @@ object DedupQueries {
       .orderBy(col("cluster_size"))
   }
 
+  /** Cross-source duplication matrix — provenance audit: for every
+    * unordered source pair, how many verified near-dup pairs (q34's
+    * J ≥ 0.8 contract, via the memoized [[verifiedPairs]] relation)
+    * straddle them. A hot off-diagonal cell means one source scrapes
+    * or mirrors another — exactly the overlap a mixing policy must
+    * know before weighting sources independently; the diagonal is
+    * within-source boilerplate. Two keyed joins to the (doc → source)
+    * projection, one (source,source) partial-aggregable shuffle,
+    * shares vs the 1-row broadcast total in exact integer bp.
+    */
+  val q173SourceOverlap = QueryDef(
+    "q173_source_overlap",
+    "cross-source near-dup matrix: verified J>=0.8 pairs per unordered source pair, shares in bp",
+    """WITH t AS (
+      |  SELECT doc_id,
+      |    list_distinct(list_transform(range(1, len(w)-1),
+      |                  i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS sh
+      |  FROM (SELECT doc_id, list_filter(string_split(text, ' '), t -> length(t) > 0) AS w
+      |        FROM documents)),
+      |tb AS (SELECT doc_id, len(sh) AS n, sh FROM t WHERE len(sh) > 0),
+      |inv AS (SELECT doc_id, unnest(sh) AS g FROM tb),
+      |co AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+      |       FROM inv a JOIN inv b ON a.g = b.g AND a.doc_id < b.doc_id
+      |       GROUP BY a.doc_id, b.doc_id),
+      |pairs AS (
+      |  SELECT doc_a, doc_b FROM (
+      |    SELECT doc_a, doc_b,
+      |      round(CAST(inter AS DOUBLE) / (na.n + nb.n - inter), 4) AS jaccard
+      |    FROM co JOIN tb na ON na.doc_id = co.doc_a
+      |            JOIN tb nb ON nb.doc_id = co.doc_b)
+      |  WHERE jaccard >= 0.8),
+      |sp AS (SELECT least(da.source, db.source) AS source_a,
+      |              greatest(da.source, db.source) AS source_b
+      |       FROM pairs p JOIN documents da ON da.doc_id = p.doc_a
+      |                    JOIN documents db ON db.doc_id = p.doc_b),
+      |c AS (SELECT source_a, source_b, CAST(count(*) AS BIGINT) AS n_pairs
+      |      FROM sp GROUP BY source_a, source_b),
+      |tt AS (SELECT CAST(sum(n_pairs) AS BIGINT) AS total FROM c)
+      |SELECT c.source_a, c.source_b, c.n_pairs,
+      |  (10000 * c.n_pairs) // tt.total AS share_bp
+      |FROM c, tt
+      |ORDER BY c.source_a, c.source_b""".stripMargin) { (s, d) =>
+    val src = Tables.documents(s, d).select(col("doc_id"), col("source"))
+    val sp = verifiedPairs(s, d)
+      .join(src.select(col("doc_id").as("doc_a"), col("source").as("sa")), "doc_a")
+      .join(src.select(col("doc_id").as("doc_b"), col("source").as("sb")), "doc_b")
+      .select(least(col("sa"), col("sb")).as("source_a"),
+        greatest(col("sa"), col("sb")).as("source_b"))
+    val c = sp.groupBy(col("source_a"), col("source_b"))
+      .agg(count(lit(1)).as("n_pairs"))
+    val tt = c.agg(sum(col("n_pairs")).as("total"))
+    c.crossJoin(broadcast(tt))
+      .select(col("source_a"), col("source_b"), col("n_pairs"),
+        expr("(10000 * n_pairs) div total").as("share_bp"))
+      .orderBy(col("source_a"), col("source_b"))
+  }
+
   /** Document-frequency cap for q161's minimizer postings: a
     * minimizer appearing in more than this many documents is
     * boilerplate by DEFINITION and excluded from the sketch in BOTH
@@ -1107,5 +1173,6 @@ object DedupQueries {
     q33ExactDedup, q34MinhashLsh, q35Simhash, q36NgramJaccard,
     q37EmbeddingNeardup, q78DupClusters, q79IncrementalDedup,
     q82FuzzyJoin, q93LeakageSafeSplit, q158MinhashCalibration,
-    q161MinimizerDedup, q169JaccardHistogram, q170ClusterSizes)
+    q161MinimizerDedup, q169JaccardHistogram, q170ClusterSizes,
+    q173SourceOverlap)
 }
