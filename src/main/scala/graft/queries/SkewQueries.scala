@@ -45,5 +45,62 @@ object SkewQueries {
       .orderBy(col("flag"))
   }
 
-  val all: Seq[QueryDef] = Seq(q51SaltedJoin)
+  /** Join-skew pre-flight diagnostics — the audit that tells you
+    * whether q51's salting (or AQE's skew-join split) is NEEDED
+    * before a join ships: per-join-key row-count distribution
+    * (mean / exact nearest-rank p50 / p99 / max) and the
+    * max-key-to-mean skew ratio a planner thresholds on (10000 bp =
+    * perfectly uniform; ScaleSpec's AQE case fires around ~5× median).
+    *
+    * Scale shape: the per-key counts are VALUE-COMPRESSED immediately
+    * (counts-of-counts — support is tens of rows at any corpus size),
+    * so the quantile cumsum is a window over that METADATA relation,
+    * never the key table; everything else is one partial-aggregable
+    * shuffle on the join key. All statistics are exact integers
+    * (positive, so `div`/`//` agree); nearest-rank positions use
+    * integer division in BOTH engines.
+    */
+  val q174JoinSkewAudit = QueryDef(
+    "q174_join_skew_audit",
+    "join-key skew pre-flight: value-compressed per-key count distribution, exact p50/p99/max, skew ratio in bp",
+    """WITH kc AS (SELECT l_orderkey AS k, CAST(count(*) AS BIGINT) AS c FROM lineitem GROUP BY l_orderkey),
+      |cc AS (SELECT c, CAST(count(*) AS BIGINT) AS m FROM kc GROUP BY c),
+      |st AS (SELECT CAST(sum(m) AS BIGINT) AS n_keys, CAST(sum(c*m) AS BIGINT) AS n_rows,
+      |              CAST(max(c) AS BIGINT) AS max_c FROM cc),
+      |cum AS (SELECT c, m, CAST(sum(m) OVER (ORDER BY c) AS BIGINT) AS hi FROM cc),
+      |q AS (SELECT st.n_keys, st.n_rows, st.max_c,
+      |        min(CASE WHEN (st.n_keys - 1) // 2 >= cum.hi - cum.m
+      |                  AND (st.n_keys - 1) // 2 < cum.hi THEN cum.c END) AS p50,
+      |        min(CASE WHEN ((st.n_keys - 1) * 99) // 100 >= cum.hi - cum.m
+      |                  AND ((st.n_keys - 1) * 99) // 100 < cum.hi THEN cum.c END) AS p99
+      |      FROM cum, st GROUP BY st.n_keys, st.n_rows, st.max_c)
+      |SELECT n_keys, n_rows, (100 * n_rows) // n_keys AS mean_centi, p50, p99, max_c,
+      |  (10000 * max_c * n_keys) // n_rows AS skew_ratio_bp
+      |FROM q""".stripMargin) { (s, d) =>
+    val kc = Tables.lineitem(s, d)
+      .groupBy(col("l_orderkey")).agg(count(lit(1)).as("c"))
+    val cc = graft.AutoUnpersist.scoped(
+      kc.groupBy(col("c")).agg(count(lit(1)).as("m")))
+    val st = cc.agg(sum(col("m")).as("n_keys"),
+      sum(col("c") * col("m")).as("n_rows"), max(col("c")).as("max_c"))
+    // cumsum over the counts-of-counts support — tens of rows, the
+    // 20-row-spine precedent for an unpartitioned metadata window
+    val w = org.apache.spark.sql.expressions.Window.orderBy(col("c"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    val cum = cc.withColumn("hi", sum(col("m")).over(w))
+    val q = cum.crossJoin(broadcast(st))
+      .groupBy(col("n_keys"), col("n_rows"), col("max_c"))
+      .agg(
+        min(when(expr("(n_keys - 1) div 2") >= col("hi") - col("m") &&
+          expr("(n_keys - 1) div 2") < col("hi"), col("c"))).as("p50"),
+        min(when(expr("((n_keys - 1) * 99) div 100") >= col("hi") - col("m") &&
+          expr("((n_keys - 1) * 99) div 100") < col("hi"), col("c"))).as("p99"))
+    q.select(col("n_keys"), col("n_rows"),
+      expr("(100 * n_rows) div n_keys").as("mean_centi"),
+      col("p50"), col("p99"), col("max_c"),
+      expr("(10000 * max_c * n_keys) div n_rows").as("skew_ratio_bp"))
+  }
+
+  val all: Seq[QueryDef] = Seq(q51SaltedJoin, q174JoinSkewAudit)
 }
