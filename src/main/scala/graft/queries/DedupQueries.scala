@@ -997,6 +997,12 @@ object DedupQueries {
     * within-source boilerplate. Two keyed joins to the (doc → source)
     * projection, one (source,source) partial-aggregable shuffle,
     * shares vs the 1-row broadcast total in exact integer bp.
+    *
+    * Oracle basis: the twin aggregates the brute-force J ≥ 0.8 pair
+    * set while Spark aggregates the LSH-verified one — the same
+    * accepted ≤(1-0.8⁴)¹⁶ ≈ 2.2e-4 per-boundary-pair recall basis
+    * documented (and measured equal) on q34, whose pair list this
+    * derives from.
     */
   val q173SourceOverlap = QueryDef(
     "q173_source_overlap",
