@@ -58,7 +58,11 @@ object SkewQueries {
     * never the key table; everything else is one partial-aggregable
     * shuffle on the join key. All statistics are exact integers
     * (positive, so `div`/`//` agree); nearest-rank positions use
-    * integer division in BOTH engines.
+    * integer division in BOTH engines. LONG bound: the skew-ratio
+    * numerator `10⁴·max_c·n_keys` holds while max_c·n_keys < 9·10¹⁴
+    * — beyond any plausible profile (a 10¹⁰-key table with a 10⁵-row
+    * hot key sits at 10¹⁹ only if BOTH extremes coincide; widen to
+    * DECIMAL(38,0) there).
     */
   val q174JoinSkewAudit = QueryDef(
     "q174_join_skew_audit",

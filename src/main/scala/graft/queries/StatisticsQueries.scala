@@ -789,7 +789,10 @@ object StatisticsQueries {
     * division is cross-engine exact (inputs < 2^53, IEEE ÷ correctly
     * rounded — the q159 sqrt argument, here without even the sqrt).
     * Integer `div` would NOT be portable here: Spark truncates toward
-    * zero, DuckDB floors, and ACF numerators go negative.
+    * zero, DuckDB floors, and ACF numerators go negative. LONG bound:
+    * terms peak at n·(n·x_max)² — with the ~720-hour window that
+    * holds through ~5 M events/hour (≈4 B events/month); past that,
+    * widen the sums to DECIMAL(38,0) (the q159 note's convention).
     *
     * Scale shape: everything after the [[hourlySeries]] aggregate
     * runs on the ~720-row metadata series — the 24 lag joins produce
