@@ -1161,11 +1161,126 @@ object StatisticsQueries {
         .cast("long").as("did_micro_cents"))
   }
 
+  /** Quantile–quantile drift table — WHERE two distributions diverge,
+    * where q138's KS gives the single largest gap and q153's PSI a
+    * scalar magnitude: exact nearest-rank deciles of the 'view' and
+    * 'click' value distributions side by side with signed gaps. A
+    * tail-only gap (deciles 8–9) means drift concentrated in heavy
+    * values — a different remediation than a uniform shift. Fourth
+    * consumer of the memoized [[compressedCents]] relation; all 18
+    * decile lookups ride ONE range-partitioned CDF pass
+    * ([[graft.api.Quantiles.valuesAtPositions]]); positions use the
+    * q154 floor-of-double convention mirrored in the twin.
+    */
+  val q175QqDrift = QueryDef(
+    "q175_qq_drift",
+    "Q-Q drift: exact nearest-rank deciles of view vs click values with signed gaps, one CDF pass",
+    """WITH y AS (SELECT event_type, CAST(round(value * 100) AS BIGINT) AS y,
+      |                  CAST(count(*) AS BIGINT) AS c
+      |           FROM events WHERE event_type IN ('view', 'click')
+      |           GROUP BY event_type, CAST(round(value * 100) AS BIGINT)),
+      |cum AS (SELECT event_type, y, c,
+      |         CAST(sum(c) OVER (PARTITION BY event_type ORDER BY y) AS BIGINT) AS hi
+      |        FROM y),
+      |nn AS (SELECT event_type, CAST(sum(c) AS BIGINT) AS n FROM y GROUP BY event_type),
+      |k AS (SELECT nn.event_type, nn.n, d.d,
+      |        CAST(floor((nn.n - 1) * d.d / 10.0) AS BIGINT) AS kd
+      |      FROM nn CROSS JOIN (SELECT unnest(range(1, 10)) AS d) d),
+      |b AS (SELECT k.event_type, k.d,
+      |        min(CASE WHEN k.kd >= cum.hi - cum.c AND k.kd < cum.hi THEN cum.y END) AS q
+      |      FROM k JOIN cum ON cum.event_type = k.event_type
+      |      GROUP BY k.event_type, k.d)
+      |SELECT v.d AS decile, v.q AS view_cents, c2.q AS click_cents,
+      |  v.q - c2.q AS gap_cents
+      |FROM b v JOIN b c2 ON v.d = c2.d
+      |WHERE v.event_type = 'view' AND c2.event_type = 'click'
+      |ORDER BY decile""".stripMargin) { (s, d) =>
+    val comp = compressedCents(s, d)
+      .filter(col("event_type").isin("view", "click"))
+    val positions = (1 to 9).map { dd =>
+      s"q$dd" -> ((n: org.apache.spark.sql.Column) =>
+        floor((n - 1) * dd / lit(10.0)).cast("long"))
+    }
+    val qs = graft.api.Quantiles.valuesAtPositions(
+      comp, Seq("event_type"), "y", "c", positions)
+    val stacked = qs.select(col("event_type"),
+      expr("stack(9, " + (1 to 9).map(dd => s"${dd}L, q$dd").mkString(", ") +
+        ") as (decile, q)"))
+    stacked.filter(col("event_type") === "view")
+      .select(col("decile"), col("q").as("view_cents"))
+      .join(stacked.filter(col("event_type") === "click")
+        .select(col("decile"), col("q").as("click_cents")), "decile")
+      .select(col("decile"), col("view_cents"), col("click_cents"),
+        (col("view_cents") - col("click_cents")).as("gap_cents"))
+      .orderBy(col("decile"))
+  }
+
+  /** A/B experiment power analysis — the question q143 does NOT
+    * answer: not "did the arms differ?" but "what effect COULD this
+    * experiment detect?" The minimum detectable effect at α = 0.05
+    * two-sided / 80% power is `(z_{0.975} + z_{0.8})·SE = 2.8·SE`
+    * with the same Welch standard error as q143 (the z constants are
+    * shared literals, the q141/q152 convention — no runtime normal
+    * quantile). An experiment whose observed |Δ| sits under its MDE
+    * is underpowered, not negative — the `powered` flag says which.
+    * Same exact integer cell moments, one aggregate pass; the SE/MDE
+    * chain is one fixed-shape double expression mirrored
+    * operation-for-operation (IEEE sqrt/÷ — the q159 argument).
+    */
+  val q176AbPower = QueryDef(
+    "q176_ab_power",
+    "A/B power analysis: Welch-SE minimum detectable effect at alpha=.05/80% power, powered-or-not flag",
+    """WITH p AS (SELECT CAST(user_id % 2 AS BIGINT) AS arm,
+      |                  CAST(round(value * 100) AS BIGINT) AS y
+      |           FROM events WHERE event_type = 'purchase'),
+      |m AS (SELECT arm, CAST(count(*) AS BIGINT) AS n, CAST(sum(y) AS BIGINT) AS s,
+      |             CAST(sum(y * y) AS BIGINT) AS ss
+      |      FROM p GROUP BY arm),
+      |w AS (SELECT
+      |  max(CASE WHEN arm = 0 THEN n END) AS n0, max(CASE WHEN arm = 0 THEN s END) AS s0,
+      |  max(CASE WHEN arm = 0 THEN ss END) AS ss0,
+      |  max(CASE WHEN arm = 1 THEN n END) AS n1, max(CASE WHEN arm = 1 THEN s END) AS s1,
+      |  max(CASE WHEN arm = 1 THEN ss END) AS ss1
+      |  FROM m)
+      |SELECT n0, n1,
+      |  round(sqrt((CAST(ss0 AS DOUBLE) - CAST(s0 AS DOUBLE) * s0 / n0) / (n0 - 1) / n0
+      |           + (CAST(ss1 AS DOUBLE) - CAST(s1 AS DOUBLE) * s1 / n1) / (n1 - 1) / n1), 4) AS se_cents,
+      |  round(2.8 * sqrt((CAST(ss0 AS DOUBLE) - CAST(s0 AS DOUBLE) * s0 / n0) / (n0 - 1) / n0
+      |                 + (CAST(ss1 AS DOUBLE) - CAST(s1 AS DOUBLE) * s1 / n1) / (n1 - 1) / n1), 4) AS mde_cents,
+      |  abs(CAST(s0 AS DOUBLE) / n0 - CAST(s1 AS DOUBLE) / n1)
+      |    >= 2.8 * sqrt((CAST(ss0 AS DOUBLE) - CAST(s0 AS DOUBLE) * s0 / n0) / (n0 - 1) / n0
+      |                + (CAST(ss1 AS DOUBLE) - CAST(s1 AS DOUBLE) * s1 / n1) / (n1 - 1) / n1) AS powered
+      |FROM w""".stripMargin) { (s, d) =>
+    val p = Tables.events(s, d).filter(col("event_type") === "purchase")
+      .select((col("user_id") % 2).cast("long").as("arm"),
+        expr("cast(round(value * 100) as bigint)").as("y"))
+    val m = p.groupBy(col("arm")).agg(count(lit(1)).as("n"),
+      sum(col("y")).as("s"), sum(col("y") * col("y")).as("ss"))
+    val w = m.agg(
+      max(when(col("arm") === 0, col("n"))).as("n0"),
+      max(when(col("arm") === 0, col("s"))).as("s0"),
+      max(when(col("arm") === 0, col("ss"))).as("ss0"),
+      max(when(col("arm") === 1, col("n"))).as("n1"),
+      max(when(col("arm") === 1, col("s"))).as("s1"),
+      max(when(col("arm") === 1, col("ss"))).as("ss1"))
+    val var0 = (col("ss0").cast("double") - col("s0").cast("double") * col("s0") / col("n0")) /
+      (col("n0") - 1) / col("n0")
+    val var1 = (col("ss1").cast("double") - col("s1").cast("double") * col("s1") / col("n1")) /
+      (col("n1") - 1) / col("n1")
+    val se = sqrt(var0 + var1)
+    val effect = abs(col("s0").cast("double") / col("n0") -
+      col("s1").cast("double") / col("n1"))
+    w.select(col("n0"), col("n1"),
+      round(se, 4).as("se_cents"),
+      round(lit(2.8) * se, 4).as("mde_cents"),
+      (effect >= lit(2.8) * se).as("powered"))
+  }
+
   val all: Seq[QueryDef] =
     Seq(q136BloomFilter, q137RankSumAuc, q138KsDrift, q139SourceImpurity,
       q141BenfordAudit, q143AbTest, q145MadOutliers, q147Calibration,
       q148RevenueConcentration, q152NdcgEval, q153PsiDrift,
       q154WinsorizedStats, q159SpearmanActivity, q162Autocorrelation,
       q163SeasonalAnomaly, q165ForecastEval, q166ActiveUsers,
-      q167DidUplift)
+      q167DidUplift, q175QqDrift, q176AbPower)
 }
