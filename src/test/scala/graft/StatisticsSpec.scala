@@ -445,6 +445,61 @@ class StatisticsSpec extends SparkSpec {
     spark.sharedState.cacheManager.clearCache()
   }
 
+  test("q175 deciles are monotone per side (empirical-CDF property)") {
+    val rows = run("q175_qq_drift").collect()
+    assert(rows.length == 9)
+    val v = rows.sortBy(_.getLong(0)).map(r => (r.getLong(1), r.getLong(2)))
+    v.sliding(2).foreach { case Array((v1, c1), (v2, c2)) =>
+      assert(v1 <= v2, s"view deciles must be non-decreasing: $v1 > $v2")
+      assert(c1 <= c2, s"click deciles must be non-decreasing: $c1 > $c2")
+    }
+    spark.sharedState.cacheManager.clearCache()
+  }
+
+  test("q176 powered flag is consistent with q143's Welch z at the 2.8 threshold") {
+    // powered <=> |delta| >= 2.8*SE <=> |z_welch| >= 2.8 by definition;
+    // the two queries compute the same cells independently, so their
+    // agreement cross-checks both moment pipelines
+    val p = run("q176_ab_power").collect().head
+    val z = run("q143_ab_test").collect().head
+    val powered = p.getBoolean(p.fieldIndex("powered"))
+    val zw = math.abs(z.getDouble(z.fieldIndex("z_welch")))
+    assert(powered == (zw >= 2.8),
+      s"powered=$powered inconsistent with |z_welch|=$zw vs 2.8")
+    assert(p.getDouble(p.fieldIndex("mde_cents")) >= 0.0)
+    assert(p.getDouble(p.fieldIndex("se_cents")) > 0.0)
+    spark.sharedState.cacheManager.clearCache()
+  }
+
+  test("q171 per-language extremes bracket the mean") {
+    val rows = Registry.byName("q171_readability").fn(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (mn, avg, mx) = (r.getLong(r.fieldIndex("min_fk_micro")),
+        r.getLong(r.fieldIndex("avg_fk_micro")),
+        r.getLong(r.fieldIndex("max_fk_micro")))
+      assert(mn <= avg && avg <= mx, s"${r.get(0)}: $mn <= $avg <= $mx violated")
+    }
+    spark.sharedState.cacheManager.clearCache()
+  }
+
+  test("q172 confusion rows partition each recorded language (conservation)") {
+    val rows = Registry.byName("q172_lang_confusion").fn(spark, sfDir).collect()
+    val perLang = rows.groupBy(_.getString(0))
+    val docCounts = Tables.documents(spark, sfDir)
+      .groupBy(col("lang")).agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    perLang.foreach { case (lang, rs) =>
+      val total = rs.map(_.getLong(2)).sum
+      assert(total == docCounts(lang),
+        s"$lang: confusion cells sum to $total, expected ${docCounts(lang)}")
+      val shareSum = rs.map(_.getLong(3)).sum
+      assert(shareSum <= 10000L && shareSum > 10000L - 4 * rs.length,
+        s"$lang: shares sum to $shareSum bp")
+    }
+    spark.sharedState.cacheManager.clearCache()
+  }
+
   test("q164 plans no global running-sum window over the transition relation") {
     // The scale contract: the sweep-line running sum rides
     // Ranking.withRunningTotal, so the executed plan must contain NO
