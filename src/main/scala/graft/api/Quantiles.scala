@@ -27,6 +27,53 @@ import org.apache.spark.sql.functions._
   */
 object Quantiles {
 
+  /** The weighted CDF of a compressed relation: every input row plus
+    * `__hi` (inclusive running weight in `valueCol` order within the
+    * group), `__lo` (= `__hi` − weight, the exclusive lower bound) and
+    * `totalCol` (group weight total). A row covers sorted 0-based
+    * positions [`__lo`, `__hi`). One range-partitioned
+    * [[Ranking.withRunningTotal]] pass; callers that probe the SAME
+    * distribution repeatedly (q145's median, q154's winsorization
+    * bounds, q175's deciles all read the cents CDF) should memoize
+    * THIS and use the `FromCdf` variants below — the CDF machinery is
+    * then paid once per (session, sf) instead of once per query.
+    */
+  def cdfOf(
+      comp: DataFrame,
+      groupCols: Seq[String],
+      valueCol: String,
+      weightCol: String,
+      totalCol: String = "n"): DataFrame =
+    Ranking.withRunningTotal(
+        comp, groupCols, Seq(col(valueCol)), weightCol, "__hi", totalCol)
+      .withColumn("__lo", col("__hi") - col(weightCol))
+
+  /** [[valuesAtPositions]] over a prebuilt [[cdfOf]] relation — a
+    * filter plus one partial-aggregable groupBy, no new shuffle
+    * machinery. The CDF may carry MORE groups than the caller wants
+    * (per-group CDFs are independent, so restricting a multi-group CDF
+    * to a group subset equals the CDF of the subset): filter first.
+    */
+  def valuesAtPositionsFromCdf(
+      cdf: DataFrame,
+      groupCols: Seq[String],
+      valueCol: String,
+      positions: Seq[(String, Column => Column)],
+      totalCol: String = "n"): DataFrame = {
+    require(groupCols.nonEmpty, "groupCols must be non-empty")
+    require(positions.nonEmpty, "positions must be non-empty")
+    def covers(posOf: Column => Column) = {
+      val p = posOf(col(totalCol))
+      p >= col("__lo") && p < col("__hi")
+    }
+    val aggs = positions.map { case (name, posOf) =>
+      min(when(covers(posOf), col(valueCol))).as(name)
+    }
+    cdf.filter(positions.map { case (_, p) => covers(p) }.reduce(_ || _))
+      .groupBy(groupCols.map(col): _*)
+      .agg(min(col(totalCol)).as(totalCol), aggs: _*)
+  }
+
   /** For each group, the sorted-multiset values at the given 0-based
     * positions — each position an expression of the group's total
     * weight (passed as a Column of `totalCol`). One CDF pass serves
@@ -40,23 +87,10 @@ object Quantiles {
       valueCol: String,
       weightCol: String,
       positions: Seq[(String, Column => Column)],
-      totalCol: String = "n"): DataFrame = {
-    require(groupCols.nonEmpty, "groupCols must be non-empty")
-    require(positions.nonEmpty, "positions must be non-empty")
-    val cum = Ranking.withRunningTotal(
-      comp, groupCols, Seq(col(valueCol)), weightCol, "__hi", totalCol)
-    val withLo = cum.withColumn("__lo", col("__hi") - col(weightCol))
-    def covers(posOf: Column => Column) = {
-      val p = posOf(col(totalCol))
-      p >= col("__lo") && p < col("__hi")
-    }
-    val aggs = positions.map { case (name, posOf) =>
-      min(when(covers(posOf), col(valueCol))).as(name)
-    }
-    withLo.filter(positions.map { case (_, p) => covers(p) }.reduce(_ || _))
-      .groupBy(groupCols.map(col): _*)
-      .agg(min(col(totalCol)).as(totalCol), aggs: _*)
-  }
+      totalCol: String = "n"): DataFrame =
+    valuesAtPositionsFromCdf(
+      cdfOf(comp, groupCols, valueCol, weightCol, totalCol),
+      groupCols, valueCol, positions, totalCol)
 
   /** 0-based central positions of the type-7 interpolated median:
     * p1 = ⌊(n−1)/2⌋ and p2 = (n−1)−p1. Shared with oracle SQL twins.
@@ -78,6 +112,19 @@ object Quantiles {
       med2Col: String = "med2",
       totalCol: String = "n"): DataFrame =
     valuesAtPositions(comp, groupCols, valueCol, weightCol,
+      Seq("__m1" -> p1, "__m2" -> p2), totalCol)
+      .withColumn(med2Col, col("__m1") + col("__m2"))
+      .drop("__m1", "__m2")
+
+  /** [[median2]] over a prebuilt [[cdfOf]] relation — filter + one
+    * groupBy, no new CDF machinery. */
+  def median2FromCdf(
+      cdf: DataFrame,
+      groupCols: Seq[String],
+      valueCol: String,
+      med2Col: String = "med2",
+      totalCol: String = "n"): DataFrame =
+    valuesAtPositionsFromCdf(cdf, groupCols, valueCol,
       Seq("__m1" -> p1, "__m2" -> p2), totalCol)
       .withColumn(med2Col, col("__m1") + col("__m2"))
       .drop("__m1", "__m2")

@@ -48,6 +48,22 @@ object StatisticsQueries {
         .localCheckpoint()
     }
 
+  /** The per-type weighted CDF of [[compressedCents]] — (event_type,
+    * y, c, __hi, __lo, n) per [[graft.api.Quantiles.cdfOf]] — paid
+    * once per (session, sf): q145 (median), q154 (p05/p95 bounds) and
+    * q175 (deciles) all probe the SAME cents distribution, so the
+    * range-partitioned running-total machinery runs once here and each
+    * consumer is a filter + one partial-aggregable groupBy
+    * (`Quantiles.*FromCdf`). Per-type CDFs are independent, so q175's
+    * view/click restriction filters this relation directly.
+    */
+  def centsCdf(s: org.apache.spark.sql.SparkSession, d: String): org.apache.spark.sql.DataFrame =
+    graft.SessionMemo.getOrCompute(s, "stats.centscdf:" + d) {
+      graft.api.Quantiles.cdfOf(
+        compressedCents(s, d), Seq("event_type"), "y", "c")
+        .localCheckpoint()
+    }
+
   /** Portable Bloom-filter membership audit — the compact-filter
     * semi-join reduction pattern (the manual twin of Spark's runtime
     * bloom pruning, `ScaleSpec`'s conf-gated cousin) made first-class:
@@ -423,26 +439,33 @@ object StatisticsQueries {
     // relation is DERIVED from it (|2y−med2| per distinct y, weights
     // carried along), never re-scanned from events.
     val comp = compressedCents(s, d)
-    // Exact interpolated median of the weighted compressed relation
-    // via [[graft.api.Quantiles.median2]] (range-partitioned CDF,
-    // never a partitionBy(event_type) window — with ~5 event types
-    // that shape funnels each type's whole distinct-value set through
-    // one task). med2 = 2× the median, an integer.
-    def med2Of(df: org.apache.spark.sql.DataFrame, valueCol: String) =
-      graft.api.Quantiles.median2(df, Seq("event_type"), valueCol, "c")
+    // Exact interpolated median read off the MEMOIZED per-type cents
+    // CDF ([[centsCdf]], shared with q154/q175): a filter + one
+    // groupBy — the range-partitioned CDF machinery (never a
+    // partitionBy(event_type) window — with ~5 event types that shape
+    // funnels each type's whole distinct-value set through one task)
+    // is paid once per session. med2 = 2× the median, an integer.
     // med and mad are 5-row relations each consumed by TWO branches
     // (deviation build + final join; flag test + final join) — cache
-    // them or the whole upstream CDF pipeline evaluates twice.
-    val med = graft.AutoUnpersist.scoped(med2Of(comp, "y"))
+    // them or the whole upstream pipeline evaluates twice.
+    val med = graft.AutoUnpersist.scoped(
+      graft.api.Quantiles.median2FromCdf(centsCdf(s, d), Seq("event_type"), "y"))
     val devComp = graft.AutoUnpersist.scoped(
       comp.join(broadcast(med.select(col("event_type"), col("med2"))),
           "event_type")
         .select(col("event_type"),
           abs(lit(2) * col("y") - col("med2")).as("dev"), col("c"))
         .groupBy(col("event_type"), col("dev")).agg(sum(col("c")).as("c")))
-    val mad = graft.AutoUnpersist.scoped(med2Of(devComp, "dev")
-      .select(col("event_type"), col("med2").as("mad2")))
-    val flagged = devComp.join(broadcast(mad), "event_type")
+    // The dev distribution is probed twice (its median AND the flag
+    // count) — build its CDF once, cache it, and read both answers off
+    // it (the same pay-once shape as the cents CDF, scoped to this
+    // query because dev depends on med).
+    val devCdf = graft.AutoUnpersist.scoped(
+      graft.api.Quantiles.cdfOf(devComp, Seq("event_type"), "dev", "c"))
+    val mad = graft.AutoUnpersist.scoped(
+      graft.api.Quantiles.median2FromCdf(devCdf, Seq("event_type"), "dev")
+        .select(col("event_type"), col("med2").as("mad2")))
+    val flagged = devCdf.join(broadcast(mad), "event_type")
       .groupBy(col("event_type"))
       .agg(sum(when(lit(10000L) * col("dev") > lit(22239L) * col("mad2"),
         col("c")).otherwise(0L)).as("n_outliers"))
@@ -696,9 +719,9 @@ object StatisticsQueries {
     * way to feed heavy-tailed metrics into means). Bounds are exact
     * nearest-rank quantiles at the symmetric 0-based positions
     * k = ⌊(n−1)·5/100⌋ and (n−1)−k, pulled by
-    * [[graft.api.Quantiles.valuesAtPositions]] in ONE
-    * range-partitioned CDF pass over the memoized compressed-cents
-    * relation (third consumer — no events scan of its own); the
+    * [[graft.api.Quantiles.valuesAtPositionsFromCdf]] off the
+    * MEMOIZED per-type cents CDF ([[centsCdf]], shared with
+    * q145/q175 — no events scan or CDF machinery of its own); the
     * clamped sum is exact integer arithmetic against the broadcast
     * 5-row bounds, divided into a rounded double only at output.
     */
@@ -733,8 +756,10 @@ object StatisticsQueries {
     val comp = compressedCents(s, d)
     def kLo(n: org.apache.spark.sql.Column) =
       floor((n - 1) * 5 / lit(100.0)).cast("long")
-    val bounds = graft.api.Quantiles.valuesAtPositions(
-      comp, Seq("event_type"), "y", "c",
+    // bounds read off the memoized per-type cents CDF (shared with
+    // q145/q175): filter + one groupBy, no CDF machinery of its own
+    val bounds = graft.api.Quantiles.valuesAtPositionsFromCdf(
+      centsCdf(s, d), Seq("event_type"), "y",
       Seq("p05" -> (n => kLo(n)), "p95" -> (n => n - 1 - kLo(n))))
     comp.join(broadcast(bounds), "event_type")
       .groupBy(col("event_type"))
@@ -924,14 +949,18 @@ object StatisticsQueries {
     * `2·avg = 2·|less| + m + 1` (scaled by 2 to stay integral) comes
     * from a running sum over that METADATA relation, never a window
     * over the user table. All moment sums (Σxy, Σx², …) aggregate the
-    * (a, b)-pair-compressed joint relation with LONG arithmetic —
-    * bounds ~4·n_users⁴ stay inside 2^63 through ~40 M users; past
-    * that, widen the five sums to DECIMAL(38,0) (the q60 HUGEINT
-    * convention). The single final double expression
-    * `⌊10⁴·num / √(d1·d2)⌋` is cross-engine exact: the integer inputs
-    * are < 2^53 (exact as doubles) and IEEE requires correctly-rounded
-    * sqrt/·// — unlike ln (q153's documented tolerance), no 1-ulp
-    * divergence exists. Degenerate zero-variance inputs report NULL
+    * (a, b)-pair-compressed joint relation in DECIMAL(38,0) (DuckDB:
+    * HUGEINT) — with average-tie ranks ≤ 2n+1 the variance terms
+    * reach ~4·n_users⁴, which overflows LONG already at ~4×10⁴ users;
+    * the 38-digit sums hold to ~1.3×10⁹ users. The single final
+    * double expression `⌊10⁴·num / √(d1·d2)⌋` is cross-engine exact
+    * while the wide integers sit under 2^53 (exact as doubles; IEEE
+    * requires correctly-rounded sqrt/·// — unlike ln, q153's
+    * documented tolerance); beyond 2^53 (n_users ≳ 7×10³) both
+    * engines round the SAME wide integer to double, a
+    * correctly-rounded conversion in each, leaving at most the
+    * floor-boundary sensitivity every fixed-shape double expression
+    * in the suite shares. Degenerate zero-variance inputs report NULL
     * rho (q137/q152 convention), gated in DegenerateInputSpec.
     *
     * Scale shape: one events scan → per-user partial+final aggregate;
@@ -954,15 +983,15 @@ object StatisticsQueries {
       |jr AS (SELECT jt.c, ra.r2 AS x, rb.r2 AS y
       |       FROM jt JOIN ra ON ra.v = jt.a JOIN rb ON rb.v = jt.b),
       |s AS (SELECT CAST(sum(c) AS BIGINT) AS n,
-      |             CAST(sum(c * x) AS BIGINT) AS sx,
-      |             CAST(sum(c * y) AS BIGINT) AS sy,
-      |             CAST(sum(c * x * y) AS BIGINT) AS sxy,
-      |             CAST(sum(c * x * x) AS BIGINT) AS sxx,
-      |             CAST(sum(c * y * y) AS BIGINT) AS syy
+      |             sum(CAST(c AS HUGEINT) * x) AS sx,
+      |             sum(CAST(c AS HUGEINT) * y) AS sy,
+      |             sum(CAST(c AS HUGEINT) * x * y) AS sxy,
+      |             sum(CAST(c AS HUGEINT) * x * x) AS sxx,
+      |             sum(CAST(c AS HUGEINT) * y * y) AS syy
       |      FROM jr)
       |SELECT n AS n_users,
       |  CASE WHEN n * sxx - sx * sx = 0 OR n * syy - sy * sy = 0 THEN NULL
-      |       ELSE CAST(floor((10000.0 * (n * sxy - sx * sy)) /
+      |       ELSE CAST(floor((10000.0 * CAST(n * sxy - sx * sy AS DOUBLE)) /
       |              sqrt(CAST(n * sxx - sx * sx AS DOUBLE) *
       |                   CAST(n * syy - sy * sy AS DOUBLE))) AS BIGINT)
       |  END AS rho_bp
@@ -989,20 +1018,30 @@ object StatisticsQueries {
       .withColumnRenamed("r2", "x")
       .join(broadcast(rankMap("b")), col("v") === col("b")).drop("v")
       .withColumnRenamed("r2", "y")
+    // moment sums in DECIMAL(38,0) (the DuckDB twin's HUGEINT): with
+    // average-tie ranks ≤ 2n+1 the per-row product c·x·y reaches 4n³
+    // and the variance terms n·sxx − sx² reach 4n⁴ — LONG overflows at
+    // ~4×10⁴ users, DECIMAL(38,0) holds to ~1.3×10⁹
+    val dc = col("c").cast("decimal(38,0)")
+    val dx = col("x").cast("decimal(38,0)")
+    val dy = col("y").cast("decimal(38,0)")
     val agg = jr.agg(
       sum(col("c")).as("n"),
-      sum(col("c") * col("x")).as("sx"),
-      sum(col("c") * col("y")).as("sy"),
-      sum(col("c") * col("x") * col("y")).as("sxy"),
-      sum(col("c") * col("x") * col("x")).as("sxx"),
-      sum(col("c") * col("y") * col("y")).as("syy"))
+      sum(dc * dx).as("sx"),
+      sum(dc * dy).as("sy"),
+      sum(dc * dx * dy).as("sxy"),
+      sum(dc * dx * dx).as("sxx"),
+      sum(dc * dy * dy).as("syy"))
+    val dn = col("n").cast("decimal(38,0)")
+    val num = dn * col("sxy") - col("sx") * col("sy")
+    val d1 = dn * col("sxx") - col("sx") * col("sx")
+    val d2 = dn * col("syy") - col("sy") * col("sy")
     agg.select(col("n").as("n_users"),
-      when(col("n") * col("sxx") - col("sx") * col("sx") === 0L ||
-           col("n") * col("syy") - col("sy") * col("sy") === 0L, lit(null))
+      when(d1 === lit(0).cast("decimal(38,0)") ||
+           d2 === lit(0).cast("decimal(38,0)"), lit(null))
         .otherwise(floor(
-          (lit(10000.0) * (col("n") * col("sxy") - col("sx") * col("sy"))) /
-            sqrt((col("n") * col("sxx") - col("sx") * col("sx")).cast("double") *
-                 (col("n") * col("syy") - col("sy") * col("sy")).cast("double"))))
+          (lit(10000.0) * num.cast("double")) /
+            sqrt(d1.cast("double") * d2.cast("double"))))
         .cast("long").as("rho_bp"))
   }
 
@@ -1166,10 +1205,11 @@ object StatisticsQueries {
     * scalar magnitude: exact nearest-rank deciles of the 'view' and
     * 'click' value distributions side by side with signed gaps. A
     * tail-only gap (deciles 8–9) means drift concentrated in heavy
-    * values — a different remediation than a uniform shift. Fourth
-    * consumer of the memoized [[compressedCents]] relation; all 18
-    * decile lookups ride ONE range-partitioned CDF pass
-    * ([[graft.api.Quantiles.valuesAtPositions]]); positions use the
+    * values — a different remediation than a uniform shift. All 18
+    * decile lookups read the MEMOIZED per-type cents CDF
+    * ([[centsCdf]], shared with q145/q154) via
+    * [[graft.api.Quantiles.valuesAtPositionsFromCdf]] — a filter +
+    * one groupBy, no CDF machinery of its own; positions use the
     * q154 floor-of-double convention mirrored in the twin.
     */
   val q175QqDrift = QueryDef(
@@ -1195,14 +1235,16 @@ object StatisticsQueries {
       |FROM b v JOIN b c2 ON v.d = c2.d
       |WHERE v.event_type = 'view' AND c2.event_type = 'click'
       |ORDER BY decile""".stripMargin) { (s, d) =>
-    val comp = compressedCents(s, d)
-      .filter(col("event_type").isin("view", "click"))
     val positions = (1 to 9).map { dd =>
       s"q$dd" -> ((n: org.apache.spark.sql.Column) =>
         floor((n - 1) * dd / lit(10.0)).cast("long"))
     }
-    val qs = graft.api.Quantiles.valuesAtPositions(
-      comp, Seq("event_type"), "y", "c", positions)
+    // per-type CDFs are independent, so restricting the memoized
+    // all-types cents CDF (shared with q145/q154) to view/click rows
+    // IS the CDF of the restriction — filter + one groupBy
+    val qs = graft.api.Quantiles.valuesAtPositionsFromCdf(
+      centsCdf(s, d).filter(col("event_type").isin("view", "click")),
+      Seq("event_type"), "y", positions)
     val stacked = qs.select(col("event_type"),
       expr("stack(9, " + (1 to 9).map(dd => s"${dd}L, q$dd").mkString(", ") +
         ") as (decile, q)"))
