@@ -11,8 +11,52 @@ import org.apache.spark.sql.SparkSession
 object Bench {
   private val Runs = 3
 
+  /** 1-min load average, or -1 if unreadable (non-Linux). */
+  private def loadAvg1m(): Double =
+    try {
+      val line = new String(java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get("/proc/loadavg")), "UTF-8")
+      line.trim.split("\\s+")(0).toDouble
+    } catch { case _: Throwable => -1.0 }
+
+  /** Load-gate (round-9 verdict task 1): three rounds in a row the
+    * canonical bench artifact recorded a co-tenant-contended box (2-3×
+    * inflated totals, med_spread 2.2-2.7 vs the ≤1.8 clean bar) and
+    * had to be adjudicated by isolated re-times. Rather than trusting
+    * whoever launches the bench to check `uptime`, the bench itself
+    * waits for an idle window: poll 1-min loadavg until it drops below
+    * the gate (default 0.5 — the threshold BASELINE.md's contention
+    * notes use), give up after maxWaitSec and run anyway (an artifact
+    * late beats no artifact), and ALWAYS record the observed load in
+    * the JSON so a reader can see whether the gate held.
+    * SPARK_GRAFT_LOAD_GATE=off disables (local iteration).
+    */
+  private def waitForIdle(): (Double, Boolean) = {
+    val gateEnv = sys.env.getOrElse("SPARK_GRAFT_LOAD_GATE", "0.5")
+    if (gateEnv.equalsIgnoreCase("off")) return (loadAvg1m(), false)
+    val gate = try gateEnv.toDouble catch { case _: Throwable => 0.5 }
+    val maxWaitSec =
+      sys.env.getOrElse("SPARK_GRAFT_LOAD_MAX_WAIT", "900").toLong
+    val deadline = System.nanoTime() + maxWaitSec * 1000000000L
+    var load = loadAvg1m()
+    if (load < 0) return (load, false) // /proc/loadavg unreadable
+    var waited = false
+    while (load > gate && System.nanoTime() < deadline) {
+      System.err.println(
+        f"[bench] load-gate: 1-min loadavg $load%.2f > $gate%.2f — waiting 30 s")
+      waited = true
+      Thread.sleep(30000)
+      load = loadAvg1m()
+    }
+    if (load > gate)
+      System.err.println(
+        f"[bench] load-gate: gave up after $maxWaitSec s (loadavg $load%.2f) — running anyway; treat this artifact as contended")
+    (load, waited)
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val (loadAtStart, _) = waitForIdle()
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -97,10 +141,13 @@ object Bench {
     // min/med/max detail goes to target/bench.json.
     val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
     val flakyJson = flaky.map("\"" + _ + "\"").mkString("[", ",", "]")
+    val loadEnd = loadAvg1m()
+    val loads =
+      s""""loadavg_start":${r4(loadAtStart)},"loadavg_end":${r4(loadEnd)}"""
     val compact =
-      s"""{"runs":$Runs,"sf":"$sfDir","queries":$qs,"max_spread":${r4(maxSpread)},"med_spread":${r4(medSpread)},"failed":$failedJson,"flaky":$flakyJson,"metric":"total","unit":"sec","value":${r4(total)}}"""
+      s"""{"runs":$Runs,"sf":"$sfDir",$loads,"queries":$qs,"max_spread":${r4(maxSpread)},"med_spread":${r4(medSpread)},"failed":$failedJson,"flaky":$flakyJson,"metric":"total","unit":"sec","value":${r4(total)}}"""
     val full =
-      s"""{"metric":"total","value":$total,"unit":"sec","runs":$Runs,"max_spread":${r4(maxSpread)},"med_spread":${r4(medSpread)},"failed":$failedJson,"flaky":$flakyJson,"queries":$qs,"detail":$detail,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","runs":$Runs,$loads,"max_spread":${r4(maxSpread)},"med_spread":${r4(medSpread)},"failed":$failedJson,"flaky":$flakyJson,"queries":$qs,"detail":$detail,"sf":"$sfDir"}"""
     println(compact)
     if (failed.nonEmpty)
       System.err.println(

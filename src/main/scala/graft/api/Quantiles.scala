@@ -43,10 +43,17 @@ object Quantiles {
       groupCols: Seq[String],
       valueCol: String,
       weightCol: String,
-      totalCol: String = "n"): DataFrame =
+      totalCol: String = "n"): DataFrame = {
+    // __hi is require-guarded inside withRunningTotal; __lo is ours —
+    // fail fast rather than silently clobber a caller column
+    require(!comp.columns.contains("__lo"),
+      "cdfOf reserves column name __lo")
+    require(!comp.columns.contains("__hi"),
+      "cdfOf reserves column name __hi")
     Ranking.withRunningTotal(
         comp, groupCols, Seq(col(valueCol)), weightCol, "__hi", totalCol)
       .withColumn("__lo", col("__hi") - col(weightCol))
+  }
 
   /** [[valuesAtPositions]] over a prebuilt [[cdfOf]] relation — a
     * filter plus one partial-aggregable groupBy, no new shuffle

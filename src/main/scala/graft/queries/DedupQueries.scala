@@ -913,10 +913,22 @@ object DedupQueries {
     * pure integer arithmetic: `(10·|A∩B|) div |A∪B|` — counts are
     * positive so truncating (`div`) and flooring (`//`) division
     * agree, no float Jaccard crosses the gate.
+    *
+    * Contract (round-9 ADVICE): the histogram is over the DF-CAPPED
+    * candidate relation — a pair sharing ONLY hot (df > MaxShingleDf)
+    * shingles is not a candidate and not counted, the same accepted
+    * loss q36 documents. The DuckDB twin REPLICATES the cap and the
+    * exact hot-set correction (hot CTE + list_intersect) so both
+    * engines compute the identical contract on ANY corpus, including
+    * one where the cap binds — previously the twin kept uncapped
+    * pairs and only agreed while the cap was slack. Cap-binding
+    * parity is additionally spec-pinned driver-side
+    * (DedupQualitySpec "q169 histogram contract holds when the df
+    * cap binds").
     */
   val q169JaccardHistogram = QueryDef(
     "q169_jaccard_histogram",
-    "dedup threshold tuning: candidate-pair count per exact-Jaccard decile, integer-bucketed",
+    "dedup threshold tuning: candidate-pair count per exact-Jaccard decile, integer-bucketed, df-capped contract",
     """WITH t AS (
       |  SELECT doc_id,
       |    list_distinct(list_transform(range(1, len(w)-1),
@@ -925,13 +937,21 @@ object DedupQueries {
       |        FROM documents)),
       |tb AS (SELECT doc_id, len(sh) AS n, sh FROM t WHERE len(sh) > 0),
       |inv AS (SELECT doc_id, unnest(sh) AS g FROM tb),
-      |co AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, CAST(count(*) AS BIGINT) AS c
-      |       FROM inv a JOIN inv b ON a.g = b.g AND a.doc_id < b.doc_id
-      |       GROUP BY a.doc_id, b.doc_id)
-      |SELECT (10 * co.c) // (na.n + nb.n - co.c) AS bucket,
+      |hot AS (SELECT g FROM inv GROUP BY g HAVING count(*) > 10000),
+      |capped AS (SELECT doc_id, g FROM inv WHERE g NOT IN (SELECT g FROM hot)),
+      |co AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, CAST(count(*) AS BIGINT) AS c_cap
+      |       FROM capped a JOIN capped b ON a.g = b.g AND a.doc_id < b.doc_id
+      |       GROUP BY a.doc_id, b.doc_id),
+      |hs AS (SELECT doc_id, list(g) AS hg FROM inv
+      |       WHERE g IN (SELECT g FROM hot) GROUP BY doc_id),
+      |cx AS (SELECT co.doc_a, co.doc_b,
+      |         co.c_cap + coalesce(len(list_intersect(ha.hg, hb.hg)), 0) AS c
+      |       FROM co LEFT JOIN hs ha ON ha.doc_id = co.doc_a
+      |               LEFT JOIN hs hb ON hb.doc_id = co.doc_b)
+      |SELECT (10 * cx.c) // (na.n + nb.n - cx.c) AS bucket,
       |  CAST(count(*) AS BIGINT) AS n_pairs
-      |FROM co JOIN tb na ON na.doc_id = co.doc_a
-      |        JOIN tb nb ON nb.doc_id = co.doc_b
+      |FROM cx JOIN tb na ON na.doc_id = cx.doc_a
+      |        JOIN tb nb ON nb.doc_id = cx.doc_b
       |GROUP BY bucket
       |ORDER BY bucket""".stripMargin) { (s, d) =>
     candidateCounts(s, d)

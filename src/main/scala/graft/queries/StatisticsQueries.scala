@@ -450,12 +450,14 @@ object StatisticsQueries {
     // them or the whole upstream pipeline evaluates twice.
     val med = graft.AutoUnpersist.scoped(
       graft.api.Quantiles.median2FromCdf(centsCdf(s, d), Seq("event_type"), "y"))
-    val devComp = graft.AutoUnpersist.scoped(
+    // devComp is NOT cached: its only consumer is devCdf (itself
+    // cached below), so a persist here would be pure overhead
+    val devComp =
       comp.join(broadcast(med.select(col("event_type"), col("med2"))),
           "event_type")
         .select(col("event_type"),
           abs(lit(2) * col("y") - col("med2")).as("dev"), col("c"))
-        .groupBy(col("event_type"), col("dev")).agg(sum(col("c")).as("c")))
+        .groupBy(col("event_type"), col("dev")).agg(sum(col("c")).as("c"))
     // The dev distribution is probed twice (its median AND the flag
     // count) — build its CDF once, cache it, and read both answers off
     // it (the same pay-once shape as the cents CDF, scoped to this
@@ -1021,7 +1023,11 @@ object StatisticsQueries {
     // moment sums in DECIMAL(38,0) (the DuckDB twin's HUGEINT): with
     // average-tie ranks ≤ 2n+1 the per-row product c·x·y reaches 4n³
     // and the variance terms n·sxx − sx² reach 4n⁴ — LONG overflows at
-    // ~4×10⁴ users, DECIMAL(38,0) holds to ~1.3×10⁹
+    // ~4×10⁴ users, DECIMAL(38,0) holds to ~1.3×10⁹. Beyond that bound
+    // the failure modes DIVERGE: Spark non-ANSI decimal overflow
+    // yields NULLs that sum() silently skips, while DuckDB HUGEINT
+    // raises — if a corpus ever approaches 1.3e9 distinct users, add
+    // an explicit n_users guard rather than relying on either engine.
     val dc = col("c").cast("decimal(38,0)")
     val dx = col("x").cast("decimal(38,0)")
     val dy = col("y").cast("decimal(38,0)")

@@ -656,12 +656,21 @@ object TemporalQueries {
     * the carry is the previous transition-hour's LAST running value,
     * so hours where concurrency only falls are still scored right.
     *
+    * The report covers the FULL hour spine from first to last
+    * transition hour: an hour with no transitions at all (steady
+    * state — exactly the hours a capacity planner sizes against when
+    * load saturates) reports peak = the carried concurrency level
+    * and n_transitions = 0, not a missing row (round-9 verdict task
+    * 6; the pre-spine form silently dropped transition-free
+    * saturated hours).
+    *
     * Scale shape: the global transition ordering rides
     * `api.Ranking.withRunningTotal` (range repartition + metadata
     * offsets — NEVER the single-reducer `ORDER BY` running sum the
     * SQL twin uses); in-hour last values come from an hour-
     * partitioned window (thousands of partitions, all tasks busy);
-    * the carry lag runs on the ~720-row hourly METADATA relation.
+    * the spine join, LOCF level carry, and carry lag all run on the
+    * ~720-row hourly METADATA relation (calendar-sized at any SF).
     * Determinism: (t, delta, user_id) is a total transition order —
     * per-user merged spans cannot repeat a start or end instant.
     */
@@ -701,11 +710,23 @@ object TemporalQueries {
       |hourly AS (SELECT hour_start, CAST(max(c) AS BIGINT) AS peak_in,
       |                  CAST(min(lastc) AS BIGINT) AS lastc,
       |                  CAST(count(*) AS BIGINT) AS n_transitions
-      |           FROM hl GROUP BY hour_start)
+      |           FROM hl GROUP BY hour_start),
+      |bounds AS (SELECT min(hour_start) AS h0, max(hour_start) AS h1 FROM hourly),
+      |spine AS (SELECT unnest(generate_series(h0, h1, INTERVAL 1 HOUR)) AS hour_start
+      |          FROM bounds),
+      |filled AS (
+      |  SELECT sp.hour_start, h.peak_in, h.n_transitions,
+      |    last_value(h.lastc IGNORE NULLS) OVER (ORDER BY sp.hour_start
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS lvl
+      |  FROM spine sp LEFT JOIN hourly h USING (hour_start)),
+      |carried AS (
+      |  SELECT hour_start, peak_in, n_transitions,
+      |    coalesce(lag(lvl) OVER (ORDER BY hour_start), 0) AS carry
+      |  FROM filled)
       |SELECT hour_start,
-      |  CAST(greatest(peak_in, coalesce(lag(lastc) OVER (ORDER BY hour_start), 0)) AS BIGINT) AS peak,
-      |  n_transitions
-      |FROM hourly ORDER BY hour_start""".stripMargin) { (s, d) =>
+      |  CAST(greatest(coalesce(peak_in, carry), carry) AS BIGINT) AS peak,
+      |  CAST(coalesce(n_transitions, 0) AS BIGINT) AS n_transitions
+      |FROM carried ORDER BY hour_start""".stripMargin) { (s, d) =>
     val tr = coalescedSpans(s, d)
       .select(col("span_start").as("t"), lit(1L).as("delta"), col("user_id"))
       .unionAll(coalescedSpans(s, d)
@@ -721,12 +742,28 @@ object TemporalQueries {
     val hourly = hl.groupBy(col("hour_start"))
       .agg(max(col("c")).as("peak_in"), min(col("lastc")).as("lastc"),
         count(lit(1)).as("n_transitions"))
+    // hour spine spanning [first, last] transition hour: a 1-row
+    // min/max aggregate exploded to ~720 rows — metadata-sized, so
+    // the sequence() never materializes a data-sized array
+    val spine = hourly
+      .agg(min(col("hour_start")).as("h0"), max(col("hour_start")).as("h1"))
+      .select(explode(sequence(col("h0"), col("h1"),
+        expr("interval 1 hour"))).as("hour_start"))
+    // LOCF the hour-end concurrency level across transition-free
+    // hours, then lag it one hour for the carry-in; both windows run
+    // on the spine-sized relation
+    val fw = Window.orderBy(col("hour_start"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val filled = spine.join(hourly, Seq("hour_start"), "left")
+      .select(col("hour_start"), col("peak_in"), col("n_transitions"),
+        last(col("lastc"), ignoreNulls = true).over(fw).as("lvl"))
     val mw = Window.orderBy(col("hour_start"))
-    hourly
+    filled
+      .withColumn("carry", coalesce(lag(col("lvl"), 1).over(mw), lit(0L)))
       .select(col("hour_start"),
-        greatest(col("peak_in"),
-          coalesce(lag(col("lastc"), 1).over(mw), lit(0L))).as("peak"),
-        col("n_transitions"))
+        greatest(coalesce(col("peak_in"), col("carry")), col("carry"))
+          .as("peak"),
+        coalesce(col("n_transitions"), lit(0L)).as("n_transitions"))
       .orderBy(col("hour_start"))
   }
 

@@ -557,6 +557,17 @@ class StatisticsSpec extends SparkSpec {
       assert(r.getLong(r.fieldIndex("peak")) == brute,
         s"hour ${r.getTimestamp(0)}: sweep ${r.getLong(1)} vs brute $brute")
     }
+    // spine completeness (round-9 verdict task 6): every hour between
+    // the first and last transition hour must be present — a
+    // transition-free saturated hour reports the carried level with
+    // n_transitions = 0, never a missing row
+    val hours = out.map(_.getTimestamp(0).getTime).sorted
+    hours.sliding(2).foreach {
+      case Array(a, b) =>
+        assert(b - a == 3600L * 1000L,
+          s"hour spine gap: ${new java.sql.Timestamp(a)} -> ${new java.sql.Timestamp(b)}")
+      case _ => ()
+    }
     spark.sharedState.cacheManager.clearCache()
   }
 }
