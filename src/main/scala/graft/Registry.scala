@@ -30,7 +30,8 @@ object Registry {
     StatisticsQueries.all ++
     RetrievalQueries.all ++
     AnnotationQueries.all ++
-    SqlQueries.all
+    SqlQueries.all ++
+    UrlQueries.all
 
   def byName: Map[String, QueryDef] = queries.map(q => q.name -> q).toMap
 }

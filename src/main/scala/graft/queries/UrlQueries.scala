@@ -1,0 +1,178 @@
+package graft.queries
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.{QueryDef, Tables}
+import graft.functions.{TextFunctions, UrlFunctions}
+
+/** Web-crawl URL curation (round-9 verdict task 5): canonical-URL
+  * dedup keys and the per-domain mix audit — the first dedup pass and
+  * the first mixing report a crawl pipeline runs, BEFORE any content
+  * hashing. The testdata has no URL column, so a deterministic messy
+  * raw URL is synthesized from doc_id by a formula both engines
+  * replay (the q48/q157 convention); the canonicalizer itself
+  * ([[UrlFunctions.canonicalizeUrl]]) is generic and fixture-tested
+  * on hand-written URLs in UrlSpec.
+  */
+object UrlQueries {
+
+  /** Shared oracle prefix: synthesize the raw URL, then canonicalize
+    * it with DuckDB's OWN string functions (string_split / list HOFs
+    * / regexp_replace) — a genuinely independent implementation of
+    * the same canonical form, not a replay of Spark's output.
+    */
+  private val CanonCte =
+    """WITH raw AS (
+      |  SELECT doc_id, source, text,
+      |    (CASE doc_id % 3 WHEN 0 THEN 'HTTPS' WHEN 1 THEN 'https' ELSE 'http' END)
+      |    || '://'
+      |    || (CASE WHEN doc_id % 2 = 0 THEN 'WWW.' ELSE '' END)
+      |    || (CASE WHEN doc_id % 4 = 0
+      |             THEN 'Domain' || CAST(doc_id % 3 AS VARCHAR) || '.COM'
+      |             ELSE 'domain' || CAST(doc_id % 3 AS VARCHAR) ||
+      |                  (CASE doc_id % 4 WHEN 1 THEN '.org' WHEN 2 THEN '.net' ELSE '.io' END)
+      |        END)
+      |    || (CASE WHEN doc_id % 5 = 0
+      |             THEN (CASE WHEN doc_id % 3 = 2 THEN ':80' ELSE ':443' END)
+      |             WHEN doc_id % 13 = 0 THEN ':8080' ELSE '' END)
+      |    || '/docs/page' || CAST(doc_id % 5 AS VARCHAR)
+      |    || (CASE WHEN doc_id % 2 = 1 THEN '/' ELSE '' END)
+      |    || '?'
+      |    || (CASE WHEN doc_id % 2 = 1
+      |             THEN 'utm_source=feed&utm_campaign=c' || CAST(doc_id % 4 AS VARCHAR) || '&'
+      |             ELSE '' END)
+      |    || 'id=' || CAST(doc_id % 7 AS VARCHAR)
+      |    || (CASE WHEN doc_id % 3 = 0 THEN '&lang=en' ELSE '' END)
+      |    || (CASE WHEN doc_id % 5 = 1 THEN '&fbclid=f' || CAST(doc_id % 9 AS VARCHAR) ELSE '' END)
+      |    || (CASE WHEN doc_id % 7 = 2 THEN '&ref=tw' ELSE '' END)
+      |    || (CASE WHEN doc_id % 4 = 2 THEN '#sec' || CAST(doc_id % 3 AS VARCHAR) ELSE '' END)
+      |    AS url
+      |  FROM documents),
+      |c1 AS (SELECT *, string_split(url, '#')[1] AS nofrag FROM raw),
+      |c2 AS (SELECT *, string_split(nofrag, '?')[1] AS base,
+      |         CASE WHEN contains(nofrag, '?')
+      |              THEN string_split(nofrag, '?')[2] ELSE '' END AS qs
+      |       FROM c1),
+      |c3 AS (SELECT *, lower(string_split(base, '://')[1]) AS scheme,
+      |         string_split(base, '://')[2] AS rest FROM c2),
+      |c4 AS (SELECT *, string_split(rest, '/')[1] AS hostport,
+      |         regexp_replace(rest, '^[^/]*', '') AS path0 FROM c3),
+      |c5 AS (SELECT *,
+      |         regexp_replace(lower(string_split(hostport, ':')[1]), '^www\.', '') AS host,
+      |         CASE WHEN contains(hostport, ':')
+      |              THEN string_split(hostport, ':')[2] ELSE '' END AS port
+      |       FROM c4),
+      |c6 AS (SELECT *,
+      |         CASE WHEN port = '' THEN ''
+      |              WHEN scheme = 'http' AND port = '80' THEN ''
+      |              WHEN scheme = 'https' AND port = '443' THEN ''
+      |              ELSE ':' || port END AS cport,
+      |         CASE WHEN regexp_replace(CASE WHEN path0 = '' THEN '/' ELSE path0 END, '/+$', '') = ''
+      |              THEN '/'
+      |              ELSE regexp_replace(CASE WHEN path0 = '' THEN '/' ELSE path0 END, '/+$', '') END AS cpath,
+      |         list_sort(list_filter(string_split(qs, '&'),
+      |           p -> p <> '' AND NOT (starts_with(p, 'utm_')
+      |                OR string_split(p, '=')[1] IN ('gclid', 'fbclid', 'ref')))) AS params
+      |       FROM c5),
+      |canon AS (SELECT doc_id, source, text,
+      |            scheme || '://' || host || cport || cpath ||
+      |            (CASE WHEN len(params) > 0
+      |                  THEN '?' || array_to_string(params, '&') ELSE '' END) AS canon_url,
+      |            host AS domain
+      |          FROM c6)""".stripMargin
+
+  /** Per-doc canonical relation the two queries share: doc_id,
+    * source, text, canon_url, domain — all map-side expressions, no
+    * shuffle until a consumer aggregates.
+    */
+  private def canonDocs(s: org.apache.spark.sql.SparkSession, d: String) = {
+    val raw = Tables.documents(s, d)
+      .select(col("doc_id"), col("source"), col("text"),
+        UrlFunctions.syntheticRawUrl(col("doc_id")).as("url"))
+    raw.select(col("doc_id"), col("source"), col("text"),
+      UrlFunctions.canonicalizeUrl(col("url")).as("canon_url"),
+      UrlFunctions.urlHost(col("url")).as("domain"))
+  }
+
+  /** Canonical-URL dedup key: case-folded scheme/host, www- and
+    * default-port-stripped, tracking params removed, surviving params
+    * sorted, fragment dropped, trailing slash normalized. Per doc:
+    * its canonical URL, domain, the surviving representative
+    * (min doc_id in the canonical family) and family size —
+    * raw-distinct URLs collapse into real duplicate families (period
+    * 420 in the synthetic id space).
+    *
+    * Scale shape: canonicalization is pure map-side codegen'd string
+    * work; the family stats ride ONE exchange — a window partitioned
+    * by the high-cardinality canonical URL (no groupBy+join-back
+    * second shuffle, no low-cardinality serialization risk: family
+    * sizes are bounded by the dup rate, not the corpus).
+    */
+  val q177UrlCanonicalDedup = QueryDef(
+    "q177_url_canonical_dedup",
+    "canonical-URL dedup key: fold case, strip www/default port/tracking params/fragment, sort params; min-id survivor per family",
+    CanonCte +
+      """
+        |SELECT doc_id, canon_url, domain,
+        |  min(doc_id) OVER (PARTITION BY canon_url) AS keep_id,
+        |  CAST(count(*) OVER (PARTITION BY canon_url) AS BIGINT) AS n_copies,
+        |  doc_id = min(doc_id) OVER (PARTITION BY canon_url) AS is_kept
+        |FROM canon
+        |ORDER BY doc_id""".stripMargin) { (s, d) =>
+    val w = Window.partitionBy(col("canon_url"))
+    canonDocs(s, d)
+      .select(col("doc_id"), col("canon_url"), col("domain"),
+        min(col("doc_id")).over(w).as("keep_id"),
+        count(lit(1)).over(w).as("n_copies"))
+      .withColumn("is_kept", col("doc_id") === col("keep_id"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Per-domain mix audit — the crawl-side sibling of q88's
+    * temperature mix: for each canonical domain, its document count,
+    * distinct canonical URLs, token mass, and its share of the corpus
+    * in basis points (docs AND tokens — the two denominators a
+    * sampling policy weighs). A domain whose token share dwarfs its
+    * doc share is long-form content; the reverse is boilerplate
+    * farms. Integer basis points (floor), so the hash gate is safe.
+    *
+    * Scale shape: one partial-aggregable groupBy on domain; the
+    * corpus totals are a 1-row broadcast (the q88 idiom) — domain
+    * cardinality is web-scale-bounded (~10^8) and the aggregate is
+    * count/sum only, so the shuffle stays tiny.
+    */
+  val q178DomainMixAudit = QueryDef(
+    "q178_domain_mix_audit",
+    "per-domain mix audit over canonical URLs: doc/url/token mass and basis-point corpus shares",
+    CanonCte +
+      """,
+        |t AS (SELECT domain, canon_url,
+        |        len(list_filter(string_split(text, ' '), x -> length(x) > 0)) AS ntok
+        |      FROM canon),
+        |a AS (SELECT domain, CAST(count(*) AS BIGINT) AS n_docs,
+        |        CAST(count(DISTINCT canon_url) AS BIGINT) AS n_urls,
+        |        CAST(sum(ntok) AS BIGINT) AS n_tokens
+        |      FROM t GROUP BY domain)
+        |SELECT domain, n_docs, n_urls, n_tokens,
+        |  CAST((10000 * n_tokens) // (SELECT sum(n_tokens) FROM a) AS BIGINT) AS token_share_bp,
+        |  CAST((10000 * n_docs) // (SELECT sum(n_docs) FROM a) AS BIGINT) AS doc_share_bp
+        |FROM a ORDER BY domain""".stripMargin) { (s, d) =>
+    val perDomain = canonDocs(s, d)
+      .select(col("domain"), col("canon_url"),
+        TextFunctions.tokenCount(col("text")).cast("long").as("ntok"))
+      .groupBy(col("domain"))
+      .agg(count(lit(1)).as("n_docs"),
+        countDistinct(col("canon_url")).as("n_urls"),
+        sum(col("ntok")).as("n_tokens"))
+    val totals = perDomain
+      .agg(sum(col("n_docs")).as("tot_docs"), sum(col("n_tokens")).as("tot_toks"))
+    perDomain.crossJoin(broadcast(totals))
+      .select(col("domain"), col("n_docs"), col("n_urls"), col("n_tokens"),
+        expr("(10000 * n_tokens) DIV tot_toks").as("token_share_bp"),
+        expr("(10000 * n_docs) DIV tot_docs").as("doc_share_bp"))
+      .orderBy(col("domain"))
+  }
+
+  val all: Seq[QueryDef] = Seq(q177UrlCanonicalDedup, q178DomainMixAudit)
+}
