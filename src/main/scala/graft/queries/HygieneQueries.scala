@@ -542,8 +542,162 @@ object HygieneQueries {
       .orderBy(col("doc_id"))
   }
 
+  /** Variable-length ExactSubstr dedup — the ACTUAL Lee et al. 2022
+    * contract (q150's fixed K=8 is its coverage approximation...
+    * which this query proves is not an approximation at all: the two
+    * coverages are provably equal, HygieneSpec pins it): for every
+    * token position, the length of the LONGEST substring starting
+    * there that occurs ≥ 2 times anywhere in the corpus (within-doc
+    * repeats included, overlapping occurrences included — the q150
+    * counting convention), then per document the MERGED maximal
+    * removal spans (start-sorted interval union of `[i, i+lcp_i)`
+    * over positions with `lcp_i ≥ 8`), their count, total coverage,
+    * the longest removal span, and the longest single duplicated
+    * substring.
+    *
+    * Algorithm — the distributed suffix-array adjacency identity:
+    * sort all suffixes (truncated to MaxDupLen = 64 tokens — the
+    * production tuning knob; Lee et al. dedup at 50-100 byte
+    * windows, so 64 tokens is far past any span the policy acts on,
+    * and only `longest_dup` saturates at the cap, never the spans or
+    * coverage, because dup STARTS chain: every position inside a
+    * long clone also starts a ≥ 8-token dup). For each suffix the
+    * longest duplicated prefix equals max(LCP with sorted-previous,
+    * LCP with sorted-next) — the classic suffix-array property, so
+    * NO all-pairs stage exists: [[graft.api.Neighbors]] attaches the
+    * two neighbors via range repartition + within-partition lag/lead
+    * + a K-row boundary patch, and the LCP is a counted zip_with
+    * over the two token arrays. Suffix ORDER rides the space-joined
+    * STRING (space sorts below every token character, so string
+    * order = token-lexicographic order — tokens are
+    * whitespace-split and can't contain one).
+    *
+    * Scale shape: suffix materialization is ~MaxDupLen× the token
+    * stream — the same order as the paper's suffix arrays — spread
+    * over one range exchange (all tasks busy); everything after is
+    * per-doc windows on the high-cardinality doc_id and
+    * partial-aggregable groupBys. The DuckDB twin replays the same
+    * identity with a single-node ORDER BY (oracle-side only; the
+    * Spark plan is gated against global windows in HygieneSpec).
+    */
+  val q179ExactSubstrSpans = QueryDef(
+    "q179_exactsubstr_spans",
+    "variable-length ExactSubstr dedup: sorted-suffix neighbor LCP, merged maximal removal spans, longest duplicated substring",
+    """WITH tok AS (
+      |  SELECT doc_id, list_filter(string_split(text, ' '), t -> length(t) > 0) AS w
+      |  FROM documents),
+      |pos AS (SELECT doc_id, CAST(unnest(range(0, len(w))) AS BIGINT) AS i, w
+      |        FROM tok WHERE len(w) > 0),
+      |suf AS (SELECT doc_id, i, w[(i+1):least(i+64, len(w))] AS sfx FROM pos),
+      |ord2 AS (SELECT doc_id, i, sfx,
+      |          lag(sfx) OVER (ORDER BY array_to_string(sfx, ' ')) AS p,
+      |          lead(sfx) OVER (ORDER BY array_to_string(sfx, ' ')) AS nx
+      |         FROM suf),
+      |lcp AS (SELECT doc_id, i,
+      |          greatest(
+      |            CASE WHEN p IS NULL THEN 0
+      |                 WHEN list_position(list_transform(
+      |                        range(1, least(len(p), len(sfx)) + 1),
+      |                        j -> p[j] = sfx[j]), false) > 0
+      |                 THEN list_position(list_transform(
+      |                        range(1, least(len(p), len(sfx)) + 1),
+      |                        j -> p[j] = sfx[j]), false) - 1
+      |                 ELSE least(len(p), len(sfx)) END,
+      |            CASE WHEN nx IS NULL THEN 0
+      |                 WHEN list_position(list_transform(
+      |                        range(1, least(len(nx), len(sfx)) + 1),
+      |                        j -> nx[j] = sfx[j]), false) > 0
+      |                 THEN list_position(list_transform(
+      |                        range(1, least(len(nx), len(sfx)) + 1),
+      |                        j -> nx[j] = sfx[j]), false) - 1
+      |                 ELSE least(len(nx), len(sfx)) END) AS l
+      |        FROM ord2),
+      |ds AS (SELECT doc_id, i, l FROM lcp WHERE l >= 8),
+      |m AS (SELECT doc_id, i, l,
+      |        max(i + l) OVER (PARTITION BY doc_id ORDER BY i
+      |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pmax
+      |      FROM ds),
+      |isl AS (SELECT doc_id, i, l,
+      |          sum(CASE WHEN pmax IS NULL OR i > pmax THEN 1 ELSE 0 END)
+      |            OVER (PARTITION BY doc_id ORDER BY i
+      |                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+      |        FROM m),
+      |sp AS (SELECT doc_id, island, min(i) AS s, max(i + l) AS e
+      |       FROM isl GROUP BY doc_id, island),
+      |per AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_spans,
+      |          CAST(sum(e - s) AS BIGINT) AS dup_tokens,
+      |          CAST(max(e - s) AS BIGINT) AS longest_span
+      |        FROM sp GROUP BY doc_id),
+      |ld AS (SELECT doc_id, CAST(max(l) AS BIGINT) AS longest_dup FROM lcp GROUP BY doc_id),
+      |n AS (SELECT doc_id, CAST(len(w) AS BIGINT) AS n_tokens
+      |      FROM tok WHERE len(w) > 0)
+      |SELECT n.doc_id, n.n_tokens,
+      |  coalesce(per.n_spans, 0) AS n_spans,
+      |  coalesce(per.dup_tokens, 0) AS dup_tokens,
+      |  coalesce(per.longest_span, 0) AS longest_span,
+      |  coalesce(ld.longest_dup, 0) AS longest_dup,
+      |  CAST(floor(10000.0 * coalesce(per.dup_tokens, 0) / n.n_tokens) AS BIGINT) AS dup_bp
+      |FROM n LEFT JOIN per ON per.doc_id = n.doc_id
+      |       LEFT JOIN ld ON ld.doc_id = n.doc_id
+      |ORDER BY n.doc_id""".stripMargin) { (s, d) =>
+    val K = 8
+    val MaxDupLen = 64
+    // token-array LCP: first mismatch over the element-wise zip (Spark
+    // zip_with pads the shorter side with nulls; null comparisons are
+    // null, which array_position(..., false) skips — so a
+    // longer-vs-shorter pair correctly falls through to min length)
+    def lcpTok(a: Column, b: Column): Column = {
+      val fp = array_position(zip_with(a, b, (x, y) => x === y), lit(false))
+      when(b.isNull, lit(0L))
+        .when(fp > 0, fp - 1)
+        .otherwise(least(size(a), size(b)).cast("long"))
+    }
+    val tok = graft.AutoUnpersist.scoped(
+      Tables.documents(s, d)
+        .select(col("doc_id"), toks(col("text")).as("w"))
+        .filter(size(col("w")) > 0))
+    val suf = tok
+      .select(col("doc_id"),
+        posexplode(transform(sequence(lit(0), size(col("w")) - 1),
+          i => slice(col("w"), i + 1, lit(MaxDupLen)))).as(Seq("i", "sfx")))
+      .select(col("doc_id"), col("i").cast("long").as("i"), col("sfx"),
+        array_join(col("sfx"), " ").as("s"))
+    val withNb = graft.api.Neighbors.withNeighbors(
+      suf, Seq(col("s"), col("doc_id"), col("i")), "sfx", "p", "nx")
+    val lcp = graft.AutoUnpersist.scoped(
+      withNb.select(col("doc_id"), col("i"),
+        greatest(lcpTok(col("sfx"), col("p")), lcpTok(col("sfx"), col("nx")))
+          .as("l")))
+    val ds = lcp.filter(col("l") >= K)
+    val wd = Window.partitionBy(col("doc_id")).orderBy(col("i"))
+    val m = ds.withColumn("pmax",
+      max(col("i") + col("l")).over(wd.rowsBetween(Window.unboundedPreceding, -1)))
+    val isl = m.withColumn("island",
+      sum(when(col("pmax").isNull || col("i") > col("pmax"), 1L).otherwise(0L))
+        .over(wd.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    val per = isl.groupBy(col("doc_id"), col("island"))
+      .agg(min(col("i")).as("s"), max(col("i") + col("l")).as("e"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_spans"),
+        sum(col("e") - col("s")).as("dup_tokens"),
+        max(col("e") - col("s")).as("longest_span"))
+    val ld = lcp.groupBy(col("doc_id")).agg(max(col("l")).as("longest_dup"))
+    tok.select(col("doc_id"), size(col("w")).cast("long").as("n_tokens"))
+      .join(per, Seq("doc_id"), "left_outer")
+      .join(ld, Seq("doc_id"), "left_outer")
+      .select(col("doc_id"), col("n_tokens"),
+        coalesce(col("n_spans"), lit(0L)).as("n_spans"),
+        coalesce(col("dup_tokens"), lit(0L)).as("dup_tokens"),
+        coalesce(col("longest_span"), lit(0L)).as("longest_span"),
+        coalesce(col("longest_dup"), lit(0L)).as("longest_dup"),
+        floor(lit(10000.0) * coalesce(col("dup_tokens"), lit(0L)) / col("n_tokens"))
+          .cast("long").as("dup_bp"))
+      .orderBy(col("doc_id"))
+  }
+
   val all: Seq[QueryDef] =
     Seq(q72Decontamination, q73RepetitionQuality, q74PiiRedaction,
       q75UnicodeNormalize, q85LineDedup, q109MedianFilter,
-      q118NgramNovelty, q121LmQuality, q150SpanDedup)
+      q118NgramNovelty, q121LmQuality, q150SpanDedup,
+      q179ExactSubstrSpans)
 }

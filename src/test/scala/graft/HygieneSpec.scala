@@ -165,6 +165,177 @@ class HygieneSpec extends SparkSpec {
       "duplicated spans should flow back via a semi join on the span key")
   }
 
+  /** Token-level suffix automaton with endpos occurrence counts — the
+    * classic linear-time reference structure for exact-substring
+    * questions. Returns, for every position p, the length of the
+    * longest substring starting at p that occurs >= 2 times in the
+    * sequence, capped at `cap` (q179's MaxDupLen contract).
+    * Occurrence monotonicity (extending a substring can't add
+    * occurrences) makes the greedy walk exact.
+    */
+  private def samLongestDupPrefix(
+      tokens: IndexedSeq[String], cap: Int): Array[Int] = {
+    val maxStates = 2 * tokens.length + 5
+    val trans = Array.fill(maxStates)(
+      scala.collection.mutable.Map.empty[String, Int])
+    val link = Array.fill(maxStates)(-1)
+    val len = Array.fill(maxStates)(0)
+    val cnt = Array.fill(maxStates)(0L)
+    var last = 0
+    var size = 1
+    for (ch <- tokens) {
+      val cur = size; size += 1
+      len(cur) = len(last) + 1
+      cnt(cur) = 1
+      var p = last
+      while (p >= 0 && !trans(p).contains(ch)) {
+        trans(p)(ch) = cur; p = link(p)
+      }
+      if (p == -1) link(cur) = 0
+      else {
+        val q = trans(p)(ch)
+        if (len(p) + 1 == len(q)) link(cur) = q
+        else {
+          val clone = size; size += 1
+          len(clone) = len(p) + 1
+          trans(clone) ++= trans(q)
+          link(clone) = link(q)
+          cnt(clone) = 0L
+          while (p >= 0 && trans(p).get(ch).contains(q)) {
+            trans(p)(ch) = clone; p = link(p)
+          }
+          link(q) = clone
+          link(cur) = clone
+        }
+      }
+      last = cur
+    }
+    (0 until size).sortBy(-len(_)).foreach { v =>
+      if (link(v) >= 0) cnt(link(v)) += cnt(v)
+    }
+    Array.tabulate(tokens.length) { p =>
+      var st = 0
+      var l = 0
+      var j = p
+      var done = false
+      while (!done && j < tokens.length && l < cap) {
+        trans(st).get(tokens(j)) match {
+          case Some(nx) if cnt(nx) >= 2 => st = nx; l += 1; j += 1
+          case _ => done = true
+        }
+      }
+      l
+    }
+  }
+
+  test("q179 variable-length spans match a driver-side suffix-automaton reference") {
+    import spark.implicits._
+    // fixture engineered around the contract's edges: an 80-token
+    // clone (longer than MaxDupLen=64 — longest_span must still be
+    // exact via start-chaining while longest_dup saturates at 64), a
+    // WITHIN-doc repeated 12-token phrase, a 9-token phrase shared
+    // doc3<->doc5, and a sub-8-token doc that can't host any span
+    val span80 = (0 until 80).map(i => f"clone$i%02d")
+    val phrase12 = (0 until 12).map(i => s"selfrep$i")
+    val phrase9 = (0 until 9).map(i => s"shared$i")
+    def filler(tag: String, n: Int) = (0 until n).map(i => s"$tag$i")
+    val docsTok = Seq(
+      1L -> (filler("a", 20) ++ span80 ++ filler("c", 20)),
+      2L -> (filler("b", 15) ++ span80 ++ filler("d", 25)),
+      3L -> (filler("e", 10) ++ phrase12 ++ filler("f", 10) ++
+        phrase12 ++ phrase9 ++ filler("g", 5)),
+      4L -> filler("h", 6),
+      5L -> (filler("k", 14) ++ phrase9 ++ filler("m", 11)))
+    val dir = java.nio.file.Files.createTempDirectory("graft_exsub")
+      .toFile.getAbsolutePath
+    docsTok.map { case (id, w) =>
+      (id, w.mkString(" "), "en", "src0", w.mkString(" ").length.toLong)
+    }.toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    // reference: SAM over the docs joined by UNIQUE separator tokens
+    // (a separator occurs once, so no duplicated substring crosses it)
+    val cap = 64
+    val flat = scala.collection.mutable.ArrayBuffer.empty[String]
+    val posOf = scala.collection.mutable.ArrayBuffer.empty[(Long, Int)]
+    docsTok.zipWithIndex.foreach { case ((id, w), di) =>
+      if (di > 0) { flat += s"sep$di"; posOf += ((-1L, -1)) }
+      w.zipWithIndex.foreach { case (t, i) => flat += t; posOf += ((id, i)) }
+    }
+    val lcpAll = samLongestDupPrefix(flat.toIndexedSeq, cap)
+    val byDoc = posOf.zip(lcpAll).collect {
+      case ((id, i), l) if id >= 0 => (id, i, l)
+    }.groupBy(_._1)
+    val K = 8
+    val expect = docsTok.map { case (id, w) =>
+      val ls = byDoc.getOrElse(id, Seq.empty).sortBy(_._2)
+      val starts = ls.collect { case (_, i, l) if l >= K => (i, l) }
+      // interval merge with the i > pmax island rule (q179 contract)
+      var spans = List.empty[(Int, Int)]
+      starts.foreach { case (i, l) =>
+        spans match {
+          case (s0, e0) :: rest if i <= e0 =>
+            spans = (s0, math.max(e0, i + l)) :: rest
+          case _ => spans = (i, i + l) :: spans
+        }
+      }
+      val nSpans = spans.length.toLong
+      val dupTok = spans.map { case (s0, e0) => e0 - s0 }.sum.toLong
+      val longestSpan =
+        if (spans.isEmpty) 0L else spans.map { case (s0, e0) => e0 - s0 }.max.toLong
+      val longestDup = if (ls.isEmpty) 0L else ls.map(_._3).max.toLong
+      id -> (w.length.toLong, nSpans, dupTok, longestSpan, longestDup)
+    }.toMap
+    val got = Registry.byName("q179_exactsubstr_spans").fn(spark, dir)
+      .collect().map { r =>
+        r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3),
+          r.getLong(4), r.getLong(5))
+      }.toMap
+    assert(got.keySet == expect.keySet)
+    expect.foreach { case (id, e) =>
+      assert(got(id) == e, s"doc $id: got ${got(id)}, expected $e")
+    }
+    // the edges actually fired: the 80-token clone spans exactly 80
+    // (exceeding the cap) while its longest_dup reads the 64 cap, and
+    // the within-doc repeat was caught
+    assert(got(1L)._4 == 80L, "80-token clone must yield an 80-token span")
+    assert(got(1L)._5 == 64L, "longest_dup saturates at MaxDupLen")
+    assert(got(3L)._3 >= 24L, "within-doc repeated phrase must be covered twice")
+    assert(got(4L) == (6L, 0L, 0L, 0L, 0L), "sub-K doc hosts no spans")
+    spark.sharedState.cacheManager.clearCache()
+  }
+
+  test("q179 coverage equals q150's fixed-K coverage (the union identity)") {
+    // Provable identity: the union of [i, i+lcp_i) over lcp_i >= K
+    // equals the union of duplicated K-windows — any position inside
+    // a >=K duplicated span sits in a duplicated K-window and vice
+    // versa. Pinning it ties the variable-length machinery (suffix
+    // sort + neighbor LCP) to q150's independent count-then-semi-join
+    // machinery over the whole corpus.
+    val cov150 = Registry.byName("q150_span_dedup").fn(spark, sfDir)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    val cov179 = Registry.byName("q179_exactsubstr_spans").fn(spark, sfDir)
+      .collect().map(r => r.getLong(0) -> r.getLong(3)).toMap
+    assert(cov150.keySet == cov179.keySet)
+    cov150.foreach { case (id, c) =>
+      assert(cov179(id) == c, s"doc $id: q179 ${cov179(id)} != q150 $c")
+    }
+    spark.sharedState.cacheManager.clearCache()
+  }
+
+  test("q179 plans no global suffix-sort window and no cartesian join") {
+    val plan = Registry.byName("q179_exactsubstr_spans").fn(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"),
+      "suffix adjacency must never plan a cartesian join")
+    // the neighbor lag/lead must ride Neighbors' __pid-partitioned
+    // windows; an unpartitioned window ordered by the suffix string
+    // (s#N first in the spec) is the single-reducer regression
+    val bad = """windowspecdefinition\(s#\d+ ASC""".r
+    assert(bad.findFirstIn(plan).isEmpty,
+      "q179 regressed to a global ORDER BY suffix window")
+    spark.sharedState.cacheManager.clearCache()
+  }
+
   test("q151 DSIR weights: flag consistency and target slice scores higher") {
     val out = Registry.byName("q151_dsir_weights").fn(spark, sfDir).collect()
     assert(out.nonEmpty)

@@ -101,6 +101,25 @@ class PropertySpec extends SparkSpec {
     })
   }
 
+  test("Neighbors.withNeighbors equals the built-in global lag/lead on random data") {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    check(Prop.forAll(kvGen) { xs =>
+      val df = xs.zipWithIndex.map { case ((k, v), i) => (k, v, i.toLong) }
+        .toDF("k", "v", "id")
+      val got = api.Neighbors.withNeighbors(df,
+          Seq(col("v"), col("id")), "k", "pk", "nk")
+        .select(col("id"), col("pk"), col("nk"))
+      // the single-reducer window is the semantic reference (fine on
+      // test-sized data, the exact shape the API exists to replace)
+      val w = Window.orderBy(col("v"), col("id"))
+      val want = df.select(col("id"),
+        lag(col("k"), 1).over(w).as("pk"),
+        lead(col("k"), 1).over(w).as("nk"))
+      got.exceptAll(want).count() == 0 && want.exceptAll(got).count() == 0
+    })
+  }
+
   test("Ranking.withRank ranks NULL group keys as their own group (null-safe join)") {
     import spark.implicits._
     import org.apache.spark.sql.expressions.Window
