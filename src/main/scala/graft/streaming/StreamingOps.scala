@@ -348,6 +348,43 @@ object StreamingOps {
       .select(col("user_id"), col("view_ts"), col("click_ts"), col("value"))
   }
 
+  /** Stream-stream LEFT OUTER interval join — the question
+    * [[attributedClicks]]'s inner join cannot answer: which
+    * impressions NEVER converted (round-9 verdict task 4). Each view
+    * joins the same user's clicks within `within`; a view with no
+    * matching click is emitted with NULL click columns — but only
+    * once BOTH watermarks have passed the end of its join interval
+    * (view_ts + within + lateness), because until then a matching
+    * click could still arrive. That state-eviction contract is the
+    * distinct thing this operator adds over the inner form: unmatched
+    * emission is driven by watermark EXPIRY, not by data arrival, so
+    * results trail the stream by the interval+lateness horizon —
+    * StreamingSpec pins exactly-once emission at expiry and across a
+    * checkpoint kill/restart.
+    *
+    * State stays bounded for the same reason as the inner join: the
+    * time-range condition lets Spark evict buffered views and clicks
+    * once the watermark passes; state is keyed on user_id, which is
+    * high-cardinality — no hot single key at 100 TB.
+    */
+  def viewConversions(events: DataFrame, within: String = "1 hour",
+      lateness: String = "10 minutes"): DataFrame = {
+    val views = events.filter(col("event_type") === "view")
+      .select(col("user_id"), col("ts").as("view_ts"))
+      .withWatermark("view_ts", lateness)
+    val clicks = events.filter(col("event_type") === "click")
+      .select(col("user_id").as("click_user"), col("ts").as("click_ts"),
+        col("value"))
+      .withWatermark("click_ts", lateness)
+    views.join(clicks,
+        col("user_id") === col("click_user") &&
+          col("click_ts") >= col("view_ts") &&
+          col("click_ts") <= col("view_ts") + expr(s"INTERVAL $within"),
+        "left_outer")
+      .select(col("user_id"), col("view_ts"), col("click_ts"), col("value"),
+        col("click_ts").isNotNull.as("converted"))
+  }
+
   /** Stream-static enrichment join: each arriving event looks up its
     * user's dimension row (segment, tier, ...) in a STATIC table —
     * the canonical streaming-ETL enrichment. Stream-static joins are

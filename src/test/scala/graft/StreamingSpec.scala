@@ -368,6 +368,99 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("stream-stream LEFT OUTER join emits unconverted views exactly once at watermark expiry") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val input = MemoryStream[Event]
+    val q = StreamingOps.viewConversions(input.toDF(),
+        within = "1 hour", lateness = "10 minutes")
+      .writeStream.format("memory").queryName("conv_t")
+      .outputMode("append").start()
+    def rows() = spark.table("conv_t")
+      .select($"user_id", $"converted", $"value")
+      .as[(Long, Boolean, Option[Double])].collect().toSeq
+    try {
+      input.addData(
+        Event(ts(0), 1L, "view", 0.0),  // converts at +20m
+        Event(ts(20), 1L, "click", 5.0),
+        Event(ts(0), 2L, "view", 0.0))  // never converts
+      runAll(q)
+      // the matched row may emit as data arrives; the UNMATCHED view
+      // must NOT emit yet — its click could still come until the
+      // watermark passes view_ts + 1h + 10m lateness
+      assert(!rows().exists(r => r._1 == 2L),
+        s"unmatched view emitted before watermark expiry: ${rows()}")
+      // nudge BOTH watermarks to +60m (each side's watermark reads
+      // only its own filtered slice): still inside user 2's horizon
+      input.addData(Event(ts(60), 99L, "view", 0.0),
+        Event(ts(60), 99L, "click", 0.0))
+      runAll(q)
+      assert(!rows().exists(r => r._1 == 2L),
+        s"unmatched view emitted while a match was still possible: ${rows()}")
+      // push the watermark PAST the horizon → exactly one null-padded
+      // emission for user 2 (two extra batches prove no re-emission)
+      input.addData(Event(ts(600), 99L, "view", 0.0),
+        Event(ts(600), 99L, "click", 0.0))
+      runAll(q)
+      input.addData(Event(ts(610), 99L, "view", 0.0),
+        Event(ts(610), 99L, "click", 0.0))
+      runAll(q)
+      val r = rows()
+      assert(r.count(x => x._1 == 2L) == 1,
+        s"unconverted view must emit exactly once: $r")
+      assert(r.find(_._1 == 2L).get == ((2L, false, None)),
+        s"unmatched emission must be null-padded: $r")
+      assert(r.filter(_._1 == 1L) == Seq((1L, true, Some(5.0))),
+        s"matched view wrong: $r")
+    } finally q.stop()
+  }
+
+  test("stream-stream LEFT OUTER join survives checkpoint kill/restart without re-emitting") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_sslo_ckpt")
+      .toFile.getAbsolutePath
+    val input = MemoryStream[Event]
+    val out = new scala.collection.mutable.ArrayBuffer[(Long, Long, Boolean)]()
+    def start() = StreamingOps.viewConversions(input.toDF(),
+        within = "1 hour", lateness = "10 minutes")
+      .writeStream
+      .foreachBatch { (df: org.apache.spark.sql.DataFrame, batchId: Long) =>
+        val rs = df.select($"user_id", $"converted")
+          .as[(Long, Boolean)].collect()
+        out.synchronized { rs.foreach { case (u, c) => out += ((batchId, u, c)) } }
+      }
+      .option("checkpointLocation", ckpt)
+      .outputMode("append").start()
+    val q1 = start()
+    try {
+      input.addData(
+        Event(ts(0), 1L, "view", 0.0),
+        Event(ts(20), 1L, "click", 5.0),
+        Event(ts(0), 2L, "view", 0.0))
+      runAll(q1)
+    } finally q1.stop() // kill while user 2's view is still buffered state
+    // watermark-advancing data (BOTH sides) arrives while the query
+    // is DOWN
+    input.addData(Event(ts(600), 99L, "view", 0.0),
+      Event(ts(600), 99L, "click", 0.0))
+    val q2 = start()
+    try {
+      runAll(q2)
+      input.addData(Event(ts(610), 99L, "view", 0.0),
+        Event(ts(610), 99L, "click", 0.0))
+      runAll(q2)
+    } finally q2.stop()
+    val emitted = out.synchronized(out.toList)
+    // the buffered unmatched view survived the kill inside the
+    // checkpointed state store and expired EXACTLY once post-restart
+    assert(emitted.count { case (_, u, _) => u == 2L } == 1,
+      s"unmatched view must emit exactly once across restart: $emitted")
+    assert(emitted.collect { case (_, 2L, c) => c } == List(false))
+    assert(emitted.count { case (_, u, c) => u == 1L && c } == 1,
+      s"matched row must not re-emit after recovery: $emitted")
+  }
+
   test("stream-static enrichment join looks up the broadcast dimension per event") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
