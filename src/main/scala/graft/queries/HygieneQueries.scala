@@ -542,6 +542,50 @@ object HygieneQueries {
       .orderBy(col("doc_id"))
   }
 
+  /** Boilerplate catalog — the HUMAN-facing face of q150's machinery:
+    * the top-20 most repeated 8-token spans with occurrence and
+    * distinct-document counts, i.e. "WHAT is the boilerplate" where
+    * q150 answers "how much of each doc is boilerplate". A curation
+    * run eyeballs this before committing to span removal (navigation
+    * chrome and license headers are safe to strip; a repeated quote
+    * in legitimate articles is not).
+    *
+    * Scale shape: one partial-aggregable groupBy on the span text
+    * (count + distinct-doc count — a hot boilerplate span is ONE
+    * group whose count partial-aggregates map-side, never a skew
+    * hazard), then a global top-20 by sort+limit (Spark's
+    * TakeOrderedAndProject — K rows per partition cross the wire).
+    * Deterministic: (occ DESC, span) is a total order.
+    */
+  val q180BoilerplateCatalog = QueryDef(
+    "q180_boilerplate_catalog",
+    "top-20 duplicated 8-token spans by occurrence with distinct-doc counts — the what-to-strip audit",
+    """WITH tok AS (
+      |  SELECT doc_id, list_filter(string_split(text, ' '), t -> length(t) > 0) AS w
+      |  FROM documents),
+      |sp AS (SELECT doc_id, CAST(unnest(range(0, len(w) - 7)) AS BIGINT) AS i, w
+      |       FROM tok WHERE len(w) >= 8),
+      |s2 AS (SELECT doc_id, array_to_string(w[(i+1):(i+8)], ' ') AS span FROM sp),
+      |g AS (SELECT span, CAST(count(*) AS BIGINT) AS occ,
+      |        CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs
+      |      FROM s2 GROUP BY span HAVING count(*) >= 2)
+      |SELECT span, occ, n_docs FROM g
+      |ORDER BY occ DESC, span LIMIT 20""".stripMargin) { (s, d) =>
+    val K = 8
+    Tables.documents(s, d)
+      .select(col("doc_id"), toks(col("text")).as("w"))
+      .filter(size(col("w")) >= K)
+      .select(col("doc_id"),
+        explode(transform(sequence(lit(0L), size(col("w")) - K),
+          i => array_join(slice(col("w"), (i + 1).cast("int"), lit(K)), " ")))
+          .as("span"))
+      .groupBy(col("span"))
+      .agg(count(lit(1)).as("occ"), countDistinct(col("doc_id")).as("n_docs"))
+      .filter(col("occ") >= 2)
+      .orderBy(col("occ").desc, col("span"))
+      .limit(20)
+  }
+
   /** Variable-length ExactSubstr dedup — the ACTUAL Lee et al. 2022
     * contract (q150's fixed K=8 is its coverage approximation...
     * which this query proves is not an approximation at all: the two
@@ -699,5 +743,5 @@ object HygieneQueries {
     Seq(q72Decontamination, q73RepetitionQuality, q74PiiRedaction,
       q75UnicodeNormalize, q85LineDedup, q109MedianFilter,
       q118NgramNovelty, q121LmQuality, q150SpanDedup,
-      q179ExactSubstrSpans)
+      q179ExactSubstrSpans, q180BoilerplateCatalog)
 }

@@ -174,5 +174,68 @@ object UrlQueries {
       .orderBy(col("domain"))
   }
 
-  val all: Seq[QueryDef] = Seq(q177UrlCanonicalDedup, q178DomainMixAudit)
+  /** End-to-end crawl curation: canonical-URL dedup THEN
+    * temperature-quota domain mixing — the composition a crawl
+    * pipeline actually runs (dedup first, or duplicate-heavy domains
+    * steal quota from the mix). Survivors are q177's min-id
+    * representatives; per-domain quotas are q88's α=0.5 temperature
+    * rule (∝ √n of KEPT docs, 100-doc target); within-domain
+    * selection is doc_id order via the scale-safe grouped ranking
+    * API (never a `PARTITION BY domain` row_number — 12 domains
+    * would serialize into 12 tasks).
+    *
+    * Scale shape: canonicalization map-side; survivorship one
+    * window exchange on the high-cardinality canonical URL; quota
+    * table is domain-cardinality metadata crossed with a 1-row
+    * broadcast total; ranking rides `Ranking.withRank`.
+    */
+  val q181CrawlCurationMix = QueryDef(
+    "q181_crawl_curation_mix",
+    "crawl pipeline composition: canonical-URL dedup survivors, then sqrt-temperature per-domain quotas (100-doc target)",
+    CanonCte +
+      """,
+        |keep AS (SELECT domain, doc_id FROM (
+        |    SELECT domain, doc_id,
+        |      min(doc_id) OVER (PARTITION BY canon_url) AS keep_id
+        |    FROM canon)
+        |  WHERE doc_id = keep_id),
+        |c AS (SELECT domain, CAST(count(*) AS BIGINT) AS n FROM keep GROUP BY domain),
+        |w AS (SELECT domain, n,
+        |        CAST(floor(sqrt(CAST(n AS DOUBLE)) * 10000) AS BIGINT) AS weight
+        |      FROM c),
+        |q AS (SELECT domain, weight,
+        |        CAST((100 * weight) // (SELECT sum(weight) FROM w) AS BIGINT) AS quota
+        |      FROM w),
+        |r AS (SELECT doc_id, domain,
+        |        CAST(row_number() OVER (PARTITION BY domain ORDER BY doc_id) AS BIGINT) AS rank
+        |      FROM keep)
+        |SELECT r.doc_id, r.domain, r.rank, q.quota, q.weight
+        |FROM r JOIN q USING (domain)
+        |WHERE r.rank <= q.quota
+        |ORDER BY r.doc_id""".stripMargin) { (s, d) =>
+    val w = Window.partitionBy(col("canon_url"))
+    val keep = canonDocs(s, d)
+      .select(col("domain"), col("doc_id"),
+        min(col("doc_id")).over(w).as("keep_id"))
+      .filter(col("doc_id") === col("keep_id"))
+      .select(col("domain"), col("doc_id"))
+    val weights = keep.groupBy(col("domain"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("domain"),
+        floor(sqrt(col("n").cast("double")) * 10000).cast("long").as("weight"))
+    val quotas = weights
+      .crossJoin(broadcast(weights.agg(sum(col("weight")).as("wsum"))))
+      .select(col("domain"), col("weight"),
+        expr("(100 * weight) DIV wsum").as("quota"))
+    graft.api.Ranking.withRank(keep, Seq("domain"), Seq(col("doc_id")),
+        "rank", "dom_n")
+      .join(broadcast(quotas), "domain")
+      .filter(col("rank") <= col("quota"))
+      .select(col("doc_id"), col("domain"), col("rank"),
+        col("quota"), col("weight"))
+      .orderBy(col("doc_id"))
+  }
+
+  val all: Seq[QueryDef] =
+    Seq(q177UrlCanonicalDedup, q178DomainMixAudit, q181CrawlCurationMix)
 }

@@ -304,6 +304,38 @@ class HygieneSpec extends SparkSpec {
     spark.sharedState.cacheManager.clearCache()
   }
 
+  test("q180 boilerplate catalog matches a driver-side span recount") {
+    val rows = Registry.byName("q180_boilerplate_catalog").fn(spark, sfDir)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(rows.nonEmpty)
+    // shape: 8-token spans, occ >= max(2, n_docs), sorted (occ DESC, span)
+    rows.foreach { case (sp, occ, nd) =>
+      assert(sp.split(" ").length == 8, s"span not 8 tokens: '$sp'")
+      assert(occ >= 2 && occ >= nd && nd >= 1, s"counts wrong: $occ/$nd")
+    }
+    assert(rows.sliding(2).forall {
+      case Array((s1, o1, _), (s2, o2, _)) => o1 > o2 || (o1 == o2 && s1 < s2)
+      case _ => true
+    }, "not sorted by (occ DESC, span)")
+    // driver recount of the top span over the raw corpus
+    val (topSpan, topOcc, topDocs) = rows.head
+    val docs = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => r.getLong(0) -> r.getString(1).split(" ").filter(_.nonEmpty))
+    val hits = for {
+      (id, w) <- docs; i <- 0 to w.length - 8
+      if w.slice(i, i + 8).mkString(" ") == topSpan
+    } yield id
+    assert(hits.length.toLong == topOcc, s"top-span occ: $topOcc vs ${hits.length}")
+    assert(hits.distinct.length.toLong == topDocs)
+    // and no span in the corpus beats the reported top occurrence
+    val occAll = scala.collection.mutable.Map.empty[String, Long]
+    for ((_, w) <- docs; i <- 0 to w.length - 8)
+      occAll.updateWith(w.slice(i, i + 8).mkString(" "))(c => Some(c.getOrElse(0L) + 1L))
+    assert(occAll.values.max == topOcc, "a more frequent span was missed")
+    spark.sharedState.cacheManager.clearCache()
+  }
+
   test("q179 coverage equals q150's fixed-K coverage (the union identity)") {
     // Provable identity: the union of [i, i+lcp_i) over lcp_i >= K
     // equals the union of duplicated K-windows — any position inside

@@ -85,6 +85,36 @@ class UrlSpec extends SparkSpec {
     spark.sharedState.cacheManager.clearCache()
   }
 
+  test("q181 curation mix: selects only dedup survivors, honors quotas per domain") {
+    val sel = Registry.byName("q181_crawl_curation_mix").fn(spark, sfDir)
+      .collect()
+    assert(sel.nonEmpty)
+    // every selected row respects its domain quota and rank order
+    sel.foreach { r =>
+      assert(r.getLong(2) <= r.getLong(3),
+        s"rank ${r.getLong(2)} exceeds quota ${r.getLong(3)}")
+    }
+    // dedup-awareness: every selected doc is a q177 survivor
+    val survivors = Registry.byName("q177_url_canonical_dedup").fn(spark, sfDir)
+      .filter(col("is_kept")).select(col("doc_id"))
+      .collect().map(_.getLong(0)).toSet
+    val picked = sel.map(_.getLong(0)).toSet
+    assert(picked.subsetOf(survivors),
+      s"non-survivor selected: ${picked -- survivors}")
+    // per-domain selected count = min(quota, survivors in domain)
+    val byDom = sel.groupBy(_.getString(1))
+    byDom.foreach { case (dom, rs) =>
+      val quota = rs.head.getLong(3)
+      val kept = Registry.byName("q177_url_canonical_dedup").fn(spark, sfDir)
+        .filter(col("is_kept") && col("domain") === dom).count()
+      assert(rs.length.toLong == math.min(quota, kept),
+        s"$dom: selected ${rs.length}, quota $quota, kept $kept")
+    }
+    // target discipline: floored quotas never over-select the target
+    assert(sel.length <= 100, s"selected ${sel.length} > 100-doc target")
+    spark.sharedState.cacheManager.clearCache()
+  }
+
   test("q178 shares: basis points bounded, masses conserve vs documents table") {
     val rows = Registry.byName("q178_domain_mix_audit").fn(spark, sfDir)
       .collect()
