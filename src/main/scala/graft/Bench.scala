@@ -133,6 +133,17 @@ object Bench {
     val medSpread = results.values
       .collect { case (mn, md, _) if mn >= 0.05 => md / mn }
       .foldLeft(1.0)(math.max)
+    // med_spread's 0.05 s floor predates the round-8/10 memo wins:
+    // several memoized queries (q36, q169, q152) now bottom out near
+    // 0.1 s, where a single 0.1 s scheduler hiccup reads as a 2×
+    // "spread" while every substantive query is tight. med_spread
+    // stays as-is for cross-round comparability; med_spread_major
+    // (floors ≥ 0.25 s) is the contention signal BASELINE.md's ≤1.8
+    // clean bar actually means — jitter on a 100 ms floor is not
+    // contention.
+    val medSpreadMajor = results.values
+      .collect { case (mn, md, _) if mn >= 0.25 => md / mn }
+      .foldLeft(1.0)(math.max)
     // stdout gets the COMPACT line only (medians rounded to 4 decimals):
     // the driver captures stdout by tail and truncated the round-2/3/4
     // artifacts mid-JSON when the line outgrew the capture buffer. The
@@ -145,9 +156,9 @@ object Bench {
     val loads =
       s""""loadavg_start":${r4(loadAtStart)},"loadavg_end":${r4(loadEnd)}"""
     val compact =
-      s"""{"runs":$Runs,"sf":"$sfDir",$loads,"queries":$qs,"max_spread":${r4(maxSpread)},"med_spread":${r4(medSpread)},"failed":$failedJson,"flaky":$flakyJson,"metric":"total","unit":"sec","value":${r4(total)}}"""
+      s"""{"runs":$Runs,"sf":"$sfDir",$loads,"queries":$qs,"max_spread":${r4(maxSpread)},"med_spread":${r4(medSpread)},"med_spread_major":${r4(medSpreadMajor)},"failed":$failedJson,"flaky":$flakyJson,"metric":"total","unit":"sec","value":${r4(total)}}"""
     val full =
-      s"""{"metric":"total","value":$total,"unit":"sec","runs":$Runs,$loads,"max_spread":${r4(maxSpread)},"med_spread":${r4(medSpread)},"failed":$failedJson,"flaky":$flakyJson,"queries":$qs,"detail":$detail,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","runs":$Runs,$loads,"max_spread":${r4(maxSpread)},"med_spread":${r4(medSpread)},"med_spread_major":${r4(medSpreadMajor)},"failed":$failedJson,"flaky":$flakyJson,"queries":$qs,"detail":$detail,"sf":"$sfDir"}"""
     println(compact)
     if (failed.nonEmpty)
       System.err.println(
