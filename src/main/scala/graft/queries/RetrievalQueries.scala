@@ -250,5 +250,90 @@ object RetrievalQueries {
       .orderBy(col("rn"))
   }
 
-  val all: Seq[QueryDef] = Seq(q114Bm25, q127QualityEnsemble, q160RrfFusion)
+  /** Quality filter sweep — the DataComp-style selection curve a
+    * curation run reads BEFORE committing to a quality cutoff: bucket
+    * the corpus into ensemble-quality deciles (decile 1 = best 10% by
+    * the q127 Borda order) and report per-decile and CUMULATIVE
+    * doc/token retention, cumulative token share in bp. "Keep the top
+    * 30%" then reads its cost straight off row 3 — the
+    * threshold-vs-volume tradeoff made visible, the same pre-commit
+    * role q169's histogram plays for dedup.
+    *
+    * Scale shape: THIRD consumer of the memoized
+    * [[rankedQualitySignals]] relation (pay-once, the
+    * compressedCents convention); the quality-order rank rides
+    * `api.Ranking.withRank` over (borda, doc_id) — never a global
+    * row_number window; token counts come from one documents scan
+    * joined on doc_id; the decile aggregate and the cumulative
+    * windows run on the 10-row METADATA relation.
+    */
+  val q183FilterSweep = QueryDef(
+    "q183_filter_sweep",
+    "quality-cutoff selection curve: per-decile and cumulative doc/token retention over the q127 Borda order",
+    """WITH per AS (
+      |  SELECT doc_id,
+      |    CAST(n_chars AS BIGINT) AS s_len,
+      |    CAST(floor(10000.0 * len(list_distinct(w)) / len(w)) AS BIGINT) AS s_div,
+      |    CAST(floor(1000000.0 * length(array_to_string(w, '')) / len(w)) AS BIGINT) AS s_tok,
+      |    CAST(len(w) AS BIGINT) AS ntok
+      |  FROM (SELECT doc_id, n_chars,
+      |          list_filter(string_split(text, ' '), t -> length(t) > 0) AS w
+      |        FROM documents)
+      |  WHERE len(w) > 0),
+      |ranked AS (
+      |  SELECT doc_id, ntok,
+      |    CAST(row_number() OVER (ORDER BY s_len DESC, doc_id) AS BIGINT) AS r_len,
+      |    CAST(row_number() OVER (ORDER BY s_div DESC, doc_id) AS BIGINT) AS r_div,
+      |    CAST(row_number() OVER (ORDER BY s_tok DESC, doc_id) AS BIGINT) AS r_tok
+      |  FROM per),
+      |q AS (SELECT doc_id, ntok,
+      |        CAST(row_number() OVER (ORDER BY r_len + r_div + r_tok, doc_id) AS BIGINT) AS rk,
+      |        CAST(count(*) OVER () AS BIGINT) AS n
+      |      FROM ranked),
+      |dec AS (SELECT ((rk - 1) * 10) // n + 1 AS decile,
+      |          CAST(count(*) AS BIGINT) AS n_docs,
+      |          CAST(sum(ntok) AS BIGINT) AS n_tokens
+      |        FROM q GROUP BY decile)
+      |SELECT decile, n_docs, n_tokens,
+      |  CAST(sum(n_docs) OVER (ORDER BY decile
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_docs,
+      |  CAST(sum(n_tokens) OVER (ORDER BY decile
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_tokens,
+      |  CAST((10000 * sum(n_tokens) OVER (ORDER BY decile
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+      |    // (SELECT sum(n_tokens) FROM dec) AS BIGINT) AS cum_token_share_bp
+      |FROM dec ORDER BY decile""".stripMargin) { (s, d) =>
+    val ntok = Tables.documents(s, d)
+      .select(col("doc_id"),
+        graft.functions.TextFunctions.tokenCount(col("text"))
+          .cast("long").as("ntok"))
+    val borda = rankedQualitySignals(s, d)
+      .select(col("doc_id"),
+        (col("r_len") + col("r_div") + col("r_tok")).as("borda"))
+      .join(ntok, "doc_id")
+    val q = graft.api.Ranking.withRank(borda, Seq.empty,
+      Seq(col("borda"), col("doc_id")), "rk", "n")
+    val dec = q
+      // integer decile: `div`, not `/` (Spark `/` on longs is DOUBLE);
+      // operands are positive so div == floor division on both engines
+      .select(expr("((rk - 1) * 10) div n").as("decile"), col("ntok"))
+      .groupBy(col("decile"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("ntok")).as("n_tokens"))
+      .select((col("decile") + 1).as("decile"), col("n_docs"), col("n_tokens"))
+    // cumulative view over the 10-row metadata relation
+    val w = org.apache.spark.sql.expressions.Window.orderBy(col("decile"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    dec
+      .crossJoin(broadcast(dec.agg(sum(col("n_tokens")).as("tot_toks"))))
+      .select(col("decile"), col("n_docs"), col("n_tokens"),
+        sum(col("n_docs")).over(w).as("cum_docs"),
+        sum(col("n_tokens")).over(w).as("cum_tokens"),
+        expr("(10000 * sum(n_tokens) OVER (ORDER BY decile ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)) DIV tot_toks")
+          .as("cum_token_share_bp"))
+      .orderBy(col("decile"))
+  }
+
+  val all: Seq[QueryDef] =
+    Seq(q114Bm25, q127QualityEnsemble, q160RrfFusion, q183FilterSweep)
 }

@@ -236,6 +236,112 @@ object UrlQueries {
       .orderBy(col("doc_id"))
   }
 
+  /** Re-crawl diff — q92's snapshot CDC re-keyed the way a crawl
+    * actually works: doc_ids are transient between crawls, the STABLE
+    * key is the canonical URL. Crawl 2 is a deterministic mutation of
+    * crawl 1 (docs ≡7 mod 10 vanish and re-appear under NEW ids ⇒ new
+    * URLs; docs ≡3 mod 10 change content); each crawl reduces to one
+    * row per canonical URL carrying the SURVIVOR's (min doc_id)
+    * content digest, and a full-outer join on the URL classifies
+    * added / deleted / changed / unchanged per domain. Note the
+    * URL-keyed semantics this buys: a family whose survivor was
+    * removed reports 'changed' (its representative content changed)
+    * even though no single doc was edited — exactly what a re-crawl
+    * monitor should say.
+    *
+    * Scale shape: canonicalization map-side; one groupBy exchange
+    * per crawl on the high-cardinality canonical URL; the diff is a
+    * same-key full-outer join (no re-shuffle under AQE) and a tiny
+    * domain aggregate. The ORACLE derives canonical URLs
+    * SYMBOLICALLY from the id formula (the q48/q157 convention) —
+    * an independent derivation the string canonicalizer must agree
+    * with, on BOTH the original and the shifted ids.
+    */
+  val q182RecrawlDiff = QueryDef(
+    "q182_recrawl_diff",
+    "canonical-URL-keyed re-crawl CDC: per-domain added/deleted/changed/unchanged URL counts via survivor digests",
+    """WITH c1 AS (SELECT doc_id, text FROM documents),
+      |c2 AS (
+      |  SELECT doc_id,
+      |    CASE WHEN doc_id % 10 = 3 THEN text || ' upd' ELSE text END AS text
+      |  FROM documents WHERE doc_id % 10 <> 7
+      |  UNION ALL
+      |  SELECT doc_id + 1000000000, text || ' new'
+      |  FROM documents WHERE doc_id % 10 = 7),
+      |u1 AS (SELECT
+      |  (CASE WHEN doc_id % 3 = 2 THEN 'http' ELSE 'https' END) || '://domain'
+      |    || CAST(doc_id % 3 AS VARCHAR)
+      |    || (CASE doc_id % 4 WHEN 0 THEN '.com' WHEN 1 THEN '.org' WHEN 2 THEN '.net' ELSE '.io' END)
+      |    || (CASE WHEN doc_id % 13 = 0 AND doc_id % 5 <> 0 THEN ':8080' ELSE '' END)
+      |    || '/docs/page' || CAST(doc_id % 5 AS VARCHAR)
+      |    || '?id=' || CAST(doc_id % 7 AS VARCHAR)
+      |    || (CASE WHEN doc_id % 3 = 0 THEN '&lang=en' ELSE '' END) AS canon_url,
+      |  'domain' || CAST(doc_id % 3 AS VARCHAR)
+      |    || (CASE doc_id % 4 WHEN 0 THEN '.com' WHEN 1 THEN '.org' WHEN 2 THEN '.net' ELSE '.io' END) AS domain,
+      |  doc_id, text FROM c1),
+      |u2 AS (SELECT
+      |  (CASE WHEN doc_id % 3 = 2 THEN 'http' ELSE 'https' END) || '://domain'
+      |    || CAST(doc_id % 3 AS VARCHAR)
+      |    || (CASE doc_id % 4 WHEN 0 THEN '.com' WHEN 1 THEN '.org' WHEN 2 THEN '.net' ELSE '.io' END)
+      |    || (CASE WHEN doc_id % 13 = 0 AND doc_id % 5 <> 0 THEN ':8080' ELSE '' END)
+      |    || '/docs/page' || CAST(doc_id % 5 AS VARCHAR)
+      |    || '?id=' || CAST(doc_id % 7 AS VARCHAR)
+      |    || (CASE WHEN doc_id % 3 = 0 THEN '&lang=en' ELSE '' END) AS canon_url,
+      |  'domain' || CAST(doc_id % 3 AS VARCHAR)
+      |    || (CASE doc_id % 4 WHEN 0 THEN '.com' WHEN 1 THEN '.org' WHEN 2 THEN '.net' ELSE '.io' END) AS domain,
+      |  doc_id, text FROM c2),
+      |s1 AS (SELECT canon_url, min(domain) AS domain,
+      |         arg_min(md5(text), doc_id) AS digest
+      |       FROM u1 GROUP BY canon_url),
+      |s2 AS (SELECT canon_url, min(domain) AS domain,
+      |         arg_min(md5(text), doc_id) AS digest
+      |       FROM u2 GROUP BY canon_url),
+      |diff AS (SELECT coalesce(s1.domain, s2.domain) AS domain,
+      |    CASE WHEN s1.canon_url IS NULL THEN 'added'
+      |         WHEN s2.canon_url IS NULL THEN 'deleted'
+      |         WHEN s1.digest <> s2.digest THEN 'changed'
+      |         ELSE 'unchanged' END AS status
+      |  FROM s1 FULL OUTER JOIN s2 ON s1.canon_url = s2.canon_url)
+      |SELECT domain, status, CAST(count(*) AS BIGINT) AS n_urls
+      |FROM diff GROUP BY domain, status
+      |ORDER BY domain, status""".stripMargin) { (s, d) =>
+    val v1 = Tables.documents(s, d).select(col("doc_id"), col("text"))
+    val v2 = v1.filter(col("doc_id") % 10 =!= 7)
+      .select(col("doc_id"),
+        when(col("doc_id") % 10 === 3, concat(col("text"), lit(" upd")))
+          .otherwise(col("text")).as("text"))
+      .unionAll(v1.filter(col("doc_id") % 10 === 7)
+        .select((col("doc_id") + 1000000000L).as("doc_id"),
+          concat(col("text"), lit(" new")).as("text")))
+    // raw URL synthesized in its OWN projection: it feeds both the
+    // canonicalizer and the host extractor, and CollapseProject won't
+    // inline a non-trivial expression referenced twice — one build
+    // instead of two copies of the concat tree per row
+    def urlView(df: org.apache.spark.sql.DataFrame) =
+      df.select(col("doc_id"), col("text"),
+          UrlFunctions.syntheticRawUrl(col("doc_id")).as("url"))
+        .select(col("doc_id"), col("text"),
+          UrlFunctions.canonicalizeUrl(col("url")).as("canon_url"),
+          UrlFunctions.urlHost(col("url")).as("domain"))
+        .groupBy(col("canon_url"))
+        .agg(min(col("domain")).as("domain"),
+          min_by(md5(col("text")), col("doc_id")).as("digest"))
+    val a = urlView(v1).select(col("canon_url"),
+      col("domain").as("dom_a"), col("digest").as("dig_a"))
+    val b = urlView(v2).select(col("canon_url"),
+      col("domain").as("dom_b"), col("digest").as("dig_b"))
+    a.join(b, Seq("canon_url"), "full_outer")
+      .select(coalesce(col("dom_a"), col("dom_b")).as("domain"),
+        when(col("dig_a").isNull, "added")
+          .when(col("dig_b").isNull, "deleted")
+          .when(col("dig_a") =!= col("dig_b"), "changed")
+          .otherwise("unchanged").as("status"))
+      .groupBy(col("domain"), col("status"))
+      .agg(count(lit(1)).as("n_urls"))
+      .orderBy(col("domain"), col("status"))
+  }
+
   val all: Seq[QueryDef] =
-    Seq(q177UrlCanonicalDedup, q178DomainMixAudit, q181CrawlCurationMix)
+    Seq(q177UrlCanonicalDedup, q178DomainMixAudit, q181CrawlCurationMix,
+      q182RecrawlDiff)
 }

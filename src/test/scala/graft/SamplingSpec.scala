@@ -8,6 +8,33 @@ import org.apache.spark.sql.functions._
   */
 class SamplingSpec extends SparkSpec {
 
+  test("q183 filter sweep: deciles partition the corpus, cumulatives monotone and complete") {
+    val rows = Registry.byName("q183_filter_sweep").fn(spark, sfDir).collect()
+    assert(rows.map(_.getLong(0)).toSeq == (1L to 10L),
+      "exactly deciles 1..10 in order")
+    // decile sizes balanced to within one row (rank-based bucketing)
+    val sizes = rows.map(_.getLong(1))
+    assert(sizes.max - sizes.min <= 1, s"unbalanced deciles: ${sizes.toSeq}")
+    // cumulatives are exact prefix sums and end at the corpus totals
+    var (cd, ct) = (0L, 0L)
+    rows.foreach { r =>
+      cd += r.getLong(1); ct += r.getLong(2)
+      assert(r.getLong(3) == cd && r.getLong(4) == ct,
+        s"cumulative drift at decile ${r.getLong(0)}")
+    }
+    val scored = Tables.documents(spark, sfDir)
+      .filter(functions.TextFunctions.tokenCount(col("text")) > 0).count()
+    assert(cd == scored, s"cum_docs $cd != scored docs $scored")
+    assert(rows.last.getLong(5) == 10000L,
+      "full retention must read 10000 bp")
+    // shares monotone non-decreasing
+    assert(rows.map(_.getLong(5)).sliding(2).forall {
+      case Array(a, b) => a <= b
+      case _ => true
+    })
+    spark.sharedState.cacheManager.clearCache()
+  }
+
   test("sample(fraction, seed) is reproducible for a fixed seed") {
     val docs = Tables.documents(spark, sfDir)
     val a = docs.sample(0.2, seed = 7).select("doc_id").collect().map(_.getLong(0)).toSet

@@ -115,6 +115,54 @@ class UrlSpec extends SparkSpec {
     spark.sharedState.cacheManager.clearCache()
   }
 
+  test("q182 re-crawl diff matches a driver-side symbolic recompute") {
+    val got = Registry.byName("q182_recrawl_diff").fn(spark, sfDir)
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(got.nonEmpty)
+    // independent driver-side replay: symbolic canonical URL from the
+    // id formula, the same crawl-2 mutation, survivor digests
+    def canon(d: Long): (String, String) = {
+      val scheme = if (d % 3 == 2) "http" else "https"
+      val tld = (d % 4) match {
+        case 0 => ".com"; case 1 => ".org"; case 2 => ".net"; case _ => ".io"
+      }
+      val dom = s"domain${d % 3}$tld"
+      val port = if (d % 13 == 0 && d % 5 != 0) ":8080" else ""
+      val lang = if (d % 3 == 0) "&lang=en" else ""
+      (s"$scheme://$dom$port/docs/page${d % 5}?id=${d % 7}$lang", dom)
+    }
+    val docs = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => r.getLong(0) -> r.getString(1))
+    val crawl2 = docs.filter(_._1 % 10 != 7).map { case (id, t) =>
+      id -> (if (id % 10 == 3) t + " upd" else t)
+    } ++ docs.filter(_._1 % 10 == 7).map { case (id, t) =>
+      (id + 1000000000L) -> (t + " new")
+    }
+    def view(c: Seq[(Long, String)]): Map[String, (String, String)] =
+      c.groupBy { case (id, _) => canon(id)._1 }.map { case (cu, rs) =>
+        val (minId, txt) = rs.minBy(_._1)
+        cu -> (canon(minId)._2, txt)
+      }
+    val (v1, v2) = (view(docs.toSeq), view(crawl2.toSeq))
+    val want = (v1.keySet ++ v2.keySet).toSeq.map { cu =>
+      val dom = v1.get(cu).orElse(v2.get(cu)).get._1
+      val status = (v1.get(cu), v2.get(cu)) match {
+        case (None, _) => "added"
+        case (_, None) => "deleted"
+        case (Some((_, a)), Some((_, b))) =>
+          if (a != b) "changed" else "unchanged"
+      }
+      (dom, status)
+    }.groupBy(identity).map { case (k, xs) => k -> xs.size.toLong }
+    assert(got == want, s"diff mismatch:\n got=$got\n want=$want")
+    // the mutation must exercise every status somewhere in the corpus
+    Seq("added", "deleted", "changed", "unchanged").foreach { st =>
+      assert(got.keys.exists(_._2 == st), s"status '$st' never produced")
+    }
+    spark.sharedState.cacheManager.clearCache()
+  }
+
   test("q178 shares: basis points bounded, masses conserve vs documents table") {
     val rows = Registry.byName("q178_domain_mix_audit").fn(spark, sfDir)
       .collect()
