@@ -1324,11 +1324,116 @@ object StatisticsQueries {
       (effect >= lit(2.8) * se).as("powered"))
   }
 
+  /** Poisson-bootstrap confidence interval — the distribution-free
+    * uncertainty estimate next to q143's Welch z and q176's MDE: the
+    * 95% CI for each event type's mean value, from B = 64 bootstrap
+    * replicates. Classic resampling draws n-of-n WITH replacement —
+    * impossible to coordinate across a cluster; the production form
+    * (the one web-scale A/B platforms ship) is the POISSON bootstrap:
+    * each row independently enters replicate b with weight
+    * w ~ Poisson(1), so a replicate is one weighted aggregate and
+    * all B replicates ride ONE partial-aggregable shuffle of
+    * (type, b) cells.
+    *
+    * Determinism/portability: w is drawn by inverse-CDF on the TOP
+    * 20 bits of `mix64(event_id·64 + b)` (the q134 idiom — top bits,
+    * never a signed modulo, so the HUGEINT replay matches bit-exactly)
+    * against Poisson(1) CDF thresholds precomputed as shared integer
+    * literals ⌊CDF·2^20⌋ (the q141/q152 convention; weights capped at
+    * 5, P(w>5) ≈ 6e-4 ignored by both engines identically). Replicate
+    * means are exact integer micros (`(10⁶·Σwy) div Σw` — positive
+    * operands, so trunc and floor agree); the CI reads the 2nd and
+    * 63rd of the 64 sorted replicate means (2.5%/97.5% nearest-rank).
+    *
+    * Scale shape: the ×64 replicate expansion is map-side (explode +
+    * codegen'd mix64) feeding a partial aggregate — what crosses the
+    * shuffle is 64·|types| cells, not rows; the rank window runs on
+    * that ~320-row metadata relation. Σwy·10⁶ needs LONG headroom:
+    * overflows past ~$90B of summed value per (type, replicate) —
+    * widen to DECIMAL(38,0) (the q159 move) before that scale.
+    */
+  val q184BootstrapCi = QueryDef(
+    "q184_bootstrap_ci",
+    "Poisson-bootstrap 95% CI per event type: 64 deterministic mix64 replicates in one shuffle, integer-micro means",
+    """WITH ev AS (SELECT event_type, event_id,
+      |    CAST(round(value * 100) AS BIGINT) AS y FROM events),
+      |rep AS (SELECT event_type, y, b,
+      |    CAST(event_id * 64 + b AS HUGEINT) AS z0
+      |  FROM ev, (SELECT unnest(range(0, 64)) AS b)),
+      |m1 AS (SELECT event_type, y, b,
+      |    (xor(z0, z0 >> 30) * 2685821657736338717) % 18446744073709551616 AS z FROM rep),
+      |m2 AS (SELECT event_type, y, b,
+      |    (xor(z, z >> 27) * 1181783497276652981) % 18446744073709551616 AS z FROM m1),
+      |u AS (SELECT event_type, y, b,
+      |    xor(z, z >> 31) // 17592186044416 AS u20 FROM m2),
+      |wts AS (SELECT event_type, y, b,
+      |    CASE WHEN u20 < 385749 THEN 0 WHEN u20 < 771499 THEN 1
+      |         WHEN u20 < 964373 THEN 2 WHEN u20 < 1028665 THEN 3
+      |         WHEN u20 < 1044738 THEN 4 ELSE 5 END AS w
+      |  FROM u),
+      |cells AS (SELECT event_type, b, CAST(sum(w * y) AS BIGINT) AS s,
+      |    CAST(sum(w) AS BIGINT) AS n
+      |  FROM wts GROUP BY event_type, b),
+      |means AS (SELECT event_type, b, (1000000 * s) // n AS m
+      |  FROM cells WHERE n > 0),
+      |r AS (SELECT event_type, b, m,
+      |    row_number() OVER (PARTITION BY event_type ORDER BY m, b) AS rn,
+      |    count(*) OVER (PARTITION BY event_type) AS cnt
+      |  FROM means),
+      |ci AS (SELECT event_type,
+      |    CAST(min(CASE WHEN rn = CAST(floor(0.025 * cnt) AS BIGINT) + 1 THEN m END) AS BIGINT) AS lo_micro,
+      |    CAST(min(CASE WHEN rn = CAST(ceil(0.975 * cnt) AS BIGINT) THEN m END) AS BIGINT) AS hi_micro
+      |  FROM r GROUP BY event_type),
+      |pt AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n_events,
+      |    CAST((1000000 * CAST(sum(y) AS BIGINT)) // count(*) AS BIGINT) AS mean_micro
+      |  FROM ev GROUP BY event_type)
+      |SELECT pt.event_type, pt.n_events, pt.mean_micro, ci.lo_micro, ci.hi_micro
+      |FROM pt JOIN ci USING (event_type)
+      |ORDER BY pt.event_type""".stripMargin) { (s, d) =>
+    graft.plans.GraftFunctions.register(s)
+    val ev = Tables.events(s, d).select(col("event_type"), col("event_id"),
+      expr("cast(round(value * 100) as bigint)").as("y"))
+    val rep = ev
+      .select(col("event_type"), col("event_id"), col("y"),
+        explode(sequence(lit(0L), lit(63L))).as("b"))
+      .withColumn("u20", shiftrightunsigned(
+        graft.plans.GraftFunctions.mix64(col("event_id") * 64L + col("b")), 44))
+      .withColumn("w",
+        when(col("u20") < 385749L, 0L).when(col("u20") < 771499L, 1L)
+          .when(col("u20") < 964373L, 2L).when(col("u20") < 1028665L, 3L)
+          .when(col("u20") < 1044738L, 4L).otherwise(5L))
+    val cells = rep.groupBy(col("event_type"), col("b"))
+      .agg(sum(col("w") * col("y")).as("s"), sum(col("w")).as("n"))
+    val means = cells.filter(col("n") > 0)
+      .select(col("event_type"), col("b"), expr("(1000000 * s) div n").as("m"))
+    val wr = Window.partitionBy(col("event_type")).orderBy(col("m"), col("b"))
+    val wc = Window.partitionBy(col("event_type"))
+    val r = means
+      .withColumn("rn", row_number().over(wr).cast("long"))
+      .withColumn("cnt", count(lit(1)).over(wc))
+    val ci = r.groupBy(col("event_type"))
+      .agg(
+        min(when(col("rn") ===
+          floor(lit(0.025) * col("cnt")).cast("long") + 1, col("m")))
+          .as("lo_micro"),
+        min(when(col("rn") ===
+          ceil(lit(0.975) * col("cnt")).cast("long"), col("m")))
+          .as("hi_micro"))
+    val pt = ev.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_events"), sum(col("y")).as("sy"))
+      .select(col("event_type"), col("n_events"),
+        expr("(1000000 * sy) div n_events").as("mean_micro"))
+    pt.join(ci, "event_type")
+      .select(col("event_type"), col("n_events"), col("mean_micro"),
+        col("lo_micro"), col("hi_micro"))
+      .orderBy(col("event_type"))
+  }
+
   val all: Seq[QueryDef] =
     Seq(q136BloomFilter, q137RankSumAuc, q138KsDrift, q139SourceImpurity,
       q141BenfordAudit, q143AbTest, q145MadOutliers, q147Calibration,
       q148RevenueConcentration, q152NdcgEval, q153PsiDrift,
       q154WinsorizedStats, q159SpearmanActivity, q162Autocorrelation,
       q163SeasonalAnomaly, q165ForecastEval, q166ActiveUsers,
-      q167DidUplift, q175QqDrift, q176AbPower)
+      q167DidUplift, q175QqDrift, q176AbPower, q184BootstrapCi)
 }

@@ -500,6 +500,44 @@ class StatisticsSpec extends SparkSpec {
     spark.sharedState.cacheManager.clearCache()
   }
 
+  test("q184 bootstrap CI matches an exact driver-side Poisson-replicate recompute") {
+    val got = run("q184_bootstrap_ci").collect()
+      .map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    assert(got.nonEmpty)
+    // replay the full pipeline in Scala off the SAME mix64 kernel:
+    // per-row Poisson weights, replicate means, nearest-rank CI
+    val th = Array(385749L, 771499L, 964373L, 1028665L, 1044738L)
+    val ev = Tables.events(spark, sfDir)
+      .select(col("event_type"), col("event_id"),
+        expr("cast(round(value * 100) as bigint)").as("y"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    val want = ev.groupBy(_._1).map { case (t, rows) =>
+      val means = (0L until 64L).flatMap { b =>
+        var s = 0L; var n = 0L
+        rows.foreach { case (_, id, y) =>
+          val u20 = plans.Mix64.mix(id * 64L + b) >>> 44
+          val w = th.indexWhere(u20 < _) match {
+            case -1 => 5L; case i => i.toLong
+          }
+          s += w * y; n += w
+        }
+        if (n > 0) Some((1000000L * s) / n) else None
+      }.sorted
+      val cnt = means.length
+      val lo = means((0.025 * cnt).floor.toInt) // rank floor(.025c)+1, 0-based
+      val hi = means((0.975 * cnt).ceil.toInt - 1)
+      val (ne, sy) = (rows.length.toLong, rows.map(_._3).sum)
+      t -> (ne, 1000000L * sy / ne, lo, hi)
+    }
+    assert(got == want, s"CI mismatch:\n got=$got\n want=$want")
+    // and the interval is sane: lo <= mean <= hi per type
+    got.values.foreach { case (_, m, lo, hi) =>
+      assert(lo <= m && m <= hi, s"mean $m outside CI [$lo, $hi]")
+    }
+    spark.sharedState.cacheManager.clearCache()
+  }
+
   test("q164 plans no global running-sum window over the transition relation") {
     // The scale contract: the sweep-line running sum rides
     // Ranking.withRunningTotal, so the executed plan must contain NO
