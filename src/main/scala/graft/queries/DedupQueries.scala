@@ -852,6 +852,19 @@ object DedupQueries {
         |JOIN n nb ON nb.doc_id = e.doc_b
         |LEFT JOIN co ON co.doc_a = e.doc_a AND co.doc_b = e.doc_b
         |ORDER BY e.doc_a, e.doc_b""".stripMargin) { (s, d) =>
+      calibrationPairs(s, d)
+        .withColumn("err_bp", abs(col("est_bp") - col("exact_bp")))
+        .orderBy(col("doc_a"), col("doc_b"))
+    }
+  }
+
+  /** The (doc_a, doc_b, est_bp, exact_bp) LSH-candidate calibration
+    * relation q158 reports and q185's PR curve thresholds — memoized
+    * (the clusterAssignments convention) so the portable MinHash
+    * pipeline is paid once per (session, sf).
+    */
+  private def calibrationPairs(s: SparkSession, d: String): DataFrame =
+    graft.SessionMemo.getOrCompute(s, "dedup.calib:" + d) {
       GraftFunctions.register(s)
       val w = Window.partitionBy(col("doc_id")).orderBy(col("p"))
       // portable shingle hashes: same lead-window shingle stream as
@@ -896,8 +909,130 @@ object DedupQueries {
           expr("""(10000 * size(array_intersect(sha, shb)))
                  |  div (size(sha) + size(shb) - size(array_intersect(sha, shb)))""".stripMargin)
             .as("exact_bp"))
-        .withColumn("err_bp", abs(col("est_bp") - col("exact_bp")))
-        .orderBy(col("doc_a"), col("doc_b"))
+        .localCheckpoint()
+    }
+
+  /** Sketch-pipeline precision/recall curve — the decision table for
+    * "can I trust the MinHash ESTIMATE as the dedup gate, skipping
+    * exact verification?": at each candidate threshold t, the
+    * LSH+estimate pipeline's TP/FP/FN against exact-Jaccard truth,
+    * with precision/recall in bp. Two error sources separate cleanly:
+    * recall loss = pairs the 16×4 banding never surfaced (they have
+    * no estimate at all) plus estimate-undershoot; precision loss =
+    * estimate-overshoot on surfaced pairs. q158 reports the per-pair
+    * calibration error; this rolls it up into the metric an operator
+    * actually thresholds on.
+    *
+    * Relations: predictions from the memoized [[calibrationPairs]]
+    * (paid once with q158); truth from the memoized df-capped
+    * [[candidateCounts]] (q36/q169's contract — pairs sharing only
+    * hot shingles excluded, the documented accepted loss; the oracle
+    * replicates the cap exactly as q169's twin does). Full-outer join
+    * on the pair key, one threshold explode (5×|pairs|), one
+    * aggregate — all integer arithmetic.
+    */
+  val q185DedupPrCurve: QueryDef = {
+    val (ca, cb) = graft.plans.MinHashSigAgg.coefficients
+    val aLit = ca.mkString("[", ", ", "]")
+    val bLit = cb.mkString("[", ", ", "]")
+    QueryDef(
+      "q185_dedup_pr_curve",
+      "MinHash-estimate dedup gate evaluated against exact Jaccard: TP/FP/FN and precision/recall bp per threshold",
+      s"""WITH w AS (SELECT doc_id, list_filter(string_split(text, ' '), t -> length(t) > 0) AS w
+        |           FROM documents),
+        |shs AS (SELECT doc_id,
+        |          unnest(list_distinct(list_transform(range(1, len(w)-1),
+        |                 i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]))) AS sh
+        |        FROM w),
+        |ph AS (SELECT DISTINCT doc_id,
+        |         CAST(list_reduce(list_transform(string_split(sh, ''),
+        |                c -> CAST(ascii(c) AS BIGINT)), (a, x) -> (a*31 + x) % 1000000007) AS HUGEINT) AS z
+        |       FROM shs),
+        |m1 AS (SELECT doc_id, (xor(z, z >> 30) * 2685821657736338717) % 18446744073709551616 AS z FROM ph),
+        |m2 AS (SELECT doc_id, (xor(z, z >> 27) * 1181783497276652981) % 18446744073709551616 AS z FROM m1),
+        |gv AS (SELECT DISTINCT doc_id,
+        |         CAST(CASE WHEN xor(z, z >> 31) >= (CAST(1 AS HUGEINT) << 63)
+        |              THEN xor(z, z >> 31) - (CAST(1 AS HUGEINT) << 64)
+        |              ELSE xor(z, z >> 31) END AS BIGINT) AS g
+        |       FROM m2),
+        |hp AS (SELECT doc_id, g, ((g % 2147483647) + 2147483647) % 2147483647 AS h FROM gv),
+        |ca AS (SELECT CAST($aLit AS BIGINT[]) AS a, CAST($bLit AS BIGINT[]) AS b),
+        |slots AS (SELECT doc_id, i, min((h * a[i+1] + b[i+1]) % 2147483647) AS slot
+        |          FROM hp CROSS JOIN (SELECT unnest(range(0, 64)) AS i) CROSS JOIN ca
+        |          GROUP BY doc_id, i),
+        |sig AS (SELECT doc_id, list(slot ORDER BY i) AS sig FROM slots GROUP BY doc_id),
+        |banded AS (SELECT doc_id, sig, b,
+        |             array_to_string(sig[4*b+1 : 4*b+4], ',') AS bkey
+        |           FROM sig CROSS JOIN (SELECT unnest(range(0, 16)) AS b)),
+        |cand AS (SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b,
+        |                x.sig AS sa, y.sig AS sb
+        |         FROM banded x JOIN banded y
+        |           ON x.b = y.b AND x.bkey = y.bkey AND x.doc_id < y.doc_id),
+        |pred AS (SELECT doc_a, doc_b,
+        |          (10000 * CAST(list_sum(list_transform(range(0, 64),
+        |               i -> CASE WHEN sa[i+1] = sb[i+1] THEN 1 ELSE 0 END)) AS BIGINT)) // 64 AS est_bp
+        |        FROM cand),
+        |tb2 AS (SELECT doc_id, len(list_distinct(list_transform(range(1, len(w)-1),
+        |                i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]))) AS n,
+        |          list_distinct(list_transform(range(1, len(w)-1),
+        |                i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS sh
+        |        FROM w WHERE len(w) >= 3),
+        |inv2 AS (SELECT doc_id, unnest(sh) AS g FROM tb2),
+        |hot2 AS (SELECT g FROM inv2 GROUP BY g HAVING count(*) > 10000),
+        |capped2 AS (SELECT doc_id, g FROM inv2 WHERE g NOT IN (SELECT g FROM hot2)),
+        |co_t AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, CAST(count(*) AS BIGINT) AS c_cap
+        |         FROM capped2 a JOIN capped2 b ON a.g = b.g AND a.doc_id < b.doc_id
+        |         GROUP BY a.doc_id, b.doc_id),
+        |hs2 AS (SELECT doc_id, list(g) AS hg FROM inv2
+        |        WHERE g IN (SELECT g FROM hot2) GROUP BY doc_id),
+        |truth AS (SELECT co_t.doc_a, co_t.doc_b,
+        |           (10000 * (co_t.c_cap + coalesce(len(list_intersect(ha.hg, hb.hg)), 0)))
+        |             // (na.n + nb.n - (co_t.c_cap + coalesce(len(list_intersect(ha.hg, hb.hg)), 0))) AS ex_bp
+        |         FROM co_t LEFT JOIN hs2 ha ON ha.doc_id = co_t.doc_a
+        |                   LEFT JOIN hs2 hb ON hb.doc_id = co_t.doc_b
+        |                   JOIN tb2 na ON na.doc_id = co_t.doc_a
+        |                   JOIN tb2 nb ON nb.doc_id = co_t.doc_b),
+        |pj AS (SELECT coalesce(p.doc_a, x.doc_a) AS doc_a,
+        |         coalesce(p.doc_b, x.doc_b) AS doc_b, p.est_bp, x.ex_bp
+        |       FROM pred p FULL OUTER JOIN truth x
+        |         ON p.doc_a = x.doc_a AND p.doc_b = x.doc_b),
+        |cls AS (SELECT t,
+        |    CAST(sum(CASE WHEN coalesce(est_bp, -1) >= t AND coalesce(ex_bp, 0) >= t THEN 1 ELSE 0 END) AS BIGINT) AS tp,
+        |    CAST(sum(CASE WHEN coalesce(est_bp, -1) >= t AND coalesce(ex_bp, 0) < t THEN 1 ELSE 0 END) AS BIGINT) AS fp,
+        |    CAST(sum(CASE WHEN coalesce(est_bp, -1) < t AND coalesce(ex_bp, 0) >= t THEN 1 ELSE 0 END) AS BIGINT) AS fn
+        |  FROM pj CROSS JOIN (SELECT unnest([5000, 6000, 7000, 8000, 9000]) AS t)
+        |  GROUP BY t)
+        |SELECT CAST(t AS BIGINT) AS threshold_bp, tp, fp, fn,
+        |  CAST(CASE WHEN tp + fp > 0 THEN (10000 * tp) // (tp + fp) END AS BIGINT) AS precision_bp,
+        |  CAST(CASE WHEN tp + fn > 0 THEN (10000 * tp) // (tp + fn) END AS BIGINT) AS recall_bp
+        |FROM cls ORDER BY threshold_bp""".stripMargin) { (s, d) =>
+      val pred = calibrationPairs(s, d)
+        .select(col("doc_a"), col("doc_b"), col("est_bp"))
+      val truth = candidateCounts(s, d)
+        .select(col("doc_a"), col("doc_b"),
+          expr("(10000 * c) div (na + nb - c)").as("ex_bp"))
+      val pj = pred.join(truth, Seq("doc_a", "doc_b"), "full_outer")
+      pj.select(col("est_bp"), col("ex_bp"),
+          explode(array((Seq(5000, 6000, 7000, 8000, 9000)).map(lit): _*))
+            .as("t"))
+        .groupBy(col("t"))
+        .agg(
+          sum(when(coalesce(col("est_bp"), lit(-1L)) >= col("t") &&
+            coalesce(col("ex_bp"), lit(0L)) >= col("t"), 1L).otherwise(0L))
+            .as("tp"),
+          sum(when(coalesce(col("est_bp"), lit(-1L)) >= col("t") &&
+            coalesce(col("ex_bp"), lit(0L)) < col("t"), 1L).otherwise(0L))
+            .as("fp"),
+          sum(when(coalesce(col("est_bp"), lit(-1L)) < col("t") &&
+            coalesce(col("ex_bp"), lit(0L)) >= col("t"), 1L).otherwise(0L))
+            .as("fn"))
+        .select(col("t").cast("long").as("threshold_bp"),
+          col("tp"), col("fp"), col("fn"),
+          when(col("tp") + col("fp") > 0,
+            expr("(10000 * tp) div (tp + fp)")).as("precision_bp"),
+          when(col("tp") + col("fn") > 0,
+            expr("(10000 * tp) div (tp + fn)")).as("recall_bp"))
+        .orderBy(col("threshold_bp"))
     }
   }
 
@@ -1198,7 +1333,7 @@ object DedupQueries {
   val all: Seq[QueryDef] = Seq(
     q33ExactDedup, q34MinhashLsh, q35Simhash, q36NgramJaccard,
     q37EmbeddingNeardup, q78DupClusters, q79IncrementalDedup,
-    q82FuzzyJoin, q93LeakageSafeSplit, q158MinhashCalibration,
+    q82FuzzyJoin, q93LeakageSafeSplit, q158MinhashCalibration, q185DedupPrCurve,
     q161MinimizerDedup, q169JaccardHistogram, q170ClusterSizes,
     q173SourceOverlap)
 }

@@ -460,6 +460,35 @@ class DedupQualitySpec extends SparkSpec {
     spark.sharedState.cacheManager.clearCache()
   }
 
+  test("q185 PR curve: truth masses tie out to q169's histogram, ratios consistent") {
+    val rows = Registry.byName("q185_dedup_pr_curve").fn(spark, sfDir)
+      .collect()
+    assert(rows.map(_.getLong(0)).toSeq == Seq(5000L, 6000L, 7000L, 8000L, 9000L))
+    val hist = Registry.byName("q169_jaccard_histogram").fn(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    rows.foreach { r =>
+      val (t, tp, fp, fn) = (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
+      // EXACT identity: ex_bp >= 1000k  ⟺  10000c >= 1000k·u  ⟺
+      // 10c >= k·u  ⟺  decile bucket >= k — so the truth mass TP+FN
+      // at threshold k·1000 must equal q169's bucket>=k mass (both
+      // ride the same df-capped candidate relation)
+      val k = t / 1000L
+      val truthMass = hist.filter(_._1 >= k).values.sum
+      assert(tp + fn == truthMass,
+        s"t=$t: TP+FN ${tp + fn} != q169 bucket>=$k mass $truthMass")
+      // ratio fields recompute from the integer cells
+      val precision = if (tp + fp > 0) Some(10000L * tp / (tp + fp)) else None
+      val recall = if (tp + fn > 0) Some(10000L * tp / (tp + fn)) else None
+      assert(Option(r.get(4)).map(_.asInstanceOf[Long]) == precision)
+      assert(Option(r.get(5)).map(_.asInstanceOf[Long]) == recall)
+    }
+    // the corpus' planted near-dups must make the sketch gate GOOD at
+    // the operating point: recall and precision both high at 0.5
+    val at5 = rows.head
+    assert(at5.getLong(1) > 0, "no true positives at t=5000")
+    spark.sharedState.cacheManager.clearCache()
+  }
+
   test("q169 histogram contract holds when the df cap binds") {
     // The q169 contract (scaladoc): histogram over DF-CAPPED
     // candidates with exact hot-corrected intersection counts. On
