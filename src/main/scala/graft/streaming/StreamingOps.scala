@@ -348,6 +348,27 @@ object StreamingOps {
       .select(col("user_id"), col("view_ts"), col("click_ts"), col("value"))
   }
 
+  /** Streaming canonical-URL dedup — the ingest-time face of q177:
+    * a crawl stream of (ts, url, ...) fetches keeps only the FIRST
+    * fetch of each canonical URL within the watermark horizon.
+    * Canonicalization ([[graft.functions.UrlFunctions]]) is
+    * map-side codegen'd string work, so the only state is the
+    * dedup key store, evicted by the watermark —
+    * `dropDuplicatesWithinWatermark` keyed on the canonical form,
+    * exactly the `dedupedEvents` contract with a derived key. At
+    * crawl scale the canonical URL is high-cardinality, so state
+    * shards evenly; the horizon bounds it (a re-fetch later than
+    * `lateness` re-enters — the standard re-crawl semantics: q182
+    * diffs those).
+    */
+  def dedupedFetches(fetches: DataFrame,
+      lateness: String = "10 minutes"): DataFrame =
+    fetches
+      .withColumn("canon_url",
+        graft.functions.UrlFunctions.canonicalizeUrl(col("url")))
+      .withWatermark("ts", lateness)
+      .dropDuplicatesWithinWatermark("canon_url")
+
   /** Stream-stream LEFT OUTER interval join — the question
     * [[attributedClicks]]'s inner join cannot answer: which
     * impressions NEVER converted (round-9 verdict task 4). Each view

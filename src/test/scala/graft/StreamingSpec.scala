@@ -368,6 +368,34 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming canonical-URL dedup keeps the first fetch per canonical form") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val input = MemoryStream[(Timestamp, String, Long)]
+    val q = StreamingOps.dedupedFetches(
+        input.toDF().toDF("ts", "url", "fetch_id"))
+      .writeStream.format("memory").queryName("urldedup_t")
+      .outputMode("append").start()
+    try {
+      // three raw variants of ONE canonical page + one distinct page
+      input.addData(
+        (ts(0), "HTTPS://WWW.A.com/p?id=1&utm_source=x", 1L),
+        (ts(1), "https://a.com:443/p/?id=1", 2L),
+        (ts(2), "https://a.com/p?id=1#frag", 3L),
+        (ts(3), "https://b.org/q", 4L))
+      runAll(q)
+      val kept = spark.table("urldedup_t")
+        .select($"canon_url", $"fetch_id").as[(String, Long)]
+        .collect().toSet
+      // exactly one survivor per canonical form; the a.com family's
+      // survivor is the FIRST-arriving fetch
+      assert(kept.map(_._1) ==
+        Set("https://a.com/p?id=1", "https://b.org/q"), s"kept: $kept")
+      assert(kept.contains(("https://a.com/p?id=1", 1L)),
+        s"first fetch must survive: $kept")
+    } finally q.stop()
+  }
+
   test("stream-stream LEFT OUTER join emits unconverted views exactly once at watermark expiry") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
