@@ -77,9 +77,47 @@ object AnnotationQueries {
       .orderBy(col("user_id"))
   }
 
+  /** The |labels|²-row pairwise matchup matrix q156 (Copeland) and
+    * q186 (Bradley–Terry) both consolidate from — per unordered label
+    * pair, how many items strictly preferred each side and how many
+    * tied. This is the only corpus-touching stage of the preference
+    * family (one (item, label) partial-aggregable shuffle + the
+    * bounded |labels|² item-keyed self-join), so it is paid once per
+    * (session, sf) and pinned with `localCheckpoint` like
+    * [[StatisticsQueries.compressedCents]]; both consumers then run
+    * entirely on the 10-row matchup metadata.
+    */
+  def labelMatchups(s: org.apache.spark.sql.SparkSession, d: String): org.apache.spark.sql.DataFrame =
+    graft.SessionMemo.getOrCompute(s, "annot.matchups:" + d) {
+      val labels = Seq("click", "error", "purchase", "signup", "view")
+      val s0 = Tables.events(s, d)
+        .groupBy(col("user_id"), col("event_type"))
+        .agg(sum(expr("cast(round(value * 100) as bigint)")).as("cents"))
+      val u = Tables.events(s, d).select(col("user_id")).distinct()
+      val ty = s.createDataFrame(
+        s.sparkContext.parallelize(labels.map(org.apache.spark.sql.Row(_)), 1),
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("event_type",
+            org.apache.spark.sql.types.StringType, nullable = false))))
+      val dense = u.crossJoin(broadcast(ty))
+        .join(s0, Seq("user_id", "event_type"), "left_outer")
+        .select(col("user_id"), col("event_type"),
+          coalesce(col("cents"), lit(0L)).as("cents"))
+      val a = dense.alias("a")
+      val b = dense.alias("b")
+      a.join(b,
+          col("a.user_id") === col("b.user_id") &&
+            col("a.event_type") < col("b.event_type"))
+        .groupBy(col("a.event_type").as("ta"), col("b.event_type").as("tb"))
+        .agg(sum(when(col("a.cents") > col("b.cents"), 1L).otherwise(0L)).as("wa"),
+          sum(when(col("b.cents") > col("a.cents"), 1L).otherwise(0L)).as("wb"),
+          sum(when(col("a.cents") === col("b.cents"), 1L).otherwise(0L)).as("ties"))
+        .localCheckpoint()
+    }
+
   /** Pairwise-preference aggregation via Copeland scoring — the
-    * deterministic integer alternative to a Bradley–Terry MLE (whose
-    * iterative float fit has no engine-stable replay): each item
+    * closed-form integer consolidation next to q186's iterative
+    * Bradley–Terry strength fit (both read [[labelMatchups]]): each item
     * (user) casts one comparison per unordered label pair, a label
     * "beats" another for that item when its total integer-cents
     * strength is strictly larger, and a label's Copeland score earns
@@ -119,29 +157,7 @@ object AnnotationQueries {
       |  CAST(sum(ties) AS BIGINT) AS ties,
       |  CAST(sum(CASE WHEN w > l THEN 2 WHEN w = l THEN 1 ELSE 0 END) AS BIGINT) AS copeland_2x
       |FROM d GROUP BY event_type ORDER BY event_type""".stripMargin) { (s, d) =>
-    val labels = Seq("click", "error", "purchase", "signup", "view")
-    val s0 = Tables.events(s, d)
-      .groupBy(col("user_id"), col("event_type"))
-      .agg(sum(expr("cast(round(value * 100) as bigint)")).as("cents"))
-    val u = Tables.events(s, d).select(col("user_id")).distinct()
-    val ty = s.createDataFrame(
-      s.sparkContext.parallelize(labels.map(org.apache.spark.sql.Row(_)), 1),
-      org.apache.spark.sql.types.StructType(Seq(
-        org.apache.spark.sql.types.StructField("event_type",
-          org.apache.spark.sql.types.StringType, nullable = false))))
-    val dense = u.crossJoin(broadcast(ty))
-      .join(s0, Seq("user_id", "event_type"), "left_outer")
-      .select(col("user_id"), col("event_type"),
-        coalesce(col("cents"), lit(0L)).as("cents"))
-    val a = dense.alias("a")
-    val b = dense.alias("b")
-    val m = a.join(b,
-        col("a.user_id") === col("b.user_id") &&
-          col("a.event_type") < col("b.event_type"))
-      .groupBy(col("a.event_type").as("ta"), col("b.event_type").as("tb"))
-      .agg(sum(when(col("a.cents") > col("b.cents"), 1L).otherwise(0L)).as("wa"),
-        sum(when(col("b.cents") > col("a.cents"), 1L).otherwise(0L)).as("wb"),
-        sum(when(col("a.cents") === col("b.cents"), 1L).otherwise(0L)).as("ties"))
+    val m = labelMatchups(s, d)
     val dir = m.select(col("ta").as("event_type"), col("wa").as("w"),
         col("wb").as("l"), col("ties"))
       .unionAll(m.select(col("tb").as("event_type"), col("wb").as("w"),
@@ -156,5 +172,117 @@ object AnnotationQueries {
       .orderBy(col("event_type"))
   }
 
-  val all: Seq[QueryDef] = Seq(q155LabelConsolidation, q156PreferenceCopeland)
+  /** Bradley–Terry preference-strength fit — the model an RLHF
+    * reward pipeline actually trains on pairwise judgments, fit here
+    * as two unrolled minorization–maximization (MM) steps in exact
+    * integer micro-units so both engines replay the SAME floors
+    * (q89's unrolled-Lloyd convention; this retires the old "no
+    * engine-stable replay" caveat in q156's scaladoc). Per MM step,
+    * with strengths `s` in ppm (start: 1e6 each):
+    *
+    *   t_ij  = n_ij·10¹² div (s_i + s_j)      (0 when n_ij = 0)
+    *   raw_i = W_i·10¹² div Σ_j t_ij          (prior 1e6 when Σ = 0)
+    *   s_i   = max(1, raw_i·k·10⁶ div Σ raw)  (renormalize: Σs ≈ k·10⁶)
+    *
+    * where n_ij counts DECISIVE games (ties drop, the standard BT
+    * treatment), W_i total wins, k = |labels|. The max(1,·) floor
+    * keeps strengths positive so the next step's divisor never
+    * vanishes; the renormalization product runs in DECIMAL(38,0)
+    * (DuckDB HUGEINT) because raw·k·10⁶ can pass 2⁶³. All divisions
+    * are non-negative, where Spark `div` ≡ DuckDB `//`. Overflow
+    * bound: n_ij·10¹² needs n_ij < 9.2e6 — repin the 10¹² scale down
+    * at ~10⁶ items per pair.
+    *
+    * Scale shape: the corpus is touched only inside the memoized
+    * [[labelMatchups]]; both MM steps run on |labels|²-row metadata
+    * through broadcast joins, so the fit costs nothing at 100 TB
+    * beyond the matchup build it shares with q156.
+    */
+  val q186BradleyTerry = QueryDef(
+    "q186_bradley_terry",
+    "Bradley-Terry preference strengths: two exact-integer MM steps on the memoized pairwise matchup matrix",
+    """WITH s0 AS (SELECT user_id, event_type,
+      |                   CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS cents
+      |            FROM events GROUP BY user_id, event_type),
+      |u AS (SELECT DISTINCT user_id FROM events),
+      |ty AS (SELECT unnest(['click','error','purchase','signup','view']) AS event_type),
+      |dense AS (SELECT u.user_id, ty.event_type, coalesce(s0.cents, 0) AS cents
+      |          FROM u CROSS JOIN ty
+      |          LEFT JOIN s0 ON s0.user_id = u.user_id AND s0.event_type = ty.event_type),
+      |m AS (SELECT a.event_type AS ta, b.event_type AS tb,
+      |             CAST(sum(CASE WHEN a.cents > b.cents THEN 1 ELSE 0 END) AS BIGINT) AS wa,
+      |             CAST(sum(CASE WHEN b.cents > a.cents THEN 1 ELSE 0 END) AS BIGINT) AS wb
+      |      FROM dense a JOIN dense b ON a.user_id = b.user_id AND a.event_type < b.event_type
+      |      GROUP BY a.event_type, b.event_type),
+      |dir AS (SELECT ta AS i, tb AS j, wa + wb AS n, wa AS w FROM m
+      |        UNION ALL SELECT tb, ta, wa + wb, wb FROM m),
+      |wt AS (SELECT i, CAST(sum(w) AS BIGINT) AS wins,
+      |              CAST(sum(n) AS BIGINT) AS games FROM dir GROUP BY i),
+      |w0 AS (SELECT i, CAST(1000000 AS BIGINT) AS s FROM wt),
+      |t1 AS (SELECT dir.i,
+      |         CASE WHEN dir.n = 0 THEN 0
+      |              ELSE dir.n * 1000000000000 // (si.s + sj.s) END AS t
+      |       FROM dir JOIN w0 si ON si.i = dir.i JOIN w0 sj ON sj.i = dir.j),
+      |d1 AS (SELECT i, CAST(sum(t) AS BIGINT) AS den FROM t1 GROUP BY i),
+      |r1 AS (SELECT wt.i,
+      |         CASE WHEN den > 0 THEN wt.wins * 1000000000000 // den
+      |              ELSE 1000000 END AS raw
+      |       FROM wt JOIN d1 ON d1.i = wt.i),
+      |n1 AS (SELECT CAST(sum(raw) AS HUGEINT) AS tot, CAST(count(*) AS BIGINT) AS k FROM r1),
+      |w1 AS (SELECT i, greatest(CAST(1 AS BIGINT),
+      |         CAST(CAST(raw AS HUGEINT) * (k * 1000000) // tot AS BIGINT)) AS s
+      |       FROM r1, n1),
+      |t2 AS (SELECT dir.i,
+      |         CASE WHEN dir.n = 0 THEN 0
+      |              ELSE dir.n * 1000000000000 // (si.s + sj.s) END AS t
+      |       FROM dir JOIN w1 si ON si.i = dir.i JOIN w1 sj ON sj.i = dir.j),
+      |d2 AS (SELECT i, CAST(sum(t) AS BIGINT) AS den FROM t2 GROUP BY i),
+      |r2 AS (SELECT wt.i,
+      |         CASE WHEN den > 0 THEN wt.wins * 1000000000000 // den
+      |              ELSE 1000000 END AS raw
+      |       FROM wt JOIN d2 ON d2.i = wt.i),
+      |n2 AS (SELECT CAST(sum(raw) AS HUGEINT) AS tot, CAST(count(*) AS BIGINT) AS k FROM r2),
+      |w2 AS (SELECT i, greatest(CAST(1 AS BIGINT),
+      |         CAST(CAST(raw AS HUGEINT) * (k * 1000000) // tot AS BIGINT)) AS s
+      |       FROM r2, n2)
+      |SELECT wt.i AS event_type, wt.games, wt.wins, w2.s AS strength_ppm
+      |FROM wt JOIN w2 ON w2.i = wt.i
+      |ORDER BY event_type""".stripMargin) { (s, d) =>
+    val m = labelMatchups(s, d)
+    val dir = m.select(col("ta").as("i"), col("tb").as("j"),
+        (col("wa") + col("wb")).as("n"), col("wa").as("w"))
+      .unionAll(m.select(col("tb").as("i"), col("ta").as("j"),
+        (col("wa") + col("wb")).as("n"), col("wb").as("w")))
+    val wt = dir.groupBy(col("i"))
+      .agg(sum(col("w")).as("wins"), sum(col("n")).as("games"))
+    def step(str: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+      val si = str.select(col("i").as("ii"), col("s").as("si"))
+      val sj = str.select(col("i").as("jj"), col("s").as("sj"))
+      val t = dir.join(broadcast(si), col("i") === col("ii"))
+        .join(broadcast(sj), col("j") === col("jj"))
+        .select(col("i"),
+          when(col("n") === 0, lit(0L))
+            .otherwise(expr("n * 1000000000000L div (si + sj)")).as("t"))
+      val den = t.groupBy(col("i")).agg(sum(col("t")).as("den"))
+      val raw = wt.join(broadcast(den), "i")
+        .select(col("i"),
+          when(col("den") > 0, expr("wins * 1000000000000L div den"))
+            .otherwise(lit(1000000L)).as("raw"))
+      val tot = raw.agg(sum(col("raw")).as("tot"), count(lit(1)).as("k"))
+      raw.crossJoin(broadcast(tot))
+        .select(col("i"),
+          greatest(lit(1L),
+            expr("cast(cast(raw as decimal(38,0)) * (k * 1000000L) div tot as bigint)"))
+            .as("s"))
+    }
+    val w0 = wt.select(col("i"), lit(1000000L).as("s"))
+    val w2 = step(step(w0))
+    wt.join(w2, "i")
+      .select(col("i").as("event_type"), col("games"), col("wins"),
+        col("s").as("strength_ppm"))
+      .orderBy(col("event_type"))
+  }
+
+  val all: Seq[QueryDef] =
+    Seq(q155LabelConsolidation, q156PreferenceCopeland, q186BradleyTerry)
 }

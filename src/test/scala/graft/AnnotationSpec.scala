@@ -104,4 +104,51 @@ class AnnotationSpec extends SparkSpec {
       assert(r.getAs[Long]("copeland_2x") == cop, s"$t copeland")
     }
   }
+
+  test("q186 Bradley-Terry matches an exact driver-side MM recompute") {
+    val got = AnnotationQueries.q186BradleyTerry.fn(spark, sfDir)
+      .collect()
+      .map(r => r.getString(0) ->
+        (r.getAs[Long]("games"), r.getAs[Long]("wins"), r.getAs[Long]("strength_ppm")))
+      .toMap
+
+    // replay the exact integer MM arithmetic from the collected
+    // matchup matrix: BigInt mirrors DECIMAL(38,0), / on positive
+    // BigInts mirrors `div`/`//`
+    val m = AnnotationQueries.labelMatchups(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getString(1),
+        r.getAs[Long]("wa"), r.getAs[Long]("wb")))
+    val items = m.flatMap(x => Seq(x._1, x._2)).distinct.sorted
+    val n = scala.collection.mutable.Map[(String, String), Long]().withDefaultValue(0L)
+    val w = scala.collection.mutable.Map[String, Long]().withDefaultValue(0L)
+    m.foreach { case (a, b, wa, wb) =>
+      n((a, b)) = wa + wb; n((b, a)) = wa + wb
+      w(a) += wa; w(b) += wb
+    }
+    val scale = BigInt("1000000000000")
+    def step(s: Map[String, BigInt]): Map[String, BigInt] = {
+      val raw = items.map { i =>
+        val den = items.filter(_ != i).map { j =>
+          val nij = BigInt(n((i, j)))
+          if (nij == 0) BigInt(0) else nij * scale / (s(i) + s(j))
+        }.sum
+        i -> (if (den > 0) BigInt(w(i)) * scale / den else BigInt(1000000))
+      }.toMap
+      val tot = raw.values.sum
+      val k = BigInt(items.size)
+      raw.map { case (i, r) => i -> (r * k * 1000000 / tot).max(BigInt(1)) }
+    }
+    val s0 = items.map(_ -> BigInt(1000000)).toMap
+    val expected = step(step(s0))
+
+    assert(got.keySet == items.toSet, "one row per label")
+    items.foreach { i =>
+      val (games, wins, strength) = got(i)
+      val g = items.filter(_ != i).map(j => n((i, j))).sum
+      assert(games == g, s"$i decisive games")
+      assert(wins == w(i), s"$i wins")
+      assert(strength == expected(i).toLong, s"$i MM strength")
+      assert(strength >= 1, s"$i strength positive")
+    }
+  }
 }
