@@ -556,8 +556,73 @@ object TextAnalysisQueries {
       .orderBy(col("lang"), col("pred_lang"))
   }
 
+  /** PMI collocation mining — the multi-word-expression detector a
+    * tokenizer/vocab pipeline runs before merging phrases ("new york",
+    * "machine learning") into single units: bigrams whose observed
+    * frequency beats the independence expectation. Ranking uses the
+    * exact integer LIFT in ppm,
+    *
+    *   lift_ppm = c(xy)·N·10⁶ div (c(x)·c(y)),
+    *
+    * which orders identically to PMI = ln(lift/10⁶) (ln is monotone)
+    * without touching the transcendental-portability trap the memo's
+    * tolerance class documents — the cross-engine contract stays
+    * hash-exact. Products run in DECIMAL(38,0) (DuckDB HUGEINT): at
+    * web scale c(x)·c(y) alone passes 2⁶³. The ≥5 min-count filter
+    * (the standard collocation support floor) prunes the bigram tail
+    * BEFORE the unigram joins.
+    *
+    * Scale shape: one scan → per-doc windowed bigram pairing (no
+    * global window), one (x,y) partial-aggregable count shuffle, two
+    * token-keyed joins against the vocabulary-sized unigram relation,
+    * one broadcast scalar for N, and a TakeOrdered top-50 — nothing
+    * corpus-sized is sorted or collected.
+    */
+  val q187PmiCollocations = QueryDef(
+    "q187_pmi_collocations",
+    "PMI collocations: top-50 bigrams by exact-integer lift over independence (min count 5)",
+    """WITH ws AS (SELECT list_filter(string_split(text, ' '), t -> length(t) > 0) AS w
+      |           FROM documents),
+      |tok AS (SELECT unnest(w) AS t FROM ws),
+      |uni AS (SELECT t, CAST(count(*) AS BIGINT) AS c FROM tok GROUP BY t),
+      |b0 AS (SELECT w, unnest(range(1, len(w))) AS i FROM ws),
+      |bg AS (SELECT w[CAST(i AS INT)] AS t1, w[CAST(i AS INT) + 1] AS t2 FROM b0),
+      |bigc AS (SELECT t1, t2, CAST(count(*) AS BIGINT) AS cxy
+      |         FROM bg GROUP BY t1, t2),
+      |nb AS (SELECT CAST(sum(cxy) AS BIGINT) AS n FROM bigc)
+      |SELECT t1, t2, cxy,
+      |  CAST(CAST(cxy AS HUGEINT) * n * 1000000
+      |       // (CAST(u1.c AS HUGEINT) * u2.c) AS BIGINT) AS lift_ppm
+      |FROM bigc, nb
+      |JOIN uni u1 ON u1.t = bigc.t1
+      |JOIN uni u2 ON u2.t = bigc.t2
+      |WHERE cxy >= 5
+      |ORDER BY lift_ppm DESC, t1, t2
+      |LIMIT 50""".stripMargin) { (s, d) =>
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("p"))
+    val tok = Tables.documents(s, d)
+      .select(col("doc_id"), posexplode(toks(col("text"))).as(Seq("p", "t")))
+    val uni = tok.groupBy(col("t")).agg(count(lit(1)).as("c"))
+    val bigc = tok
+      .select(col("doc_id"), col("t"), lead(col("t"), 1).over(w).as("tn"))
+      .filter(col("tn").isNotNull)
+      .groupBy(col("t").as("t1"), col("tn").as("t2"))
+      .agg(count(lit(1)).as("cxy"))
+    val nb = bigc.agg(sum(col("cxy")).as("n"))
+    bigc.filter(col("cxy") >= 5)
+      .join(uni.select(col("t").as("t1"), col("c").as("c1")), "t1")
+      .join(uni.select(col("t").as("t2"), col("c").as("c2")), "t2")
+      .crossJoin(broadcast(nb))
+      .select(col("t1"), col("t2"), col("cxy"),
+        expr("cast(cast(cxy as decimal(38,0)) * n * 1000000L" +
+          " div (cast(c1 as decimal(38,0)) * c2) as bigint)").as("lift_ppm"))
+      .orderBy(col("lift_ppm").desc, col("t1"), col("t2"))
+      .limit(50)
+  }
+
   val all: Seq[QueryDef] = Seq(
     q27TokenStats, q28LangStats, q29QualityScore, q30Langid,
     q31Fingerprint, q32NgramStats, q55Tfidf, q66BpeTokens, q96Textrank,
-    q117VocabGrowth, q171Readability, q172LangConfusion)
+    q117VocabGrowth, q171Readability, q172LangConfusion,
+    q187PmiCollocations)
 }

@@ -483,6 +483,37 @@ class StatisticsSpec extends SparkSpec {
     spark.sharedState.cacheManager.clearCache()
   }
 
+  test("q187 collocation lift matches an exact driver-side recompute") {
+    val got = Registry.byName("q187_pmi_collocations").fn(spark, sfDir).collect()
+    assert(got.nonEmpty)
+
+    val docs = Tables.documents(spark, sfDir).select("text").collect()
+      .map(_.getString(0).split(" ").filter(_.nonEmpty))
+    val uni = scala.collection.mutable.Map[String, Long]().withDefaultValue(0L)
+    val big = scala.collection.mutable.Map[(String, String), Long]().withDefaultValue(0L)
+    docs.foreach { w =>
+      w.foreach(t => uni(t) += 1)
+      w.sliding(2).filter(_.length == 2).foreach(p => big((p(0), p(1))) += 1)
+    }
+    val n = BigInt(big.values.sum)
+    val expected = big.iterator
+      .filter(_._2 >= 5)
+      .map { case ((x, y), cxy) =>
+        (x, y, cxy, (BigInt(cxy) * n * 1000000 / (BigInt(uni(x)) * uni(y))).toLong)
+      }
+      .toSeq
+      .sortBy { case (x, y, _, lift) => (-lift, x, y) }
+      .take(50)
+
+    assert(got.length == expected.length)
+    got.zip(expected).foreach { case (r, (x, y, cxy, lift)) =>
+      assert(r.getString(0) == x && r.getString(1) == y,
+        s"bigram order: got (${r.getString(0)}, ${r.getString(1)}), want ($x, $y)")
+      assert(r.getAs[Long]("cxy") == cxy)
+      assert(r.getAs[Long]("lift_ppm") == lift, s"($x, $y) lift")
+    }
+  }
+
   test("q172 confusion rows partition each recorded language (conservation)") {
     val rows = Registry.byName("q172_lang_confusion").fn(spark, sfDir).collect()
     val perLang = rows.groupBy(_.getString(0))
