@@ -88,6 +88,11 @@ object GraftFunctions {
       (children: Seq[Expression]) =>
         FreqTopK(children(0), children(1), children(2)))
 
+  val gramSumsDescriptor: Descriptor =
+    (FunctionIdentifier("gram_sums"),
+      new ExpressionInfo(classOf[GramSumAgg].getName, "gram_sums"),
+      (children: Seq[Expression]) => GramSumAgg(children.head))
+
   val mix64Descriptor: Descriptor =
     (FunctionIdentifier("mix64"),
       new ExpressionInfo(classOf[Mix64].getName, "mix64"),
@@ -102,8 +107,8 @@ object GraftFunctions {
     Seq(cosineSimDescriptor, minhashSigDescriptor, simhashDescriptor,
       topkDescriptor, similarToDescriptor, lshSigDescriptor,
       unicodeNormalizeDescriptor, quantizeI8Descriptor, vectorSumDescriptor,
-      fuzzyMatchDescriptor, freqTopkDescriptor, mix64Descriptor,
-      portableHash64Descriptor)
+      fuzzyMatchDescriptor, freqTopkDescriptor, gramSumsDescriptor,
+      mix64Descriptor, portableHash64Descriptor)
 
   /** Idempotent per-session registration: the native functions plus
     * the similarity-join optimizer rule (the in-library twin of the
@@ -151,6 +156,11 @@ object GraftFunctions {
   def similarTo(a: Column, b: Column, threshold: Double): Column =
     call_function("similar_to", a, b,
       org.apache.spark.sql.functions.lit(threshold))
+
+  /** Column-API form of the exact-integer Gram-sums aggregate
+    * (flat `[d, n, S…, G_triangle…]` longs — see [[GramSumAgg]]).
+    */
+  def gramSums(v: Column): Column = call_function("gram_sums", v)
 
   /** Column-API form of the native Unicode normalizer
     * (form ∈ NFC/NFD/NFKC/NFKD).

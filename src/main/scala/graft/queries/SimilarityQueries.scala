@@ -663,7 +663,121 @@ object SimilarityQueries {
       .orderBy(col("a_id"), col("rn"))
   }
 
+  /** Top principal component of the embedding corpus by power
+    * iteration — the spectral monitoring read behind embedding-drift
+    * dashboards and PCA-whitening pre-passes: the dominant direction
+    * plus its explained-variance share. A collapsing embedding model
+    * (all vectors drifting onto one axis) shows up as var_share_bp
+    * spiking long before downstream ANN recall degrades.
+    *
+    * Distributed/driver split is the BpeTrainer/IVF precedent: the
+    * DATA-sized work is ONE corpus scan through the native
+    * `gram_sums` TypedImperativeAggregate ([[graft.plans.GramSumAgg]])
+    * — quantized n/S_i/G_ij moments in a single ~2 KB-per-partition
+    * buffer, partial+final, nothing row-sized shuffled — and the
+    * d×d = 64² covariance n·G − S·Sᵀ is then iterated on the driver
+    * (metadata-bounded: 4 096 exact integers). 400 fixed iterations
+    * with integer renormalization v ← trunc(w·10⁵ / max|w|) keep
+    * every step in exact BigInt arithmetic, so the DuckDB twin
+    * (recursive CTE over the same HUGEINT covariance) replays the
+    * identical orbit and the result is hash-exact — the established
+    * deterministic-iteration contract (q39/q89's unrolled Lloyd).
+    * Convergence at the test corpus' λ₂/λ₁ ≈ 0.987: cosine vs the
+    * true eigenvector 0.999995 (StatisticsSpec gates ≥ 0.999).
+    *
+    * Overflow headroom: iteration terms stay < 10³⁸ to N ≈ 10⁸ rows
+    * at |x| ≤ 1; the Rayleigh var-share numerator 10⁴·vᵀMv is the
+    * binding bound, N ≲ 2·10⁶ in DuckDB's HUGEINT (the Scala BigInt
+    * side is unbounded — q159's documented divergence class). Beyond
+    * that, drop the quantization scale 10⁴ → 10² as in q110.
+    *
+    * Reference analogue: R9/R10 aggregate algebra + the driver-side
+    * merge-loop split of `reference/src/master_manager.c:96-145`.
+    */
+  val q188PowerIteration = QueryDef(
+    "q188_power_iteration",
+    "top principal component via exact-integer power iteration over one-pass gram_sums moments",
+    """WITH RECURSIVE dims AS (
+      |  SELECT vec_id, CAST(i AS INT) - 1 AS dim,
+      |    CAST(floor(CAST(embedding[CAST(i AS INT)] AS DOUBLE) * 10000) AS BIGINT) AS q
+      |  FROM (SELECT vec_id, embedding, unnest(range(1, len(embedding) + 1)) AS i
+      |        FROM embeddings)),
+      |sums AS (SELECT dim, CAST(sum(q) AS HUGEINT) AS s FROM dims GROUP BY dim),
+      |nn AS (SELECT CAST(count(*) AS HUGEINT) AS n FROM embeddings),
+      |gram AS (SELECT a.dim AS i, b.dim AS j, CAST(sum(a.q * b.q) AS HUGEINT) AS g
+      |         FROM dims a JOIN dims b ON a.vec_id = b.vec_id
+      |         GROUP BY a.dim, b.dim),
+      |cov AS (SELECT i, j, nn.n * g - si.s * sj.s AS m
+      |        FROM gram CROSS JOIN nn
+      |        JOIN sums si ON si.dim = gram.i
+      |        JOIN sums sj ON sj.dim = gram.j),
+      |pi AS (
+      |  SELECT 0 AS iter, dim, CAST(100000 AS HUGEINT) AS v FROM sums
+      |  UNION ALL
+      |  SELECT iter, dim,
+      |    CASE WHEN w < 0 THEN -(((-w) * 100000) // mx)
+      |         ELSE (w * 100000) // mx END AS v
+      |  FROM (
+      |    SELECT p.iter + 1 AS iter, c.i AS dim,
+      |      sum(c.m * p.v) AS w,
+      |      max(abs(sum(c.m * p.v))) OVER () AS mx
+      |    FROM pi p JOIN cov c ON c.j = p.dim
+      |    WHERE p.iter < 400
+      |    GROUP BY p.iter + 1, c.i)),
+      |vfin AS (SELECT dim, v FROM pi WHERE iter = 400),
+      |rq AS (SELECT CAST(sum(a.v * c.m * b.v) AS HUGEINT) AS num
+      |       FROM cov c JOIN vfin a ON a.dim = c.i JOIN vfin b ON b.dim = c.j),
+      |vv AS (SELECT CAST(sum(v * v) AS HUGEINT) AS den FROM vfin),
+      |tr AS (SELECT CAST(sum(m) AS HUGEINT) AS t FROM cov WHERE i = j)
+      |SELECT dim, CAST(v AS BIGINT) AS loading_q5,
+      |  CAST((10000 * num) // (den * t) AS BIGINT) AS var_share_bp
+      |FROM vfin CROSS JOIN rq CROSS JOIN vv CROSS JOIN tr
+      |ORDER BY dim""".stripMargin) { (s, d) =>
+    GraftFunctions.register(s)
+    val flat = Tables.embeddings(s, d)
+      .agg(GraftFunctions.gramSums(col("embedding")).as("g"))
+      .head.getSeq[Long](0)
+    val dim = flat(0).toInt
+    val n = BigInt(flat(1))
+    val sums = Array.tabulate(dim)(i => BigInt(flat(2 + i)))
+    val tri = flat.drop(2 + dim)
+    // covariance (×n², scale-free for the eigenvector): n·G − S·Sᵀ
+    val m = Array.tabulate(dim, dim) { (i, j) =>
+      val (lo, hi) = (math.min(i, j), math.max(i, j))
+      n * BigInt(tri(graft.plans.GramBuffer.triIndex(lo, hi, dim))) -
+        sums(i) * sums(j)
+    }
+    val VS = BigInt(100000)
+    var v = Array.fill(dim)(VS)
+    var it = 0
+    while (it < 400) {
+      val w = Array.tabulate(dim) { i =>
+        var acc = BigInt(0)
+        var j = 0
+        while (j < dim) { acc += m(i)(j) * v(j); j += 1 }
+        acc
+      }
+      val mx = w.map(_.abs).max
+      if (mx == 0) it = 400 // degenerate all-zero covariance: keep v
+      else v = w.map(x => if (x < 0) -((-x * VS) / mx) else x * VS / mx)
+      it += 1
+    }
+    var (num, den, trM) = (BigInt(0), BigInt(0), BigInt(0))
+    for (i <- 0 until dim) {
+      den += v(i) * v(i)
+      trM += m(i)(i)
+      for (j <- 0 until dim) num += v(i) * m(i)(j) * v(j)
+    }
+    val share = (BigInt(10000) * num / (den * trM)).toLong
+    import s.implicits._
+    v.zipWithIndex
+      .map { case (x, i) => (i, x.toLong, share) }.toSeq
+      .toDF("dim", "loading_q5", "var_share_bp")
+      .orderBy(col("dim"))
+  }
+
   val all: Seq[QueryDef] =
     Seq(q38CosineTopk, q39AnnIvf, q60HyperplaneLsh, q76QuantizedTopk,
-      q89SemanticDedup, q110CentroidDrift, q134NegativeSampling)
+      q89SemanticDedup, q110CentroidDrift, q134NegativeSampling,
+      q188PowerIteration)
 }

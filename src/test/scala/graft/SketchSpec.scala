@@ -165,4 +165,85 @@ class SketchSpec extends SparkSpec {
       s"HLL estimate $direct vs exact $exact beyond 5%")
     spark.catalog.dropTempView("hll_events")
   }
+
+  test("gram_sums moments are exact on a hand-computed fixture") {
+    GraftFunctions.register(spark)
+    // rows (0.1, 0.2) and (0.3, -0.1) quantize to (1000, 2000),
+    // (3000*0.9999...→2999 or 3000? floor(0.3*10000)=2999 in binary
+    // float) — compute expectations from the same quantization rule
+    val rows = Seq(Array(0.1f, 0.2f), Array(0.3f, -0.1f))
+    val q = rows.map(_.map(x => math.floor(x.toDouble * 10000).toLong))
+    val flat = rows.toDF("v")
+      .agg(GraftFunctions.gramSums(col("v")))
+      .head.getSeq[Long](0)
+    assert(flat(0) == 2L && flat(1) == 2L, "d then n")
+    assert(flat(2) == q.map(_(0)).sum && flat(3) == q.map(_(1)).sum)
+    val g00 = q.map(r => r(0) * r(0)).sum
+    val g01 = q.map(r => r(0) * r(1)).sum
+    val g11 = q.map(r => r(1) * r(1)).sum
+    assert(flat.drop(4) == Seq(g00, g01, g11),
+      s"upper-triangle gram, got ${flat.drop(4)}")
+  }
+
+  test("gram_sums is invariant to the partition layout") {
+    GraftFunctions.register(spark)
+    val e = Tables.embeddings(spark, sfDir).select(col("embedding"))
+    def flat(parts: Int): Seq[Long] =
+      e.repartition(parts).agg(GraftFunctions.gramSums(col("embedding")))
+        .head.getSeq[Long](0)
+    assert(flat(1) == flat(7), "merge must be layout-independent")
+  }
+
+  test("gram_sums raises on mixed dimensions (strict-dim contract)") {
+    GraftFunctions.register(spark)
+    val bad = Seq(Array(0.1f, 0.2f), Array(0.3f)).toDF("v")
+      .agg(GraftFunctions.gramSums(col("v")))
+    val e = intercept[Exception](bad.head)
+    assert(e.getMessage != null)
+  }
+
+  test("q188 plans gram_sums as one partial ObjectHashAggregate — no row-sized exchange") {
+    GraftFunctions.register(spark)
+    val plan = Tables.embeddings(spark, sfDir)
+      .agg(GraftFunctions.gramSums(col("embedding")))
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("ObjectHashAggregate"),
+      s"expected ObjectHashAggregate partial/final pair, got:\n$plan")
+    assert(!plan.contains("posexplode") && !plan.contains("SortMergeJoin"),
+      s"gram must be one-pass — no explode/self-join shape:\n$plan")
+  }
+
+  test("q188 integer power iteration converges to the double-precision top eigenvector") {
+    // independent double-precision reference: covariance of the SAME
+    // quantized matrix, 3000 plain power-iteration steps (gap^3000 is
+    // ~0 at any λ2/λ1 ≤ 0.999 — and a tie would fail the assert, not
+    // mask it)
+    val rows = Registry.byName("q188_power_iteration").fn(spark, sfDir)
+      .orderBy(col("dim")).collect()
+    assert(rows.length == 64)
+    val got = rows.map(_.getAs[Long]("loading_q5").toDouble)
+    val emb = Tables.embeddings(spark, sfDir)
+      .select(col("embedding")).collect()
+      .map(_.getSeq[Float](0).map(x => math.floor(x.toDouble * 10000)).toArray)
+    val d = emb.head.length
+    val n = emb.length.toDouble
+    val s = Array.tabulate(d)(i => emb.map(_(i)).sum)
+    val m = Array.tabulate(d, d) { (i, j) =>
+      n * emb.map(r => r(i) * r(j)).sum - s(i) * s(j)
+    }
+    var v = Array.fill(d)(1.0)
+    (1 to 3000).foreach { _ =>
+      val w = Array.tabulate(d)(i =>
+        (0 until d).map(j => m(i)(j) * v(j)).sum)
+      val mx = w.map(math.abs).max
+      v = w.map(_ / mx)
+    }
+    val dot = got.zip(v).map { case (a, b) => a * b }.sum
+    val cos = math.abs(dot) /
+      (math.sqrt(got.map(x => x * x).sum) * math.sqrt(v.map(x => x * x).sum))
+    assert(cos >= 0.999, s"cosine vs converged reference: $cos")
+    val share = rows.head.getAs[Long]("var_share_bp")
+    assert(share > 0 && share < 10000, s"var share $share out of range")
+    assert(rows.forall(_.getAs[Long]("var_share_bp") == share))
+  }
 }
