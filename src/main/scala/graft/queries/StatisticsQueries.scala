@@ -1429,11 +1429,94 @@ object StatisticsQueries {
       .orderBy(col("event_type"))
   }
 
+  /** Two-sided CUSUM changepoint monitor on the hourly event-rate
+    * series — the sequential drift detector a pipeline dashboard runs
+    * next to the distributional monitors (q138 KS, q153 PSI): those
+    * compare two snapshots; CUSUM localizes WHEN a level shift
+    * happened and accumulates evidence across hours, catching slow
+    * drifts each individual hour hides. Fourth consumer of the
+    * memoized [[hourlySeries]] spine (q162 ACF, q163 seasonal
+    * anomaly, q165 forecast eval).
+    *
+    * The textbook recursion S⁺_t = max(0, S⁺_{t−1} + d_t − k) is
+    * sequential; the scale shape uses its closed form
+    * S⁺_t = C_t − min(0, min_{j≤t} C_j) with C the running sum of
+    * (d − k) — two windows over the METADATA-sized hour spine (the
+    * q138/q164 spine-window precedent), never over events. Deviations
+    * are kept integer by multiplying through by the hour count:
+    * d_t = H·x_t − S (Σd = 0 exactly), and the detector
+    * self-calibrates from the series' own mean absolute deviation
+    * A/H: allowance k = A/(2H) (half the typical hourly deviation —
+    * the classic δ/2 rule) and threshold = 4·A/H, both floored
+    * integers, so the whole orbit is engine-exact. Output is the
+    * dashboard table: per hour, alarm levels in basis points of the
+    * threshold plus the boolean alarms.
+    *
+    * Overflow: |d| ≤ H·max(x); the running sums stay under 2⁶³ to
+    * ~10⁵ hours × 10¹² hourly events — beyond any real corpus (a
+    * century is 8.8·10⁵ hours; widen to DECIMAL(38,0)/HUGEINT past
+    * that, q159's documented divergence class).
+    */
+  val q189CusumChangepoint = QueryDef(
+    "q189_cusum_changepoint",
+    "two-sided CUSUM level-shift monitor on hourly counts: closed-form integer recursion, self-calibrated k and threshold",
+    """WITH b AS (SELECT min(date_trunc('hour', CAST(ts AS TIMESTAMP))) AS lo,
+      |                  max(date_trunc('hour', CAST(ts AS TIMESTAMP))) AS hi FROM events),
+      |spine AS (SELECT unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS h FROM b),
+      |hc AS (SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS h,
+      |              CAST(count(*) AS BIGINT) AS x FROM events GROUP BY 1),
+      |hs AS (SELECT s.h, coalesce(hc.x, 0) AS x FROM spine s LEFT JOIN hc USING (h)),
+      |t AS (SELECT CAST(sum(x) AS BIGINT) AS s, CAST(count(*) AS BIGINT) AS hn FROM hs),
+      |d AS (SELECT h, x, hn * x - s AS dev FROM hs CROSS JOIN t),
+      |a AS (SELECT CAST(sum(abs(dev)) AS BIGINT) AS aa FROM d),
+      |kk AS (SELECT aa // (2 * hn) AS k, (4 * aa) // hn AS th FROM a CROSS JOIN t),
+      |c AS (SELECT h, x, dev,
+      |        CAST(sum(dev - k) OVER (ORDER BY h) AS BIGINT) AS cp,
+      |        CAST(sum(dev + k) OVER (ORDER BY h) AS BIGINT) AS cn
+      |      FROM d CROSS JOIN kk),
+      |sf AS (SELECT h, x, dev,
+      |        cp - least(CAST(0 AS BIGINT), min(cp) OVER (ORDER BY h)) AS sp,
+      |        greatest(CAST(0 AS BIGINT), max(cn) OVER (ORDER BY h)) - cn AS sn
+      |      FROM c)
+      |SELECT h AS hour_start, x, dev,
+      |  CASE WHEN th = 0 THEN NULL ELSE (10000 * sp) // th END AS up_bp,
+      |  CASE WHEN th = 0 THEN NULL ELSE (10000 * sn) // th END AS dn_bp,
+      |  CASE WHEN th = 0 THEN NULL ELSE sp > th END AS alarm_up,
+      |  CASE WHEN th = 0 THEN NULL ELSE sn > th END AS alarm_dn
+      |FROM sf CROSS JOIN kk
+      |ORDER BY hour_start""".stripMargin) { (s, d) =>
+    val hs = hourlySeries(s, d)
+    val tot = hs.agg(sum(col("x")).as("s"), count(lit(1)).as("hn"))
+    val dev = hs.crossJoin(broadcast(tot))
+      .select(col("h"), col("x"), col("i"), col("hn"),
+        (col("hn") * col("x") - col("s")).as("dev"))
+    val cal = dev.agg(sum(abs(col("dev"))).as("aa"), first(col("hn")).as("hn"))
+      .select(expr("aa div (2 * hn)").as("k"), expr("(4 * aa) div hn").as("th"))
+    val w = Window.orderBy(col("i"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val c = dev.crossJoin(broadcast(cal))
+      .withColumn("cp", sum(col("dev") - col("k")).over(w))
+      .withColumn("cn", sum(col("dev") + col("k")).over(w))
+    c.withColumn("sp", col("cp") - least(lit(0L), min(col("cp")).over(w)))
+      .withColumn("sn", greatest(lit(0L), max(col("cn")).over(w)) - col("cn"))
+      .select(col("h").as("hour_start"), col("x"), col("dev"),
+        when(col("th") === 0, lit(null).cast("long"))
+          .otherwise(expr("(10000 * sp) div th")).as("up_bp"),
+        when(col("th") === 0, lit(null).cast("long"))
+          .otherwise(expr("(10000 * sn) div th")).as("dn_bp"),
+        when(col("th") === 0, lit(null).cast("boolean"))
+          .otherwise(col("sp") > col("th")).as("alarm_up"),
+        when(col("th") === 0, lit(null).cast("boolean"))
+          .otherwise(col("sn") > col("th")).as("alarm_dn"))
+      .orderBy(col("hour_start"))
+  }
+
   val all: Seq[QueryDef] =
     Seq(q136BloomFilter, q137RankSumAuc, q138KsDrift, q139SourceImpurity,
       q141BenfordAudit, q143AbTest, q145MadOutliers, q147Calibration,
       q148RevenueConcentration, q152NdcgEval, q153PsiDrift,
       q154WinsorizedStats, q159SpearmanActivity, q162Autocorrelation,
       q163SeasonalAnomaly, q165ForecastEval, q166ActiveUsers,
-      q167DidUplift, q175QqDrift, q176AbPower, q184BootstrapCi)
+      q167DidUplift, q175QqDrift, q176AbPower, q184BootstrapCi,
+      q189CusumChangepoint)
 }

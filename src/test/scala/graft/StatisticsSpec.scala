@@ -639,4 +639,59 @@ class StatisticsSpec extends SparkSpec {
     }
     spark.sharedState.cacheManager.clearCache()
   }
+
+  test("q189 closed-form CUSUM equals the textbook max(0,·) recursion") {
+    val out = run("q189_cusum_changepoint").collect()
+    assert(out.nonEmpty)
+
+    // independent reference: the sequential recursion over the same
+    // hourly series (closed-form windows vs direct recursion is the
+    // load-bearing equivalence the query's scale shape rests on)
+    val xs = out.sortBy(_.getTimestamp(0).getTime).map(_.getAs[Long]("x"))
+    val hn = xs.length.toLong
+    val s = xs.sum
+    val dev = xs.map(x => hn * x - s)
+    assert(dev.sum == 0L, "deviations must telescope to zero")
+    val aa = dev.map(math.abs).sum
+    val k = aa / (2 * hn)
+    val th = 4 * aa / hn
+    var (sp, sn) = (0L, 0L)
+    val expected = dev.map { d =>
+      sp = math.max(0L, sp + d - k)
+      sn = math.max(0L, sn - d - k)
+      (sp, sn)
+    }
+    out.sortBy(_.getTimestamp(0).getTime).zip(expected).foreach {
+      case (r, (esp, esn)) =>
+        val upBp = r.getAs[Long]("up_bp")
+        val dnBp = r.getAs[Long]("dn_bp")
+        assert(upBp == 10000L * esp / th,
+          s"${r.getTimestamp(0)}: up_bp $upBp vs recursion ${10000L * esp / th}")
+        assert(dnBp == 10000L * esn / th)
+        assert(r.getAs[Boolean]("alarm_up") == (esp > th))
+        assert(r.getAs[Boolean]("alarm_dn") == (esn > th))
+    }
+  }
+
+  test("q189 flags a planted level shift and stays quiet before it") {
+    // synthetic series contract check without the events table: replay
+    // the query's self-calibrated detector on a planted step series —
+    // flat 100/hour for 120 h, then 200/hour for 120 h. The detector
+    // must not alarm before the shift and must alarm after it.
+    val xs = Array.fill(120)(100L) ++ Array.fill(120)(200L)
+    val hn = xs.length.toLong
+    val s = xs.sum
+    val dev = xs.map(x => hn * x - s)
+    val aa = dev.map(math.abs).sum
+    val k = aa / (2 * hn)
+    val th = 4 * aa / hn
+    var sp = 0L
+    val alarms = dev.map { d =>
+      sp = math.max(0L, sp + d - k); sp > th
+    }
+    assert(!alarms.take(120).exists(identity),
+      "no upward alarm during the flat prefix")
+    assert(alarms.drop(120).count(identity) > 100,
+      "sustained upward alarm after the level shift")
+  }
 }
