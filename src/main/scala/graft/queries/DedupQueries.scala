@@ -1330,10 +1330,98 @@ object DedupQueries {
       .orderBy(col("doc_a"), col("doc_b"))
   }
 
+  /** Survivorship ("golden record") over the duplicate clusters —
+    * the step after dedup DETECTION that master-data and crawl
+    * pipelines actually ship: for every multi-member cluster, elect
+    * one surviving record by a deterministic rule (longest text wins,
+    * ties to the smallest doc_id) and roll the losers' provenance up
+    * beside it (member/source counts, total chars, the sorted source
+    * list). Downstream consumers keep `survivor_doc_id` and delete
+    * the rest without losing where the copies came from.
+    *
+    * Fourth projection of the memoized [[clusterAssignments]] table
+    * (q78 report, q93 split, q170 sizes): one doc-keyed join against
+    * `documents`, then ONE partial-aggregable groupBy(cluster_id) —
+    * the election is `max_by(struct(...), (n_chars, −doc_id))`, an
+    * ordinary aggregate that combines map-side, NEVER a
+    * row_number() window over the corpus (a window would funnel each
+    * cluster through one task and, with mostly-singleton clusters,
+    * sort the whole corpus for nothing). Sources roll up as
+    * `array_join(array_sort(collect_set(...)))` — order-independent,
+    * so partition layout can't touch the string.
+    *
+    * Oracle: q78's recursive min-label reachability preamble (the
+    * proven brute-force Jaccard ≥ 0.8 twin) + a per-cluster
+    * aggregation; the survivor election is replayed by a
+    * row_number() window, fine at DuckDB's scale.
+    */
+  val q190Survivorship = QueryDef(
+    "q190_survivorship",
+    "golden-record survivorship per duplicate cluster: longest-text election + provenance rollup",
+    """WITH RECURSIVE t AS (
+      |  SELECT doc_id,
+      |    list_distinct(list_transform(range(1, len(w)-1),
+      |                  i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS sh
+      |  FROM (SELECT doc_id, list_filter(string_split(text, ' '), t -> length(t) > 0) AS w
+      |        FROM documents)),
+      |tb AS (SELECT doc_id, len(sh) AS n, sh FROM t WHERE len(sh) > 0),
+      |inv AS (SELECT doc_id, unnest(sh) AS g FROM tb),
+      |co AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+      |       FROM inv a JOIN inv b ON a.g = b.g AND a.doc_id < b.doc_id
+      |       GROUP BY a.doc_id, b.doc_id),
+      |pairs AS (
+      |  SELECT doc_a, doc_b FROM (
+      |    SELECT doc_a, doc_b,
+      |      round(CAST(inter AS DOUBLE) / (na.n + nb.n - inter), 4) AS jaccard
+      |    FROM co JOIN tb na ON na.doc_id = co.doc_a
+      |            JOIN tb nb ON nb.doc_id = co.doc_b)
+      |  WHERE jaccard >= 0.8),
+      |edges AS (SELECT doc_a AS u, doc_b AS v FROM pairs
+      |          UNION ALL SELECT doc_b AS u, doc_a AS v FROM pairs),
+      |reach AS (
+      |  SELECT doc_id AS u, doc_id AS lbl FROM documents
+      |  UNION
+      |  SELECT e.u, r.lbl FROM edges e JOIN reach r ON r.u = e.v),
+      |lab AS (SELECT u AS doc_id, min(lbl) AS cluster_id FROM reach GROUP BY u),
+      |j AS (SELECT l.cluster_id, d.doc_id, d.source, d.n_chars
+      |      FROM lab l JOIN documents d ON d.doc_id = l.doc_id),
+      |rn AS (SELECT *, row_number() OVER (PARTITION BY cluster_id
+      |                 ORDER BY n_chars DESC, doc_id) AS rn FROM j),
+      |sv AS (SELECT cluster_id, doc_id AS survivor_doc_id,
+      |              source AS survivor_source FROM rn WHERE rn = 1),
+      |ag AS (SELECT cluster_id, CAST(count(*) AS INT) AS n_cluster,
+      |              CAST(sum(n_chars) AS BIGINT) AS total_chars,
+      |              CAST(count(DISTINCT source) AS INT) AS n_sources,
+      |              string_agg(DISTINCT source, ',' ORDER BY source) AS sources
+      |       FROM j GROUP BY cluster_id)
+      |SELECT ag.cluster_id, n_cluster, survivor_doc_id, survivor_source,
+      |       total_chars, n_sources, sources
+      |FROM ag JOIN sv ON sv.cluster_id = ag.cluster_id
+      |WHERE n_cluster >= 2
+      |ORDER BY ag.cluster_id""".stripMargin) { (s, d) =>
+    val docs = Tables.documents(s, d)
+      .select(col("doc_id"), col("source"), col("n_chars"))
+    clusterAssignments(s, d).join(docs, "doc_id")
+      .groupBy(col("cluster_id"))
+      .agg(
+        count(lit(1)).cast("int").as("n_cluster"),
+        max_by(struct(col("doc_id"), col("source")),
+          struct(col("n_chars"), (-col("doc_id")).as("nd"))).as("b"),
+        sum(col("n_chars")).as("total_chars"),
+        countDistinct(col("source")).cast("int").as("n_sources"),
+        array_join(array_sort(collect_set(col("source"))), ",").as("sources"))
+      .filter(col("n_cluster") >= 2)
+      .select(col("cluster_id"), col("n_cluster"),
+        col("b.doc_id").as("survivor_doc_id"),
+        col("b.source").as("survivor_source"),
+        col("total_chars"), col("n_sources"), col("sources"))
+      .orderBy(col("cluster_id"))
+  }
+
   val all: Seq[QueryDef] = Seq(
     q33ExactDedup, q34MinhashLsh, q35Simhash, q36NgramJaccard,
     q37EmbeddingNeardup, q78DupClusters, q79IncrementalDedup,
     q82FuzzyJoin, q93LeakageSafeSplit, q158MinhashCalibration, q185DedupPrCurve,
     q161MinimizerDedup, q169JaccardHistogram, q170ClusterSizes,
-    q173SourceOverlap)
+    q173SourceOverlap, q190Survivorship)
 }

@@ -561,4 +561,37 @@ class DedupQualitySpec extends SparkSpec {
     assert(cont > 0L && cont <= 10000L)
     spark.sharedState.cacheManager.clearCache()
   }
+
+  test("q190 survivorship ties out to q78's clusters and elects the longest member") {
+    val surv = Registry.byName("q190_survivorship").fn(spark, sfDir).collect()
+    val clusters = Registry.byName("q78_dup_clusters").fn(spark, sfDir)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+      .groupBy(_._2).view.mapValues(_.map(_._1).toSet).toMap
+    val docs = Tables.documents(spark, sfDir)
+      .select("doc_id", "source", "n_chars").collect()
+      .map(r => r.getLong(0) -> (r.getString(1), r.getLong(2))).toMap
+
+    // exactly the multi-member clusters, no invention, none missed
+    val multi = clusters.filter(_._2.size >= 2)
+    assert(surv.map(_.getLong(0)).toSet == multi.keySet,
+      "survivorship rows must be exactly q78's multi-member clusters")
+
+    surv.foreach { r =>
+      val members = multi(r.getLong(0))
+      assert(r.getInt(1) == members.size, "n_cluster mismatch vs q78")
+      val sid = r.getAs[Long]("survivor_doc_id")
+      assert(members.contains(sid), "survivor must be a member")
+      // election rule: max n_chars, ties to min doc_id
+      val best = members.toSeq
+        .map(id => (id, docs(id)._2)).sortBy { case (id, nc) => (-nc, id) }.head._1
+      assert(sid == best, s"cluster ${r.getLong(0)}: survivor $sid vs rule $best")
+      assert(r.getAs[String]("survivor_source") == docs(sid)._1)
+      assert(r.getAs[Long]("total_chars") == members.toSeq.map(docs(_)._2).sum)
+      val srcs = members.map(docs(_)._1)
+      assert(r.getAs[Int]("n_sources") == srcs.size)
+      assert(r.getAs[String]("sources") == srcs.toSeq.sorted.mkString(","))
+    }
+    spark.sharedState.cacheManager.clearCache()
+  }
 }
