@@ -1,6 +1,7 @@
 package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.{QueryDef, Tables}
 import graft.plans.GraftFunctions
@@ -151,7 +152,7 @@ object SimilarityQueries {
     */
   private def lloydIterSql(r: Int): String = {
     val prev = s"c${r - 1}"
-    s"""a$r AS (SELECT vec_id, qv, c_id FROM (
+    s"""a$r AS MATERIALIZED (SELECT vec_id, qv, c_id FROM (
        |    SELECT s.vec_id, s.qv, c.c_id,
        |      row_number() OVER (PARTITION BY s.vec_id ORDER BY
        |        list_dot_product(s.v, c.ce) / sqrt(list_dot_product(s.v, s.v) * list_dot_product(c.ce, c.ce)) DESC,
@@ -160,7 +161,7 @@ object SimilarityQueries {
        |n$r AS (SELECT c_id, count(*) AS n FROM a$r GROUP BY c_id),
        |s$r AS (SELECT a.c_id, d.j, sum(a.qv[d.j]) AS sv
        |        FROM a$r a CROSS JOIN dims d GROUP BY a.c_id, d.j),
-       |c$r AS (SELECT p.c_id, COALESCE(m.ce, p.ce) AS ce
+       |c$r AS MATERIALIZED (SELECT p.c_id, COALESCE(m.ce, p.ce) AS ce
        |        FROM $prev p LEFT JOIN (
        |          SELECT s.c_id, list(CAST(floor(s.sv / n.n) AS DOUBLE) ORDER BY s.j) AS ce
        |          FROM s$r s JOIN n$r n USING (c_id) GROUP BY s.c_id) m USING (c_id)),""".stripMargin
@@ -191,21 +192,29 @@ object SimilarityQueries {
     * unrolled Lloyd iterations, and the full-corpus assignment to
     * the final centroids (CTE `asgn`).
     */
+  /** CTEs are MATERIALIZED: DuckDB inlines duplicate CTE references,
+    * so the chained Lloyd iterations (each c_r referenced by both
+    * a_{r+1} and c_{r+1}) re-evaluate exponentially — ~2^iters
+    * re-runs of the whole upstream chain, measured 73 s for a 500-row
+    * corpus at iters=6 (and ~600 s for q191's three `asgn`
+    * references). The hint pins each stage to one evaluation
+    * (0.6 s); results are bit-identical.
+    */
   private def ivfPreambleSql(iters: Int): String =
-    s"""WITH t AS (
+    s"""WITH t AS MATERIALIZED (
        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
        |    list_transform(CAST(embedding AS DOUBLE[]),
        |      x -> floor(x * (127.0 / list_max(list_transform(CAST(embedding AS DOUBLE[]), y -> abs(y)))) + 0.5)) AS qv
        |  FROM embeddings),
-       |dims AS (SELECT unnest(range(1, 1 + (SELECT max(len(v)) FROM t))) AS j),
+       |dims AS MATERIALIZED (SELECT unnest(range(1, 1 + (SELECT max(len(v)) FROM t))) AS j),
        |hx0 AS (SELECT vec_id, CAST(vec_id AS HUGEINT) AS z FROM t),
        |hx1 AS (SELECT vec_id, (xor(z, z >> 30) * 2685821657736338717) % 18446744073709551616 AS z FROM hx0),
        |hx2 AS (SELECT vec_id, (xor(z, z >> 27) * 1181783497276652981) % 18446744073709551616 AS z FROM hx1),
-       |samp AS (SELECT t.* FROM t JOIN hx2 USING (vec_id)
+       |samp AS MATERIALIZED (SELECT t.* FROM t JOIN hx2 USING (vec_id)
        |         WHERE vec_id < 16 OR xor(z, z >> 31) % 4 = 0),
-       |c0 AS (SELECT CAST(vec_id AS INT) AS c_id, qv AS ce FROM t WHERE vec_id < 16),
+       |c0 AS MATERIALIZED (SELECT CAST(vec_id AS INT) AS c_id, qv AS ce FROM t WHERE vec_id < 16),
        |${(1 to iters).map(lloydIterSql).mkString("\n")}
-       |asgn AS (SELECT vec_id, v, c_id FROM (
+       |asgn AS MATERIALIZED (SELECT vec_id, v, c_id FROM (
        |    SELECT t.vec_id, t.v, c.c_id,
        |      row_number() OVER (PARTITION BY t.vec_id ORDER BY
        |        list_dot_product(t.v, c.ce) / sqrt(list_dot_product(t.v, t.v) * list_dot_product(c.ce, c.ce)) DESC,
@@ -776,8 +785,81 @@ object SimilarityQueries {
       .orderBy(col("dim"))
   }
 
+  /** Embedding isolation audit — the INVERSE read of the SemDeDup
+    * machinery (q89 keeps vectors with close partners; this surfaces
+    * vectors with NONE): the 20 most isolated corpus vectors by
+    * nearest-neighbor cosine within their IVF cell. Corrupt decodes,
+    * mislabeled media, and garbage text land far from everything —
+    * this is the audit table a curation pipeline eyeballs before
+    * trusting its embedding space.
+    *
+    * Scale shape: the SAME cluster-then-verify shape as q89 — never
+    * all-pairs. Full-corpus assignment is a broadcast argmax over the
+    * 16 deterministic Lloyd centroids (one scan), the neighbor probe
+    * is a c_id-keyed SELF-join (Σ|cell|² pairs, not N²), and the
+    * per-vector max cosine is a partial-aggregable groupBy. Isolation
+    * is RELATIVE to the probed cell (a vector near a cell boundary
+    * may understate its true neighbor) — the standard IVF
+    * approximation, same contract as q39's recall < 1. Singleton-cell
+    * vectors have no in-cell partner: best_sim NULL, ranked most
+    * isolated via an explicit coalesce(−2) key (Spark sorts NULLs
+    * first ASC, DuckDB last — never rely on engine NULL order). The
+    * final top-20 is a TakeOrdered, not a global sort.
+    *
+    * Oracle: the proven q39/q89 unrolled-Lloyd preamble replays
+    * training + assignment; per-pair cosines are the reproducible
+    * fixed-order double dot products both engines compute bit-alike.
+    */
+  val q191IsolationAudit = QueryDef(
+    "q191_isolation_audit",
+    "embedding isolation audit: 20 most-isolated vectors by in-cell nearest-neighbor cosine",
+    s"""${ivfPreambleSql(6)},
+       |pairsim AS (SELECT a.vec_id, a.c_id,
+       |    max(list_dot_product(a.v, b.v) /
+       |        sqrt(list_dot_product(a.v, a.v) * list_dot_product(b.v, b.v))) AS bs
+       |  FROM asgn a JOIN asgn b ON a.c_id = b.c_id AND a.vec_id <> b.vec_id
+       |  GROUP BY a.vec_id, a.c_id),
+       |allv AS (SELECT a.vec_id, a.c_id, p.bs
+       |         FROM asgn a LEFT JOIN pairsim p ON p.vec_id = a.vec_id)
+       |SELECT vec_id, c_id, best_sim, rn FROM (
+       |  SELECT vec_id, CAST(c_id AS INT) AS c_id, round(bs, 6) AS best_sim,
+       |    CAST(row_number() OVER (ORDER BY coalesce(bs, -2) ASC, vec_id) AS INT) AS rn
+       |  FROM allv)
+       |WHERE rn <= 20
+       |ORDER BY rn""".stripMargin) { (s, d) =>
+    GraftFunctions.register(s)
+    val t = Tables.embeddings(s, d).select(col("vec_id"), col("embedding"))
+    val cents = trainCentroids(s, t, k = 16, iters = 6)
+    val assigned = t.crossJoin(broadcast(cents))
+      .withColumn("csim", GraftFunctions.cosineSim(col("embedding"), col("ce")))
+      .groupBy(col("vec_id"))
+      .agg(max_by(struct(col("c_id"), col("embedding")),
+        struct(col("csim"), (-col("c_id")).as("nc"))).as("best"))
+      .select(col("vec_id"), col("best.embedding").as("embedding"),
+        col("best.c_id").as("c_id"))
+    val bs = assigned.as("a")
+      .join(assigned.as("b"), col("a.c_id") === col("b.c_id") &&
+        col("a.vec_id") =!= col("b.vec_id"))
+      .select(col("a.vec_id").as("vec_id"), col("a.c_id").as("c_id"),
+        GraftFunctions.cosineSim(col("a.embedding"), col("b.embedding")).as("cs"))
+      .groupBy(col("vec_id"), col("c_id")).agg(max(col("cs")).as("bs"))
+    assigned.select(col("vec_id"), col("c_id"))
+      .join(bs.select(col("vec_id"), col("bs")), Seq("vec_id"), "left_outer")
+      .orderBy(coalesce(col("bs"), lit(-2d)).asc, col("vec_id"))
+      .limit(20)
+      // rank over the 20 SURVIVING rows on the RAW score (rounding
+      // only at output, like q39 — ranking on rounded values could
+      // disagree with the selection order at a rounding boundary)
+      .withColumn("rn", row_number()
+        .over(Window.orderBy(coalesce(col("bs"), lit(-2d)).asc,
+          col("vec_id"))).cast("int"))
+      .select(col("vec_id"), col("c_id").cast("int").as("c_id"),
+        round(col("bs"), 6).as("best_sim"), col("rn"))
+      .orderBy(col("rn"))
+  }
+
   val all: Seq[QueryDef] =
     Seq(q38CosineTopk, q39AnnIvf, q60HyperplaneLsh, q76QuantizedTopk,
       q89SemanticDedup, q110CentroidDrift, q134NegativeSampling,
-      q188PowerIteration)
+      q188PowerIteration, q191IsolationAudit)
 }

@@ -594,4 +594,38 @@ class DedupQualitySpec extends SparkSpec {
     }
     spark.sharedState.cacheManager.clearCache()
   }
+
+  test("q191 flagged vectors are genuinely isolated under brute-force ground truth") {
+    val flagged = Registry.byName("q191_isolation_audit").fn(spark, sfDir)
+      .collect()
+    assert(flagged.length == 20)
+    assert(flagged.map(_.getAs[Int]("rn")).toSeq == (1 to 20))
+
+    // ground truth: TRUE nearest-neighbor cosine per vector over the
+    // whole corpus (the in-cell probe is an approximation; this gates
+    // that cell-relative isolation tracks real isolation)
+    val vecs = Tables.embeddings(spark, sfDir)
+      .select("vec_id", "embedding").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble).toArray)
+    val norms = vecs.map { case (id, v) =>
+      id -> math.sqrt(v.map(x => x * x).sum)
+    }.toMap
+    def cos(a: Array[Double], b: Array[Double], na: Double, nb: Double) = {
+      var s = 0d; var i = 0
+      while (i < a.length) { s += a(i) * b(i); i += 1 }
+      s / (na * nb)
+    }
+    val trueNn = vecs.map { case (id, v) =>
+      id -> vecs.collect { case (j, w) if j != id =>
+        cos(v, w, norms(id), norms(j))
+      }.max
+    }.toMap
+    val ranked = trueNn.values.toSeq.sorted
+    def pct(x: Double) = ranked.count(_ <= x).toDouble / ranked.size
+
+    val pcts = flagged.map(r => pct(trueNn(r.getLong(0))))
+    assert(pcts.sum / pcts.length < 0.4,
+      s"flagged set should sit low in the true-NN distribution, mean pct ${pcts.sum / pcts.length}")
+    spark.sharedState.cacheManager.clearCache()
+  }
 }
