@@ -568,14 +568,14 @@ object SimilarityQueries {
   val q110CentroidDrift = QueryDef(
     "q110_centroid_drift",
     "per-label centroid cosine drift between the old snapshot (vec_id%10!=0) and the full corpus",
-    """WITH dims AS (
+    """WITH dims AS MATERIALIZED (
       |  SELECT label, vec_id,
       |    CAST(floor(CAST(embedding[CAST(i AS INT)] AS DOUBLE) * 10000) AS BIGINT) AS q,
       |    CAST(i AS INT) AS dim
       |  FROM (SELECT label, vec_id, embedding,
       |          unnest(range(1, len(embedding) + 1)) AS i
       |        FROM embeddings)),
-      |sums AS (
+      |sums AS MATERIALIZED (
       |  SELECT label, dim,
       |    CAST(sum(CASE WHEN vec_id % 10 <> 0 THEN q ELSE 0 END) AS BIGINT) AS qa,
       |    CAST(sum(q) AS BIGINT) AS qb
@@ -706,17 +706,17 @@ object SimilarityQueries {
   val q188PowerIteration = QueryDef(
     "q188_power_iteration",
     "top principal component via exact-integer power iteration over one-pass gram_sums moments",
-    """WITH RECURSIVE dims AS (
+    """WITH RECURSIVE dims AS MATERIALIZED (
       |  SELECT vec_id, CAST(i AS INT) - 1 AS dim,
       |    CAST(floor(CAST(embedding[CAST(i AS INT)] AS DOUBLE) * 10000) AS BIGINT) AS q
       |  FROM (SELECT vec_id, embedding, unnest(range(1, len(embedding) + 1)) AS i
       |        FROM embeddings)),
-      |sums AS (SELECT dim, CAST(sum(q) AS HUGEINT) AS s FROM dims GROUP BY dim),
-      |nn AS (SELECT CAST(count(*) AS HUGEINT) AS n FROM embeddings),
-      |gram AS (SELECT a.dim AS i, b.dim AS j, CAST(sum(a.q * b.q) AS HUGEINT) AS g
+      |sums AS MATERIALIZED (SELECT dim, CAST(sum(q) AS HUGEINT) AS s FROM dims GROUP BY dim),
+      |nn AS MATERIALIZED (SELECT CAST(count(*) AS HUGEINT) AS n FROM embeddings),
+      |gram AS MATERIALIZED (SELECT a.dim AS i, b.dim AS j, CAST(sum(a.q * b.q) AS HUGEINT) AS g
       |         FROM dims a JOIN dims b ON a.vec_id = b.vec_id
       |         GROUP BY a.dim, b.dim),
-      |cov AS (SELECT i, j, nn.n * g - si.s * sj.s AS m
+      |cov AS MATERIALIZED (SELECT i, j, nn.n * g - si.s * sj.s AS m
       |        FROM gram CROSS JOIN nn
       |        JOIN sums si ON si.dim = gram.i
       |        JOIN sums sj ON sj.dim = gram.j),
@@ -733,11 +733,11 @@ object SimilarityQueries {
       |    FROM pi p JOIN cov c ON c.j = p.dim
       |    WHERE p.iter < 400
       |    GROUP BY p.iter + 1, c.i)),
-      |vfin AS (SELECT dim, v FROM pi WHERE iter = 400),
-      |rq AS (SELECT CAST(sum(a.v * c.m * b.v) AS HUGEINT) AS num
+      |vfin AS MATERIALIZED (SELECT dim, v FROM pi WHERE iter = 400),
+      |rq AS MATERIALIZED (SELECT CAST(sum(a.v * c.m * b.v) AS HUGEINT) AS num
       |       FROM cov c JOIN vfin a ON a.dim = c.i JOIN vfin b ON b.dim = c.j),
-      |vv AS (SELECT CAST(sum(v * v) AS HUGEINT) AS den FROM vfin),
-      |tr AS (SELECT CAST(sum(m) AS HUGEINT) AS t FROM cov WHERE i = j)
+      |vv AS MATERIALIZED (SELECT CAST(sum(v * v) AS HUGEINT) AS den FROM vfin),
+      |tr AS MATERIALIZED (SELECT CAST(sum(m) AS HUGEINT) AS t FROM cov WHERE i = j)
       |SELECT dim, CAST(v AS BIGINT) AS loading_q5,
       |  CAST((10000 * num) // (den * t) AS BIGINT) AS var_share_bp
       |FROM vfin CROSS JOIN rq CROSS JOIN vv CROSS JOIN tr
