@@ -180,6 +180,98 @@ object GraphQueries {
     dist.select(col("p").as("part_id"), col("dist")).orderBy(col("part_id"))
   }
 
+  /** Community detection by synchronous label propagation (LPA) over
+    * the part co-purchase affinity graph — the cheap communities pass
+    * between q78's connected components (too coarse: one bridge edge
+    * merges everything) and modularity methods (too expensive at
+    * scale): each round every node adopts its neighbors' MAJORITY
+    * label. The classic algorithm breaks ties randomly; this is the
+    * DETERMINISTIC variant (ties → smallest label, fixed 4 synchronous
+    * rounds) so the orbit is engine-replayable — the q89/q188
+    * fixed-iteration contract. 4 rounds bound label travel to the
+    * 4-hop neighborhood: enough to coalesce the dense co-purchase
+    * clusters this graph has, while an oscillation (the known
+    * synchronous-LPA bipartite artifact) just freezes at round 4
+    * identically in both engines.
+    *
+    * Scale shape: edges are the memoized support ≥ 2 relation
+    * (`MiningQueries.pairSupport`, shared with q100/q116); each round
+    * is ONE join (labels ⋈ edges on the destination) + a two-level
+    * partial-aggregable argmax — count per (node, label), then
+    * `max_by(lbl, (count, −lbl))` — never a per-node window. Isolated
+    * nodes ride a left join + coalesce, keeping their own label. Per
+    * round one shuffle of the edge relation: 4 rounds ≈ 4 PageRank
+    * iterations, the same cost envelope as q96.
+    *
+    * Oracle: 4 unrolled MATERIALIZED CTE rounds (the q39 Lloyd
+    * convention — and the materialization is what keeps DuckDB from
+    * exponentially re-inlining the round chain).
+    */
+  val q192LabelPropagation = QueryDef(
+    "q192_label_propagation",
+    "deterministic synchronous LPA communities (4 rounds, ties to min label) on the co-purchase graph",
+    """WITH li AS MATERIALIZED (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+      |ed AS MATERIALIZED (SELECT u, v FROM (
+      |        SELECT a.p AS u, b.p AS v, count(*) AS c
+      |        FROM li a JOIN li b ON a.o = b.o AND a.p < b.p
+      |        GROUP BY a.p, b.p)
+      |      WHERE c >= 2),
+      |e2 AS MATERIALIZED (SELECT u AS src, v AS dst FROM ed
+      |                    UNION ALL SELECT v, u FROM ed),
+      |n AS MATERIALIZED (SELECT DISTINCT p AS node FROM li),
+      |l0 AS MATERIALIZED (SELECT node, node AS lbl FROM n),
+      |l1 AS MATERIALIZED (SELECT p.node, coalesce(m.lbl, p.lbl) AS lbl FROM l0 p
+      |  LEFT JOIN (SELECT src AS node, lbl FROM (
+      |    SELECT e.src, pl.lbl,
+      |      row_number() OVER (PARTITION BY e.src ORDER BY count(*) DESC, pl.lbl) AS rn
+      |    FROM e2 e JOIN l0 pl ON pl.node = e.dst
+      |    GROUP BY e.src, pl.lbl) WHERE rn = 1) m ON m.node = p.node),
+      |l2 AS MATERIALIZED (SELECT p.node, coalesce(m.lbl, p.lbl) AS lbl FROM l1 p
+      |  LEFT JOIN (SELECT src AS node, lbl FROM (
+      |    SELECT e.src, pl.lbl,
+      |      row_number() OVER (PARTITION BY e.src ORDER BY count(*) DESC, pl.lbl) AS rn
+      |    FROM e2 e JOIN l1 pl ON pl.node = e.dst
+      |    GROUP BY e.src, pl.lbl) WHERE rn = 1) m ON m.node = p.node),
+      |l3 AS MATERIALIZED (SELECT p.node, coalesce(m.lbl, p.lbl) AS lbl FROM l2 p
+      |  LEFT JOIN (SELECT src AS node, lbl FROM (
+      |    SELECT e.src, pl.lbl,
+      |      row_number() OVER (PARTITION BY e.src ORDER BY count(*) DESC, pl.lbl) AS rn
+      |    FROM e2 e JOIN l2 pl ON pl.node = e.dst
+      |    GROUP BY e.src, pl.lbl) WHERE rn = 1) m ON m.node = p.node),
+      |l4 AS MATERIALIZED (SELECT p.node, coalesce(m.lbl, p.lbl) AS lbl FROM l3 p
+      |  LEFT JOIN (SELECT src AS node, lbl FROM (
+      |    SELECT e.src, pl.lbl,
+      |      row_number() OVER (PARTITION BY e.src ORDER BY count(*) DESC, pl.lbl) AS rn
+      |    FROM e2 e JOIN l3 pl ON pl.node = e.dst
+      |    GROUP BY e.src, pl.lbl) WHERE rn = 1) m ON m.node = p.node),
+      |cs AS MATERIALIZED (SELECT lbl, CAST(count(*) AS BIGINT) AS csize
+      |                    FROM l4 GROUP BY lbl)
+      |SELECT l4.node, l4.lbl AS community, cs.csize
+      |FROM l4 JOIN cs ON cs.lbl = l4.lbl
+      |ORDER BY l4.node""".stripMargin) { (s, d) =>
+    val ed = MiningQueries.pairSupport(s, d).select(col("u"), col("v"))
+    val e2 = ed.select(col("u").as("src"), col("v").as("dst"))
+      .unionAll(ed.select(col("v").as("src"), col("u").as("dst")))
+    var labels = Tables.lineitem(s, d)
+      .select(col("l_partkey").as("node")).distinct()
+      .withColumn("lbl", col("node"))
+    for (_ <- 1 to 4) {
+      val maj = e2.join(labels.withColumnRenamed("node", "dst"), "dst")
+        .groupBy(col("src"), col("lbl")).agg(count(lit(1)).as("c"))
+        .groupBy(col("src"))
+        .agg(max_by(col("lbl"), struct(col("c"), (-col("lbl")).as("nl")))
+          .as("mlbl"))
+        .withColumnRenamed("src", "node")
+      labels = labels.join(maj, Seq("node"), "left_outer")
+        .select(col("node"), coalesce(col("mlbl"), col("lbl")).as("lbl"))
+    }
+    val sizes = labels.groupBy(col("lbl")).agg(count(lit(1)).as("csize"))
+    labels.join(sizes, "lbl")
+      .select(col("node"), col("lbl").as("community"), col("csize"))
+      .orderBy(col("node"))
+  }
+
   val all: Seq[QueryDef] =
-    Seq(q100Triangles, q131HierarchyFlatten, q144KhopReachability)
+    Seq(q100Triangles, q131HierarchyFlatten, q144KhopReachability,
+      q192LabelPropagation)
 }
