@@ -1,6 +1,7 @@
 package graft.queries
 
 import org.apache.spark.sql.Column
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.{QueryDef, Tables}
 
@@ -334,6 +335,59 @@ object RetrievalQueries {
       .orderBy(col("decile"))
   }
 
+  /** Pareto frontier over two quality signals — the multi-objective
+    * face of selection that q127's Borda scalarization hides: Borda
+    * commits to ONE blend of the signals, the frontier surfaces every
+    * document NOT dominated on (lexical diversity, length) — the
+    * candidate set a curator picks a tradeoff from (short-and-diverse
+    * versus long-and-repetitive both survive; strictly-worse docs
+    * never do). Fifth consumer of the memoized
+    * [[rankedQualitySignals]] relation.
+    *
+    * Scale shape — the 2-D skyline WITHOUT the quadratic NOT-EXISTS
+    * self-join the textbook SQL uses: dominance collapses to
+    * `on frontier ⇔ s_len = max_len(s_div) AND s_len > M(s_div)`,
+    * M(q) = running max of per-quality max length over STRICTLY
+    * higher quality. s_div is bounded in [0,10⁴] bp, so the per-q
+    * maxima form a ≤10001-row METADATA spine: one partial-aggregable
+    * groupBy(s_div), one running-max window over the spine (the
+    * q138/q189 spine-window precedent), and a broadcast join back to
+    * the corpus. Duplicate (s_div, s_len) points tie without strict
+    * dominance — both survive, matching the NOT-EXISTS contract
+    * exactly.
+    */
+  val q193ParetoFrontier = QueryDef(
+    "q193_pareto_frontier",
+    "Pareto frontier on (lexical diversity, length): spine-windowed 2-D skyline, no quadratic dominance join",
+    """WITH per AS MATERIALIZED (
+      |  SELECT doc_id,
+      |    CAST(n_chars AS BIGINT) AS s_len,
+      |    CAST(floor(10000.0 * len(list_distinct(w)) / len(w)) AS BIGINT) AS s_div
+      |  FROM (SELECT doc_id, n_chars,
+      |          list_filter(string_split(text, ' '), t -> length(t) > 0) AS w
+      |        FROM documents)
+      |  WHERE len(w) > 0)
+      |SELECT p.doc_id, p.s_div, p.s_len
+      |FROM per p
+      |WHERE NOT EXISTS (
+      |  SELECT 1 FROM per o
+      |  WHERE o.s_div >= p.s_div AND o.s_len >= p.s_len
+      |    AND (o.s_div > p.s_div OR o.s_len > p.s_len))
+      |ORDER BY p.s_div DESC, p.doc_id""".stripMargin) { (s, d) =>
+    val per = rankedQualitySignals(s, d)
+      .select(col("doc_id"), col("s_div"), col("s_len"))
+    val spine = per.groupBy(col("s_div")).agg(max(col("s_len")).as("ml"))
+    val w = Window.orderBy(col("s_div").desc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val m = spine.withColumn("hi", max(col("ml")).over(w))
+    per.join(broadcast(m), "s_div")
+      .filter(col("s_len") === col("ml") &&
+        (col("hi").isNull || col("s_len") > col("hi")))
+      .select(col("doc_id"), col("s_div"), col("s_len"))
+      .orderBy(col("s_div").desc, col("doc_id"))
+  }
+
   val all: Seq[QueryDef] =
-    Seq(q114Bm25, q127QualityEnsemble, q160RrfFusion, q183FilterSweep)
+    Seq(q114Bm25, q127QualityEnsemble, q160RrfFusion, q183FilterSweep,
+      q193ParetoFrontier)
 }

@@ -67,4 +67,33 @@ class SamplingSpec extends SparkSpec {
     assert(tr.size + te.size == docs.count(), "splits lose rows")
     assert(tr.size > te.size, "80/20 proportions inverted")
   }
+
+  test("q193 frontier equals brute-force dominance and is a strict staircase") {
+    val got = Registry.byName("q193_pareto_frontier").fn(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+
+    // brute force: a point survives iff nothing dominates it
+    val pts = graft.queries.RetrievalQueries
+      .rankedQualitySignals(spark, sfDir)
+      .select("doc_id", "s_div", "s_len").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val expected = pts.filter { case (_, q, l) =>
+      !pts.exists { case (_, q2, l2) =>
+        q2 >= q && l2 >= l && (q2 > q || l2 > l)
+      }
+    }.sortBy { case (id, q, _) => (-q, id) }
+    assert(got.toSeq == expected.toSeq)
+
+    // structure: across DISTINCT frontier points, decreasing quality
+    // must buy strictly increasing length (else one would dominate)
+    val distinctPts = got.map(r => (r._2, r._3)).distinct
+    distinctPts.sliding(2).foreach {
+      case Array((q1, l1), (q2, l2)) =>
+        assert(q1 > q2 || (q1 == q2 && l1 == l2))
+        if (q1 > q2) assert(l2 > l1,
+          s"staircase violated: ($q1,$l1) then ($q2,$l2)")
+      case _ => ()
+    }
+    spark.sharedState.cacheManager.clearCache()
+  }
 }
