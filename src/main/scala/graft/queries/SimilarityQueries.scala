@@ -113,6 +113,23 @@ object SimilarityQueries {
     finally { sample.unpersist(blocking = false); () }
   }
 
+  /** Memoized CORPUS centroids per (session, dir, k, iters) — the
+    * training loop's cost is ~6 sequential driver-synchronized rounds
+    * (a fixed per-round overhead that dwarfs its compute at bench
+    * scale), and q39/q89/q191 all train over the same embeddings
+    * table, so one session was paying it three times. The result is a
+    * driver-resident LocalRelation (k·dim doubles), safe to hold for
+    * the session. Fixture-driven callers (AnnIndexSpec, semanticDedup
+    * fixtures) keep the unmemoized [[trainCentroids]] path.
+    */
+  private[graft] def corpusCentroids(
+      s: SparkSession, d: String, k: Int, iters: Int): DataFrame =
+    graft.SessionMemo.getOrCompute(s, s"sim.cents:$d:$k:$iters") {
+      trainCentroids(s,
+        Tables.embeddings(s, d).select(col("vec_id"), col("embedding")),
+        k, iters)
+    }
+
   private def trainCentroidsOn(
       s: SparkSession, full: DataFrame, t: DataFrame, k: Int,
       iters: Int): DataFrame = {
@@ -247,7 +264,7 @@ object SimilarityQueries {
        |ORDER BY q_id, rn""".stripMargin) { (s, d) =>
     GraftFunctions.register(s)
     val t = Tables.embeddings(s, d).select(col("vec_id"), col("embedding"))
-    val cents = trainCentroids(s, t, k = 16, iters = 6)
+    val cents = corpusCentroids(s, d, k = 16, iters = 6)
     // assign: nearest centroid by cosine — partial-aggregable argmax,
     // no window shuffle of the corpus
     val assigned = t.crossJoin(broadcast(cents))
@@ -493,9 +510,9 @@ object SimilarityQueries {
     */
   private[graft] def semanticDedup(
       s: SparkSession, t: DataFrame, k: Int, iters: Int,
-      threshold: Double): DataFrame = {
+      threshold: Double, centsOpt: Option[DataFrame] = None): DataFrame = {
     GraftFunctions.register(s)
-    val cents = trainCentroids(s, t, k, iters)
+    val cents = centsOpt.getOrElse(trainCentroids(s, t, k, iters))
     // one assignment pass, shared by pair generation (twice inside
     // the salted self-join) and the final keep/drop join
     val assigned = graft.AutoUnpersist.scoped(
@@ -542,7 +559,8 @@ object SimilarityQueries {
        |FROM asgn a LEFT JOIN dropped d ON d.vec_id = a.vec_id
        |ORDER BY a.vec_id""".stripMargin) { (s, d) =>
     val t = Tables.embeddings(s, d).select(col("vec_id"), col("embedding"))
-    semanticDedup(s, t, k = 16, iters = 4, threshold = 0.85)
+    semanticDedup(s, t, k = 16, iters = 4, threshold = 0.85,
+      centsOpt = Some(corpusCentroids(s, d, k = 16, iters = 4)))
   }
 
   /** Embedding-distribution drift between corpus snapshots — the
@@ -806,6 +824,15 @@ object SimilarityQueries {
     * first ASC, DuckDB last — never rely on engine NULL order). The
     * final top-20 is a TakeOrdered, not a global sort.
     *
+    * The in-cell pair volume is Σ|cell|² ≈ N²/k: at FIXED k it grows
+    * quadratically (measured 3.9× wall for 10× data on the sf1
+    * ladder), so the cell count is corpus-tunable via
+    * `spark.graft.isolation.k` — k ≈ √N holds |cell| ≈ √N and pair
+    * volume ≈ N^1.5 (k=128 at sf1: 4.4 → 1.3 s with the shared
+    * centroid memo, BELOW the sf0.1 default cost) — the q60 banding
+    * convention: session conf overrides, the DEFAULT (16) stays fixed
+    * so the DuckDB unrolled-Lloyd replay is bit-identical.
+    *
     * Oracle: the proven q39/q89 unrolled-Lloyd preamble replays
     * training + assignment; per-pair cosines are the reproducible
     * fixed-order double dot products both engines compute bit-alike.
@@ -828,8 +855,10 @@ object SimilarityQueries {
        |WHERE rn <= 20
        |ORDER BY rn""".stripMargin) { (s, d) =>
     GraftFunctions.register(s)
+    val k = s.conf.get("spark.graft.isolation.k", "16").toInt
+    require(k >= 1, s"invalid spark.graft.isolation.k=$k")
     val t = Tables.embeddings(s, d).select(col("vec_id"), col("embedding"))
-    val cents = trainCentroids(s, t, k = 16, iters = 6)
+    val cents = corpusCentroids(s, d, k = k, iters = 6)
     val assigned = t.crossJoin(broadcast(cents))
       .withColumn("csim", GraftFunctions.cosineSim(col("embedding"), col("ce")))
       .groupBy(col("vec_id"))
