@@ -761,9 +761,15 @@ object SimilarityQueries {
       |FROM vfin CROSS JOIN rq CROSS JOIN vv CROSS JOIN tr
       |ORDER BY dim""".stripMargin) { (s, d) =>
     GraftFunctions.register(s)
-    val flat = Tables.embeddings(s, d)
-      .agg(GraftFunctions.gramSums(col("embedding")).as("g"))
-      .head.getSeq[Long](0)
+    import s.implicits._
+    val aggRow = Tables.embeddings(s, d)
+      .agg(GraftFunctions.gramSums(col("embedding")).as("g")).head
+    // empty corpus: the buffer-typed aggregate evaluates to NULL —
+    // zero output rows, never a throw (EmptyInputSpec totality)
+    if (aggRow.isNullAt(0)) {
+      Seq.empty[(Int, Long, Long)].toDF("dim", "loading_q5", "var_share_bp")
+    } else {
+    val flat = aggRow.getSeq[Long](0)
     val dim = flat(0).toInt
     val n = BigInt(flat(1))
     val sums = Array.tabulate(dim)(i => BigInt(flat(2 + i)))
@@ -795,12 +801,17 @@ object SimilarityQueries {
       trM += m(i)(i)
       for (j <- 0 until dim) num += v(i) * m(i)(j) * v(j)
     }
-    val share = (BigInt(10000) * num / (den * trM)).toLong
-    import s.implicits._
+    // all-identical vectors (stuck encoder): the covariance is the
+    // zero matrix, trace 0 — report share 0 instead of dividing by
+    // zero (the DuckDB twin errors on such a corpus; q159's
+    // documented divergent-failure class, degenerate input only)
+    val share =
+      if (trM == 0) 0L else (BigInt(10000) * num / (den * trM)).toLong
     v.zipWithIndex
       .map { case (x, i) => (i, x.toLong, share) }.toSeq
       .toDF("dim", "loading_q5", "var_share_bp")
       .orderBy(col("dim"))
+    }
   }
 
   /** Embedding isolation audit — the INVERSE read of the SemDeDup
