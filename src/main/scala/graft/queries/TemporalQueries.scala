@@ -889,10 +889,101 @@ object TemporalQueries {
       .orderBy(col("event_type"), col("hour_start"))
   }
 
+  /** Per-(type, hour) TIME-weighted average over irregular ticks —
+    * the metrics/finance read q122's OHLC and q123's grid-LOCF both
+    * miss: each tick's value holds until the NEXT tick, so a value
+    * that persisted 58 minutes of an hour dominates one that lasted
+    * seconds, regardless of tick counts. Standard TWAP with
+    * last-tick-carried-forward segments, segments CLIPPED to hour
+    * boundaries (a quiet period's long segment spreads over every
+    * hour it covers).
+    *
+    * Scale shape: the next-tick lookup is [[graft.api.Neighbors]]
+    * under the global (type, ts, id) total order — q179's primitive
+    * on a second domain, NEVER a `lead() OVER (PARTITION BY type)`
+    * window (≈5 types = a five-task funnel of the whole corpus); the
+    * type boundary is detected from the packed neighbor value and the
+    * last segment of each type ends at that type's max ts (zero
+    * length — dropped, the TWAP-to-last-tick convention). Hour
+    * clipping is a bounded `sequence` explode (a segment touches
+    * ⌈gap/hour⌉ hours, calendar-bounded); the aggregate is one
+    * partial-aggregable (type, hour) shuffle.
+    *
+    * Exactness: integer µs × integer cents everywhere; weights per
+    * (type, hour) sum to ≤ 3.6·10⁹ µs exactly; the weighted sum runs
+    * in DECIMAL(38,0)/HUGEINT (10⁶·Σy·w passes 2⁶³ at ~10⁵
+    * same-hour segments of max value — the q159 widening convention)
+    * and the single division is floor-on-nonnegative.
+    */
+  val q194Twap = QueryDef(
+    "q194_twap",
+    "per-(type, hour) time-weighted average: LOCF segments via scale-safe Neighbors, hour-clipped integer weights",
+    """WITH e AS (SELECT event_type, epoch_us(CAST(ts AS TIMESTAMP)) AS t,
+      |                 event_id, CAST(round(value * 100) AS BIGINT) AS y
+      |          FROM events),
+      |nx AS (SELECT event_type, t, y,
+      |         lead(t) OVER (PARTITION BY event_type ORDER BY t, event_id) AS nt
+      |       FROM e),
+      |en AS (SELECT event_type, max(t) AS end_t FROM e GROUP BY event_type),
+      |seg AS (SELECT n.event_type, n.y, n.t AS t0,
+      |          coalesce(n.nt, en.end_t) AS t1
+      |        FROM nx n JOIN en ON en.event_type = n.event_type
+      |        WHERE coalesce(n.nt, en.end_t) > n.t),
+      |hrs AS (SELECT event_type, y, t0, t1,
+      |          unnest(range(t0 // 3600000000, (t1 - 1) // 3600000000 + 1)) AS h
+      |        FROM seg),
+      |w AS (SELECT event_type, h, y,
+      |        least(t1, (h + 1) * 3600000000) - greatest(t0, h * 3600000000) AS w
+      |      FROM hrs),
+      |g AS (SELECT event_type, h,
+      |        CAST(sum(CAST(y AS HUGEINT) * w) AS HUGEINT) AS yw,
+      |        CAST(sum(w) AS BIGINT) AS covered_us,
+      |        CAST(count(*) AS BIGINT) AS n_segments
+      |      FROM w GROUP BY event_type, h)
+      |SELECT event_type, make_timestamp(h * 3600000000) AS hour_start,
+      |  CAST((1000000 * yw) // covered_us AS BIGINT) AS twap_microcents,
+      |  covered_us, n_segments
+      |FROM g
+      |ORDER BY event_type, hour_start""".stripMargin) { (s, d) =>
+    val H = 3600000000L
+    val e = Tables.events(s, d).select(col("event_type"),
+      unix_micros(col("ts")).as("t"), col("event_id"),
+      expr("cast(round(value * 100) as bigint)").as("y"))
+    val packed = e.withColumn("pk",
+      struct(col("event_type").as("ty"), col("t").as("nt")))
+    val withN = graft.api.Neighbors.withNeighbors(packed,
+      Seq(col("event_type"), col("t"), col("event_id")),
+      "pk", "prevPk", "nextPk")
+    val ends = e.groupBy(col("event_type")).agg(max(col("t")).as("end_t"))
+    val seg = withN.join(broadcast(ends), "event_type")
+      .withColumn("t1",
+        when(col("nextPk.ty") === col("event_type"), col("nextPk.nt"))
+          .otherwise(col("end_t")))
+      .filter(col("t1") > col("t"))
+      .select(col("event_type"), col("y"), col("t").as("t0"), col("t1"))
+    seg
+      .withColumn("h", explode(sequence(
+        expr(s"t0 div ${H}L"), expr(s"(t1 - 1) div ${H}L"))))
+      .withColumn("w",
+        least(col("t1"), (col("h") + 1) * H) -
+          greatest(col("t0"), col("h") * H))
+      .groupBy(col("event_type"), col("h"))
+      .agg(
+        sum(col("y").cast("decimal(38,0)") * col("w")).as("yw"),
+        sum(col("w")).as("covered_us"),
+        count(lit(1)).as("n_segments"))
+      .select(col("event_type"),
+        timestamp_micros(col("h") * H).as("hour_start"),
+        expr("cast((1000000 * yw) div covered_us as bigint)")
+          .as("twap_microcents"),
+        col("covered_us"), col("n_segments"))
+      .orderBy(col("event_type"), col("hour_start"))
+  }
+
   val all: Seq[QueryDef] = Seq(
     q40AsofJoin, q42TumblingWindow, q43SlidingWindow, q44SessionWindow,
     q62Attribution, q70TimeSpine, q97Funnel, q98CohortRetention,
     q101SecondarySort, q122OhlcBars, q123ForwardFill, q128YoyGrowth,
     q129ScdLookup, q132IntervalMerge, q146LinearInterp,
-    q164IntervalConcurrency)
+    q164IntervalConcurrency, q194Twap)
 }

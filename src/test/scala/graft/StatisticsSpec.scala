@@ -640,6 +640,54 @@ class StatisticsSpec extends SparkSpec {
     spark.sharedState.cacheManager.clearCache()
   }
 
+  test("q194 TWAP matches an exact driver-side segment recompute and conserves coverage") {
+    val out = run("q194_twap").collect()
+    assert(out.nonEmpty)
+    val H = 3600000000L
+
+    val ev = Tables.events(spark, sfDir)
+      .select(col("event_type"), unix_micros(col("ts")).as("t"),
+        col("event_id"), expr("cast(round(value * 100) as bigint)").as("y"))
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val expected = scala.collection.mutable.Map[(String, Long), (BigInt, Long, Long)]()
+    ev.groupBy(_._1).foreach { case (ty, rows) =>
+      val sorted = rows.sortBy(r => (r._2, r._3))
+      val endT = sorted.map(_._2).max
+      sorted.zipWithIndex.foreach { case ((_, t0, _, y), i) =>
+        val t1 = if (i + 1 < sorted.length) sorted(i + 1)._2 else endT
+        if (t1 > t0) {
+          var h = t0 / H
+          while (h <= (t1 - 1) / H) {
+            val w = math.min(t1, (h + 1) * H) - math.max(t0, h * H)
+            val (yw, cov, n) = expected.getOrElse((ty, h), (BigInt(0), 0L, 0L))
+            expected((ty, h)) = (yw + BigInt(y) * w, cov + w, n + 1)
+            h += 1
+          }
+        }
+      }
+    }
+    assert(out.length == expected.size)
+    out.foreach { r =>
+      val ty = r.getString(0)
+      val h = r.getTimestamp(1).getTime * 1000L / H
+      val (yw, cov, n) = expected((ty, h))
+      assert(r.getAs[Long]("twap_microcents") == (BigInt(1000000) * yw / cov).toLong,
+        s"($ty, $h) twap")
+      assert(r.getAs[Long]("covered_us") == cov)
+      assert(r.getAs[Long]("n_segments") == n)
+    }
+
+    // conservation: per type, the covered microseconds across hours
+    // sum exactly to the first-tick → last-tick span
+    ev.groupBy(_._1).foreach { case (ty, rows) =>
+      val span = rows.map(_._2).max - rows.map(_._2).min
+      val covered = out.filter(_.getString(0) == ty)
+        .map(_.getAs[Long]("covered_us")).sum
+      assert(covered == span, s"$ty: covered $covered vs span $span")
+    }
+  }
+
   test("q189 closed-form CUSUM equals the textbook max(0,·) recursion") {
     val out = run("q189_cusum_changepoint").collect()
     assert(out.nonEmpty)
