@@ -166,6 +166,44 @@ class SketchSpec extends SparkSpec {
     spark.catalog.dropTempView("hll_events")
   }
 
+  test("percentile_approx honors the GK rank-error bound against the exact CDF") {
+    // Spark's built-in quantile sketch (Greenwald–Khanna) guarantees
+    // rank error <= n/accuracy; gate it per event type against exact
+    // ranks so the engine's approximate-quantile path has a pinned
+    // contract next to the exact CDF machinery (api.Quantiles)
+    val acc = 100
+    val approx = Tables.events(spark, sfDir)
+      .select(col("event_type"),
+        expr("cast(round(value * 100) as bigint)").as("y"))
+      .groupBy(col("event_type"))
+      .agg(expr(s"percentile_approx(y, array(0.25, 0.5, 0.75), $acc)")
+        .as("qs"))
+      .collect().map(r => r.getString(0) -> r.getSeq[Long](1)).toMap
+
+    val exact = Tables.events(spark, sfDir)
+      .select(col("event_type"),
+        expr("cast(round(value * 100) as bigint)").as("y"))
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+      .groupBy(_._1).view.mapValues(_.map(_._2).sorted).toMap
+
+    approx.foreach { case (ty, qs) =>
+      val ys = exact(ty)
+      val n = ys.length
+      qs.zip(Seq(0.25, 0.5, 0.75)).foreach { case (est, p) =>
+        val rankLo = ys.count(_ < est)
+        val rankHi = ys.count(_ <= est)
+        val target = p * n
+        // est's feasible rank interval must come within n/acc of target
+        val dist =
+          if (target < rankLo) rankLo - target
+          else if (target > rankHi) target - rankHi
+          else 0.0
+        assert(dist <= n.toDouble / acc + 1,
+          s"$ty p$p: est $est rank [$rankLo,$rankHi] vs target $target (n=$n)")
+      }
+    }
+  }
+
   test("gram_sums moments are exact on a hand-computed fixture") {
     GraftFunctions.register(spark)
     // rows (0.1, 0.2) and (0.3, -0.1) quantize to (1000, 2000),
