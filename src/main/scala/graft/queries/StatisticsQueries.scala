@@ -1511,6 +1511,96 @@ object StatisticsQueries {
       .orderBy(col("hour_start"))
   }
 
+  /** Kaplan–Meier risk table for time-to-conversion — survival
+    * analysis with RIGHT-CENSORING, the read behind "how long until a
+    * viewer purchases" that naive conversion averages get wrong:
+    * users who haven't converted YET aren't failures, they're
+    * censored at the observation horizon, and dropping them biases
+    * the curve optimistic. Per user: entry = first 'view', event =
+    * first 'purchase' at-or-after it (else censored at the corpus'
+    * last timestamp). Emitted at each whole-day event time: the
+    * at-risk count, events, censorings, and the discrete hazard
+    * d/n_risk in basis points — the exact-integer KM table (the
+    * cumulative product Π(1−dᵢ/nᵢ) is a trailing float fold a
+    * dashboard applies to this table; emitting the integer table
+    * keeps the cross-engine contract hash-exact, the q137 rank-sum
+    * convention).
+    *
+    * Scale shape: one (user) partial-aggregable entry aggregate, one
+    * user-keyed join of the purchase subset, a second per-user
+    * aggregate, then a day-keyed count shuffle onto the ≤ calendar
+    * day spine; n_risk is a SUFFIX sum over that metadata spine
+    * (q138's 256-bucket precedent) — nothing row-sized is windowed.
+    * All integers: durations in whole days via µs div, hazard by
+    * floor division on non-negative counts.
+    */
+  val q195SurvivalHazard = QueryDef(
+    "q195_survival_hazard",
+    "Kaplan-Meier risk table: view->purchase time-to-event with right-censoring, integer day spine",
+    """WITH horizon AS (SELECT max(epoch_us(CAST(ts AS TIMESTAMP))) AS hz FROM events),
+      |entry AS (
+      |  SELECT user_id, min(epoch_us(CAST(ts AS TIMESTAMP))) AS tv
+      |  FROM events WHERE event_type = 'view' GROUP BY user_id),
+      |conv AS (
+      |  SELECT e.user_id, min(epoch_us(CAST(e.ts AS TIMESTAMP))) AS tp
+      |  FROM events e JOIN entry n ON n.user_id = e.user_id
+      |  WHERE e.event_type = 'purchase'
+      |    AND epoch_us(CAST(e.ts AS TIMESTAMP)) >= n.tv
+      |  GROUP BY e.user_id),
+      |subj AS (
+      |  SELECT n.user_id,
+      |    CASE WHEN c.tp IS NOT NULL THEN (c.tp - n.tv) // 86400000000
+      |         ELSE (h.hz - n.tv) // 86400000000 END AS day,
+      |    c.tp IS NOT NULL AS is_event
+      |  FROM entry n LEFT JOIN conv c ON c.user_id = n.user_id
+      |  CROSS JOIN horizon h),
+      |byday AS (
+      |  SELECT day,
+      |    CAST(sum(CASE WHEN is_event THEN 1 ELSE 0 END) AS BIGINT) AS d,
+      |    CAST(sum(CASE WHEN is_event THEN 0 ELSE 1 END) AS BIGINT) AS cen
+      |  FROM subj GROUP BY day),
+      |risk AS (
+      |  SELECT day, d, cen,
+      |    CAST(sum(d + cen) OVER (ORDER BY day DESC
+      |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+      |      AS n_risk
+      |  FROM byday)
+      |SELECT day, n_risk, d AS n_events, cen AS n_censored,
+      |  (10000 * d) // n_risk AS hazard_bp
+      |FROM risk
+      |WHERE d > 0
+      |ORDER BY day""".stripMargin) { (s, d) =>
+    val us = unix_micros(col("ts"))
+    val ev = Tables.events(s, d)
+    val horizon = ev.agg(max(us).as("hz"))
+    val entry = ev.filter(col("event_type") === "view")
+      .groupBy(col("user_id")).agg(min(us).as("tv"))
+    val conv = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), us.as("tp0"))
+      .join(entry, "user_id")
+      .filter(col("tp0") >= col("tv"))
+      .groupBy(col("user_id")).agg(min(col("tp0")).as("tp"))
+    val subj = entry.join(conv, Seq("user_id"), "left_outer")
+      .crossJoin(broadcast(horizon))
+      .select(
+        when(col("tp").isNotNull, expr("(tp - tv) div 86400000000"))
+          .otherwise(expr("(hz - tv) div 86400000000")).as("day"),
+        col("tp").isNotNull.as("is_event"))
+    val byday = subj.groupBy(col("day"))
+      .agg(sum(when(col("is_event"), 1L).otherwise(0L)).as("d"),
+        sum(when(col("is_event"), 0L).otherwise(1L)).as("cen"))
+    // suffix sum over the <=calendar-sized day spine
+    val w = Window.orderBy(col("day").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    byday
+      .withColumn("n_risk", sum(col("d") + col("cen")).over(w))
+      .filter(col("d") > 0)
+      .select(col("day"), col("n_risk"), col("d").as("n_events"),
+        col("cen").as("n_censored"),
+        expr("(10000 * d) div n_risk").as("hazard_bp"))
+      .orderBy(col("day"))
+  }
+
   val all: Seq[QueryDef] =
     Seq(q136BloomFilter, q137RankSumAuc, q138KsDrift, q139SourceImpurity,
       q141BenfordAudit, q143AbTest, q145MadOutliers, q147Calibration,
@@ -1518,5 +1608,5 @@ object StatisticsQueries {
       q154WinsorizedStats, q159SpearmanActivity, q162Autocorrelation,
       q163SeasonalAnomaly, q165ForecastEval, q166ActiveUsers,
       q167DidUplift, q175QqDrift, q176AbPower, q184BootstrapCi,
-      q189CusumChangepoint)
+      q189CusumChangepoint, q195SurvivalHazard)
 }

@@ -640,6 +640,50 @@ class StatisticsSpec extends SparkSpec {
     spark.sharedState.cacheManager.clearCache()
   }
 
+  test("q195 KM risk table matches a driver recompute; n_risk is a valid suffix census") {
+    val out = run("q195_survival_hazard").collect()
+    assert(out.nonEmpty)
+
+    val ev = Tables.events(spark, sfDir)
+      .select(col("user_id"), col("event_type"), unix_micros(col("ts")).as("t"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    val hz = ev.map(_._3).max
+    val D = 86400000000L
+    // .iterator: mapping a Map to (day, flag) pairs would rebuild a
+    // Map and silently dedup equal-day subjects (the q192-spec trap)
+    val subjects = ev.filter(_._2 == "view").groupBy(_._1).iterator.map {
+      case (u, rows) =>
+        val tv = rows.map(_._3).min
+        val tp = ev.filter(e => e._1 == u && e._2 == "purchase" && e._3 >= tv)
+          .map(_._3).minOption
+        tp match {
+          case Some(p) => ((p - tv) / D, true)
+          case None    => ((hz - tv) / D, false)
+        }
+    }.toSeq
+    val byday = subjects.groupBy(_._1).view.mapValues { ss =>
+      (ss.count(_._2).toLong, ss.count(!_._2).toLong)
+    }.toMap
+    val expected = byday.keys.toSeq.sorted.flatMap { day =>
+      val (d, _) = byday(day)
+      val nRisk = byday.filter(_._1 >= day).values.map(v => v._1 + v._2).sum
+      if (d > 0) Some((day, nRisk, d, byday(day)._2, 10000 * d / nRisk))
+      else None
+    }
+    val got = out.map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+      r.getLong(3), r.getLong(4))).toSeq
+    assert(got == expected)
+
+    // KM invariants: at-risk counts strictly decrease down the table,
+    // and everyone who entered is accounted for (events + censored)
+    got.map(_._2).sliding(2).foreach {
+      case Seq(a, b) => assert(a > b, "n_risk must strictly decrease")
+      case _ => ()
+    }
+    val entered = ev.filter(_._2 == "view").map(_._1).distinct.length.toLong
+    assert(byday.values.map(v => v._1 + v._2).sum == entered)
+  }
+
   test("q194 TWAP matches an exact driver-side segment recompute and conserves coverage") {
     val out = run("q194_twap").collect()
     assert(out.nonEmpty)
