@@ -342,7 +342,10 @@ object RetrievalQueries {
     * candidate set a curator picks a tradeoff from (short-and-diverse
     * versus long-and-repetitive both survive; strictly-worse docs
     * never do). Fifth consumer of the memoized
-    * [[rankedQualitySignals]] relation.
+    * [[rankedQualitySignals]] relation. Complements q102's PER-GROUP
+    * skyline (per-brand sorted streaming sweep over unbounded keys):
+    * this one is GLOBAL, and its bounded bp dimension admits the
+    * cheaper spine-window plan below.
     *
     * Scale shape — the 2-D skyline WITHOUT the quadratic NOT-EXISTS
     * self-join the textbook SQL uses: dominance collapses to
