@@ -3,6 +3,7 @@ package graft.queries
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import graft.{QueryDef, Tables}
+import graft.plans.GraftFunctions
 
 /** Corpus-versioning operators — the refresh half of a crawl-scale
   * data pipeline: apply a CDC changelog to a snapshot (upsert),
@@ -304,7 +305,68 @@ object VersioningQueries {
       .orderBy(col("lang"), col("source"))
   }
 
+  /** Order-independent dataset fingerprint — the O(1)-output
+    * equality check dataset versioning runs BEFORE any expensive
+    * diff: per source (plus a rollup total), the modular sum of
+    * per-row content hashes. Two snapshots with equal (n_docs,
+    * n_chars, fp62) per source are content-identical up to hash
+    * collision; a mismatch localizes WHICH source changed, and only
+    * then does a pipeline pay for q92/q182's row-level diff. The sum
+    * is commutative/associative, so the fingerprint is independent
+    * of partitioning, file order, and row order — the property that
+    * makes it comparable across engines, layouts, and reshards
+    * (an ordered digest like md5-of-concat is not).
+    *
+    * Scale shape: pure map-side hashing (`portable_hash64`, native
+    * codegen'd, of id|lang|text) + ONE partial-aggregable rollup
+    * aggregate — nothing shuffles but d+1 rows of partials per task.
+    * Arithmetic: hashes are normalized to their unsigned value in
+    * DECIMAL(38,0) (DuckDB's mix64 chain naturally yields [0, 2⁶⁴));
+    * the exact sum holds to ~9·10¹⁸ rows, and the final `pmod 2⁶²`
+    * fits BIGINT for the cross-engine hash compare.
+    */
+  val q196DatasetFingerprint = QueryDef(
+    "q196_dataset_fingerprint",
+    "order-independent per-source content fingerprint (modular hash sum + rollup total)",
+    """WITH ph AS (
+      |  SELECT source, n_chars,
+      |    CAST(list_reduce(list_transform(
+      |           string_split(concat_ws('|', CAST(doc_id AS VARCHAR), lang, text), ''),
+      |           c -> CAST(ascii(c) AS BIGINT)),
+      |         (a, x) -> (a*31 + x) % 1000000007) AS HUGEINT) AS z
+      |  FROM documents),
+      |m1 AS (SELECT source, n_chars, (xor(z, z >> 30) * 2685821657736338717) % 18446744073709551616 AS z FROM ph),
+      |m2 AS (SELECT source, n_chars, (xor(z, z >> 27) * 1181783497276652981) % 18446744073709551616 AS z FROM m1),
+      |hh AS (SELECT source, n_chars, xor(z, z >> 31) AS h FROM m2)
+      |SELECT coalesce(source, '*') AS source,
+      |  CAST(count(*) AS BIGINT) AS n_docs,
+      |  CAST(sum(n_chars) AS BIGINT) AS total_chars,
+      |  CAST(sum(h) % 4611686018427387904 AS BIGINT) AS fp62
+      |FROM hh
+      |GROUP BY ROLLUP (source)
+      |ORDER BY source""".stripMargin) { (s, d) =>
+    GraftFunctions.register(s)
+    val two64 = lit("18446744073709551616").cast("decimal(38,0)")
+    val h = call_function("portable_hash64",
+      concat_ws("|", col("doc_id").cast("string"), col("lang"), col("text")))
+    val hu = {
+      val hd = h.cast("decimal(38,0)")
+      when(hd < 0, hd + two64).otherwise(hd)
+    }
+    Tables.documents(s, d)
+      .select(col("source"), col("n_chars"), hu.as("hu"))
+      .rollup(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_chars")).as("total_chars"),
+        pmod(sum(col("hu")),
+          lit("4611686018427387904").cast("decimal(38,0)"))
+          .cast("long").as("fp62"))
+      .select(coalesce(col("source"), lit("*")).as("source"),
+        col("n_docs"), col("total_chars"), col("fp62"))
+      .orderBy(col("source"))
+  }
+
   val all: Seq[QueryDef] =
     Seq(q91ChangelogUpsert, q92SnapshotDiff, q94ZorderLayout, q115ScdType2,
-      q130ViewMaintenance)
+      q130ViewMaintenance, q196DatasetFingerprint)
 }

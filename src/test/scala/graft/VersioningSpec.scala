@@ -74,4 +74,52 @@ class VersioningSpec extends SparkSpec {
     val total = out.agg(sum(col("n_rows"))).first().getLong(0)
     assert(total == Tables.orders(spark, sfDir).count())
   }
+
+  test("q196 fingerprint: rollup consistency, layout invariance, content sensitivity") {
+    val rows = Registry.byName("q196_dataset_fingerprint").fn(spark, sfDir)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    val M = BigInt("4611686018427387904")
+    val perSource = rows.filter(_._1 != "*")
+    assert(perSource.nonEmpty && rows.contains("*"))
+
+    // the total row is the modular sum of the per-source rows
+    assert(rows("*")._1 == perSource.values.map(_._1).sum)
+    assert(rows("*")._2 == perSource.values.map(_._2).sum)
+    assert(BigInt(rows("*")._3) ==
+      perSource.values.map(v => BigInt(v._3)).sum.mod(M))
+
+    // layout invariance: the same corpus re-sharded must fingerprint
+    // identically (the property an ordered digest lacks)
+    val docs = Tables.documents(spark, sfDir)
+    val dir = java.nio.file.Files.createTempDirectory("graft_fp")
+      .toFile.getAbsolutePath
+    docs.orderBy(col("text")).repartition(13)
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val reshard = Registry.byName("q196_dataset_fingerprint").fn(spark, dir)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(reshard == rows, "fingerprint must be layout/order independent")
+
+    // sensitivity: flipping one document's text flips the fingerprint
+    // of exactly its source (and the total)
+    val mutDir = java.nio.file.Files.createTempDirectory("graft_fp2")
+      .toFile.getAbsolutePath
+    val mutatedSource = docs.orderBy(col("doc_id")).limit(1)
+      .select(col("source")).head.getString(0)
+    docs.withColumn("text",
+        when(col("doc_id") === docs.agg(min(col("doc_id"))).head.getLong(0),
+          concat(col("text"), lit(" x"))).otherwise(col("text")))
+      .write.mode("overwrite").parquet(s"$mutDir/documents.parquet")
+    val mutated = Registry.byName("q196_dataset_fingerprint").fn(spark, mutDir)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(mutated(mutatedSource)._3 != rows(mutatedSource)._3)
+    assert(mutated("*")._3 != rows("*")._3)
+    (perSource.keySet - mutatedSource).foreach { src =>
+      assert(mutated(src)._3 == rows(src)._3,
+        s"untouched source $src must keep its fingerprint")
+    }
+    spark.sharedState.cacheManager.clearCache()
+  }
 }
