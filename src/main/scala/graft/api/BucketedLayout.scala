@@ -2,7 +2,7 @@ package graft.api
 
 import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
 import org.apache.spark.sql.execution.SparkPlan
-import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
 import org.apache.spark.sql.execution.exchange.Exchange
 
 /** Co-located (bucketed) table layout — the storage-side answer to
@@ -54,6 +54,11 @@ object BucketedLayout {
     val self = p match { case _: Exchange => 1; case _ => 0 }
     val kids = p match {
       case a: AdaptiveSparkPlanExec => Seq(a.executedPlan)
+      // After AQE materializes stages (df already executed), each
+      // ShuffleQueryStageExec is a childless leaf hiding its wrapped
+      // ShuffleExchangeExec — recurse into the stage's plan or the
+      // count reads a spurious zero.
+      case q: QueryStageExec => Seq(q.plan)
       case other => other.children
     }
     self + kids.map(countExchanges).sum

@@ -38,28 +38,38 @@ object Neighbors {
     require(orderCols.nonEmpty, "orderCols must be non-empty")
     require(!df.columns.contains(prevCol) && !df.columns.contains(nextCol),
       s"input already has a '$prevCol' or '$nextCol' column")
-    require(!df.columns.contains("__pid"),
-      "input already has a '__pid' column")
+    require(Seq("__pid", "__rn", "__cnt").forall(c => !df.columns.contains(c)),
+      "input already has a '__pid', '__rn' or '__cnt' column")
     val parts = graft.AutoUnpersist.scoped(
       df.repartitionByRange(orderCols: _*)
         .withColumn("__pid", spark_partition_id()))
     val ww = Window.partitionBy(col("__pid")).orderBy(orderCols: _*)
     val within = parts
+      .withColumn("__rn", row_number().over(ww))
       .withColumn(prevCol, lag(col(valueCol), 1).over(ww))
       .withColumn(nextCol, lead(col(valueCol), 1).over(ww))
-    // per-partition first/last value: one partial+final aggregate →
-    // ≤ K metadata rows; the boundary lag/lead below runs on THAT
+    // per-partition first/last value + row count: one partial+final
+    // aggregate → ≤ K metadata rows; the boundary lag/lead below runs
+    // on THAT
     val bounds = parts.groupBy(col("__pid"))
       .agg(min_by(col(valueCol), struct(orderCols: _*)).as("__first"),
-        max_by(col(valueCol), struct(orderCols: _*)).as("__last"))
+        max_by(col(valueCol), struct(orderCols: _*)).as("__last"),
+        count(lit(1)).as("__cnt"))
     val wb = Window.orderBy(col("__pid"))
     val adj = bounds
-      .select(col("__pid"),
+      .select(col("__pid"), col("__cnt"),
         lag(col("__last"), 1).over(wb).as("__prev_last"),
         lead(col("__first"), 1).over(wb).as("__next_first"))
+    // Patch the K partition boundaries by ROW POSITION (first/last row
+    // of the partition), never by null-ness of the lag/lead — a null
+    // `valueCol` on an interior row must stay null, not inherit the
+    // previous partition's last value.
     within.join(broadcast(adj), Seq("__pid"))
-      .withColumn(prevCol, coalesce(col(prevCol), col("__prev_last")))
-      .withColumn(nextCol, coalesce(col(nextCol), col("__next_first")))
-      .drop("__pid", "__prev_last", "__next_first")
+      .withColumn(prevCol,
+        when(col("__rn") === 1, col("__prev_last")).otherwise(col(prevCol)))
+      .withColumn(nextCol,
+        when(col("__rn") === col("__cnt"), col("__next_first"))
+          .otherwise(col(nextCol)))
+      .drop("__pid", "__rn", "__cnt", "__prev_last", "__next_first")
   }
 }

@@ -306,8 +306,7 @@ object RetrievalQueries {
       |FROM dec ORDER BY decile""".stripMargin) { (s, d) =>
     val ntok = Tables.documents(s, d)
       .select(col("doc_id"),
-        graft.functions.TextFunctions.tokenCount(col("text"))
-          .cast("long").as("ntok"))
+        size(toks(col("text"))).cast("long").as("ntok"))
     val borda = rankedQualitySignals(s, d)
       .select(col("doc_id"),
         (col("r_len") + col("r_div") + col("r_tok")).as("borda"))

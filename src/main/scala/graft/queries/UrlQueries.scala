@@ -4,7 +4,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.{QueryDef, Tables}
-import graft.functions.{TextFunctions, UrlFunctions}
+import graft.functions.UrlFunctions
 
 /** Web-crawl URL curation (round-9 verdict task 5): canonical-URL
   * dedup keys and the per-domain mix audit — the first dedup pass and
@@ -160,7 +160,8 @@ object UrlQueries {
         |FROM a ORDER BY domain""".stripMargin) { (s, d) =>
     val perDomain = canonDocs(s, d)
       .select(col("domain"), col("canon_url"),
-        TextFunctions.tokenCount(col("text")).cast("long").as("ntok"))
+        size(filter(split(col("text"), " "), t => length(t) > lit(0)))
+          .cast("long").as("ntok"))
       .groupBy(col("domain"))
       .agg(count(lit(1)).as("n_docs"),
         countDistinct(col("canon_url")).as("n_urls"),

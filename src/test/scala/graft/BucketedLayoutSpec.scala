@@ -62,6 +62,14 @@ class BucketedLayoutSpec extends SparkSpec {
         val off = spark.table("bl_orders").groupBy("o_orderstatus")
           .agg(count(lit(1)))
         assert(BucketedLayout.shuffleCount(off) == 1)
+
+        // AND the count survives execution: once AQE materializes
+        // stages, the exchange hides inside a childless
+        // ShuffleQueryStageExec — the gate must recurse into it, not
+        // report a spurious zero on an already-executed DataFrame
+        off.count()
+        assert(BucketedLayout.shuffleCount(off) == 1,
+          s"post-execution shuffleCount lost the staged exchange:\n${off.queryExecution.executedPlan}")
       }
     } finally {
       Seq("bl_orders", "bl_customer", "bl_customer16")

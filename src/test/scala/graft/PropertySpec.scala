@@ -120,6 +120,29 @@ class PropertySpec extends SparkSpec {
     })
   }
 
+  test("Neighbors.withNeighbors keeps interior null values null (boundary patch is positional)") {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    // multi-row range partitions so interior rows exist, with null
+    // values scattered through the column: a null lag on an interior
+    // row must stay null, never inherit the previous partition's last
+    val old = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "3")
+    try {
+      val df = (0L until 12L)
+        .map(i => (i, if (i % 3 == 1) null else s"v$i"))
+        .toDF("id", "k")
+      val got = api.Neighbors.withNeighbors(df, Seq(col("id")), "k", "pk", "nk")
+        .select(col("id"), col("pk"), col("nk"))
+      val w = Window.orderBy(col("id"))
+      val want = df.select(col("id"),
+        lag(col("k"), 1).over(w).as("pk"),
+        lead(col("k"), 1).over(w).as("nk"))
+      assert(got.exceptAll(want).count() == 0 && want.exceptAll(got).count() == 0,
+        s"got=${got.orderBy("id").collect().mkString(",")}")
+    } finally spark.conf.set("spark.sql.shuffle.partitions", old)
+  }
+
   test("Ranking.withRank ranks NULL group keys as their own group (null-safe join)") {
     import spark.implicits._
     import org.apache.spark.sql.expressions.Window
