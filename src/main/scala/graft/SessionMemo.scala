@@ -20,17 +20,23 @@ object SessionMemo {
     * another memoized relation (pairSupport → orderBaskets), and a
     * nested `computeIfAbsent` on one shared map throws
     * "Recursive update". `lazy val` keeps the once-only guarantee. */
-  private final class Lazily(f: () => DataFrame) { lazy val value: DataFrame = f() }
+  private final class Lazily(f: () => Any) { lazy val value: Any = f() }
 
   private val memos =
     new java.util.WeakHashMap[SparkSession, java.util.concurrent.ConcurrentHashMap[String, Lazily]]()
 
-  def getOrCompute(s: SparkSession, key: String)(f: => DataFrame): DataFrame = {
+  def getOrCompute(s: SparkSession, key: String)(f: => DataFrame): DataFrame =
+    getOrComputeAs[DataFrame](s, key)(f)
+
+  /** Non-relation variant (e.g. AutoTune's memoized corpus count).
+    * The caller owns key-space discipline: one key, one type.
+    */
+  def getOrComputeAs[T](s: SparkSession, key: String)(f: => T): T = {
     val m = memos.synchronized {
       var t = memos.get(s)
       if (t == null) { t = new java.util.concurrent.ConcurrentHashMap[String, Lazily](); memos.put(s, t) }
       t
     }
-    m.computeIfAbsent(key, _ => new Lazily(() => f)).value
+    m.computeIfAbsent(key, _ => new Lazily(() => f)).value.asInstanceOf[T]
   }
 }

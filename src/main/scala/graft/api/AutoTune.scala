@@ -1,0 +1,86 @@
+package graft.api
+
+import org.apache.spark.sql.SparkSession
+
+import graft.{SessionMemo, Tables}
+
+/** Corpus-size-derived defaults for the sketch/index parameters — the
+  * closing move on the two measured fixed-parameter scale traps in
+  * BASELINE.md's sf0.1→sf1 ladder:
+  *
+  *  - LSH banding (q60 / `SimilarityJoinRewrite`): with fixed band
+  *    width r, expected bucket occupancy is n/2^r and candidate-pair
+  *    (verify) volume grows ~n²/2^r — the ladder measured the static
+  *    32/4 default going **19.6×** for 10× data, vs 2.5× after
+  *    re-tuning to 128/8. Production rule: grow r with log₂ of the
+  *    corpus so occupancy stays bounded.
+  *  - IVF cell count (q191 / `spark.graft.isolation.k`): in-cell pair
+  *    volume is Σ|cell|² ≈ n²/k — **3.9×** at the static k=16, vs
+  *    2.3× at k≈√n (pair volume n^1.5).
+  *
+  * The derivations below are *integer-exact* (no transcendental
+  * functions on the LSH path; `sqrt`+`ceil` — exact IEEE, identical
+  * in Spark and DuckDB — on the k path) so the DuckDB oracles replay
+  * them bit-identically: the oracle SQL computes the SAME parameter
+  * from `count(*)` and reproduces the engine's banding/cells.
+  *
+  * Both derived points REPRODUCE the hand-tuned ladder entries:
+  * n=2000 (sf0.1) → (32, 4), the measured-good default, and n=20000
+  * (sf1) → (128, 8), the measured-good re-tune. Explicit session
+  * confs (`spark.graft.lsh.nbits`/`bitsPerBand`,
+  * `spark.graft.isolation.k`) still override the derivation — the
+  * escape hatch when the corpus count is a poor proxy (e.g. heavily
+  * pre-filtered joins).
+  */
+object AutoTune {
+
+  /** Exact corpus row count, memoized per (session, dir, table) —
+    * one `count(*)` job per session: parquet counts are
+    * metadata-dominant (row-group footers, no column IO) and fully
+    * parallel, so this is cheap even at 100 TB, and every
+    * auto-tuned operator in the session shares the one number.
+    */
+  def corpusRows(s: SparkSession, dir: String, table: String = "embeddings"): Long =
+    SessionMemo.getOrComputeAs[Long](s, s"autotune.rows:$dir:$table") {
+      (table match {
+        case "embeddings" => Tables.embeddings(s, dir)
+        case "documents" => Tables.documents(s, dir)
+        case other => throw new IllegalArgumentException(
+          s"AutoTune.corpusRows: unknown table '$other'")
+      }).count()
+    }
+
+  /** LSH band width: the smallest r in [4, 11] with 128·2^r ≥ n —
+    * i.e. expected bucket occupancy n/2^r capped at 128 (the
+    * occupancy the 32/4 default exhibits on the 2000-row corpus
+    * where it measures well), floored at the recall-calibrated
+    * default width 4 and capped at 11 (2r² = 242 ≤ the rewrite's
+    * 256-bit signature ceiling). Integer shifts only — both engines
+    * derive the identical r with no floating-point log.
+    */
+  def lshR(n: Long): Int =
+    (4 to 11).find(i => (128L << i) >= n).getOrElse(11)
+
+  /** (nBits, bitsPerBand) = (2r², r): band count 2r grows WITH band
+    * width so collision recall stays roughly constant while per-band
+    * false-collision probability drops 2^Δr× — at cosine ≥ 0.9 the
+    * band-miss probability is ≈2·10⁻⁴ at (32,4) and ≈1.2·10⁻⁴ at
+    * (128,8). Reproduces both measured ladder points exactly.
+    */
+  def lshParams(n: Long): (Int, Int) = { val r = lshR(n); (2 * r * r, r) }
+
+  /** IVF cell count k = max(16, ⌈√(n/4)⌉): holds |cell| ≈ 2√n so
+    * in-cell pair volume is ≈ 2n^1.5 instead of n²/const — the same
+    * asymptotic as k=√n with a 2× occupancy constant calibrated
+    * against quality: at bare k=√n a 500-row corpus gets 22-vector
+    * cells whose in-cell NN is too weak a proxy for true isolation
+    * (DedupQualitySpec's brute-force percentile gate fails); 2√n
+    * cells keep that gate green while still collapsing the measured
+    * 3.9× fixed-k ladder trap. 16 is the fixture floor. n/4 is an
+    * exact power-of-2 division and `sqrt`/`ceil` are exact IEEE —
+    * DuckDB's `greatest(16, CAST(ceil(sqrt(count(*)/4.0)) AS
+    * BIGINT))` derives the identical k.
+    */
+  def isolationK(n: Long): Int =
+    math.max(16L, math.ceil(math.sqrt(n.toDouble / 4.0)).toLong).toInt
+}

@@ -4,6 +4,7 @@ import org.apache.spark.sql.{Column, SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 import org.apache.spark.sql.functions.call_function
+import org.apache.spark.sql.types.IntegerType
 
 /** Engine extension wiring: registers graft's native expressions with
   * a session (so `spark.sql("SELECT cosine_sim(a,b)")` and
@@ -48,11 +49,23 @@ object GraftFunctions {
       (children: Seq[Expression]) =>
         TopKByScore(children(0), children(1), children(2)))
 
+  /** 3-arg form: rewrite banding from session conf / static default.
+    * 5-arg form `similar_to(a, b, t, nBits, bitsPerBand)`: explicit
+    * banding carried on the predicate (the corpus-derived AutoTune
+    * path) — must be int literals, consumed at plan time.
+    */
   val similarToDescriptor: Descriptor =
     (FunctionIdentifier("similar_to"),
       new ExpressionInfo(classOf[SimilarTo].getName, "similar_to"),
-      (children: Seq[Expression]) =>
-        SimilarTo(children(0), children(1), children(2)))
+      (children: Seq[Expression]) => children match {
+        case Seq(a, b, t) => SimilarTo(a, b, t)
+        case Seq(a, b, t,
+            org.apache.spark.sql.catalyst.expressions.Literal(nb: Int, IntegerType),
+            org.apache.spark.sql.catalyst.expressions.Literal(bpb: Int, IntegerType)) =>
+          SimilarTo(a, b, t, Some((nb, bpb)))
+        case other => throw new IllegalArgumentException(
+          s"similar_to takes (a, b, threshold[, nBitsLit, bitsPerBandLit]); got ${other.size} args")
+      })
 
   val lshSigDescriptor: Descriptor =
     (FunctionIdentifier("lsh_sig"),
@@ -156,6 +169,19 @@ object GraftFunctions {
   def similarTo(a: Column, b: Column, threshold: Double): Column =
     call_function("similar_to", a, b,
       org.apache.spark.sql.functions.lit(threshold))
+
+  /** `similarTo` with an explicit (nBits, bitsPerBand) carried on the
+    * predicate for the band rewrite — the corpus-aware path (q60
+    * passes `api.AutoTune.lshParams(corpusRows)`). Semantics are
+    * identical to the 3-arg form; only the rewritten plan's banding
+    * differs. Session confs still override.
+    */
+  def similarTo(a: Column, b: Column, threshold: Double,
+      nBits: Int, bitsPerBand: Int): Column =
+    call_function("similar_to", a, b,
+      org.apache.spark.sql.functions.lit(threshold),
+      org.apache.spark.sql.functions.lit(nBits),
+      org.apache.spark.sql.functions.lit(bitsPerBand))
 
   /** Column-API form of the exact-integer Gram-sums aggregate
     * (flat `[d, n, S…, G_triangle…]` longs — see [[GramSumAgg]]).

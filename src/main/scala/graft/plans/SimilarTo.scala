@@ -28,8 +28,17 @@ import org.apache.spark.sql.types._
   * (band-join candidates are deduplicated on the full output row);
   * input relations with duplicate rows see those collapsed, unlike
   * the nested-loop fallback.
+  *
+  * `banding` is OPTIONAL rewrite-time metadata, not a semantic
+  * input: an explicit (nBits, bitsPerBand) carried on the predicate
+  * (e.g. `api.AutoTune.lshParams` derived from a corpus count, the
+  * q60 path) that `SimilarityJoinRewrite` uses instead of its static
+  * default. It never affects `eval` — the predicate stays the exact
+  * rounded cosine everywhere — and session confs still take
+  * precedence (the manual escape hatch).
   */
-case class SimilarTo(left: Expression, right: Expression, threshold: Expression)
+case class SimilarTo(left: Expression, right: Expression, threshold: Expression,
+    banding: Option[(Int, Int)] = None)
     extends TernaryExpression with Predicate {
 
   override def prettyName: String = "similar_to"

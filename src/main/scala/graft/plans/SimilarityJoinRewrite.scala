@@ -64,15 +64,22 @@ object SimilarityJoinRewrite extends Rule[LogicalPlan] {
   val NBitsConf = "spark.graft.lsh.nbits"
   val BitsPerBandConf = "spark.graft.lsh.bitsPerBand"
 
-  /** Effective (nBits, bitsPerBand) — session-tunable, default-stable.
-    * nBits may exceed 64: bands then draw from MULTIPLE independent
-    * 64-bit signature words (seed-offset lanes), which is how recall
-    * is held constant while bands get finer — e.g. 128/8 keeps the
-    * ≥0.9-cosine collision recall of the 32/4 default (≈0.996 vs
-    * ≈0.998) while cutting per-band collision probability 2^4×. */
-  private def params: (Int, Int) = {
-    val nb = conf.getConfString(NBitsConf, NBits.toString).toInt
-    val bpb = conf.getConfString(BitsPerBandConf, BitsPerBand.toString).toInt
+  /** Effective (nBits, bitsPerBand) — precedence: explicit session
+    * conf (the manual escape hatch) > banding carried on the
+    * predicate (`api.AutoTune`'s corpus-derived parameters, the q60
+    * path) > the static default. nBits may exceed 64: bands then
+    * draw from MULTIPLE independent 64-bit signature words
+    * (seed-offset lanes), which is how recall is held constant while
+    * bands get finer — e.g. 128/8 keeps the ≥0.9-cosine collision
+    * recall of the 32/4 default (≈0.996 vs ≈0.998) while cutting
+    * per-band collision probability 2^4×. */
+  private def params(carried: Option[(Int, Int)]): (Int, Int) = {
+    val confSet = conf.contains(NBitsConf) || conf.contains(BitsPerBandConf)
+    val (nb, bpb) =
+      if (confSet)
+        (conf.getConfString(NBitsConf, NBits.toString).toInt,
+          conf.getConfString(BitsPerBandConf, BitsPerBand.toString).toInt)
+      else carried.getOrElse((NBits, BitsPerBand))
     require(nb >= 1 && nb <= 256 && bpb >= 1 && bpb <= math.min(nb, 64) && nb % bpb == 0,
       s"invalid LSH banding: nbits=$nb bitsPerBand=$bpb (need 1 <= bpb <= min(nbits,64) <= 256, bpb | nbits)")
     (nb, bpb)
@@ -82,11 +89,11 @@ object SimilarityJoinRewrite extends Rule[LogicalPlan] {
     case j @ Join(l, r, Inner, Some(cond), _) if j.resolved =>
       val conjuncts = splitConjuncts(cond)
       val hit = conjuncts.collectFirst {
-        case st @ SimilarTo(a, b, Literal(t: Double, DoubleType))
+        case st @ SimilarTo(a, b, Literal(t: Double, DoubleType), _)
             if a.references.subsetOf(l.outputSet) &&
               b.references.subsetOf(r.outputSet) =>
           (st, a, b, t)
-        case st @ SimilarTo(a, b, Literal(t: Double, DoubleType))
+        case st @ SimilarTo(a, b, Literal(t: Double, DoubleType), _)
             if b.references.subsetOf(l.outputSet) &&
               a.references.subsetOf(r.outputSet) =>
           (st, b, a, t)
@@ -94,7 +101,7 @@ object SimilarityJoinRewrite extends Rule[LogicalPlan] {
       hit match {
         case Some((st, lv, rv, t)) =>
           val residual = conjuncts.filterNot(_ eq st)
-          rewrite(j, l, r, lv, rv, t, residual)
+          rewrite(j, l, r, lv, rv, t, residual, params(st.banding))
         case None => j
       }
   }
@@ -111,8 +118,9 @@ object SimilarityJoinRewrite extends Rule[LogicalPlan] {
     * components); word 0 at the default config reproduces the
     * original single-word signature bit-for-bit, so the q60 oracle
     * replay is untouched. */
-  private def explodeBands(side: LogicalPlan, vec: Expression): (LogicalPlan, Attribute) = {
-    val (nBits, bitsPerBand) = params
+  private def explodeBands(side: LogicalPlan, vec: Expression,
+      banding: (Int, Int)): (LogicalPlan, Attribute) = {
+    val (nBits, bitsPerBand) = banding
     val totalBands = nBits / bitsPerBand
     val bandsPerWord = 64 / bitsPerBand
     val nWords = (totalBands + bandsPerWord - 1) / bandsPerWord
@@ -139,9 +147,9 @@ object SimilarityJoinRewrite extends Rule[LogicalPlan] {
 
   private def rewrite(j: Join, l: LogicalPlan, r: LogicalPlan,
       lv: Expression, rv: Expression, t: Double,
-      residual: Seq[Expression]): LogicalPlan = {
-    val (lb, lk) = explodeBands(l, lv)
-    val (rb, rk) = explodeBands(r, rv)
+      residual: Seq[Expression], banding: (Int, Int)): LogicalPlan = {
+    val (lb, lk) = explodeBands(l, lv, banding)
+    val (rb, rk) = explodeBands(r, rv, banding)
     val bandJoin = Join(lb, rb, Inner, Some(EqualTo(lk, rk)), JoinHint.NONE)
     // exact verify via the SimilarVerify twin (see scaladoc re: re-match)
     val verify: Expression = SimilarVerify(lv, rv, Literal(t))

@@ -217,7 +217,12 @@ object SimilarityQueries {
     * references). The hint pins each stage to one evaluation
     * (0.6 s); results are bit-identical.
     */
-  private def ivfPreambleSql(iters: Int): String =
+  /** `kSql` is the SQL-side cell count — an integer scalar
+    * expression over CTE `t`, default the q39/q89 literal 16;
+    * q191 passes the corpus-derived `greatest(16, ceil(sqrt(n)))`
+    * so the oracle replays AutoTune.isolationK exactly.
+    */
+  private def ivfPreambleSql(iters: Int, kSql: String = "16"): String =
     s"""WITH t AS MATERIALIZED (
        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
        |    list_transform(CAST(embedding AS DOUBLE[]),
@@ -228,8 +233,8 @@ object SimilarityQueries {
        |hx1 AS (SELECT vec_id, (xor(z, z >> 30) * 2685821657736338717) % 18446744073709551616 AS z FROM hx0),
        |hx2 AS (SELECT vec_id, (xor(z, z >> 27) * 1181783497276652981) % 18446744073709551616 AS z FROM hx1),
        |samp AS MATERIALIZED (SELECT t.* FROM t JOIN hx2 USING (vec_id)
-       |         WHERE vec_id < 16 OR xor(z, z >> 31) % 4 = 0),
-       |c0 AS MATERIALIZED (SELECT CAST(vec_id AS INT) AS c_id, qv AS ce FROM t WHERE vec_id < 16),
+       |         WHERE vec_id < ${kSql} OR xor(z, z >> 31) % 4 = 0),
+       |c0 AS MATERIALIZED (SELECT CAST(vec_id AS INT) AS c_id, qv AS ce FROM t WHERE vec_id < ${kSql}),
        |${(1 to iters).map(lloydIterSql).mkString("\n")}
        |asgn AS MATERIALIZED (SELECT vec_id, v, c_id FROM (
        |    SELECT t.vec_id, t.v, c.c_id,
@@ -365,10 +370,10 @@ object SimilarityQueries {
 
   /** Embedding near-dup via cosine LSH (the scale path q37's
     * label-blocked exact join lacks: no block key needed, candidate
-    * generation is a band equi join). 32 seeded hyperplanes, 8 bands
-    * × 4 bits, candidates verified exactly at cos ≥ 0.45. Recall on
-    * PLANTED high-sim dups (the regime LSH is for) is ≈ 1 and pinned
-    * in `DedupQualitySpec`; precision is 1 by the exact verify.
+    * generation is a band equi join). Candidates verified exactly at
+    * cos ≥ 0.45. Recall on PLANTED high-sim dups (the regime LSH is
+    * for) is ≈ 1 and pinned in `DedupQualitySpec`; precision is 1 by
+    * the exact verify.
     *
     * Since round 3 this is expressed through the FIRST-CLASS operator:
     * `similar_to(ea, eb, 0.45)` in an inner-join condition, which
@@ -378,21 +383,40 @@ object SimilarityQueries {
     * by hand — a SQL user gets the operator without knowing the
     * banding recipe. PlanSpec gates that the rewrite fires (no BNLJ).
     *
+    * Since round 11 the banding is CORPUS-SIZED, not static: the
+    * round-8 sf1 ladder measured the fixed 32/4 default going 19.6×
+    * for 10× data (bucket occupancy n/2^r doubles with the corpus),
+    * so the band width is now `api.AutoTune.lshR(n)` — the smallest
+    * r ∈ [4,11] with 128·2^r ≥ n — with (nBits, bands) = (2r², 2r),
+    * carried explicitly on the predicate (session confs still
+    * override). On the gate corpora (500 / 2000 rows) the derivation
+    * yields r=4 → exactly the historical 32/4 plan; at sf1-scale
+    * (20000 rows) it yields the measured-good 128/8 with no manual
+    * conf. The derivation is integer-shift arithmetic, replayed
+    * EXACTLY by the oracle's `rp` CTE — no transcendental log whose
+    * rounding could diverge across engines.
+    *
     * FULLY oracle-checked since round 5: `plans.LshSignature`'s
     * Rademacher scramble is the HUGEINT-reproducible Mix64 kernel, so
     * the oracle below replays the exact hyperplane signs (one ±1
     * array per projection, folded over components in Spark's order —
-    * bit-identical IEEE sums), the 8×4 banding, the candidate join,
-    * and the round(cos,4) ≥ 0.45 verify. The LSH approximation is in
-    * the result BY DESIGN; the oracle reproduces the same
-    * approximation, so rows+schema+hash all gate.
+    * bit-identical IEEE sums), the derived 2r×r banding, the
+    * candidate join, and the round(cos,4) ≥ 0.45 verify. The oracle's
+    * single-signature-word replay covers derived r ≤ 5 (n ≤ 4096 —
+    * both gate corpora; beyond that the engine splits bands across
+    * seed-offset words, exercised by DedupQualitySpec at 128/8). The
+    * LSH approximation is in the result BY DESIGN; the oracle
+    * reproduces the same approximation, so rows+schema+hash all gate.
     */
   val q60HyperplaneLsh = QueryDef(
     "q60_hyperplane_lsh",
-    "cosine-LSH near-dup via the similar_to join operator (band rewrite + exact verify ≥ 0.45)",
+    "cosine-LSH near-dup via the similar_to join operator (corpus-sized banding + exact verify ≥ 0.45)",
     """WITH t AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      |rp AS MATERIALIZED (SELECT coalesce(min(i), 11) AS r
+      |      FROM (SELECT unnest(range(4, 12)) AS i)
+      |      WHERE (CAST(128 AS BIGINT) << i) >= (SELECT count(*) FROM t)),
       |ij AS (SELECT i, j
-      |       FROM (SELECT unnest(range(0, 32)) AS i)
+      |       FROM (SELECT unnest(range(0, (SELECT 2*r*r FROM rp))) AS i)
       |       CROSS JOIN (SELECT unnest(range(1, 1 + (SELECT max(len(v)) FROM t))) AS j)),
       |z0 AS (SELECT i, j,
       |        (CAST(7 AS HUGEINT) + CAST(i AS HUGEINT)*6364136223846793005
@@ -409,8 +433,12 @@ object SimilarityQueries {
       |sig AS (SELECT vec_id,
       |          CAST(sum(CASE WHEN proj > 0 THEN (CAST(1 AS BIGINT) << i) ELSE 0 END) AS BIGINT) AS sig
       |        FROM pr GROUP BY vec_id),
-      |bands AS (SELECT vec_id, b*16 + ((sig >> CAST(4*b AS INT)) % 16) AS bk
-      |          FROM sig CROSS JOIN (SELECT unnest(range(0, 8)) AS b)),
+      |bexp AS (SELECT vec_id, sig, r, unnest(range(0, 2*r)) AS b
+      |         FROM sig CROSS JOIN rp),
+      |bands AS (SELECT vec_id,
+      |            b*(CAST(1 AS BIGINT) << r)
+      |              + ((sig >> CAST(r*b AS INT)) % (CAST(1 AS BIGINT) << r)) AS bk
+      |          FROM bexp),
       |cand AS (SELECT DISTINCT x.vec_id AS vec_a, y.vec_id AS vec_b
       |         FROM bands x JOIN bands y ON x.bk = y.bk AND x.vec_id < y.vec_id)
       |SELECT vec_a, vec_b, cos_sim FROM (
@@ -434,8 +462,11 @@ object SimilarityQueries {
     val a = t.repartition(s.sparkContext.defaultParallelism, col("vec_id"))
       .select(col("vec_id").as("vec_a"), col("embedding").as("ea"))
     val b = t.select(col("vec_id").as("vec_b"), col("embedding").as("eb"))
+    // corpus-sized banding, carried on the predicate (see scaladoc):
+    // one memoized count(*) per session derives (2r², r)
+    val (nb, r) = graft.api.AutoTune.lshParams(graft.api.AutoTune.corpusRows(s, d))
     a.join(b,
-        GraftFunctions.similarTo(col("ea"), col("eb"), 0.45) &&
+        GraftFunctions.similarTo(col("ea"), col("eb"), 0.45, nb, r) &&
           col("vec_a") < col("vec_b"))
       .select(col("vec_a"), col("vec_b"),
         round(GraftFunctions.cosineSim(col("ea"), col("eb")), 4).as("cos_sim"))
@@ -837,12 +868,17 @@ object SimilarityQueries {
     *
     * The in-cell pair volume is Σ|cell|² ≈ N²/k: at FIXED k it grows
     * quadratically (measured 3.9× wall for 10× data on the sf1
-    * ladder), so the cell count is corpus-tunable via
-    * `spark.graft.isolation.k` — k ≈ √N holds |cell| ≈ √N and pair
-    * volume ≈ N^1.5 (k=128 at sf1: 4.4 → 1.3 s with the shared
-    * centroid memo, BELOW the sf0.1 default cost) — the q60 banding
-    * convention: session conf overrides, the DEFAULT (16) stays fixed
-    * so the DuckDB unrolled-Lloyd replay is bit-identical.
+    * ladder at the old static k=16), so since round 11 the cell
+    * count is CORPUS-DERIVED: k = `api.AutoTune.isolationK(n)` =
+    * max(16, ⌈√(n/4)⌉), holding |cell| ≈ 2√N and pair volume
+    * ≈ 2N^1.5 (see AutoTune for the quality-calibrated constant) —
+    * with `spark.graft.isolation.k` as the explicit session
+    * override. n/4 is exact and `sqrt`/`ceil` are exact IEEE in
+    * both engines, so the oracle's
+    * `greatest(16, ceil(sqrt(count(*)/4.0)))` derives the identical
+    * k and the unrolled-Lloyd replay stays bit-identical (gate
+    * corpora: k=16 at n=500 — the historical default — and k=23 at
+    * n=2000).
     *
     * Oracle: the proven q39/q89 unrolled-Lloyd preamble replays
     * training + assignment; per-pair cosines are the reproducible
@@ -851,7 +887,7 @@ object SimilarityQueries {
   val q191IsolationAudit = QueryDef(
     "q191_isolation_audit",
     "embedding isolation audit: 20 most-isolated vectors by in-cell nearest-neighbor cosine",
-    s"""${ivfPreambleSql(6)},
+    s"""${ivfPreambleSql(6, "(SELECT greatest(16, CAST(ceil(sqrt(count(*)/4.0)) AS BIGINT)) FROM t)")},
        |pairsim AS (SELECT a.vec_id, a.c_id,
        |    max(list_dot_product(a.v, b.v) /
        |        sqrt(list_dot_product(a.v, a.v) * list_dot_product(b.v, b.v))) AS bs
@@ -866,7 +902,10 @@ object SimilarityQueries {
        |WHERE rn <= 20
        |ORDER BY rn""".stripMargin) { (s, d) =>
     GraftFunctions.register(s)
-    val k = s.conf.get("spark.graft.isolation.k", "16").toInt
+    // corpus-derived k (≈√N) unless the session conf pins it — the
+    // same override-beats-derivation precedence as the LSH banding
+    val k = s.conf.getOption("spark.graft.isolation.k").map(_.toInt)
+      .getOrElse(graft.api.AutoTune.isolationK(graft.api.AutoTune.corpusRows(s, d)))
     require(k >= 1, s"invalid spark.graft.isolation.k=$k")
     val t = Tables.embeddings(s, d).select(col("vec_id"), col("embedding"))
     val cents = corpusCentroids(s, d, k = k, iters = 6)

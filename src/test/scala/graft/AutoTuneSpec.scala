@@ -1,0 +1,88 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.api.AutoTune
+import graft.plans.{GraftFunctions, SimilarityJoinRewrite}
+
+/** Pins the corpus-derived sketch/index parameter rules (round-11
+  * verdict task 1) — the derivation IS the contract the oracles
+  * replay, so every value here is load-bearing.
+  */
+class AutoTuneSpec extends SparkSpec {
+
+  test("lshR: smallest r in [4,11] with 128·2^r ≥ n, floored and capped") {
+    // floor regime: tiny corpora keep the recall-calibrated width 4
+    assert(AutoTune.lshR(1) == 4)
+    assert(AutoTune.lshR(500) == 4)     // sf0.01 gate corpus
+    assert(AutoTune.lshR(2000) == 4)    // sf0.1 gate corpus
+    assert(AutoTune.lshR(2048) == 4)    // exact boundary: 128·2^4
+    assert(AutoTune.lshR(2049) == 5)
+    assert(AutoTune.lshR(4096) == 5)    // single-oracle-word ceiling
+    assert(AutoTune.lshR(20000) == 8)   // sf1 ladder corpus
+    // cap regime: 2·11² = 242 ≤ the rewrite's 256-bit signature limit
+    assert(AutoTune.lshR(Long.MaxValue) == 11)
+  }
+
+  test("lshParams reproduces BOTH measured ladder points: (32,4) and (128,8)") {
+    assert(AutoTune.lshParams(2000) == ((32, 4)))   // the good sf0.1 default
+    assert(AutoTune.lshParams(20000) == ((128, 8))) // the good sf1 re-tune
+    // derived nBits always divisible by r (the rewrite's banding invariant)
+    (1L to 26L).map(1L << _).foreach { n =>
+      val (nb, r) = AutoTune.lshParams(n)
+      assert(nb == 2 * r * r && nb % r == 0 && nb <= 256, s"n=$n -> ($nb, $r)")
+    }
+  }
+
+  test("isolationK = max(16, ceil(sqrt(n/4))): 16 at gate floor, 23 at sf0.1, 71 at sf1") {
+    assert(AutoTune.isolationK(100) == 16)
+    assert(AutoTune.isolationK(1024) == 16)  // boundary: sqrt(256) = 16
+    assert(AutoTune.isolationK(500) == 16)   // sf0.01/sf0.001 gate corpus — the historical default
+    assert(AutoTune.isolationK(2000) == 23)  // sf0.1 gate corpus
+    assert(AutoTune.isolationK(20000) == 71) // sf1 ladder corpus
+  }
+
+  test("corpusRows memoizes the count per (session, dir, table)") {
+    val n1 = AutoTune.corpusRows(spark, sfDir)
+    assert(n1 == 500L)
+    assert(AutoTune.corpusRows(spark, sfDir) == n1)
+    assert(AutoTune.corpusRows(spark, sfDir, "documents") == 500L)
+  }
+
+  /** The carried-banding plumbing: predicate-carried params reach the
+    * band rewrite; explicit session confs still win (the manual
+    * escape hatch the verdict requires kept intact).
+    */
+  test("similar_to carried banding drives the rewrite; session conf overrides it") {
+    import spark.implicits._
+    GraftFunctions.register(spark)
+    val t = Seq((1L, Array(1.0f, 0.0f)), (2L, Array(0.9f, 0.1f)))
+      .toDF("vec_id", "embedding")
+    val a = t.select(col("vec_id").as("va"), col("embedding").as("ea"))
+    val b = t.select(col("vec_id").as("vb"), col("embedding").as("eb"))
+    def planOf(nb: Int, r: Int): String =
+      a.join(b, GraftFunctions.similarTo(col("ea"), col("eb"), 0.45, nb, r) &&
+          col("va") < col("vb"))
+        .queryExecution.optimizedPlan.toString
+    // 50 bits / 5-bit bands fit ONE signature word; 128/8 needs two
+    val p50 = planOf(50, 5)
+    assert(p50.contains("graft_sig0") && !p50.contains("graft_sig1"), p50)
+    val p128 = planOf(128, 8)
+    assert(p128.contains("graft_sig1"), p128)
+    // conf set -> carried banding ignored (128/8 carried, 32/4 conf)
+    spark.conf.set(SimilarityJoinRewrite.NBitsConf, "32")
+    spark.conf.set(SimilarityJoinRewrite.BitsPerBandConf, "4")
+    try {
+      val pConf = planOf(128, 8)
+      assert(pConf.contains("graft_sig0") && !pConf.contains("graft_sig1"), pConf)
+    } finally {
+      spark.conf.unset(SimilarityJoinRewrite.NBitsConf)
+      spark.conf.unset(SimilarityJoinRewrite.BitsPerBandConf)
+    }
+    // and the predicate's SEMANTICS ignore banding: same matches either way
+    val got = a.join(b, GraftFunctions.similarTo(col("ea"), col("eb"), 0.45, 50, 5) &&
+        col("va") < col("vb"))
+      .select("va", "vb").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == Set((1L, 2L)), got.toString)
+  }
+}
