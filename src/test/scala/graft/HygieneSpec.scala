@@ -388,4 +388,85 @@ class HygieneSpec extends SparkSpec {
       assert(en > avg, s"target slice en ($en) not above $l ($avg)")
     }
   }
+
+  test("q197 removal: kept = n_tokens − q179 coverage, md5 gates the text, and cleaning is idempotent") {
+    import graft.queries.HygieneQueries
+    val rm = Registry.byName("q197_exactsubstr_removal").fn(spark, sfDir)
+      .collect().map(r => r.getAs[Long]("doc_id") -> r).toMap
+    val rep = Registry.byName("q179_exactsubstr_spans").fn(spark, sfDir)
+      .collect()
+    assert(rep.length == rm.size)
+    rep.foreach { r =>
+      val c = rm(r.getAs[Long]("doc_id"))
+      // the cross-query identity: removal keeps exactly what the
+      // report says isn't covered by merged duplicated spans
+      assert(c.getAs[Long]("kept_tokens") ==
+        r.getAs[Long]("n_tokens") - r.getAs[Long]("dup_tokens"),
+        s"doc ${r.get(0)}: kept ${c.get(2)} != ${r.get(1)} - ${r.get(3)}")
+      val txt = c.getAs[String]("clean_text")
+      assert(c.getAs[Long]("kept_tokens") ==
+        (if (txt.isEmpty) 0 else txt.split(" ").length).toLong)
+      assert(c.getAs[String]("clean_md5") ==
+        java.security.MessageDigest.getInstance("MD5")
+          .digest(txt.getBytes("UTF-8")).map("%02x".format(_)).mkString)
+    }
+    // idempotence — Lee et al.'s fixed point: the cleaned corpus has
+    // NO remaining ≥8-token duplicated span, so cleaning again is the
+    // identity (re-tokenization is stable because the rejoin is
+    // already single-space normalized)
+    import spark.implicits._
+    val cleaned = rm.values.toSeq
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[String]("clean_text")))
+      .toDF("doc_id", "text")
+    val again = HygieneQueries.removalSpans(
+      HygieneQueries.suffixLcp(HygieneQueries.tokenized(cleaned), 64), 8)
+    assert(again.count() == 0L,
+      s"cleaned corpus still has removal spans: ${again.collect().mkString(",")}")
+    spark.sharedState.cacheManager.clearCache()
+  }
+
+  test("maxSuffix cap conf: coverage exact at both settings, longest_dup saturates only below the clone length") {
+    import spark.implicits._
+    import graft.queries.HygieneQueries
+    // two docs sharing an 80-token clone — longer than the default
+    // 64-token suffix cap
+    val span80 = (0 until 80).map(i => f"clone$i%02d")
+    def filler(tag: String, n: Int) = (0 until n).map(i => s"$tag$i")
+    val tok = Seq(
+      1L -> (filler("a", 20) ++ span80 ++ filler("c", 20)),
+      2L -> (filler("b", 15) ++ span80 ++ filler("d", 25)))
+      .toDF("doc_id", "w")
+    def run(cap: Int) = {
+      val lcp = HygieneQueries.suffixLcp(tok, cap)
+      val spans = HygieneQueries.removalSpans(lcp, 8).collect()
+        .map(r => (r.getLong(0), r.getAs[Long]("s"), r.getAs[Long]("e"))).toSet
+      val longest = lcp.agg(max(col("l"))).collect()(0).getLong(0)
+      (spans, longest)
+    }
+    val (sp64, ld64) = run(64)
+    val (sp128, ld128) = run(128)
+    // coverage/spans are EXACT at either cap (dup starts chain past
+    // the truncation); only longest_dup saturates at the 64 cap
+    assert(sp64 == Set((1L, 20L, 100L), (2L, 15L, 95L)), sp64.toString)
+    assert(sp128 == sp64)
+    assert(ld64 == 64L && ld128 == 80L, s"$ld64 / $ld128")
+    // and the session conf reaches the memoized corpus path: a
+    // distinct cap is a distinct memo entry with the exact LCP
+    val dir = java.nio.file.Files.createTempDirectory("graft_maxsfx")
+      .toFile.getAbsolutePath
+    tok.select(col("doc_id"), array_join(col("w"), " ").as("text"),
+        lit("en").as("lang"), lit("src0").as("source"),
+        length(array_join(col("w"), " ")).cast("long").as("n_chars"))
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val defMax = HygieneQueries.corpusSuffixLcp(spark, dir)
+      .agg(max(col("l"))).collect()(0).getLong(0)
+    assert(defMax == 64L, s"default-cap corpus longest_dup $defMax")
+    spark.conf.set(HygieneQueries.MaxSuffixConf, "128")
+    try {
+      val bigMax = HygieneQueries.corpusSuffixLcp(spark, dir)
+        .agg(max(col("l"))).collect()(0).getLong(0)
+      assert(bigMax == 80L, s"cap-128 corpus longest_dup $bigMax")
+    } finally spark.conf.unset(HygieneQueries.MaxSuffixConf)
+    spark.sharedState.cacheManager.clearCache()
+  }
 }
