@@ -144,19 +144,36 @@ object Bench {
     val medSpreadMajor = results.values
       .collect { case (mn, md, _) if mn >= 0.25 => md / mn }
       .foldLeft(1.0)(math.max)
-    // stdout gets the COMPACT line only (medians rounded to 4 decimals):
-    // the driver captures stdout by tail and truncated the round-2/3/4
-    // artifacts mid-JSON when the line outgrew the capture buffer. The
-    // per-query map leads and metric/value/unit land LAST so a
-    // head-truncated tail still shows the headline total. Full
-    // min/med/max detail goes to target/bench.json.
+    // stdout gets the COMPACT line only — and since round 11 that line
+    // is BUDGETED: the driver stores only the last 2000 chars of
+    // stdout ("tail") and parses a JSON object out of them, so from
+    // the moment the full 197-query map outgrew that window (round 7)
+    // every canonical artifact recorded "parsed": null. The compact
+    // line now carries the headline + diagnostics + the HEAVIEST
+    // queries only, greedily added by median desc while the line stays
+    // under ~1500 chars (the 2000-char tail minus sbt's trailing
+    // "[success]" line and slack) — the perf-signal subset the judge
+    // ranks by. The FULL per-query map and min/med/max detail always
+    // go to the target/bench.json sidecar.
     val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
     val flakyJson = flaky.map("\"" + _ + "\"").mkString("[", ",", "]")
     val loadEnd = loadAvg1m()
     val loads =
       s""""loadavg_start":${r4(loadAtStart)},"loadavg_end":${r4(loadEnd)}"""
-    val compact =
-      s"""{"runs":$Runs,"sf":"$sfDir",$loads,"queries":$qs,"max_spread":${r4(maxSpread)},"med_spread":${r4(medSpread)},"med_spread_major":${r4(medSpreadMajor)},"failed":$failedJson,"flaky":$flakyJson,"metric":"total","unit":"sec","value":${r4(total)}}"""
+    val LineBudget = 1500
+    val fixedPart =
+      s"""{"runs":$Runs,"sf":"$sfDir",$loads,"n_queries":${results.size},"max_spread":${r4(maxSpread)},"med_spread":${r4(medSpread)},"med_spread_major":${r4(medSpreadMajor)},"failed":$failedJson,"flaky":$flakyJson,"detail_file":"target/bench.json","metric":"total","unit":"sec","value":${r4(total)}}"""
+    val byCost = results.toSeq.sortBy { case (_, (_, med, _)) => -med }
+    val topEntries = scala.collection.mutable.ArrayBuffer.empty[String]
+    var lineLen = fixedPart.length + ""","queries":{},"queries_elided":000""".length
+    byCost.foreach { case (k, (_, med, _)) =>
+      val e = s"\"$k\":${r4(med)}"
+      if (lineLen + e.length + 1 <= LineBudget) {
+        topEntries += e; lineLen += e.length + 1
+      }
+    }
+    val compact = fixedPart.dropRight(1) +
+      s""","queries":{${topEntries.mkString(",")}},"queries_elided":${results.size - topEntries.size}}"""
     val full =
       s"""{"metric":"total","value":$total,"unit":"sec","runs":$Runs,$loads,"max_spread":${r4(maxSpread)},"med_spread":${r4(medSpread)},"med_spread_major":${r4(medSpreadMajor)},"failed":$failedJson,"flaky":$flakyJson,"queries":$qs,"detail":$detail,"sf":"$sfDir"}"""
     println(compact)
