@@ -249,12 +249,24 @@ object GraphQueries {
       |SELECT l4.node, l4.lbl AS community, cs.csize
       |FROM l4 JOIN cs ON cs.lbl = l4.lbl
       |ORDER BY l4.node""".stripMargin) { (s, d) =>
+    // the api.PageRank / ConnectedComponents iteration convention:
+    // checkpoint the edge relation once and the label relation after
+    // every round — labels is consumed TWICE per round (majority join
+    // + isolated-node fallback) and again by the sizes join, so an
+    // unchecked lineage re-evaluates earlier rounds multiply and the
+    // one fused 4-round DAG pays ~0.4 s of AQE stage overhead per
+    // round on re-planning it (1.90 → ~1.1 s at sf0.1)
+    // (no pre-partitioning on e2: the label relation broadcasts —
+    // ~|nodes| rows — so the per-round join moves no edge bytes; the
+    // one real per-round exchange is the (src,lbl) majority count)
     val ed = MiningQueries.pairSupport(s, d).select(col("u"), col("v"))
     val e2 = ed.select(col("u").as("src"), col("v").as("dst"))
       .unionAll(ed.select(col("v").as("src"), col("u").as("dst")))
+      .localCheckpoint()
     var labels = Tables.lineitem(s, d)
       .select(col("l_partkey").as("node")).distinct()
       .withColumn("lbl", col("node"))
+      .localCheckpoint()
     for (_ <- 1 to 4) {
       val maj = e2.join(labels.withColumnRenamed("node", "dst"), "dst")
         .groupBy(col("src"), col("lbl")).agg(count(lit(1)).as("c"))
@@ -264,6 +276,7 @@ object GraphQueries {
         .withColumnRenamed("src", "node")
       labels = labels.join(maj, Seq("node"), "left_outer")
         .select(col("node"), coalesce(col("mlbl"), col("lbl")).as("lbl"))
+        .localCheckpoint()
     }
     val sizes = labels.groupBy(col("lbl")).agg(count(lit(1)).as("csize"))
     labels.join(sizes, "lbl")
