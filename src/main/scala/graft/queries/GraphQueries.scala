@@ -256,13 +256,14 @@ object GraphQueries {
     // unchecked lineage re-evaluates earlier rounds multiply and the
     // one fused 4-round DAG pays ~0.4 s of AQE stage overhead per
     // round on re-planning it (1.90 → ~1.1 s at sf0.1)
-    // (no pre-partitioning on e2: the label relation broadcasts —
+    // (no pre-partitioning or re-checkpoint on e2: pairSupport is
+    // already a memoized localCheckpoint, so the symmetrized view is
+    // two cheap scans of it; and the label relation broadcasts —
     // ~|nodes| rows — so the per-round join moves no edge bytes; the
     // one real per-round exchange is the (src,lbl) majority count)
     val ed = MiningQueries.pairSupport(s, d).select(col("u"), col("v"))
     val e2 = ed.select(col("u").as("src"), col("v").as("dst"))
       .unionAll(ed.select(col("v").as("src"), col("u").as("dst")))
-      .localCheckpoint()
     var labels = Tables.lineitem(s, d)
       .select(col("l_partkey").as("node")).distinct()
       .withColumn("lbl", col("node"))
