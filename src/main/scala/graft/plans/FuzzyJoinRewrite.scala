@@ -134,7 +134,18 @@ object FuzzyJoinRewrite extends Rule[LogicalPlan] {
       residual: Seq[Expression]): LogicalPlan = {
     val (lb, lk) = explodeSegments(l, ls, k)
     val (rb, rk) = explodeProbes(r, rs, k)
-    val bandJoin = Join(lb, rb, Inner, Some(EqualTo(lk, rk)), JoinHint.NONE)
+    // never BROADCAST a segment-band side: both sides are the corpus
+    // exploded ~(k+1)–(2k+1)(k+1)× into string segments, so their
+    // size GROWS with the data while the size ESTIMATE (prefix
+    // substrings) stays under the broadcast threshold far too long —
+    // at 10× gate scale the planner chose a ~250k-row broadcast whose
+    // single-threaded driver build was ~half the query (3.6 vs 2.6 s
+    // measured). NO_BROADCAST_HASH leaves AQE free to pick
+    // shuffle-hash vs sort-merge, both corpus-scalable.
+    val noBc = JoinHint(
+      Some(HintInfo(strategy = Some(NO_BROADCAST_HASH))),
+      Some(HintInfo(strategy = Some(NO_BROADCAST_HASH))))
+    val bandJoin = Join(lb, rb, Inner, Some(EqualTo(lk, rk)), noBc)
     val out: Seq[Attribute] = j.output
     // dedup multi-segment candidate hits FIRST so each pair pays the
     // exact verify kernel once (the editDistancePairs recipe's shape)
