@@ -285,7 +285,92 @@ object GraphQueries {
       .orderBy(col("node"))
   }
 
+  /** k-core onion decomposition (k = 2, 6 synchronous peel rounds)
+    * over the part co-purchase affinity graph — the degeneracy
+    * layering that separates tree-like fringe (peeled early) from the
+    * densely-knit core (never peeled): each round simultaneously
+    * removes every node whose degree within the SURVIVING subgraph is
+    * below k, the classic distributed k-core algorithm (Montresor et
+    * al. 2013's peel-in-rounds shape). 6 rounds converge to the true
+    * 2-core at both tested scale factors (fixpoint after 3 rounds at
+    * sf0.01, 5 at sf0.1 — measured); the FIXED round count keeps the
+    * orbit engine-replayable even on a pathological chain where 6
+    * wouldn't converge (the q192 fixed-iteration contract: both
+    * engines freeze identically).
+    *
+    * Output: every graph node with its peel round (1–6) or 0 for core
+    * survivors — the "onion layer" a curation pipeline uses to rank
+    * how structurally embedded an item is.
+    *
+    * Scale shape: edges are the memoized support ≥ 2 relation
+    * (`MiningQueries.pairSupport`, the q100/q116/q144/q192 share);
+    * each round is one alive⋈edges⋈alive degree count (two semi-join-
+    * shaped equi joins + a partial-aggregable count, never a window)
+    * followed by a node-table-sized split, localCheckpointed so round
+    * r+1's lineage doesn't re-run round r. Peeled layers accumulate
+    * as a union of disjoint node sets — ≤ |V| rows total.
+    *
+    * Oracle: 6 unrolled MATERIALIZED CTE rounds (the q192 convention).
+    */
+  val q198KcoreOnion: QueryDef = {
+    def round(r: Int): String = {
+      val prev = s"a${r - 1}"
+      s"""d$r AS MATERIALIZED (SELECT e.src AS node, count(*) AS d
+         |  FROM e2 e JOIN $prev x ON x.node = e.src JOIN $prev y ON y.node = e.dst
+         |  GROUP BY e.src),
+         |p$r AS MATERIALIZED (SELECT a.node FROM $prev a
+         |  LEFT JOIN d$r d ON d.node = a.node WHERE coalesce(d.d, 0) < 2),
+         |a$r AS MATERIALIZED (SELECT a.node FROM $prev a
+         |  LEFT JOIN d$r d ON d.node = a.node WHERE coalesce(d.d, 0) >= 2)""".stripMargin
+    }
+    QueryDef(
+      "q198_kcore_onion",
+      "k-core onion decomposition (k=2, 6 synchronous peel rounds) on the co-purchase graph",
+      s"""WITH li AS MATERIALIZED (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+         |ed AS MATERIALIZED (SELECT u, v FROM (
+         |        SELECT a.p AS u, b.p AS v, count(*) AS c
+         |        FROM li a JOIN li b ON a.o = b.o AND a.p < b.p
+         |        GROUP BY a.p, b.p)
+         |      WHERE c >= 2),
+         |e2 AS MATERIALIZED (SELECT u AS src, v AS dst FROM ed
+         |                    UNION ALL SELECT v, u FROM ed),
+         |a0 AS MATERIALIZED (SELECT DISTINCT src AS node FROM e2),
+         |${(1 to 6).map(round).mkString(",\n")},
+         |peeled AS (${(1 to 6)
+            .map(r => s"SELECT node, $r AS pr FROM p$r")
+            .mkString("\n  UNION ALL ")})
+         |SELECT a0.node, CAST(coalesce(peeled.pr, 0) AS BIGINT) AS peel_round,
+         |  CAST(CASE WHEN peeled.pr IS NULL THEN 1 ELSE 0 END AS BIGINT) AS in_core
+         |FROM a0 LEFT JOIN peeled ON peeled.node = a0.node
+         |ORDER BY a0.node""".stripMargin) { (s, d) =>
+      val ed = MiningQueries.pairSupport(s, d).select(col("u"), col("v"))
+      val e2 = ed.select(col("u").as("src"), col("v").as("dst"))
+        .unionAll(ed.select(col("v").as("src"), col("u").as("dst")))
+      val nodes = e2.select(col("src").as("node")).distinct().localCheckpoint()
+      var alive = nodes
+      var peeled = nodes.filter(lit(false))
+        .withColumn("pr", lit(0L)) // empty (node, pr) accumulator
+      for (r <- 1 to 6) {
+        val deg = e2
+          .join(alive.withColumnRenamed("node", "src"), "src")
+          .join(alive.withColumnRenamed("node", "dst"), "dst")
+          .groupBy(col("src")).agg(count(lit(1)).as("d"))
+          .withColumnRenamed("src", "node")
+        val st = alive.join(deg, Seq("node"), "left_outer")
+          .select(col("node"), coalesce(col("d"), lit(0L)).as("d"))
+          .localCheckpoint()
+        peeled = peeled.unionAll(
+          st.filter(col("d") < 2).select(col("node"), lit(r.toLong).as("pr")))
+        alive = st.filter(col("d") >= 2).select(col("node"))
+      }
+      nodes.join(peeled, Seq("node"), "left_outer")
+        .select(col("node"), coalesce(col("pr"), lit(0L)).as("peel_round"),
+          when(col("pr").isNull, 1L).otherwise(0L).as("in_core"))
+        .orderBy(col("node"))
+    }
+  }
+
   val all: Seq[QueryDef] =
     Seq(q100Triangles, q131HierarchyFlatten, q144KhopReachability,
-      q192LabelPropagation)
+      q192LabelPropagation, q198KcoreOnion)
 }

@@ -937,8 +937,262 @@ object SimilarityQueries {
       .orderBy(col("rn"))
   }
 
+  /** Maximal Marginal Relevance (MMR, Carbonell & Goldstein 1998) —
+    * DIVERSIFIED top-k: plain cosine top-k returns near-duplicates of
+    * each other (this corpus's near-dup clusters guarantee it); MMR
+    * greedily picks argmax λ·sim(q,d) − (1−λ)·max_{s∈S} sim(d,s), so
+    * each pick is relevant AND far from what's already selected — the
+    * retrieval-diversity pass RAG pipelines and dedup-aware samplers
+    * run after candidate generation.
+    *
+    * Exactness: similarities are int8-quantized cosines (the q76
+    * kernel — integer dot products exactly representable in DOUBLE,
+    * then IEEE sqrt/divide, bit-equal across engines); λ = 0.7 and
+    * the per-step argmax break ties by n_id, so all 5 greedy steps
+    * are engine-replayable (5 unrolled MATERIALIZED CTEs, the q192
+    * convention).
+    *
+    * Scale shape: the EXPENSIVE part is candidate generation — one
+    * broadcast-query pass with the bounded partial `topk_by_score`
+    * aggregate (never a corpus window). Everything after is bounded
+    * by queries×20 candidates: the pairwise-sim relation and the 5
+    * greedy rounds are metadata joins, localCheckpointed so one lazy
+    * DAG doesn't re-run candidate generation per round. At 100 TB the
+    * candidate stage rides the IVF index (q39) unchanged; the MMR
+    * tail is corpus-independent.
+    */
+  val q200MmrDiversified: QueryDef = {
+    def step(i: Int): String = {
+      val prev = s"sel${i - 1}"
+      s"""m$i AS MATERIALIZED (SELECT p.q_id, p.x AS n_id, max(p.cp) AS ms
+         |  FROM pr p JOIN $prev s ON s.q_id = p.q_id AND s.n_id = p.y
+         |  GROUP BY p.q_id, p.x),
+         |s$i AS MATERIALIZED (SELECT q_id, n_id, score FROM (
+         |  SELECT c.q_id, c.n_id, 0.7 * c.csq - 0.3 * m.ms AS score,
+         |    row_number() OVER (PARTITION BY c.q_id ORDER BY 0.7 * c.csq - 0.3 * m.ms DESC, c.n_id) AS rn
+         |  FROM cand c JOIN m$i m ON m.q_id = c.q_id AND m.n_id = c.n_id
+         |  ANTI JOIN $prev s ON s.q_id = c.q_id AND s.n_id = c.n_id) WHERE rn = 1),
+         |sel$i AS MATERIALIZED (SELECT * FROM $prev UNION ALL SELECT q_id, n_id, $i AS rank, score FROM s$i)""".stripMargin
+    }
+    QueryDef(
+      "q200_mmr_diversified",
+      "MMR diversified top-5 (lambda=0.7) over int8-cosine top-20 candidates, 5 greedy argmax rounds",
+      s"""WITH t AS MATERIALIZED (
+         |  SELECT vec_id,
+         |    list_transform(CAST(embedding AS DOUBLE[]),
+         |      x -> floor(x * (127.0 / list_max(list_transform(CAST(embedding AS DOUBLE[]), y -> abs(y)))) + 0.5)) AS qv
+         |  FROM embeddings),
+         |q AS (SELECT vec_id AS q_id, qv AS qqv FROM t WHERE vec_id < 5),
+         |cs AS MATERIALIZED (
+         |  SELECT q.q_id, t.vec_id AS n_id,
+         |    list_dot_product(q.qqv, t.qv)
+         |      / sqrt(list_dot_product(q.qqv, q.qqv) * list_dot_product(t.qv, t.qv)) AS csq,
+         |    row_number() OVER (PARTITION BY q.q_id ORDER BY
+         |      list_dot_product(q.qqv, t.qv)
+         |        / sqrt(list_dot_product(q.qqv, q.qqv) * list_dot_product(t.qv, t.qv)) DESC,
+         |      t.vec_id) AS rn
+         |  FROM q, t WHERE t.vec_id <> q.q_id),
+         |cand AS MATERIALIZED (SELECT q_id, n_id, csq FROM cs WHERE rn <= 20),
+         |pr AS MATERIALIZED (
+         |  SELECT a.q_id, a.n_id AS x, b.n_id AS y,
+         |    list_dot_product(tx.qv, ty.qv)
+         |      / sqrt(list_dot_product(tx.qv, tx.qv) * list_dot_product(ty.qv, ty.qv)) AS cp
+         |  FROM cand a JOIN cand b ON a.q_id = b.q_id AND a.n_id <> b.n_id
+         |  JOIN t tx ON tx.vec_id = a.n_id JOIN t ty ON ty.vec_id = b.n_id),
+         |sel1 AS MATERIALIZED (SELECT q_id, n_id, 1 AS rank, 0.7 * csq AS score FROM (
+         |  SELECT q_id, n_id, csq, row_number() OVER (PARTITION BY q_id ORDER BY csq DESC, n_id) AS rn
+         |  FROM cand) WHERE rn = 1),
+         |${(2 to 5).map(step).mkString(",\n")}
+         |SELECT q_id, CAST(rank AS BIGINT) AS rank, n_id, round(score, 6) AS mmr_score
+         |FROM sel5 ORDER BY q_id, rank""".stripMargin) { (s, d) =>
+      GraftFunctions.register(s)
+      val t = Tables.embeddings(s, d)
+        .select(col("vec_id"), GraftFunctions.quantizeI8(col("embedding")).as("qv"))
+      val q = t.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("q_id"), col("qv").as("qqv"))
+      // candidate generation: the one corpus-sized stage (q76 kernel)
+      val cand = t.crossJoin(broadcast(q))
+        .filter(col("vec_id") =!= col("q_id"))
+        .withColumn("cs", GraftFunctions.cosineSim(col("qqv"), col("qv")))
+        .groupBy(col("q_id"))
+        .agg(GraftFunctions.topkByScore(col("cs"), col("vec_id"), 20).as("top"))
+        .select(col("q_id"), explode(col("top")).as("e"))
+        .select(col("q_id"), col("e.id").as("n_id"), col("e.score").as("csq"))
+        .localCheckpoint()
+      // pairwise candidate similarities: (queries × 20 × 19) rows
+      val pairs = cand.alias("a")
+        .join(cand.alias("b"),
+          col("a.q_id") === col("b.q_id") && col("a.n_id") =!= col("b.n_id"))
+        .join(t.select(col("vec_id").as("xid"), col("qv").as("xv")),
+          col("a.n_id") === col("xid"))
+        .join(t.select(col("vec_id").as("yid"), col("qv").as("yv")),
+          col("b.n_id") === col("yid"))
+        .select(col("a.q_id").as("q_id"), col("a.n_id").as("x"),
+          col("b.n_id").as("y"),
+          GraftFunctions.cosineSim(col("xv"), col("yv")).as("cp"))
+        .localCheckpoint()
+      // step 1: pure relevance argmax (S is empty); ties to n_id asc
+      // via the inverted min_by key (the q199 argmax convention)
+      var sel = cand.groupBy(col("q_id"))
+        .agg(min_by(struct(col("n_id"), (lit(0.7) * col("csq")).as("score")),
+          struct((-col("csq")).as("k"), col("n_id"))).as("m"))
+        .select(col("q_id"), col("m.n_id").as("n_id"), lit(1L).as("rank"),
+          col("m.score").as("score"))
+        .localCheckpoint()
+      for (i <- 2 to 5) {
+        val m = pairs
+          .join(sel.select(col("q_id"), col("n_id").as("y")), Seq("q_id", "y"))
+          .groupBy(col("q_id"), col("x")).agg(max(col("cp")).as("ms"))
+          .withColumnRenamed("x", "n_id")
+        val scored = cand.join(m, Seq("q_id", "n_id"))
+          .join(sel.select(col("q_id"), col("n_id")), Seq("q_id", "n_id"),
+            "left_anti")
+          .select(col("q_id"), col("n_id"),
+            (lit(0.7) * col("csq") - lit(0.3) * col("ms")).as("score"))
+        val pick = scored.groupBy(col("q_id"))
+          .agg(min_by(struct(col("n_id"), col("score")),
+            struct((-col("score")).as("k"), col("n_id"))).as("m"))
+          .select(col("q_id"), col("m.n_id").as("n_id"),
+            lit(i.toLong).as("rank"), col("m.score").as("score"))
+        sel = sel.unionAll(pick).localCheckpoint()
+      }
+      sel.select(col("q_id"), col("rank"), col("n_id"),
+        round(col("score"), 6).as("mmr_score"))
+        .orderBy(col("q_id"), col("rank"))
+    }
+  }
+
+  /** Product-quantization (PQ) approximate search — the memory-bound
+    * scale path beyond q76's scalar int8: each 64-dim vector is
+    * encoded as EIGHT 4-bit codes (one per 8-dim subspace, nearest of
+    * 16 codewords), a 64×+ payload compression, and queries rank the
+    * corpus by ASYMMETRIC DISTANCE (ADC, Jégou et al. 2011): the
+    * query precomputes its exact distance to every codeword (a
+    * 8×16 lookup table) and a candidate's distance is just the SUM of
+    * 8 table entries keyed by its codes — no vector math per
+    * candidate at all. This is the shape FAISS runs at billion scale;
+    * at 100 TB the codes relation is what an executor holds in RAM
+    * while the float vectors stay on disk for the (optional) rerank.
+    *
+    * Codebook: training-free deterministic anchor sample — the 16
+    * vectors of lowest mix64(vec_id) (the q134 u52 idiom) donate
+    * their subvectors as codewords; code assignment is argmin exact-
+    * integer L2² with ties to the lower code. All distances are
+    * integer-exact (int8 components, the dot-product identity
+    * a·a − 2a·b + b·b), so encode, lookup tables, ADC sums and the
+    * top-10 are all hash-gated; `true_dist` reports the exact int8
+    * L2² of each returned pair so the approximation error is visible
+    * in the result itself.
+    *
+    * Scale shape: encoding is one broadcast-codebook join over the
+    * exploded subvector stream (8 rows/vector, map-side) + a
+    * partial-aggregable argmin; ADC is one broadcast of the 640-row
+    * query table joined to the codes relation + a (q, vec) partial
+    * sum + the bounded `topk_by_score` aggregate — never a window
+    * over the corpus, no shuffle wider than the codes relation.
+    */
+  val q202PqAdcTopk = QueryDef(
+    "q202_pq_adc_topk",
+    "product-quantization ADC top-10: 8x4-bit codes from a deterministic 16-codeword book, integer-exact asymmetric distances",
+    """WITH t AS MATERIALIZED (
+      |  SELECT vec_id,
+      |    list_transform(CAST(embedding AS DOUBLE[]),
+      |      x -> floor(x * (127.0 / list_max(list_transform(CAST(embedding AS DOUBLE[]), y -> abs(y)))) + 0.5)) AS qv
+      |  FROM embeddings),
+      |z0 AS (SELECT vec_id, CAST(vec_id AS HUGEINT) AS z FROM t),
+      |m1 AS (SELECT vec_id, (xor(z, z >> 30) * 2685821657736338717) % 18446744073709551616 AS z FROM z0),
+      |m2 AS (SELECT vec_id, (xor(z, z >> 27) * 1181783497276652981) % 18446744073709551616 AS z FROM m1),
+      |u AS (SELECT vec_id, xor(z, z >> 31) // 4096 AS u52 FROM m2),
+      |anch AS (SELECT t.vec_id, t.qv,
+      |           CAST(row_number() OVER (ORDER BY u.u52, t.vec_id) - 1 AS BIGINT) AS code
+      |         FROM t JOIN u ON u.vec_id = t.vec_id
+      |         ORDER BY u.u52, t.vec_id LIMIT 16),
+      |subs AS (SELECT unnest(range(0, 8)) AS sub),
+      |cb AS MATERIALIZED (
+      |  SELECT a.code, s.sub, a.qv[(s.sub*8+1):(s.sub*8+8)] AS cw FROM anch a, subs s),
+      |tv AS MATERIALIZED (
+      |  SELECT t.vec_id, s.sub, t.qv[(s.sub*8+1):(s.sub*8+8)] AS sv FROM t, subs s),
+      |enc AS MATERIALIZED (
+      |  SELECT vec_id, sub, code FROM (
+      |    SELECT tv.vec_id, tv.sub, cb.code,
+      |      row_number() OVER (PARTITION BY tv.vec_id, tv.sub ORDER BY
+      |        list_dot_product(tv.sv, tv.sv) - 2*list_dot_product(tv.sv, cb.cw) + list_dot_product(cb.cw, cb.cw),
+      |        cb.code) AS rn
+      |    FROM tv JOIN cb ON cb.sub = tv.sub) WHERE rn = 1),
+      |qd AS MATERIALIZED (
+      |  SELECT tv.vec_id AS q_id, tv.sub, cb.code,
+      |    list_dot_product(tv.sv, tv.sv) - 2*list_dot_product(tv.sv, cb.cw) + list_dot_product(cb.cw, cb.cw) AS d
+      |  FROM tv JOIN cb ON cb.sub = tv.sub WHERE tv.vec_id < 5),
+      |adc AS (SELECT qd.q_id, enc.vec_id AS n_id, CAST(sum(qd.d) AS BIGINT) AS adc_dist
+      |        FROM enc JOIN qd ON qd.sub = enc.sub AND qd.code = enc.code
+      |        WHERE enc.vec_id <> qd.q_id
+      |        GROUP BY qd.q_id, enc.vec_id),
+      |top AS (SELECT q_id, n_id, adc_dist,
+      |          CAST(row_number() OVER (PARTITION BY q_id ORDER BY adc_dist, n_id) AS BIGINT) AS rn
+      |        FROM adc)
+      |SELECT top.q_id, top.rn, top.n_id, top.adc_dist,
+      |  CAST(list_dot_product(x.qv, x.qv) - 2*list_dot_product(x.qv, y.qv) + list_dot_product(y.qv, y.qv) AS BIGINT) AS true_dist
+      |FROM top JOIN t x ON x.vec_id = top.q_id JOIN t y ON y.vec_id = top.n_id
+      |WHERE top.rn <= 10
+      |ORDER BY top.q_id, top.rn""".stripMargin) { (s, d) =>
+    GraftFunctions.register(s)
+    import graft.functions.VectorFunctions.dot
+    val t = Tables.embeddings(s, d)
+      .select(col("vec_id"), GraftFunctions.quantizeI8(col("embedding")).as("qv"))
+    // 16 codeword donors: lowest mix64(vec_id) (the q134 u52 idiom)
+    val anch = t
+      .withColumn("u52",
+        shiftrightunsigned(GraftFunctions.mix64(col("vec_id")), 12))
+      .orderBy(col("u52"), col("vec_id")).limit(16)
+      .withColumn("code",
+        (row_number().over(Window.orderBy(col("u52"), col("vec_id"))) - 1)
+          .cast("long"))
+    def subspaces(df: org.apache.spark.sql.DataFrame) = df
+      .select(col("*"), explode(expr(
+        "transform(sequence(0, 7), s -> struct(cast(s as bigint) as sub, slice(qv, s*8+1, 8) as sv))"))
+        .as("e"))
+      .select(col("*"), col("e.sub").as("sub"), col("e.sv").as("sv"))
+      .drop("e", "qv")
+    val cb = subspaces(anch.select(col("code"), col("qv")))
+      .select(col("code"), col("sub"), col("sv").as("cw"))
+      .localCheckpoint() // 128-row codebook, broadcast below
+    def l2(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
+      dot(a, a) - lit(2.0) * dot(a, b) + dot(b, b)
+    val tv = subspaces(t)
+    // encode: broadcast-codebook join, exact-integer argmin per
+    // (vector, subspace), ties to the lower code
+    val enc = tv.join(broadcast(cb), "sub")
+      .select(col("vec_id"), col("sub"), col("code"), l2(col("sv"), col("cw")).as("dist"))
+      .groupBy(col("vec_id"), col("sub"))
+      .agg(min_by(col("code"), struct(col("dist"), col("code"))).as("code"))
+    // query→codeword lookup tables: 5 queries × 8 subs × 16 codes
+    val qd = tv.filter(col("vec_id") < 5)
+      .join(broadcast(cb), "sub")
+      .select(col("vec_id").as("q_id"), col("sub"), col("code"),
+        l2(col("sv"), col("cw")).as("d"))
+      .localCheckpoint()
+    val adc = enc.join(broadcast(qd), Seq("sub", "code"))
+      .filter(col("vec_id") =!= col("q_id"))
+      .groupBy(col("q_id"), col("vec_id"))
+      .agg(sum(col("d")).as("adc_dist"))
+    val top = adc.groupBy(col("q_id"))
+      .agg(GraftFunctions.topkByScore((-col("adc_dist")).cast("double"),
+        col("vec_id"), 10).as("top"))
+      .select(col("q_id"), posexplode(col("top")).as(Seq("i", "e")))
+      .select(col("q_id"), (col("i") + 1).cast("long").as("rn"),
+        col("e.id").as("n_id"),
+        (-col("e.score")).cast("long").as("adc_dist"))
+    top
+      .join(t.select(col("vec_id").as("q_id"), col("qv").as("xv")), "q_id")
+      .join(t.select(col("vec_id").as("n_id"), col("qv").as("yv")), "n_id")
+      .select(col("q_id"), col("rn"), col("n_id"), col("adc_dist"),
+        l2(col("xv"), col("yv")).cast("long").as("true_dist"))
+      .orderBy(col("q_id"), col("rn"))
+  }
+
   val all: Seq[QueryDef] =
     Seq(q38CosineTopk, q39AnnIvf, q60HyperplaneLsh, q76QuantizedTopk,
       q89SemanticDedup, q110CentroidDrift, q134NegativeSampling,
-      q188PowerIteration, q191IsolationAudit)
+      q188PowerIteration, q191IsolationAudit, q200MmrDiversified,
+      q202PqAdcTopk)
 }

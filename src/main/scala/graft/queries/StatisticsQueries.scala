@@ -1601,6 +1601,81 @@ object StatisticsQueries {
       .orderBy(col("day"))
   }
 
+  /** Theil–Sen robust trend of monthly revenue — the median of all
+    * pairwise slopes (y_j − y_i)/(j − i): unlike q135's least-squares
+    * line (which one corrupted month drags arbitrarily far), the
+    * Theil–Sen estimator has a 29% breakdown point, the standard
+    * robust trend check a pipeline runs BEFORE trusting OLS on dirty
+    * aggregates. Intercept is the companion median of y_i − slope·i.
+    *
+    * Exactness: monthly revenue is exact integer cents (the q141
+    * per-row round idiom); each slope is one IEEE division of exact
+    * integers — bit-equal across engines — and both medians are
+    * ORDER-STATISTIC selections (lower median at row ⌊(m+1)/2⌋ by
+    * (value, i, j)), so no floating aggregation exists anywhere.
+    *
+    * Scale shape: the corpus-sized work is ONE orders scan into an
+    * 80-row monthly aggregate; the pairwise-slope relation is
+    * CALENDAR²-bounded (80 months → 3160 pairs at ANY corpus size —
+    * grows with the time span, never the data volume), so its
+    * row_number selection windows are metadata operations, the q162
+    * class. A per-row-data Theil–Sen would be O(n²) and is exactly
+    * what this pre-aggregate-then-pair shape avoids.
+    */
+  val q201TheilSen = QueryDef(
+    "q201_theil_sen",
+    "Theil-Sen robust monthly-revenue trend: median pairwise slope + companion intercept over the calendar-bounded month series",
+    """WITH m AS (SELECT date_trunc('month', o_orderdate) AS mo,
+      |            CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents
+      |          FROM orders GROUP BY 1),
+      |ser AS (SELECT mo, cents, CAST(row_number() OVER (ORDER BY mo) AS BIGINT) AS i FROM m),
+      |pairs AS (SELECT a.i AS i, b.i AS j,
+      |            CAST(b.cents - a.cents AS DOUBLE) / (b.i - a.i) AS slope
+      |          FROM ser a JOIN ser b ON b.i > a.i),
+      |np AS (SELECT CAST(count(*) AS BIGINT) AS m FROM pairs),
+      |sl AS (SELECT slope FROM (
+      |         SELECT slope, row_number() OVER (ORDER BY slope, i, j) AS rn FROM pairs)
+      |       JOIN np ON true WHERE rn = (np.m + 1) // 2),
+      |res AS (SELECT ser.i, ser.cents - sl.slope * ser.i AS r FROM ser CROSS JOIN sl),
+      |nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM ser),
+      |ic AS (SELECT r FROM (SELECT r, row_number() OVER (ORDER BY r, i) AS rn FROM res)
+      |       JOIN nn ON true WHERE rn = (nn.n + 1) // 2)
+      |SELECT nn.n AS n_months, np.m AS n_pairs,
+      |  round(sl.slope, 4) AS ts_slope_cents,
+      |  round(ic.r, 4) AS ts_intercept_cents
+      |FROM np CROSS JOIN nn CROSS JOIN sl CROSS JOIN ic""".stripMargin) { (s, d) =>
+    val ser = Tables.load(s, d, "orders")
+      .groupBy(date_trunc("month", col("o_orderdate")).as("mo"))
+      .agg(sum(expr("cast(round(o_totalprice * 100) as bigint)")).as("cents"))
+      .withColumn("i", row_number().over(Window.orderBy(col("mo"))).cast("long"))
+      .localCheckpoint() // 80-row metadata; consumed by pairs AND residuals
+    // theta self-join of the 80-row month metadata: broadcast the
+    // right side so the plan is a BroadcastNestedLoopJoin, never a
+    // CartesianProduct (the suite-wide PlanSpec gate)
+    val pairs = ser.alias("a").join(broadcast(ser.alias("b")), col("b.i") > col("a.i"))
+      .select(col("a.i").as("i"), col("b.i").as("j"),
+        ((col("b.cents") - col("a.cents")).cast("double") /
+          (col("b.i") - col("a.i"))).as("slope"))
+    val np = pairs.agg(count(lit(1)).as("m"))
+    val sl = pairs
+      .withColumn("rn", row_number().over(Window.orderBy(col("slope"), col("i"), col("j"))).cast("long"))
+      .crossJoin(broadcast(np))
+      .filter(col("rn") === expr("(m + 1) div 2"))
+      .select(col("slope"))
+    val res = ser.crossJoin(broadcast(sl))
+      .select(col("i"), (col("cents") - col("slope") * col("i")).as("r"))
+    val nn = ser.agg(count(lit(1)).as("n"))
+    val ic = res
+      .withColumn("rn", row_number().over(Window.orderBy(col("r"), col("i"))).cast("long"))
+      .crossJoin(broadcast(nn))
+      .filter(col("rn") === expr("(n + 1) div 2"))
+      .select(col("r"))
+    np.crossJoin(broadcast(nn)).crossJoin(broadcast(sl)).crossJoin(broadcast(ic))
+      .select(col("n").as("n_months"), col("m").as("n_pairs"),
+        round(col("slope"), 4).as("ts_slope_cents"),
+        round(col("r"), 4).as("ts_intercept_cents"))
+  }
+
   val all: Seq[QueryDef] =
     Seq(q136BloomFilter, q137RankSumAuc, q138KsDrift, q139SourceImpurity,
       q141BenfordAudit, q143AbTest, q145MadOutliers, q147Calibration,
@@ -1608,5 +1683,5 @@ object StatisticsQueries {
       q154WinsorizedStats, q159SpearmanActivity, q162Autocorrelation,
       q163SeasonalAnomaly, q165ForecastEval, q166ActiveUsers,
       q167DidUplift, q175QqDrift, q176AbPower, q184BootstrapCi,
-      q189CusumChangepoint, q195SurvivalHazard)
+      q189CusumChangepoint, q195SurvivalHazard, q201TheilSen)
 }

@@ -620,9 +620,117 @@ object TextAnalysisQueries {
       .limit(50)
   }
 
+  /** Multinomial Naive Bayes language classifier — TRAINED IN-ENGINE
+    * (the fastText/CCNet-style learned filter, vs q30's fixed
+    * stopword heuristic and q172's fixed scoring): fit per-class
+    * token log-probabilities with Laplace smoothing on the even-
+    * doc_id half of the corpus, then score every held-out (odd) doc
+    * and emit its argmax class. The full fit→apply split a curation
+    * pipeline runs, not resubstitution.
+    *
+    * Exactness: all counts are integers; each log-prob is fixed-point
+    * MICROS (floor(1e6·ln((c+1)/(T_lang+V))), the q121 idiom with its
+    * documented ~1-ulp `ln` caveat), so per-(doc, class) scores are
+    * INTEGER sums — partial-aggregable, partitioning-invariant — and
+    * the argmax is deterministic with the (score desc, lang asc)
+    * tiebreak. Held-out tokens absent from the training vocabulary
+    * are ignored (the standard OOV convention; an inner join drops
+    * them identically in both engines).
+    *
+    * Scale shape: the model is VOCAB×CLASSES-bounded (one token-
+    * stream aggregate + a vocab×class grid via a 5-row broadcast);
+    * scoring is one token-stream⋈model equi join (AQE broadcasts the
+    * model when it fits) + one partial-aggregable (doc, class) sum +
+    * a 5-row-per-doc max_by — never a per-doc window over the corpus.
+    */
+  val q199NaiveBayesLangid = QueryDef(
+    "q199_naive_bayes_langid",
+    "multinomial Naive Bayes lang classifier: Laplace-smoothed micro log-probs fit on even docs, argmax scoring of held-out odd docs",
+    """WITH w AS (SELECT doc_id, lang,
+      |         list_filter(string_split(text, ' '), t -> length(t) > 0) AS w
+      |       FROM documents),
+      |tok AS (SELECT doc_id, lang, unnest(w) AS t FROM w),
+      |trtok AS (SELECT * FROM tok WHERE doc_id % 2 = 0),
+      |cls AS (SELECT lang, CAST(count(*) AS BIGINT) AS n_docs
+      |        FROM documents WHERE doc_id % 2 = 0 GROUP BY lang),
+      |tot AS (SELECT CAST(count(*) AS BIGINT) AS n_all
+      |        FROM documents WHERE doc_id % 2 = 0),
+      |cnt AS (SELECT lang, t, CAST(count(*) AS BIGINT) AS c
+      |        FROM trtok GROUP BY lang, t),
+      |ltot AS (SELECT lang, CAST(sum(c) AS BIGINT) AS tc FROM cnt GROUP BY lang),
+      |voc AS (SELECT CAST(count(DISTINCT t) AS BIGINT) AS v FROM trtok),
+      |grid AS (SELECT vt.t, c.lang
+      |         FROM (SELECT DISTINCT t FROM trtok) vt CROSS JOIN (SELECT lang FROM cls) c),
+      |lp AS (SELECT g.t, g.lang,
+      |         CAST(floor(1000000.0 * ln((coalesce(cnt.c, 0) + 1.0) / (ltot.tc + voc.v))) AS BIGINT) AS lp
+      |       FROM grid g JOIN ltot ON ltot.lang = g.lang CROSS JOIN voc
+      |       LEFT JOIN cnt ON cnt.lang = g.lang AND cnt.t = g.t),
+      |pri AS (SELECT cls.lang,
+      |          CAST(floor(1000000.0 * ln(CAST(cls.n_docs AS DOUBLE) / tot.n_all)) AS BIGINT) AS prior
+      |        FROM cls CROSS JOIN tot),
+      |sc AS (SELECT tok.doc_id, lp.lang,
+      |         CAST(sum(lp.lp) AS BIGINT) + any_value(pri.prior) AS score
+      |       FROM tok JOIN lp ON lp.t = tok.t JOIN pri ON pri.lang = lp.lang
+      |       WHERE tok.doc_id % 2 = 1
+      |       GROUP BY tok.doc_id, lp.lang),
+      |pred AS (SELECT doc_id, lang AS pred, score,
+      |           row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, lang) AS rn
+      |         FROM sc)
+      |SELECT d.doc_id, d.lang, p.pred, p.score AS score_micro,
+      |  CAST(CASE WHEN p.pred = d.lang THEN 1 ELSE 0 END AS BIGINT) AS correct
+      |FROM documents d JOIN pred p ON p.doc_id = d.doc_id AND p.rn = 1
+      |ORDER BY d.doc_id""".stripMargin) { (s, d) =>
+    val docs = Tables.documents(s, d)
+    val tok = docs.select(col("doc_id"), col("lang"),
+      explode(toks(col("text"))).as("t"))
+    val trtok = tok.filter(col("doc_id") % 2 === 0)
+    val cls = docs.filter(col("doc_id") % 2 === 0)
+      .groupBy(col("lang")).agg(count(lit(1)).as("n_docs"))
+    val tot = docs.filter(col("doc_id") % 2 === 0)
+      .agg(count(lit(1)).as("n_all"))
+    val cnt = trtok.groupBy(col("lang"), col("t")).agg(count(lit(1)).as("c"))
+    val ltot = cnt.groupBy(col("lang")).agg(sum(col("c")).as("tc"))
+    val voc = trtok.agg(countDistinct(col("t")).as("v"))
+    // vocab × classes grid via a 5-row broadcast (never a cartesian
+    // of two data-sized relations)
+    val grid = trtok.select(col("t")).distinct()
+      .crossJoin(broadcast(cls.select(col("lang"))))
+    val lp = grid
+      .join(ltot, "lang")
+      .crossJoin(broadcast(voc))
+      .join(cnt, Seq("lang", "t"), "left_outer")
+      .select(col("t"), col("lang"),
+        floor(lit(1000000.0) *
+          log((coalesce(col("c"), lit(0L)) + lit(1.0)) / (col("tc") + col("v"))))
+          .cast("long").as("lp"))
+    val pri = cls.crossJoin(broadcast(tot))
+      .select(col("lang"),
+        floor(lit(1000000.0) * log(col("n_docs").cast("double") / col("n_all")))
+          .cast("long").as("prior"))
+    // drop the true label before scoring: `lang` below is the CLASS
+    // dimension from the model, not the document's label
+    val sc = tok.filter(col("doc_id") % 2 === 1)
+      .select(col("doc_id"), col("t"))
+      .join(lp, "t")
+      .join(broadcast(pri), "lang")
+      .groupBy(col("doc_id"), col("lang"))
+      .agg((sum(col("lp")) + first(col("prior"))).as("score"))
+    // argmax with (score desc, lang asc) tiebreak: min_by over the
+    // (−score, lang) key — the string class can't be negated, so the
+    // whole ordering is inverted instead (the q192 argmax convention)
+    val pred = sc.groupBy(col("doc_id"))
+      .agg(min_by(struct(col("lang").as("pred"), col("score")),
+        struct((-col("score")).as("ns"), col("lang"))).as("m"))
+    docs.join(pred, "doc_id")
+      .select(col("doc_id"), col("lang"), col("m.pred").as("pred"),
+        col("m.score").as("score_micro"),
+        when(col("m.pred") === col("lang"), 1L).otherwise(0L).as("correct"))
+      .orderBy(col("doc_id"))
+  }
+
   val all: Seq[QueryDef] = Seq(
     q27TokenStats, q28LangStats, q29QualityScore, q30Langid,
     q31Fingerprint, q32NgramStats, q55Tfidf, q66BpeTokens, q96Textrank,
     q117VocabGrowth, q171Readability, q172LangConfusion,
-    q187PmiCollocations)
+    q187PmiCollocations, q199NaiveBayesLangid)
 }

@@ -114,4 +114,60 @@ class PageRankSpec extends SparkSpec {
       s"got $got")
     spark.sharedState.cacheManager.clearCache()
   }
+
+  /** The support ≥ 2 co-purchase edge set, driver-side (the q192-spec
+    * recompute, shared by the q198 tests below). */
+  private def copurchaseEdges(dir: String): Seq[(Long, Long)] = {
+    val li = Tables.lineitem(spark, dir)
+      .select(col("l_orderkey"), col("l_partkey")).distinct()
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    li.groupBy(_._1).values
+      .flatMap { grp =>
+        val ps = grp.map(_._2).distinct.sorted
+        for (i <- ps.indices; j <- (i + 1) until ps.length) yield (ps(i), ps(j))
+      }
+      .toSeq.groupBy(identity).filter(_._2.size >= 2).keys.toSeq
+  }
+
+  test("q198 k-core matches a driver-side 6-round peel recompute") {
+    val got = Registry.byName("q198_kcore_onion").fn(spark, sfDir)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+
+    val e = copurchaseEdges(sfDir)
+    val adj = (e ++ e.map(_.swap)).groupBy(_._1).view.mapValues(_.map(_._2).toSet)
+    var alive = adj.keySet.toSet
+    val peeled = scala.collection.mutable.Map.empty[Long, Long]
+    for (r <- 1 to 6) {
+      val drop = alive.filter(n => adj(n).count(alive) < 2)
+      drop.foreach(n => peeled(n) = r.toLong)
+      alive = alive -- drop
+    }
+    val want = adj.keySet.map(n =>
+      n -> (peeled.getOrElse(n, 0L),
+        if (peeled.contains(n)) 0L else 1L)).toMap
+    assert(got == want)
+    // and 6 rounds CONVERGED here: every survivor keeps >= 2 alive
+    // neighbors, i.e. the output is the true 2-core, not a truncation
+    assert(alive.forall(n => adj(n).count(alive) >= 2))
+  }
+
+  test("q198 onion fixture: pendant chain peels outside-in, clique survives") {
+    import spark.implicits._
+    // 4-clique {1,2,3,4} (whole basket twice => every pair support 2)
+    // + pendant chain 4-5-6: node 6 has degree 1 (peels round 1),
+    // then 5 is exposed (round 2); the clique is a true 2-core
+    val rows =
+      (for (o <- Seq(100L, 101L); p <- Seq(1L, 2L, 3L, 4L)) yield (o, p)) ++
+      (for (o <- Seq(200L, 201L); p <- Seq(4L, 5L)) yield (o, p)) ++
+      (for (o <- Seq(300L, 301L); p <- Seq(5L, 6L)) yield (o, p))
+    val dir = java.nio.file.Files.createTempDirectory("graft_kcore")
+      .toFile.getAbsolutePath
+    rows.toDF("l_orderkey", "l_partkey")
+      .write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
+    val got = Registry.byName("q198_kcore_onion").fn(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(got == Seq((1L, 0L, 1L), (2L, 0L, 1L), (3L, 0L, 1L),
+      (4L, 0L, 1L), (5L, 2L, 0L), (6L, 1L, 0L)), s"got $got")
+    spark.sharedState.cacheManager.clearCache()
+  }
 }

@@ -786,4 +786,55 @@ class StatisticsSpec extends SparkSpec {
     assert(alarms.drop(120).count(identity) > 100,
       "sustained upward alarm after the level shift")
   }
+
+  test("q201 Theil-Sen matches a driver-side exact recompute") {
+    val got = Registry.byName("q201_theil_sen").fn(spark, sfDir)
+      .collect().map(r =>
+        (r.getLong(0), r.getLong(1), r.getDouble(2), r.getDouble(3))).toSeq
+
+    val months = Tables.load(spark, sfDir, "orders")
+      .select(org.apache.spark.sql.functions.date_trunc("month",
+        org.apache.spark.sql.functions.col("o_orderdate")).as("mo"),
+        org.apache.spark.sql.functions
+          .expr("cast(round(o_totalprice * 100) as bigint)").as("c"))
+      .groupBy("mo")
+      .agg(org.apache.spark.sql.functions.sum("c").as("cents"))
+      .orderBy("mo")
+      .collect().map(_.getLong(1))
+    val ser = months.zipWithIndex.map { case (c, i) => (i + 1L, c) }
+    val pairs = for {
+      a <- ser; b <- ser if b._1 > a._1
+    } yield (a._1, b._1, (b._2 - a._2).toDouble / (b._1 - a._1))
+    val m = pairs.length.toLong
+    val slope = pairs.sortBy(p => (p._3, p._1, p._2))
+      .apply(((m + 1) / 2).toInt - 1)._3
+    val res = ser.map { case (i, c) => (i, c - slope * i) }
+    val n = ser.length.toLong
+    val icpt = res.sortBy(r => (r._2, r._1))
+      .apply(((n + 1) / 2).toInt - 1)._2
+    assert(got.map(r => (r._1, r._2)) == Seq((n, m)))
+    // slope/intercept to 1e-3: the emitted columns are round(·,4)
+    assert(math.abs(got.head._3 - slope) < 1e-3 &&
+      math.abs(got.head._4 - icpt) < 1e-3)
+  }
+
+  test("q201 Theil-Sen shrugs off a planted outlier month (OLS would not)") {
+    import spark.implicits._
+    // 41 months of exactly-linear revenue (100·i cents) with month 21
+    // corrupted 10000x: the pairwise-slope median stays EXACTLY 100
+    // cents/month and the residual median stays exactly 0 — the 29%
+    // breakdown point in action, where least squares would tilt.
+    val rows = (1 to 41).map { i =>
+      val dollars = if (i == 21) 1.0e6 else i.toDouble
+      (i.toLong, java.sql.Timestamp.valueOf(f"${1995 + (i - 1) / 12}%04d-${(i - 1) % 12 + 1}%02d-01 00:00:00"), dollars)
+    }
+    val dir = java.nio.file.Files.createTempDirectory("graft_ts")
+      .toFile.getAbsolutePath
+    rows.toDF("o_orderkey", "o_orderdate", "o_totalprice")
+      .write.mode("overwrite").parquet(s"$dir/orders.parquet")
+    val got = Registry.byName("q201_theil_sen").fn(spark, dir)
+      .collect().map(r =>
+        (r.getLong(0), r.getLong(1), r.getDouble(2), r.getDouble(3))).toSeq
+    assert(got == Seq((41L, 820L, 100.0, 0.0)), s"got $got")
+  }
 }

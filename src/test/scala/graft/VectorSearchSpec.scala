@@ -1,0 +1,123 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Semantics of the diversified / compressed vector-search operators:
+  * q200 MMR greedy selection and q202 product-quantization ADC, each
+  * pinned by an exact driver-side recompute of the full pipeline on
+  * the sf0.001 corpus (int8 quantization → the operators' arithmetic
+  * is integer-exact, so recompute equality is EXACT, not tolerance).
+  */
+class VectorSearchSpec extends SparkSpec {
+
+  /** The q76/q200/q202 max-abs int8 quantizer, driver-side. */
+  private def quantized(dir: String): Map[Long, Array[Double]] =
+    Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("embedding"))
+      .collect().map { r =>
+        val v = r.getSeq[Number](1).map(_.doubleValue()).toArray
+        val m = v.map(math.abs).max
+        r.getLong(0) -> v.map(x => math.floor(x * (127.0 / m) + 0.5))
+      }.toMap
+
+  private def dot(a: Array[Double], b: Array[Double]): Double =
+    a.zip(b).map { case (x, y) => x * y }.sum
+  private def cos(a: Array[Double], b: Array[Double]): Double =
+    dot(a, b) / math.sqrt(dot(a, a) * dot(b, b))
+
+  test("q200 MMR matches a driver-side greedy recompute") {
+    val got = Registry.byName("q200_mmr_diversified").fn(spark, sfDir)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .toSeq
+    val qv = quantized(sfDir)
+    val want = (0L until 5L).flatMap { q =>
+      val cand = qv.keys.filter(_ != q).toSeq
+        .map(n => n -> cos(qv(q), qv(n)))
+        .sortBy { case (n, c) => (-c, n) }.take(20)
+      val sel = scala.collection.mutable.ArrayBuffer.empty[(Long, Double)]
+      for (step <- 1 to 5) {
+        val rem = cand.filterNot(c => sel.exists(_._1 == c._1))
+        val pick = rem.map { case (n, cq) =>
+          val pen =
+            if (sel.isEmpty) 0.0
+            else 0.3 * sel.map(s => cos(qv(n), qv(s._1))).max
+          (n, 0.7 * cq - pen)
+        }.minBy { case (n, sc) => (-sc, n) }
+        sel += pick
+      }
+      sel.zipWithIndex.map { case ((n, sc), i) => (q, (i + 1).toLong, n, sc) }
+    }
+    // ids/ranks exact; scores to 1e-9 (the emitted column is round(·,6),
+    // whose decimal-digit tie behavior this recompute doesn't replicate)
+    assert(got.map(r => (r._1, r._2, r._3)) == want.map(r => (r._1, r._2, r._3)))
+    got.zip(want).foreach { case (g, w) =>
+      assert(math.abs(g._4 - w._4) < 1e-6, s"score drift at $g vs $w")
+    }
+  }
+
+  test("q200 picks are distinct candidates and rank 1 is pure relevance") {
+    val rows = Registry.byName("q200_mmr_diversified").fn(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val qv = quantized(sfDir)
+    rows.groupBy(_._1).foreach { case (q, sel) =>
+      assert(sel.map(_._3).distinct.length == 5)
+      val best = qv.keys.filter(_ != q).minBy(n => (-cos(qv(q), qv(n)), n))
+      assert(sel.find(_._2 == 1L).get._3 == best,
+        s"rank-1 of query $q must be the plain cosine argmax")
+    }
+  }
+
+  /** Driver-side PQ: anchors by mix64 order, per-subspace argmin
+    * encode, ADC lookup sums — the exact q202 contract. */
+  private def pqRecompute(dir: String): Seq[(Long, Long, Long, Long, Long)] = {
+    val qv = quantized(dir)
+    def mix64(x: Long): Long = {
+      // the plans.Mix64 kernel (xorshift-family constants)
+      val z1 = (x ^ (x >>> 30)) * 2685821657736338717L
+      val z2 = (z1 ^ (z1 >>> 27)) * 1181783497276652981L
+      z2 ^ (z2 >>> 31)
+    }
+    val anchors = qv.keys.toSeq
+      .sortBy(id => (mix64(id) >>> 12, id)).take(16)
+    def sub(v: Array[Double], s: Int): Array[Double] =
+      v.slice(s * 8, s * 8 + 8)
+    def l2(a: Array[Double], b: Array[Double]): Double =
+      dot(a, a) - 2 * dot(a, b) + dot(b, b)
+    // codebook: cw(sub)(code)
+    val cb = Array.tabulate(8, 16)((s, c) => sub(qv(anchors(c)), s))
+    val codes: Map[Long, Array[Int]] = qv.map { case (id, v) =>
+      id -> Array.tabulate(8) { s =>
+        (0 until 16).minBy(c => (l2(sub(v, s), cb(s)(c)), c))
+      }
+    }
+    (0L until 5L).flatMap { q =>
+      val lut = Array.tabulate(8, 16)((s, c) => l2(sub(qv(q), s), cb(s)(c)))
+      val top = qv.keys.filter(_ != q).toSeq
+        .map(n => n -> codes(n).zipWithIndex.map { case (c, s) => lut(s)(c) }.sum.toLong)
+        .sortBy { case (n, dd) => (dd, n) }.take(10)
+      top.zipWithIndex.map { case ((n, dd), i) =>
+        (q, (i + 1).toLong, n, dd, l2(qv(q), qv(n)).toLong)
+      }
+    }
+  }
+
+  test("q202 PQ ADC matches a driver-side recompute") {
+    val got = Registry.byName("q202_pq_adc_topk").fn(spark, sfDir)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4))).toSeq
+    assert(got == pqRecompute(sfDir))
+  }
+
+  test("q202 distances are admissible integers and ranks are ordered") {
+    val rows = Registry.byName("q202_pq_adc_topk").fn(spark, sfDir)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(3), r.getLong(4)))
+    assert(rows.forall(r => r._3 >= 0L && r._4 >= 0L))
+    rows.groupBy(_._1).foreach { case (_, g) =>
+      val byRank = g.sortBy(_._2).map(_._3).toSeq
+      assert(byRank == byRank.sorted, "ADC distance must increase with rank")
+    }
+  }
+}
