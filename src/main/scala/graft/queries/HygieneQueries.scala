@@ -920,10 +920,93 @@ object HygieneQueries {
       .orderBy(col("doc_id"))
   }
 
+  /** HELD-OUT bigram perplexity — q121 with the fit/apply discipline
+    * a production perplexity filter (CCNet/KenLM) actually runs: the
+    * bigram LM is trained on the even-doc_id half only (Laplace-
+    * smoothed: p(r|l) = (c_lr+1)/(c_l+V)), then every ODD doc is
+    * scored under it. Unlike q121 (self-scored, smoothing-free),
+    * held-out docs contain UNSEEN bigrams, so smoothing and an OOV
+    * policy are load-bearing: a bigram is scored iff both tokens are
+    * in the training vocabulary AND its left token has observed
+    * continuations (c_l known); an unseen pair gets the smoothed
+    * floor 1/(c_l+V). High avg_nlp = atypical under the corpus LM =
+    * candidate junk — without the optimistic bias of scoring the
+    * training data itself.
+    *
+    * Exactness: the q121 integer-micro contract — every log-prob is
+    * floor(1e6·ln p) with integer inputs, per-doc scores are integer
+    * sums, the average is positive-integer division; the same ~1-ulp
+    * `ln` caveat carries.
+    *
+    * Scale shape: the model is VOCAB²-bounded (one bigram aggregate
+    * on the train half); scoring is the held-out bigram stream
+    * through one (l,r)-keyed left join + one l-keyed join (AQE
+    * broadcasts when the model fits) + a partial-aggregable per-doc
+    * sum. No window, no driver loop.
+    */
+  val q204HeldoutPerplexity = QueryDef(
+    "q204_heldout_perplexity",
+    "held-out bigram NLP score: Laplace LM fit on even docs, odd docs scored with smoothed-floor unseen pairs, integer micros",
+    """WITH w AS (SELECT doc_id, list_filter(string_split(text, ' '), t -> length(t) > 0) AS w
+      |       FROM documents),
+      |bi AS (SELECT doc_id, w[i] AS l, w[i+1] AS r
+      |       FROM w, unnest(range(1, len(w))) AS u(i)),
+      |trbi AS (SELECT * FROM bi WHERE doc_id % 2 = 0),
+      |voc AS MATERIALIZED (SELECT DISTINCT t FROM (SELECT l AS t FROM trbi UNION SELECT r FROM trbi)),
+      |nv AS (SELECT CAST(count(*) AS BIGINT) AS v FROM voc),
+      |m AS (SELECT l, r, CAST(count(*) AS BIGINT) AS c_lr FROM trbi GROUP BY l, r),
+      |ml AS (SELECT l, CAST(sum(c_lr) AS BIGINT) AS c_l FROM m GROUP BY l),
+      |lp AS (SELECT m.l, m.r,
+      |         CAST(floor(1000000.0 * ln((m.c_lr + 1.0) / (ml.c_l + nv.v))) AS BIGINT) AS lp
+      |       FROM m JOIN ml ON ml.l = m.l CROSS JOIN nv),
+      |ho AS (SELECT bi.* FROM bi
+      |       JOIN voc vl ON vl.t = bi.l JOIN voc vr ON vr.t = bi.r
+      |       WHERE bi.doc_id % 2 = 1),
+      |sc AS (SELECT ho.doc_id,
+      |         coalesce(lp.lp,
+      |           CAST(floor(1000000.0 * ln(1.0 / (ml.c_l + nv.v))) AS BIGINT)) AS lpv
+      |       FROM ho JOIN ml ON ml.l = ho.l CROSS JOIN nv
+      |       LEFT JOIN lp ON lp.l = ho.l AND lp.r = ho.r)
+      |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+      |  CAST(-sum(lpv) AS BIGINT) AS nlp_micro_sum,
+      |  CAST((-sum(lpv)) // count(*) AS BIGINT) AS avg_nlp_micro
+      |FROM sc GROUP BY doc_id ORDER BY doc_id""".stripMargin) { (s, d) =>
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("p"))
+    val bi = graft.AutoUnpersist.scoped(
+      Tables.documents(s, d)
+        .select(col("doc_id"), posexplode(toks(col("text"))).as(Seq("p", "t")))
+        .select(col("doc_id"), col("t").as("l"), lead(col("t"), 1).over(w).as("r"))
+        .filter(col("r").isNotNull))
+    val trbi = bi.filter(col("doc_id") % 2 === 0)
+    val voc = trbi.select(col("l").as("t"))
+      .union(trbi.select(col("r").as("t"))).distinct()
+    val nv = voc.agg(count(lit(1)).as("v"))
+    val m = trbi.groupBy(col("l"), col("r")).agg(count(lit(1)).as("c_lr"))
+    val ml = m.groupBy(col("l")).agg(sum(col("c_lr")).as("c_l"))
+    val lp = m.join(ml, "l").crossJoin(broadcast(nv))
+      .select(col("l"), col("r"),
+        floor(lit(1000000.0) * log((col("c_lr") + lit(1.0)) / (col("c_l") + col("v"))))
+          .cast("long").as("lp"))
+    val ho = bi.filter(col("doc_id") % 2 === 1)
+      .join(voc.select(col("t").as("l")), Seq("l"), "left_semi")
+      .join(voc.select(col("t").as("r")), Seq("r"), "left_semi")
+    val sc = ho.join(ml, "l").crossJoin(broadcast(nv))
+      .join(lp, Seq("l", "r"), "left_outer")
+      .select(col("doc_id"),
+        coalesce(col("lp"),
+          floor(lit(1000000.0) * log(lit(1.0) / (col("c_l") + col("v"))))
+            .cast("long")).as("lpv"))
+    sc.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_bigrams"), (-sum(col("lpv"))).as("nlp_micro_sum"))
+      .select(col("doc_id"), col("n_bigrams"), col("nlp_micro_sum"),
+        expr("nlp_micro_sum div n_bigrams").as("avg_nlp_micro"))
+      .orderBy(col("doc_id"))
+  }
+
   val all: Seq[QueryDef] =
     Seq(q72Decontamination, q73RepetitionQuality, q74PiiRedaction,
       q75UnicodeNormalize, q85LineDedup, q109MedianFilter,
       q118NgramNovelty, q121LmQuality, q150SpanDedup,
       q179ExactSubstrSpans, q180BoilerplateCatalog,
-      q197ExactSubstrRemoval)
+      q197ExactSubstrRemoval, q204HeldoutPerplexity)
 }

@@ -643,9 +643,78 @@ object MiningQueries {
       .limit(20)
   }
 
+  /** Next-event prediction eval — the held-out accuracy check behind
+    * q125's transition matrix: fit the majority-next-event predictor
+    * (argmax of the transition counts, ties to the lexicographically
+    * smaller type) on EVEN-user_id sequences, then score every odd-
+    * user transition: did the predictor name the event that actually
+    * came next? This is the train/test discipline of a sequence-model
+    * baseline (the "most-frequent-next" baseline every session-
+    * recommendation paper reports) run entirely in-engine.
+    *
+    * Exactness: counts and hits are integers; hit rate is the floored
+    * basis-point ratio (the q125 convention); the argmax tiebreak is
+    * deterministic, so the whole eval is hash-gated.
+    *
+    * Scale shape: one per-user lead window on (ts, event_id) — the
+    * q125 shape, user_id is high-cardinality so every task stays busy
+    * — into a |types|²-bounded model aggregate; the eval is the test
+    * transition stream through one broadcast model join + one
+    * |types|-row final aggregate.
+    */
+  val q205NextEventEval = QueryDef(
+    "q205_next_event_eval",
+    "held-out next-event accuracy: majority-transition predictor fit on even users, per-type hit rate on odd users",
+    """WITH seq AS (
+      |  SELECT user_id, event_type AS from_type,
+      |    lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS to_type
+      |  FROM events),
+      |tr AS (SELECT * FROM seq WHERE to_type IS NOT NULL),
+      |t AS (SELECT from_type, to_type, CAST(count(*) AS BIGINT) AS n
+      |      FROM tr WHERE user_id % 2 = 0 GROUP BY from_type, to_type),
+      |pred AS (SELECT from_type, to_type AS pred_type FROM (
+      |           SELECT from_type, to_type,
+      |             row_number() OVER (PARTITION BY from_type ORDER BY n DESC, to_type) AS rn
+      |           FROM t) WHERE rn = 1)
+      |SELECT tr.from_type, any_value(p.pred_type) AS pred_type,
+      |  CAST(count(*) AS BIGINT) AS n_eval,
+      |  CAST(sum(CASE WHEN tr.to_type = p.pred_type THEN 1 ELSE 0 END) AS BIGINT) AS n_hit,
+      |  CAST(floor(10000.0 * sum(CASE WHEN tr.to_type = p.pred_type THEN 1 ELSE 0 END) / count(*)) AS BIGINT) AS hit_bp
+      |FROM tr JOIN pred p ON p.from_type = tr.from_type
+      |WHERE tr.user_id % 2 = 1
+      |GROUP BY tr.from_type
+      |ORDER BY tr.from_type""".stripMargin) { (s, d) =>
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val tr = graft.AutoUnpersist.scoped(
+      Tables.events(s, d)
+        .select(col("user_id"), col("ts"), col("event_id"),
+          col("event_type").as("from_type"))
+        .withColumn("to_type", lead(col("from_type"), 1).over(w))
+        .filter(col("to_type").isNotNull)
+        .select(col("user_id"), col("from_type"), col("to_type")))
+    val t = tr.filter(col("user_id") % 2 === 0)
+      .groupBy(col("from_type"), col("to_type")).agg(count(lit(1)).as("n"))
+    // argmax with (n desc, to_type asc): the q199 inverted min_by key
+    val pred = t.groupBy(col("from_type"))
+      .agg(min_by(col("to_type"), struct((-col("n")).as("nn"), col("to_type")))
+        .as("pred_type"))
+    tr.filter(col("user_id") % 2 === 1)
+      .join(broadcast(pred), "from_type")
+      .groupBy(col("from_type"))
+      .agg(first(col("pred_type")).as("pred_type"),
+        count(lit(1)).as("n_eval"),
+        sum(when(col("to_type") === col("pred_type"), 1L).otherwise(0L))
+          .as("n_hit"))
+      .select(col("from_type"), col("pred_type"), col("n_eval"), col("n_hit"),
+        floor(lit(10000.0) * col("n_hit") / col("n_eval")).cast("long")
+          .as("hit_bp"))
+      .orderBy(col("from_type"))
+  }
+
   val all: Seq[QueryDef] =
     Seq(q116AssociationRules, q119FkDiscovery, q120GoldenRecord,
       q124Contingency, q125MarkovTransitions, q126ContractAudit,
       q135TrendRegression, q140ItemSimilarity, q142SeqPatterns,
-      q149DecayedPopularity)
+      q149DecayedPopularity, q205NextEventEval)
 }

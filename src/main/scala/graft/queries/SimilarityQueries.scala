@@ -1190,9 +1190,90 @@ object SimilarityQueries {
       .orderBy(col("q_id"), col("rn"))
   }
 
+  /** Reciprocal nearest neighbors (mutual-kNN) — the high-precision
+    * pair filter bitext mining and SemDeDup-style pruning run after
+    * candidate generation: a pair survives only if EACH side ranks
+    * the other in its top-3, which kills the asymmetric hub matches
+    * (a generic vector that half the corpus points at but that points
+    * elsewhere) that plain top-k keeps. Output: the 50 strongest
+    * mutual pairs with their cell and cosine.
+    *
+    * Scale shape: the q191 cell-blocked convention — neighbor lists
+    * are computed WITHIN IVF cells (corpus-derived k ≈ √N via
+    * `AutoTune`, memoized `corpusCentroids`), so the pair stage is
+    * Σ|cell|² ≈ N^1.5, never N²; per-vector top-3 is the bounded
+    * `topk_by_score` partial aggregate (no per-vector window), the
+    * mutuality check is one equi self-join on the (u,v) key, and the
+    * final 50 ride TakeOrdered. At 100 TB this is the
+    * assign→in-cell-rank→mutual-join pipeline unchanged.
+    *
+    * Oracle: the unrolled-Lloyd IVF preamble (q39/q89/q191 share it,
+    * CTE-MATERIALIZED) + a top-3 window + a self-join.
+    */
+  val q203MutualKnn = QueryDef(
+    "q203_mutual_knn",
+    "reciprocal nearest neighbors: in-cell top-3 both ways (IVF cells, corpus-derived k), 50 strongest mutual pairs",
+    s"""${ivfPreambleSql(6, "(SELECT greatest(16, CAST(ceil(sqrt(count(*)/4.0)) AS BIGINT)) FROM t)")},
+       |nb AS MATERIALIZED (SELECT u, v, c_id, cs FROM (
+       |  SELECT a.vec_id AS u, b.vec_id AS v, a.c_id,
+       |    list_dot_product(a.v, b.v) /
+       |      sqrt(list_dot_product(a.v, a.v) * list_dot_product(b.v, b.v)) AS cs,
+       |    row_number() OVER (PARTITION BY a.vec_id ORDER BY
+       |      list_dot_product(a.v, b.v) /
+       |        sqrt(list_dot_product(a.v, a.v) * list_dot_product(b.v, b.v)) DESC,
+       |      b.vec_id) AS rn
+       |  FROM asgn a JOIN asgn b ON a.c_id = b.c_id AND a.vec_id <> b.vec_id)
+       |  WHERE rn <= 3),
+       |mut AS (SELECT t1.u, t1.v, t1.c_id, t1.cs
+       |        FROM nb t1 JOIN nb t2 ON t2.u = t1.v AND t2.v = t1.u
+       |        WHERE t1.u < t1.v)
+       |SELECT u, v, CAST(c_id AS INT) AS c_id, round(cs, 6) AS cos_sim,
+       |  CAST(rn AS INT) AS rn
+       |FROM (SELECT u, v, c_id, cs,
+       |        row_number() OVER (ORDER BY cs DESC, u, v) AS rn FROM mut)
+       |WHERE rn <= 50
+       |ORDER BY rn""".stripMargin) { (s, d) =>
+    GraftFunctions.register(s)
+    val k = s.conf.getOption("spark.graft.isolation.k").map(_.toInt)
+      .getOrElse(graft.api.AutoTune.isolationK(graft.api.AutoTune.corpusRows(s, d)))
+    val t = Tables.embeddings(s, d).select(col("vec_id"), col("embedding"))
+    val cents = corpusCentroids(s, d, k = k, iters = 6)
+    val assigned = t.crossJoin(broadcast(cents))
+      .withColumn("csim", GraftFunctions.cosineSim(col("embedding"), col("ce")))
+      .groupBy(col("vec_id"))
+      .agg(max_by(struct(col("c_id"), col("embedding")),
+        struct(col("csim"), (-col("c_id")).as("nc"))).as("best"))
+      .select(col("vec_id"), col("best.embedding").as("embedding"),
+        col("best.c_id").as("c_id"))
+    // in-cell top-3 neighbor lists: bounded partial aggregate, the
+    // pair stage is Σ|cell|² on the ≈√N-cell assignment
+    val nb = assigned.as("a")
+      .join(assigned.as("b"), col("a.c_id") === col("b.c_id") &&
+        col("a.vec_id") =!= col("b.vec_id"))
+      .select(col("a.vec_id").as("u"), col("a.c_id").as("c_id"),
+        col("b.vec_id").as("bv"),
+        GraftFunctions.cosineSim(col("a.embedding"), col("b.embedding")).as("cs"))
+      .groupBy(col("u"), col("c_id"))
+      .agg(GraftFunctions.topkByScore(col("cs"), col("bv"), 3).as("top"))
+      .select(col("u"), col("c_id"), explode(col("top")).as("e"))
+      .select(col("u"), col("c_id"), col("e.id").as("v"), col("e.score").as("cs"))
+    val mut = nb.as("t1")
+      .join(nb.select(col("u").as("v2"), col("v").as("u2")).as("t2"),
+        col("t1.v") === col("t2.v2") && col("t1.u") === col("t2.u2"))
+      .filter(col("t1.u") < col("t1.v"))
+      .select(col("t1.u").as("u"), col("t1.v").as("v"),
+        col("t1.c_id").as("c_id"), col("t1.cs").as("cs"))
+    mut.orderBy(col("cs").desc, col("u"), col("v")).limit(50)
+      .withColumn("rn", row_number()
+        .over(Window.orderBy(col("cs").desc, col("u"), col("v"))).cast("int"))
+      .select(col("u"), col("v"), col("c_id").cast("int").as("c_id"),
+        round(col("cs"), 6).as("cos_sim"), col("rn"))
+      .orderBy(col("rn"))
+  }
+
   val all: Seq[QueryDef] =
     Seq(q38CosineTopk, q39AnnIvf, q60HyperplaneLsh, q76QuantizedTopk,
       q89SemanticDedup, q110CentroidDrift, q134NegativeSampling,
       q188PowerIteration, q191IsolationAudit, q200MmrDiversified,
-      q202PqAdcTopk)
+      q202PqAdcTopk, q203MutualKnn)
 }

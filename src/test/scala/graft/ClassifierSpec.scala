@@ -68,6 +68,96 @@ class ClassifierSpec extends SparkSpec {
     assert(rows.forall(_._4 < 0L))
   }
 
+  test("q204 held-out perplexity matches a driver-side exact recompute") {
+    val got = Registry.byName("q204_heldout_perplexity").fn(spark, sfDir)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+
+    val docs = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("text"))
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    def bigrams(t: String): Seq[(String, String)] = {
+      val ts = t.split(" ").filter(_.nonEmpty).toSeq
+      ts.zip(ts.drop(1))
+    }
+    val trbi = docs.filter(_._1 % 2 == 0).flatMap(d => bigrams(d._2))
+    val voc = (trbi.map(_._1) ++ trbi.map(_._2)).toSet
+    val v = voc.size.toLong
+    val m = trbi.groupBy(identity).view.mapValues(_.length.toLong).toMap
+    val ml = m.groupBy(_._1._1).view.mapValues(_.values.sum).toMap
+    def lp(l: String, r: String): Long = {
+      val c = m.getOrElse((l, r), 0L)
+      math.floor(1000000.0 * math.log((c + 1.0) / (ml(l) + v))).toLong
+    }
+    val want = docs.filter(_._1 % 2 == 1).flatMap { case (id, t) =>
+      val bs = bigrams(t).filter { case (l, r) =>
+        voc(l) && voc(r) && ml.contains(l)
+      }
+      if (bs.isEmpty) None
+      else {
+        val s = bs.map { case (l, r) => lp(l, r) }.sum
+        Some((id, bs.length.toLong, -s, -s / bs.length))
+      }
+    }.sortBy(_._1).toSeq
+    assert(got == want)
+  }
+
+  test("q204 unseen bigrams score strictly below seen ones per left token") {
+    // the smoothing contract: for a fixed left token l, an UNSEEN
+    // continuation's floor 1/(c_l+V) is strictly below any seen
+    // (c+1)/(c_l+V) — the filter can never rank an unseen sequence
+    // as more likely than an observed one
+    val docs = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("text"))
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    val trbi = docs.filter(_._1 % 2 == 0).flatMap { case (_, t) =>
+      val ts = t.split(" ").filter(_.nonEmpty).toSeq; ts.zip(ts.drop(1))
+    }
+    val m = trbi.groupBy(identity).view.mapValues(_.length.toLong).toMap
+    val ml = m.groupBy(_._1._1).view.mapValues(_.values.sum).toMap
+    val v = (trbi.map(_._1) ++ trbi.map(_._2)).toSet.size.toLong
+    ml.keys.take(50).foreach { l =>
+      val floorLp = math.floor(1000000.0 * math.log(1.0 / (ml(l) + v))).toLong
+      val seen = m.collect { case ((`l`, _), c) =>
+        math.floor(1000000.0 * math.log((c + 1.0) / (ml(l) + v))).toLong }
+      assert(seen.forall(_ > floorLp), s"floor must undercut seen lps for $l")
+    }
+  }
+
+  test("q205 next-event eval matches a driver-side recompute") {
+    val got = Registry.byName("q205_next_event_eval").fn(spark, sfDir)
+      .collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3),
+        r.getLong(4))).toSeq
+
+    val ev = Tables.events(spark, sfDir)
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+      .collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1), r.getLong(2), r.getString(3)))
+    val tr = ev.groupBy(_._1).toSeq.flatMap { case (u, es) =>
+      // full-precision ordering: getTime alone is ms and would tie
+      // where the engine's timestamp (micros) doesn't
+      val s = es.sortBy(e =>
+        ((e._2.getTime / 1000) * 1000000000L + e._2.getNanos, e._3))
+        .map(_._4).toSeq
+      s.zip(s.drop(1)).map { case (f, t) => (u, f, t) }
+    }
+    val model = tr.filter(_._1 % 2 == 0).groupBy(t => (t._2, t._3))
+      .view.mapValues(_.size.toLong).toMap
+    val pred = model.keys.map(_._1).toSet.map { (f: String) =>
+      f -> model.collect { case ((`f`, t), n) => (t, n) }
+        .minBy { case (t, n) => (-n, t) }._1
+    }.toMap
+    val want = tr.filter(_._1 % 2 == 1)
+      .filter(t => pred.contains(t._2))
+      .groupBy(_._2).toSeq.map { case (f, ts) =>
+        val hits = ts.count(t => t._3 == pred(f)).toLong
+        (f, pred(f), ts.size.toLong, hits,
+          10000L * hits / ts.size)
+      }.sortBy(_._1)
+    assert(got == want)
+  }
+
   test("q199 separable-vocabulary fixture classifies perfectly") {
     import spark.implicits._
     // two classes with disjoint vocabularies; train = even ids,

@@ -110,6 +110,51 @@ class VectorSearchSpec extends SparkSpec {
     assert(got == pqRecompute(sfDir))
   }
 
+  test("q203 mutual-kNN matches a driver-side recompute of the full pipeline") {
+    val got = Registry.byName("q203_mutual_knn").fn(spark, sfDir)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getInt(4))).toSeq
+
+    // raw double vectors (the query scores RAW cosines, not quantized)
+    val raw = Tables.embeddings(spark, sfDir)
+      .select(col("vec_id"), col("embedding"))
+      .collect().map(r =>
+        r.getLong(0) -> r.getSeq[Number](1).map(_.doubleValue()).toArray).toMap
+    val k = api.AutoTune.isolationK(api.AutoTune.corpusRows(spark, sfDir))
+    val cents = queries.SimilarityQueries
+      .corpusCentroids(spark, sfDir, k, 6)
+      .collect().map(r =>
+        (r.getInt(0), r.getSeq[Number](1).map(_.doubleValue()).toArray))
+    val cell = raw.map { case (id, v) =>
+      id -> cents.minBy { case (c, ce) => (-cos(v, ce), c) }._1
+    }
+    val byCell = raw.keys.groupBy(cell)
+    val top3 = raw.keys.map { u =>
+      u -> byCell(cell(u)).filter(_ != u).toSeq
+        .map(v => v -> cos(raw(u), raw(v)))
+        .sortBy { case (v, c) => (-c, v) }.take(3)
+    }.toMap
+    val mutual = (for {
+      (u, ns) <- top3.toSeq; (v, c) <- ns
+      if u < v && top3(v).exists(_._1 == u)
+    } yield (u, v, cell(u), c))
+      .sortBy { case (u, v, _, c) => (-c, u, v) }.take(50)
+    val want = mutual.zipWithIndex.map { case ((u, v, cc, _), i) =>
+      (u, v, cc, i + 1)
+    }
+    assert(got == want)
+  }
+
+  test("q203 pairs are genuinely mutual and within one cell") {
+    val rows = Registry.byName("q203_mutual_knn").fn(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(3)))
+    assert(rows.nonEmpty)
+    assert(rows.forall { case (u, v, c) => u < v && c >= -1.0 && c <= 1.0 })
+    val sims = rows.map(_._3)
+    assert(sims.toSeq == sims.toSeq.sorted.reverse,
+      "pairs must be emitted strongest-first")
+  }
+
   test("q202 distances are admissible integers and ranks are ordered") {
     val rows = Registry.byName("q202_pq_adc_topk").fn(spark, sfDir)
       .collect()
