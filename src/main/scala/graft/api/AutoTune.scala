@@ -69,18 +69,24 @@ object AutoTune {
     */
   def lshParams(n: Long): (Int, Int) = { val r = lshR(n); (2 * r * r, r) }
 
-  /** IVF cell count k = max(16, ⌈√(n/4)⌉): holds |cell| ≈ 2√n so
-    * in-cell pair volume is ≈ 2n^1.5 instead of n²/const — the same
-    * asymptotic as k=√n with a 2× occupancy constant calibrated
-    * against quality: at bare k=√n a 500-row corpus gets 22-vector
-    * cells whose in-cell NN is too weak a proxy for true isolation
-    * (DedupQualitySpec's brute-force percentile gate fails); 2√n
-    * cells keep that gate green while still collapsing the measured
-    * 3.9× fixed-k ladder trap. 16 is the fixture floor. n/4 is an
-    * exact power-of-2 division and `sqrt`/`ceil` are exact IEEE —
-    * DuckDB's `greatest(16, CAST(ceil(sqrt(count(*)/4.0)) AS
-    * BIGINT))` derives the identical k.
+  /** IVF cell count k = max(16, min(⌈√n⌉, n div 32)): the √n point
+    * BALANCES the two corpus-sized stages — broadcast-centroid
+    * assignment costs n·k cosines and the in-cell pair stage costs
+    * ≈ n²/k, equal at k=√n (both n^1.5) — and the round-11 sf1 ladder
+    * measured the balance directly: the earlier ⌈√(n/4)⌉ rule (k=71
+    * at 20k vectors) read 4.2× for 10× data with the pair stage
+    * dominating, while k≈√n reproduces the measured-good 128-cell
+    * point (2.3×). The n div 32 clamp keeps cells ≥ ~32 vectors on
+    * SMALL corpora, where bare √n yields cells too thin for the
+    * in-cell NN to proxy true isolation (DedupQualitySpec's
+    * brute-force percentile gate fails on 22-vector cells); at the
+    * 500-row gate corpus the clamp lands on the 16 floor, the
+    * gate-calibrated value. All ops are integer / exact-IEEE
+    * (`sqrt`/`ceil` correctly rounded, `div` integral) — DuckDB's
+    * `greatest(16, least(CAST(ceil(sqrt(count(*))) AS BIGINT),
+    * count(*) // 32))` derives the identical k.
     */
   def isolationK(n: Long): Int =
-    math.max(16L, math.ceil(math.sqrt(n.toDouble / 4.0)).toLong).toInt
+    math.max(16L,
+      math.min(math.ceil(math.sqrt(n.toDouble)).toLong, n / 32L)).toInt
 }

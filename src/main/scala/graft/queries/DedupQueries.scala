@@ -1418,10 +1418,98 @@ object DedupQueries {
       .orderBy(col("cluster_id"))
   }
 
+  /** Dedup SAVINGS report — the cost-benefit readout a pipeline owner
+    * reads before enabling cluster collapse: per source, how many
+    * documents and how many TOKENS survivorship (q190's longest-text
+    * election, one survivor per q78 duplicate family) would remove.
+    * Token savings — not doc counts — are what matter for a training
+    * budget, and attributing each removed doc to ITS OWN source shows
+    * which feeds pay the dedup bill (a mirror site loses its tokens
+    * even when the survivor lives in another source).
+    *
+    * Scale shape: sixth projection of the memoized
+    * [[clusterAssignments]] relation — one doc-metadata join (HOF
+    * token count, map-side), a cluster-keyed partial-aggregable
+    * election (the q190 `max_by` rule), one survivor join back, one
+    * per-source aggregate. No new pipeline, no window.
+    *
+    * Oracle basis: the q170/q190 convention — the twin recomputes the
+    * brute-force J ≥ 0.8 clusters + the same (n_chars, −doc_id)
+    * election; savings_bp is exact floored integer arithmetic.
+    */
+  val q206DedupSavings = QueryDef(
+    "q206_dedup_savings",
+    "per-source dedup savings: docs and tokens removed by one-survivor-per-cluster collapse, exact bp shares",
+    """WITH RECURSIVE t AS (
+      |  SELECT doc_id,
+      |    list_distinct(list_transform(range(1, len(w)-1),
+      |                  i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS sh
+      |  FROM (SELECT doc_id, list_filter(string_split(text, ' '), t -> length(t) > 0) AS w
+      |        FROM documents)),
+      |tb AS (SELECT doc_id, len(sh) AS n, sh FROM t WHERE len(sh) > 0),
+      |inv AS (SELECT doc_id, unnest(sh) AS g FROM tb),
+      |co AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+      |       FROM inv a JOIN inv b ON a.g = b.g AND a.doc_id < b.doc_id
+      |       GROUP BY a.doc_id, b.doc_id),
+      |pairs AS (
+      |  SELECT doc_a, doc_b FROM (
+      |    SELECT doc_a, doc_b,
+      |      round(CAST(inter AS DOUBLE) / (na.n + nb.n - inter), 4) AS jaccard
+      |    FROM co JOIN tb na ON na.doc_id = co.doc_a
+      |            JOIN tb nb ON nb.doc_id = co.doc_b)
+      |  WHERE jaccard >= 0.8),
+      |edges AS (SELECT doc_a AS u, doc_b AS v FROM pairs
+      |          UNION ALL SELECT doc_b AS u, doc_a AS v FROM pairs),
+      |reach AS (
+      |  SELECT doc_id AS u, doc_id AS lbl FROM documents
+      |  UNION
+      |  SELECT e.u, r.lbl FROM edges e JOIN reach r ON r.u = e.v),
+      |lab AS (SELECT u AS doc_id, min(lbl) AS cluster_id FROM reach GROUP BY u),
+      |dm AS (SELECT d.doc_id, d.source, lab.cluster_id,
+      |         CAST(len(list_filter(string_split(d.text, ' '), t -> length(t) > 0)) AS BIGINT) AS n_tokens,
+      |         d.n_chars
+      |       FROM documents d JOIN lab ON lab.doc_id = d.doc_id),
+      |surv AS (SELECT cluster_id, doc_id AS survivor FROM (
+      |           SELECT cluster_id, doc_id,
+      |             row_number() OVER (PARTITION BY cluster_id ORDER BY n_chars DESC, doc_id) AS rn
+      |           FROM dm) WHERE rn = 1)
+      |SELECT dm.source,
+      |  CAST(count(*) AS BIGINT) AS n_docs,
+      |  CAST(sum(CASE WHEN dm.doc_id <> s.survivor THEN 1 ELSE 0 END) AS BIGINT) AS docs_removed,
+      |  CAST(sum(dm.n_tokens) AS BIGINT) AS tokens_total,
+      |  CAST(sum(CASE WHEN dm.doc_id <> s.survivor THEN dm.n_tokens ELSE 0 END) AS BIGINT) AS tokens_removed,
+      |  CAST(floor(10000.0 * sum(CASE WHEN dm.doc_id <> s.survivor THEN dm.n_tokens ELSE 0 END)
+      |       / sum(dm.n_tokens)) AS BIGINT) AS savings_bp
+      |FROM dm JOIN surv s ON s.cluster_id = dm.cluster_id
+      |GROUP BY dm.source
+      |ORDER BY dm.source""".stripMargin) { (s, d) =>
+    val dm = clusterAssignments(s, d)
+      .join(Tables.documents(s, d)
+        .select(col("doc_id"), col("source"), col("n_chars"),
+          size(toks(col("text"))).cast("long").as("n_tokens")), "doc_id")
+    // q190's deterministic longest-text election, one per family
+    val surv = dm.groupBy(col("cluster_id"))
+      .agg(max_by(col("doc_id"), struct(col("n_chars"), (-col("doc_id")).as("nd")))
+        .as("survivor"))
+    dm.join(surv, "cluster_id")
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("doc_id") =!= col("survivor"), 1L).otherwise(0L))
+          .as("docs_removed"),
+        sum(col("n_tokens")).as("tokens_total"),
+        sum(when(col("doc_id") =!= col("survivor"), col("n_tokens"))
+          .otherwise(0L)).as("tokens_removed"))
+      .select(col("source"), col("n_docs"), col("docs_removed"),
+        col("tokens_total"), col("tokens_removed"),
+        floor(lit(10000.0) * col("tokens_removed") / col("tokens_total"))
+          .cast("long").as("savings_bp"))
+      .orderBy(col("source"))
+  }
+
   val all: Seq[QueryDef] = Seq(
     q33ExactDedup, q34MinhashLsh, q35Simhash, q36NgramJaccard,
     q37EmbeddingNeardup, q78DupClusters, q79IncrementalDedup,
     q82FuzzyJoin, q93LeakageSafeSplit, q158MinhashCalibration, q185DedupPrCurve,
     q161MinimizerDedup, q169JaccardHistogram, q170ClusterSizes,
-    q173SourceOverlap, q190Survivorship)
+    q173SourceOverlap, q190Survivorship, q206DedupSavings)
 }

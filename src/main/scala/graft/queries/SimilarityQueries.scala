@@ -870,14 +870,14 @@ object SimilarityQueries {
     * quadratically (measured 3.9× wall for 10× data on the sf1
     * ladder at the old static k=16), so since round 11 the cell
     * count is CORPUS-DERIVED: k = `api.AutoTune.isolationK(n)` =
-    * max(16, ⌈√(n/4)⌉), holding |cell| ≈ 2√N and pair volume
-    * ≈ 2N^1.5 (see AutoTune for the quality-calibrated constant) —
-    * with `spark.graft.isolation.k` as the explicit session
-    * override. n/4 is exact and `sqrt`/`ceil` are exact IEEE in
-    * both engines, so the oracle's
-    * `greatest(16, ceil(sqrt(count(*)/4.0)))` derives the identical
+    * max(16, min(⌈√n⌉, n div 32)) — √n balances the n·k assignment
+    * and n²/k pair stages (both N^1.5; see AutoTune for the
+    * small-corpus cell-size clamp) — with `spark.graft.isolation.k`
+    * as the explicit session override. `sqrt`/`ceil`/`div` are exact
+    * IEEE/integral in both engines, so the oracle's
+    * `greatest(16, least(ceil(sqrt(count(*))), count(*) // 32))` derives the identical
     * k and the unrolled-Lloyd replay stays bit-identical (gate
-    * corpora: k=16 at n=500 — the historical default — and k=23 at
+    * corpora: k=16 at n=500 — the historical default — and k=45 at
     * n=2000).
     *
     * Oracle: the proven q39/q89 unrolled-Lloyd preamble replays
@@ -887,7 +887,7 @@ object SimilarityQueries {
   val q191IsolationAudit = QueryDef(
     "q191_isolation_audit",
     "embedding isolation audit: 20 most-isolated vectors by in-cell nearest-neighbor cosine",
-    s"""${ivfPreambleSql(6, "(SELECT greatest(16, CAST(ceil(sqrt(count(*)/4.0)) AS BIGINT)) FROM t)")},
+    s"""${ivfPreambleSql(6, "(SELECT greatest(16, least(CAST(ceil(sqrt(count(*))) AS BIGINT), count(*) // 32)) FROM t)")},
        |pairsim AS (SELECT a.vec_id, a.c_id,
        |    max(list_dot_product(a.v, b.v) /
        |        sqrt(list_dot_product(a.v, a.v) * list_dot_product(b.v, b.v))) AS bs
@@ -1213,7 +1213,7 @@ object SimilarityQueries {
   val q203MutualKnn = QueryDef(
     "q203_mutual_knn",
     "reciprocal nearest neighbors: in-cell top-3 both ways (IVF cells, corpus-derived k), 50 strongest mutual pairs",
-    s"""${ivfPreambleSql(6, "(SELECT greatest(16, CAST(ceil(sqrt(count(*)/4.0)) AS BIGINT)) FROM t)")},
+    s"""${ivfPreambleSql(6, "(SELECT greatest(16, least(CAST(ceil(sqrt(count(*))) AS BIGINT), count(*) // 32)) FROM t)")},
        |nb AS MATERIALIZED (SELECT u, v, c_id, cs FROM (
        |  SELECT a.vec_id AS u, b.vec_id AS v, a.c_id,
        |    list_dot_product(a.v, b.v) /

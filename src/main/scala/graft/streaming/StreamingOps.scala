@@ -406,6 +406,38 @@ object StreamingOps {
         col("click_ts").isNotNull.as("converted"))
   }
 
+  /** Stream-stream FULL OUTER attribution join — completes the
+    * streaming join matrix (inner `attributedClicks`, left outer
+    * [[viewConversions]]): unconverted views AND orphan clicks (a
+    * click with no preceding view inside the window — the attribution
+    * leak a funnel dashboard must surface, e.g. bot traffic or a lost
+    * impression stream) each emit null-padded EXACTLY ONCE when both
+    * watermarks pass their horizon. Same state-eviction emission
+    * contract as the left join: unmatched rows are held in the state
+    * store until no future match is possible, so the join stays
+    * exactly-once across checkpoint restarts.
+    */
+  def viewClickFullOuter(events: DataFrame, within: String = "1 hour",
+      lateness: String = "10 minutes"): DataFrame = {
+    val views = events.filter(col("event_type") === "view")
+      .select(col("user_id").as("view_user"), col("ts").as("view_ts"))
+      .withWatermark("view_ts", lateness)
+    val clicks = events.filter(col("event_type") === "click")
+      .select(col("user_id").as("click_user"), col("ts").as("click_ts"),
+        col("value"))
+      .withWatermark("click_ts", lateness)
+    views.join(clicks,
+        col("view_user") === col("click_user") &&
+          col("click_ts") >= col("view_ts") &&
+          col("click_ts") <= col("view_ts") + expr(s"INTERVAL $within"),
+        "full_outer")
+      .select(coalesce(col("view_user"), col("click_user")).as("user_id"),
+        col("view_ts"), col("click_ts"), col("value"),
+        when(col("view_ts").isNotNull && col("click_ts").isNotNull, "converted")
+          .when(col("click_ts").isNull, "unconverted_view")
+          .otherwise("orphan_click").as("outcome"))
+  }
+
   /** Stream-static enrichment join: each arriving event looks up its
     * user's dimension row (segment, tier, ...) in a STATIC table —
     * the canonical streaming-ETL enrichment. Stream-static joins are

@@ -34,12 +34,12 @@ class AutoTuneSpec extends SparkSpec {
     }
   }
 
-  test("isolationK = max(16, ceil(sqrt(n/4))): 16 at gate floor, 23 at sf0.1, 71 at sf1") {
-    assert(AutoTune.isolationK(100) == 16)
-    assert(AutoTune.isolationK(1024) == 16)  // boundary: sqrt(256) = 16
-    assert(AutoTune.isolationK(500) == 16)   // sf0.01/sf0.001 gate corpus — the historical default
-    assert(AutoTune.isolationK(2000) == 23)  // sf0.1 gate corpus
-    assert(AutoTune.isolationK(20000) == 71) // sf1 ladder corpus
+  test("isolationK = max(16, min(ceil(sqrt(n)), n div 32)): floor, clamp, sqrt regimes") {
+    assert(AutoTune.isolationK(100) == 16)   // floor: n div 32 = 3 < 16
+    assert(AutoTune.isolationK(500) == 16)   // gate corpus: clamp 15 -> floor 16 (the gate-calibrated k)
+    assert(AutoTune.isolationK(1024) == 32)  // clamp active: min(32, 32)
+    assert(AutoTune.isolationK(2000) == 45)  // sqrt regime: ceil(sqrt(2000))
+    assert(AutoTune.isolationK(20000) == 142) // sf1 ladder corpus, ~the measured-good 128-cell point
   }
 
   test("corpusRows memoizes the count per (session, dir, table)") {

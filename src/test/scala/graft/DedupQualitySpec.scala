@@ -628,4 +628,45 @@ class DedupQualitySpec extends SparkSpec {
       s"flagged set should sit low in the true-NN distribution, mean pct ${pcts.sum / pcts.length}")
     spark.sharedState.cacheManager.clearCache()
   }
+
+  test("q206 savings conserve docs and tie out to the cluster histogram") {
+    val rows = Registry.byName("q206_dedup_savings").fn(spark, sfDir)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5)))
+    val nDocs = Tables.documents(spark, sfDir).count()
+    assert(rows.map(_._2).sum == nDocs, "per-source doc counts must partition the corpus")
+    // cross-query identity vs q170: total removed = |docs| - n_clusters
+    val hist = Registry.byName("q170_cluster_sizes").fn(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val nClusters = hist.map(_._2).sum
+    assert(rows.map(_._3).sum == nDocs - nClusters,
+      s"one survivor per cluster: removed must be ${nDocs - nClusters}")
+    rows.foreach { case (src, nd, dr, tt, trm, bp) =>
+      assert(dr <= nd && trm <= tt, s"removed exceeds totals for $src")
+      assert(bp == 10000L * trm / tt, s"savings_bp inconsistent for $src")
+    }
+    spark.sharedState.cacheManager.clearCache()
+  }
+
+  test("q206 never removes a q190 survivor") {
+    val removedTokens = Registry.byName("q206_dedup_savings").fn(spark, sfDir)
+      .collect().map(_.getLong(4)).sum
+    // driver recompute from the same memoized relations: every doc in
+    // a multi-member cluster except its (n_chars, -doc_id) electee
+    val dm = queries.DedupQueries.clusterAssignments(spark, sfDir)
+      .join(Tables.documents(spark, sfDir)
+        .select(col("doc_id"), col("n_chars"),
+          size(filter(split(col("text"), " "), t => length(t) > 0))
+            .cast("long").as("n_tokens")), "doc_id")
+      // join output order: (doc_id, cluster_id, n_chars, n_tokens)
+      .collect().map(r => (r.getLong(1), r.getLong(0), r.getLong(2), r.getLong(3)))
+    val byCluster = dm.groupBy(_._1)
+    val want = byCluster.values.map { ms =>
+      val surv = ms.maxBy(m => (m._3, -m._2))._2
+      ms.filter(_._2 != surv).map(_._4).sum
+    }.sum
+    assert(removedTokens == want,
+      s"token savings mismatch: $removedTokens vs $want")
+    spark.sharedState.cacheManager.clearCache()
+  }
 }

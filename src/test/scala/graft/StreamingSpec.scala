@@ -443,6 +443,44 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("stream-stream FULL OUTER join emits both unmatched sides exactly once at expiry") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val input = MemoryStream[Event]
+    val q = StreamingOps.viewClickFullOuter(input.toDF(),
+        within = "1 hour", lateness = "10 minutes")
+      .writeStream.format("memory").queryName("fullouter_t")
+      .outputMode("append").start()
+    def rows() = spark.table("fullouter_t")
+      .select($"user_id", $"outcome")
+      .as[(Long, String)].collect().toSeq
+    try {
+      input.addData(
+        Event(ts(0), 1L, "view", 0.0),   // converts at +20m
+        Event(ts(20), 1L, "click", 5.0),
+        Event(ts(0), 2L, "view", 0.0),   // never clicked
+        Event(ts(5), 3L, "click", 7.0))  // orphan: no view for user 3
+      runAll(q)
+      // neither unmatched side may emit while a match is possible
+      assert(!rows().exists(r => r._1 == 2L || r._1 == 3L),
+        s"unmatched row emitted before watermark expiry: ${rows()}")
+      // push both watermarks far past every horizon; two extra
+      // batches prove exactly-once emission
+      input.addData(Event(ts(600), 99L, "view", 0.0),
+        Event(ts(600), 99L, "click", 0.0))
+      runAll(q)
+      input.addData(Event(ts(610), 99L, "view", 0.0),
+        Event(ts(610), 99L, "click", 0.0))
+      runAll(q)
+      val r = rows()
+      assert(r.filter(_._1 == 1L) == Seq((1L, "converted")), s"matched: $r")
+      assert(r.filter(_._1 == 2L) == Seq((2L, "unconverted_view")),
+        s"view side must emit null-padded exactly once: $r")
+      assert(r.filter(_._1 == 3L) == Seq((3L, "orphan_click")),
+        s"click side must emit null-padded exactly once: $r")
+    } finally q.stop()
+  }
+
   test("stream-stream LEFT OUTER join survives checkpoint kill/restart without re-emitting") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
