@@ -401,6 +401,24 @@ object HygieneQueries {
       .orderBy(col("doc_id"))
   }
 
+  /** The corpus bigram stream (doc_id, l, r) q121 (self-scored LM
+    * quality) and q204 (held-out perplexity) both consume — one
+    * documents scan into a per-doc posexplode + lead window (doc_id
+    * is high-cardinality, every task busy), memoized per (session,
+    * dir) and localCheckpointed so the pair pays the tokenize +
+    * window once (the hourlySeries/clusterAssignments convention).
+    */
+  private[queries] def corpusBigrams(
+      s: org.apache.spark.sql.SparkSession, d: String): org.apache.spark.sql.DataFrame =
+    graft.SessionMemo.getOrCompute(s, "hyg.bigrams:" + d) {
+      val w = Window.partitionBy(col("doc_id")).orderBy(col("p"))
+      Tables.documents(s, d)
+        .select(col("doc_id"), posexplode(toks(col("text"))).as(Seq("p", "t")))
+        .select(col("doc_id"), col("t").as("l"), lead(col("t"), 1).over(w).as("r"))
+        .filter(col("r").isNotNull)
+        .localCheckpoint()
+    }
+
   /** Bigram-LM quality score — the CCNet/KenLM-style perplexity
     * filter: score every document by its average negative log-prob
     * under a bigram language model trained on the corpus itself
@@ -443,12 +461,7 @@ object HygieneQueries {
       |FROM bi JOIN lp ON lp.l = bi.l AND lp.r = bi.r
       |GROUP BY bi.doc_id
       |ORDER BY bi.doc_id""".stripMargin) { (s, d) =>
-    val w = Window.partitionBy(col("doc_id")).orderBy(col("p"))
-    val bi = graft.AutoUnpersist.scoped(
-      Tables.documents(s, d)
-        .select(col("doc_id"), posexplode(toks(col("text"))).as(Seq("p", "t")))
-        .select(col("doc_id"), col("t").as("l"), lead(col("t"), 1).over(w).as("r"))
-        .filter(col("r").isNotNull))
+    val bi = corpusBigrams(s, d)
     val m = bi.groupBy(col("l"), col("r")).agg(count(lit(1)).as("c_lr"))
     val ml = m.groupBy(col("l")).agg(sum(col("c_lr")).as("c_l"))
     val lp = m.join(ml, "l")
@@ -971,12 +984,7 @@ object HygieneQueries {
       |  CAST(-sum(lpv) AS BIGINT) AS nlp_micro_sum,
       |  CAST((-sum(lpv)) // count(*) AS BIGINT) AS avg_nlp_micro
       |FROM sc GROUP BY doc_id ORDER BY doc_id""".stripMargin) { (s, d) =>
-    val w = Window.partitionBy(col("doc_id")).orderBy(col("p"))
-    val bi = graft.AutoUnpersist.scoped(
-      Tables.documents(s, d)
-        .select(col("doc_id"), posexplode(toks(col("text"))).as(Seq("p", "t")))
-        .select(col("doc_id"), col("t").as("l"), lead(col("t"), 1).over(w).as("r"))
-        .filter(col("r").isNotNull))
+    val bi = corpusBigrams(s, d)
     val trbi = bi.filter(col("doc_id") % 2 === 0)
     val voc = trbi.select(col("l").as("t"))
       .union(trbi.select(col("r").as("t"))).distinct()
