@@ -72,4 +72,77 @@ object Neighbors {
           .otherwise(col(nextCol)))
       .drop("__pid", "__rn", "__cnt", "__prev_last", "__next_first")
   }
+
+  /** Adds `prevCol`/`nextCol`: the nearest NON-NULL `valueCol` at or
+    * before / at or after each row under the global `orderCols` order
+    * (null only before the first / after the last non-null row of the
+    * whole relation). This is global LOCF/NOCB — the primitive behind
+    * cross-side sorted-suffix LCP (q207: for a train suffix, the
+    * nearest BENCH suffix in either direction maximizes the LCP by
+    * the suffix-array adjacency identity, and "bench value, null on
+    * train rows" makes that exactly a nearest-non-null scan) — in ONE
+    * range exchange, never a `last_value IGNORE NULLS` over a global
+    * single-reducer window.
+    *
+    * Shape: range-repartition on the order keys; within each of the K
+    * partitions a running `last(ignoreNulls)` in both directions (two
+    * window sorts over the same exchange); then the K partition
+    * carries — per-partition first/last non-null value — are LOCF'd
+    * across the ≤K-row metadata relation and broadcast back to fill
+    * rows whose partition has no earlier/later non-null.
+    *
+    * `orderCols` must be a TOTAL order (unique tie-breaker), same
+    * contract as [[withNeighbors]]; "at or before" includes the row
+    * itself, which is the natural contract when callers null out the
+    * value on the rows that consume it (a consuming row's own value
+    * is null, so inclusion is vacuous).
+    */
+  def withNearestNonNull(
+      df: DataFrame,
+      orderCols: Seq[Column],
+      valueCol: String,
+      prevCol: String = "prev_nn",
+      nextCol: String = "next_nn"): DataFrame = {
+    require(orderCols.nonEmpty, "orderCols must be non-empty")
+    require(!df.columns.contains(prevCol) && !df.columns.contains(nextCol),
+      s"input already has a '$prevCol' or '$nextCol' column")
+    require(Seq("__pid", "__carry_prev", "__carry_next")
+        .forall(c => !df.columns.contains(c)),
+      "input already has a '__pid', '__carry_prev' or '__carry_next' column")
+    val parts = graft.AutoUnpersist.scoped(
+      df.repartitionByRange(orderCols: _*)
+        .withColumn("__pid", spark_partition_id()))
+    val wAsc = Window.partitionBy(col("__pid")).orderBy(orderCols: _*)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wDesc = Window.partitionBy(col("__pid"))
+      .orderBy(orderCols.map(_.desc): _*)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val within = parts
+      .withColumn(prevCol, last(col(valueCol), ignoreNulls = true).over(wAsc))
+      .withColumn(nextCol, last(col(valueCol), ignoreNulls = true).over(wDesc))
+    // per-partition first/last NON-NULL value: max_by/min_by skip rows
+    // whose ordering struct is null, so gating the struct on value
+    // null-ness yields null for all-null partitions — which the
+    // metadata LOCF below then skips, exactly like an absent row
+    val bounds = parts.groupBy(col("__pid"))
+      .agg(
+        max_by(col(valueCol),
+          when(col(valueCol).isNotNull, struct(orderCols: _*))).as("__last_nn"),
+        min_by(col(valueCol),
+          when(col(valueCol).isNotNull, struct(orderCols: _*))).as("__first_nn"))
+    // carries over the ≤K-row metadata (single-reducer window on K
+    // rows — the withNeighbors convention): strictly-before /
+    // strictly-after, since `within` already covers the own partition
+    val wb = Window.orderBy(col("__pid"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val wf = Window.orderBy(col("__pid").desc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val adj = bounds.select(col("__pid"),
+      last(col("__last_nn"), ignoreNulls = true).over(wb).as("__carry_prev"),
+      last(col("__first_nn"), ignoreNulls = true).over(wf).as("__carry_next"))
+    within.join(broadcast(adj), Seq("__pid"))
+      .withColumn(prevCol, coalesce(col(prevCol), col("__carry_prev")))
+      .withColumn(nextCol, coalesce(col(nextCol), col("__carry_next")))
+      .drop("__pid", "__carry_prev", "__carry_next")
+  }
 }

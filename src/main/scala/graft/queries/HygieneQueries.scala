@@ -673,18 +673,22 @@ object HygieneQueries {
     * stage (suffix materialization ≈ maxSfx × token stream, one range
     * exchange).
     */
+  /** Token-array LCP: first mismatch over the element-wise zip (Spark
+    * zip_with pads the shorter side with nulls; null comparisons are
+    * null, which array_position(..., false) skips — so a
+    * longer-vs-shorter pair correctly falls through to min length).
+    * Shared by the same-corpus adjacency (suffixLcp) and the
+    * cross-side contamination LCP (q207).
+    */
+  private def lcpTok(a: Column, b: Column): Column = {
+    val fp = array_position(zip_with(a, b, (x, y) => x === y), lit(false))
+    when(b.isNull, lit(0L))
+      .when(fp > 0, fp - 1)
+      .otherwise(least(size(a), size(b)).cast("long"))
+  }
+
   private[graft] def suffixLcp(tok: org.apache.spark.sql.DataFrame,
       maxSfx: Int): org.apache.spark.sql.DataFrame = {
-    // token-array LCP: first mismatch over the element-wise zip (Spark
-    // zip_with pads the shorter side with nulls; null comparisons are
-    // null, which array_position(..., false) skips — so a
-    // longer-vs-shorter pair correctly falls through to min length)
-    def lcpTok(a: Column, b: Column): Column = {
-      val fp = array_position(zip_with(a, b, (x, y) => x === y), lit(false))
-      when(b.isNull, lit(0L))
-        .when(fp > 0, fp - 1)
-        .otherwise(least(size(a), size(b)).cast("long"))
-    }
     val suf = tok
       .select(col("doc_id"),
         posexplode(transform(sequence(lit(0), size(col("w")) - 1),
@@ -1011,10 +1015,151 @@ object HygieneQueries {
       .orderBy(col("doc_id"))
   }
 
+  /** SUBSTRING-level benchmark contamination — the decontamination
+    * check q72's n-gram recipe cannot make: q72 counts shared
+    * trigrams (any 3 tokens anywhere), while the Lee et al. 2022 /
+    * GPT-4-report standard asks for long EXACT overlaps — "does this
+    * training doc contain a ≥K-token verbatim substring of an eval
+    * document?" — which n-gram hit counts only bound, never localize.
+    * This query answers it with merged spans per train doc.
+    *
+    * Algorithm — the cross-side suffix-array adjacency identity: sort
+    * the suffixes of BOTH corpora (train + the doc_id%20=7 eval slice,
+    * q72's slice convention) in ONE global order; for a train suffix,
+    * its longest common prefix with ANY bench suffix is attained at
+    * the nearest bench suffix in sort order (for sorted suffixes
+    * a<b<c, LCP(a,c) = min over adjacent LCPs, so farther bench
+    * neighbors can only tie or shrink). "Nearest bench in either
+    * direction" is exactly a nearest-non-null scan over the sorted
+    * stream with the suffix nulled out on train rows —
+    * [[graft.api.Neighbors.withNearestNonNull]], one range exchange,
+    * never a global `last_value IGNORE NULLS` window. Positions with
+    * cross-LCP ≥ K=8 then merge into maximal per-doc spans through
+    * the same interval-union stage as q179 (`removalSpans`).
+    *
+    * Output: every train doc (empty docs dropped, the tokenized
+    * convention) with its merged contaminated-span count, token
+    * coverage, longest span, longest single overlap (saturates at the
+    * `maxSuffix` cap like q179's longest_dup; the ORACLE is pinned at
+    * the default 64), and coverage in integer basis points.
+    *
+    * Scale shape: suffix materialization is the q179 bound (~cap ×
+    * token stream over one range exchange, all tasks busy); both
+    * direction scans ride THAT one exchange (two window sorts within
+    * partitions + a ≤K-row broadcast carry); everything after is
+    * per-doc windows on high-cardinality doc_id and partial-aggregable
+    * groupBys. At 100 TB the eval slice is tiny but its suffixes ride
+    * the same sort — no broadcast of the corpus, no all-pairs stage.
+    */
+  val q207CrossContamination = QueryDef(
+    "q207_cross_contamination",
+    "substring-level eval contamination: per-train-doc merged >=8-token verbatim overlaps with the eval slice, via cross-side sorted-suffix LCP",
+    """WITH tok AS (
+      |  SELECT doc_id, list_filter(string_split(text, ' '), t -> length(t) > 0) AS w
+      |  FROM documents),
+      |pos AS (SELECT doc_id, CAST(unnest(range(0, len(w))) AS BIGINT) AS i, w
+      |        FROM tok WHERE len(w) > 0),
+      |suf AS (SELECT doc_id, i, w[(i+1):least(i+64, len(w))] AS sfx,
+      |               (doc_id % 20 = 7) AS is_bench FROM pos),
+      |nb AS (SELECT doc_id, i, sfx, is_bench,
+      |         last_value(CASE WHEN is_bench THEN sfx END IGNORE NULLS)
+      |           OVER (ORDER BY array_to_string(sfx, ' '), doc_id, i
+      |                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pb,
+      |         first_value(CASE WHEN is_bench THEN sfx END IGNORE NULLS)
+      |           OVER (ORDER BY array_to_string(sfx, ' '), doc_id, i
+      |                 ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nbx
+      |       FROM suf),
+      |lcp AS (SELECT doc_id, i,
+      |          greatest(
+      |            CASE WHEN pb IS NULL THEN 0
+      |                 WHEN list_position(list_transform(
+      |                        range(1, least(len(pb), len(sfx)) + 1),
+      |                        j -> pb[j] = sfx[j]), false) > 0
+      |                 THEN list_position(list_transform(
+      |                        range(1, least(len(pb), len(sfx)) + 1),
+      |                        j -> pb[j] = sfx[j]), false) - 1
+      |                 ELSE least(len(pb), len(sfx)) END,
+      |            CASE WHEN nbx IS NULL THEN 0
+      |                 WHEN list_position(list_transform(
+      |                        range(1, least(len(nbx), len(sfx)) + 1),
+      |                        j -> nbx[j] = sfx[j]), false) > 0
+      |                 THEN list_position(list_transform(
+      |                        range(1, least(len(nbx), len(sfx)) + 1),
+      |                        j -> nbx[j] = sfx[j]), false) - 1
+      |                 ELSE least(len(nbx), len(sfx)) END) AS l
+      |        FROM nb WHERE NOT is_bench),
+      |ds AS (SELECT doc_id, i, l FROM lcp WHERE l >= 8),
+      |m AS (SELECT doc_id, i, l,
+      |        max(i + l) OVER (PARTITION BY doc_id ORDER BY i
+      |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pmax
+      |      FROM ds),
+      |isl AS (SELECT doc_id, i, l,
+      |          sum(CASE WHEN pmax IS NULL OR i > pmax THEN 1 ELSE 0 END)
+      |            OVER (PARTITION BY doc_id ORDER BY i
+      |                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+      |        FROM m),
+      |sp AS (SELECT doc_id, island, min(i) AS s, max(i + l) AS e
+      |       FROM isl GROUP BY doc_id, island),
+      |per AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_spans,
+      |          CAST(sum(e - s) AS BIGINT) AS contaminated_tokens,
+      |          CAST(max(e - s) AS BIGINT) AS longest_span
+      |        FROM sp GROUP BY doc_id),
+      |lm AS (SELECT doc_id, CAST(max(l) AS BIGINT) AS longest_overlap
+      |       FROM lcp GROUP BY doc_id),
+      |n AS (SELECT doc_id, CAST(len(w) AS BIGINT) AS n_tokens
+      |      FROM tok WHERE len(w) > 0 AND doc_id % 20 <> 7)
+      |SELECT n.doc_id, n.n_tokens,
+      |  coalesce(per.n_spans, 0) AS n_spans,
+      |  coalesce(per.contaminated_tokens, 0) AS contaminated_tokens,
+      |  coalesce(per.longest_span, 0) AS longest_span,
+      |  coalesce(lm.longest_overlap, 0) AS longest_overlap,
+      |  CAST(floor(10000.0 * coalesce(per.contaminated_tokens, 0) / n.n_tokens)
+      |    AS BIGINT) AS contamination_bp
+      |FROM n LEFT JOIN per ON per.doc_id = n.doc_id
+      |       LEFT JOIN lm ON lm.doc_id = n.doc_id
+      |ORDER BY n.doc_id""".stripMargin) { (s, d) =>
+    val K = 8
+    val cap = maxSuffix(s)
+    val tok = tokenized(Tables.documents(s, d))
+    val suf = tok
+      .select(col("doc_id"),
+        posexplode(transform(sequence(lit(0), size(col("w")) - 1),
+          i => slice(col("w"), i + 1, lit(cap)))).as(Seq("i", "sfx")))
+      .select(col("doc_id"), col("i").cast("long").as("i"), col("sfx"),
+        array_join(col("sfx"), " ").as("s2"),
+        (col("doc_id") % 20 === 7).as("is_bench"))
+      .withColumn("bsfx", when(col("is_bench"), col("sfx")))
+    val nb = graft.api.Neighbors.withNearestNonNull(
+      suf, Seq(col("s2"), col("doc_id"), col("i")), "bsfx", "pb", "nbx")
+    val lcp = nb.filter(!col("is_bench"))
+      .select(col("doc_id"), col("i"),
+        greatest(lcpTok(col("sfx"), col("pb")), lcpTok(col("sfx"), col("nbx")))
+          .as("l"))
+    val per = removalSpans(lcp, K)
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_spans"),
+        sum(col("e") - col("s")).as("contaminated_tokens"),
+        max(col("e") - col("s")).as("longest_span"))
+    val lm = lcp.groupBy(col("doc_id")).agg(max(col("l")).as("longest_overlap"))
+    tok.filter(col("doc_id") % 20 =!= 7)
+      .select(col("doc_id"), size(col("w")).cast("long").as("n_tokens"))
+      .join(per, Seq("doc_id"), "left_outer")
+      .join(lm, Seq("doc_id"), "left_outer")
+      .select(col("doc_id"), col("n_tokens"),
+        coalesce(col("n_spans"), lit(0L)).as("n_spans"),
+        coalesce(col("contaminated_tokens"), lit(0L)).as("contaminated_tokens"),
+        coalesce(col("longest_span"), lit(0L)).as("longest_span"),
+        coalesce(col("longest_overlap"), lit(0L)).as("longest_overlap"),
+        floor(lit(10000.0) * coalesce(col("contaminated_tokens"), lit(0L)) /
+          col("n_tokens")).cast("long").as("contamination_bp"))
+      .orderBy(col("doc_id"))
+  }
+
   val all: Seq[QueryDef] =
     Seq(q72Decontamination, q73RepetitionQuality, q74PiiRedaction,
       q75UnicodeNormalize, q85LineDedup, q109MedianFilter,
       q118NgramNovelty, q121LmQuality, q150SpanDedup,
       q179ExactSubstrSpans, q180BoilerplateCatalog,
-      q197ExactSubstrRemoval, q204HeldoutPerplexity)
+      q197ExactSubstrRemoval, q204HeldoutPerplexity,
+      q207CrossContamination)
 }

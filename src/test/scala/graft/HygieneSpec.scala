@@ -368,6 +368,65 @@ class HygieneSpec extends SparkSpec {
     spark.sharedState.cacheManager.clearCache()
   }
 
+  test("q207 cross-contamination: planted bench overlap found, train-train duplication ignored") {
+    import spark.implicits._
+    // the defining distinction vs q179: only TRAIN↔BENCH verbatim
+    // overlap counts — a 10-token phrase duplicated between two train
+    // docs must report ZERO contamination, while 12- and 9-token
+    // phrases shared with bench docs (doc_id % 20 = 7) must surface
+    // as exact merged spans (one at doc start, one at bench-doc end,
+    // covering both boundary shapes)
+    val phrase12 = (0 until 12).map(i => s"evalp$i")
+    val phrase9 = (0 until 9).map(i => s"evalq$i")
+    val trainDup10 = (0 until 10).map(i => s"traind$i")
+    def filler(tag: String, n: Int) = (0 until n).map(i => s"$tag$i")
+    val docs = Seq(
+      7L -> (filler("b7", 10) ++ phrase12 ++ filler("c7", 10)), // bench
+      27L -> (filler("b27", 8) ++ phrase9), // bench, phrase at doc end
+      1L -> (filler("t1", 20) ++ phrase12 ++ filler("u1", 5)),
+      2L -> (filler("t2", 6) ++ trainDup10 ++ filler("u2", 4)),
+      3L -> (phrase9 ++ filler("t3", 15)), // overlap at doc start
+      4L -> (filler("t4", 5) ++ trainDup10))
+    val dir = java.nio.file.Files.createTempDirectory("graft_xcontam")
+      .toFile.getAbsolutePath
+    docs.map { case (id, w) =>
+      (id, w.mkString(" "), "en", "src0", w.mkString(" ").length.toLong)
+    }.toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val out = Registry.byName("q207_cross_contamination").fn(spark, dir)
+      .collect().map(r => r.getAs[Long]("doc_id") -> r).toMap
+    assert(out.keySet == Set(1L, 2L, 3L, 4L), "bench docs must not be reported")
+    val d1 = out(1L)
+    assert(d1.getAs[Long]("n_spans") == 1L &&
+      d1.getAs[Long]("contaminated_tokens") == 12L &&
+      d1.getAs[Long]("longest_overlap") == 12L, s"doc 1: $d1")
+    val d3 = out(3L)
+    assert(d3.getAs[Long]("n_spans") == 1L &&
+      d3.getAs[Long]("contaminated_tokens") == 9L &&
+      d3.getAs[Long]("longest_overlap") == 9L, s"doc 3: $d3")
+    Seq(2L, 4L).foreach { id =>
+      assert(out(id).getAs[Long]("n_spans") == 0L &&
+        out(id).getAs[Long]("contaminated_tokens") == 0L,
+        s"train-train dup wrongly flagged as contamination: ${out(id)}")
+    }
+    spark.sharedState.cacheManager.clearCache()
+  }
+
+  test("q207 plans no global suffix-sort window and no cartesian join") {
+    val plan = Registry.byName("q207_cross_contamination").fn(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"),
+      "cross-side suffix adjacency must never plan a cartesian join")
+    // the nearest-non-null scans must ride withNearestNonNull's
+    // __pid-partitioned windows; an unpartitioned window ordered by
+    // the suffix string (s2#N first in the spec) is the
+    // single-reducer regression
+    val bad = """windowspecdefinition\(s2#\d+ ASC""".r
+    assert(bad.findFirstIn(plan).isEmpty,
+      "q207 regressed to a global ORDER BY suffix window")
+    spark.sharedState.cacheManager.clearCache()
+  }
+
   test("q151 DSIR weights: flag consistency and target slice scores higher") {
     val out = Registry.byName("q151_dsir_weights").fn(spark, sfDir).collect()
     assert(out.nonEmpty)

@@ -143,6 +143,36 @@ class PropertySpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.shuffle.partitions", old)
   }
 
+  test("Neighbors.withNearestNonNull equals the global IGNORE-NULLS running scan on random data") {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    // k is null on ~2/3 of rows (the q207 shape: value present only on
+    // bench-side rows); the reference is the single-reducer global
+    // last(ignoreNulls) window in both directions — the exact shape
+    // the API exists to replace
+    val nullableGen: Gen[List[(Long, Option[String])]] =
+      Gen.listOfN(40, Gen.zip(Gen.choose(-50L, 50L),
+        Gen.option(Gen.oneOf("x", "y", "z"))))
+    val old = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "3")
+    try check(Prop.forAll(nullableGen) { xs =>
+      val df = xs.zipWithIndex.map { case ((v, k), i) => (v, k.orNull, i.toLong) }
+        .toDF("v", "k", "id")
+      val got = api.Neighbors.withNearestNonNull(df,
+          Seq(col("v"), col("id")), "k", "pk", "nk")
+        .select(col("id"), col("pk"), col("nk"))
+      val w = Window.orderBy(col("v"), col("id"))
+      val want = df.select(col("id"),
+        last(col("k"), ignoreNulls = true)
+          .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+          .as("pk"),
+        first(col("k"), ignoreNulls = true)
+          .over(w.rowsBetween(Window.currentRow, Window.unboundedFollowing))
+          .as("nk"))
+      got.exceptAll(want).count() == 0 && want.exceptAll(got).count() == 0
+    }) finally spark.conf.set("spark.sql.shuffle.partitions", old)
+  }
+
   test("Ranking.withRank ranks NULL group keys as their own group (null-safe join)") {
     import spark.implicits._
     import org.apache.spark.sql.expressions.Window
