@@ -1506,10 +1506,64 @@ object DedupQueries {
       .orderBy(col("source"))
   }
 
+  /** ASYMMETRIC shingle containment — the near-dup read Jaccard
+    * structurally misses: when document A is quoted verbatim inside a
+    * much larger document B, J(A,B) = |A∩B|/|A∪B| ≈ |A|/|B| falls
+    * under any threshold as B grows, while containment
+    * C(A→B) = |A∩B|/|A| stays ≈ 1 (Broder's two-resemblance
+    * distinction; the quote/boilerplate-absorption case a curation
+    * pipeline must catch before the big doc "launders" the small
+    * one's text past dedup).
+    *
+    * Emits every candidate pair whose containment is ≥ 0.8 in EITHER
+    * direction, with both directional containments and the Jaccard it
+    * would have scored, all in exact integer basis points (10000·c
+    * div n — integer division, bit-identical cross-engine).
+    *
+    * Scale shape: rides the memoized df-capped [[candidateCounts]]
+    * relation (q36/q169/q185's contract — the inverted-index
+    * self-join is paid ONCE per session; pairs sharing only hot
+    * shingles are the documented accepted loss) — this query adds one
+    * map-side projection and a filter, zero new shuffles.
+    */
+  val q208ContainmentDedup = QueryDef(
+    "q208_containment_dedup",
+    "asymmetric shingle containment >= 0.8 pairs (doc-inside-doc near-dups Jaccard misses), integer bp",
+    """WITH t AS (
+      |  SELECT doc_id,
+      |    list_distinct(list_transform(range(1, len(w)-1),
+      |                  i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS sh
+      |  FROM (SELECT doc_id, list_filter(string_split(text, ' '), t -> length(t) > 0) AS w
+      |        FROM documents)),
+      |tb AS (SELECT doc_id, len(sh) AS n, sh FROM t WHERE len(sh) > 0),
+      |inv AS (SELECT doc_id, unnest(sh) AS g FROM tb),
+      |co AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, CAST(count(*) AS BIGINT) AS inter
+      |       FROM inv a JOIN inv b ON a.g = b.g AND a.doc_id < b.doc_id
+      |       GROUP BY a.doc_id, b.doc_id)
+      |SELECT doc_a, doc_b, inter,
+      |  CAST(na.n AS BIGINT) AS na, CAST(nb.n AS BIGINT) AS nb,
+      |  CAST((10000 * inter) // na.n AS BIGINT) AS cont_a_bp,
+      |  CAST((10000 * inter) // nb.n AS BIGINT) AS cont_b_bp,
+      |  CAST((10000 * inter) // (na.n + nb.n - inter) AS BIGINT) AS jaccard_bp
+      |FROM co JOIN tb na ON na.doc_id = co.doc_a
+      |        JOIN tb nb ON nb.doc_id = co.doc_b
+      |WHERE greatest((10000 * inter) // na.n, (10000 * inter) // nb.n) >= 8000
+      |ORDER BY doc_a, doc_b""".stripMargin) { (s, d) =>
+    candidateCounts(s, d)
+      .select(col("doc_a"), col("doc_b"), col("c").as("inter"),
+        col("na"), col("nb"),
+        expr("(10000 * c) div na").as("cont_a_bp"),
+        expr("(10000 * c) div nb").as("cont_b_bp"),
+        expr("(10000 * c) div (na + nb - c)").as("jaccard_bp"))
+      .filter(greatest(col("cont_a_bp"), col("cont_b_bp")) >= 8000)
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
   val all: Seq[QueryDef] = Seq(
     q33ExactDedup, q34MinhashLsh, q35Simhash, q36NgramJaccard,
     q37EmbeddingNeardup, q78DupClusters, q79IncrementalDedup,
     q82FuzzyJoin, q93LeakageSafeSplit, q158MinhashCalibration, q185DedupPrCurve,
     q161MinimizerDedup, q169JaccardHistogram, q170ClusterSizes,
-    q173SourceOverlap, q190Survivorship, q206DedupSavings)
+    q173SourceOverlap, q190Survivorship, q206DedupSavings,
+    q208ContainmentDedup)
 }

@@ -370,7 +370,78 @@ object GraphQueries {
     }
   }
 
+  /** Degree cap for q209's wedge stage: a center vertex of degree d
+    * contributes d² candidate pairs, so hubs above this cap are
+    * excluded from wedge enumeration — the [[graft.queries
+    * .DedupQueries.MaxShingleDf]] convention. Semantically benign for
+    * resource allocation: a hub's per-wedge contribution is
+    * 1e6 div d → 0 as d grows (Zhou et al.'s motivation for RA over
+    * raw common-neighbors), and the ORACLE mirrors the cap so parity
+    * is exact at any corpus. Far above every degree in the synthetic
+    * graphs (sf0.1 max degree ≈ 10²).
+    */
+  private[graft] val MaxWedgeDegree = 10000L
+
+  /** Link prediction over the co-purchase graph — common-neighbor
+    * count and the Resource Allocation index (Zhou/Lü/Zhang 2009:
+    * Σ_{z ∈ Γ(u)∩Γ(v)} 1/deg(z), the strongest of the classic local
+    * similarity scores) for the top-20 NON-adjacent pairs: "which
+    * parts will be co-purchased next" — the recommender read the
+    * similarity family (q140 cosine on shared baskets) approximates
+    * from ratings and this derives from pure graph structure.
+    *
+    * Exactness: per-center contribution is 1_000_000 div deg —
+    * integer division, summed as integers, bit-identical in both
+    * engines (no float 1/d accumulation-order drift). Ranking ties
+    * break by (cn DESC, u, v) — total, so LIMIT 20 is deterministic.
+    *
+    * Scale shape: edges are the memoized support ≥ 2 relation
+    * ([[MiningQueries.pairSupport]] — paid once per session, 5th
+    * consumer); wedge enumeration is one center-keyed equi self-join
+    * of the symmetrized edge list, bounded by Σ deg(z)² with hubs
+    * df-capped out (see [[MaxWedgeDegree]]); existing edges leave via
+    * one left-anti join; top-20 is TakeOrdered, never a global sort.
+    */
+  val q209LinkPrediction = QueryDef(
+    "q209_link_prediction",
+    "link prediction on the co-purchase graph: top-20 non-edges by resource-allocation index (integer micro) + common neighbors",
+    """WITH li AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+      |e AS (SELECT u, v FROM (
+      |        SELECT a.p AS u, b.p AS v, count(*) AS c
+      |        FROM li a JOIN li b ON a.o = b.o AND a.p < b.p
+      |        GROUP BY a.p, b.p)
+      |      WHERE c >= 2),
+      |sym AS (SELECT u AS x, v AS y FROM e UNION ALL SELECT v AS x, u AS y FROM e),
+      |deg AS (SELECT x, CAST(count(*) AS BIGINT) AS d FROM sym GROUP BY x),
+      |cold AS (SELECT sym.x, sym.y, deg.d FROM sym JOIN deg ON deg.x = sym.x
+      |         WHERE deg.d <= 10000),
+      |sc AS (SELECT a.y AS u, b.y AS v,
+      |         CAST(count(*) AS BIGINT) AS cn,
+      |         CAST(sum(1000000 // a.d) AS BIGINT) AS ra_micro
+      |       FROM cold a JOIN cold b ON a.x = b.x AND a.y < b.y
+      |       GROUP BY a.y, b.y),
+      |ne AS (SELECT sc.u, sc.v, sc.cn, sc.ra_micro FROM sc
+      |       LEFT JOIN e ON e.u = sc.u AND e.v = sc.v
+      |       WHERE e.u IS NULL)
+      |SELECT u, v, cn, ra_micro FROM ne
+      |ORDER BY ra_micro DESC, cn DESC, u, v LIMIT 20""".stripMargin) { (s, d) =>
+    val e = MiningQueries.pairSupport(s, d).select(col("u"), col("v"))
+    val sym = e.select(col("u").as("x"), col("v").as("y"))
+      .unionAll(e.select(col("v").as("x"), col("u").as("y")))
+    val deg = sym.groupBy(col("x")).agg(count(lit(1)).as("d"))
+    val cold = sym.join(deg, "x").filter(col("d") <= MaxWedgeDegree)
+    val sc = cold.alias("a")
+      .join(cold.alias("b"), col("a.x") === col("b.x") && col("a.y") < col("b.y"))
+      .select(col("a.y").as("u"), col("b.y").as("v"), col("a.d").as("d"))
+      .groupBy(col("u"), col("v"))
+      .agg(count(lit(1)).as("cn"),
+        sum(expr("1000000 div d")).as("ra_micro"))
+    sc.join(e, Seq("u", "v"), "left_anti")
+      .orderBy(col("ra_micro").desc, col("cn").desc, col("u"), col("v"))
+      .limit(20)
+  }
+
   val all: Seq[QueryDef] =
     Seq(q100Triangles, q131HierarchyFlatten, q144KhopReachability,
-      q192LabelPropagation, q198KcoreOnion)
+      q192LabelPropagation, q198KcoreOnion, q209LinkPrediction)
 }

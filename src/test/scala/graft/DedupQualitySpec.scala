@@ -145,6 +145,39 @@ class DedupQualitySpec extends SparkSpec {
       s"capped path diverged: missing=${uncapped.diff(capped)} extra=${capped.diff(uncapped)}")
   }
 
+  test("q208 containment catches a doc swallowed by a larger doc that Jaccard misses") {
+    import spark.implicits._
+    // doc 1 (30 tokens) appears VERBATIM inside doc 2 (230 tokens):
+    // every trigram of doc 1 is a trigram of doc 2, so containment
+    // C(1→2) = 10000 bp exactly, while J(1,2) ≈ |A|/|B| ≪ 0.5 — the
+    // absorption case q36's symmetric threshold structurally misses
+    val small = (0 until 30).map(i => s"quoted$i")
+    val extra = (0 until 200).map(i => s"body$i")
+    val other = (0 until 40).map(i => s"other$i")
+    val dir = java.nio.file.Files.createTempDirectory("graft_contain")
+      .toFile.getAbsolutePath
+    Seq(
+      (1L, small.mkString(" ")),
+      (2L, (small ++ extra).mkString(" ")),
+      (3L, other.mkString(" ")))
+      .map { case (id, t) => (id, t, "en", "src0", t.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = Registry.byName("q208_containment_dedup").fn(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r).toMap
+    assert(got.keySet == Set((1L, 2L)), s"expected exactly the (1,2) pair: ${got.keySet}")
+    val p = got((1L, 2L))
+    assert(p.getAs[Long]("cont_a_bp") == 10000L,
+      s"doc 1 fully contained, got ${p.getAs[Long]("cont_a_bp")} bp")
+    assert(p.getAs[Long]("cont_b_bp") < 2000L, "containment must be asymmetric")
+    assert(p.getAs[Long]("jaccard_bp") < 5000L,
+      "fixture must sit below q36's 0.5 Jaccard threshold to prove the distinction")
+    // and q36 indeed misses it on the same corpus
+    val j36 = Registry.byName("q36_ngram_jaccard").fn(spark, dir).collect()
+    assert(j36.isEmpty, s"q36 should miss the absorbed doc: ${j36.mkString(",")}")
+    spark.sharedState.cacheManager.clearCache()
+  }
+
   test("q36 candidate-pair volume stays sub-quadratic under the df cap") {
     // The documented scale contract of ngramJaccardPairs: excluding
     // df > maxDf shingles bounds the pair-generating self-join output

@@ -170,4 +170,49 @@ class PageRankSpec extends SparkSpec {
       (4L, 0L, 1L), (5L, 2L, 0L), (6L, 1L, 0L)), s"got $got")
     spark.sharedState.cacheManager.clearCache()
   }
+
+  test("q209 link prediction matches an exact driver-side RA recompute") {
+    val got = Registry.byName("q209_link_prediction").fn(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+
+    // independent reimplementation: support>=2 co-purchase edges,
+    // wedge enumeration per center, RA = sum of 1e6 div deg(center),
+    // existing edges excluded, top-20 by (ra desc, cn desc, u, v)
+    val li = Tables.lineitem(spark, sfDir)
+      .select(col("l_orderkey"), col("l_partkey")).distinct()
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val ed = li.groupBy(_._1).values
+      .flatMap { grp =>
+        val ps = grp.map(_._2).distinct.sorted
+        for (i <- ps.indices; j <- i + 1 until ps.length)
+          yield (ps(i), ps(j))
+      }
+      .groupBy(identity).filter(_._2.size >= 2).keys.toSet
+    val adj = (ed.toSeq ++ ed.toSeq.map(_.swap)).groupBy(_._1).view
+      .mapValues(_.map(_._2).toSeq).toMap
+    val scores = scala.collection.mutable.Map
+      .empty[(Long, Long), (Long, Long)] // pair -> (cn, ra_micro)
+    adj.foreach { case (z, nbrs) =>
+      val d = nbrs.size.toLong
+      val contrib = 1000000L / d
+      val s = nbrs.sorted
+      for (i <- s.indices; j <- i + 1 until s.length) {
+        val k = (s(i), s(j))
+        val (cn, ra) = scores.getOrElse(k, (0L, 0L))
+        scores(k) = (cn + 1, ra + contrib)
+      }
+    }
+    val expected = scores.toSeq
+      .filterNot { case (k, _) => ed.contains(k) }
+      .map { case ((u, v), (cn, ra)) => (u, v, cn, ra) }
+      .sortBy { case (u, v, cn, ra) => (-ra, -cn, u, v) }
+      .take(20)
+    assert(got.toSeq == expected, s"got=${got.toSeq}\nwant=$expected")
+    // the emitted pairs really are non-edges with shared structure
+    got.foreach { case (u, v, cn, ra) =>
+      assert(!ed.contains((u, v)) && cn >= 1 && ra >= 1,
+        s"invalid prediction ($u,$v,$cn,$ra)")
+    }
+    spark.sharedState.cacheManager.clearCache()
+  }
 }
