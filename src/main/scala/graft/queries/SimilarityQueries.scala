@@ -1271,9 +1271,84 @@ object SimilarityQueries {
       .orderBy(col("rn"))
   }
 
+  /** ANN index QUALITY EVAL — the measurement loop every production
+    * vector store runs before trusting an approximate index: per
+    * eval query, recall@10 of the q39 IVF probe (16 trained cells,
+    * nprobe=7) against the exact brute-force top-10. q39 gives the
+    * approximate ANSWERS; this gives the number an operator
+    * thresholds on when sizing nprobe/k — and its per-query rows
+    * localize WHICH queries the cell layout fails (recall loss is
+    * never uniform: it concentrates on queries near cell boundaries).
+    *
+    * Exactness: both sides rank by (float cosine DESC, vec_id) — the
+    * q39 contract — and the metric counts ID-set intersection, so
+    * recall_bp is exact integer (10000·hits div 10) in both engines.
+    *
+    * Scale shape: the eval query set is BOUNDED (the q39 sample, 10
+    * queries) and broadcast; the exact side is therefore one corpus
+    * scan through a codegen'd cosine + the bounded top-k aggregate —
+    * |queries|·N work, the eval-harness shape, NOT an N² all-pairs
+    * (recall eval at 100 TB samples queries, never crosses the
+    * corpus with itself). The approximate side reuses q39's pipeline
+    * verbatim (memoized centroids, broadcast probe join).
+    */
+  val q210AnnRecall = QueryDef(
+    "q210_ann_recall",
+    "ANN quality eval: per-query recall@10 of the IVF probe vs exact brute-force top-10, integer bp",
+    s"""${ivfPreambleSql(6)},
+       |probes AS (SELECT q_id, c_id FROM (
+       |    SELECT q.vec_id AS q_id, c.c_id,
+       |      row_number() OVER (PARTITION BY q.vec_id ORDER BY
+       |        list_dot_product(q.v, c.ce) / sqrt(list_dot_product(q.v, q.v) * list_dot_product(c.ce, c.ce)) DESC,
+       |        c.c_id) AS rn
+       |    FROM t q CROSS JOIN c6 c
+       |    WHERE q.vec_id >= 20 AND q.vec_id < 30) WHERE rn <= 7),
+       |rr AS (
+       |  SELECT p.q_id, a.vec_id AS n_id,
+       |    list_dot_product(qt.v, a.v) / sqrt(list_dot_product(qt.v, qt.v) * list_dot_product(a.v, a.v)) AS cs
+       |  FROM probes p
+       |  JOIN asgn a ON a.c_id = p.c_id
+       |  JOIN t qt ON qt.vec_id = p.q_id
+       |  WHERE a.vec_id <> p.q_id),
+       |approx AS (SELECT q_id, n_id FROM (
+       |  SELECT q_id, n_id,
+       |    row_number() OVER (PARTITION BY q_id ORDER BY cs DESC, n_id) AS rn
+       |  FROM rr) WHERE rn <= 10),
+       |ex AS (SELECT q_id, n_id FROM (
+       |  SELECT q.vec_id AS q_id, a.vec_id AS n_id,
+       |    row_number() OVER (PARTITION BY q.vec_id ORDER BY
+       |      list_dot_product(q.v, a.v) / sqrt(list_dot_product(q.v, q.v) * list_dot_product(a.v, a.v)) DESC,
+       |      a.vec_id) AS rn
+       |  FROM t q CROSS JOIN t a
+       |  WHERE q.vec_id >= 20 AND q.vec_id < 30 AND a.vec_id <> q.vec_id)
+       |  WHERE rn <= 10)
+       |SELECT ex.q_id, CAST(count(*) AS BIGINT) AS n_exact,
+       |  CAST(count(ap.n_id) AS BIGINT) AS n_hit,
+       |  CAST((10000 * count(ap.n_id)) // count(*) AS BIGINT) AS recall_bp
+       |FROM ex LEFT JOIN approx ap ON ap.q_id = ex.q_id AND ap.n_id = ex.n_id
+       |GROUP BY ex.q_id ORDER BY ex.q_id""".stripMargin) { (s, d) =>
+    GraftFunctions.register(s)
+    val t = Tables.embeddings(s, d).select(col("vec_id"), col("embedding"))
+    val qs = t.filter(col("vec_id") >= 20 && col("vec_id") < 30)
+      .select(col("vec_id").as("q_id"), col("embedding").as("qe"))
+    val exact = t.crossJoin(broadcast(qs))
+      .filter(col("vec_id") =!= col("q_id"))
+      .withColumn("cs", GraftFunctions.cosineSim(col("qe"), col("embedding")))
+      .groupBy(col("q_id"))
+      .agg(GraftFunctions.topkByScore(col("cs"), col("vec_id"), 10).as("top"))
+      .select(col("q_id"), explode(col("top.id")).as("n_id"))
+    val approx = q39AnnIvf.fn(s, d).select(col("q_id"), col("n_id"))
+    exact.join(approx.withColumn("hit", lit(1)), Seq("q_id", "n_id"), "left_outer")
+      .groupBy(col("q_id"))
+      .agg(count(lit(1)).as("n_exact"), count(col("hit")).as("n_hit"))
+      .select(col("q_id"), col("n_exact"), col("n_hit"),
+        expr("(10000 * n_hit) div n_exact").as("recall_bp"))
+      .orderBy(col("q_id"))
+  }
+
   val all: Seq[QueryDef] =
     Seq(q38CosineTopk, q39AnnIvf, q60HyperplaneLsh, q76QuantizedTopk,
       q89SemanticDedup, q110CentroidDrift, q134NegativeSampling,
       q188PowerIteration, q191IsolationAudit, q200MmrDiversified,
-      q202PqAdcTopk, q203MutualKnn)
+      q202PqAdcTopk, q203MutualKnn, q210AnnRecall)
 }

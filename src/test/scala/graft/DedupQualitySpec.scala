@@ -114,6 +114,41 @@ class DedupQualitySpec extends SparkSpec {
     assert(brute.count() > 0)
   }
 
+  test("q210 recall eval ties out to an independent brute-force/IVF intersection") {
+    import graft.functions.VectorFunctions
+    val got = Registry.byName("q210_ann_recall").fn(spark, sfDir)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    // independent: exact top-10 per query via the window plan shape,
+    // intersected with q39's emitted ids — the metric q210 must equal
+    val t = Tables.embeddings(spark, sfDir)
+      .select(col("vec_id"), VectorFunctions.toDouble(col("embedding")).as("v"))
+    val q = t.filter(col("vec_id") >= 20 && col("vec_id") < 30)
+      .select(col("vec_id").as("q_id"), col("v").as("qv"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("q_id")).orderBy(col("cs").desc, col("vec_id"))
+    val exact = t.crossJoin(broadcast(q))
+      .filter(col("vec_id") =!= col("q_id"))
+      .withColumn("cs", VectorFunctions.cosine(col("qv"), col("v")))
+      .withColumn("rn", row_number().over(w)).filter(col("rn") <= 10)
+      .select(col("q_id"), col("vec_id"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val ann = Registry.byName("q39_ann_ivf").fn(spark, sfDir)
+      .select(col("q_id"), col("n_id"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got.keySet == exact.map(_._1), "one row per eval query")
+    got.foreach { case (qid, (nExact, nHit, bp)) =>
+      val ex = exact.filter(_._1 == qid)
+      val hits = ex.intersect(ann).size.toLong
+      assert(nExact == ex.size.toLong && nHit == hits &&
+        bp == 10000L * hits / ex.size,
+        s"q $qid: got ($nExact,$nHit,$bp), want (${ex.size},$hits)")
+    }
+    // the index is actually useful on this corpus (the 0.7 gate)
+    val mean = got.values.map(_._3).sum / got.size
+    assert(mean >= 7000L, s"mean recall@10 $mean bp below the 0.7 gate")
+    spark.sharedState.cacheManager.clearCache()
+  }
+
   /** Corpus where a stop-phrase ("common filler phrase ...") appears
     * in EVERY doc → its shingles have df = 40, far over a cap of 5,
     * while each near-dup pair (2i, 2i+1) shares plenty of non-hot
