@@ -318,4 +318,152 @@ object MediaOps {
         sum(when(!isPng, col("sum_raw")).otherwise(0L)).as("stub_byte_sum"))
       .orderBy(col("source"))
   }
+
+  // ------------------------------------------------------------------
+  // Audio frame-sampling surface (WAV/PCM binary columns)
+  // ------------------------------------------------------------------
+
+  /** One audio row: a genuine RIFF/WAVE PCM16 mono blob + mime —
+    * the schema an audio corpus table carries.
+    */
+  case class AudioRow(doc_id: Long, blob: Array[Byte], mime: String)
+
+  /** Frame-level audio features: header-derived sample rate, sample
+    * count, number of (FrameSize, FrameHop) analysis frames, exact
+    * integer frame-energy statistics (Σ|s| per frame) and the count
+    * of all-zero (silent) frames. All integers → hash-stable.
+    */
+  case class AudioFrames(doc_id: Long, sample_rate: Int, n_samples: Long,
+      n_frames: Long, total_energy: Long, peak_energy: Long, n_silent: Long)
+
+  /** Analysis framing: 256-sample frames, 128-sample hop (50%
+    * overlap) — the standard STFT-ish windowing shape.
+    */
+  private[graft] val FrameSize = 256
+  private[graft] val FrameHop = 128
+
+  /** Audio slice: every 5th doc carries a WAV blob. */
+  private[graft] def isAudioId(id: Long): Boolean = id % 5 == 2
+
+  private[graft] def audioRate(id: Long): Int = (8000 + (id % 3) * 4000).toInt
+  private[graft] def audioLen(id: Long): Int = (4096 + (id % 7) * 512).toInt
+  private[graft] def audioZeroLen(id: Long): Int = (512 + (id % 11) * 128).toInt
+
+  /** Deterministic PCM16 sample: an integer pseudo-waveform with a
+    * PLANTED per-doc silent stretch ([3072, 3072+zeroLen) is all
+    * zeros — always inside the signal, length varies by doc), so
+    * silent-frame detection has ground truth and a SQL oracle can
+    * recompute every frame energy symbolically without parsing WAV.
+    */
+  private[graft] def audioSample(id: Long, t: Int): Short = {
+    if (t >= 3072 && t < 3072 + audioZeroLen(id)) 0
+    else (((id * 37 + t.toLong * 11) % 2048) - 1024).toShort
+  }
+
+  /** Genuine RIFF/WAVE container: canonical 44-byte header (PCM fmt
+    * chunk, mono, 16-bit little-endian) + the data chunk. The parse
+    * side ([[parseWav]]) walks chunks for real — the blob is a valid
+    * WAV any audio tool would read.
+    */
+  private[graft] def syntheticWav(id: Long): Array[Byte] = {
+    val sr = audioRate(id)
+    val n = audioLen(id)
+    val bb = java.nio.ByteBuffer.allocate(44 + 2 * n)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put("RIFF".getBytes("US-ASCII")); bb.putInt(36 + 2 * n)
+    bb.put("WAVE".getBytes("US-ASCII"))
+    bb.put("fmt ".getBytes("US-ASCII")); bb.putInt(16)
+    bb.putShort(1); bb.putShort(1) // PCM, mono
+    bb.putInt(sr); bb.putInt(sr * 2) // byte rate = sr * blockAlign
+    bb.putShort(2); bb.putShort(16) // blockAlign, bits
+    bb.put("data".getBytes("US-ASCII")); bb.putInt(2 * n)
+    var t = 0
+    while (t < n) { bb.putShort(audioSample(id, t)); t += 1 }
+    bb.array()
+  }
+
+  /** Deterministic audio table derived from `documents` (FIXTURES has
+    * no binary audio table — the synthesizeMedia convention).
+    */
+  def synthesizeAudio(spark: SparkSession, sfDir: String): Dataset[AudioRow] = {
+    import spark.implicits._
+    spark.read.parquet(s"$sfDir/documents.parquet")
+      .select(col("doc_id")).as[Long]
+      .filter(isAudioId _)
+      .map(id => AudioRow(id, syntheticWav(id), "audio/wav"))
+  }
+
+  /** REAL WAV parse: validates the RIFF/WAVE magic, walks the chunk
+    * list to `fmt ` (requiring PCM16 mono) and `data`, and decodes
+    * little-endian PCM16 samples. Rejects malformed blobs loudly —
+    * this is the decode step a production audio pipeline runs, not a
+    * formula replay (the formula exists only on the SYNTHESIS and
+    * oracle sides).
+    */
+  private[graft] def parseWav(blob: Array[Byte]): (Int, Array[Short]) = {
+    val bb = java.nio.ByteBuffer.wrap(blob)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    def str4(): String = {
+      val b = new Array[Byte](4); bb.get(b); new String(b, "US-ASCII")
+    }
+    require(str4() == "RIFF", "not a RIFF container")
+    bb.getInt // riff size
+    require(str4() == "WAVE", "not a WAVE file")
+    var rate = -1
+    var data: Array[Short] = null
+    while (bb.remaining() >= 8 && (rate < 0 || data == null)) {
+      val id = str4()
+      val sz = bb.getInt
+      id match {
+        case "fmt " =>
+          val p = bb.position()
+          val fmt = bb.getShort; val ch = bb.getShort
+          rate = bb.getInt; bb.getInt; bb.getShort
+          val bits = bb.getShort
+          require(fmt == 1 && ch == 1 && bits == 16,
+            s"unsupported WAV: fmt=$fmt channels=$ch bits=$bits")
+          bb.position(p + sz)
+        case "data" =>
+          data = new Array[Short](sz / 2)
+          var i = 0
+          while (i < data.length) { data(i) = bb.getShort; i += 1 }
+        case _ => bb.position(bb.position() + sz) // skip unknown chunk
+      }
+    }
+    require(rate > 0 && data != null, "missing fmt/data chunk")
+    (rate, data)
+  }
+
+  /** Frame sampling + exact integer energy features over parsed PCM:
+    * per (FrameSize, FrameHop) frame, energy = Σ|s|; silent frames
+    * are exactly-zero frames. Map-side per-partition work, constant
+    * state per row — the [[decodeFeatures]] shape; frames iterate
+    * in-place over the decoded array, nothing explodes into rows.
+    */
+  def audioFrameFeatures(spark: SparkSession,
+      audio: Dataset[AudioRow]): Dataset[AudioFrames] = {
+    import spark.implicits._
+    audio.mapPartitions { rows =>
+      rows.map { r =>
+        val (rate, pcm) = parseWav(r.blob)
+        val n = pcm.length
+        val nf = if (n < FrameSize) 0 else (n - FrameSize) / FrameHop + 1
+        var total = 0L
+        var peak = 0L
+        var silent = 0L
+        var f = 0
+        while (f < nf) {
+          var e = 0L
+          var t = f * FrameHop
+          val end = t + FrameSize
+          while (t < end) { e += math.abs(pcm(t).toLong); t += 1 }
+          total += e
+          if (e > peak) peak = e
+          if (e == 0) silent += 1
+          f += 1
+        }
+        AudioFrames(r.doc_id, rate, n.toLong, nf.toLong, total, peak, silent)
+      }
+    }
+  }
 }

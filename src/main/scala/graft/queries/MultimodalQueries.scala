@@ -119,5 +119,57 @@ object MultimodalQueries {
       .orderBy(col("doc_id"))
   }
 
-  val all: Seq[QueryDef] = Seq(q48MultimodalFeatures, q157ImageDhashNeardup)
+  /** Audio frame-sampling — the third multimodal modality next to
+    * q48's image decode and q157's image dedup: every 5th document
+    * carries a GENUINE RIFF/WAVE PCM16 blob (canonical header + data
+    * chunk, deterministic waveform with a planted per-doc silent
+    * stretch), and the Spark side REALLY parses it — RIFF magic,
+    * chunk walk to fmt/data, PCM16LE decode (`MediaOps.parseWav`) —
+    * then frame-samples at 256/128 (50% overlap) and extracts exact
+    * integer frame energies + silent-frame detection. The waveform
+    * FORMULA exists only on the synthesis and oracle sides; the
+    * engine path works from bytes, exactly like a codec integration.
+    *
+    * Scale shape: synth/parse/frame are map-side per-partition work
+    * over opaque binary columns (the q48 contract — no driver
+    * round-trips, frames iterate in place, nothing explodes); the
+    * only shuffle is the final orderBy for the deterministic dump.
+    * The oracle replays every frame energy symbolically from the
+    * waveform formula — never parsing WAV in SQL.
+    */
+  val q211AudioFramesample = QueryDef(
+    "q211_audio_framesample",
+    "audio binary columns: real WAV parse -> 256/128 frame sampling -> integer energy + silence stats per doc",
+    """WITH a AS (SELECT doc_id,
+      |            CAST(8000 + (doc_id % 3) * 4000 AS INT) AS sample_rate,
+      |            4096 + (doc_id % 7) * 512 AS n,
+      |            512 + (doc_id % 11) * 128 AS zlen
+      |          FROM documents WHERE doc_id % 5 = 2),
+      |fr AS (SELECT doc_id, sample_rate, n, zlen, f * 128 AS s0
+      |       FROM a, unnest(range(0, (n - 256) // 128 + 1)) AS u(f)),
+      |fe AS (SELECT doc_id, sample_rate, n,
+      |         CAST(list_sum(list_transform(range(s0, s0 + 256),
+      |           t -> CASE WHEN t >= 3072 AND t < 3072 + zlen THEN 0
+      |                ELSE abs((doc_id * 37 + t * 11) % 2048 - 1024) END))
+      |           AS BIGINT) AS e
+      |       FROM fr)
+      |SELECT doc_id, sample_rate, CAST(n AS BIGINT) AS n_samples,
+      |  CAST(count(*) AS BIGINT) AS n_frames,
+      |  CAST(sum(e) AS BIGINT) AS total_energy,
+      |  CAST(max(e) AS BIGINT) AS peak_energy,
+      |  CAST(count(*) FILTER (e = 0) AS BIGINT) AS n_silent,
+      |  CAST((10000 * count(*) FILTER (e = 0)) // count(*) AS BIGINT) AS silence_bp
+      |FROM fe GROUP BY doc_id, sample_rate, n
+      |ORDER BY doc_id""".stripMargin) { (s, d) =>
+    import org.apache.spark.sql.functions._
+    MediaOps.audioFrameFeatures(s, MediaOps.synthesizeAudio(s, d)).toDF()
+      .select(col("doc_id"), col("sample_rate"), col("n_samples"),
+        col("n_frames"), col("total_energy"), col("peak_energy"),
+        col("n_silent"),
+        expr("(10000 * n_silent) div n_frames").as("silence_bp"))
+      .orderBy(col("doc_id"))
+  }
+
+  val all: Seq[QueryDef] = Seq(q48MultimodalFeatures, q157ImageDhashNeardup,
+    q211AudioFramesample)
 }

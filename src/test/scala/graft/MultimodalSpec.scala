@@ -191,4 +191,61 @@ class MultimodalSpec extends SparkSpec {
         "every dropped image names a lower-id near-dup")
     }
   }
+
+  test("WAV roundtrip: synthesized RIFF blob parses back to the exact waveform") {
+    Seq(2L, 7L, 12L, 57L, 102L).foreach { id =>
+      val blob = MediaOps.syntheticWav(id)
+      // genuine container: magic + canonical 44-byte header
+      assert(new String(blob.slice(0, 4), "US-ASCII") == "RIFF")
+      assert(new String(blob.slice(8, 12), "US-ASCII") == "WAVE")
+      val (rate, pcm) = MediaOps.parseWav(blob)
+      assert(rate == MediaOps.audioRate(id))
+      assert(pcm.length == MediaOps.audioLen(id))
+      pcm.indices.foreach { t =>
+        assert(pcm(t) == MediaOps.audioSample(id, t),
+          s"doc $id sample $t: parsed ${pcm(t)} != formula")
+      }
+    }
+  }
+
+  test("parseWav walks chunks: unknown chunk before data is skipped, malformed blob rejected") {
+    val id = 7L
+    val base = MediaOps.syntheticWav(id)
+    // splice a LIST chunk between fmt and data (offset 36 = end of fmt)
+    val extra = java.nio.ByteBuffer.allocate(12)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    extra.put("LIST".getBytes("US-ASCII")).putInt(4).put("INFO".getBytes("US-ASCII"))
+    val spliced = base.slice(0, 36) ++ extra.array() ++ base.drop(36)
+    val (rate, pcm) = MediaOps.parseWav(spliced)
+    assert(rate == MediaOps.audioRate(id) && pcm.length == MediaOps.audioLen(id),
+      "chunk walk must skip unknown chunks and still find data")
+    intercept[IllegalArgumentException] {
+      MediaOps.parseWav("NOTAWAVEFILE0000".getBytes("US-ASCII"))
+    }
+  }
+
+  test("q211 silent frames match the planted zero-stretch arithmetic") {
+    val rows = Registry.byName("q211_audio_framesample").fn(spark, sfDir)
+      .collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val id = r.getLong(0)
+      assert(MediaOps.isAudioId(id), s"non-audio doc $id in output")
+      val zlen = MediaOps.audioZeroLen(id)
+      val n = MediaOps.audioLen(id)
+      // frames fully inside the EFFECTIVE zero region [3072,
+      // min(3072+zlen, n)) — the stretch is clipped by the signal end
+      // for short docs: starts at 3072 (128-aligned) stepping 128
+      // while start+256 stays inside the region
+      val upper = math.min(3072 + zlen, n)
+      val expectSilent = math.max(0, (upper - 3072 - 256) / 128 + 1).toLong
+      assert(r.getAs[Long]("n_silent") == expectSilent,
+        s"doc $id: n_silent ${r.getAs[Long]("n_silent")} != $expectSilent (zlen $zlen)")
+      assert(r.getAs[Long]("peak_energy") > 0 &&
+        r.getAs[Long]("total_energy") >= r.getAs[Long]("peak_energy"))
+      assert(r.getInt(1) == MediaOps.audioRate(id),
+        "sample_rate must come from the parsed header")
+    }
+    spark.sharedState.cacheManager.clearCache()
+  }
 }
