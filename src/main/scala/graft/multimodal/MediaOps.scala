@@ -434,6 +434,170 @@ object MediaOps {
     (rate, data)
   }
 
+  // ------------------------------------------------------------------
+  // Video frame-sampling surface (Y4M binary columns)
+  // ------------------------------------------------------------------
+
+  /** One video row: a genuine YUV4MPEG2 (Y4M) mono stream — the
+    * header + FRAME-delimited raw luminance planes ffmpeg/mplayer
+    * read — plus mime.
+    */
+  case class VideoRow(doc_id: Long, blob: Array[Byte], mime: String)
+
+  /** Frame-sampled video features: header-derived dims, total frame
+    * count, sampled count (every [[VideoSampleEvery]]-th frame),
+    * exact integer luminance sum over sampled frames, scene-cut
+    * count by sum-of-absolute-differences (SAD) between consecutive
+    * sampled frames, and the peak SAD.
+    */
+  case class VideoFeatures(doc_id: Long, width: Int, height: Int,
+      n_frames: Long, n_sampled: Long, total_lum: Long, n_cuts: Long,
+      peak_sad: Long)
+
+  private[graft] val VideoW = 16
+  private[graft] val VideoH = 12
+
+  /** Frame-sampling stride: decode every 2nd frame only — the
+    * "don't decode what you don't need" contract of video pipelines.
+    */
+  private[graft] val VideoSampleEvery = 2
+
+  /** Scene-cut threshold: mean per-pixel abs diff > 50 gray levels.
+    * Within a planted scene the sampled-frame diff is exactly 2;
+    * across a cut it is ≥ 94 — cleanly separated by construction.
+    */
+  private[graft] val CutMeanDiff = 50L
+
+  /** Video slice: every 5th doc (disjoint from the audio slice). */
+  private[graft] def isVideoId(id: Long): Boolean = id % 5 == 3
+
+  private[graft] def videoFrames(id: Long): Int = (24 + (id % 9) * 4).toInt
+
+  /** Scene base level: scenes are 8 frames long and alternate between
+    * two brightness plateaus 100 levels apart — the planted cuts.
+    */
+  private[graft] def videoBase(id: Long, scene: Int): Int =
+    (30 + (scene % 2) * 100 + (id % 40)).toInt
+
+  /** Deterministic luminance: base(scene) + spatial gradient + a
+    * per-frame step. Every term is ≤ 239 so nothing wraps mod 256,
+    * which keeps the oracle CLOSED-FORM: a frame's luminance sum is
+    * npix·(base + f%8) + 6048 (the gradient sum), and the SAD between
+    * two frames is npix·|Δ(base + f%8)| — no per-pixel SQL loops.
+    */
+  private[graft] def videoPixel(id: Long, f: Int, x: Int, y: Int): Int =
+    videoBase(id, f / 8) + 2 * x + 3 * y + (f % 8)
+
+  /** Genuine Y4M container: `YUV4MPEG2 W.. H.. F12:1 Ip A1:1 Cmono`
+    * stream header, then per frame a `FRAME` marker line + the raw
+    * W·H luminance plane.
+    */
+  private[graft] def syntheticY4m(id: Long): Array[Byte] = {
+    val n = videoFrames(id)
+    val out = new java.io.ByteArrayOutputStream(64 + n * (6 + VideoW * VideoH))
+    out.write(s"YUV4MPEG2 W$VideoW H$VideoH F12:1 Ip A1:1 Cmono\n"
+      .getBytes("US-ASCII"))
+    val frameHdr = "FRAME\n".getBytes("US-ASCII")
+    var f = 0
+    while (f < n) {
+      out.write(frameHdr)
+      var y = 0
+      while (y < VideoH) {
+        var x = 0
+        while (x < VideoW) { out.write(videoPixel(id, f, x, y)); x += 1 }
+        y += 1
+      }
+      f += 1
+    }
+    out.toByteArray
+  }
+
+  /** Deterministic video table derived from `documents`. */
+  def synthesizeVideo(spark: SparkSession, sfDir: String): Dataset[VideoRow] = {
+    import spark.implicits._
+    spark.read.parquet(s"$sfDir/documents.parquet")
+      .select(col("doc_id")).as[Long]
+      .filter(isVideoId _)
+      .map(id => VideoRow(id, syntheticY4m(id), "video/y4m"))
+  }
+
+  /** REAL Y4M parse: stream-header tokenization (W/H/C params), then
+    * the FRAME walk — each frame's marker line is verified and its
+    * raw plane sliced out. Mono (4:0:0) only; malformed streams are
+    * rejected loudly. Like [[parseWav]], the pixel formula exists
+    * only on the synthesis/oracle sides — this path works from bytes.
+    */
+  private[graft] def parseY4m(blob: Array[Byte]): (Int, Int, Array[Array[Byte]]) = {
+    val nl0 = blob.indexOf('\n'.toByte)
+    require(nl0 > 0, "missing Y4M stream header")
+    val header = new String(blob, 0, nl0, "US-ASCII")
+    val parts = header.split(' ')
+    require(parts.headOption.contains("YUV4MPEG2"), "not a Y4M stream")
+    def param(tag: Char): Option[String] =
+      parts.tail.find(_.headOption.contains(tag)).map(_.tail)
+    val w = param('W').map(_.toInt).getOrElse(
+      throw new IllegalArgumentException("Y4M header missing width"))
+    val h = param('H').map(_.toInt).getOrElse(
+      throw new IllegalArgumentException("Y4M header missing height"))
+    require(param('C').forall(_ == "mono"), "only mono (4:0:0) supported")
+    val frames = scala.collection.mutable.ArrayBuffer.empty[Array[Byte]]
+    var p = nl0 + 1
+    while (p < blob.length) {
+      val nl = blob.indexOf('\n'.toByte, p)
+      require(nl >= p + 5 &&
+        new String(blob, p, 5, "US-ASCII") == "FRAME",
+        s"bad FRAME marker at offset $p")
+      p = nl + 1
+      require(p + w * h <= blob.length, "truncated frame plane")
+      frames += java.util.Arrays.copyOfRange(blob, p, p + w * h)
+      p += w * h
+    }
+    (w, h, frames.toArray)
+  }
+
+  /** Frame sampling + scene-cut detection over parsed planes: decode
+    * every [[VideoSampleEvery]]-th frame, per sampled frame the exact
+    * integer luminance sum, per consecutive sampled pair the SAD; a
+    * cut is SAD > [[CutMeanDiff]]·npix. Map-side per-partition work,
+    * frames iterate in place (the [[audioFrameFeatures]] shape).
+    */
+  def videoFrameFeatures(spark: SparkSession,
+      video: Dataset[VideoRow]): Dataset[VideoFeatures] = {
+    import spark.implicits._
+    video.mapPartitions { rows =>
+      rows.map { r =>
+        val (w, h, frames) = parseY4m(r.blob)
+        val npix = w * h
+        var totalLum = 0L
+        var cuts = 0L
+        var peakSad = 0L
+        var prev: Array[Byte] = null
+        var f = 0
+        while (f < frames.length) {
+          val cur = frames(f)
+          var lum = 0L
+          var i = 0
+          while (i < npix) { lum += (cur(i) & 0xff); i += 1 }
+          totalLum += lum
+          if (prev != null) {
+            var sad = 0L
+            var j = 0
+            while (j < npix) {
+              sad += math.abs((cur(j) & 0xff) - (prev(j) & 0xff)); j += 1
+            }
+            if (sad > CutMeanDiff * npix) cuts += 1
+            if (sad > peakSad) peakSad = sad
+          }
+          prev = cur
+          f += VideoSampleEvery
+        }
+        val nSampled = (frames.length + VideoSampleEvery - 1) / VideoSampleEvery
+        VideoFeatures(r.doc_id, w, h, frames.length.toLong, nSampled.toLong,
+          totalLum, cuts, peakSad)
+      }
+    }
+  }
+
   /** Frame sampling + exact integer energy features over parsed PCM:
     * per (FrameSize, FrameHop) frame, energy = Σ|s|; silent frames
     * are exactly-zero frames. Map-side per-partition work, constant

@@ -170,6 +170,56 @@ object MultimodalQueries {
       .orderBy(col("doc_id"))
   }
 
+  /** Video frame-sampling — completes the image/audio/video modality
+    * trio: every 5th document (disjoint from q211's audio slice)
+    * carries a GENUINE YUV4MPEG2 mono stream (the raw-video container
+    * ffmpeg reads: stream header + FRAME-delimited luminance planes),
+    * and the engine REALLY parses it — header tokenization, FRAME
+    * marker walk, plane slicing (`MediaOps.parseY4m`) — then decodes
+    * only every 2nd frame (frame sampling: don't decode what you
+    * don't need), computing exact integer luminance sums and
+    * scene-cut detection by sum-of-absolute-differences between
+    * consecutive sampled frames. Scenes are planted 8-frame plateaus
+    * alternating 100 gray levels apart, so within-scene sampled SAD
+    * is exactly 2·npix and cross-cut SAD ≥ 94·npix — the threshold
+    * (mean diff > 50) separates them with proof, not tuning.
+    *
+    * Scale shape: parse/sample/diff are map-side per-partition work
+    * over opaque binary columns; nothing explodes into rows; the only
+    * shuffle is the deterministic output sort. The oracle replays
+    * frame statistics in CLOSED FORM (per-frame luminance sum =
+    * npix·(base+f%8) + gradient constant; SAD = npix·|Δ|) — pixels
+    * never materialize in SQL.
+    */
+  val q212VideoFramesample = QueryDef(
+    "q212_video_framesample",
+    "video binary columns: real Y4M parse -> every-2nd-frame sampling -> integer luminance + SAD scene cuts per doc",
+    """WITH v AS (SELECT doc_id, 24 + (doc_id % 9) * 4 AS nf
+      |          FROM documents WHERE doc_id % 5 = 3),
+      |sf AS (SELECT doc_id, nf, k * 2 AS f
+      |       FROM v, unnest(range(0, (nf + 1) // 2)) AS u(k)),
+      |fv AS (SELECT doc_id, nf, f,
+      |         30 + ((f // 8) % 2) * 100 + (doc_id % 40) + (f % 8) AS val
+      |       FROM sf),
+      |fd AS (SELECT doc_id, nf, f, val,
+      |         lag(val) OVER (PARTITION BY doc_id ORDER BY f) AS pval
+      |       FROM fv)
+      |SELECT doc_id, CAST(16 AS INT) AS width, CAST(12 AS INT) AS height,
+      |  CAST(nf AS BIGINT) AS n_frames,
+      |  CAST(count(*) AS BIGINT) AS n_sampled,
+      |  CAST(sum(192 * val + 6048) AS BIGINT) AS total_lum,
+      |  CAST(count(*) FILTER (pval IS NOT NULL AND abs(val - pval) > 50)
+      |    AS BIGINT) AS n_cuts,
+      |  CAST(coalesce(max(192 * abs(val - pval)), 0) AS BIGINT) AS peak_sad
+      |FROM fd GROUP BY doc_id, nf
+      |ORDER BY doc_id""".stripMargin) { (s, d) =>
+    import org.apache.spark.sql.functions._
+    MediaOps.videoFrameFeatures(s, MediaOps.synthesizeVideo(s, d)).toDF()
+      .select(col("doc_id"), col("width"), col("height"), col("n_frames"),
+        col("n_sampled"), col("total_lum"), col("n_cuts"), col("peak_sad"))
+      .orderBy(col("doc_id"))
+  }
+
   val all: Seq[QueryDef] = Seq(q48MultimodalFeatures, q157ImageDhashNeardup,
-    q211AudioFramesample)
+    q211AudioFramesample, q212VideoFramesample)
 }

@@ -224,6 +224,47 @@ class MultimodalSpec extends SparkSpec {
     }
   }
 
+  test("Y4M roundtrip: synthesized stream parses back to the exact planes") {
+    Seq(3L, 8L, 13L, 58L, 103L).foreach { id =>
+      val blob = MediaOps.syntheticY4m(id)
+      assert(new String(blob.slice(0, 9), "US-ASCII") == "YUV4MPEG2")
+      val (w, h, frames) = MediaOps.parseY4m(blob)
+      assert(w == MediaOps.VideoW && h == MediaOps.VideoH)
+      assert(frames.length == MediaOps.videoFrames(id))
+      frames.zipWithIndex.foreach { case (plane, f) =>
+        for (y <- 0 until h; x <- 0 until w)
+          assert((plane(y * w + x) & 0xff) == MediaOps.videoPixel(id, f, x, y),
+            s"doc $id frame $f pixel ($x,$y)")
+      }
+    }
+    intercept[IllegalArgumentException] {
+      MediaOps.parseY4m("AVI1 nope\n".getBytes("US-ASCII"))
+    }
+  }
+
+  test("q212 scene cuts match the planted 8-frame plateau boundaries") {
+    val rows = Registry.byName("q212_video_framesample").fn(spark, sfDir)
+      .collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val id = r.getLong(0)
+      assert(MediaOps.isVideoId(id), s"non-video doc $id in output")
+      val nf = MediaOps.videoFrames(id)
+      // sampled frames f = 0,2,..; a cut fires on every sampled pair
+      // (f-2, f) whose 8-frame scene index changes — by construction
+      // |diff| >= 94 there and exactly 2 within a scene
+      val sampled = 0 until nf by MediaOps.VideoSampleEvery
+      val expectCuts = sampled.drop(1)
+        .count(f => (f - MediaOps.VideoSampleEvery) / 8 != f / 8).toLong
+      assert(r.getAs[Long]("n_cuts") == expectCuts,
+        s"doc $id: n_cuts ${r.getAs[Long]("n_cuts")} != $expectCuts")
+      assert(r.getAs[Long]("n_sampled") == sampled.size.toLong)
+      // cross-cut SAD dominates within-scene SAD by design
+      assert(r.getAs[Long]("peak_sad") >= 94L * MediaOps.VideoW * MediaOps.VideoH)
+    }
+    spark.sharedState.cacheManager.clearCache()
+  }
+
   test("q211 silent frames match the planted zero-stretch arithmetic") {
     val rows = Registry.byName("q211_audio_framesample").fn(spark, sfDir)
       .collect()
