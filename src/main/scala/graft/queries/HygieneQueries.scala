@@ -1155,11 +1155,96 @@ object HygieneQueries {
       .orderBy(col("doc_id"))
   }
 
+  /** Interpolated KNESER–NEY bigram scoring — the smoothing a
+    * production perplexity filter (KenLM) actually ships, next to
+    * q204's Laplace baseline: absolute discount D = 3/4 off every
+    * seen bigram, redistributed through the CONTINUATION probability
+    * p_cont(r) = N1+(·r)/T (how many distinct left-contexts r
+    * follows, over total bigram types) — the insight that makes KN
+    * the strongest count-based smoother: "Francisco" is frequent but
+    * follows only "San", so its unseen-context probability should be
+    * tiny, which raw-frequency backoff (and q204's Laplace) gets
+    * wrong.
+    *
+    *   p(r|l) = (c_lr − D)⁺/c_l + D·N1+(l·)/c_l · N1+(·r)/T
+    *
+    * Exactness: with D = 3/4 the probability is the integer ratio
+    *   [(4·c_lr − 3)⁺·T + 3·N1+(l·)·N1+(·r)] / (4·c_l·T)
+    * — numerator and denominator are exact longs, so both engines
+    * take ln of the identical double ratio (the q121/q204 ~1-ulp
+    * caveat). Fit on even docs, scored on odd docs (the q204
+    * discipline); a bigram is scored iff l was a seen context AND r a
+    * seen continuation (the OOV policy; a deeper unigram backoff is
+    * the documented extension).
+    *
+    * Scale shape: the model is VOCAB²-bounded (same one bigram
+    * aggregate as q204, riding the memoized corpusBigrams); scoring
+    * is the held-out stream through l-, r- and (l,r)-keyed joins (AQE
+    * broadcasts the vocab-bounded sides) + one partial-aggregable
+    * per-doc sum. No window, no driver loop.
+    */
+  val q213KneserNey = QueryDef(
+    "q213_kneser_ney",
+    "interpolated Kneser-Ney bigram NLP: D=3/4 discount + continuation-probability backoff, integer-exact ratio, fit-even/score-odd",
+    """WITH w AS (SELECT doc_id, list_filter(string_split(text, ' '), t -> length(t) > 0) AS w
+      |       FROM documents),
+      |bi AS (SELECT doc_id, w[i] AS l, w[i+1] AS r
+      |       FROM w, unnest(range(1, len(w))) AS u(i)),
+      |trbi AS (SELECT * FROM bi WHERE doc_id % 2 = 0),
+      |m AS MATERIALIZED (SELECT l, r, CAST(count(*) AS BIGINT) AS c_lr
+      |     FROM trbi GROUP BY l, r),
+      |ml AS (SELECT l, CAST(sum(c_lr) AS BIGINT) AS c_l,
+      |         CAST(count(*) AS BIGINT) AS n1l FROM m GROUP BY l),
+      |mr AS (SELECT r, CAST(count(*) AS BIGINT) AS n1r FROM m GROUP BY r),
+      |tt AS (SELECT CAST(count(*) AS BIGINT) AS tt FROM m),
+      |ho AS (SELECT bi.doc_id, bi.l, bi.r FROM bi WHERE doc_id % 2 = 1),
+      |sc AS (SELECT ho.doc_id,
+      |         CAST(floor(1000000.0 * ln(
+      |           CAST(greatest(4 * coalesce(m.c_lr, 0) - 3, 0) * tt.tt
+      |                + 3 * ml.n1l * mr.n1r AS DOUBLE) /
+      |           CAST(4 * ml.c_l * tt.tt AS DOUBLE))) AS BIGINT) AS lpv
+      |       FROM ho JOIN ml ON ml.l = ho.l
+      |               JOIN mr ON mr.r = ho.r
+      |               CROSS JOIN tt
+      |               LEFT JOIN m ON m.l = ho.l AND m.r = ho.r)
+      |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+      |  CAST(-sum(lpv) AS BIGINT) AS kn_nlp_micro_sum,
+      |  CAST((-sum(lpv)) // count(*) AS BIGINT) AS avg_kn_nlp_micro
+      |FROM sc GROUP BY doc_id ORDER BY doc_id""".stripMargin) { (s, d) =>
+    val bi = corpusBigrams(s, d)
+    val trbi = bi.filter(col("doc_id") % 2 === 0)
+    // persisted: feeds ml, mr, the type total AND the scored join —
+    // vocab²-bounded, self-releasing (the ngramCandidateCounts shape)
+    val m = graft.AutoUnpersist.scoped(
+      trbi.groupBy(col("l"), col("r")).agg(count(lit(1)).as("c_lr")))
+    val ml = m.groupBy(col("l"))
+      .agg(sum(col("c_lr")).as("c_l"), count(lit(1)).as("n1l"))
+    val mr = m.groupBy(col("r")).agg(count(lit(1)).as("n1r"))
+    val tt = m.agg(count(lit(1)).as("tt"))
+    val sc = bi.filter(col("doc_id") % 2 === 1)
+      .join(ml, "l")
+      .join(mr, "r")
+      .crossJoin(broadcast(tt))
+      .join(m, Seq("l", "r"), "left_outer")
+      .select(col("doc_id"),
+        floor(lit(1000000.0) * log(
+          (greatest(lit(4L) * coalesce(col("c_lr"), lit(0L)) - 3L, lit(0L)) *
+            col("tt") + lit(3L) * col("n1l") * col("n1r")).cast("double") /
+          (lit(4L) * col("c_l") * col("tt")).cast("double")))
+          .cast("long").as("lpv"))
+    sc.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_bigrams"),
+        (-sum(col("lpv"))).as("kn_nlp_micro_sum"))
+      .select(col("doc_id"), col("n_bigrams"), col("kn_nlp_micro_sum"),
+        expr("kn_nlp_micro_sum div n_bigrams").as("avg_kn_nlp_micro"))
+      .orderBy(col("doc_id"))
+  }
+
   val all: Seq[QueryDef] =
     Seq(q72Decontamination, q73RepetitionQuality, q74PiiRedaction,
       q75UnicodeNormalize, q85LineDedup, q109MedianFilter,
       q118NgramNovelty, q121LmQuality, q150SpanDedup,
       q179ExactSubstrSpans, q180BoilerplateCatalog,
       q197ExactSubstrRemoval, q204HeldoutPerplexity,
-      q207CrossContamination)
+      q207CrossContamination, q213KneserNey)
 }

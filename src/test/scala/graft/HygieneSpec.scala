@@ -427,6 +427,50 @@ class HygieneSpec extends SparkSpec {
     spark.sharedState.cacheManager.clearCache()
   }
 
+  test("q213 Kneser-Ney matches an exact driver recompute and normalizes per context") {
+    val got = Registry.byName("q213_kneser_ney").fn(spark, sfDir)
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3))))
+      .toMap
+    val docs = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => r.getLong(0) -> r.getString(1).split(" ").filter(_.nonEmpty))
+    def bigrams(w: Array[String]) =
+      w.sliding(2).filter(_.length == 2).map(a => (a(0), a(1))).toSeq
+    val m = docs.filter(_._1 % 2 == 0).flatMap(d => bigrams(d._2))
+      .groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val ml = m.toSeq.groupBy(_._1._1).view
+      .mapValues(xs => (xs.map(_._2).sum, xs.size.toLong)).toMap
+    val mr = m.toSeq.groupBy(_._1._2).view.mapValues(_.size.toLong).toMap
+    val T = m.size.toLong
+    // the KN normalization identity, in EXACT integers: for every seen
+    // context l, the numerators over all continuation-seen r sum to
+    // the denominator 4·c_l·T (probabilities sum to 1 — the property
+    // that makes the discount+backoff a distribution, not a heuristic)
+    ml.foreach { case (l, (cl, n1l)) =>
+      val num = mr.valuesIterator.map(n1r => 3L * n1l * n1r).sum +
+        m.collect { case ((`l`, _), c) => (4 * c - 3) * T }.sum
+      assert(num == 4 * cl * T, s"context '$l' not normalized")
+    }
+    // exact per-doc recompute with the same integer-ratio ln
+    val expect = docs.filter(_._1 % 2 == 1).flatMap { case (id, w) =>
+      val lpvs = bigrams(w).flatMap { case (l, r) =>
+        for ((cl, n1l) <- ml.get(l); n1r <- mr.get(r)) yield {
+          val c = m.getOrElse((l, r), 0L)
+          val num = math.max(4 * c - 3, 0L) * T + 3 * n1l * n1r
+          math.floor(1e6 * math.log(num.toDouble / (4.0 * cl * T))).toLong
+        }
+      }
+      if (lpvs.isEmpty) None
+      else {
+        val s = -lpvs.sum
+        Some(id -> ((lpvs.size.toLong, s, s / lpvs.size)))
+      }
+    }.toMap
+    assert(got == expect)
+    spark.sharedState.cacheManager.clearCache()
+  }
+
   test("q151 DSIR weights: flag consistency and target slice scores higher") {
     val out = Registry.byName("q151_dsir_weights").fn(spark, sfDir).collect()
     assert(out.nonEmpty)
