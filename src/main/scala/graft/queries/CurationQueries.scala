@@ -322,7 +322,69 @@ object CurationQueries {
       .orderBy(col("doc_id"))
   }
 
+  /** BALANCED shard assignment — the straggler-prevention layout step
+    * between packing (q80) and shard manifests (q77): assign every
+    * doc to one of W=8 training shards so TOKEN totals (not doc
+    * counts) balance. Docs rank globally by size descending and place
+    * in SNAKE order (0..W−1 then W−1..0, repeating) — the
+    * deterministic one-pass approximation of LPT bin packing: each
+    * 2W-document wave contributes exactly one large+small pair to
+    * every shard, so imbalance is bounded by one wave's spread
+    * instead of growing with the corpus (round-robin by rank alone
+    * systematically starves the last shard).
+    *
+    * Output: per shard, doc count, token total, token share in exact
+    * integer bp, and signed deviation from the ideal 10000/W — the
+    * number an operator alerts on.
+    *
+    * Scale shape: the global size rank is [[graft.api.Ranking
+    * .withRank]] (range repartition + per-partition ranks + K-row
+    * offset metadata — never a single-reducer window); everything
+    * after is one partial-aggregable groupBy on the W-valued shard
+    * key and a broadcast 1-row total. The DuckDB twin replays the
+    * same rank/snake arithmetic.
+    */
+  val q214ShardBalance = QueryDef(
+    "q214_shard_balance",
+    "snake-balanced shard assignment: global size rank -> LPT-style snake placement over 8 shards, per-shard token share + deviation bp",
+    """WITH tk AS (SELECT doc_id,
+      |             CAST(len(list_filter(string_split(text, ' '),
+      |               t -> length(t) > 0)) AS BIGINT) AS n
+      |           FROM documents),
+      |rk AS (SELECT doc_id, n,
+      |         row_number() OVER (ORDER BY n DESC, doc_id) AS rn FROM tk),
+      |sh AS (SELECT doc_id, n,
+      |         CAST(CASE WHEN (rn - 1) % 16 < 8 THEN (rn - 1) % 16
+      |              ELSE 15 - (rn - 1) % 16 END AS BIGINT) AS shard
+      |       FROM rk),
+      |g AS (SELECT CAST(sum(n) AS BIGINT) AS gt FROM tk)
+      |SELECT shard, CAST(count(*) AS BIGINT) AS n_docs,
+      |  CAST(sum(n) AS BIGINT) AS total_tokens,
+      |  CAST((10000 * sum(n)) // gt AS BIGINT) AS share_bp,
+      |  CAST((10000 * sum(n)) // gt - 1250 AS BIGINT) AS dev_bp
+      |FROM sh CROSS JOIN g
+      |GROUP BY shard, gt
+      |ORDER BY shard""".stripMargin) { (s, d) =>
+    val tk = Tables.documents(s, d)
+      .select(col("doc_id"), size(toks(col("text"))).cast("long").as("n"))
+    val rk = graft.api.Ranking.withRank(tk, Seq.empty,
+      Seq(col("n").desc, col("doc_id")))
+    val sh = rk.withColumn("k", (col("rn") - 1) % 16)
+      .withColumn("shard",
+        when(col("k") < 8, col("k")).otherwise(lit(15L) - col("k"))
+          .cast("long"))
+    val g = tk.agg(sum(col("n")).as("gt"))
+    sh.groupBy(col("shard"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n")).as("total_tokens"))
+      .crossJoin(broadcast(g))
+      .select(col("shard"), col("n_docs"), col("total_tokens"),
+        expr("(10000 * total_tokens) div gt").as("share_bp"),
+        (expr("(10000 * total_tokens) div gt") - lit(1250L)).as("dev_bp"))
+      .orderBy(col("shard"))
+  }
+
   val all: Seq[QueryDef] =
     Seq(q61CurationPipeline, q80SequencePack, q83PackSlices, q86ChunkOverlap,
-      q99SourceTopFraction, q103CorpusShuffle, q111CurriculumStages)
+      q99SourceTopFraction, q103CorpusShuffle, q111CurriculumStages,
+      q214ShardBalance)
 }

@@ -53,4 +53,33 @@ class SharderSpec extends SparkSpec {
       s"shard read should partition-prune:\n$scan")
     assert(one.count() == bySizes(3L))
   }
+
+  test("q214 snake sharding matches a driver recompute and balances token mass") {
+    val got = Registry.byName("q214_shard_balance").fn(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))))
+      .toMap
+    val docs = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => (r.getLong(0), r.getString(1).split(" ").count(_.nonEmpty).toLong))
+    // driver recompute: rank by (tokens desc, doc_id), snake over 8
+    val ranked = docs.sortBy { case (id, n) => (-n, id) }
+    val assign = ranked.zipWithIndex.map { case ((id, n), i) =>
+      val k = i % 16
+      (if (k < 8) k.toLong else 15L - k, n)
+    }
+    val grand = docs.map(_._2).sum
+    val expect = assign.groupBy(_._1).map { case (s, xs) =>
+      val tot = xs.map(_._2).sum
+      val share = 10000L * tot / grand
+      s -> ((xs.length.toLong, tot, share, share - 1250L))
+    }
+    assert(got == expect)
+    // conservation + the balance contract the snake exists for
+    assert(got.values.map(_._2).sum == grand)
+    assert(got.values.map(_._1).sum == docs.length.toLong)
+    got.foreach { case (s, (_, _, _, dev)) =>
+      assert(math.abs(dev) <= 50L, s"shard $s deviates $dev bp — snake broken")
+    }
+    spark.sharedState.cacheManager.clearCache()
+  }
 }
