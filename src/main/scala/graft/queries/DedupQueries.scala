@@ -1559,11 +1559,107 @@ object DedupQueries {
       .orderBy(col("doc_a"), col("doc_b"))
   }
 
+  /** Content-defined chunk dedup — the STORAGE-level dedup read
+    * (backup/dedupe-appliance classic; FastCDC/LBFS lineage) next to
+    * the document-level family: the token stream cuts at
+    * CONTENT-DEFINED boundaries (token hash ≡ 0 mod 16 → expected
+    * chunk length 16 tokens), so an insertion shifts only the chunks
+    * it touches — where fixed-width windows (q150's K-grams) shift
+    * EVERY downstream window. Duplicate chunks across the corpus then
+    * collapse by value; the per-source report is the storage-savings
+    * number a dedupe tier quotes (here in tokens).
+    *
+    * Boundaries come from the codegen'd engine-portable
+    * `portable_hash64` (Karp–Rabin fold + mix64 — the q35 idiom), so
+    * the DuckDB twin replays the exact cut decisions; chunk text
+    * reassembles order-exactly on both sides (sorted struct collect /
+    * `list(t ORDER BY i)`), and all ratios are integer bp.
+    *
+    * Scale shape: one token explode, a PER-DOC running-sum window
+    * (doc_id is high-cardinality — every task busy), one
+    * (doc, chunk-idx) aggregate, then two partial-aggregable
+    * source-keyed rollups over the chunk relation (persisted, scoped —
+    * it feeds both the total and the distinct side). No all-pairs
+    * anything: dedup here is value-collapse by hash aggregate, the
+    * shape that survives any corpus.
+    */
+  val q215CdcChunkDedup = QueryDef(
+    "q215_cdc_chunk_dedup",
+    "content-defined chunking (gear-style hash boundaries) + cross-corpus chunk dedup: per-source token savings in bp",
+    """WITH tokl AS (
+      |  SELECT doc_id, source, list_filter(string_split(text, ' '), x -> length(x) > 0) AS w
+      |  FROM documents),
+      |tok AS (
+      |  SELECT doc_id, source, CAST(u.i AS BIGINT) - 1 AS i, w[u.i] AS t
+      |  FROM tokl, unnest(range(1, len(w) + 1)) AS u(i)),
+      |ph AS (
+      |  SELECT doc_id, source, i, t,
+      |    CAST(list_reduce(list_transform(string_split(t, ''),
+      |      c -> CAST(ascii(c) AS BIGINT)), (a, x) -> (a*31 + x) % 1000000007) AS HUGEINT) AS z
+      |  FROM tok),
+      |m1 AS (SELECT *, (xor(z, z >> 30) * 2685821657736338717) % 18446744073709551616 AS z1 FROM ph),
+      |m2 AS (SELECT *, (xor(z1, z1 >> 27) * 1181783497276652981) % 18446744073709551616 AS z2 FROM m1),
+      |hh AS (SELECT doc_id, source, i, t, xor(z2, z2 >> 31) AS h FROM m2),
+      |mk AS (SELECT doc_id, source, i, t,
+      |         CASE WHEN i = 0 OR h % 16 = 0 THEN 1 ELSE 0 END AS b
+      |       FROM hh),
+      |cx AS (SELECT doc_id, source, i, t,
+      |         sum(b) OVER (PARTITION BY doc_id ORDER BY i
+      |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cix
+      |       FROM mk),
+      |ch AS (SELECT doc_id, source, cix,
+      |         array_to_string(list(t ORDER BY i), ' ') AS chunk,
+      |         CAST(count(*) AS BIGINT) AS clen
+      |       FROM cx GROUP BY doc_id, source, cix),
+      |tot AS (SELECT source, CAST(count(*) AS BIGINT) AS n_chunks,
+      |          CAST(sum(clen) AS BIGINT) AS total_tokens
+      |        FROM ch GROUP BY source),
+      |uq AS (SELECT source, CAST(count(*) AS BIGINT) AS n_unique_chunks,
+      |         CAST(sum(clen) AS BIGINT) AS unique_tokens
+      |       FROM (SELECT source, chunk, max(clen) AS clen
+      |             FROM ch GROUP BY source, chunk)
+      |       GROUP BY source)
+      |SELECT tot.source, n_chunks, total_tokens, n_unique_chunks, unique_tokens,
+      |  CAST((10000 * (total_tokens - unique_tokens)) // total_tokens AS BIGINT) AS dedup_bp
+      |FROM tot JOIN uq ON uq.source = tot.source
+      |ORDER BY tot.source""".stripMargin) { (s, d) =>
+    graft.plans.GraftFunctions.register(s)
+    import graft.plans.GraftFunctions
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("i"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val tok = Tables.documents(s, d)
+      .select(col("doc_id"), col("source"),
+        posexplode(toks(col("text"))).as(Seq("i", "t")))
+    val marked = tok.withColumn("b",
+      when(col("i") === 0 ||
+        pmod(GraftFunctions.portableHash64(col("t")), lit(16L)) === 0, 1L)
+        .otherwise(0L))
+    val chunks = graft.AutoUnpersist.scoped(marked
+      .withColumn("cix", sum(col("b")).over(w))
+      .groupBy(col("doc_id"), col("source"), col("cix"))
+      .agg(sort_array(collect_list(struct(col("i"), col("t")))).as("st"))
+      .select(col("source"),
+        array_join(transform(col("st"), x => x.getField("t")), " ").as("chunk"),
+        size(col("st")).cast("long").as("clen")))
+    val tot = chunks.groupBy(col("source"))
+      .agg(count(lit(1)).as("n_chunks"), sum(col("clen")).as("total_tokens"))
+    val uq = chunks.groupBy(col("source"), col("chunk"))
+      .agg(max(col("clen")).as("clen"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_unique_chunks"), sum(col("clen")).as("unique_tokens"))
+    tot.join(uq, "source")
+      .select(col("source"), col("n_chunks"), col("total_tokens"),
+        col("n_unique_chunks"), col("unique_tokens"),
+        expr("(10000 * (total_tokens - unique_tokens)) div total_tokens")
+          .as("dedup_bp"))
+      .orderBy(col("source"))
+  }
+
   val all: Seq[QueryDef] = Seq(
     q33ExactDedup, q34MinhashLsh, q35Simhash, q36NgramJaccard,
     q37EmbeddingNeardup, q78DupClusters, q79IncrementalDedup,
     q82FuzzyJoin, q93LeakageSafeSplit, q158MinhashCalibration, q185DedupPrCurve,
     q161MinimizerDedup, q169JaccardHistogram, q170ClusterSizes,
     q173SourceOverlap, q190Survivorship, q206DedupSavings,
-    q208ContainmentDedup)
+    q208ContainmentDedup, q215CdcChunkDedup)
 }

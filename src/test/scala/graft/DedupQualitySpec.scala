@@ -149,6 +149,69 @@ class DedupQualitySpec extends SparkSpec {
     spark.sharedState.cacheManager.clearCache()
   }
 
+  /** Driver-side replica of q215's chunker: boundary before token i
+    * iff i = 0 or portable_hash64(t_i) ≡ 0 (mod 16).
+    */
+  private def cdcChunks(toks: Seq[String]): Seq[Seq[String]] = {
+    import org.apache.spark.unsafe.types.UTF8String
+    val out = scala.collection.mutable.ArrayBuffer.empty[Seq[String]]
+    var cur = scala.collection.mutable.ArrayBuffer.empty[String]
+    toks.zipWithIndex.foreach { case (t, i) =>
+      val h = graft.plans.PortableHash64.hash(UTF8String.fromString(t))
+      val boundary = i == 0 || java.lang.Math.floorMod(h, 16L) == 0L
+      if (boundary && cur.nonEmpty) { out += cur.toSeq; cur = scala.collection.mutable.ArrayBuffer.empty }
+      cur += t
+    }
+    if (cur.nonEmpty) out += cur.toSeq
+    out.toSeq
+  }
+
+  test("q215 CDC chunk dedup matches a driver recompute") {
+    val got = Registry.byName("q215_cdc_chunk_dedup").fn(spark, sfDir).collect()
+      .map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))).toMap
+    val docs = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("source"), col("text")).collect()
+      .map(r => (r.getString(1), r.getString(2).split(" ").filter(_.nonEmpty).toSeq))
+    val expect = docs.groupBy(_._1).map { case (src, ds) =>
+      val chunks = ds.flatMap(d => cdcChunks(d._2)).map(c => (c.mkString(" "), c.size.toLong))
+      val uniq = chunks.groupBy(_._1).map { case (_, xs) => xs.head._2 }
+      val total = chunks.map(_._2).sum
+      val uTot = uniq.sum
+      src -> ((chunks.size.toLong, total, uniq.size.toLong, uTot,
+        10000L * (total - uTot) / total))
+    }
+    assert(got == expect)
+    spark.sharedState.cacheManager.clearCache()
+  }
+
+  test("CDC chunking is insertion-robust where fixed windows are not") {
+    // THE content-defined claim: inserting one token disturbs only the
+    // chunk it lands in (boundaries are token-local), so the chunk
+    // multisets before/after differ in O(1) chunks — while every
+    // fixed-width window downstream of the insertion shifts
+    val toks = (0 until 400).map(i => s"tok${i % 97}")
+    val before = cdcChunks(toks).map(_.mkString(" "))
+    val after = cdcChunks(toks.take(200) ++ Seq("INSERTED") ++ toks.drop(200))
+      .map(_.mkString(" "))
+    def multiset(xs: Seq[String]) = xs.groupBy(identity).view.mapValues(_.size).toMap
+    val (mb, ma) = (multiset(before), multiset(after))
+    val symDiff = (mb.keySet ++ ma.keySet).toSeq.map { k =>
+      math.abs(mb.getOrElse(k, 0) - ma.getOrElse(k, 0))
+    }.sum
+    assert(symDiff <= 4, s"CDC should localize the edit, symdiff=$symDiff")
+    // contrast: fixed 16-token windows change everywhere after pos 200
+    val fixedBefore = toks.grouped(16).map(_.mkString(" ")).toSeq
+    val fixedAfter = (toks.take(200) ++ Seq("INSERTED") ++ toks.drop(200))
+      .grouped(16).map(_.mkString(" ")).toSeq
+    val (fb, fa) = (multiset(fixedBefore), multiset(fixedAfter))
+    val fixedDiff = (fb.keySet ++ fa.keySet).toSeq.map { k =>
+      math.abs(fb.getOrElse(k, 0) - fa.getOrElse(k, 0))
+    }.sum
+    assert(fixedDiff > symDiff * 2,
+      s"fixture must show the fixed-window shift ($fixedDiff vs $symDiff)")
+  }
+
   /** Corpus where a stop-phrase ("common filler phrase ...") appears
     * in EVERY doc → its shingles have df = 40, far over a cap of 5,
     * while each near-dup pair (2i, 2i+1) shares plenty of non-hot
