@@ -712,9 +712,70 @@ object MiningQueries {
       .orderBy(col("from_type"))
   }
 
+  /** Functional-dependency discovery — the IN-table profiling twin of
+    * q119's cross-table FK containment: A→B holds iff every A value
+    * maps to exactly one B value, i.e. |distinct A| = |distinct
+    * (A,B)|; the strength ratio (10000·n_lhs div n_pairs, 10000 = an
+    * exact FD) grades approximate dependencies, the schema-inference
+    * signal behind normalization advice and dirty-data detection. The
+    * candidate list is fixed schema metadata (bounded by #columns²,
+    * not data) mixing true FDs (keys determine everything), their
+    * reverse directions, and plausible-but-false pairs, so the output
+    * demonstrates discrimination.
+    *
+    * Scale shape (the q119 lesson, stacked evaluation): ONE persisted
+    * distinct relation of (pair, lhs, rhs) covers every candidate —
+    * each pair pays one partial-aggregated distinct shuffle, then two
+    * metadata-sized counts; never a per-pair join cascade. Values
+    * stack as strings (injective casts, so distinct counts are
+    * unchanged).
+    */
+  val q216FdDiscovery: QueryDef = {
+    val pairs = Seq(
+      ("nation", "n_nationkey", "n_regionkey"),
+      ("nation", "n_regionkey", "n_nationkey"),
+      ("customer", "c_custkey", "c_nationkey"),
+      ("customer", "c_nationkey", "c_mktsegment"),
+      ("orders", "o_orderkey", "o_orderpriority"),
+      ("orders", "o_custkey", "o_orderstatus"),
+      ("lineitem", "l_orderkey", "l_returnflag"),
+      ("lineitem", "l_partkey", "l_suppkey"),
+      ("documents", "doc_id", "lang"),
+      ("documents", "source", "lang"))
+    val oracle = pairs.map { case (t, a, b) =>
+      s"""SELECT '$t.$a->$b' AS fd,
+         |  CAST((SELECT count(*) FROM (SELECT DISTINCT $a FROM $t)) AS BIGINT) AS n_lhs,
+         |  CAST((SELECT count(*) FROM (SELECT DISTINCT $a, $b FROM $t)) AS BIGINT) AS n_pairs""".stripMargin
+    }.mkString("WITH raw AS (\n", "\nUNION ALL\n", ")") +
+      """
+        |SELECT fd, n_lhs, n_pairs, n_lhs = n_pairs AS holds,
+        |  CAST((10000 * n_lhs) // n_pairs AS BIGINT) AS fd_bp
+        |FROM raw
+        |ORDER BY fd""".stripMargin
+    QueryDef(
+      "q216_fd_discovery",
+      "functional-dependency discovery: |distinct A| vs |distinct (A,B)| over a fixed in-table candidate list, strength bp",
+      oracle) { (s, d) =>
+      import s.implicits._
+      val stacked = graft.AutoUnpersist.scoped(
+        pairs.map { case (t, a, b) =>
+          Tables.load(s, d, t).select(lit(s"$t.$a->$b").as("fd"),
+            col(a).cast("string").as("lv"), col(b).cast("string").as("rv"))
+        }.reduceLeft(_ unionAll _).distinct())
+      val nPairs = stacked.groupBy(col("fd")).agg(count(lit(1)).as("n_pairs"))
+      val nLhs = stacked.select(col("fd"), col("lv")).distinct()
+        .groupBy(col("fd")).agg(count(lit(1)).as("n_lhs"))
+      nLhs.join(nPairs, "fd")
+        .select(col("fd"), col("n_lhs"), col("n_pairs"),
+          (col("n_lhs") === col("n_pairs")).as("holds"),
+          expr("(10000 * n_lhs) div n_pairs").as("fd_bp"))
+        .orderBy(col("fd"))
+    }
+  }
+
   val all: Seq[QueryDef] =
     Seq(q116AssociationRules, q119FkDiscovery, q120GoldenRecord,
       q124Contingency, q125MarkovTransitions, q126ContractAudit,
       q135TrendRegression, q140ItemSimilarity, q142SeqPatterns,
-      q149DecayedPopularity, q205NextEventEval)
+      q149DecayedPopularity, q205NextEventEval, q216FdDiscovery)
 }

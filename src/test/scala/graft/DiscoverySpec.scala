@@ -224,4 +224,33 @@ class DiscoverySpec extends SparkSpec {
       s"bigram join lost rows: ${agg.getLong(0)} vs $trueBigrams")
     assert(agg.getLong(1) >= 0L, "negative log-prob must be non-negative")
   }
+
+  test("q216 FD discovery: keys imply FDs, counts tie out to direct distincts") {
+    val got = Registry.byName("q216_fd_discovery").fn(spark, sfDir).collect()
+      .map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getBoolean(3), r.getLong(4)))).toMap
+    assert(got.size == 10)
+    // a unique key functionally determines every column — these three
+    // plus the nation key must hold exactly
+    Seq("customer.c_custkey->c_nationkey", "documents.doc_id->lang",
+      "orders.o_orderkey->o_orderpriority", "nation.n_nationkey->n_regionkey")
+      .foreach { fd =>
+        val (l, p, holds, bp) = got(fd)
+        assert(holds && l == p && bp == 10000L, s"key FD $fd broken: ${got(fd)}")
+      }
+    // discrimination: at least one candidate must FAIL (a profiler
+    // that confirms everything discriminates nothing)
+    assert(got.values.exists(!_._3), "no failing FD candidate in the list")
+    // every row ties out to a direct two-distinct recompute
+    got.foreach { case (fd, (l, p, holds, bp)) =>
+      val Array(ta, rest) = fd.split("\\.", 2)
+      val Array(a, b) = rest.split("->")
+      val t = Tables.load(spark, sfDir, ta)
+      val nl = t.select(col(a)).distinct().count()
+      val np = t.select(col(a), col(b)).distinct().count()
+      assert(l == nl && p == np && holds == (nl == np) &&
+        bp == 10000L * nl / np, s"$fd mismatch: got ${got(fd)}, want ($nl,$np)")
+    }
+    spark.sharedState.cacheManager.clearCache()
+  }
 }
