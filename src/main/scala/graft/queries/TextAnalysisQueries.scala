@@ -728,9 +728,73 @@ object TextAnalysisQueries {
       .orderBy(col("doc_id"))
   }
 
+  /** Distinctive-terms profiling — Monroe/Colaresi/Quinn-style
+    * smoothed LOG-ODDS of each term's rate in a source vs the rest of
+    * the corpus: the "what makes this feed different" read that raw
+    * per-source top terms (dominated by corpus-wide stopwords) and
+    * per-doc TF-IDF (q55) don't give. Per (source, term):
+    *
+    *   δ = ln( (c_sv+1)·(N−n_s+V) / ((n_s+V)·(c_v−c_sv+1)) )
+    *
+    * — the +1-smoothed odds of the term in-source against
+    * out-of-source, as ONE double ratio of exact longs, micro-floored
+    * (the q121 integer-ln convention), so ranking and the hash gate
+    * are deterministic. Top-5 per source, ties by term.
+    *
+    * Scale shape: two partial-aggregable token aggregates ((source,
+    * term) and term) + three broadcast scalars; per-source top-5 via
+    * the scale-safe grouped ranking ([[graft.api.Ranking.withRank]] —
+    * range partition + K-row offsets, never a corpus-wide
+    * PARTITION BY window funneling one reducer per source).
+    */
+  val q217SourceSaliency = QueryDef(
+    "q217_source_saliency",
+    "distinctive terms per source: smoothed log-odds vs rest-of-corpus (integer micro), scale-safe top-5 per source",
+    """WITH tok AS (
+      |  SELECT source, unnest(list_filter(string_split(text, ' '), t -> length(t) > 0)) AS term
+      |  FROM documents),
+      |sv AS (SELECT source, term, CAST(count(*) AS BIGINT) AS c_sv
+      |       FROM tok GROUP BY source, term),
+      |cv AS (SELECT term, CAST(count(*) AS BIGINT) AS c_v FROM tok GROUP BY term),
+      |ns AS (SELECT source, CAST(count(*) AS BIGINT) AS n_s FROM tok GROUP BY source),
+      |g AS (SELECT CAST(count(*) AS BIGINT) AS n,
+      |        CAST(count(DISTINCT term) AS BIGINT) AS v FROM tok),
+      |sc AS (SELECT sv.source, sv.term, sv.c_sv,
+      |         CAST(floor(1000000.0 * ln(
+      |           CAST((sv.c_sv + 1) * (g.n - ns.n_s + g.v) AS DOUBLE) /
+      |           CAST((ns.n_s + g.v) * (cv.c_v - sv.c_sv + 1) AS DOUBLE)))
+      |           AS BIGINT) AS delta_micro
+      |       FROM sv JOIN cv USING (term) JOIN ns USING (source) CROSS JOIN g),
+      |rk AS (SELECT source, term, c_sv, delta_micro,
+      |         row_number() OVER (PARTITION BY source
+      |           ORDER BY delta_micro DESC, term) AS rn
+      |       FROM sc)
+      |SELECT source, CAST(rn AS BIGINT) AS rn, term, c_sv, delta_micro
+      |FROM rk WHERE rn <= 5
+      |ORDER BY source, rn""".stripMargin) { (s, d) =>
+    val tok = Tables.documents(s, d)
+      .select(col("source"), explode(toks(col("text"))).as("term"))
+    val sv = tok.groupBy(col("source"), col("term")).agg(count(lit(1)).as("c_sv"))
+    val cv = tok.groupBy(col("term")).agg(count(lit(1)).as("c_v"))
+    val ns = tok.groupBy(col("source")).agg(count(lit(1)).as("n_s"))
+    val g = tok.agg(count(lit(1)).as("n"), countDistinct(col("term")).as("v"))
+    val sc = sv.join(cv, "term").join(ns, "source").crossJoin(broadcast(g))
+      .select(col("source"), col("term"), col("c_sv"),
+        floor(lit(1000000.0) * log(
+          ((col("c_sv") + 1L) * (col("n") - col("n_s") + col("v"))).cast("double") /
+          ((col("n_s") + col("v")) * (col("c_v") - col("c_sv") + 1L)).cast("double")))
+          .cast("long").as("delta_micro"))
+    graft.api.Ranking.withRank(sc, Seq("source"),
+        Seq(col("delta_micro").desc, col("term")))
+      .filter(col("rn") <= 5)
+      .select(col("source"), col("rn").cast("long").as("rn"), col("term"),
+        col("c_sv"), col("delta_micro"))
+      .orderBy(col("source"), col("rn"))
+  }
+
   val all: Seq[QueryDef] = Seq(
     q27TokenStats, q28LangStats, q29QualityScore, q30Langid,
     q31Fingerprint, q32NgramStats, q55Tfidf, q66BpeTokens, q96Textrank,
     q117VocabGrowth, q171Readability, q172LangConfusion,
-    q187PmiCollocations, q199NaiveBayesLangid)
+    q187PmiCollocations, q199NaiveBayesLangid, q217SourceSaliency)
 }

@@ -253,4 +253,31 @@ class DiscoverySpec extends SparkSpec {
     }
     spark.sharedState.cacheManager.clearCache()
   }
+
+  test("q217 source saliency matches a driver log-odds recompute") {
+    val got = Registry.byName("q217_source_saliency").fn(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getString(2), r.getLong(3), r.getLong(4)))
+    val toks = Tables.documents(spark, sfDir)
+      .select(col("source"), col("text")).collect()
+      .flatMap(r => r.getString(1).split(" ").filter(_.nonEmpty).map(r.getString(0) -> _))
+    val n = toks.length.toLong
+    val v = toks.map(_._2).distinct.length.toLong
+    val cv = toks.groupBy(_._2).view.mapValues(_.length.toLong).toMap
+    val ns = toks.groupBy(_._1).view.mapValues(_.length.toLong).toMap
+    val expect = toks.groupBy(identity).view.mapValues(_.length.toLong).toSeq
+      .map { case ((src, term), cSv) =>
+        val num = (cSv + 1) * (n - ns(src) + v)
+        val den = (ns(src) + v) * (cv(term) - cSv + 1)
+        (src, term, cSv,
+          math.floor(1e6 * math.log(num.toDouble / den.toDouble)).toLong)
+      }
+      .groupBy(_._1).toSeq.flatMap { case (src, xs) =>
+        xs.sortBy { case (_, term, _, d) => (-d, term) }.take(5).zipWithIndex
+          .map { case ((s2, term, c, d), i) => (s2, i + 1L, term, c, d) }
+      }.sortBy(t => (t._1, t._2))
+    assert(got.toSeq == expect)
+    // every source surfaces 5 distinctive terms
+    assert(got.map(_._1).distinct.length * 5 == got.length)
+    spark.sharedState.cacheManager.clearCache()
+  }
 }
