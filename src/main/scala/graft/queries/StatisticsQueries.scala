@@ -1676,6 +1676,62 @@ object StatisticsQueries {
         round(col("r"), 4).as("ts_intercept_cents"))
   }
 
+  /** QUANTILE NORMALIZATION across sources — the batch-effect
+    * correction (microarray lineage, now standard in feature
+    * pipelines): each document's length maps to the POOLED
+    * distribution's value at its within-source quantile, so after
+    * normalization every source has (up to rank granularity) the
+    * identical length distribution — the transform that makes
+    * per-source length features comparable when feeds have different
+    * verbosity. q175's Q-Q deciles DIAGNOSE the drift; this applies
+    * the fix, emitting the full exact mapping.
+    *
+    * Exact integer semantics: within-source rank r of (n_chars,
+    * doc_id) maps to pooled order statistic at index
+    * ⌈r·N/n_s⌉ = (r·N + n_s − 1) div n_s — pure integer arithmetic,
+    * rank joins are equi joins, the whole mapping hash-gates.
+    *
+    * Scale shape: BOTH ranks ride [[graft.api.Ranking.withRank]]
+    * (range repartition + K-row offset metadata — the per-source rank
+    * would otherwise funnel one reducer per source, and the pooled
+    * rank one reducer total); the index lookup is one equi join on
+    * the computed rank. Nothing collects.
+    */
+  val q218QuantileNormalization = QueryDef(
+    "q218_quantile_normalization",
+    "cross-source quantile normalization of doc length: within-source rank -> pooled order statistic, exact integer mapping",
+    """WITH d AS (SELECT doc_id, source, n_chars FROM documents),
+      |r AS (SELECT doc_id, source, n_chars,
+      |        row_number() OVER (PARTITION BY source ORDER BY n_chars, doc_id) AS rn,
+      |        count(*) OVER (PARTITION BY source) AS gn
+      |      FROM d),
+      |p AS (SELECT n_chars AS norm_chars,
+      |        row_number() OVER (ORDER BY n_chars, doc_id) AS p_rn
+      |      FROM d),
+      |g AS (SELECT count(*) AS nn FROM d)
+      |SELECT r.doc_id, r.source, r.n_chars, CAST(r.rn AS BIGINT) AS src_rank,
+      |  p.norm_chars
+      |FROM r CROSS JOIN g
+      |JOIN p ON p.p_rn = (r.rn * g.nn + r.gn - 1) // r.gn
+      |ORDER BY r.doc_id""".stripMargin) { (s, d) =>
+    val docs = Tables.documents(s, d)
+      .select(col("doc_id"), col("source"), col("n_chars"))
+    val ranked = graft.api.Ranking.withRank(docs, Seq("source"),
+      Seq(col("n_chars"), col("doc_id")))
+    val pooled = graft.api.Ranking.withRank(
+        docs.select(col("doc_id").as("p_id"), col("n_chars").as("norm_chars")),
+        Seq.empty, Seq(col("norm_chars"), col("p_id")), rankCol = "p_rn",
+        totalCol = "p_n")
+      .select(col("p_rn"), col("norm_chars"))
+    val total = docs.agg(count(lit(1)).as("nn"))
+    ranked.crossJoin(broadcast(total))
+      .withColumn("tix", expr("(rn * nn + grp_n - 1) div grp_n"))
+      .join(pooled, col("tix") === col("p_rn"))
+      .select(col("doc_id"), col("source"), col("n_chars"),
+        col("rn").cast("long").as("src_rank"), col("norm_chars"))
+      .orderBy(col("doc_id"))
+  }
+
   val all: Seq[QueryDef] =
     Seq(q136BloomFilter, q137RankSumAuc, q138KsDrift, q139SourceImpurity,
       q141BenfordAudit, q143AbTest, q145MadOutliers, q147Calibration,
@@ -1683,5 +1739,6 @@ object StatisticsQueries {
       q154WinsorizedStats, q159SpearmanActivity, q162Autocorrelation,
       q163SeasonalAnomaly, q165ForecastEval, q166ActiveUsers,
       q167DidUplift, q175QqDrift, q176AbPower, q184BootstrapCi,
-      q189CusumChangepoint, q195SurvivalHazard, q201TheilSen)
+      q189CusumChangepoint, q195SurvivalHazard, q201TheilSen,
+      q218QuantileNormalization)
 }

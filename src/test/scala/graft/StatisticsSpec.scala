@@ -837,4 +837,39 @@ class StatisticsSpec extends SparkSpec {
         (r.getLong(0), r.getLong(1), r.getDouble(2), r.getDouble(3))).toSeq
     assert(got == Seq((41L, 820L, 100.0, 0.0)), s"got $got")
   }
+
+  test("q218 quantile normalization: rank-preserving, sources align, driver parity") {
+    val got = Registry.byName("q218_quantile_normalization").fn(spark, sfDir)
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    val docs = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("source"), col("n_chars")).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    // driver recompute: within-source rank -> pooled order statistic
+    val pooled = docs.map(d => (d._3, d._1)).sorted.map(_._1)
+    val nn = docs.length.toLong
+    val expect = docs.groupBy(_._2).toSeq.flatMap { case (src, ds) =>
+      val gn = ds.length.toLong
+      ds.sortBy(d => (d._3, d._1)).zipWithIndex.map { case ((id, s2, nc), i) =>
+        val rn = i + 1L
+        val tix = (rn * nn + gn - 1) / gn
+        (id, s2, nc, rn, pooled((tix - 1).toInt))
+      }
+    }.sortBy(_._1)
+    assert(got.toSeq == expect)
+    // rank-preserving within source: norm is monotone in (n_chars, id)
+    got.groupBy(_._2).foreach { case (src, rows) =>
+      val sorted = rows.sortBy(r => (r._3, r._1)).map(_._5)
+      assert(sorted.zip(sorted.tail).forall { case (a, b) => a <= b },
+        s"$src: normalization broke rank order")
+    }
+    // the POINT of QN: equal-sized sources end with IDENTICAL
+    // normalized multisets (this corpus assigns doc_id % 20 -> source,
+    // so all sources are equal-sized)
+    val bySrc = got.groupBy(_._2).view
+      .mapValues(_.map(_._5).sorted.toSeq).values.toSeq
+    assert(bySrc.forall(_ == bySrc.head),
+      "equal-sized sources must normalize to the identical distribution")
+    spark.sharedState.cacheManager.clearCache()
+  }
 }
