@@ -437,8 +437,81 @@ object SamplingQueries {
       .orderBy(col("doc_id"))
   }
 
+  /** TIME-SERIES cross-validation folds — the split discipline q93's
+    * cluster-safe splitter doesn't cover: temporal data must train on
+    * the PAST and test on the FUTURE (random splits leak tomorrow
+    * into today's model), so folds expand — fold k trains on days
+    * [0, 5k) and tests on [5k, 5k+5). The report carries per-fold row
+    * and user counts plus `leak_users` — users active in BOTH halves.
+    * That recurrence is inherent to expanding windows (not a bug, the
+    * design), but any per-user feature computed naively over the
+    * union leaks; the count is what the feature pipeline must know.
+    *
+    * Exactness: day index = datediff from the fixed epoch (session TZ
+    * pinned UTC both engines, the q70 convention); all counts exact
+    * longs; |train ∩ test| comes from a per-(fold, user) flag
+    * aggregate — never a distinct-count subtraction.
+    *
+    * Scale shape: events replicate ×5 against the broadcast fold
+    * spine (folds are metadata); per-fold user flags are ONE
+    * (fold, user)-keyed partial-aggregable shuffle (high-cardinality
+    * key — no 5-group reducer skew for the distinct side), then a
+    * 5-row rollup. Nothing collects.
+    */
+  val q219TimeSeriesCv = QueryDef(
+    "q219_time_series_cv",
+    "expanding-window time-series CV folds over events: per-fold train/test rows, users, and train-test user recurrence",
+    """WITH e AS (SELECT user_id,
+      |            datediff('day', DATE '2024-01-01', CAST(ts AS DATE)) AS d
+      |          FROM events),
+      |f AS (SELECT unnest(range(1, 6)) AS k),
+      |j AS (SELECT f.k, e.user_id,
+      |        e.d < 5 * f.k AS tr,
+      |        e.d >= 5 * f.k AND e.d < 5 * f.k + 5 AS te
+      |      FROM e CROSS JOIN f),
+      |rows_ AS (SELECT k,
+      |        CAST(count(*) FILTER (tr) AS BIGINT) AS train_rows,
+      |        CAST(count(*) FILTER (te) AS BIGINT) AS test_rows
+      |      FROM j GROUP BY k),
+      |uf AS (SELECT k, user_id, max(tr) AS tr, max(te) AS te
+      |       FROM j GROUP BY k, user_id),
+      |us AS (SELECT k,
+      |        CAST(count(*) FILTER (tr) AS BIGINT) AS train_users,
+      |        CAST(count(*) FILTER (te) AS BIGINT) AS test_users,
+      |        CAST(count(*) FILTER (tr AND te) AS BIGINT) AS leak_users
+      |      FROM uf GROUP BY k)
+      |SELECT CAST(rows_.k AS BIGINT) AS fold, train_rows, test_rows,
+      |  train_users, test_users, leak_users
+      |FROM rows_ JOIN us ON us.k = rows_.k
+      |ORDER BY fold""".stripMargin) { (s, d) =>
+    val e = Tables.load(s, d, "events")
+      .select(col("user_id"),
+        datediff(col("ts").cast("date"), lit("2024-01-01").cast("date"))
+          .as("d"))
+    val folds = s.range(1, 6).select(col("id").as("k"))
+    val j = e.crossJoin(broadcast(folds))
+      .select(col("k"), col("user_id"),
+        (col("d") < col("k") * 5).as("tr"),
+        (col("d") >= col("k") * 5 && col("d") < col("k") * 5 + 5).as("te"))
+    val rows = j.groupBy(col("k")).agg(
+      sum(when(col("tr"), 1L).otherwise(0L)).as("train_rows"),
+      sum(when(col("te"), 1L).otherwise(0L)).as("test_rows"))
+    val us = j.groupBy(col("k"), col("user_id"))
+      .agg(max(col("tr")).as("tr"), max(col("te")).as("te"))
+      .groupBy(col("k")).agg(
+        sum(when(col("tr"), 1L).otherwise(0L)).as("train_users"),
+        sum(when(col("te"), 1L).otherwise(0L)).as("test_users"),
+        sum(when(col("tr") && col("te"), 1L).otherwise(0L)).as("leak_users"))
+    rows.join(us, "k")
+      .select(col("k").cast("long").as("fold"), col("train_rows"),
+        col("test_rows"), col("train_users"), col("test_users"),
+        col("leak_users"))
+      .orderBy(col("fold"))
+  }
+
   val all: Seq[QueryDef] =
     Seq(q56DeterministicSample, q57StratifiedMix, q77ShardStats,
       q81TokenBudgetMix, q84LengthBatches, q88TemperatureMix,
-      q106SystematicSample, q133SourceUpsampling, q151DsirWeights)
+      q106SystematicSample, q133SourceUpsampling, q151DsirWeights,
+      q219TimeSeriesCv)
 }

@@ -96,4 +96,35 @@ class SamplingSpec extends SparkSpec {
     }
     spark.sharedState.cacheManager.clearCache()
   }
+
+  test("q219 time-series CV: expanding-window identity and driver parity") {
+    val got = Registry.byName("q219_time_series_cv").fn(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5)))
+    assert(got.map(_._1).toSeq == (1L to 5L))
+    // THE expanding-window identity: fold k's test block is exactly
+    // what fold k+1 adds to its training window
+    got.sliding(2).foreach { case Array(a, b) =>
+      assert(b._2 == a._2 + a._3,
+        s"train(${b._1}) != train(${a._1}) + test(${a._1}): $b vs $a")
+    }
+    // leakage is bounded by both sides
+    got.foreach { case (k, _, _, tu, eu, leak) =>
+      assert(leak <= math.min(tu, eu), s"fold $k leak $leak > min($tu,$eu)")
+    }
+    // driver recompute
+    val ev = Tables.load(spark, sfDir, "events")
+      .select(col("user_id"),
+        datediff(col("ts").cast("date"), lit("2024-01-01").cast("date")).as("d"))
+      .collect().map(r => (r.getLong(0), r.getInt(1)))
+    val expect = (1 to 5).map { k =>
+      val tr = ev.filter(_._2 < 5 * k)
+      val te = ev.filter(e => e._2 >= 5 * k && e._2 < 5 * k + 5)
+      val (tu, eu) = (tr.map(_._1).toSet, te.map(_._1).toSet)
+      (k.toLong, tr.length.toLong, te.length.toLong,
+        tu.size.toLong, eu.size.toLong, tu.intersect(eu).size.toLong)
+    }
+    assert(got.toSeq == expect)
+    spark.sharedState.cacheManager.clearCache()
+  }
 }
