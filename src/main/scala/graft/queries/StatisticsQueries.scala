@@ -1732,6 +1732,88 @@ object StatisticsQueries {
       .orderBy(col("doc_id"))
   }
 
+  /** SPLIT-CONFORMAL prediction intervals — the distribution-free
+    * uncertainty wrapper modern ML serving puts around ANY point
+    * predictor: fit on one half, take the ⌈0.9·(n+1)⌉-th smallest
+    * absolute residual on the CALIBRATION half as the interval
+    * half-width, and the marginal coverage guarantee P(|y−ŷ| ≤ q) ≥
+    * 0.9 holds for free (exchangeability only — no distributional
+    * assumption). The predictor here is the per-type floored mean of
+    * even-id events; odd-id events measure realized coverage. q184's
+    * bootstrap gives CI on a STATISTIC; this gives intervals on
+    * PREDICTIONS — different reads.
+    *
+    * Exactness: cents = floor(value·100 + 0.5) (pure IEEE arithmetic,
+    * identical both engines — never `round()`, whose decimal-tie
+    * semantics differ); mean is integer division; the quantile is an
+    * ORDER STATISTIC (rank k = ⌈9(n+1)/10⌉ clamped to n, picked by
+    * (residual, event_id) total order); coverage in integer bp.
+    *
+    * Scale shape: one partial-aggregable per-type mean, residual rank
+    * via the scale-safe grouped [[graft.api.Ranking.withRank]], one
+    * broadcast-sized (|types| rows) quantile relation joined back,
+    * one partial-aggregable coverage count. No global windows.
+    */
+  val q220ConformalIntervals = QueryDef(
+    "q220_conformal_intervals",
+    "split-conformal 90% prediction intervals per event type: calibration residual order statistic + held-out coverage bp",
+    """WITH c AS (SELECT event_id, event_type,
+      |            CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
+      |          FROM events),
+      |cal AS (SELECT * FROM c WHERE event_id % 2 = 0),
+      |tst AS (SELECT * FROM c WHERE event_id % 2 = 1),
+      |m AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n_cal,
+      |        CAST(sum(cents) // count(*) AS BIGINT) AS mean_cents
+      |      FROM cal GROUP BY event_type),
+      |r AS (SELECT cal.event_type, cal.event_id,
+      |        abs(cal.cents - m.mean_cents) AS resid, m.n_cal, m.mean_cents
+      |      FROM cal JOIN m USING (event_type)),
+      |rk AS (SELECT event_type, n_cal, mean_cents, resid,
+      |         row_number() OVER (PARTITION BY event_type
+      |           ORDER BY resid, event_id) AS rn
+      |       FROM r),
+      |q AS (SELECT event_type, n_cal, mean_cents, resid AS q90_cents
+      |      FROM rk WHERE rn = least((9 * (n_cal + 1) + 9) // 10, n_cal)),
+      |cov AS (SELECT tst.event_type,
+      |          CAST(count(*) AS BIGINT) AS n_test,
+      |          CAST(count(*) FILTER (abs(tst.cents - q.mean_cents) <= q.q90_cents)
+      |            AS BIGINT) AS covered
+      |        FROM tst JOIN q USING (event_type)
+      |        GROUP BY tst.event_type)
+      |SELECT q.event_type, q.n_cal, q.mean_cents, q.q90_cents,
+      |  cov.n_test, cov.covered,
+      |  CAST((10000 * cov.covered) // cov.n_test AS BIGINT) AS coverage_bp
+      |FROM q JOIN cov USING (event_type)
+      |ORDER BY q.event_type""".stripMargin) { (s, d) =>
+    val c = Tables.load(s, d, "events")
+      .select(col("event_id"), col("event_type"),
+        floor(col("value") * 100 + 0.5).cast("long").as("cents"))
+    val cal = c.filter(col("event_id") % 2 === 0)
+    val tst = c.filter(col("event_id") % 2 === 1)
+    val m = cal.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_cal"),
+        expr("sum(cents) div count(1)").as("mean_cents"))
+    val r = cal.join(m, "event_type")
+      .select(col("event_type"), col("event_id"), col("n_cal"),
+        col("mean_cents"), abs(col("cents") - col("mean_cents")).as("resid"))
+    val q = graft.api.Ranking.withRank(r, Seq("event_type"),
+        Seq(col("resid"), col("event_id")))
+      .filter(col("rn") ===
+        least(expr("(9 * (n_cal + 1) + 9) div 10"), col("n_cal")))
+      .select(col("event_type"), col("n_cal"), col("mean_cents"),
+        col("resid").as("q90_cents"))
+    val cov = tst.join(q, "event_type")
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_test"),
+        sum(when(abs(col("cents") - col("mean_cents")) <= col("q90_cents"), 1L)
+          .otherwise(0L)).as("covered"))
+    q.join(cov, "event_type")
+      .select(col("event_type"), col("n_cal"), col("mean_cents"),
+        col("q90_cents"), col("n_test"), col("covered"),
+        expr("(10000 * covered) div n_test").as("coverage_bp"))
+      .orderBy(col("event_type"))
+  }
+
   val all: Seq[QueryDef] =
     Seq(q136BloomFilter, q137RankSumAuc, q138KsDrift, q139SourceImpurity,
       q141BenfordAudit, q143AbTest, q145MadOutliers, q147Calibration,
@@ -1740,5 +1822,5 @@ object StatisticsQueries {
       q163SeasonalAnomaly, q165ForecastEval, q166ActiveUsers,
       q167DidUplift, q175QqDrift, q176AbPower, q184BootstrapCi,
       q189CusumChangepoint, q195SurvivalHazard, q201TheilSen,
-      q218QuantileNormalization)
+      q218QuantileNormalization, q220ConformalIntervals)
 }

@@ -872,4 +872,38 @@ class StatisticsSpec extends SparkSpec {
       "equal-sized sources must normalize to the identical distribution")
     spark.sharedState.cacheManager.clearCache()
   }
+
+  test("q220 conformal intervals: driver parity and the 90% coverage guarantee") {
+    val got = Registry.byName("q220_conformal_intervals").fn(spark, sfDir)
+      .collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6)))).toMap
+    val ev = Tables.load(spark, sfDir, "events")
+      .select(col("event_id"), col("event_type"), col("value")).collect()
+      .map(r => (r.getLong(0), r.getString(1),
+        math.floor(r.getDouble(2) * 100 + 0.5).toLong))
+    val expect = ev.groupBy(_._2).map { case (t, xs) =>
+      val cal = xs.filter(_._1 % 2 == 0)
+      val tst = xs.filter(_._1 % 2 == 1)
+      val mean = cal.map(_._3).sum / cal.length
+      val resid = cal.map(e => (math.abs(e._3 - mean), e._1)).sorted
+      val k = math.min((9 * (cal.length + 1) + 9) / 10, cal.length)
+      val q90 = resid(k - 1)._1
+      val cov = tst.count(e => math.abs(e._3 - mean) <= q90).toLong
+      t -> ((cal.length.toLong, mean, q90, tst.length.toLong, cov,
+        10000L * cov / tst.length))
+    }
+    assert(got == expect)
+    // the split-conformal guarantee is E[coverage] ≥ 0.9 over the
+    // calibration draw; one realization at n_cal ≈ 100 per type (this
+    // sfDir) carries binomial noise ~ ±2σ ≈ ±6%, so gate each type at
+    // 80% and the POOLED coverage (n ≈ 500, σ ≈ 1.3%) at 87% — and
+    // intervals must not be vacuously wide (coverage < 100%)
+    got.foreach { case (t, (_, _, _, _, _, bp)) =>
+      assert(bp >= 8000L && bp < 10000L, s"$t coverage $bp bp outside (8000, 10000)")
+    }
+    val pooledBp = 10000L * got.values.map(_._5).sum / got.values.map(_._4).sum
+    assert(pooledBp >= 8700L, s"pooled coverage $pooledBp bp below the guarantee band")
+    spark.sharedState.cacheManager.clearCache()
+  }
 }
