@@ -1655,11 +1655,77 @@ object DedupQueries {
       .orderBy(col("source"))
   }
 
+  /** WEIGHTED (multiset) Jaccard — the repetition-aware near-dup
+    * verify set Jaccard flattens: q36 treats "spam spam spam spam"
+    * and one "spam" as the same shingle SET, so a doc that repeats
+    * another's content many times scores identically to a single
+    * copy. Generalized Jaccard Σ_g min(c_a, c_b) / Σ_g max(c_a, c_b)
+    * keeps the multiplicities; pairs at ≥ 0.5 weighted similarity
+    * emit with both totals in exact integers (Σmax = tot_a + tot_b −
+    * Σmin, so the union side never needs a full-outer join).
+    *
+    * Scale shape: candidates come from the memoized df-capped
+    * [[candidateCounts]] relation (paid once per session); the exact
+    * verify joins each candidate pair against the COUNTED postings on
+    * (doc, shingle) — per-pair work ∝ doc length, pair volume
+    * banding-bounded, the standard candidates-then-verify shape. The
+    * counted postings are one extra (doc, gh) aggregate over the
+    * shingle stream.
+    */
+  val q221WeightedJaccard = QueryDef(
+    "q221_weighted_jaccard",
+    "multiset (weighted) Jaccard >= 0.5 pairs over candidate near-dups: repetition-aware verify, integer bp",
+    """WITH w AS (SELECT doc_id, list_filter(string_split(text, ' '), t -> length(t) > 0) AS w
+      |           FROM documents),
+      |tg AS (SELECT doc_id, unnest(list_transform(range(1, len(w)-1),
+      |         i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS g
+      |       FROM w),
+      |pc AS (SELECT doc_id, g, CAST(count(*) AS BIGINT) AS cnt
+      |       FROM tg GROUP BY doc_id, g),
+      |tots AS (SELECT doc_id, CAST(sum(cnt) AS BIGINT) AS tot
+      |         FROM pc GROUP BY doc_id),
+      |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      |         FROM pc a JOIN pc b ON a.g = b.g AND a.doc_id < b.doc_id),
+      |sm AS (SELECT c.doc_a, c.doc_b,
+      |         CAST(sum(least(pa.cnt, pb.cnt)) AS BIGINT) AS smin
+      |       FROM cand c
+      |       JOIN pc pa ON pa.doc_id = c.doc_a
+      |       JOIN pc pb ON pb.doc_id = c.doc_b AND pb.g = pa.g
+      |       GROUP BY c.doc_a, c.doc_b)
+      |SELECT doc_a, doc_b, smin, ta.tot AS tot_a, tb.tot AS tot_b,
+      |  CAST((10000 * smin) // (ta.tot + tb.tot - smin) AS BIGINT) AS wjaccard_bp
+      |FROM sm JOIN tots ta ON ta.doc_id = sm.doc_a
+      |        JOIN tots tb ON tb.doc_id = sm.doc_b
+      |WHERE (10000 * smin) // (ta.tot + tb.tot - smin) >= 5000
+      |ORDER BY doc_a, doc_b""".stripMargin) { (s, d) =>
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("p"))
+    val posts = graft.AutoUnpersist.scoped(Tables.documents(s, d)
+      .select(col("doc_id"), posexplode(toks(col("text"))).as(Seq("p", "t")))
+      .select(col("doc_id"), col("p"), col("t"),
+        lead(col("t"), 1).over(w).as("t1"), lead(col("t"), 2).over(w).as("t2"))
+      .filter(col("t2").isNotNull)
+      .select(col("doc_id"), xxhash64(col("t"), col("t1"), col("t2")).as("gh"))
+      .groupBy(col("doc_id"), col("gh")).agg(count(lit(1)).as("cnt")))
+    val tots = posts.groupBy(col("doc_id")).agg(sum(col("cnt")).as("tot"))
+    val cand = candidateCounts(s, d).select(col("doc_a"), col("doc_b"))
+    val pa = posts.select(col("doc_id").as("doc_a"), col("gh"), col("cnt").as("ca"))
+    val pb = posts.select(col("doc_id").as("doc_b"), col("gh"), col("cnt").as("cb"))
+    val sm = cand.join(pa, "doc_a").join(pb, Seq("doc_b", "gh"))
+      .groupBy(col("doc_a"), col("doc_b"))
+      .agg(sum(least(col("ca"), col("cb"))).as("smin"))
+    sm.join(tots.select(col("doc_id").as("doc_a"), col("tot").as("tot_a")), "doc_a")
+      .join(tots.select(col("doc_id").as("doc_b"), col("tot").as("tot_b")), "doc_b")
+      .select(col("doc_a"), col("doc_b"), col("smin"), col("tot_a"), col("tot_b"),
+        expr("(10000 * smin) div (tot_a + tot_b - smin)").as("wjaccard_bp"))
+      .filter(col("wjaccard_bp") >= 5000)
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
   val all: Seq[QueryDef] = Seq(
     q33ExactDedup, q34MinhashLsh, q35Simhash, q36NgramJaccard,
     q37EmbeddingNeardup, q78DupClusters, q79IncrementalDedup,
     q82FuzzyJoin, q93LeakageSafeSplit, q158MinhashCalibration, q185DedupPrCurve,
     q161MinimizerDedup, q169JaccardHistogram, q170ClusterSizes,
     q173SourceOverlap, q190Survivorship, q206DedupSavings,
-    q208ContainmentDedup, q215CdcChunkDedup)
+    q208ContainmentDedup, q215CdcChunkDedup, q221WeightedJaccard)
 }

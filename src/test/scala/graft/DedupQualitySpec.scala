@@ -212,6 +212,54 @@ class DedupQualitySpec extends SparkSpec {
       s"fixture must show the fixed-window shift ($fixedDiff vs $symDiff)")
   }
 
+  test("q221 weighted Jaccard penalizes repetition that set Jaccard flattens") {
+    import spark.implicits._
+    // doc 2 is doc 1's 20-token phrase repeated 4x: the shingle SETS
+    // nearly coincide (q36 scores it a near-dup) but the multiset
+    // similarity collapses (min counts 1 vs 4) — the case q221 exists
+    // to separate
+    val p = (0 until 20).map(i => s"ph$i")
+    val a = p ++ (0 until 5).map(i => s"ua$i")
+    val b = p ++ p ++ p ++ p
+    val dir = java.nio.file.Files.createTempDirectory("graft_wjac")
+      .toFile.getAbsolutePath
+    Seq((1L, a.mkString(" ")), (2L, b.mkString(" ")))
+      .map { case (id, t) => (id, t, "en", "src0", t.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val setPairs = Registry.byName("q36_ngram_jaccard").fn(spark, dir).collect()
+    assert(setPairs.length == 1 && setPairs.head.getDouble(2) >= 0.5,
+      s"fixture must be a set-Jaccard near-dup: ${setPairs.mkString(",")}")
+    val wPairs = Registry.byName("q221_weighted_jaccard").fn(spark, dir).collect()
+    assert(wPairs.isEmpty,
+      s"weighted Jaccard must reject the repetition pair: ${wPairs.mkString(",")}")
+    spark.sharedState.cacheManager.clearCache()
+  }
+
+  test("q221 weighted Jaccard matches a driver multiset recompute") {
+    val got = Registry.byName("q221_weighted_jaccard").fn(spark, sfDir)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> ((r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5)))).toMap
+    val docs = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => r.getLong(0) -> r.getString(1).split(" ").filter(_.nonEmpty))
+    def counted(w: Array[String]): Map[String, Long] =
+      w.sliding(3).filter(_.length == 3).map(_.mkString(" ")).toSeq
+        .groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val pcs = docs.map { case (id, w) => id -> counted(w) }.filter(_._2.nonEmpty)
+    val expect = (for {
+      (ia, ca) <- pcs; (ib, cb) <- pcs if ia < ib
+      shared = ca.keySet.intersect(cb.keySet) if shared.nonEmpty
+    } yield {
+      val smin = shared.toSeq.map(g => math.min(ca(g), cb(g))).sum
+      val (ta, tb) = (ca.values.sum, cb.values.sum)
+      (ia, ib) -> ((smin, ta, tb, 10000L * smin / (ta + tb - smin)))
+    }).filter(_._2._4 >= 5000L).toMap
+    assert(got == expect)
+    spark.sharedState.cacheManager.clearCache()
+  }
+
   /** Corpus where a stop-phrase ("common filler phrase ...") appears
     * in EVERY doc → its shingles have df = 40, far over a cap of 5,
     * while each near-dup pair (2i, 2i+1) shares plenty of non-hot
