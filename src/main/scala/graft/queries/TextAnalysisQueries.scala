@@ -792,9 +792,75 @@ object TextAnalysisQueries {
       .orderBy(col("source"), col("rn"))
   }
 
+  /** ZIPF-law fit — the corpus-health diagnostic next to q117's
+    * Heaps-style vocab growth: natural text has token frequencies
+    * ∝ rank^(−s) with s ≈ 1; a far-off exponent flags synthetic,
+    * boilerplate-heavy, or truncated-vocabulary corpora before
+    * training sees them. Fits ln(freq) on ln(rank) by OLS over the
+    * whole vocabulary.
+    *
+    * Exactness: ranks are integers (ties by term — total), both logs
+    * are micro-floored integers (the q121 convention), and the OLS
+    * slope numerator/denominator are EXACT DECIMAL(38,0) sums (micro²
+    * products overflow BIGINT at production vocab sizes — the q194
+    * HUGEINT-sum lesson); only the final ratio converts to double
+    * (identically on both engines) for the micro-floored slope.
+    *
+    * Scale shape: one token aggregate → vocab-bounded relation; the
+    * rank is the scale-safe [[graft.api.Ranking.withRank]]; the fit
+    * is one partial-aggregable 5-sum aggregate. Nothing collects.
+    */
+  val q222ZipfFit = QueryDef(
+    "q222_zipf_fit",
+    "Zipf exponent of the token frequency distribution: exact-decimal OLS of ln(freq) on ln(rank), micro units",
+    """WITH tok AS (
+      |  SELECT unnest(list_filter(string_split(text, ' '), t -> length(t) > 0)) AS term
+      |  FROM documents),
+      |cv AS (SELECT term, CAST(count(*) AS BIGINT) AS c FROM tok GROUP BY term),
+      |rk AS (SELECT term, c,
+      |         row_number() OVER (ORDER BY c DESC, term) AS r FROM cv),
+      |xy AS (SELECT CAST(floor(1000000.0 * ln(r)) AS BIGINT) AS x,
+      |              CAST(floor(1000000.0 * ln(c)) AS BIGINT) AS y
+      |       FROM rk),
+      |s AS (SELECT CAST(count(*) AS BIGINT) AS n,
+      |        CAST(sum(CAST(x AS HUGEINT)) AS DECIMAL(38,0)) AS sx,
+      |        CAST(sum(CAST(y AS HUGEINT)) AS DECIMAL(38,0)) AS sy,
+      |        CAST(sum(CAST(x AS HUGEINT) * y) AS DECIMAL(38,0)) AS sxy,
+      |        CAST(sum(CAST(x AS HUGEINT) * x) AS DECIMAL(38,0)) AS sxx
+      |      FROM xy),
+      |tt AS (SELECT CAST(count(*) AS BIGINT) AS n_tokens FROM tok)
+      |SELECT s.n AS vocab, tt.n_tokens,
+      |  CAST(floor(1000000.0 *
+      |    (CAST(s.n * s.sxy - s.sx * s.sy AS DOUBLE) /
+      |     CAST(s.n * s.sxx - s.sx * s.sx AS DOUBLE))) AS BIGINT) AS slope_micro
+      |FROM s CROSS JOIN tt""".stripMargin) { (s, d) =>
+    val tok = Tables.documents(s, d)
+      .select(explode(toks(col("text"))).as("term"))
+    val cv = tok.groupBy(col("term")).agg(count(lit(1)).as("c"))
+    val rk = graft.api.Ranking.withRank(cv, Seq.empty,
+      Seq(col("c").desc, col("term")), rankCol = "r")
+    val xy = rk.select(
+      floor(lit(1000000.0) * log(col("r").cast("double"))).cast("long").as("x"),
+      floor(lit(1000000.0) * log(col("c").cast("double"))).cast("long").as("y"))
+    val sums = xy.agg(
+      count(lit(1)).as("n"),
+      sum(col("x").cast("decimal(38,0)")).as("sx"),
+      sum(col("y").cast("decimal(38,0)")).as("sy"),
+      sum((col("x").cast("decimal(38,0)") * col("y"))).as("sxy"),
+      sum((col("x").cast("decimal(38,0)") * col("x"))).as("sxx"))
+    val tt = tok.agg(count(lit(1)).as("n_tokens"))
+    sums.crossJoin(broadcast(tt))
+      .select(col("n").as("vocab"), col("n_tokens"),
+        floor(lit(1000000.0) *
+          ((col("n") * col("sxy") - col("sx") * col("sy")).cast("double") /
+           (col("n") * col("sxx") - col("sx") * col("sx")).cast("double")))
+          .cast("long").as("slope_micro"))
+  }
+
   val all: Seq[QueryDef] = Seq(
     q27TokenStats, q28LangStats, q29QualityScore, q30Langid,
     q31Fingerprint, q32NgramStats, q55Tfidf, q66BpeTokens, q96Textrank,
     q117VocabGrowth, q171Readability, q172LangConfusion,
-    q187PmiCollocations, q199NaiveBayesLangid, q217SourceSaliency)
+    q187PmiCollocations, q199NaiveBayesLangid, q217SourceSaliency,
+    q222ZipfFit)
 }

@@ -280,4 +280,43 @@ class DiscoverySpec extends SparkSpec {
     assert(got.map(_._1).distinct.length * 5 == got.length)
     spark.sharedState.cacheManager.clearCache()
   }
+
+  test("q222 Zipf fit: driver parity, and a planted power law reads slope -1") {
+    import spark.implicits._
+    val row = Registry.byName("q222_zipf_fit").fn(spark, sfDir).collect()
+    assert(row.length == 1)
+    // driver recompute on the real corpus
+    val toks = Tables.documents(spark, sfDir).select(col("text")).collect()
+      .flatMap(_.getString(0).split(" ").filter(_.nonEmpty))
+    val cv = toks.groupBy(identity).view.mapValues(_.size.toLong).toSeq
+      .sortBy { case (t, c) => (-c, t) }
+    val xy = cv.zipWithIndex.map { case ((_, c), i) =>
+      (math.floor(1e6 * math.log(i + 1.0)).toLong,
+        math.floor(1e6 * math.log(c.toDouble)).toLong)
+    }
+    val n = BigInt(xy.length)
+    val (sx, sy) = (xy.map(p => BigInt(p._1)).sum, xy.map(p => BigInt(p._2)).sum)
+    val sxy = xy.map(p => BigInt(p._1) * p._2).sum
+    val sxx = xy.map(p => BigInt(p._1) * p._1).sum
+    val slope = math.floor(1e6 *
+      ((n * sxy - sx * sy).toDouble / (n * sxx - sx * sx).toDouble)).toLong
+    assert(row.head.getLong(0) == xy.length.toLong &&
+      row.head.getLong(1) == toks.length.toLong &&
+      row.head.getLong(2) == slope, s"got ${row.head}, want slope $slope")
+    // planted power law: term r appears floor(1000/r) times -> the
+    // fitted exponent must read ~ -1 (the Zipf signature this
+    // diagnostic exists to detect; the real synthetic corpus above is
+    // near-uniform and reads ~ -0.18, which is the point)
+    val dir = java.nio.file.Files.createTempDirectory("graft_zipf")
+      .toFile.getAbsolutePath
+    val text = (1 to 50).flatMap(r => Seq.fill(1000 / r)(s"zterm$r")).mkString(" ")
+    Seq((1L, text, "en", "src0", text.length.toLong))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val planted = Registry.byName("q222_zipf_fit").fn(spark, dir).collect().head
+    val s2 = planted.getLong(2)
+    assert(s2 >= -1060000L && s2 <= -940000L,
+      s"planted 1/r law should fit slope ~ -1e6 micro, got $s2")
+    spark.sharedState.cacheManager.clearCache()
+  }
 }
