@@ -366,7 +366,67 @@ object VersioningQueries {
       .orderBy(col("source"))
   }
 
+  /** VACUUM planning — the retention step every time-travel store
+    * (lakehouse table, MVCC history) runs against its version
+    * history: with a retention watermark W, a version stays iff it is
+    * CURRENT or still visible to a time-travel query at-or-after W
+    * (effective_to > W); versions wholly superseded before W are
+    * garbage. The report is the per-key GC plan — version counts,
+    * collectable counts, and the first surviving version — the
+    * numbers a vacuum job logs before it deletes anything.
+    *
+    * Rides q115's SCD2 shape (same per-user change extraction and
+    * versioning windows — user_id is high-cardinality so every task
+    * stays busy), then ONE partial-aggregable per-user rollup.
+    * Watermark is a fixed literal (UTC both engines, the q70
+    * convention).
+    */
+  val q223VacuumPlan = QueryDef(
+    "q223_vacuum_plan",
+    "time-travel vacuum plan over the SCD2 history: per user, versions collectable under a retention watermark",
+    """WITH h AS (
+      |  SELECT user_id, ts, event_id, event_type,
+      |    lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+      |  FROM events),
+      |c AS (SELECT user_id, ts, event_id, event_type FROM h
+      |      WHERE prev IS NULL OR prev <> event_type),
+      |v AS (SELECT user_id,
+      |        CAST(row_number() OVER w AS INT) AS version_n,
+      |        lead(ts) OVER w AS effective_to
+      |      FROM c
+      |      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+      |k AS (SELECT user_id, version_n,
+      |        effective_to IS NULL OR
+      |          effective_to > TIMESTAMP '2024-01-20 00:00:00' AS keep
+      |      FROM v)
+      |SELECT user_id,
+      |  CAST(count(*) AS BIGINT) AS n_versions,
+      |  CAST(count(*) FILTER (NOT keep) AS BIGINT) AS n_gc,
+      |  CAST(count(*) FILTER (keep) AS BIGINT) AS n_keep,
+      |  CAST(min(CASE WHEN keep THEN version_n END) AS INT) AS keep_from_version
+      |FROM k GROUP BY user_id
+      |ORDER BY user_id""".stripMargin) { (s, d) =>
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val versions = Tables.events(s, d)
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+      .withColumn("prev", lag(col("event_type"), 1).over(w))
+      .filter(col("prev").isNull || col("prev") =!= col("event_type"))
+      .select(col("user_id"),
+        row_number().over(w).cast("int").as("version_n"),
+        lead(col("ts"), 1).over(w).as("effective_to"))
+    versions
+      .withColumn("keep", col("effective_to").isNull ||
+        col("effective_to") > lit("2024-01-20 00:00:00").cast("timestamp"))
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_versions"),
+        sum(when(!col("keep"), 1L).otherwise(0L)).as("n_gc"),
+        sum(when(col("keep"), 1L).otherwise(0L)).as("n_keep"),
+        min(when(col("keep"), col("version_n"))).as("keep_from_version"))
+      .orderBy(col("user_id"))
+  }
+
   val all: Seq[QueryDef] =
     Seq(q91ChangelogUpsert, q92SnapshotDiff, q94ZorderLayout, q115ScdType2,
-      q130ViewMaintenance, q196DatasetFingerprint)
+      q130ViewMaintenance, q196DatasetFingerprint, q223VacuumPlan)
 }

@@ -122,4 +122,32 @@ class VersioningSpec extends SparkSpec {
     }
     spark.sharedState.cacheManager.clearCache()
   }
+
+  test("q223 vacuum plan ties out to q115 and GC is a version prefix") {
+    val plan = Registry.byName("q223_vacuum_plan").fn(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getInt(4)))).toMap
+    val scd = Registry.byName("q115_scd_type2").fn(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getInt(1),
+        Option(r.getTimestamp(4)), r.getBoolean(5)))
+    val wm = java.sql.Timestamp.valueOf("2024-01-20 00:00:00")
+    val byUser = scd.groupBy(_._1)
+    assert(plan.keySet == byUser.keySet)
+    byUser.foreach { case (u, vs) =>
+      val (n, gc, keep, from) = plan(u)
+      assert(n == vs.length.toLong, s"user $u version count")
+      val keepSet = vs.filter(v => v._3.isEmpty || v._3.get.after(wm))
+      assert(keep == keepSet.length.toLong && gc == n - keep,
+        s"user $u keep/gc partition broken")
+      // effective_to is monotone in version_n, so GC'd versions form
+      // exactly the prefix 1..keep_from-1 — the property that lets a
+      // vacuum truncate instead of hole-punching
+      assert(from == keepSet.map(_._2).min, s"user $u keep_from")
+      assert(gc == from - 1L, s"user $u: GC is not a version prefix")
+      // the current version always survives any watermark
+      assert(vs.filter(_._4).forall(v => v._2 >= from),
+        s"user $u: current version would be vacuumed")
+    }
+    spark.sharedState.cacheManager.clearCache()
+  }
 }
