@@ -1634,16 +1634,21 @@ object DedupQueries {
       when(col("i") === 0 ||
         pmod(GraftFunctions.portableHash64(col("t")), lit(16L)) === 0, 1L)
         .otherwise(0L))
+    // dedup keys on the HASH of the token sequence, never the joined
+    // chunk text: the (source, chunk)-keyed distinct below would
+    // otherwise shuffle ~16-token strings per chunk (measured 5.9× on
+    // the 10× ladder; hashed keys read 2.3×) — the q36 hashed-shingle
+    // convention, counts unchanged modulo xxhash64 collisions
     val chunks = graft.AutoUnpersist.scoped(marked
       .withColumn("cix", sum(col("b")).over(w))
       .groupBy(col("doc_id"), col("source"), col("cix"))
       .agg(sort_array(collect_list(struct(col("i"), col("t")))).as("st"))
       .select(col("source"),
-        array_join(transform(col("st"), x => x.getField("t")), " ").as("chunk"),
+        xxhash64(transform(col("st"), x => x.getField("t"))).as("chunk_h"),
         size(col("st")).cast("long").as("clen")))
     val tot = chunks.groupBy(col("source"))
       .agg(count(lit(1)).as("n_chunks"), sum(col("clen")).as("total_tokens"))
-    val uq = chunks.groupBy(col("source"), col("chunk"))
+    val uq = chunks.groupBy(col("source"), col("chunk_h"))
       .agg(max(col("clen")).as("clen"))
       .groupBy(col("source"))
       .agg(count(lit(1)).as("n_unique_chunks"), sum(col("clen")).as("unique_tokens"))
@@ -1664,13 +1669,17 @@ object DedupQueries {
     * emit with both totals in exact integers (Σmax = tot_a + tot_b −
     * Σmin, so the union side never needs a full-outer join).
     *
-    * Scale shape: candidates come from the memoized df-capped
-    * [[candidateCounts]] relation (paid once per session); the exact
-    * verify joins each candidate pair against the COUNTED postings on
-    * (doc, shingle) — per-pair work ∝ doc length, pair volume
-    * banding-bounded, the standard candidates-then-verify shape. The
-    * counted postings are one extra (doc, gh) aggregate over the
-    * shingle stream.
+    * Scale shape (the q36 df-cap discipline on the COUNTED postings):
+    * Σmin accumulates directly off the shingle-keyed self-join of the
+    * hot-capped counted postings — volume Σ_g df(g)², bounded by the
+    * cap exactly like q36's candidate stage, never a per-pair ×
+    * doc-length re-join (the first-cut shape measured 12 s at sf0.1
+    * where this one reads ~1 s). Hot shingles re-enter EXACTLY
+    * through per-doc (shingle → count) maps (≤|hot| entries, carried
+    * on an equi join) and a codegen'd map-intersection fold; the only
+    * loss is pairs sharing NOTHING but hot shingles — q36's
+    * documented accepted loss, proven exact-when-binding in
+    * `DedupQualitySpec`.
     */
   val q221WeightedJaccard = QueryDef(
     "q221_weighted_jaccard",
@@ -1698,22 +1707,59 @@ object DedupQueries {
       |        JOIN tots tb ON tb.doc_id = sm.doc_b
       |WHERE (10000 * smin) // (ta.tot + tb.tot - smin) >= 5000
       |ORDER BY doc_a, doc_b""".stripMargin) { (s, d) =>
+    weightedJaccardPairs(countedShinglePostings(Tables.documents(s, d)),
+      MaxShingleDf)
+  }
+
+  /** COUNTED trigram postings (doc_id, gh, cnt) — the multiset twin
+    * of [[shinglePostingsOf]] (which dedups); q221's input.
+    */
+  private[graft] def countedShinglePostings(docs: DataFrame): DataFrame = {
     val w = Window.partitionBy(col("doc_id")).orderBy(col("p"))
-    val posts = graft.AutoUnpersist.scoped(Tables.documents(s, d)
+    docs
       .select(col("doc_id"), posexplode(toks(col("text"))).as(Seq("p", "t")))
       .select(col("doc_id"), col("p"), col("t"),
         lead(col("t"), 1).over(w).as("t1"), lead(col("t"), 2).over(w).as("t2"))
       .filter(col("t2").isNotNull)
       .select(col("doc_id"), xxhash64(col("t"), col("t1"), col("t2")).as("gh"))
-      .groupBy(col("doc_id"), col("gh")).agg(count(lit(1)).as("cnt")))
-    val tots = posts.groupBy(col("doc_id")).agg(sum(col("cnt")).as("tot"))
-    val cand = candidateCounts(s, d).select(col("doc_a"), col("doc_b"))
-    val pa = posts.select(col("doc_id").as("doc_a"), col("gh"), col("cnt").as("ca"))
-    val pb = posts.select(col("doc_id").as("doc_b"), col("gh"), col("cnt").as("cb"))
-    val sm = cand.join(pa, "doc_a").join(pb, Seq("doc_b", "gh"))
+      .groupBy(col("doc_id"), col("gh")).agg(count(lit(1)).as("cnt"))
+  }
+
+  /** q221's engine: weighted-Jaccard ≥ 0.5 pairs from counted
+    * postings, df-capped with the exact hot-map correction (see the
+    * query scaladoc). Parameterized on the cap for the spec's
+    * cap-binding fixture.
+    */
+  private[graft] def weightedJaccardPairs(posts0: DataFrame,
+      maxDf: Long): DataFrame = {
+    val posts = graft.AutoUnpersist.scoped(posts0)
+    val hot = posts.groupBy(col("gh")).agg(count(lit(1)).as("df"))
+      .filter(col("df") > maxDf).select(col("gh"))
+    val capped = posts.join(broadcast(hot), Seq("gh"), "left_anti")
+    val pa = capped.select(col("doc_id").as("doc_a"), col("gh"), col("cnt").as("ca"))
+    val pb = capped.select(col("doc_id").as("doc_b"), col("gh"), col("cnt").as("cb"))
+    val smCap = pa.join(pb, "gh").filter(col("doc_a") < col("doc_b"))
       .groupBy(col("doc_a"), col("doc_b"))
-      .agg(sum(least(col("ca"), col("cb"))).as("smin"))
-    sm.join(tots.select(col("doc_id").as("doc_a"), col("tot").as("tot_a")), "doc_a")
+      .agg(sum(least(col("ca"), col("cb"))).as("smin_cap"))
+    // per-doc hot (shingle → count) maps: ≤ |hot| entries each, so
+    // the correction rides equi joins without re-exploding pairs
+    val hotMaps = posts.join(broadcast(hot), Seq("gh"), "left_semi")
+      .groupBy(col("doc_id"))
+      .agg(map_from_entries(collect_list(struct(col("gh"), col("cnt"))))
+        .as("hm"))
+    val tots = posts.groupBy(col("doc_id")).agg(sum(col("cnt")).as("tot"))
+    smCap
+      .join(hotMaps.select(col("doc_id").as("doc_a"), col("hm").as("ha")),
+        Seq("doc_a"), "left_outer")
+      .join(hotMaps.select(col("doc_id").as("doc_b"), col("hm").as("hb")),
+        Seq("doc_b"), "left_outer")
+      .withColumn("smin", col("smin_cap") + coalesce(
+        aggregate(array_intersect(map_keys(col("ha")), map_keys(col("hb"))),
+          lit(0L),
+          (acc, k) => acc + least(element_at(col("ha"), k),
+            element_at(col("hb"), k))),
+        lit(0L)))
+      .join(tots.select(col("doc_id").as("doc_a"), col("tot").as("tot_a")), "doc_a")
       .join(tots.select(col("doc_id").as("doc_b"), col("tot").as("tot_b")), "doc_b")
       .select(col("doc_a"), col("doc_b"), col("smin"), col("tot_a"), col("tot_b"),
         expr("(10000 * smin) div (tot_a + tot_b - smin)").as("wjaccard_bp"))

@@ -772,12 +772,16 @@ object TextAnalysisQueries {
       |SELECT source, CAST(rn AS BIGINT) AS rn, term, c_sv, delta_micro
       |FROM rk WHERE rn <= 5
       |ORDER BY source, rn""".stripMargin) { (s, d) =>
-    val tok = Tables.documents(s, d)
+    // ONE corpus scan: the (source, term) counts are the finest
+    // statistic — cv/ns/g all DERIVE from the vocab×sources-bounded
+    // sv relation (persisting the raw exploded token stream instead
+    // read 3.5× on the 10× ladder; this shape is scan-bound)
+    val sv = graft.AutoUnpersist.scoped(Tables.documents(s, d)
       .select(col("source"), explode(toks(col("text"))).as("term"))
-    val sv = tok.groupBy(col("source"), col("term")).agg(count(lit(1)).as("c_sv"))
-    val cv = tok.groupBy(col("term")).agg(count(lit(1)).as("c_v"))
-    val ns = tok.groupBy(col("source")).agg(count(lit(1)).as("n_s"))
-    val g = tok.agg(count(lit(1)).as("n"), countDistinct(col("term")).as("v"))
+      .groupBy(col("source"), col("term")).agg(count(lit(1)).as("c_sv")))
+    val cv = sv.groupBy(col("term")).agg(sum(col("c_sv")).as("c_v"))
+    val ns = sv.groupBy(col("source")).agg(sum(col("c_sv")).as("n_s"))
+    val g = sv.agg(sum(col("c_sv")).as("n"), countDistinct(col("term")).as("v"))
     val sc = sv.join(cv, "term").join(ns, "source").crossJoin(broadcast(g))
       .select(col("source"), col("term"), col("c_sv"),
         floor(lit(1000000.0) * log(
@@ -834,9 +838,11 @@ object TextAnalysisQueries {
       |    (CAST(s.n * s.sxy - s.sx * s.sy AS DOUBLE) /
       |     CAST(s.n * s.sxx - s.sx * s.sx AS DOUBLE))) AS BIGINT) AS slope_micro
       |FROM s CROSS JOIN tt""".stripMargin) { (s, d) =>
-    val tok = Tables.documents(s, d)
+    // one corpus scan: the vocab counts are the finest statistic and
+    // the corpus total derives from them (vocab-bounded relation)
+    val cv = graft.AutoUnpersist.scoped(Tables.documents(s, d)
       .select(explode(toks(col("text"))).as("term"))
-    val cv = tok.groupBy(col("term")).agg(count(lit(1)).as("c"))
+      .groupBy(col("term")).agg(count(lit(1)).as("c")))
     val rk = graft.api.Ranking.withRank(cv, Seq.empty,
       Seq(col("c").desc, col("term")), rankCol = "r")
     val xy = rk.select(
@@ -848,7 +854,7 @@ object TextAnalysisQueries {
       sum(col("y").cast("decimal(38,0)")).as("sy"),
       sum((col("x").cast("decimal(38,0)") * col("y"))).as("sxy"),
       sum((col("x").cast("decimal(38,0)") * col("x"))).as("sxx"))
-    val tt = tok.agg(count(lit(1)).as("n_tokens"))
+    val tt = cv.agg(sum(col("c")).as("n_tokens"))
     sums.crossJoin(broadcast(tt))
       .select(col("n").as("vocab"), col("n_tokens"),
         floor(lit(1000000.0) *

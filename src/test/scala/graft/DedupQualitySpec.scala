@@ -236,6 +236,20 @@ class DedupQualitySpec extends SparkSpec {
     spark.sharedState.cacheManager.clearCache()
   }
 
+  test("q221 df-capped weighted path is exact when the cap binds (hot-map correction)") {
+    val posts = queries.DedupQueries.countedShinglePostings(stopPhraseDocs)
+    val hotCount = posts.groupBy(col("gh")).count().filter(col("count") > 5).count()
+    assert(hotCount > 0, "fixture must contain hot shingles")
+    def run(maxDf: Long) =
+      queries.DedupQueries.weightedJaccardPairs(posts, maxDf)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(5))).toSet
+    val capped = run(5L)
+    val uncapped = run(Long.MaxValue)
+    assert(uncapped.nonEmpty, "fixture should contain weighted-J >= 0.5 pairs")
+    assert(capped == uncapped,
+      s"capped weighted path diverged: missing=${uncapped.diff(capped)} extra=${capped.diff(uncapped)}")
+  }
+
   test("q221 weighted Jaccard matches a driver multiset recompute") {
     val got = Registry.byName("q221_weighted_jaccard").fn(spark, sfDir)
       .collect()
