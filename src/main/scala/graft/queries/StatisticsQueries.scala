@@ -1814,6 +1814,93 @@ object StatisticsQueries {
       .orderBy(col("event_type"))
   }
 
+  /** SEQUENTIAL hypothesis test (Wald's SPRT) — the always-monitoring
+    * companion to q143's fixed-horizon z-test and q176's power
+    * planning: a fixed-horizon test peeked at daily inflates false
+    * positives, while the SPRT's likelihood-ratio boundaries
+    * ln((1−β)/α) / ln(β/(1−α)) license a look after EVERY day with
+    * exact error control — the experimentation-platform default.
+    * Tests the treatment arm's purchase rate, H0 p=0.18 vs H1 p=0.22
+    * at α=β=0.05; the decision is STICKY (a sequential test stops at
+    * first crossing — later drift is never consulted).
+    *
+    * Exactness: the per-observation log-likelihood increments
+    * ln(p1/p0), ln(q1/q0) are micro-floored constants of double
+    * literals (identical both engines, the q121 1-ulp caveat), so
+    * every day's cumulative LLR is s·c1 + f·c0 — exact integer
+    * arithmetic; boundaries are the same micro-floored literals.
+    *
+    * Scale shape: one partial-aggregable per-day aggregate over the
+    * treatment arm, then everything lives on the ≤31-row day spine
+    * (metadata window, broadcast 1-row first-crossing relation —
+    * left-joined on a constant key so a no-decision month stays
+    * 'continue' instead of vanishing).
+    */
+  val q224Sprt = QueryDef(
+    "q224_sprt",
+    "Wald SPRT on the treatment arm's purchase rate: daily integer-micro LLR with sticky accept/reject at ln(19) bounds",
+    """WITH b AS (SELECT datediff('day', DATE '2024-01-01', CAST(ts AS DATE)) AS d,
+      |            CAST(event_type = 'purchase' AS INT) AS s
+      |          FROM events WHERE user_id % 2 = 1),
+      |day_ AS (SELECT d, CAST(count(*) AS BIGINT) AS n_d,
+      |           CAST(sum(s) AS BIGINT) AS s_d FROM b GROUP BY d),
+      |spine AS (SELECT CAST(unnest(range(0, 31)) AS BIGINT) AS d),
+      |cum AS (SELECT spine.d,
+      |          coalesce(n_d, 0) AS n_d, coalesce(s_d, 0) AS s_d,
+      |          sum(coalesce(s_d, 0)) OVER w AS cs,
+      |          sum(coalesce(n_d, 0)) OVER w AS cn
+      |        FROM spine LEFT JOIN day_ ON day_.d = spine.d
+      |        WINDOW w AS (ORDER BY spine.d
+      |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+      |llr AS (SELECT d, n_d, s_d,
+      |          CAST(cs * CAST(floor(1000000.0 * ln(22.0 / 18.0)) AS BIGINT) +
+      |          (cn - cs) * CAST(floor(1000000.0 * ln(78.0 / 82.0)) AS BIGINT)
+      |            AS BIGINT) AS llr_micro
+      |        FROM cum),
+      |fc AS (SELECT d AS fd, llr_micro AS fllr FROM llr
+      |       WHERE llr_micro >= CAST(floor(1000000.0 * ln(19.0)) AS BIGINT)
+      |          OR llr_micro <= CAST(floor(1000000.0 * ln(1.0 / 19.0)) AS BIGINT)
+      |       ORDER BY d LIMIT 1)
+      |SELECT l.d AS day, l.n_d AS trials, l.s_d AS successes, l.llr_micro,
+      |  CASE WHEN fc.fd IS NULL OR l.d < fc.fd THEN 'continue'
+      |       WHEN fc.fllr >= CAST(floor(1000000.0 * ln(19.0)) AS BIGINT)
+      |       THEN 'accept_h1' ELSE 'reject_h0' END AS decision
+      |FROM llr l LEFT JOIN fc ON true
+      |ORDER BY day""".stripMargin) { (s, d) =>
+    val c1 = floor(lit(1000000.0) * log(lit(22.0) / lit(18.0))).cast("long")
+    val c0 = floor(lit(1000000.0) * log(lit(78.0) / lit(82.0))).cast("long")
+    val bUp = floor(lit(1000000.0) * log(lit(19.0))).cast("long")
+    val bLo = floor(lit(1000000.0) * log(lit(1.0) / lit(19.0))).cast("long")
+    val b = Tables.load(s, d, "events")
+      .filter(col("user_id") % 2 === 1)
+      .select(datediff(col("ts").cast("date"), lit("2024-01-01").cast("date"))
+        .cast("long").as("d"),
+        (col("event_type") === "purchase").cast("int").as("s"))
+    val day = b.groupBy(col("d"))
+      .agg(count(lit(1)).as("n_d"), sum(col("s")).as("s_d"))
+    val spine = s.range(0, 31).select(col("id").as("d"))
+    val w = Window.orderBy(col("d"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val llr = spine.join(day, Seq("d"), "left_outer")
+      .select(col("d"), coalesce(col("n_d"), lit(0L)).as("n_d"),
+        coalesce(col("s_d"), lit(0L)).as("s_d"))
+      .withColumn("cs", sum(col("s_d")).over(w))
+      .withColumn("cn", sum(col("n_d")).over(w))
+      .withColumn("llr_micro",
+        col("cs") * c1 + (col("cn") - col("cs")) * c0)
+      .withColumn("k", lit(1))
+    val fc = llr.filter(col("llr_micro") >= bUp || col("llr_micro") <= bLo)
+      .orderBy(col("d")).limit(1)
+      .select(lit(1).as("k"), col("d").as("fd"), col("llr_micro").as("fllr"))
+    llr.join(broadcast(fc), Seq("k"), "left_outer")
+      .select(col("d").as("day"), col("n_d").as("trials"),
+        col("s_d").as("successes"), col("llr_micro"),
+        when(col("fd").isNull || col("d") < col("fd"), "continue")
+          .when(col("fllr") >= bUp, "accept_h1")
+          .otherwise("reject_h0").as("decision"))
+      .orderBy(col("day"))
+  }
+
   val all: Seq[QueryDef] =
     Seq(q136BloomFilter, q137RankSumAuc, q138KsDrift, q139SourceImpurity,
       q141BenfordAudit, q143AbTest, q145MadOutliers, q147Calibration,
@@ -1822,5 +1909,5 @@ object StatisticsQueries {
       q163SeasonalAnomaly, q165ForecastEval, q166ActiveUsers,
       q167DidUplift, q175QqDrift, q176AbPower, q184BootstrapCi,
       q189CusumChangepoint, q195SurvivalHazard, q201TheilSen,
-      q218QuantileNormalization, q220ConformalIntervals)
+      q218QuantileNormalization, q220ConformalIntervals, q224Sprt)
 }

@@ -906,4 +906,43 @@ class StatisticsSpec extends SparkSpec {
     assert(pooledBp >= 8700L, s"pooled coverage $pooledBp bp below the guarantee band")
     spark.sharedState.cacheManager.clearCache()
   }
+
+  test("q224 SPRT: driver LLR recompute, boundary crossing, sticky decision") {
+    val got = Registry.byName("q224_sprt").fn(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getString(4)))
+    assert(got.length == 31 && got.map(_._1).toSeq == (0L to 30L))
+    val ev = Tables.load(spark, sfDir, "events")
+      .filter(col("user_id") % 2 === 1)
+      .select(datediff(col("ts").cast("date"), lit("2024-01-01").cast("date")),
+        col("event_type")).collect()
+      .map(r => (r.getInt(0).toLong, r.getString(1) == "purchase"))
+    val c1 = math.floor(1e6 * math.log(22.0 / 18.0)).toLong
+    val c0 = math.floor(1e6 * math.log(78.0 / 82.0)).toLong
+    val bUp = math.floor(1e6 * math.log(19.0)).toLong
+    val bLo = math.floor(1e6 * math.log(1.0 / 19.0)).toLong
+    val byDay = ev.groupBy(_._1).view
+      .mapValues(xs => (xs.length.toLong, xs.count(_._2).toLong)).toMap
+    var (cs, cn) = (0L, 0L)
+    val expectLlr = (0L to 30L).map { d =>
+      val (n, sd) = byDay.getOrElse(d, (0L, 0L))
+      cs += sd; cn += n
+      (d, n, sd, cs * c1 + (cn - cs) * c0)
+    }
+    assert(got.map(t => (t._1, t._2, t._3, t._4)).toSeq == expectLlr)
+    val fd = expectLlr.find(t => t._4 >= bUp || t._4 <= bLo).map(_._1)
+    got.foreach { case (d, _, _, _, dec) =>
+      val want = fd match {
+        case None => "continue"
+        case Some(f) if d < f => "continue"
+        case Some(f) =>
+          if (expectLlr(f.toInt)._4 >= bUp) "accept_h1" else "reject_h0"
+      }
+      assert(dec == want, s"day $d: $dec != $want (first crossing $fd)")
+    }
+    // the test must actually decide on this corpus (true rate ~0.21
+    // sits in H1's favor) and never un-decide after crossing
+    assert(fd.nonEmpty, "fixture should cross a boundary within the month")
+    spark.sharedState.cacheManager.clearCache()
+  }
 }
