@@ -63,6 +63,77 @@ object PageRank {
     scores
   }
 
+  /** PERSONALIZED PageRank: the teleport vector concentrates on the
+    * `seeds` node set instead of spreading uniformly — scores become
+    * "relevance to the seeds" (seed-based recommendation, local
+    * community relevance) rather than global centrality. Same exact
+    * integer fixed-point discipline as [[weighted]]: seeds start at
+    * `Scale` (non-seeds 0) and only seeds receive the 0.15 restart
+    * mass each iteration, so every score is an exact long and the
+    * oracle replays the loop as unrolled CTEs. Same per-iteration
+    * shape (one edge⋈score join + one partial+final aggregate).
+    */
+  def personalized(edges: DataFrame, seeds: DataFrame, k: Int): DataFrame = {
+    val e = edges.localCheckpoint()
+    val wdeg = e.groupBy(col("src").as("node"))
+      .agg(sum(col("w")).as("wdeg"))
+    val base = wdeg
+      .join(seeds.select(col("node")).withColumn("is_seed", lit(true)),
+        Seq("node"), "left_outer")
+      .select(col("node"), col("wdeg"),
+        coalesce(col("is_seed"), lit(false)).as("is_seed"))
+      .localCheckpoint()
+    val damped = e
+      .join(base.select(col("node").as("src"), col("wdeg")), "src")
+      .select(col("src"), col("dst"), col("w"), col("wdeg"))
+      .localCheckpoint()
+    var scores = base.select(col("node"),
+      when(col("is_seed"), lit(Scale)).otherwise(lit(0L)).as("score"))
+    for (i <- 1 to k) {
+      val contrib = damped
+        .join(scores.withColumnRenamed("node", "src"), "src")
+        .select(col("dst").as("node"),
+          expr(s"(850 * score * w) div (1000 * wdeg)").as("c"))
+        .groupBy(col("node")).agg(sum(col("c")).as("in_mass"))
+      scores = base
+        .join(contrib, Seq("node"), "left_outer")
+        .select(col("node"),
+          (when(col("is_seed"), lit(150L * Scale / 1000L)).otherwise(lit(0L)) +
+            coalesce(col("in_mass"), lit(0L))).as("score"))
+      if (i % 4 == 0 && i < k) scores = scores.localCheckpoint()
+    }
+    scores
+  }
+
+  /** Oracle twin of [[personalized]]: `seedsSql` must SELECT (node)
+    * and may reference the `e` CTE.
+    */
+  def personalizedOracleSql(edgesSql: String, seedsSql: String,
+      k: Int): String = {
+    val base =
+      s"""e AS ($edgesSql),
+         |wdeg AS (SELECT src AS node, sum(w) AS wdeg FROM e GROUP BY src),
+         |sd AS ($seedsSql),
+         |pbase AS (SELECT wdeg.node, wdeg.wdeg, sd.node IS NOT NULL AS is_seed
+         |          FROM wdeg LEFT JOIN sd ON sd.node = wdeg.node),
+         |s0 AS (SELECT node, CAST(CASE WHEN is_seed THEN $Scale ELSE 0 END AS BIGINT) AS score
+         |       FROM pbase)""".stripMargin
+    val iters = (1 to k).map { i =>
+      s"""s$i AS (
+         |  SELECT pbase.node,
+         |    CAST((CASE WHEN pbase.is_seed THEN ${150L * Scale / 1000L} ELSE 0 END)
+         |      + coalesce(m.in_mass, 0) AS BIGINT) AS score
+         |  FROM pbase LEFT JOIN (
+         |    SELECT e.dst AS node,
+         |      sum((850 * s.score * e.w) // (1000 * d.wdeg)) AS in_mass
+         |    FROM e
+         |    JOIN s${i - 1} s ON s.node = e.src
+         |    JOIN wdeg d ON d.node = e.src
+         |    GROUP BY e.dst) m ON m.node = pbase.node)""".stripMargin
+    }
+    (base +: iters).mkString("WITH ", ",\n", "")
+  }
+
   /** The oracle twin: DuckDB SQL computing the same `k` iterations
     * with identical integer arithmetic, unrolled as CTE stages.
     * `edgesSql` must SELECT (src, dst, w).

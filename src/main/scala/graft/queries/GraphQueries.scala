@@ -441,7 +441,56 @@ object GraphQueries {
       .limit(20)
   }
 
+  /** PERSONALIZED PageRank — seed-based relevance over the
+    * co-purchase graph: "given these anchor products, which parts are
+    * most relevant" — the recommendation read global PageRank (q96's
+    * machinery) can't give, because its uniform teleport measures
+    * centrality, not affinity to a query set. Seeds are the 3
+    * smallest node ids (deterministic metadata); teleport mass
+    * restarts ONLY at seeds, so score = exact-integer seed-relative
+    * relevance ([[graft.api.PageRank.personalized]] — the same
+    * fixed-point discipline and per-iteration join+aggregate shape as
+    * the weighted variant, 4 rounds). Top-30 via TakeOrdered.
+    *
+    * Scale shape: edges are the memoized support ≥ 2 relation (6th
+    * consumer); each of 4 rounds is one src-keyed equi join + one
+    * partial-aggregable dst aggregate on the node-table-sized score
+    * relation; the oracle replays all rounds as unrolled CTEs.
+    */
+  val q225PersonalizedPagerank = QueryDef(
+    "q225_personalized_pagerank",
+    "personalized PageRank from 3 seed parts on the co-purchase graph: exact integer fixed-point, 4 rounds, top-30",
+    s"""${graft.api.PageRank.personalizedOracleSql(
+      """SELECT u AS src, v AS dst, c AS w FROM (
+        |        SELECT a.p AS u, b.p AS v, count(*) AS c
+        |        FROM (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem) a
+        |        JOIN (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem) b
+        |          ON a.o = b.o AND a.p < b.p
+        |        GROUP BY a.p, b.p) pp
+        |      WHERE c >= 2
+        |      UNION ALL
+        |      SELECT v AS src, u AS dst, c AS w FROM (
+        |        SELECT a.p AS u, b.p AS v, count(*) AS c
+        |        FROM (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem) a
+        |        JOIN (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem) b
+        |          ON a.o = b.o AND a.p < b.p
+        |        GROUP BY a.p, b.p) pp
+        |      WHERE c >= 2""".stripMargin,
+      "SELECT DISTINCT src AS node FROM e ORDER BY node LIMIT 3", 4)}
+       |SELECT node AS p_partkey, score AS ppr_micro FROM s4
+       |ORDER BY score DESC, node LIMIT 30""".stripMargin) { (s, d) =>
+    val pr = MiningQueries.pairSupport(s, d)
+    val edges = pr.select(col("u").as("src"), col("v").as("dst"), col("c").as("w"))
+      .unionAll(pr.select(col("v").as("src"), col("u").as("dst"), col("c").as("w")))
+    val seeds = edges.select(col("src").as("node")).distinct()
+      .orderBy(col("node")).limit(3)
+    graft.api.PageRank.personalized(edges, seeds, 4)
+      .orderBy(col("score").desc, col("node")).limit(30)
+      .select(col("node").as("p_partkey"), col("score").as("ppr_micro"))
+  }
+
   val all: Seq[QueryDef] =
     Seq(q100Triangles, q131HierarchyFlatten, q144KhopReachability,
-      q192LabelPropagation, q198KcoreOnion, q209LinkPrediction)
+      q192LabelPropagation, q198KcoreOnion, q209LinkPrediction,
+      q225PersonalizedPagerank)
 }

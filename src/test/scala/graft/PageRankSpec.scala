@@ -215,4 +215,37 @@ class PageRankSpec extends SparkSpec {
     }
     spark.sharedState.cacheManager.clearCache()
   }
+
+  test("q225 personalized PageRank matches an exact driver-side 4-round recompute") {
+    val got = Registry.byName("q225_personalized_pagerank").fn(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    // driver recompute: support>=2 weighted edges, integer fixed-point
+    // with seed-only teleport, 4 rounds, top-30 by (score desc, node)
+    val li = Tables.lineitem(spark, sfDir)
+      .select(col("l_orderkey"), col("l_partkey")).distinct()
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val sup = li.groupBy(_._1).values.flatMap { grp =>
+      val ps = grp.map(_._2).distinct.sorted
+      for (i <- ps.indices; j <- i + 1 until ps.length) yield (ps(i), ps(j))
+    }.groupBy(identity).view.mapValues(_.size.toLong).filter(_._2 >= 2).toMap
+    val edges = sup.toSeq.flatMap { case ((u, v), c) => Seq((u, v, c), (v, u, c)) }
+    val wdeg = edges.groupBy(_._1).view.mapValues(_.map(_._3).sum).toMap
+    val nodes = wdeg.keys.toSeq.sorted
+    val seeds = nodes.take(3).toSet
+    var score = nodes.map(n => n -> (if (seeds(n)) 1000000L else 0L)).toMap
+    for (_ <- 1 to 4) {
+      val in = scala.collection.mutable.Map.empty[Long, Long].withDefaultValue(0L)
+      edges.foreach { case (src, dst, w) =>
+        in(dst) += (850L * score(src) * w) / (1000L * wdeg(src))
+      }
+      score = nodes.map(n =>
+        n -> ((if (seeds(n)) 150000L else 0L) + in(n))).toMap
+    }
+    val expect = score.toSeq.sortBy { case (n, sc) => (-sc, n) }.take(30)
+    assert(got.toSeq == expect, s"got=${got.toSeq.take(5)} want=${expect.take(5)}")
+    // the seeds themselves dominate a seed-relative ranking
+    assert(seeds.subsetOf(got.map(_._1).toSet),
+      "all three seeds must rank in the top-30 of their own restart")
+    spark.sharedState.cacheManager.clearCache()
+  }
 }
