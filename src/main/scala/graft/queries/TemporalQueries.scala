@@ -980,10 +980,62 @@ object TemporalQueries {
       .orderBy(col("event_type"), col("hour_start"))
   }
 
+  /** Ingest-time event DEDUP (debounce) — the batch twin of
+    * `StreamingOps`' `dropDuplicatesWithinWatermark`: client retries
+    * and at-least-once delivery produce near-identical events seconds
+    * apart, and an ingest layer drops any event within 10 min of the
+    * SAME user's previous event of the same type (the standard
+    * debounce read — each event compares to its immediate
+    * predecessor, exactly what the streaming state store does with
+    * its last-seen timestamp). Per event type: volumes, duplicates,
+    * dup share in bp, survivors — the ingest-quality dashboard row.
+    *
+    * Exactness: gaps are exact integer microseconds (unix_micros ↔
+    * epoch_us, the q194 convention); all counts exact.
+    *
+    * Scale shape: one lag over (user_id, event_type)-partitioned
+    * windows — high-cardinality keys, every task busy, never a global
+    * sort — then one partial-aggregable per-type rollup.
+    */
+  val q226EventDedup = QueryDef(
+    "q226_event_dedup",
+    "ingest debounce dedup: events within 10min of the same (user, type) predecessor flagged, per-type dup share in bp",
+    """WITH g AS (
+      |  SELECT event_type,
+      |    epoch_us(ts) - lag(epoch_us(ts))
+      |      OVER (PARTITION BY user_id, event_type ORDER BY ts, event_id) AS gap_us
+      |  FROM events)
+      |SELECT event_type,
+      |  CAST(count(*) AS BIGINT) AS n_events,
+      |  CAST(count(*) FILTER (gap_us IS NOT NULL AND gap_us <= 600000000)
+      |    AS BIGINT) AS n_dups,
+      |  CAST((10000 * count(*) FILTER (gap_us IS NOT NULL AND gap_us <= 600000000))
+      |    // count(*) AS BIGINT) AS dup_bp,
+      |  CAST(count(*) FILTER (gap_us IS NULL OR gap_us > 600000000)
+      |    AS BIGINT) AS n_kept
+      |FROM g GROUP BY event_type
+      |ORDER BY event_type""".stripMargin) { (s, d) =>
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("user_id"), col("event_type"))
+      .orderBy(col("ts"), col("event_id"))
+    val g = Tables.events(s, d)
+      .select(col("event_type"),
+        (unix_micros(col("ts")) - lag(unix_micros(col("ts")), 1).over(w))
+          .as("gap_us"))
+    val isDup = col("gap_us").isNotNull && col("gap_us") <= 600000000L
+    g.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(when(isDup, 1L).otherwise(0L)).as("n_dups"),
+        expr("(10000 * sum(CASE WHEN gap_us IS NOT NULL AND gap_us <= 600000000 THEN 1 ELSE 0 END)) div count(1)")
+          .as("dup_bp"),
+        sum(when(!isDup, 1L).otherwise(0L)).as("n_kept"))
+      .orderBy(col("event_type"))
+  }
+
   val all: Seq[QueryDef] = Seq(
     q40AsofJoin, q42TumblingWindow, q43SlidingWindow, q44SessionWindow,
     q62Attribution, q70TimeSpine, q97Funnel, q98CohortRetention,
     q101SecondarySort, q122OhlcBars, q123ForwardFill, q128YoyGrowth,
     q129ScdLookup, q132IntervalMerge, q146LinearInterp,
-    q164IntervalConcurrency, q194Twap)
+    q164IntervalConcurrency, q194Twap, q226EventDedup)
 }

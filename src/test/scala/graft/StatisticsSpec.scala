@@ -945,4 +945,29 @@ class StatisticsSpec extends SparkSpec {
     assert(fd.nonEmpty, "fixture should cross a boundary within the month")
     spark.sharedState.cacheManager.clearCache()
   }
+
+  test("q226 event debounce matches a driver recompute and conserves events") {
+    val got = Registry.byName("q226_event_dedup").fn(spark, sfDir).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4)))).toMap
+    val ev = Tables.load(spark, sfDir, "events")
+      .select(col("user_id"), col("event_type"), unix_micros(col("ts")),
+        col("event_id")).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    val expect = ev.groupBy(_._2).map { case (t, xs) =>
+      val dups = xs.groupBy(_._1).values.map { grp =>
+        val ts = grp.sortBy(e => (e._3, e._4)).map(_._3)
+        ts.zip(ts.tail).count { case (a, b) => b - a <= 600000000L }.toLong
+      }.sum
+      val n = xs.length.toLong
+      t -> ((n, dups, 10000L * dups / n, n - dups))
+    }
+    assert(got == expect)
+    got.foreach { case (t, (n, dups, _, kept)) =>
+      assert(dups + kept == n, s"$t: debounce lost events")
+    }
+    // the window is calibrated to actually fire on this corpus
+    assert(got.values.map(_._2).sum > 0, "no duplicates flagged — window miscalibrated")
+    spark.sharedState.cacheManager.clearCache()
+  }
 }
