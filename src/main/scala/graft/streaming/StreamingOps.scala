@@ -154,6 +154,65 @@ object StreamingOps {
     }
   }
 
+  /** Stateful per-key DEBOUNCE — the true streaming twin of q226's
+    * batch read (where [[dedupedEvents]]' `dropDuplicatesWithinWatermark`
+    * drops exact-duplicate rows, this drops ANY event arriving within
+    * `windowMs` of the same (user, type) key's previous event): one
+    * last-seen-timestamp `ValueState` per key, each event compares to
+    * its immediate predecessor — kept or not — exactly the q226
+    * semantics, so a replay of the same events produces the same
+    * survivors (batch-twin equivalence pinned in StreamingSpec).
+    * Rows within a micro-batch sort by event time per key, so
+    * arrival-order jitter inside a batch never changes the decision.
+    */
+  class DebounceProcessor(windowMs: Long)
+      extends org.apache.spark.sql.streaming.StatefulProcessor[
+        (Long, String), Event, Event] {
+    @transient private var lastSeen
+        : org.apache.spark.sql.streaming.ValueState[Long] = _
+
+    override def init(
+        outputMode: OutputMode,
+        timeMode: org.apache.spark.sql.streaming.TimeMode): Unit = {
+      lastSeen = getHandle.getValueState[Long](
+        "lastSeen",
+        org.apache.spark.sql.Encoders.scalaLong,
+        org.apache.spark.sql.streaming.TTLConfig.NONE)
+    }
+
+    override def handleInputRows(
+        key: (Long, String),
+        rows: Iterator[Event],
+        timerValues: org.apache.spark.sql.streaming.TimerValues)
+        : Iterator[Event] = {
+      val sorted = rows.toSeq.sortBy(_.ts.getTime)
+      val out = scala.collection.mutable.ArrayBuffer.empty[Event]
+      var last = if (lastSeen.exists()) lastSeen.get() else Long.MinValue
+      sorted.foreach { e =>
+        val t = e.ts.getTime
+        if (last == Long.MinValue || t - last > windowMs) out += e
+        // the predecessor is the previous EVENT, kept or dropped —
+        // the debounce (not throttle) semantics q226 mirrors
+        last = t
+      }
+      lastSeen.update(last)
+      out.iterator
+    }
+  }
+
+  /** Streaming debounce per (user, type); default window = q226's
+    * 10 minutes.
+    */
+  def debouncedEvents(spark: SparkSession, events: Dataset[Event],
+      windowMs: Long = 600000L): Dataset[Event] = {
+    import spark.implicits._
+    events
+      .groupByKey(e => (e.user_id, e.event_type))
+      .transformWithState(new DebounceProcessor(windowMs),
+        org.apache.spark.sql.streaming.TimeMode.None(),
+        OutputMode.Append())
+  }
+
   /** Streaming running totals per user on the new API. */
   def runningTotals(spark: SparkSession,
       events: Dataset[Event]): Dataset[(Long, Long, Double)] = {

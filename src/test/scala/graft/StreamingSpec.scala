@@ -145,6 +145,68 @@ class StreamingSpec extends SparkSpec {
       spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
   }
 
+  test("stateful debounce drops within-window events across batches (q226's streaming twin)") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val input = MemoryStream[Event]
+      val q = StreamingOps.debouncedEvents(spark, input.toDS())
+        .writeStream.format("memory").queryName("tws_debounce")
+        .outputMode("append").start()
+      try {
+        // batch 1: u1/view at 0, +5min (dropped: <=10min), +16min
+        // (kept: predecessor is the +5 event — DEBOUNCE semantics,
+        // 11min gap), plus a different type and a different user
+        // inside the window (both kept — key isolation)
+        input.addData(
+          Event(ts(0), 1L, "view", 1.0), Event(ts(5), 1L, "view", 2.0),
+          Event(ts(16), 1L, "view", 3.0),
+          Event(ts(4), 1L, "click", 4.0), Event(ts(3), 2L, "view", 5.0))
+        runAll(q)
+        // batch 2: u1/view at +24min — within 10min of the LAST batch-1
+        // event (+16) → dropped only if state crossed the batch
+        // boundary; then +40min kept
+        input.addData(Event(ts(24), 1L, "view", 6.0),
+          Event(ts(40), 1L, "view", 7.0))
+        runAll(q)
+        val kept = spark.table("tws_debounce").as[Event].collect()
+          .map(e => (e.user_id, e.event_type, e.value)).toSet
+        assert(kept == Set((1L, "view", 1.0), (1L, "view", 3.0),
+          (1L, "click", 4.0), (2L, "view", 5.0), (1L, "view", 7.0)),
+          s"unexpected survivors: $kept")
+      } finally q.stop()
+
+      // batch-twin equivalence on replayed data: the streaming
+      // survivors equal the q226 debounce rule applied in one pass
+      val evs = (0 until 40).map(i =>
+        Event(ts(i * 7L), (i % 3).toLong, if (i % 2 == 0) "view" else "click",
+          i.toDouble))
+      val input2 = MemoryStream[Event]
+      val q2 = StreamingOps.debouncedEvents(spark, input2.toDS())
+        .writeStream.format("memory").queryName("tws_debounce2")
+        .outputMode("append").start()
+      try {
+        val (a, b) = evs.splitAt(17)
+        input2.addData(a: _*); runAll(q2)
+        input2.addData(b: _*); runAll(q2)
+        val streamKept = spark.table("tws_debounce2").as[Event].collect()
+          .map(e => (e.user_id, e.event_type, e.ts.getTime)).toSet
+        val batchKept = evs.groupBy(e => (e.user_id, e.event_type)).values
+          .flatMap { grp =>
+            val s = grp.sortBy(_.ts.getTime)
+            s.zipWithIndex.filter { case (e, i) =>
+              i == 0 || e.ts.getTime - s(i - 1).ts.getTime > 600000L
+            }.map(_._1)
+          }.map(e => (e.user_id, e.event_type, e.ts.getTime)).toSet
+        assert(streamKept == batchKept,
+          s"stream/batch debounce diverged: ${streamKept.diff(batchKept)} / ${batchKept.diff(streamKept)}")
+      } finally q2.stop()
+    } finally
+      spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+  }
+
   test("streaming Misra-Gries heavy hitters: bounded state, error bound, cross-batch accumulation") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
