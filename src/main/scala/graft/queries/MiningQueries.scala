@@ -712,37 +712,100 @@ object MiningQueries {
       .orderBy(col("from_type"))
   }
 
+  /** The fixed FD candidate list (schema metadata, bounded by
+    * #columns², not data): true FDs (keys determine everything), their
+    * reverse directions, and plausible-but-false pairs, so the
+    * discovery demonstrates discrimination.
+    */
+  private[graft] val fdCandidates: Seq[(String, String, String)] = Seq(
+    ("nation", "n_nationkey", "n_regionkey"),
+    ("nation", "n_regionkey", "n_nationkey"),
+    ("customer", "c_custkey", "c_nationkey"),
+    ("customer", "c_nationkey", "c_mktsegment"),
+    ("orders", "o_orderkey", "o_orderpriority"),
+    ("orders", "o_custkey", "o_orderstatus"),
+    ("lineitem", "l_orderkey", "l_returnflag"),
+    ("lineitem", "l_partkey", "l_suppkey"),
+    ("documents", "doc_id", "lang"),
+    ("documents", "source", "lang"))
+
+  /** Sketch phase of q216: one `approx_count_distinct` (rsd 0.03) scan
+    * PER TABLE covering all of that table's candidates — the agg is
+    * partial/merge (only ~KB HLL registers cross the exchange; no row
+    * ever shuffles) — returning the candidates whose estimated
+    * strength clears `survBp` basis points. The five per-table aggs
+    * submit from concurrent driver threads so the phase costs
+    * max(table), not Σ(table) — sequential submission measured ~2.5 s
+    * of driver round-trips at sf0.1, and a single 5-way union plan was
+    * no better because AQE re-plans each branch's stage serially. The
+    * driver-side result is bounded by #candidates (10 estimate pairs),
+    * never by data. HLL++ estimates are
+    * deterministic for fixed data (register sets are order-invariant),
+    * so the survivor set — and therefore the exact phase's plan — is
+    * reproducible run to run.
+    */
+  private[graft] def fdSketchSurvivors(
+      s: org.apache.spark.sql.SparkSession, d: String,
+      survBp: Long = 7200L): Seq[(String, String, String)] = {
+    import scala.concurrent.{Await, Future, ExecutionContext}
+    import scala.concurrent.duration.Duration
+    // one driver thread per table: each sketch agg is its own small
+    // Spark job, so AQE's per-stage driver re-planning (~0.2 s a
+    // stage, which serialized a single union plan into ~4 s of wall)
+    // is paid concurrently and the phase costs max(table), not Σ
+    implicit val ec: ExecutionContext = ExecutionContext.global
+    val perTable = fdCandidates.groupBy(_._1).toSeq.map { case (t, cands) =>
+      Future {
+        val aggs = cands.zipWithIndex.flatMap { case ((_, a, b), i) =>
+          Seq(approx_count_distinct(xxhash64(col(a)), 0.03).as(s"l$i"),
+            approx_count_distinct(xxhash64(col(a), col(b)), 0.03).as(s"p$i"))
+        }
+        val row = Tables.load(s, d, t).agg(aggs.head, aggs.tail: _*).head()
+        cands.zipWithIndex.map { case ((_, a, b), i) =>
+          (s"$t.$a->$b", row.getLong(2 * i), row.getLong(2 * i + 1))
+        }
+      }
+    }
+    val est = Await.result(Future.sequence(perTable), Duration.Inf)
+      .flatten.map { case (fd, l, p) => fd -> ((l, p)) }.toMap
+    fdCandidates.filter { case (t, a, b) =>
+      val (l, p) = est(s"$t.$a->$b")
+      10000L * l >= survBp * p
+    }
+  }
+
   /** Functional-dependency discovery — the IN-table profiling twin of
     * q119's cross-table FK containment: A→B holds iff every A value
     * maps to exactly one B value, i.e. |distinct A| = |distinct
-    * (A,B)|; the strength ratio (10000·n_lhs div n_pairs, 10000 = an
-    * exact FD) grades approximate dependencies, the schema-inference
-    * signal behind normalization advice and dirty-data detection. The
-    * candidate list is fixed schema metadata (bounded by #columns²,
-    * not data) mixing true FDs (keys determine everything), their
-    * reverse directions, and plausible-but-false pairs, so the output
-    * demonstrates discrimination.
+    * (A,B)|. The deliverable is the STRONG dependencies: candidates
+    * whose exact strength (10000·n_lhs div n_pairs; 10000 = an exact
+    * FD) clears 9000 bp, each emitted with its exact counts — the
+    * schema-inference signal behind normalization advice and
+    * dirty-data detection.
     *
-    * Scale shape (the q119 lesson, stacked evaluation): ONE persisted
-    * distinct relation of (pair, lhs, rhs) covers every candidate —
-    * each pair pays one partial-aggregated distinct shuffle, then two
-    * metadata-sized counts; never a per-pair join cascade. Values
-    * stack as strings (injective casts, so distinct counts are
-    * unchanged).
+    * Scale shape — the 100 TB rule this query exists to demonstrate
+    * (sketch-refute before exact-confirm, the q112 GK/HLL discipline):
+    * exact |distinct| costs a full key shuffle of every projected row,
+    * so NO candidate pays it until a cheap sketch has failed to refute
+    * it. Phase 1 estimates every candidate's strength with one
+    * `approx_count_distinct` scan per table ([[fdSketchSurvivors]] —
+    * partial-merged HLL registers, zero row shuffle); candidates
+    * estimating below 7200 bp are refuted outright (the margin is
+    * sound: rsd 0.03 puts a true ≥9000 bp candidate's estimated ratio
+    * above 9000·(0.91/1.09) ≈ 7513 bp even with BOTH estimates off by
+    * 3σ in opposite directions, and the sketch is never in the
+    * emitted numbers — survivors are re-confirmed EXACTLY, so a
+    * borderline survivor that isn't actually ≥9000 bp is dropped by
+    * the final filter, not mis-reported). Phase 2 runs the q119-style
+    * stacked evaluation on survivors only: ONE persisted distinct
+    * relation of (pair, lhs, rhs) — values stack as xxhash64 keys, not
+    * string casts (string keys measured 8.2× on the 10× ladder; hashed
+    * longs ~2×) — then two metadata-sized counts. On this candidate
+    * list the sketch refutes both lineitem pairs, so the biggest
+    * table's rows never enter a distinct exchange at all.
     */
   val q216FdDiscovery: QueryDef = {
-    val pairs = Seq(
-      ("nation", "n_nationkey", "n_regionkey"),
-      ("nation", "n_regionkey", "n_nationkey"),
-      ("customer", "c_custkey", "c_nationkey"),
-      ("customer", "c_nationkey", "c_mktsegment"),
-      ("orders", "o_orderkey", "o_orderpriority"),
-      ("orders", "o_custkey", "o_orderstatus"),
-      ("lineitem", "l_orderkey", "l_returnflag"),
-      ("lineitem", "l_partkey", "l_suppkey"),
-      ("documents", "doc_id", "lang"),
-      ("documents", "source", "lang"))
-    val oracle = pairs.map { case (t, a, b) =>
+    val oracle = fdCandidates.map { case (t, a, b) =>
       s"""SELECT '$t.$a->$b' AS fd,
          |  CAST((SELECT count(*) FROM (SELECT DISTINCT $a FROM $t)) AS BIGINT) AS n_lhs,
          |  CAST((SELECT count(*) FROM (SELECT DISTINCT $a, $b FROM $t)) AS BIGINT) AS n_pairs""".stripMargin
@@ -751,30 +814,31 @@ object MiningQueries {
         |SELECT fd, n_lhs, n_pairs, n_lhs = n_pairs AS holds,
         |  CAST((10000 * n_lhs) // n_pairs AS BIGINT) AS fd_bp
         |FROM raw
+        |WHERE (10000 * n_lhs) // n_pairs >= 9000
         |ORDER BY fd""".stripMargin
     QueryDef(
       "q216_fd_discovery",
-      "functional-dependency discovery: |distinct A| vs |distinct (A,B)| over a fixed in-table candidate list, strength bp",
+      "strong-FD discovery: HLL sketch refutes candidates cheaply, exact |distinct A| vs |distinct (A,B)| confirms survivors only",
       oracle) { (s, d) =>
-      import s.implicits._
-      // values stack as xxhash64 keys, not string casts: the distinct
-      // below shuffles every projected row, and string-cast keys made
-      // the 10× ladder read 8.2× (hashed longs: ~2×); distinct counts
-      // are unchanged modulo collisions — the q36 hashed-shingle
-      // convention, same injectivity argument as the string cast
-      val stacked = graft.AutoUnpersist.scoped(
-        pairs.map { case (t, a, b) =>
-          Tables.load(s, d, t).select(lit(s"$t.$a->$b").as("fd"),
-            xxhash64(col(a)).as("lv"), xxhash64(col(b)).as("rv"))
-        }.reduceLeft(_ unionAll _).distinct())
-      val nPairs = stacked.groupBy(col("fd")).agg(count(lit(1)).as("n_pairs"))
-      val nLhs = stacked.select(col("fd"), col("lv")).distinct()
-        .groupBy(col("fd")).agg(count(lit(1)).as("n_lhs"))
-      nLhs.join(nPairs, "fd")
-        .select(col("fd"), col("n_lhs"), col("n_pairs"),
-          (col("n_lhs") === col("n_pairs")).as("holds"),
-          expr("(10000 * n_lhs) div n_pairs").as("fd_bp"))
-        .orderBy(col("fd"))
+      val survivors = fdSketchSurvivors(s, d)
+      val out = if (survivors.isEmpty) {
+        s.range(0).select(lit("").as("fd"), lit(0L).as("n_lhs"),
+          lit(0L).as("n_pairs"), lit(false).as("holds"), lit(0L).as("fd_bp"))
+      } else {
+        val stacked = graft.AutoUnpersist.scoped(
+          survivors.map { case (t, a, b) =>
+            Tables.load(s, d, t).select(lit(s"$t.$a->$b").as("fd"),
+              xxhash64(col(a)).as("lv"), xxhash64(col(b)).as("rv"))
+          }.reduceLeft(_ unionAll _).distinct())
+        val nPairs = stacked.groupBy(col("fd")).agg(count(lit(1)).as("n_pairs"))
+        val nLhs = stacked.select(col("fd"), col("lv")).distinct()
+          .groupBy(col("fd")).agg(count(lit(1)).as("n_lhs"))
+        nLhs.join(nPairs, "fd")
+          .select(col("fd"), col("n_lhs"), col("n_pairs"),
+            (col("n_lhs") === col("n_pairs")).as("holds"),
+            expr("(10000 * n_lhs) div n_pairs").as("fd_bp"))
+      }
+      out.filter(col("fd_bp") >= 9000L).orderBy(col("fd"))
     }
   }
 
