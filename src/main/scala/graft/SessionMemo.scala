@@ -39,4 +39,13 @@ object SessionMemo {
     }
     m.computeIfAbsent(key, _ => new Lazily(() => f)).value.asInstanceOf[T]
   }
+
+  /** Drop one memoized entry — for tests that flip a session conf a
+    * memoized relation was derived under (e.g. the df-cap override);
+    * production sessions never need it. No-op if absent.
+    */
+  def invalidate(s: SparkSession, key: String): Unit = memos.synchronized {
+    val t = memos.get(s)
+    if (t != null) t.remove(key)
+  }
 }

@@ -89,4 +89,35 @@ object AutoTune {
   def isolationK(n: Long): Int =
     math.max(16L,
       math.min(math.ceil(math.sqrt(n.toDouble)).toLong, n / 32L)).toInt
+
+  /** Inverted-index document-frequency cap: max(floor, ⌈√P⌉) for a
+    * P-row postings relation — the third corpus-derived parameter
+    * family (round-11 verdict task 6), closing the last fixed
+    * constants in the dedup suite. A term kept in the candidate
+    * self-join contributes ≤ df·cap pair rows, so total candidate
+    * volume is ≤ cap·P; at cap = √P that is P^1.5 — the same
+    * sub-quadratic discipline as [[isolationK]]'s cell balance — while
+    * the excluded "hot" term count stays ≤ P/cap = √P, keeping the
+    * per-doc hot-set corrections broadcastable. The floor keeps small
+    * corpora on the measured-good fixed points (1000 for q36/q221's
+    * 3-gram shingles where the exactness correction makes any cap
+    * correct; 200 for q161's minimizers where the cap IS the
+    * boilerplate contract — appears-in->cap-docs = boilerplate).
+    * `sqrt`/`ceil` are exact IEEE (correctly rounded) in both engines,
+    * so DuckDB's `greatest(floor, CAST(ceil(sqrt((SELECT count(*)
+    * FROM postings))) AS BIGINT))` replays the identical cap.
+    */
+  def dfCap(postings: Long, floor: Long): Long =
+    math.max(floor, math.ceil(math.sqrt(postings.toDouble)).toLong)
+
+  /** In-plan twin of [[dfCap]]: derive the cap as a COLUMN of the
+    * broadcast 1-row postings count, so the derivation costs zero
+    * extra Spark actions (no driver round-trip, and no early
+    * `AutoUnpersist` release from counting the scoped postings
+    * relation before the main query runs).
+    */
+  def dfCapCol(postings: org.apache.spark.sql.Column, floor: Long): org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.functions.{ceil, greatest, lit, sqrt}
+    greatest(lit(floor), ceil(sqrt(postings.cast("double"))).cast("long"))
+  }
 }

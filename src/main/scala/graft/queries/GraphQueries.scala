@@ -373,7 +373,7 @@ object GraphQueries {
   /** Degree cap for q209's wedge stage: a center vertex of degree d
     * contributes d² candidate pairs, so hubs above this cap are
     * excluded from wedge enumeration — the [[graft.queries
-    * .DedupQueries.MaxShingleDf]] convention. Semantically benign for
+    * .DedupQueries.ShingleDfFloor]] hot-cap convention. Semantically benign for
     * resource allocation: a hub's per-wedge contribution is
     * 1e6 div d → 0 as d grows (Zhou et al.'s motivation for RA over
     * raw common-neighbors), and the ORACLE mirrors the cap so parity

@@ -85,4 +85,49 @@ class AutoTuneSpec extends SparkSpec {
       .select("va", "vb").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(got == Set((1L, 2L)), got.toString)
   }
+
+  test("dfCap = max(floor, ceil(sqrt(P))): floor and sqrt regimes at the corpus points") {
+    // shingle family (floor 1000): both verify corpora sit on the
+    // floor, the 10× ladder corpus enters the sqrt regime
+    assert(AutoTune.dfCap(26136, 1000) == 1000)    // sf0.01 postings
+    assert(AutoTune.dfCap(260388, 1000) == 1000)   // sf0.1 postings
+    assert(AutoTune.dfCap(2603880, 1000) == 1614)  // sf1 ladder postings
+    // minimizer family (floor 200): sf0.1 already in the sqrt regime
+    assert(AutoTune.dfCap(5392, 200) == 200)       // sf0.01 minimizer postings
+    assert(AutoTune.dfCap(54006, 200) == 233)      // sf0.1 minimizer postings
+    // exact-square boundary: ceil is a no-op
+    assert(AutoTune.dfCap(1048576, 200) == 1024)
+    // candidate-volume discipline: cap·P ≤ P^1.5 once past the floor
+    Seq(10_000_000L, 1_000_000_000L).foreach { p =>
+      val cap = AutoTune.dfCap(p, 1000)
+      assert(cap.toDouble * p <= math.pow(p.toDouble, 1.5) * 1.001, s"P=$p cap=$cap")
+    }
+  }
+
+  test("derived df cap is output-neutral on the slack corpus and conf-overridable") {
+    import queries.DedupQueries
+    // default (derived, floor 1000) vs an explicit slack cap: identical
+    // pairs — the corpus max df is 7 at sf0.01, far under either cap
+    val posts = DedupQueries.shinglePostingsOf(Tables.documents(spark, sfDir))
+    val derived = Registry.byName("q36_ngram_jaccard").fn(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val explicit = DedupQueries.ngramJaccardPairs(posts, maxDf = 10000L)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(derived == explicit,
+      s"derived-cap q36 diverged from the slack explicit cap: ${derived.size} vs ${explicit.size}")
+    // conf override wins over the derivation: a cap of 1 makes every
+    // shingle hot — the hot-set CORRECTION keeps q36 exact anyway
+    // (the documented accepted loss only drops pairs sharing nothing
+    // but hot shingles, which at cap=1 is every pair — so the
+    // candidate set must come out EMPTY)
+    spark.conf.set(DedupQueries.ShingleDfCapConf, "1")
+    try {
+      graft.SessionMemo.invalidate(spark, "dedup.ngramcand:" + sfDir)
+      val n = Registry.byName("q36_ngram_jaccard").fn(spark, sfDir).count()
+      assert(n == 0L, s"cap=1 must empty the candidate join, got $n pairs")
+    } finally {
+      spark.conf.unset(DedupQueries.ShingleDfCapConf)
+      graft.SessionMemo.invalidate(spark, "dedup.ngramcand:" + sfDir)
+    }
+  }
 }

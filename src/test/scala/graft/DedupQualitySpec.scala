@@ -641,7 +641,7 @@ class DedupQualitySpec extends SparkSpec {
     // releases it — AutoUnpersist would free after the first count)
     val cand = queries.DedupQueries.ngramCandidateCounts(
       queries.DedupQueries.shinglePostingsOf(Tables.documents(spark, sfDir)),
-      queries.DedupQueries.MaxShingleDf).persist()
+      queries.DedupQueries.ShingleDfFloor).persist()
     val expected = cand.filter(expr("2 * c >= na + nb - c")).count()
     val hi = h.filter(_._1 >= 5L).values.sum
     assert(hi == expected,
