@@ -91,8 +91,16 @@ object FuzzyJoinRewrite extends Rule[LogicalPlan] {
     case other => Seq(other)
   }
 
+  /** Band key = xxhash64(segment index, 12-char substring) — an 8-byte
+    * long instead of the round-11 `"<i>|<chars>"` string (~26 bytes of
+    * shuffle per exploded row at 45 probe keys/row, and string
+    * hashing/compares in the join). Sound: equal segments always hash
+    * equal (completeness untouched); a 64-bit collision only ADDS a
+    * false candidate, which the exact `fuzzy_verify` post-filter
+    * removes — output identical on every input.
+    */
   private def segKey(i: Int, sub: Expression): Expression =
-    Concat(Seq(Literal(s"$i|"), sub))
+    new XxHash64(Seq(Literal(i), sub))
 
   /** Index side: the k+1 canonical segments of the string's prefix. */
   private def explodeSegments(side: LogicalPlan, str: Expression,
@@ -122,7 +130,7 @@ object FuzzyJoinRewrite extends Rule[LogicalPlan] {
       distinct: Boolean = false): (LogicalPlan, Attribute) = {
     val arr: Expression =
       if (distinct) ArrayDistinct(CreateArray(keys)) else CreateArray(keys)
-    val keyAttr = AttributeReference("graft_seg_key", StringType)()
+    val keyAttr = AttributeReference("graft_seg_key", LongType)()
     val gen = Generate(Explode(arr), unrequiredChildIndex = Nil,
       outer = false, qualifier = None, generatorOutput = Seq(keyAttr),
       child = side)

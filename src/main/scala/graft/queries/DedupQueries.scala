@@ -672,9 +672,13 @@ object DedupQueries {
   def editDistancePairs(d: DataFrame, k: Int, segLen: Int): DataFrame = {
     val nSeg = k + 1
     // index side: the K+1 canonical segments of each prefix
+    // keys are xxhash64(seg index, substring) longs, not substring
+    // strings (the FuzzyJoinRewrite convention): a collision only adds
+    // a false candidate the exact verify removes, and the band join
+    // shuffles 8-byte longs instead of 12-char strings
     val segs = d.select(col("doc_id"), col("lang"), col("pfx"),
       posexplode(array((0 until nSeg).map(i =>
-        substring(col("pfx"), 1 + i * segLen, segLen)): _*)))
+        xxhash64(lit(i), substring(col("pfx"), 1 + i * segLen, segLen))): _*)))
       .withColumnRenamed("pos", "seg_i").withColumnRenamed("col", "key")
     // probe side: substrings at every start within ±K of each home
     // position (clamped to valid positions) — bounded keys per doc
@@ -684,7 +688,7 @@ object DedupQueries {
       pos = 1 + i * segLen + delta
       if pos >= 1
     } yield struct(lit(i).as("seg_i"),
-      substring(col("pfx"), pos, segLen).as("key"))
+      xxhash64(lit(i), substring(col("pfx"), pos, segLen)).as("key"))
     val probes = d.select(col("doc_id"), col("lang"), col("pfx"),
         explode(array_distinct(array(probeKeys: _*))).as("pk"))
       .select(col("doc_id"), col("lang"), col("pfx"),
