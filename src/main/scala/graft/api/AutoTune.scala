@@ -45,8 +45,7 @@ object AutoTune {
       (table match {
         case "embeddings" => Tables.embeddings(s, dir)
         case "documents" => Tables.documents(s, dir)
-        case other => throw new IllegalArgumentException(
-          s"AutoTune.corpusRows: unknown table '$other'")
+        case other => Tables.load(s, dir, other) // any registered table
       }).count()
     }
 

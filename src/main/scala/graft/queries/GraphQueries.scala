@@ -250,17 +250,42 @@ object GraphQueries {
       |FROM l4 JOIN cs ON cs.lbl = l4.lbl
       |ORDER BY l4.node""".stripMargin) { (s, d) =>
     // the api.PageRank / ConnectedComponents iteration convention:
-    // checkpoint the edge relation once and the label relation after
-    // every round — labels is consumed TWICE per round (majority join
-    // + isolated-node fallback) and again by the sizes join, so an
-    // unchecked lineage re-evaluates earlier rounds multiply and the
-    // one fused 4-round DAG pays ~0.4 s of AQE stage overhead per
-    // round on re-planning it (1.90 → ~1.1 s at sf0.1)
+    // checkpoint the edge relation once; the label relation is
+    // consumed TWICE per round (majority join + isolated-node
+    // fallback) and again by the sizes join, so an unchecked lineage
+    // re-evaluates earlier rounds multiply (2^rounds leaf scans) and
+    // the fused 4-round DAG pays ~0.4 s of AQE re-planning per round.
+    // Round-12 (verdict task 8): whether to ALSO localCheckpoint the
+    // labels each round is SIZE-DEPENDENT — at small node counts the
+    // checkpoint is ~free and killing the re-planning wins (1.90 →
+    // 1.35 s at sf0.1, 2k nodes), while at 10× nodes the per-round
+    // materialization costs more than the re-planning it saves
+    // (6.57 checkpointed vs 4.54 fused at sf1, 20k nodes) — so the
+    // variant is chosen from the memoized part-table row count (the
+    // AutoTune corpus-estimate convention; parts ⊇ graph nodes),
+    // threshold 8192 between the two measured points.
+    // `spark.graft.lpa.checkpoint` = on|off overrides for A/B runs.
     // (no pre-partitioning or re-checkpoint on e2: pairSupport is
     // already a memoized localCheckpoint, so the symmetrized view is
     // two cheap scans of it; and the label relation broadcasts —
     // ~|nodes| rows — so the per-round join moves no edge bytes; the
     // one real per-round exchange is the (src,lbl) majority count)
+    val perRoundCheckpoint =
+      s.conf.getOption("spark.graft.lpa.checkpoint").getOrElse("auto") match {
+        case "on" => true
+        case "off" => false
+        case _ =>
+          // part-table row count is the cheap estimate (metadata-only
+          // parquet count); a fixture dir without part.parquet falls
+          // back to the exact distinct node count, memoized alike
+          val nodes = scala.util.Try(
+            graft.api.AutoTune.corpusRows(s, d, "part")).getOrElse(
+            graft.SessionMemo.getOrComputeAs[Long](s, s"lpa.nodes:$d") {
+              Tables.lineitem(s, d).select(col("l_partkey"))
+                .distinct().count()
+            })
+          nodes <= 8192L
+      }
     val ed = MiningQueries.pairSupport(s, d).select(col("u"), col("v"))
     val e2 = ed.select(col("u").as("src"), col("v").as("dst"))
       .unionAll(ed.select(col("v").as("src"), col("u").as("dst")))
@@ -275,9 +300,9 @@ object GraphQueries {
         .agg(max_by(col("lbl"), struct(col("c"), (-col("lbl")).as("nl")))
           .as("mlbl"))
         .withColumnRenamed("src", "node")
-      labels = labels.join(maj, Seq("node"), "left_outer")
+      val next = labels.join(maj, Seq("node"), "left_outer")
         .select(col("node"), coalesce(col("mlbl"), col("lbl")).as("lbl"))
-        .localCheckpoint()
+      labels = if (perRoundCheckpoint) next.localCheckpoint() else next
     }
     val sizes = labels.groupBy(col("lbl")).agg(count(lit(1)).as("csize"))
     labels.join(sizes, "lbl")
