@@ -23,8 +23,28 @@ import org.apache.spark.sql.functions._
   * CHOICE is nondeterministic but callers that only consume a
   * function of the neighbor VALUE at equal keys (e.g. LCP, which is
   * maximal for any equal-key neighbor) remain deterministic.
+  *
+  * `orderCols` must also be PLAIN (ascending) expressions — no
+  * `.desc`: the K-partition boundary carries compare per-partition
+  * extrema via `min_by`/`max_by` over `struct(orderCols)`, which only
+  * matches the window sort when every column ascends (a descending
+  * column would silently pick the wrong boundary row). Enforced with
+  * a loud require; to order descending, negate or invert the column
+  * (the q199 inverted-key idiom) and keep the call ascending.
   */
 object Neighbors {
+
+  /** Reject `.asc`/`.desc`-wrapped columns: the boundary-carry
+    * `struct(orderCols)` comparisons assume plain ascending
+    * expressions (see object scaladoc).
+    */
+  private def requireAscending(orderCols: Seq[Column]): Unit =
+    require(orderCols.forall(c =>
+        // sql.internal.SortOrder is private[sql]; match by class name
+        c.node.getClass.getSimpleName != "SortOrder"),
+      "Neighbors orderCols must be plain (ascending) expressions — " +
+        "min_by/max_by boundary carries over struct(orderCols) only match " +
+        "an all-ascending sort; invert the column instead of .desc")
 
   /** Adds `prevCol`/`nextCol`: `valueCol` of the globally previous /
     * next row by `orderCols` (null at the corpus ends).
@@ -36,6 +56,7 @@ object Neighbors {
       prevCol: String = "prev",
       nextCol: String = "next"): DataFrame = {
     require(orderCols.nonEmpty, "orderCols must be non-empty")
+    requireAscending(orderCols)
     require(!df.columns.contains(prevCol) && !df.columns.contains(nextCol),
       s"input already has a '$prevCol' or '$nextCol' column")
     require(Seq("__pid", "__rn", "__cnt").forall(c => !df.columns.contains(c)),
@@ -104,6 +125,7 @@ object Neighbors {
       prevCol: String = "prev_nn",
       nextCol: String = "next_nn"): DataFrame = {
     require(orderCols.nonEmpty, "orderCols must be non-empty")
+    requireAscending(orderCols)
     require(!df.columns.contains(prevCol) && !df.columns.contains(nextCol),
       s"input already has a '$prevCol' or '$nextCol' column")
     require(Seq("__pid", "__carry_prev", "__carry_next")

@@ -414,21 +414,27 @@ object MediaOps {
     while (bb.remaining() >= 8 && (rate < 0 || data == null)) {
       val id = str4()
       val sz = bb.getInt
+      // a declared size past the buffer is a truncated/corrupt blob —
+      // fail with the loud contract require, not a BufferUnderflow
+      require(sz >= 0 && sz <= bb.remaining(),
+        s"corrupt WAV: chunk '$id' declares $sz bytes, ${bb.remaining()} remain")
+      // RIFF pads every odd-sized chunk to an even boundary; the pad
+      // byte is NOT in the declared size, so skip sz + (sz & 1)
+      val next = bb.position() + sz + (sz & 1)
       id match {
         case "fmt " =>
-          val p = bb.position()
           val fmt = bb.getShort; val ch = bb.getShort
           rate = bb.getInt; bb.getInt; bb.getShort
           val bits = bb.getShort
           require(fmt == 1 && ch == 1 && bits == 16,
             s"unsupported WAV: fmt=$fmt channels=$ch bits=$bits")
-          bb.position(p + sz)
         case "data" =>
           data = new Array[Short](sz / 2)
           var i = 0
           while (i < data.length) { data(i) = bb.getShort; i += 1 }
-        case _ => bb.position(bb.position() + sz) // skip unknown chunk
+        case _ => () // ancillary chunk (LIST, fact, ...): skip
       }
+      bb.position(math.min(next, bb.limit()))
     }
     require(rate > 0 && data != null, "missing fmt/data chunk")
     (rate, data)

@@ -711,6 +711,8 @@ object HygieneQueries {
     */
   private[graft] def corpusSuffixLcp(s: org.apache.spark.sql.SparkSession,
       d: String): org.apache.spark.sql.DataFrame = {
+    // conf-capped; the q179/q197 oracle SQL is PINNED at the default 64
+    // (the q60 convention) — parity is only defined at default conf
     val cap = maxSuffix(s)
     graft.SessionMemo.getOrCompute(s, s"hygiene.suflcp:$d:$cap") {
       suffixLcp(tokenized(Tables.documents(s, d)), cap).localCheckpoint()
@@ -1119,6 +1121,10 @@ object HygieneQueries {
       |       LEFT JOIN lm ON lm.doc_id = n.doc_id
       |ORDER BY n.doc_id""".stripMargin) { (s, d) =>
     val K = 8
+    // conf-capped like q179; the oracle SQL above is PINNED at the
+    // default 64 — running with a non-default cap changes where
+    // longest_overlap saturates, so oracle parity is only defined at
+    // default conf (round-11 ADVICE; the q60 pinned-default convention)
     val cap = maxSuffix(s)
     val tok = tokenized(Tables.documents(s, d))
     val suf = tok

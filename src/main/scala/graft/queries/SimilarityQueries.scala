@@ -1346,9 +1346,171 @@ object SimilarityQueries {
       .orderBy(col("q_id"))
   }
 
+  /** HARD-negative mining — the similarity-ranked twin of q134's
+    * random negative sampling, and the miner contrastive training
+    * actually wants (Karpukhin et al. 2020's DPR recipe: the
+    * negatives that move the loss are the most-similar WRONG-label
+    * examples, not uniform draws): for every vector, the top-3
+    * highest-cosine vectors with a DIFFERENT label from its IVF
+    * cell. Cell blocking is what makes "most similar wrong-label"
+    * minable at all — a hard negative is by definition near the
+    * anchor, so the anchor's own cell contains it.
+    *
+    * Scale shape: the q191/q203 cell-blocked convention — corpus-
+    * derived k ≈ √N cells (`AutoTune`, memoized `corpusCentroids`),
+    * pair stage Σ|cell|² ≈ N^1.5 (never N²), per-anchor top-3 via the
+    * bounded `topk_by_score` partial aggregate (no per-anchor
+    * window), labels ride the assignment — zero extra joins on the
+    * pair stage's output.
+    *
+    * Oracle: the unrolled-Lloyd IVF preamble (q39/q89/q191/q203 share
+    * it) + the same in-cell different-label top-3 window.
+    */
+  val q228HardNegatives = QueryDef(
+    "q228_hard_negatives",
+    "hard-negative mining: per-anchor top-3 most-similar wrong-label vectors within IVF cells (corpus-derived k)",
+    s"""${ivfPreambleSql(6, "(SELECT greatest(16, least(CAST(ceil(sqrt(count(*))) AS BIGINT), count(*) // 32)) FROM t)")},
+       |lab AS (SELECT vec_id, label FROM embeddings),
+       |negs AS (SELECT u, lu, v, lv, c_id, cs, rn FROM (
+       |  SELECT a.vec_id AS u, la.label AS lu, b.vec_id AS v, lb.label AS lv,
+       |    a.c_id,
+       |    list_dot_product(a.v, b.v) /
+       |      sqrt(list_dot_product(a.v, a.v) * list_dot_product(b.v, b.v)) AS cs,
+       |    row_number() OVER (PARTITION BY a.vec_id ORDER BY
+       |      list_dot_product(a.v, b.v) /
+       |        sqrt(list_dot_product(a.v, a.v) * list_dot_product(b.v, b.v)) DESC,
+       |      b.vec_id) AS rn
+       |  FROM asgn a JOIN asgn b ON a.c_id = b.c_id AND a.vec_id <> b.vec_id
+       |  JOIN lab la ON la.vec_id = a.vec_id
+       |  JOIN lab lb ON lb.vec_id = b.vec_id
+       |  WHERE la.label <> lb.label) WHERE rn <= 3)
+       |SELECT u AS anchor, CAST(lu AS INT) AS anchor_label,
+       |  v AS negative, CAST(lv AS INT) AS negative_label,
+       |  CAST(c_id AS INT) AS c_id, round(cs, 6) AS cos_sim,
+       |  CAST(rn AS INT) AS rn
+       |FROM negs
+       |ORDER BY anchor, rn""".stripMargin) { (s, d) =>
+    GraftFunctions.register(s)
+    val k = s.conf.getOption("spark.graft.isolation.k").map(_.toInt)
+      .getOrElse(graft.api.AutoTune.isolationK(graft.api.AutoTune.corpusRows(s, d)))
+    val t = Tables.embeddings(s, d)
+      .select(col("vec_id"), col("embedding"), col("label"))
+    val cents = corpusCentroids(s, d, k = k, iters = 6)
+    val assigned = t.crossJoin(broadcast(cents))
+      .withColumn("csim", GraftFunctions.cosineSim(col("embedding"), col("ce")))
+      .groupBy(col("vec_id"))
+      .agg(max_by(struct(col("c_id"), col("embedding"), col("label")),
+        struct(col("csim"), (-col("c_id")).as("nc"))).as("best"))
+      .select(col("vec_id"), col("best.embedding").as("embedding"),
+        col("best.c_id").as("c_id"), col("best.label").as("label"))
+    assigned.as("a")
+      .join(assigned.as("b"), col("a.c_id") === col("b.c_id") &&
+        col("a.vec_id") =!= col("b.vec_id") &&
+        col("a.label") =!= col("b.label"))
+      .select(col("a.vec_id").as("anchor"), col("a.label").as("anchor_label"),
+        col("a.c_id").as("c_id"), col("b.vec_id").as("bv"),
+        GraftFunctions.cosineSim(col("a.embedding"), col("b.embedding")).as("cs"))
+      .groupBy(col("anchor"), col("anchor_label"), col("c_id"))
+      .agg(GraftFunctions.topkByScore(col("cs"), col("bv"), 3).as("top"))
+      .select(col("anchor"), col("anchor_label"), col("c_id"),
+        posexplode(col("top")).as(Seq("i", "e")))
+      // negative-side label rides a post-top-k equi join (≤ 3 rows per
+      // anchor — the top-k aggregate can't carry a struct id)
+      .join(t.select(col("vec_id").as("negative"),
+        col("label").as("negative_label")),
+        col("e.id") === col("negative"))
+      .select(col("anchor"), col("anchor_label").cast("int").as("anchor_label"),
+        col("negative"), col("negative_label").cast("int").as("negative_label"),
+        col("c_id").cast("int").as("c_id"),
+        round(col("e.score"), 6).as("cos_sim"),
+        (col("i") + 1).cast("int").as("rn"))
+      .orderBy(col("anchor"), col("rn"))
+  }
+
+  /** Embedding anisotropy audit — the "is this embedding space
+    * usable" health check (Ethayarajh 2019: contextual embeddings
+    * collapse into a narrow cone; mean pairwise cosine ≫ 0 means
+    * cosine similarity stops discriminating): the mean pairwise
+    * cosine over ALL n(n−1) ordered pairs, computed WITHOUT the pair
+    * join via the algebraic identity
+    * `Σ_{i≠j} ⟨qᵢ,qⱼ⟩ = ‖Σᵢqᵢ‖² − Σᵢ‖qᵢ‖²` — one O(n·d) scan and a
+    * d-row aggregate replace the N² pair sum (the whole point at
+    * 100 TB: the naive form is the worst all-pairs join in the book,
+    * the identity makes it a groupBy on ≤ d keys).
+    *
+    * Exactness: each vector is unit-normalized then quantized to
+    * MILLI units (q = ⌊1000·x/‖x‖ + 0.5⌋, the q76/IVF integer
+    * convention — float→double widening, IEEE sqrt/floor, identical
+    * in both engines), so ⟨qᵢ,qⱼ⟩ ≈ 10⁶·cos(i,j) and every sum is
+    * INTEGER (order-independent). Per-dimension sums fit int64 to
+    * n ≈ 9·10¹² rows; their squares accumulate in 128-bit
+    * (decimal(38) / HUGEINT) before the final int64 cast. The one
+    * float step (the mean) divides two exact integers with IEEE
+    * double semantics — engine-identical.
+    */
+  val q229AnisotropyAudit = QueryDef(
+    "q229_anisotropy_audit",
+    "embedding anisotropy: mean pairwise cosine via the sum-vector identity (O(n*d), no pair join), integer micro units",
+    """WITH t AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      |u AS (SELECT vec_id,
+      |        list_transform(v, x -> CAST(floor(1000.0 * x /
+      |          sqrt(list_reduce(list_transform(v, y -> y * y), (a, b) -> a + b)) + 0.5) AS BIGINT)) AS qu
+      |      FROM t
+      |      WHERE list_reduce(list_transform(v, y -> y * y), (a, b) -> a + b) > 0),
+      |dims AS (SELECT unnest(range(1, 1 + (SELECT max(len(qu)) FROM u))) AS j),
+      |sd AS (SELECT d.j, CAST(sum(qu[d.j]) AS BIGINT) AS s
+      |       FROM u CROSS JOIN dims d GROUP BY d.j),
+      |agg_a AS (SELECT sum(CAST(s AS HUGEINT) * s) AS ssq FROM sd),
+      |agg_b AS (SELECT CAST(count(*) AS BIGINT) AS n,
+      |            sum(CAST(list_reduce(list_transform(qu, x -> CAST(x AS HUGEINT) * x),
+      |                (a, b) -> a + b) AS HUGEINT)) AS self_sum
+      |          FROM u)
+      |SELECT b.n,
+      |  CAST((SELECT max(len(qu)) FROM u) AS BIGINT) AS dims,
+      |  CAST(a.ssq - b.self_sum AS BIGINT) AS sum_pair_dot,
+      |  CAST(b.self_sum AS BIGINT) AS sum_self_dot,
+      |  CAST(floor(CAST(a.ssq - b.self_sum AS DOUBLE) /
+      |    (CAST(b.n AS DOUBLE) * (b.n - 1))) AS BIGINT) AS mean_cos_micro,
+      |  CAST(b.self_sum // b.n AS BIGINT) AS mean_self_micro
+      |FROM agg_a a, agg_b b""".stripMargin) { (s, d) =>
+    val t = Tables.embeddings(s, d)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    // left-fold norm (Spark `aggregate` and DuckDB `list_reduce` both
+    // fold left in list order, so the double sum is bit-identical)
+    val withNorm = t.withColumn("nrm2",
+      aggregate(col("v"), lit(0.0), (acc, x) => acc + x * x))
+    val u = graft.AutoUnpersist.scoped(
+      withNorm.filter(col("nrm2") > 0)
+        .select(col("vec_id"),
+          transform(col("v"),
+            x => floor(lit(1000.0) * x / sqrt(col("nrm2")) + lit(0.5))
+              .cast("long")).as("qu")))
+    val sd = u.select(posexplode(col("qu")).as(Seq("j", "q")))
+      .groupBy(col("j")).agg(sum(col("q")).as("s"))
+    // squares accumulate in decimal(38) — int64 would overflow at
+    // ~4·10^5 rows (s ≤ 1000n, s² ≤ 10^6·n², ×d dims)
+    val aggA = sd.agg(
+      sum(col("s").cast("decimal(19,0)") * col("s").cast("decimal(19,0)"))
+        .as("ssq"))
+    val aggB = u
+      .select(aggregate(col("qu"), lit(0L), (acc, x) => acc + x * x)
+        .as("self"), size(col("qu")).as("nd"))
+      .agg(count(lit(1)).as("n"), sum(col("self")).as("self_sum"),
+        max(col("nd")).cast("long").as("dims"))
+    aggA.crossJoin(broadcast(aggB))
+      .select(col("n"), col("dims"),
+        (col("ssq") - col("self_sum")).cast("long").as("sum_pair_dot"),
+        col("self_sum").as("sum_self_dot"),
+        floor((col("ssq") - col("self_sum")).cast("double") /
+          (col("n").cast("double") * (col("n") - 1))).cast("long")
+          .as("mean_cos_micro"),
+        expr("self_sum div n").as("mean_self_micro"))
+  }
+
   val all: Seq[QueryDef] =
     Seq(q38CosineTopk, q39AnnIvf, q60HyperplaneLsh, q76QuantizedTopk,
       q89SemanticDedup, q110CentroidDrift, q134NegativeSampling,
       q188PowerIteration, q191IsolationAudit, q200MmrDiversified,
-      q202PqAdcTopk, q203MutualKnn, q210AnnRecall)
+      q202PqAdcTopk, q203MutualKnn, q210AnnRecall,
+      q228HardNegatives, q229AnisotropyAudit)
 }

@@ -164,8 +164,27 @@ object StreamingOps {
     * survivors (batch-twin equivalence pinned in StreamingSpec).
     * Rows within a micro-batch sort by event time per key, so
     * arrival-order jitter inside a batch never changes the decision.
+    *
+    * Ordering contract (round-11 ADVICE): batch-twin equivalence
+    * additionally assumes events arrive IN ORDER ACROSS micro-batches
+    * per key — an event landing in a later batch with an EARLIER
+    * event time than the stored lastSeen compares against the wrong
+    * predecessor (the spec exercises ordered batches; guard upstream
+    * with a watermark + sort, or accept processing-order semantics).
+    *
+    * State bound: with `ttl = TTLConfig.NONE` (the exact
+    * replay-equivalence default) per-key state never expires — fine
+    * for bounded key spaces like (user, type), but an UNBOUNDED key
+    * space needs [[debouncedEvents]]' `stateTtlMs`, which expires a
+    * key's lastSeen after that much PROCESSING time without events.
+    * Expiry is semantically safe in the no-skew case: a key silent
+    * longer than `windowMs` of real time would have its next event
+    * KEPT anyway, so the only divergence from the unttl'd run is on
+    * events replayed/skewed more than the TTL behind processing time.
     */
-  class DebounceProcessor(windowMs: Long)
+  class DebounceProcessor(windowMs: Long,
+      ttl: org.apache.spark.sql.streaming.TTLConfig =
+        org.apache.spark.sql.streaming.TTLConfig.NONE)
       extends org.apache.spark.sql.streaming.StatefulProcessor[
         (Long, String), Event, Event] {
     @transient private var lastSeen
@@ -177,7 +196,7 @@ object StreamingOps {
       lastSeen = getHandle.getValueState[Long](
         "lastSeen",
         org.apache.spark.sql.Encoders.scalaLong,
-        org.apache.spark.sql.streaming.TTLConfig.NONE)
+        ttl)
     }
 
     override def handleInputRows(
@@ -201,15 +220,26 @@ object StreamingOps {
   }
 
   /** Streaming debounce per (user, type); default window = q226's
-    * 10 minutes.
+    * 10 minutes. `stateTtlMs > 0` bounds per-key state for unbounded
+    * key spaces (expire lastSeen after that much processing time
+    * without events — see [[DebounceProcessor]] for when that is
+    * safe); TTL requires processing-time mode, so the time mode
+    * follows the choice.
     */
   def debouncedEvents(spark: SparkSession, events: Dataset[Event],
-      windowMs: Long = 600000L): Dataset[Event] = {
+      windowMs: Long = 600000L, stateTtlMs: Long = 0L): Dataset[Event] = {
     import spark.implicits._
+    val (ttl, mode) =
+      if (stateTtlMs > 0)
+        (org.apache.spark.sql.streaming.TTLConfig(
+          java.time.Duration.ofMillis(stateTtlMs)),
+          org.apache.spark.sql.streaming.TimeMode.ProcessingTime())
+      else
+        (org.apache.spark.sql.streaming.TTLConfig.NONE,
+          org.apache.spark.sql.streaming.TimeMode.None())
     events
       .groupByKey(e => (e.user_id, e.event_type))
-      .transformWithState(new DebounceProcessor(windowMs),
-        org.apache.spark.sql.streaming.TimeMode.None(),
+      .transformWithState(new DebounceProcessor(windowMs, ttl), mode,
         OutputMode.Append())
   }
 

@@ -862,4 +862,32 @@ class DedupQualitySpec extends SparkSpec {
       s"token savings mismatch: $removedTokens vs $want")
     spark.sharedState.cacheManager.clearCache()
   }
+
+  test("q227 canonical dedup merges case/punct/space variants, counts raw variants") {
+    import spark.implicits._
+    // the sf corpora are already lowercase/punctuation-free, so the
+    // oracle gate can't see the normalization work — this fixture can:
+    // doc 0-3 share one canonical form through case, punctuation and
+    // whitespace noise (docs 2 and 3 are BYTE-equal, so they are one
+    // raw variant, not two); doc 4 stands alone
+    val dir = java.nio.file.Files.createTempDirectory("graft_norm")
+      .toFile.getAbsolutePath
+    Seq(
+      (0L, "Hello, World!  foo"),
+      (1L, "hello world FOO"),
+      (2L, "hello world foo"),
+      (3L, "hello world foo"),
+      (4L, "a different doc"))
+      .toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = Registry.byName("q227_normalized_dedup").fn(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got == Set((0L, 4L, 3L), (4L, 1L, 1L)),
+      s"canonical groups wrong: $got")
+    // byte-exact dedup (q33) must see NO duplicates here — the gap
+    // between the two layers is exactly what q227 exists to close
+    val exact = Registry.byName("q33_exact_dedup").fn(spark, dir).count()
+    assert(exact == 4L, s"q33 should keep 4 byte-distinct groups, got $exact")
+    spark.sharedState.cacheManager.clearCache()
+  }
 }

@@ -325,4 +325,58 @@ class DiscoverySpec extends SparkSpec {
       s"planted 1/r law should fit slope ~ -1e6 micro, got $s2")
     spark.sharedState.cacheManager.clearCache()
   }
+
+  test("q230 k-anonymity matches a driver recompute of class sizes and band diversity") {
+    val got = Registry.byName("q230_k_anonymity").fn(spark, sfDir).collect()
+      .map(r => (r.getInt(0), r.getString(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getBoolean(4), r.getBoolean(5)))).toMap
+    val rows = Tables.customer(spark, sfDir)
+      .select(col("c_nationkey"), col("c_mktsegment"), col("c_acctbal"))
+      .collect()
+      .map(r => ((r.getInt(0), r.getString(1)),
+        math.floor(r.getDouble(2) / 1000.0).toLong))
+    val want = rows.groupBy(_._1).map { case (k, g) =>
+      k -> ((g.length.toLong, g.map(_._2).distinct.length.toLong))
+    }
+    assert(got.keySet == want.keySet)
+    want.foreach { case (k, (sz, nb)) =>
+      val (gsz, gnb, ka, ld) = got(k)
+      assert(gsz == sz && gnb == nb && ka == (sz >= 5) && ld == (nb >= 3),
+        s"class $k: got ${got(k)}, want ($sz, $nb)")
+    }
+    // the audit must DISCRIMINATE on this corpus: some class passes
+    // and some class fails at least one of the two gates
+    assert(got.values.exists(v => v._3 && v._4), "no passing class")
+    assert(got.values.exists(v => !v._3 || !v._4), "no failing class")
+    spark.sharedState.cacheManager.clearCache()
+  }
+
+  test("q231 ordered funnel matches a driver recompute and is monotone") {
+    val got = Registry.byName("q231_conversion_funnel").fn(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    assert(got.map(_._1).toSeq == Seq(1L, 2L, 3L))
+    val ev = Tables.events(spark, sfDir)
+      .select(col("user_id"), col("event_type"), col("ts")).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getTimestamp(2).getTime))
+    val byUser = ev.groupBy(_._1)
+    def stepTime(g: Array[(Long, String, Long)], typ: String,
+        after: Option[Long]): Option[Long] = {
+      val c = g.filter(e => e._2 == typ && after.forall(e._3 > _)).map(_._3)
+      if (c.isEmpty) None else Some(c.min)
+    }
+    val funnels = byUser.values.map { g =>
+      val t1 = stepTime(g, "view", None)
+      val t2 = t1.flatMap(t => stepTime(g, "click", Some(t)))
+      val t3 = t2.flatMap(t => stepTime(g, "purchase", Some(t)))
+      (t1.isDefined, t2.isDefined, t3.isDefined)
+    }.toSeq
+    val (n1, n2, n3) = (funnels.count(_._1).toLong,
+      funnels.count(_._2).toLong, funnels.count(_._3).toLong)
+    assert(got.map(_._3).toSeq == Seq(n1, n2, n3),
+      s"funnel counts: got ${got.map(_._3).toSeq}, want ${Seq(n1, n2, n3)}")
+    // in-order progression can only shrink, and conv_bp ties out
+    assert(n1 >= n2 && n2 >= n3)
+    assert(got.map(_._4).toSeq == Seq(n1, n2, n3).map(n => 10000L * n / n1))
+    spark.sharedState.cacheManager.clearCache()
+  }
 }

@@ -222,6 +222,24 @@ class MultimodalSpec extends SparkSpec {
     intercept[IllegalArgumentException] {
       MediaOps.parseWav("NOTAWAVEFILE0000".getBytes("US-ASCII"))
     }
+    // RIFF even-byte padding: an ODD-sized ancillary chunk carries one
+    // pad byte outside its declared size — the walk must advance by
+    // sz + (sz & 1) or every later chunk misaligns (round-11 ADVICE)
+    val odd = java.nio.ByteBuffer.allocate(12)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    odd.put("LIST".getBytes("US-ASCII")).putInt(3)
+      .put("INF".getBytes("US-ASCII")).put(0.toByte) // 3 bytes + pad
+    val oddSpliced = base.slice(0, 36) ++ odd.array() ++ base.drop(36)
+    val (rate2, pcm2) = MediaOps.parseWav(oddSpliced)
+    assert(rate2 == MediaOps.audioRate(id) && pcm2.sameElements(pcm),
+      "odd-sized chunk must advance past its RIFF pad byte")
+    // a chunk whose declared size overruns the buffer is a TRUNCATED
+    // blob: loud require, never a BufferUnderflowException
+    val truncated = base.slice(0, base.length - 10)
+    val e = intercept[IllegalArgumentException] {
+      MediaOps.parseWav(truncated)
+    }
+    assert(e.getMessage.contains("corrupt WAV"), e.getMessage)
   }
 
   test("Y4M roundtrip: synthesized stream parses back to the exact planes") {

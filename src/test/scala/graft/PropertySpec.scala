@@ -173,6 +173,25 @@ class PropertySpec extends SparkSpec {
     }) finally spark.conf.set("spark.sql.shuffle.partitions", old)
   }
 
+  test("Neighbors rejects .desc order columns loudly (ascending-only contract)") {
+    import spark.implicits._
+    // the boundary carries compare min_by/max_by over struct(orderCols),
+    // which only matches an all-ascending window sort — a .desc column
+    // would silently pick the wrong boundary row, so the API refuses it
+    val df = Seq((1L, "a"), (2L, "b")).toDF("id", "k")
+    val e1 = intercept[IllegalArgumentException] {
+      api.Neighbors.withNeighbors(df, Seq(col("id").desc), "k")
+    }
+    assert(e1.getMessage.contains("ascending"), e1.getMessage)
+    val e2 = intercept[IllegalArgumentException] {
+      api.Neighbors.withNearestNonNull(df, Seq(col("id"), col("k").desc), "k")
+    }
+    assert(e2.getMessage.contains("ascending"), e2.getMessage)
+    // plain and explicitly-inverted (negated) columns still pass
+    assert(api.Neighbors.withNeighbors(df, Seq((-col("id")).as("nid"), col("id")), "k")
+      .count() == 2)
+  }
+
   test("Ranking.withRank ranks NULL group keys as their own group (null-safe join)") {
     import spark.implicits._
     import org.apache.spark.sql.expressions.Window

@@ -203,6 +203,43 @@ class StreamingSpec extends SparkSpec {
         assert(streamKept == batchKept,
           s"stream/batch debounce diverged: ${streamKept.diff(batchKept)} / ${batchKept.diff(streamKept)}")
       } finally q2.stop()
+
+      // TTL'd variant (the unbounded-key-space configuration): with a
+      // TTL far above the test's wall time the survivors must equal
+      // the exact run — TTL switches the time mode to ProcessingTime
+      // and bounds state without changing in-window decisions.
+      // NOTE: a processing-time-TTL stream schedules periodic state-
+      // maintenance batches, so `processAllAvailable` never observes
+      // a caught-up stream (it livelocked this suite for 40+ min) —
+      // poll the sink for the expected survivors with a deadline
+      // instead, the correct harness for timer-driven streams.
+      val input3 = MemoryStream[Event]
+      val q3 = StreamingOps.debouncedEvents(spark, input3.toDS(),
+          stateTtlMs = 3600000L)
+        .writeStream.format("memory").queryName("tws_debounce3")
+        .outputMode("append").start()
+      try {
+        def pollUntil(want: Set[Double], what: String): Set[Double] = {
+          val deadline = System.nanoTime() + 60_000_000_000L
+          var got = Set.empty[Double]
+          while (got != want && System.nanoTime() < deadline) {
+            Thread.sleep(200)
+            got = spark.table("tws_debounce3").as[Event].collect()
+              .map(_.value).toSet
+          }
+          assert(got == want, s"$what: got $got, want $want")
+          got
+        }
+        input3.addData(
+          Event(ts(0), 1L, "view", 1.0), Event(ts(5), 1L, "view", 2.0))
+        // +5 within 10min of 0 → dropped
+        pollUntil(Set(1.0), "TTL'd debounce batch 1")
+        input3.addData(Event(ts(8), 1L, "view", 3.0),
+          Event(ts(30), 1L, "view", 4.0))
+        // +8 within 10min of +5 (state crossed the batch boundary
+        // under TTL mode) → dropped; +30 kept
+        pollUntil(Set(1.0, 4.0), "TTL'd debounce batch 2")
+      } finally q3.stop()
     } finally
       spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
   }

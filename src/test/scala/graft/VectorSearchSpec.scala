@@ -165,4 +165,68 @@ class VectorSearchSpec extends SparkSpec {
       assert(byRank == byRank.sorted, "ADC distance must increase with rank")
     }
   }
+
+  test("q228 hard negatives: wrong-label only, desc-ranked, contiguous rn per anchor") {
+    // (anchor, anchor_label, negative, negative_label, c_id, cos, rn)
+    val rows = Registry.byName("q228_hard_negatives").fn(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2),
+        r.getInt(3), r.getDouble(5), r.getInt(6)))
+    assert(rows.nonEmpty)
+    // a hard negative is by definition a WRONG-label example
+    assert(rows.forall(r => r._2 != r._4), "same-label pair emitted")
+    assert(rows.forall(r => r._5 >= -1.0 && r._5 <= 1.0))
+    rows.groupBy(_._1).foreach { case (a, g) =>
+      val byRn = g.sortBy(_._6)
+      assert(byRn.map(_._6).toSeq == (1 to g.length).toSeq,
+        s"anchor $a: rn not contiguous from 1")
+      assert(g.length <= 3, s"anchor $a: more than top-3 emitted")
+      val cs = byRn.map(_._5).toSeq
+      assert(cs == cs.sorted.reverse, s"anchor $a: cos not desc by rn")
+    }
+    // labels in the output match the embeddings table exactly
+    val labels = Tables.embeddings(spark, sfDir)
+      .select(col("vec_id"), col("label")).collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(rows.forall(r => labels(r._1) == r._2 && labels(r._3) == r._4),
+      "output labels diverge from the embeddings table")
+    spark.sharedState.cacheManager.clearCache()
+  }
+
+  test("q229 anisotropy equals a driver-side O(n^2) pairwise recompute (the identity is exact)") {
+    val row = Registry.byName("q229_anisotropy_audit").fn(spark, sfDir)
+      .collect().head
+    val (n, dims, pairDot, selfDot, meanMicro) =
+      (row.getLong(0), row.getLong(1), row.getLong(2), row.getLong(3),
+        row.getLong(4))
+    // replicate the milli-unit quantization in driver doubles (same
+    // IEEE ops) and sum ALL ordered pairs the slow way
+    val qus = Tables.embeddings(spark, sfDir).select(col("embedding"))
+      .collect().map { r =>
+        val v = r.getSeq[Float](0).map(_.toDouble).toArray
+        val nrm = math.sqrt(v.map(x => x * x).sum)
+        v.map(x => math.floor(1000.0 * x / nrm + 0.5).toLong)
+      }.filter(_ => true)
+    assert(n == qus.length && dims == qus.head.length)
+    val self = qus.map(q => q.map(x => x * x).sum).sum
+    assert(selfDot == self, s"self-dot: $selfDot vs $self")
+    var pairs = 0L
+    var i = 0
+    while (i < qus.length) {
+      var j = 0
+      while (j < qus.length) {
+        if (i != j) {
+          var d = 0; var dot = 0L
+          while (d < qus(i).length) { dot += qus(i)(d) * qus(j)(d); d += 1 }
+          pairs += dot
+        }
+        j += 1
+      }
+      i += 1
+    }
+    assert(pairDot == pairs,
+      s"sum-vector identity broke: $pairDot vs brute $pairs")
+    assert(meanMicro ==
+      math.floor(pairs.toDouble / (n.toDouble * (n - 1))).toLong)
+    spark.sharedState.cacheManager.clearCache()
+  }
 }
