@@ -942,8 +942,11 @@ object MiningQueries {
           lit("purchase").as("step_type"), col("n_users")))
     counts
       .crossJoin(broadcast(s1.agg(count(lit(1)).as("n1"))))
+      // empty-corpus guard (EmptyInputSpec): 0 step-1 users → 0 bp,
+      // not a division error; any real corpus has n1 > 0
       .select(col("step"), col("step_type"), col("n_users"),
-        expr("(10000 * n_users) div n1").as("conv_bp"))
+        when(col("n1") === 0L, lit(0L))
+          .otherwise(expr("(10000 * n_users) div n1")).as("conv_bp"))
       .orderBy(col("step"))
   }
 

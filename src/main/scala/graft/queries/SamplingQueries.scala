@@ -509,9 +509,72 @@ object SamplingQueries {
       .orderBy(col("fold"))
   }
 
+  /** Weighted sampling WITHOUT replacement (Efraimidis–Spirakis 2006)
+    * — sample 50 documents with inclusion probability ∝ token count,
+    * the length-weighted draw a token-budget pipeline wants (q81
+    * slices a budget deterministically; THIS is the randomized-but-
+    * replayable version). E-S ranks rows by Uᵢ^(1/wᵢ) and keeps the
+    * top-K — correct without replacement, one pass. The float pow is
+    * the portability trap (Java vs C `pow` differ in ulps, enough to
+    * flip a rank), so this uses the EXACT-INTEGER identity instead:
+    * max of wᵢ iid uniforms has the same distribution as Uᵢ^(1/wᵢ),
+    * and integer-weight rows can take a literal max of wᵢ
+    * deterministic `mix64` draws — 52-bit unsigned keys (the q134 u52
+    * idiom), no float anywhere, the DuckDB HUGEINT replay is
+    * bit-exact.
+    *
+    * Scale shape: the draw is MAP-SIDE (a HOF over sequence(1, w) —
+    * O(Σ weight) = O(corpus tokens) hash evals, fully parallel, zero
+    * shuffle) into one bounded TakeOrdered(50); the final ranks ride a
+    * 50-row window. A pathological giant weight bounds a single row's
+    * cost at its own token count — chunk the sequence per row if that
+    * ever dominates.
+    */
+  val q232WeightedSample = QueryDef(
+    "q232_weighted_sample",
+    "weighted sample without replacement: Efraimidis-Spirakis via exact-integer max-of-w mix64 draws, top-50 docs",
+    """WITH w AS (
+      |  SELECT doc_id,
+      |    CAST(len(list_filter(string_split(text, ' '), t -> length(t) > 0)) AS BIGINT) AS weight
+      |  FROM documents),
+      |j AS (SELECT doc_id, weight, unnest(range(1, weight + 1)) AS j
+      |      FROM w WHERE weight > 0),
+      |z0 AS (SELECT doc_id, weight, CAST(doc_id * 1000003 + j AS HUGEINT) AS z FROM j),
+      |m1 AS (SELECT doc_id, weight,
+      |         (xor(z, z >> 30) * 2685821657736338717) % 18446744073709551616 AS z FROM z0),
+      |m2 AS (SELECT doc_id, weight,
+      |         (xor(z, z >> 27) * 1181783497276652981) % 18446744073709551616 AS z FROM m1),
+      |u AS (SELECT doc_id, weight, xor(z, z >> 31) // 4096 AS u52 FROM m2),
+      |k AS (SELECT doc_id, any_value(weight) AS weight,
+      |        CAST(max(u52) AS BIGINT) AS skey
+      |      FROM u GROUP BY doc_id)
+      |SELECT * FROM (
+      |  SELECT CAST(row_number() OVER (ORDER BY skey DESC, doc_id) AS BIGINT) AS rank,
+      |    doc_id, weight, skey
+      |  FROM k)
+      |WHERE rank <= 50
+      |ORDER BY rank""".stripMargin) { (s, d) =>
+    graft.plans.GraftFunctions.register(s)
+    Tables.documents(s, d)
+      .select(col("doc_id"),
+        size(filter(split(col("text"), " "), t => length(t) > 0))
+          .cast("long").as("weight"))
+      .filter(col("weight") > 0)
+      .withColumn("skey",
+        array_max(transform(sequence(lit(1L), col("weight")),
+          j => shiftrightunsigned(
+            graft.plans.GraftFunctions.mix64(col("doc_id") * 1000003L + j),
+            12))))
+      .orderBy(col("skey").desc, col("doc_id")).limit(50)
+      .withColumn("rank", row_number()
+        .over(Window.orderBy(col("skey").desc, col("doc_id"))).cast("long"))
+      .select(col("rank"), col("doc_id"), col("weight"), col("skey"))
+      .orderBy(col("rank"))
+  }
+
   val all: Seq[QueryDef] =
     Seq(q56DeterministicSample, q57StratifiedMix, q77ShardStats,
       q81TokenBudgetMix, q84LengthBatches, q88TemperatureMix,
       q106SystematicSample, q133SourceUpsampling, q151DsirWeights,
-      q219TimeSeriesCv)
+      q219TimeSeriesCv, q232WeightedSample)
 }

@@ -127,4 +127,34 @@ class SamplingSpec extends SparkSpec {
     assert(got.toSeq == expect)
     spark.sharedState.cacheManager.clearCache()
   }
+
+  test("q232 weighted sample matches a driver E-S recompute; heavier docs win more often") {
+    val got = Registry.byName("q232_weighted_sample").fn(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(got.length == 50)
+    // keys strictly ordered by rank (desc, doc_id tiebreak)
+    assert(got.map(_._1).toSeq == (1L to 50L).toSeq)
+    val keys = got.map(_._4).toSeq
+    assert(keys == keys.sorted.reverse)
+    // driver recompute: per doc, max of w mix64-u52 draws; the top-50
+    // must be IDENTICAL (the whole point: no float pow, no RNG state)
+    val docs = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => (r.getLong(0), r.getString(1).split(" ").count(_.nonEmpty).toLong))
+      .filter(_._2 > 0)
+    val want = docs.map { case (id, w) =>
+      val key = (1L to w).map(j => graft.plans.Mix64.mix(id * 1000003L + j) >>> 12).max
+      (id, w, key)
+    }.sortBy { case (id, _, k) => (-k, id) }.take(50)
+      .zipWithIndex.map { case ((id, w, k), i) => (i + 1L, id, w, k) }
+    assert(got.toSeq == want.toSeq,
+      s"E-S draw diverged from the driver recompute")
+    // the sample is weight-BIASED: average weight among the 50 winners
+    // exceeds the corpus average (max-of-w keys grow with w)
+    val avgAll = docs.map(_._2).sum.toDouble / docs.length
+    val avgWin = got.map(_._3).sum.toDouble / got.length
+    assert(avgWin > avgAll,
+      s"winners' mean weight $avgWin not above corpus mean $avgAll")
+    spark.sharedState.cacheManager.clearCache()
+  }
 }
