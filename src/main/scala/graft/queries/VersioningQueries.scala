@@ -426,7 +426,88 @@ object VersioningQueries {
       .orderBy(col("user_id"))
   }
 
+  /** Right-to-be-forgotten erasure audit — the GDPR/CCPA compliance
+    * pass a deletion request triggers BEFORE any row is touched: for
+    * the requesting subjects (the q56 modulus idiom stands in for a
+    * request table: custkey ≡ 0 mod 97), enumerate every affected row
+    * ACROSS the schema graph — the subject's own rows, their orders,
+    * those orders' lineitems, and their event stream — and report per
+    * table the subject count, row count, and corpus share. The audit
+    * is the deliverable (legal sign-off needs the blast radius);
+    * actually deleting is then four anti-joins against the same keys.
+    *
+    * Scale shape: a deletion-request set is SMALL BY NATURE (humans
+    * file requests), so the subject keys broadcast and every affected
+    * table pays one broadcast semi-join scan — never a shuffle of the
+    * fact tables; the lineitem hop joins against the REQUESTERS'
+    * order keys (bounded by requests × orders-per-customer, still
+    * broadcastable — and carrying the subject key through the hop
+    * gives per-subject lineage for free). Totals for the share bp are
+    * metadata-cheap count aggregates unioned driver-side (4 rows).
+    */
+  val q233ErasureAudit = QueryDef(
+    "q233_erasure_audit",
+    "right-to-be-forgotten audit: per-table subject/row blast radius of a deletion-request set, share in bp",
+    """WITH req AS (SELECT c_custkey AS subj FROM customer WHERE c_custkey % 97 = 0),
+      |co AS (SELECT c_custkey AS subj FROM customer
+      |       JOIN req ON req.subj = c_custkey),
+      |oo AS (SELECT o_orderkey, o_custkey AS subj FROM orders
+      |       JOIN req ON req.subj = o_custkey),
+      |ll AS (SELECT l.l_orderkey, oo.subj FROM lineitem l
+      |       JOIN oo ON oo.o_orderkey = l.l_orderkey),
+      |ee AS (SELECT user_id AS subj FROM events WHERE user_id % 97 = 0),
+      |per AS (
+      |  SELECT 'customer' AS tbl,
+      |    CAST(count(DISTINCT subj) AS BIGINT) AS n_subjects,
+      |    CAST(count(*) AS BIGINT) AS n_rows,
+      |    CAST((SELECT count(*) FROM customer) AS BIGINT) AS total FROM co
+      |  UNION ALL
+      |  SELECT 'events', CAST(count(DISTINCT subj) AS BIGINT),
+      |    CAST(count(*) AS BIGINT),
+      |    CAST((SELECT count(*) FROM events) AS BIGINT) FROM ee
+      |  UNION ALL
+      |  SELECT 'lineitem', CAST(count(DISTINCT subj) AS BIGINT),
+      |    CAST(count(*) AS BIGINT),
+      |    CAST((SELECT count(*) FROM lineitem) AS BIGINT) FROM ll
+      |  UNION ALL
+      |  SELECT 'orders', CAST(count(DISTINCT subj) AS BIGINT),
+      |    CAST(count(*) AS BIGINT),
+      |    CAST((SELECT count(*) FROM orders) AS BIGINT) FROM oo)
+      |SELECT tbl, n_subjects, n_rows,
+      |  CAST((10000 * n_rows) // total AS BIGINT) AS share_bp
+      |FROM per ORDER BY tbl""".stripMargin) { (s, d) =>
+    val req = Tables.customer(s, d)
+      .filter(col("c_custkey") % 97 === 0)
+      .select(col("c_custkey").as("subj"))
+    val co = Tables.customer(s, d)
+      .join(broadcast(req), col("subj") === col("c_custkey"))
+      .select(col("subj"))
+    val oo = Tables.orders(s, d)
+      .join(broadcast(req), col("subj") === col("o_custkey"))
+      .select(col("o_orderkey"), col("subj"))
+    val ll = Tables.lineitem(s, d).select(col("l_orderkey"))
+      .join(broadcast(oo), col("o_orderkey") === col("l_orderkey"))
+      .select(col("subj"))
+    val ee = Tables.events(s, d)
+      .filter(col("user_id") % 97 === 0)
+      .select(col("user_id").as("subj"))
+    def row(tbl: String, hits: DataFrame, total: DataFrame): DataFrame =
+      hits.agg(countDistinct(col("subj")).as("n_subjects"),
+          count(lit(1)).as("n_rows"))
+        .crossJoin(broadcast(total.agg(count(lit(1)).as("total"))))
+        .select(lit(tbl).as("tbl"), col("n_subjects"), col("n_rows"),
+          // empty-table guard (EmptyInputSpec): 0-row table → 0 bp
+          when(col("total") === 0L, lit(0L))
+            .otherwise(expr("(10000 * n_rows) div total")).as("share_bp"))
+    row("customer", co, Tables.customer(s, d))
+      .unionAll(row("events", ee, Tables.events(s, d)))
+      .unionAll(row("lineitem", ll, Tables.lineitem(s, d)))
+      .unionAll(row("orders", oo, Tables.orders(s, d)))
+      .orderBy(col("tbl"))
+  }
+
   val all: Seq[QueryDef] =
     Seq(q91ChangelogUpsert, q92SnapshotDiff, q94ZorderLayout, q115ScdType2,
-      q130ViewMaintenance, q196DatasetFingerprint, q223VacuumPlan)
+      q130ViewMaintenance, q196DatasetFingerprint, q223VacuumPlan,
+      q233ErasureAudit)
 }

@@ -219,6 +219,70 @@ object StreamingOps {
     }
   }
 
+  /** Stateful ORDERED-FUNNEL tracker — the streaming twin of q231's
+    * batch funnel (view → click → purchase, each step STRICTLY after
+    * the previous one's timestamp, so purchase-before-view never
+    * converts): per user one (current step, last step time) ValueState;
+    * each event advances the funnel iff it is the next step's type and
+    * strictly later, emitting (user, step, step time) exactly when a
+    * step completes. A sequential strictly-after scan in event-time
+    * order reaches each step at the MINIMUM qualifying timestamp, so
+    * the emitted step times equal q231's min-aggregation definition
+    * (stream≡batch pinned in StreamingSpec). Rows within a micro-batch
+    * sort by event time; the in-order-ACROSS-batches assumption is the
+    * same as [[DebounceProcessor]]'s and is documented there.
+    */
+  class FunnelProcessor(steps: Seq[String])
+      extends org.apache.spark.sql.streaming.StatefulProcessor[
+        Long, Event, (Long, Int, java.sql.Timestamp)] {
+    @transient private var prog
+        : org.apache.spark.sql.streaming.ValueState[(Int, Long)] = _
+
+    override def init(
+        outputMode: OutputMode,
+        timeMode: org.apache.spark.sql.streaming.TimeMode): Unit = {
+      prog = getHandle.getValueState[(Int, Long)](
+        "prog",
+        org.apache.spark.sql.Encoders.tuple(
+          org.apache.spark.sql.Encoders.scalaInt,
+          org.apache.spark.sql.Encoders.scalaLong),
+        org.apache.spark.sql.streaming.TTLConfig.NONE)
+    }
+
+    override def handleInputRows(
+        key: Long,
+        rows: Iterator[Event],
+        timerValues: org.apache.spark.sql.streaming.TimerValues)
+        : Iterator[(Long, Int, java.sql.Timestamp)] = {
+      var (step, lastTs) =
+        if (prog.exists()) prog.get() else (0, Long.MinValue)
+      val out =
+        scala.collection.mutable.ArrayBuffer.empty[(Long, Int, java.sql.Timestamp)]
+      rows.toSeq.sortBy(_.ts.getTime).foreach { e =>
+        if (step < steps.length && e.event_type == steps(step) &&
+            (step == 0 || e.ts.getTime > lastTs)) {
+          step += 1
+          lastTs = e.ts.getTime
+          out += ((key, step, e.ts))
+        }
+      }
+      prog.update((step, lastTs))
+      out.iterator
+    }
+  }
+
+  /** Streaming ordered funnel per user; default steps = q231's. */
+  def funnelEvents(spark: SparkSession, events: Dataset[Event],
+      steps: Seq[String] = Seq("view", "click", "purchase"))
+      : Dataset[(Long, Int, java.sql.Timestamp)] = {
+    import spark.implicits._
+    events
+      .groupByKey(_.user_id)
+      .transformWithState(new FunnelProcessor(steps),
+        org.apache.spark.sql.streaming.TimeMode.None(),
+        OutputMode.Append())
+  }
+
   /** Streaming debounce per (user, type); default window = q226's
     * 10 minutes. `stateTtlMs > 0` bounds per-key state for unbounded
     * key spaces (expire lastSeen after that much processing time

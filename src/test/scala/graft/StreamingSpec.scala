@@ -244,6 +244,66 @@ class StreamingSpec extends SparkSpec {
       spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
   }
 
+  test("stateful ordered funnel equals the q231 batch rule across batches (stream twin)") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      // users: 1 converts fully in order; 2 purchases BEFORE viewing
+      // (must stall at step 1 until an in-order purchase arrives —
+      // never); 3 clicks at exactly t1 (strict >, not a conversion)
+      // then clicks later (converts); 4 only views
+      val evs = Seq(
+        Event(ts(0), 1L, "view", 0), Event(ts(1), 1L, "click", 0),
+        Event(ts(2), 1L, "purchase", 0),
+        Event(ts(0), 2L, "purchase", 0), Event(ts(1), 2L, "view", 0),
+        Event(ts(2), 2L, "click", 0),
+        Event(ts(3), 3L, "view", 0), Event(ts(3), 3L, "click", 0),
+        Event(ts(5), 3L, "click", 0), Event(ts(9), 3L, "purchase", 0),
+        Event(ts(7), 4L, "view", 0))
+      val input = MemoryStream[Event]
+      val q = StreamingOps.funnelEvents(spark, input.toDS())
+        .toDF("user_id", "step", "step_ts")
+        .writeStream.format("memory").queryName("tws_funnel")
+        .outputMode("append").start()
+      try {
+        // split MID-USER so state must carry across the batch boundary
+        val (a, b) = evs.splitAt(6)
+        input.addData(a: _*); runAll(q)
+        input.addData(b: _*); runAll(q)
+        val got = spark.table("tws_funnel").collect()
+          .map(r => (r.getLong(0), r.getInt(1), r.getTimestamp(2).getTime))
+          .toSet
+        // driver recompute of the q231 batch rule (min strictly-after)
+        val steps = Seq("view", "click", "purchase")
+        val want = evs.groupBy(_.user_id).flatMap { case (u, g) =>
+          val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Int, Long)]
+          var last = Long.MinValue
+          var i = 0
+          var alive = true
+          while (alive && i < steps.length) {
+            val c = g.filter(e => e.event_type == steps(i) &&
+              (i == 0 || e.ts.getTime > last)).map(_.ts.getTime)
+            if (c.isEmpty) alive = false
+            else { last = c.min; out += ((u, i + 1, last)); i += 1 }
+          }
+          out
+        }.toSet
+        assert(got == want,
+          s"stream/batch funnel diverged: ${got.diff(want)} / ${want.diff(got)}")
+        // the planted semantics explicitly: user 1 full; user 2's
+        // pre-view purchase never converts (view→click only); user 3
+        // converts via the LATER click; user 4 stops at step 1
+        assert(got.count(_._1 == 1L) == 3 && got.count(_._1 == 2L) == 2 &&
+          got.count(_._1 == 3L) == 3 && got.count(_._1 == 4L) == 1)
+        assert(got.contains((3L, 2, ts(5).getTime)),
+          "user 3's click at t1 must NOT convert (strict >); the +5 click must")
+      } finally q.stop()
+    } finally
+      spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+  }
+
   test("streaming Misra-Gries heavy hitters: bounded state, error bound, cross-batch accumulation") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
