@@ -147,6 +147,13 @@ object Bench {
     val medSpreadMajor = results.values
       .collect { case (mn, md, _) if mn >= 0.25 => md / mn }
       .foldLeft(1.0)(math.max)
+    // Contention is MANY majors over the bar; ONE ~0.3 s query at 2×
+    // is scheduler jitter (round-12: two adjacent clean runs each had
+    // exactly one such offender, a different query each time, while
+    // every substantive query was tight). Emit the count so the
+    // artifact distinguishes the two without a rerun.
+    val nSpreadOutliers = results.values
+      .count { case (mn, md, _) => mn >= 0.25 && md / mn > 1.8 }
     // stdout gets the COMPACT line only — and since round 11 that line
     // is BUDGETED: the driver stores only the last 2000 chars of
     // stdout ("tail") and parses a JSON object out of them, so from
@@ -170,7 +177,7 @@ object Bench {
     // "parsed": null — a parser keying on the {"metric" prefix never
     // matched the old {"runs":... ordering.
     val fixedPart =
-      s"""{"metric":"total","value":${r4(total)},"unit":"sec","runs":$Runs,"sf":"$sfDir",$loads,"n_queries":${results.size},"max_spread":${r4(maxSpread)},"med_spread":${r4(medSpread)},"med_spread_major":${r4(medSpreadMajor)},"failed":$failedJson,"flaky":$flakyJson,"detail_file":"target/bench.json"}"""
+      s"""{"metric":"total","value":${r4(total)},"unit":"sec","runs":$Runs,"sf":"$sfDir",$loads,"n_queries":${results.size},"max_spread":${r4(maxSpread)},"med_spread":${r4(medSpread)},"med_spread_major":${r4(medSpreadMajor)},"n_spread_outliers":$nSpreadOutliers,"failed":$failedJson,"flaky":$flakyJson,"detail_file":"target/bench.json"}"""
     val byCost = results.toSeq.sortBy { case (_, (_, med, _)) => -med }
     val topEntries = scala.collection.mutable.ArrayBuffer.empty[String]
     var lineLen = fixedPart.length + ""","queries":{},"queries_elided":000""".length
@@ -183,7 +190,7 @@ object Bench {
     val compact = fixedPart.dropRight(1) +
       s""","queries":{${topEntries.mkString(",")}},"queries_elided":${results.size - topEntries.size}}"""
     val full =
-      s"""{"metric":"total","value":$total,"unit":"sec","runs":$Runs,$loads,"max_spread":${r4(maxSpread)},"med_spread":${r4(medSpread)},"med_spread_major":${r4(medSpreadMajor)},"failed":$failedJson,"flaky":$flakyJson,"queries":$qs,"detail":$detail,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","runs":$Runs,$loads,"max_spread":${r4(maxSpread)},"med_spread":${r4(medSpread)},"med_spread_major":${r4(medSpreadMajor)},"n_spread_outliers":$nSpreadOutliers,"failed":$failedJson,"flaky":$flakyJson,"queries":$qs,"detail":$detail,"sf":"$sfDir"}"""
     println(compact)
     if (failed.nonEmpty)
       System.err.println(
