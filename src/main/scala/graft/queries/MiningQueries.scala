@@ -885,75 +885,10 @@ object MiningQueries {
       .orderBy(col("nationkey"), col("segment"))
   }
 
-  /** Ordered conversion funnel — the product-analytics staple that a
-    * naive per-step count gets WRONG (a user who purchased before
-    * ever viewing is not a conversion): step k's timestamp is the
-    * MIN event time of step k's type STRICTLY AFTER the user's step
-    * k−1 timestamp, so the funnel counts only in-order progressions
-    * view → click → purchase. Emits one row per step with the user
-    * count and conversion from step 1 in integer basis points.
-    *
-    * Scale shape: step 1 is one partial-aggregable (user, min ts);
-    * each later step is one user-keyed equi join (the accumulated
-    * funnel is ≤ |users| rows — broadcastable long after step 1
-    * filters bite) + the same partial min — never a per-user window
-    * over the event stream, never a self-join of events with events.
-    * Strict `>` on exact microsecond timestamps keeps the orbit
-    * deterministic in both engines.
-    */
-  val q231ConversionFunnel = QueryDef(
-    "q231_conversion_funnel",
-    "ordered funnel view->click->purchase: strictly-increasing step times per user, counts + conversion bp",
-    """WITH s1 AS (SELECT user_id, min(ts) AS t1 FROM events
-      |            WHERE event_type = 'view' GROUP BY user_id),
-      |s2 AS (SELECT e.user_id, min(e.ts) AS t2
-      |       FROM events e JOIN s1 ON s1.user_id = e.user_id
-      |       WHERE e.event_type = 'click' AND e.ts > s1.t1
-      |       GROUP BY e.user_id),
-      |s3 AS (SELECT e.user_id, min(e.ts) AS t3
-      |       FROM events e JOIN s2 ON s2.user_id = e.user_id
-      |       WHERE e.event_type = 'purchase' AND e.ts > s2.t2
-      |       GROUP BY e.user_id),
-      |c AS (SELECT CAST(1 AS BIGINT) AS step, 'view' AS step_type,
-      |        CAST((SELECT count(*) FROM s1) AS BIGINT) AS n_users
-      |      UNION ALL
-      |      SELECT 2, 'click', CAST((SELECT count(*) FROM s2) AS BIGINT)
-      |      UNION ALL
-      |      SELECT 3, 'purchase', CAST((SELECT count(*) FROM s3) AS BIGINT))
-      |SELECT step, step_type, n_users,
-      |  CAST((10000 * n_users) // (SELECT n_users FROM c WHERE step = 1) AS BIGINT) AS conv_bp
-      |FROM c ORDER BY step""".stripMargin) { (s, d) =>
-    val ev = Tables.events(s, d)
-      .select(col("user_id"), col("event_type"), col("ts"))
-    val s1 = ev.filter(col("event_type") === "view")
-      .groupBy(col("user_id")).agg(min(col("ts")).as("t1"))
-    val s2 = ev.filter(col("event_type") === "click")
-      .join(s1, "user_id").filter(col("ts") > col("t1"))
-      .groupBy(col("user_id")).agg(min(col("ts")).as("t2"))
-    val s3 = ev.filter(col("event_type") === "purchase")
-      .join(s2, "user_id").filter(col("ts") > col("t2"))
-      .groupBy(col("user_id")).agg(min(col("ts")).as("t3"))
-    val counts =
-      s1.agg(count(lit(1)).as("n_users")).select(lit(1L).as("step"),
-          lit("view").as("step_type"), col("n_users"))
-        .unionAll(s2.agg(count(lit(1)).as("n_users")).select(lit(2L).as("step"),
-          lit("click").as("step_type"), col("n_users")))
-        .unionAll(s3.agg(count(lit(1)).as("n_users")).select(lit(3L).as("step"),
-          lit("purchase").as("step_type"), col("n_users")))
-    counts
-      .crossJoin(broadcast(s1.agg(count(lit(1)).as("n1"))))
-      // empty-corpus guard (EmptyInputSpec): 0 step-1 users → 0 bp,
-      // not a division error; any real corpus has n1 > 0
-      .select(col("step"), col("step_type"), col("n_users"),
-        when(col("n1") === 0L, lit(0L))
-          .otherwise(expr("(10000 * n_users) div n1")).as("conv_bp"))
-      .orderBy(col("step"))
-  }
-
   val all: Seq[QueryDef] =
     Seq(q116AssociationRules, q119FkDiscovery, q120GoldenRecord,
       q124Contingency, q125MarkovTransitions, q126ContractAudit,
       q135TrendRegression, q140ItemSimilarity, q142SeqPatterns,
       q149DecayedPopularity, q205NextEventEval, q216FdDiscovery,
-      q230KAnonymity, q231ConversionFunnel)
+      q230KAnonymity)
 }

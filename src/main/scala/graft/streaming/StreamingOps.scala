@@ -219,7 +219,7 @@ object StreamingOps {
     }
   }
 
-  /** Stateful ORDERED-FUNNEL tracker — the streaming twin of q231's
+  /** Stateful ORDERED-FUNNEL tracker — the streaming twin of q97's
     * batch funnel (view → click → purchase, each step STRICTLY after
     * the previous one's timestamp, so purchase-before-view never
     * converts): per user one (current step, last step time) ValueState;
@@ -227,7 +227,7 @@ object StreamingOps {
     * strictly later, emitting (user, step, step time) exactly when a
     * step completes. A sequential strictly-after scan in event-time
     * order reaches each step at the MINIMUM qualifying timestamp, so
-    * the emitted step times equal q231's min-aggregation definition
+    * the emitted step times equal q97's min-aggregation definition
     * (stream≡batch pinned in StreamingSpec). Rows within a micro-batch
     * sort by event time; the in-order-ACROSS-batches assumption is the
     * same as [[DebounceProcessor]]'s and is documented there.
@@ -271,7 +271,7 @@ object StreamingOps {
     }
   }
 
-  /** Streaming ordered funnel per user; default steps = q231's. */
+  /** Streaming ordered funnel per user; default steps = q97's. */
   def funnelEvents(spark: SparkSession, events: Dataset[Event],
       steps: Seq[String] = Seq("view", "click", "purchase"))
       : Dataset[(Long, Int, java.sql.Timestamp)] = {

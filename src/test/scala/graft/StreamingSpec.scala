@@ -244,7 +244,7 @@ class StreamingSpec extends SparkSpec {
       spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
   }
 
-  test("stateful ordered funnel equals the q231 batch rule across batches (stream twin)") {
+  test("stateful ordered funnel equals the q97 batch rule across batches (stream twin)") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
     spark.conf.set("spark.sql.streaming.stateStore.providerClass",
@@ -275,7 +275,7 @@ class StreamingSpec extends SparkSpec {
         val got = spark.table("tws_funnel").collect()
           .map(r => (r.getLong(0), r.getInt(1), r.getTimestamp(2).getTime))
           .toSet
-        // driver recompute of the q231 batch rule (min strictly-after)
+        // driver recompute of the q97 batch rule (min strictly-after)
         val steps = Seq("view", "click", "purchase")
         val want = evs.groupBy(_.user_id).flatMap { case (u, g) =>
           val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Int, Long)]
