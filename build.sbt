@@ -11,6 +11,13 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// The driver captures the forked run's output and parses the one-line
+// {"metric":...} payload out of the tail. sbt's default LoggedOutput
+// prefixes every forked-process line with "[info] "/"[error] ", which
+// breaks line-anchored parsers (BENCH artifacts read "parsed": null for
+// five rounds running). StdoutOutput passes the child's stdout/stderr
+// through raw.
+outputStrategy := Some(StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

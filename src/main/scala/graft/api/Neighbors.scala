@@ -38,10 +38,25 @@ object Neighbors {
     * `struct(orderCols)` comparisons assume plain ascending
     * expressions (see object scaladoc).
     */
+  private def isSortOrderColumn(c: Column): Boolean = {
+    val n = c.node
+    // Column-API .asc/.desc wrap an sql.internal.SortOrder node
+    // (private[sql]; match by class name) …
+    n.getClass.getSimpleName == "SortOrder" || {
+      // … but expr("x DESC") parses to a CATALYST SortOrder wrapped in
+      // an ExpressionColumnNode — a different node class, so the
+      // simple-name check alone misses it (advisor find, round 12).
+      // ExpressionColumnNode is private[sql] too; pull its wrapped
+      // expression reflectively and reject catalyst SortOrder as well.
+      try {
+        n.getClass.getMethod("expression").invoke(n)
+          .isInstanceOf[org.apache.spark.sql.catalyst.expressions.SortOrder]
+      } catch { case _: NoSuchMethodException => false }
+    }
+  }
+
   private def requireAscending(orderCols: Seq[Column]): Unit =
-    require(orderCols.forall(c =>
-        // sql.internal.SortOrder is private[sql]; match by class name
-        c.node.getClass.getSimpleName != "SortOrder"),
+    require(orderCols.forall(c => !isSortOrderColumn(c)),
       "Neighbors orderCols must be plain (ascending) expressions — " +
         "min_by/max_by boundary carries over struct(orderCols) only match " +
         "an all-ascending sort; invert the column instead of .desc")

@@ -423,6 +423,13 @@ object MediaOps {
       val next = bb.position() + sz + (sz & 1)
       id match {
         case "fmt " =>
+          // the branch reads a fixed 16 bytes of PCM fields, so the
+          // declared size must cover them — a blob whose fmt chunk
+          // declares sz=8 with exactly 8 bytes remaining passes the
+          // generic sz<=remaining check above yet still underflows
+          // (advisor find, round 12)
+          require(sz >= 16,
+            s"corrupt WAV: fmt chunk declares $sz bytes, 16 required")
           val fmt = bb.getShort; val ch = bb.getShort
           rate = bb.getInt; bb.getInt; bb.getShort
           val bits = bb.getShort

@@ -140,8 +140,17 @@ object FuzzyJoinRewrite extends Rule[LogicalPlan] {
   private def rewrite(j: Join, l: LogicalPlan, r: LogicalPlan,
       ls: Expression, rs: Expression, k: Int,
       residual: Seq[Expression]): LogicalPlan = {
-    val (lb, lk) = explodeSegments(l, ls, k)
-    val (rb, rk) = explodeProbes(r, rs, k)
+    // NULL strings can never satisfy fuzzy_match (the predicate is
+    // null ⇒ the inner join drops the row), but xxhash64 SKIPS null
+    // children, so an un-filtered NULL row would band under hash(i)
+    // alone and every NULL row would collide into the same k+1 buckets
+    // — a quadratic candidate blow-up in the NULL count on null-heavy
+    // columns (advisor find, round 12). Filtering them before the
+    // explode is exactly output-equivalent and prunes the work.
+    val lnn: LogicalPlan = if (ls.nullable) Filter(IsNotNull(ls), l) else l
+    val rnn: LogicalPlan = if (rs.nullable) Filter(IsNotNull(rs), r) else r
+    val (lb, lk) = explodeSegments(lnn, ls, k)
+    val (rb, rk) = explodeProbes(rnn, rs, k)
     // never BROADCAST a segment-band side: both sides are the corpus
     // exploded ~(k+1)–(2k+1)(k+1)× into string segments, so their
     // size GROWS with the data while the size ESTIMATE (prefix

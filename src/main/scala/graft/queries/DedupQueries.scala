@@ -669,7 +669,13 @@ object DedupQueries {
     * via PassJoin segment banding (see q82 scaladoc); exact
     * bounded-threshold verify on candidates only.
     */
-  def editDistancePairs(d: DataFrame, k: Int, segLen: Int): DataFrame = {
+  def editDistancePairs(dRaw: DataFrame, k: Int, segLen: Int): DataFrame = {
+    // NULL prefixes can never pass the levenshtein verify, but
+    // xxhash64 skips null children, so un-filtered NULL rows would all
+    // band under hash(seg index) alone — quadratic candidate blow-up
+    // in the NULL count (advisor find, round 12; same fix in
+    // FuzzyJoinRewrite). Output-equivalent: verify drops them anyway.
+    val d = dRaw.filter(col("pfx").isNotNull)
     val nSeg = k + 1
     // index side: the K+1 canonical segments of each prefix
     // keys are xxhash64(seg index, substring) longs, not substring

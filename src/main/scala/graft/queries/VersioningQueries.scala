@@ -474,7 +474,10 @@ object VersioningQueries {
       |    CAST(count(*) AS BIGINT),
       |    CAST((SELECT count(*) FROM orders) AS BIGINT) FROM oo)
       |SELECT tbl, n_subjects, n_rows,
-      |  CAST((10000 * n_rows) // total AS BIGINT) AS share_bp
+      |  -- mirror the Spark side's empty-table guard (advisor find,
+      |  -- round 12): 0-row table → 0 bp, not a divide-by-zero
+      |  CAST(CASE WHEN total = 0 THEN 0
+      |            ELSE (10000 * n_rows) // total END AS BIGINT) AS share_bp
       |FROM per ORDER BY tbl""".stripMargin) { (s, d) =>
     val req = Tables.customer(s, d)
       .filter(col("c_custkey") % 97 === 0)

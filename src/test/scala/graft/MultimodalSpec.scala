@@ -240,6 +240,20 @@ class MultimodalSpec extends SparkSpec {
       MediaOps.parseWav(truncated)
     }
     assert(e.getMessage.contains("corrupt WAV"), e.getMessage)
+    // a fmt chunk DECLARING fewer than the 16 PCM-field bytes the
+    // branch reads (sz=8 with exactly 8 bytes remaining) passes the
+    // generic sz<=remaining check yet used to underflow anyway
+    // (round-12 advisor find): must be the loud require instead
+    val shortFmt = java.nio.ByteBuffer.allocate(28)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    shortFmt.put("RIFF".getBytes("US-ASCII")).putInt(20)
+      .put("WAVE".getBytes("US-ASCII"))
+      .put("fmt ".getBytes("US-ASCII")).putInt(8)
+      .putLong(0L) // 8 declared bytes, buffer ends here
+    val e2 = intercept[IllegalArgumentException] {
+      MediaOps.parseWav(shortFmt.array())
+    }
+    assert(e2.getMessage.contains("corrupt WAV"), e2.getMessage)
   }
 
   test("Y4M roundtrip: synthesized stream parses back to the exact planes") {

@@ -278,6 +278,31 @@ class PlanSpec extends SparkSpec {
     assert(!got.contains((1L, 5L)), "distance-5 decoy leaked through verify")
   }
 
+  test("fuzzy_match rewrite filters NULL strings before banding (no hash-of-index collision class)") {
+    GraftFunctions.register(spark)
+    import spark.implicits._
+    // xxhash64 SKIPS null children, so an unfiltered NULL string would
+    // band under hash(segment index) alone and every NULL row would
+    // collide into the same k+1 buckets — quadratic candidates in the
+    // NULL count (round-12 advisor find). The rewrite must filter NULLs
+    // pre-explode; output is unchanged because fuzzy_match(NULL, _) is
+    // null ⇒ the inner join drops the row either way.
+    val base = "the quick brown fox jumps over the lazy dog near the rivers!"
+    val withNulls = Seq((1L, base), (2L, base.updated(5, 'x')),
+      (6L, null.asInstanceOf[String]), (7L, null.asInstanceOf[String]),
+      (8L, null.asInstanceOf[String])).toDF("id", "s")
+    val l = withNulls.toDF("id_a", "s_a")
+    val r = withNulls.toDF("id_b", "s_b")
+    val joined = l.join(r,
+      GraftFunctions.fuzzyMatch(col("s_a"), col("s_b"), 4) &&
+        col("id_a") < col("id_b"))
+    val plan = joined.queryExecution.optimizedPlan.toString
+    assert(plan.contains("isnotnull"),
+      s"NULL strings must be filtered before segment banding:\n$plan")
+    val got = joined.select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(got == Set((1L, 2L)), s"null rows must never pair: $got")
+  }
+
   test("fuzzy_match beyond MaxRewriteDistance falls back to the exact nested-loop join") {
     GraftFunctions.register(spark)
     val l = fuzzyFixture.toDF("id_a", "s_a")

@@ -190,6 +190,29 @@ class PropertySpec extends SparkSpec {
     // plain and explicitly-inverted (negated) columns still pass
     assert(api.Neighbors.withNeighbors(df, Seq((-col("id")).as("nid"), col("id")), "k")
       .count() == 2)
+    // a CATALYST SortOrder wrapped in an ExpressionColumnNode — a
+    // different Column node class than .desc's internal SortOrder node,
+    // so the simple-name check alone missed it and silently produced
+    // wrong boundary rows (round-12 advisor find). Build the bypass
+    // object the way a catalyst-level caller would: convert .desc's
+    // node to its catalyst expression, then re-wrap as an expression
+    // column (ExpressionUtils is private[sql]; reflection in the test
+    // only — the production guard unwraps via getMethod("expression")).
+    val sortExpr = org.apache.spark.sql.catalyst.expressions.SortOrder(
+      org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute("id"),
+      org.apache.spark.sql.catalyst.expressions.Descending)
+    val euCls = Class.forName("org.apache.spark.sql.classic.ExpressionUtils$")
+    val eu = euCls.getField("MODULE$").get(null)
+    val wrapped = euCls
+      .getMethod("column", classOf[org.apache.spark.sql.catalyst.expressions.Expression])
+      .invoke(eu, sortExpr).asInstanceOf[org.apache.spark.sql.Column]
+    val e3 = intercept[IllegalArgumentException] {
+      api.Neighbors.withNeighbors(df, Seq(wrapped), "k")
+    }
+    assert(e3.getMessage.contains("ascending"), e3.getMessage)
+    // a plain expr() order column must still pass
+    assert(api.Neighbors.withNeighbors(df, Seq(expr("id + 0")), "k")
+      .count() == 2)
   }
 
   test("Ranking.withRank ranks NULL group keys as their own group (null-safe join)") {
