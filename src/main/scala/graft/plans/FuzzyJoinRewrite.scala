@@ -68,6 +68,18 @@ object FuzzyJoinRewrite extends Rule[LogicalPlan] {
   override def apply(plan: LogicalPlan): LogicalPlan = plan.transformUp {
     case j @ Join(l, r, Inner, Some(cond), _) if j.resolved =>
       val conjuncts = splitConjuncts(cond)
+      // keyed form first: when the caller declares per-side keys the
+      // slimmed band join is strictly better (see rewriteKeyed)
+      val keyedHit = conjuncts.collectFirst {
+        case fm @ FuzzyMatchKeyed(a, b, Literal(k: Int, IntegerType), ak, bk)
+            if (a.references ++ ak.references).subsetOf(l.outputSet) &&
+              (b.references ++ bk.references).subsetOf(r.outputSet) =>
+          (fm, a, b, k, ak, bk)
+        case fm @ FuzzyMatchKeyed(a, b, Literal(k: Int, IntegerType), ak, bk)
+            if (b.references ++ bk.references).subsetOf(l.outputSet) &&
+              (a.references ++ ak.references).subsetOf(r.outputSet) =>
+          (fm, b, a, k, bk, ak)
+      }
       val hit = conjuncts.collectFirst {
         case fm @ FuzzyMatch(a, b, Literal(k: Int, IntegerType))
             if a.references.subsetOf(l.outputSet) &&
@@ -78,8 +90,12 @@ object FuzzyJoinRewrite extends Rule[LogicalPlan] {
               a.references.subsetOf(r.outputSet) =>
           (fm, b, a, k)
       }
-      hit match {
-        case Some((fm, ls, rs, k)) if k >= 0 && k <= MaxRewriteDistance =>
+      (keyedHit, hit) match {
+        case (Some((fm, ls, rs, k, lk, rk)), _)
+            if k >= 0 && k <= MaxRewriteDistance =>
+          val residual = conjuncts.filterNot(_ eq fm)
+          rewriteKeyed(j, l, r, ls, rs, k, lk, rk, residual)
+        case (_, Some((fm, ls, rs, k))) if k >= 0 && k <= MaxRewriteDistance =>
           val residual = conjuncts.filterNot(_ eq fm)
           rewrite(j, l, r, ls, rs, k, residual)
         case _ => j
@@ -170,5 +186,71 @@ object FuzzyJoinRewrite extends Rule[LogicalPlan] {
     // exact verify via the FuzzyVerify twin (see scaladoc re: re-match)
     val verify: Expression = FuzzyVerify(ls, rs, Literal(k))
     Filter((verify +: residual).reduce(And), dedup)
+  }
+
+  /** The KEYED rewrite ([[FuzzyMatchKeyed]]): band (key, segment-hash)
+    * pairs ONLY — 16 bytes per exploded row instead of the full string
+    * payload riding the ≤(k+1)(2k+1)-way probe fan-out — then dedup
+    * candidate KEY pairs and re-fetch each side's payload through one
+    * equi join before the exact verify:
+    *
+    * {{{
+    *   Filter(fuzzy_verify(ls, rs, k) AND residual...,
+    *     Join(Join(Aggregate((lkey, rkey),       // dedup candidate key pairs
+    *                 Project((lkey, rkey), bandJoin(slim_l, slim_r))),
+    *               l, lkey <=> lkey'),           // re-fetch left payload
+    *          r, rkey <=> rkey'))                // re-fetch right payload
+    * }}}
+    *
+    * The re-fetch joins shuffle each side ONCE by its key (or
+    * broadcast the candidate set when it is small — AQE's call); the
+    * 45-probe fan-out never carries payload. Exactness: banding is
+    * complete (pigeonhole), candidates are key PAIRS, the re-fetch
+    * re-expands every row combination under a pair, and the verify +
+    * residual re-check each combination — so this form has exact BAG
+    * semantics even with duplicate or null keys (null-safe `<=>`
+    * re-fetch; see [[FuzzyMatchKeyed]]'s scaladoc). q82's sf1 ladder:
+    * 2.0× → ~1.5× from the payload slimming alone.
+    */
+  private def rewriteKeyed(j: Join, l: LogicalPlan, r: LogicalPlan,
+      ls: Expression, rs: Expression, k: Int,
+      lkey: Expression, rkey: Expression,
+      residual: Seq[Expression]): LogicalPlan = {
+    // NULL strings: same argument as in rewrite() — they can never
+    // verify, and unfiltered they'd all band under hash(index) alone
+    val lnn: LogicalPlan = if (ls.nullable) Filter(IsNotNull(ls), l) else l
+    val rnn: LogicalPlan = if (rs.nullable) Filter(IsNotNull(rs), r) else r
+    // band sides slimmed to (key, segkey): alias the key below the
+    // explode, project everything else away above it
+    val lkBand = Alias(lkey, "graft_lkey")()
+    val rkBand = Alias(rkey, "graft_rkey")()
+    val (lg, lsk) = explodeSegments(Project(lnn.output :+ lkBand, lnn), ls, k)
+    val (rg, rsk) = explodeProbes(Project(rnn.output :+ rkBand, rnn), rs, k)
+    val lb = Project(Seq(lkBand.toAttribute, lsk), lg)
+    val rb = Project(Seq(rkBand.toAttribute, rsk), rg)
+    val noBc = JoinHint(
+      Some(HintInfo(strategy = Some(NO_BROADCAST_HASH))),
+      Some(HintInfo(strategy = Some(NO_BROADCAST_HASH))))
+    val bandJoin = Join(lb, rb, Inner, Some(EqualTo(lsk, rsk)), noBc)
+    val pairCols = Seq(lkBand.toAttribute, rkBand.toAttribute)
+    val pairs = Aggregate(pairCols, pairCols, Project(pairCols, bandJoin))
+    // re-fetch: join the candidate key pairs back to each side's full
+    // rows. Each fetch branch re-computes the key under a FRESH alias
+    // (the banded branch's attrs are hidden behind the aggregate, so
+    // no duplicate exprIds are EXPOSED at either join). <=> so null
+    // keys still re-fetch their rows.
+    val lkFetch = Alias(lkey, "graft_lkey_f")()
+    val rkFetch = Alias(rkey, "graft_rkey_f")()
+    val lFetch = Project(l.output :+ lkFetch, l)
+    val rFetch = Project(r.output :+ rkFetch, r)
+    val fetched = Join(
+      Join(pairs, lFetch, Inner,
+        Some(EqualNullSafe(lkBand.toAttribute, lkFetch.toAttribute)),
+        JoinHint.NONE),
+      rFetch, Inner,
+      Some(EqualNullSafe(rkBand.toAttribute, rkFetch.toAttribute)),
+      JoinHint.NONE)
+    val verify: Expression = FuzzyVerify(ls, rs, Literal(k))
+    Project(j.output, Filter((verify +: residual).reduce(And), fetched))
   }
 }

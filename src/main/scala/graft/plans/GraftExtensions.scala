@@ -89,11 +89,22 @@ object GraftFunctions {
       new ExpressionInfo(classOf[VectorSumAgg].getName, "vector_sum"),
       (children: Seq[Expression]) => VectorSumAgg(children.head))
 
+  /** 3-arg form: set-semantics band rewrite carrying the payload
+    * through the probe fan-out. 5-arg form
+    * `fuzzy_match(a, b, k, leftKey, rightKey)`: caller declares a
+    * per-side row key, so the rewrite bands (key, segment-hash) pairs
+    * only and re-fetches payloads post-dedup — exact bag semantics
+    * and a fan-out shuffle of 16-byte rows (see [[FuzzyMatchKeyed]]).
+    */
   val fuzzyMatchDescriptor: Descriptor =
     (FunctionIdentifier("fuzzy_match"),
       new ExpressionInfo(classOf[FuzzyMatch].getName, "fuzzy_match"),
-      (children: Seq[Expression]) =>
-        FuzzyMatch(children(0), children(1), children(2)))
+      (children: Seq[Expression]) => children match {
+        case Seq(a, b, k) => FuzzyMatch(a, b, k)
+        case Seq(a, b, k, ak, bk) => FuzzyMatchKeyed(a, b, k, ak, bk)
+        case other => throw new IllegalArgumentException(
+          s"fuzzy_match takes (a, b, k[, leftKey, rightKey]); got ${other.size} args")
+      })
 
   val freqTopkDescriptor: Descriptor =
     (FunctionIdentifier("freq_topk"),
@@ -219,6 +230,17 @@ object GraftFunctions {
   def fuzzyMatch(a: Column, b: Column, k: Int): Column =
     call_function("fuzzy_match", a, b,
       org.apache.spark.sql.functions.lit(k))
+
+  /** `fuzzyMatch` with caller-declared per-side row keys: the rewrite
+    * bands (key, segment-hash) pairs only — the string payload never
+    * rides the ≤(k+1)(2k+1)-way probe fan-out — and re-fetches each
+    * side by key after candidate dedup. Exact bag semantics (the
+    * 3-arg rewrite is set-semantics); see [[FuzzyMatchKeyed]].
+    */
+  def fuzzyMatch(a: Column, b: Column, k: Int,
+      aKey: Column, bKey: Column): Column =
+    call_function("fuzzy_match", a, b,
+      org.apache.spark.sql.functions.lit(k), aKey, bKey)
 
   /** Column-API form of the Misra–Gries heavy-hitters aggregate:
     * top-k keys by (estimated) frequency with ≤ `capacity` counters

@@ -732,14 +732,19 @@ object DedupQueries {
       |SELECT doc_a, doc_b, lang, CAST(dist AS INT) AS dist
       |FROM p WHERE dist <= 4
       |ORDER BY doc_a, doc_b""".stripMargin) { (s, d) =>
-    // Expressed through the FIRST-CLASS operator: `fuzzy_match(a,b,4)`
-    // in an inner-join condition, which `plans.FuzzyJoinRewrite`
-    // rewrites into the same PassJoin band-join + bounded-verify shape
-    // `editDistancePairs` (kept above as the explicit-recipe form)
-    // builds by hand — and since PassJoin banding is COMPLETE, the
-    // brute-force DuckDB oracle hash-checks the whole operator stack.
-    // PlanSpec gates the rewrite fires (no BNLJ) and equals brute
-    // force on adversarial alignment-shift fixtures.
+    // Expressed through the FIRST-CLASS operator: the KEYED
+    // `fuzzy_match(a, b, 4, doc_a, doc_b)` in an inner-join condition,
+    // which `plans.FuzzyJoinRewrite` rewrites into the PassJoin
+    // band-join + bounded-verify shape `editDistancePairs` (kept above
+    // as the explicit-recipe form) builds by hand — and, because the
+    // caller declares doc_id as each side's row key (round 13), the
+    // band join carries (doc_id, segment-hash) pairs ONLY: the 60-char
+    // prefix no longer rides the 45-probe fan-out on both sides (the
+    // round-12 residual ~3× ladder) but is re-fetched through one equi
+    // join per side after candidate dedup. PassJoin banding is
+    // COMPLETE, so the brute-force DuckDB oracle hash-checks the whole
+    // operator stack; PlanSpec gates the rewrite fires (no BNLJ) and
+    // equals brute force on adversarial alignment-shift fixtures.
     GraftFunctions.register(s)
     val docs = Tables.documents(s, d)
       .select(col("doc_id"), col("lang"),
@@ -750,7 +755,8 @@ object DedupQueries {
     a.join(b,
         col("lang") === col("lang_b") &&
           col("doc_a") < col("doc_b") &&
-          GraftFunctions.fuzzyMatch(col("pfx_a"), col("pfx_b"), 4))
+          GraftFunctions.fuzzyMatch(col("pfx_a"), col("pfx_b"), 4,
+            col("doc_a"), col("doc_b")))
       .select(col("doc_a"), col("doc_b"), col("lang"),
         levenshtein(col("pfx_a"), col("pfx_b")).as("dist"))
       .orderBy(col("doc_a"), col("doc_b"))

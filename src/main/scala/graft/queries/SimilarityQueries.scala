@@ -401,10 +401,12 @@ object SimilarityQueries {
     * the oracle below replays the exact hyperplane signs (one ±1
     * array per projection, folded over components in Spark's order —
     * bit-identical IEEE sums), the derived 2r×r banding, the
-    * candidate join, and the round(cos,4) ≥ 0.45 verify. The oracle's
-    * single-signature-word replay covers derived r ≤ 5 (n ≤ 4096 —
-    * both gate corpora; beyond that the engine splits bands across
-    * seed-offset words, exercised by DedupQualitySpec at 128/8). The
+    * candidate join, and the round(cos,4) ≥ 0.45 verify. Since round
+    * 13 the replay is per-band-LANE (band b's bits come from word
+    * b // (64 // r) at the engine's seed stride), so it covers ANY
+    * derived r including the multi-word r > 5 regime — hash-gated at
+    * sf1 (r=8, two words, `CORRECTNESS_r13_sf1_sample.json`), where
+    * the old single-word form overflowed 64-bit shifts. The
     * LSH approximation is in the result BY DESIGN; the oracle
     * reproduces the same approximation, so rows+schema+hash all gate.
     */
@@ -415,30 +417,37 @@ object SimilarityQueries {
       |rp AS MATERIALIZED (SELECT coalesce(min(i), 11) AS r
       |      FROM (SELECT unnest(range(4, 12)) AS i)
       |      WHERE (CAST(128 AS BIGINT) << i) >= (SELECT count(*) FROM t)),
-      |ij AS (SELECT i, j
-      |       FROM (SELECT unnest(range(0, (SELECT 2*r*r FROM rp))) AS i)
-      |       CROSS JOIN (SELECT unnest(range(1, 1 + (SELECT max(len(v)) FROM t))) AS j)),
-      |z0 AS (SELECT i, j,
-      |        (CAST(7 AS HUGEINT) + CAST(i AS HUGEINT)*6364136223846793005
+      |-- per-BAND bit lanes (round 13): band b draws bits [off, off+r)
+      |-- of signature word w = b // (64 // r), word w's lanes seeded at
+      |-- 7 + w*2685821657736338717 (the engine's seed stride). Computing
+      |-- band keys lane-by-lane keeps every shift < r <= 11, so the
+      |-- replay also covers derived r > 5 (nBits > 64), where the old
+      |-- single-word form overflowed BIGINT shifts at sf1 scale.
+      |bd AS (SELECT b, r, b // (64 // r) AS w, (b % (64 // r)) * r AS off
+      |       FROM (SELECT unnest(range(0, 2*r)) AS b, r FROM rp)),
+      |lanes AS (SELECT bd.b, bd.w, bd.off + p.p AS i, p.p
+      |          FROM bd JOIN (SELECT unnest(range(0, (SELECT r FROM rp))) AS p) p
+      |          ON p.p < bd.r),
+      |ij AS (SELECT l.b, l.w, l.i, l.p, j.j
+      |       FROM lanes l
+      |       CROSS JOIN (SELECT unnest(range(1, 1 + (SELECT max(len(v)) FROM t))) AS j) j),
+      |z0 AS (SELECT b, p, j,
+      |        (CAST(7 AS HUGEINT) + CAST(w AS HUGEINT)*2685821657736338717
+      |         + CAST(i AS HUGEINT)*6364136223846793005
       |         + CAST(j AS HUGEINT)*1442695040888963407) % 18446744073709551616 AS z FROM ij),
-      |z1 AS (SELECT i, j, (xor(z, z >> 30) * 2685821657736338717) % 18446744073709551616 AS z FROM z0),
-      |z2 AS (SELECT i, j, (xor(z, z >> 27) * 1181783497276652981) % 18446744073709551616 AS z FROM z1),
-      |sg AS (SELECT i, list(CASE WHEN xor(z, z >> 31) % 2 = 1 THEN -1.0 ELSE 1.0 END ORDER BY j) AS sgn
-      |       FROM z2 GROUP BY i),
-      |pr AS (SELECT t.vec_id, sg.i,
+      |z1 AS (SELECT b, p, j, (xor(z, z >> 30) * 2685821657736338717) % 18446744073709551616 AS z FROM z0),
+      |z2 AS (SELECT b, p, j, (xor(z, z >> 27) * 1181783497276652981) % 18446744073709551616 AS z FROM z1),
+      |sg AS (SELECT b, p, list(CASE WHEN xor(z, z >> 31) % 2 = 1 THEN -1.0 ELSE 1.0 END ORDER BY j) AS sgn
+      |       FROM z2 GROUP BY b, p),
+      |pr AS (SELECT t.vec_id, sg.b, sg.p,
       |        list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
       |          list_transform(range(1, len(t.v) + 1), j -> t.v[j] * sg.sgn[j])),
       |          (a, x) -> a + x) AS proj
       |       FROM t CROSS JOIN sg),
-      |sig AS (SELECT vec_id,
-      |          CAST(sum(CASE WHEN proj > 0 THEN (CAST(1 AS BIGINT) << i) ELSE 0 END) AS BIGINT) AS sig
-      |        FROM pr GROUP BY vec_id),
-      |bexp AS (SELECT vec_id, sig, r, unnest(range(0, 2*r)) AS b
-      |         FROM sig CROSS JOIN rp),
       |bands AS (SELECT vec_id,
-      |            b*(CAST(1 AS BIGINT) << r)
-      |              + ((sig >> CAST(r*b AS INT)) % (CAST(1 AS BIGINT) << r)) AS bk
-      |          FROM bexp),
+      |            (CAST(b AS BIGINT) << (SELECT r FROM rp))
+      |              + CAST(sum(CASE WHEN proj > 0 THEN (CAST(1 AS BIGINT) << p) ELSE 0 END) AS BIGINT) AS bk
+      |          FROM pr GROUP BY vec_id, b),
       |cand AS (SELECT DISTINCT x.vec_id AS vec_a, y.vec_id AS vec_b
       |         FROM bands x JOIN bands y ON x.bk = y.bk AND x.vec_id < y.vec_id)
       |SELECT vec_a, vec_b, cos_sim FROM (

@@ -303,6 +303,87 @@ class PlanSpec extends SparkSpec {
     assert(got == Set((1L, 2L)), s"null rows must never pair: $got")
   }
 
+  test("keyed fuzzy_match rewrites to the slim band join + key-pair dedup + re-fetch") {
+    GraftFunctions.register(spark)
+    val l = fuzzyFixture.toDF("id_a", "s_a")
+    val r = fuzzyFixture.toDF("id_b", "s_b")
+    val joined = l.join(r,
+      GraftFunctions.fuzzyMatch(col("s_a"), col("s_b"), 4,
+        col("id_a"), col("id_b")) && col("id_a") < col("id_b"))
+    val plan = planString(joined)
+    assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"),
+      s"keyed fuzzy_match join stayed quadratic:\n$plan")
+    assert(plan.contains("fuzzy_verify"), s"exact verify filter missing:\n$plan")
+    // the band fan-out must carry (key, segment-hash) ONLY — the
+    // string payload is re-fetched post-dedup, so no attribute of the
+    // exploded sides' Exchange input may be a string
+    val opt = joined.queryExecution.optimizedPlan
+    val gens = opt.collect {
+      case g: org.apache.spark.sql.catalyst.plans.logical.Generate => g }
+    assert(gens.nonEmpty, s"segment Generate missing:\n$opt")
+    val slimProjects = opt.collect {
+      case p: org.apache.spark.sql.catalyst.plans.logical.Project
+          if p.child.isInstanceOf[org.apache.spark.sql.catalyst.plans.logical.Generate] &&
+            p.output.size == 2 &&
+            p.output.forall(_.dataType == org.apache.spark.sql.types.LongType) => p
+    }
+    assert(slimProjects.size == 2,
+      s"banded sides must be slimmed to 2 long columns each:\n$opt")
+    // and the output equals brute force, INCLUDING the shift pairs
+    val got = joined.select(col("id_a"), col("id_b")).collect()
+      .map(x => (x.getLong(0), x.getLong(1))).toSet
+    val brute = l.join(r,
+        levenshtein(col("s_a"), col("s_b")) <= 4 && col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b")).collect()
+      .map(x => (x.getLong(0), x.getLong(1))).toSet
+    assert(got == brute, s"keyed rewrite != brute force: got=$got brute=$brute")
+    assert(got.contains((1L, 3L)) && got.contains((1L, 4L)),
+      "alignment-shift pairs missing from the keyed rewrite")
+  }
+
+  test("keyed fuzzy_match preserves BAG semantics under duplicate keys and rows") {
+    GraftFunctions.register(spark)
+    import spark.implicits._
+    // two left rows SHARE key 1 with different strings; the right side
+    // has a duplicate row under one key. The keyed rewrite dedups KEY
+    // pairs then re-fetches every row combination, so multiplicities
+    // must match the honest nested-loop join exactly (bag equality).
+    val base = "the quick brown fox jumps over the lazy dog near the rivers!"
+    val l = Seq((1L, base), (1L, base.updated(2, 'q')), (2L, base))
+      .toDF("id_a", "s_a")
+    val r = Seq((7L, base), (7L, base), (8L, ("XX" + base).take(60)))
+      .toDF("id_b", "s_b")
+    val joined = l.join(r,
+      GraftFunctions.fuzzyMatch(col("s_a"), col("s_b"), 4,
+        col("id_a"), col("id_b")))
+      .select(col("id_a"), col("id_b"))
+    val brute = l.join(r,
+        levenshtein(col("s_a"), col("s_b")) <= 4)
+      .select(col("id_a"), col("id_b"))
+    val gotBag = joined.collect().map(x => (x.getLong(0), x.getLong(1)))
+      .groupBy(identity).view.mapValues(_.length).toMap
+    val bruteBag = brute.collect().map(x => (x.getLong(0), x.getLong(1)))
+      .groupBy(identity).view.mapValues(_.length).toMap
+    assert(gotBag == bruteBag,
+      s"keyed rewrite bag != brute bag: got=$gotBag brute=$bruteBag")
+    // sanity: duplicates genuinely exercised (multiplicity > 1 exists)
+    assert(bruteBag.values.exists(_ > 1), s"fixture lost its duplicates: $bruteBag")
+  }
+
+  test("keyed fuzzy_match is SQL-callable with 5 args and rewritten there too") {
+    GraftFunctions.register(spark)
+    fuzzyFixture.createOrReplaceTempView("fuzzy_docs_k")
+    val df = spark.sql(
+      """SELECT a.id AS id_a, b.id AS id_b
+        |FROM fuzzy_docs_k a JOIN fuzzy_docs_k b
+        |  ON fuzzy_match(a.s, b.s, 4, a.id, b.id) AND a.id < b.id""".stripMargin)
+    val plan = planString(df)
+    assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"),
+      s"SQL keyed fuzzy_match stayed quadratic:\n$plan")
+    val got = df.collect().map(x => (x.getLong(0), x.getLong(1))).toSet
+    assert(got.contains((1L, 3L)) && !got.contains((1L, 5L)), got.toString)
+  }
+
   test("fuzzy_match beyond MaxRewriteDistance falls back to the exact nested-loop join") {
     GraftFunctions.register(spark)
     val l = fuzzyFixture.toDF("id_a", "s_a")

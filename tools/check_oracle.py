@@ -10,6 +10,7 @@ so scale runs (e.g. sf0.1) leave committable evidence, not just prose.
 """
 import glob
 import json
+import os
 import sys
 
 import duckdb
@@ -33,8 +34,13 @@ def norm(df: pd.DataFrame) -> pd.DataFrame:
 def main(sf_dir: str, out_dir: str, json_path: str = None) -> int:
     con = duckdb.connect()
     for t in TABLES:
-        con.execute(
-            f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+        # driver-generated SFs are single files; Spark-written rescales
+        # (tools.ScaleData output, e.g. /tmp/graft_sf1) are DIRECTORIES
+        # of part files — glob those
+        path = f"{sf_dir}/{t}.parquet"
+        if os.path.isdir(path):
+            path = f"{path}/*.parquet"
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{path}'")
     oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
     failures = 0
     records = {}
