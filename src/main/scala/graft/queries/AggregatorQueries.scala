@@ -306,6 +306,20 @@ object AggregatorQueries {
     * (order and counts) against a brute-force Sennrich-style reference
     * on this same table.
     */
+  /** Memoized 24-merge BPE vocabulary of the corpus (the q95 training
+    * run): the one corpus scan + driver-local merge loop is paid once
+    * per (session, dir) and shared by q95 (stage-checkable training
+    * report) and q235 (per-language fertility audit). At 100 TB the
+    * memo's role is a persisted merges.txt artifact.
+    */
+  private[graft] def corpusMerges(
+      s: org.apache.spark.sql.SparkSession,
+      d: String): Seq[graft.api.BpeTrainer.Merge] =
+    graft.SessionMemo.getOrComputeAs[Seq[graft.api.BpeTrainer.Merge]](
+      s, "bpe.merges24:" + d) {
+      graft.api.BpeTrainer.train(Tables.documents(s, d), "text", 24)
+    }
+
   val q95BpeTrain = QueryDef(
     "q95_bpe_train",
     "BPE training: full 24-merge run; oracle-checked word-frequency scan + first merge argmax",
@@ -327,9 +341,10 @@ object AggregatorQueries {
       |ORDER BY kind, cnt DESC, item, item2""".stripMargin) { (s, d) =>
     import s.implicits._
     val docs = Tables.documents(s, d)
-    // full training still runs under the driver; only merge #1 is
-    // SQL-checkable, the loop itself is pinned in BpeTrainerSpec.
-    val merges = graft.api.BpeTrainer.train(docs, "text", 24)
+    // full training still runs under the driver (memoized — q235
+    // shares the same vocab); only merge #1 is SQL-checkable, the
+    // loop itself is pinned in BpeTrainerSpec.
+    val merges = corpusMerges(s, d)
     // empty corpus → no merges learnable → no merge row (the oracle's
     // argmax CTE is likewise empty)
     val mergeRow = merges.headOption.toSeq
@@ -341,6 +356,124 @@ object AggregatorQueries {
         lit("").as("item2"), col("n").as("cnt"))
     words.unionAll(mergeRow)
       .orderBy(col("kind"), col("cnt").desc, col("item"), col("item2"))
+  }
+
+  /** One unrolled BPE training+application iteration for the q235
+    * oracle: re-derive adjacent-pair counts from the current vocab
+    * symbolization, take the (count DESC, l, r) argmax — the trainer's
+    * exact tie-break — and rewrite every word's symbol string. Words
+    * are carried as chr(31)-delimited symbol strings in the canonical
+    * form `␟␟t1␟␟t2␟␟` (double separator between tokens AND at both
+    * ends), because then one SQL `replace(s, ␟l␟␟r␟, ␟lr␟)` IS the
+    * trainer's left-to-right single-pass [[graft.api.BpeTrainer.applyMerge]]:
+    * replace scans left-to-right non-overlapping, the consumed outer
+    * separators are re-emitted by the replacement, and overlapping
+    * occurrences ("aaa" + merge(a,a) → ["aa","a"], never ["a","aa"])
+    * resolve identically. Recomputing counts from scratch each
+    * iteration ≡ the trainer's incremental deltas; the empty-argmax
+    * CASE mirrors the trainer's `counts.nonEmpty` early stop.
+    */
+  private def bpeIterSql(k: Int): String =
+    s"""p$k AS (SELECT tk[CAST(i AS INT)] AS l, tk[CAST(i AS INT) + 1] AS r, n
+       |  FROM (SELECT n, tk, unnest(range(1, len(tk))) AS i
+       |        FROM (SELECT n, list_filter(string_split(s, chr(31)), x -> x <> '') AS tk
+       |              FROM v${k - 1}))),
+       |m$k AS MATERIALIZED (SELECT l, r FROM p$k GROUP BY l, r ORDER BY sum(n) DESC, l, r LIMIT 1),
+       |v$k AS MATERIALIZED (SELECT w, n,
+       |  CASE WHEN (SELECT count(*) FROM m$k) = 0 THEN s
+       |       ELSE replace(s,
+       |         chr(31) || (SELECT l FROM m$k) || chr(31) || chr(31) || (SELECT r FROM m$k) || chr(31),
+       |         chr(31) || (SELECT l || r FROM m$k) || chr(31)) END AS s
+       |  FROM v${k - 1})""".stripMargin
+
+  /** Tokenizer-health audit — the multilingual tokenizer-equity read
+    * an LLM data team runs before committing a vocabulary (Rust et
+    * al. 2021; the "fertility" metric): per language, how many BPE
+    * tokens the q95 vocab spends per WORD (fertility) and how many
+    * BYTES each token carries (compression). A language whose
+    * characters/bigrams the trained merges never covered tokenizes
+    * near character-level — fertility blows up toward the average
+    * word length and bytes-per-token collapses toward 1 — which is
+    * exactly the capacity-inequity signal that decides vocab size or
+    * per-language corpus mixing ([[graft.api.BpeTrainer]] trains on
+    * the whole corpus, so majority languages dominate the merges).
+    * `BpeTrainerSpec` pins the fixture: a coverage-gap language reads
+    * ≥ 2× the covered language's fertility under the same vocab.
+    *
+    * Integer exactness: both ratios are basis points via integer
+    * `div` (the q121 micro convention) — no float crosses engines.
+    *
+    * Scale shape: ONE corpus scan → a (lang, word) vocab-bounded
+    * count relation; the 24 learned merges are bounded metadata
+    * captured into a map-side pass with a per-partition word memo
+    * (Zipf collapses the merge loop to once per distinct word per
+    * partition — the [[graft.api.BpeTrainer.encode]] discipline);
+    * the final aggregate is |languages| rows. Nothing shuffles but
+    * the word counts. Training itself is the memoized
+    * [[corpusMerges]] q95 already pays.
+    *
+    * Oracle: full replay — the q95 word-frequency scan, 24 unrolled
+    * training iterations ([[bpeIterSql]]: the replace-based exact
+    * [[graft.api.BpeTrainer.applyMerge]] twin), per-word token counts
+    * off the final symbolization, and the per-language integer
+    * ratios. The one assumption is that no corpus word contains
+    * chr(31) (the symbol delimiter), which holds for any text corpus
+    * that survived C0-control stripping.
+    */
+  val q235TokenizerFertility = QueryDef(
+    "q235_tokenizer_fertility",
+    "tokenizer-health audit: per-language BPE fertility (tokens/word) and bytes/token of the q95 vocab, integer bp",
+    s"""WITH docs_w AS (
+       |  SELECT lang, unnest(list_filter(string_split(text, ' '), t -> length(t) > 0)) AS w
+       |  FROM documents),
+       |lw AS MATERIALIZED (SELECT lang, w, CAST(count(*) AS BIGINT) AS n FROM docs_w GROUP BY lang, w),
+       |v0 AS MATERIALIZED (SELECT w, CAST(sum(n) AS BIGINT) AS n,
+       |         chr(31) || chr(31) ||
+       |         array_to_string(list_transform(range(1, length(w) + 1),
+       |           i -> substr(w, CAST(i AS INT), 1)), chr(31) || chr(31)) ||
+       |         chr(31) || chr(31) AS s
+       |       FROM lw GROUP BY w),
+       |${(1 to 24).map(bpeIterSql).mkString(",\n")},
+       |enc AS (SELECT w, len(list_filter(string_split(s, chr(31)), x -> x <> '')) AS n_tok
+       |        FROM v24),
+       |per AS (SELECT lang,
+       |         CAST(sum(lw.n) AS BIGINT) AS n_words,
+       |         CAST(sum(lw.n * enc.n_tok) AS BIGINT) AS n_tokens,
+       |         CAST(sum(lw.n * strlen(lw.w)) AS BIGINT) AS n_bytes
+       |       FROM lw JOIN enc USING (w) GROUP BY lang)
+       |SELECT lang, n_words, n_tokens, n_bytes,
+       |  CAST(CASE WHEN n_words = 0 THEN 0 ELSE (10000 * n_tokens) // n_words END AS BIGINT) AS fertility_bp,
+       |  CAST(CASE WHEN n_tokens = 0 THEN 0 ELSE (10000 * n_bytes) // n_tokens END AS BIGINT) AS bytes_per_token_bp
+       |FROM per ORDER BY lang""".stripMargin) { (s, d) =>
+    import s.implicits._
+    val docs = Tables.documents(s, d)
+    val ordered = corpusMerges(s, d).sortBy(_.rank).map(m => (m.left, m.right))
+    val lw = docs
+      .select(col("lang"),
+        explode(filter(split(col("text"), " "), t => length(t) > 0)).as("w"))
+      .groupBy(col("lang"), col("w")).agg(count(lit(1)).as("n"))
+    // vocab-bounded merge application: map-side with a per-partition
+    // word memo (the BpeTrainer.encode discipline)
+    val perWord = lw.as[(String, String, Long)].mapPartitions { it =>
+      val cache = scala.collection.mutable.HashMap.empty[String, Long]
+      def nTok(w: String): Long = cache.getOrElseUpdate(w, {
+        var syms: Seq[String] = w.map(_.toString)
+        ordered.foreach { case (l, r) =>
+          syms = graft.api.BpeTrainer.applyMerge(syms, l, r) }
+        syms.length.toLong
+      })
+      it.map { case (lang, w, n) =>
+        (lang, n, n * nTok(w), n * w.getBytes("UTF-8").length.toLong) }
+    }.toDF("lang", "nw", "nt", "nb")
+    perWord.groupBy(col("lang"))
+      .agg(sum(col("nw")).as("n_words"), sum(col("nt")).as("n_tokens"),
+        sum(col("nb")).as("n_bytes"))
+      .select(col("lang"), col("n_words"), col("n_tokens"), col("n_bytes"),
+        when(col("n_words") === 0, lit(0L))
+          .otherwise(expr("(10000 * n_tokens) div n_words")).as("fertility_bp"),
+        when(col("n_tokens") === 0, lit(0L))
+          .otherwise(expr("(10000 * n_bytes) div n_tokens")).as("bytes_per_token_bp"))
+      .orderBy(col("lang"))
   }
 
   /** Count-min sketch over the corpus token stream — the
@@ -583,7 +716,7 @@ object AggregatorQueries {
 
   val all: Seq[QueryDef] = Seq(
     q41CustomAgg, q45Percentiles, q46ApproxDistinct, q47TypedMapreduce,
-    q65StatsAgg, q87HeavyHitters, q90ColumnProfile, q95BpeTrain,
+    q65StatsAgg, q87HeavyHitters, q90ColumnProfile, q95BpeTrain, q235TokenizerFertility,
     q104Histogram, q107CountMin, q108SourceHitters, q112QuantileSketchGate,
     q113Outliers)
 }

@@ -814,6 +814,64 @@ object DedupQueries {
     splitByCluster(clusterAssignments(s, d)).orderBy(col("doc_id"))
   }
 
+  /** Leakage-safe split by SEMANTIC duplicate cluster — q93's
+    * discipline with the cluster relation swapped: q93 groups by
+    * MinHash/n-gram connected components, so PARAPHRASES (same
+    * meaning, different wording — zero shared shingles, but
+    * embedding-cosine ≥ 0.85) can still straddle train/test and leak
+    * the eval set into training semantically. Here the components are
+    * computed over q89's SemDeDup verified pair set (the memoized
+    * [[SimilarityQueries.semanticPairs]] — within-k-means-cell
+    * round(cos,4) ≥ 0.85, salted-block bounded), so any two vectors a
+    * SemDeDup run would call duplicates are ASSIGNED TOGETHER by
+    * construction. `VersioningSpec` pins both the straddle-free gate
+    * on the real corpus and a paraphrase fixture q93's discipline
+    * splits but this one keeps together.
+    *
+    * Scale shape: the pair scan is the memoized q89 relation (paid
+    * once per corpus snapshot); components via
+    * `api.ConnectedComponents` (near-dup clusters are near-cliques —
+    * 2-3 propagation rounds); the split itself is the pure
+    * [[splitByCluster]] projection. Nothing here adds a shuffle
+    * beyond what SemDeDup already paid.
+    *
+    * Oracle: the q89 unrolled-Lloyd preamble reproduces the
+    * assignment + pair set exactly; the q78-style recursive min-label
+    * reachability replays the components; the split modulus is the
+    * q93 CASE.
+    */
+  val q234SemanticSplit = QueryDef(
+    "q234_semantic_split",
+    "leakage-safe split by SEMANTIC cluster: CC over SemDeDup cos>=0.85 pairs, so paraphrases never straddle train/test",
+    s"""${graft.queries.SimilarityQueries.ivfPreambleSql(4)
+          .replaceFirst("WITH ", "WITH RECURSIVE ")},
+       |prs AS (SELECT a.vec_id AS vec_a, b.vec_id AS vec_b
+       |  FROM asgn a JOIN asgn b ON a.c_id = b.c_id AND a.vec_id < b.vec_id
+       |  WHERE round(list_dot_product(a.v, b.v)
+       |        / sqrt(list_dot_product(a.v, a.v) * list_dot_product(b.v, b.v)), 4) >= 0.85),
+       |edges AS (SELECT vec_a AS eu, vec_b AS ev FROM prs
+       |          UNION ALL SELECT vec_b AS eu, vec_a AS ev FROM prs),
+       |reach AS (
+       |  SELECT vec_id AS ru, vec_id AS lbl FROM embeddings
+       |  UNION
+       |  SELECT e.eu, r.lbl FROM edges e JOIN reach r ON r.ru = e.ev),
+       |lab AS (SELECT ru AS vec_id, min(lbl) AS cluster_id FROM reach GROUP BY ru)
+       |SELECT vec_id, cluster_id,
+       |  CASE WHEN cluster_id % 10 < 8 THEN 'train'
+       |       WHEN cluster_id % 10 = 8 THEN 'val'
+       |       ELSE 'test' END AS split
+       |FROM lab
+       |ORDER BY vec_id""".stripMargin) { (s, d) =>
+    val pairs = graft.queries.SimilarityQueries.semanticPairs(s, d)
+      .select(col("vec_a").as("u"), col("vec_b").as("v"))
+    val nodes = Tables.embeddings(s, d).select(col("vec_id").as("id"))
+    val comps = graft.api.ConnectedComponents.label(nodes, pairs)
+      .select(col("id").as("doc_id"), col("component").as("cluster_id"))
+    splitByCluster(comps)
+      .select(col("doc_id").as("vec_id"), col("cluster_id"), col("split"))
+      .orderBy(col("vec_id"))
+  }
+
   /** MinHash sketch calibration audit — the ops counterpart of the
     * q34 dedup path: for every LSH candidate pair, report the
     * 64-slot signature ESTIMATE of Jaccard next to the EXACT value
@@ -1892,5 +1950,5 @@ object DedupQueries {
     q161MinimizerDedup, q169JaccardHistogram, q170ClusterSizes,
     q173SourceOverlap, q190Survivorship, q206DedupSavings,
     q208ContainmentDedup, q215CdcChunkDedup, q221WeightedJaccard,
-    q227NormalizedDedup)
+    q227NormalizedDedup, q234SemanticSplit)
 }

@@ -222,7 +222,7 @@ object SimilarityQueries {
     * q191 passes the corpus-derived `greatest(16, ceil(sqrt(n)))`
     * so the oracle replays AutoTune.isolationK exactly.
     */
-  private def ivfPreambleSql(iters: Int, kSql: String = "16"): String =
+  private[graft] def ivfPreambleSql(iters: Int, kSql: String = "16"): String =
     s"""WITH t AS MATERIALIZED (
        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
        |    list_transform(CAST(embedding AS DOUBLE[]),
@@ -577,6 +577,46 @@ object SimilarityQueries {
       .orderBy(col("vec_id"))
   }
 
+  /** Memoized corpus k-means assignment `(vec_id, label, embedding)`
+    * at the q89 config (k=16, 4 Lloyd iters over the memoized
+    * [[corpusCentroids]]) — the one assignment pass q89's keep/drop
+    * and q234's semantic-cluster split both read. At 100 TB this is
+    * a written table, not a memo (the clusterAssignments discipline).
+    */
+  private[graft] def semanticAssigned(s: SparkSession, d: String): DataFrame =
+    graft.SessionMemo.getOrCompute(s, "sem.assigned:" + d) {
+      GraftFunctions.register(s)
+      val t = Tables.embeddings(s, d).select(col("vec_id"), col("embedding"))
+      val cents = corpusCentroids(s, d, k = 16, iters = 4)
+      t.crossJoin(broadcast(cents))
+        .withColumn("csim", GraftFunctions.cosineSim(col("embedding"), col("ce")))
+        .groupBy(col("vec_id"))
+        .agg(max_by(struct(col("c_id"), col("embedding")),
+          struct(col("csim"), (-col("c_id")).as("nc"))).as("best"))
+        .select(col("vec_id"), col("best.c_id").as("label"),
+          col("best.embedding").as("embedding"))
+        .localCheckpoint()
+    }
+
+  /** Memoized SEMANTIC near-dup pairs `(vec_a < vec_b)` — the q89
+    * within-cluster round(cos,4) ≥ 0.85 verified pair set exposed as
+    * a relation, so component-level consumers (q234's leakage-safe
+    * split) and the keep/drop report share ONE salted pair scan per
+    * (session, corpus). Scale shape inherited from
+    * [[DedupQueries.saltedLabelPairs]]: candidate volume is
+    * Σ(cluster²/salt) with per-task work bounded by `MaxLabelBlock`.
+    */
+  private[graft] def semanticPairs(s: SparkSession, d: String): DataFrame =
+    graft.SessionMemo.getOrCompute(s, "sem.pairs:" + d) {
+      GraftFunctions.register(s)
+      DedupQueries.saltedLabelPairs(semanticAssigned(s, d),
+          DedupQueries.MaxLabelBlock)
+        .filter(round(GraftFunctions.cosineSim(col("ea"), col("eb")), 4)
+          >= 0.85)
+        .select(col("vec_a"), col("vec_b"))
+        .localCheckpoint()
+    }
+
   /** Semantic dedup over the embeddings table. FULLY oracle-checked
     * since round 5 (same exact-integer Lloyd machinery as q39): the
     * oracle replays four unrolled training iterations, the
@@ -585,7 +625,10 @@ object SimilarityQueries {
     * additionally pins the quality contract: precision 1 (every
     * dropped vector has a genuine ≥ threshold partner, re-checked by
     * brute force) and recall ≈ 1 on planted high-similarity
-    * duplicates.
+    * duplicates. Since round 13 the assignment and verified-pair
+    * relations are the shared [[semanticAssigned]]/[[semanticPairs]]
+    * memos q234 (semantic-cluster leakage-safe split) also reads —
+    * same rows as the inlined [[semanticDedup]] pipeline, paid once.
     */
   val q89SemanticDedup = QueryDef(
     "q89_semantic_dedup",
@@ -598,9 +641,15 @@ object SimilarityQueries {
        |SELECT a.vec_id, a.c_id AS cluster, d.vec_id IS NULL AS is_kept
        |FROM asgn a LEFT JOIN dropped d ON d.vec_id = a.vec_id
        |ORDER BY a.vec_id""".stripMargin) { (s, d) =>
-    val t = Tables.embeddings(s, d).select(col("vec_id"), col("embedding"))
-    semanticDedup(s, t, k = 16, iters = 4, threshold = 0.85,
-      centsOpt = Some(corpusCentroids(s, d, k = 16, iters = 4)))
+    val dropped = semanticPairs(s, d)
+      .select(col("vec_b").as("vec_id"))
+      .distinct()
+      .withColumn("dup", lit(true))
+    semanticAssigned(s, d)
+      .join(dropped, Seq("vec_id"), "left")
+      .select(col("vec_id"), col("label").as("cluster"),
+        (!coalesce(col("dup"), lit(false))).as("is_kept"))
+      .orderBy(col("vec_id"))
   }
 
   /** Embedding-distribution drift between corpus snapshots — the

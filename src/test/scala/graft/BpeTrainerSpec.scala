@@ -146,4 +146,53 @@ class BpeTrainerSpec extends SparkSpec {
       .orderBy("doc_id").collect().map(_.toSeq)
     assert(a.sameElements(b), "encoding depends on the partition layout")
   }
+
+  test("q235 fixture: a character-coverage gap shows up as a fertility blowup") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // majority language: repetitive ASCII (merges learn its bigrams);
+    // minority language: Cyrillic — characters the trained merges never
+    // cover, so every char stays its own token and fertility approaches
+    // the average word length while the covered language compresses
+    // the regime the audit exists to surface: the majority language's
+    // short repeated words fully merge within the 24-merge budget
+    // (frequency 40 dominates every argmax), while the minority
+    // language's long one-off words get at most the leftover merges
+    // and stay near character-level
+    val enDoc = Seq.fill(40)(
+      "the cat sat on a mat with a hat at a flat").mkString(" ")
+    val ruDoc = "превосходительство благожелательность несоответствие " +
+      "обстоятельство путешественник"
+    val docs = Seq((1L, "en", enDoc), (2L, "ru", ruDoc))
+      .toDF("doc_id", "lang", "text")
+    val merges = BpeTrainer.train(docs, "text", 24)
+    val ordered = merges.sortBy(_.rank).map(m => (m.left, m.right))
+    def fertilityBp(lang: String): Long = {
+      val words = docs.filter(col("lang") === lang)
+        .select(explode(split(col("text"), " ")).as("w"))
+        .filter(length(col("w")) > 0)
+        .as[String].collect()
+      val nTok = words.map { w =>
+        var syms: Seq[String] = w.map(_.toString)
+        ordered.foreach { case (l, r) => syms = BpeTrainer.applyMerge(syms, l, r) }
+        syms.length.toLong
+      }.sum
+      10000L * nTok / words.length
+    }
+    val en = fertilityBp("en")
+    val ru = fertilityBp("ru")
+    // en words are fully merged into ~1-2 tokens (fertility ~1x); ru
+    // words stay character-level (~4-6 tokens/word on this fixture)
+    assert(ru >= 2 * en,
+      s"coverage gap must blow up fertility: ru=$ru bp vs en=$en bp")
+    // and the registered query agrees end-to-end on a written corpus
+    val dir = java.nio.file.Files.createTempDirectory("graft_fert")
+      .toFile.getAbsolutePath
+    docs.select(col("doc_id"), col("lang"), col("text"), lit("s").as("source"))
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val out = Registry.byName("q235_tokenizer_fertility").fn(spark, dir)
+      .collect().map(r => r.getString(0) -> r.getLong(4)).toMap
+    assert(out("ru") >= 2 * out("en"),
+      s"registered query must show the same blowup: $out")
+  }
 }

@@ -64,6 +64,72 @@ class VersioningSpec extends SparkSpec {
     } finally split.unpersist()
   }
 
+  test("q234 split never separates a SEMANTIC near-dup pair (the generalized leakage guarantee)") {
+    val split = Registry.byName("q234_semantic_split").fn(spark, sfDir).cache()
+    try {
+      val pairs = graft.queries.SimilarityQueries.semanticPairs(spark, sfDir)
+      val straddling = pairs
+        .join(split.select(col("vec_id").as("vec_a"), col("split").as("sa")), Seq("vec_a"))
+        .join(split.select(col("vec_id").as("vec_b"), col("split").as("sb")), Seq("vec_b"))
+        .filter(col("sa") =!= col("sb"))
+      assert(straddling.count() == 0)
+      // every vector is assigned exactly once
+      assert(split.count() == Tables.embeddings(spark, sfDir).count())
+      assert(split.select(col("split")).distinct().count() <= 3)
+    } finally split.unpersist()
+  }
+
+  test("paraphrase fixture: q93's shingle discipline splits the pair, the semantic discipline keeps it together") {
+    import spark.implicits._
+    plans.GraftFunctions.register(spark)
+    // same meaning, different wording: ZERO shared word 3-grams (so
+    // the MinHash/n-gram pair set is empty and q93's discipline makes
+    // each doc its own cluster), but the embeddings are cosine-close
+    // (the paraphrase signal only SemDeDup sees). ids 7 and 8 chosen
+    // so singleton clusters land in DIFFERENT splits (7%10=7 train,
+    // 8%10=8 val) — the leak q234 exists to prevent.
+    val docs = Seq(
+      (7L, "a swift russet fox vaults across one sleepy hound"),
+      (8L, "the quick brown foxes jump over the lazy dogs daily"))
+      .toDF("doc_id", "text")
+    // no shared shingle, verified through the real 3-gram machinery
+    val sh = docs.select(col("doc_id"),
+      explode(expr("transform(sequence(1, size(split(text, ' ')) - 2), " +
+        "i -> concat_ws(' ', slice(split(text, ' '), i, 3)))")).as("g"))
+    val shared = sh.alias("a").join(sh.alias("b"),
+      col("a.g") === col("b.g") && col("a.doc_id") < col("b.doc_id"))
+    assert(shared.count() == 0, "fixture must share no 3-gram shingle")
+    // (a) q93's discipline: components over the (empty) shingle pair
+    // set => singleton clusters => the pair STRADDLES train/val
+    val nodes = docs.select(col("doc_id").as("id"))
+    val emptyPairs = spark.range(0)
+      .select(col("id").as("u"), col("id").as("v"))
+    val mhComps = api.ConnectedComponents.label(nodes, emptyPairs)
+      .select(col("id").as("doc_id"), col("component").as("cluster_id"))
+    val mhSplit = queries.DedupQueries.splitByCluster(mhComps)
+      .collect().map(r => r.getLong(0) -> r.getString(2)).toMap
+    assert(mhSplit(7L) == "train" && mhSplit(8L) == "val",
+      s"shingle discipline must straddle the paraphrase pair: $mhSplit")
+    // (b) the semantic discipline: cosine >= 0.85 pair => one
+    // component => both sides of the paraphrase land in ONE split
+    val e1 = Array(0.9f, 0.1f, 0.2f, 0.05f)
+    val e2 = Array(0.88f, 0.13f, 0.22f, 0.04f) // cos(e1, e2) ~ 0.999
+    val emb = Seq((7L, 0, e1), (8L, 0, e2))
+      .toDF("vec_id", "label", "embedding")
+    val semPairs = queries.DedupQueries
+      .saltedLabelPairs(emb, queries.DedupQueries.MaxLabelBlock)
+      .filter(round(plans.GraftFunctions.cosineSim(col("ea"), col("eb")), 4) >= 0.85)
+      .select(col("vec_a").as("u"), col("vec_b").as("v"))
+    assert(semPairs.count() == 1, "fixture pair must verify semantically")
+    val semComps = api.ConnectedComponents
+      .label(emb.select(col("vec_id").as("id")), semPairs)
+      .select(col("id").as("doc_id"), col("component").as("cluster_id"))
+    val semSplit = queries.DedupQueries.splitByCluster(semComps)
+      .collect().map(r => r.getLong(0) -> r.getString(2)).toMap
+    assert(semSplit(7L) == "train" && semSplit(8L) == "train",
+      s"semantic discipline must keep the paraphrase pair together: $semSplit")
+  }
+
   test("q94 every 256-cell z-range is a 16x16 block: dim spans bounded for pruning") {
     val out = Registry.byName("q94_zorder_layout").fn(spark, sfDir)
     val bad = out.filter(
