@@ -365,9 +365,14 @@ object MediaOps {
     * side ([[parseWav]]) walks chunks for real — the blob is a valid
     * WAV any audio tool would read.
     */
-  private[graft] def syntheticWav(id: Long): Array[Byte] = {
-    val sr = audioRate(id)
-    val n = audioLen(id)
+  private[graft] def syntheticWav(id: Long): Array[Byte] =
+    buildWav(audioRate(id), audioLen(id), t => audioSample(id, t))
+
+  /** Canonical RIFF/WAVE assembly shared by the per-doc synthesizers:
+    * 44-byte header (PCM fmt chunk, mono, 16-bit little-endian) + the
+    * data chunk filled from the sample function.
+    */
+  private def buildWav(sr: Int, n: Int, sample: Int => Short): Array[Byte] = {
     val bb = java.nio.ByteBuffer.allocate(44 + 2 * n)
       .order(java.nio.ByteOrder.LITTLE_ENDIAN)
     bb.put("RIFF".getBytes("US-ASCII")); bb.putInt(36 + 2 * n)
@@ -378,8 +383,96 @@ object MediaOps {
     bb.putShort(2); bb.putShort(16) // blockAlign, bits
     bb.put("data".getBytes("US-ASCII")); bb.putInt(2 * n)
     var t = 0
-    while (t < n) { bb.putShort(audioSample(id, t)); t += 1 }
+    while (t < n) { bb.putShort(sample(t)); t += 1 }
     bb.array()
+  }
+
+  // ------------------------------------------------------------------
+  // Audio fingerprint surface (delta-sign energy contour, q240)
+  // ------------------------------------------------------------------
+
+  /** Gallery prototype: five shared base contours across the audio
+    * slice — docs with the same prototype are PLANTED near-duplicate
+    * recordings of one source (same energy envelope, per-doc
+    * sample-level perturbation), the audio analogue of q157's PNG
+    * prototype gallery.
+    */
+  private[graft] def galleryProto(id: Long): Long = (id / 5) % 5
+
+  /** All gallery clips share one length so the fingerprint frame
+    * grid lines up (a production fingerprinter trims/pads first).
+    */
+  private[graft] val GalleryLen = 4096
+
+  /** Deterministic gallery PCM16 sample: a 128-periodic sawtooth
+    * (Σ over any hop-aligned window is the CONSTANT 8128) amplitude-
+    * modulated per hop-window by `m = ((2·proto + window) mod 7)+1`,
+    * plus a per-doc ±1 perturbation every 97 samples. Frame-energy
+    * deltas are therefore `8128·(m_{f+2} − m_f) + ε` with
+    * |8128·Δm| ≥ 16256 and |ε| ≤ 2 — the delta SIGN is a pure
+    * function of the prototype, which is what makes the fingerprint
+    * perturbation-invariant by construction, not by tuning.
+    */
+  private[graft] def gallerySample(id: Long, t: Int): Short = {
+    val m = ((2 * galleryProto(id) + t / FrameHop) % 7) + 1
+    val a = (t * 17) % 128
+    val pert = if (t % 97 == id % 89) 1 else 0
+    (m * a + pert).toShort
+  }
+
+  private[graft] def galleryWav(id: Long): Array[Byte] =
+    buildWav(audioRate(id), GalleryLen, t => gallerySample(id, t))
+
+  /** Deterministic near-duplicate audio gallery over the audio slice
+    * (the synthesizeMedia convention — FIXTURES has no binary audio
+    * table).
+    */
+  def synthesizeAudioGallery(spark: SparkSession, sfDir: String): Dataset[AudioRow] = {
+    import spark.implicits._
+    spark.read.parquet(s"$sfDir/documents.parquet")
+      .select(col("doc_id")).as[Long]
+      .filter(isAudioId _)
+      .map(id => AudioRow(id, galleryWav(id), "audio/wav"))
+  }
+
+  /** Acoustic fingerprint: REAL WAV parse → (FrameSize, FrameHop)
+    * frame energies → the sign of each consecutive-frame energy
+    * delta packed into a ≤30-bit word (the Haitsma–Kalker /
+    * Shazam-family "energy contour direction" idea collapsed to one
+    * band) — brightness/level-invariant the same way q157's dHash
+    * gradient signs are. Map-side per-partition work over opaque
+    * binary columns; nothing explodes into rows.
+    */
+  case class AudioFingerprint(doc_id: Long, n_frames: Long, fp: Long)
+
+  def audioFingerprints(spark: SparkSession,
+      audio: Dataset[AudioRow]): Dataset[AudioFingerprint] = {
+    import spark.implicits._
+    audio.mapPartitions { rows =>
+      rows.map { r =>
+        val (_, pcm) = parseWav(r.blob)
+        val n = pcm.length
+        val nf = if (n < FrameSize) 0 else (n - FrameSize) / FrameHop + 1
+        val e = new Array[Long](nf)
+        var f = 0
+        while (f < nf) {
+          var s = 0L
+          var t = f * FrameHop
+          val end = t + FrameSize
+          while (t < end) { s += math.abs(pcm(t).toLong); t += 1 }
+          e(f) = s
+          f += 1
+        }
+        val bits = math.min(30, math.max(0, nf - 1))
+        var fp = 0L
+        f = 0
+        while (f < bits) {
+          if (e(f + 1) > e(f)) fp |= (1L << f)
+          f += 1
+        }
+        AudioFingerprint(r.doc_id, nf.toLong, fp)
+      }
+    }
   }
 
   /** Deterministic audio table derived from `documents` (FIXTURES has

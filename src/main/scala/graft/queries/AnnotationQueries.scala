@@ -283,6 +283,129 @@ object AnnotationQueries {
       .orderBy(col("event_type"))
   }
 
+  /** Corpus-level chance-corrected agreement — the two standard
+    * reliability coefficients an annotation pipeline reports before
+    * trusting a label set (q155 gives the per-item observed-agreement
+    * numerator; this is the corpus roll-up WITH the chance
+    * correction): Fleiss' kappa (generalized to variable raters per
+    * item) and Krippendorff's nominal alpha from the coincidence
+    * matrix. Raw agreement of 0.8 means nothing if chance agreement
+    * is 0.75 — kappa/alpha are what QA gates threshold.
+    *
+    * Definitions over the n≥2-vote item universe (single-vote items
+    * carry no pair information, so BOTH the observed and the expected
+    * terms exclude them — the universes must match or the correction
+    * is biased):
+    *   P̄ₒ = mean_i [Σ_c n_ic(n_ic−1) / (n_i(n_i−1))]
+    *   P̄ₑ = Σ_c (T_c/T)²            κ = (P̄ₒ−P̄ₑ)/(1−P̄ₑ)
+    *   D_o = 1 − (1/T)·Σ_i Σ_c n_ic(n_ic−1)/(n_i−1)
+    *   D_e = 1 − Σ_c T_c(T_c−1)/(T(T−1))   α = 1 − D_o/D_e
+    *
+    * Exactness: per-item terms floor to integer MICRO units, corpus
+    * sums and divisions stay integral (the q121 convention); the
+    * T_c² / T_c(T_c−1) marginal sums ride decimal(38)/HUGEINT so the
+    * 10⁶-scaled products survive any corpus size. Both coefficients
+    * can be NEGATIVE (worse than chance) — integer division of
+    * negatives FLOORS in DuckDB (`//`) but TRUNCATES in Spark
+    * (`div`), so the sign is split out and division always sees a
+    * non-negative numerator, identical in both engines.
+    *
+    * Scale shape: ONE (item, label) partial-aggregable shuffle (the
+    * q155 relation), an item-keyed aggregate, a label-keyed aggregate
+    * over the same universe (semi-join on the already-aggregated
+    * ≤|items| relation, never the event log), then 1-row×1-row cross
+    * join arithmetic. No windows, no driver state.
+    */
+  val q237AgreementKappa = QueryDef(
+    "q237_agreement_kappa",
+    "chance-corrected inter-annotator agreement: Fleiss' kappa + Krippendorff's nominal alpha, exact integer micro units",
+    """WITH v AS (SELECT user_id, event_type, CAST(count(*) AS BIGINT) AS c
+      |           FROM events GROUP BY user_id, event_type),
+      |it AS (SELECT user_id, CAST(sum(c) AS BIGINT) AS n,
+      |              CAST(sum(c * (c - 1)) AS BIGINT) AS sp
+      |       FROM v GROUP BY user_id HAVING sum(c) >= 2),
+      |per AS (SELECT n, (1000000 * sp) // (n * (n - 1)) AS po_i,
+      |               (1000000 * sp) // (n - 1) AS oc_i
+      |        FROM it),
+      |itot AS (SELECT CAST(count(*) AS BIGINT) AS n_items,
+      |                CAST(sum(n) AS BIGINT) AS n_votes,
+      |                CAST(sum(po_i) AS BIGINT) AS po_sum,
+      |                CAST(sum(oc_i) AS BIGINT) AS oc_sum FROM per),
+      |lv AS (SELECT v.event_type, CAST(sum(v.c) AS BIGINT) AS tc
+      |       FROM v JOIN it ON it.user_id = v.user_id GROUP BY v.event_type),
+      |ltot AS (SELECT CAST(count(*) AS BIGINT) AS n_labels,
+      |                sum(CAST(tc AS HUGEINT) * tc) AS tc2,
+      |                sum(CAST(tc AS HUGEINT) * (tc - 1)) AS tc1 FROM lv),
+      |m AS (SELECT n_items, n_votes, n_labels,
+      |        CASE WHEN n_items = 0 THEN NULL ELSE po_sum // n_items END AS po_micro,
+      |        CASE WHEN n_votes IS NULL OR n_votes < 2 THEN NULL
+      |             ELSE CAST((1000000 * tc2) // (CAST(n_votes AS HUGEINT) * n_votes) AS BIGINT) END AS pe_micro,
+      |        CASE WHEN n_votes IS NULL OR n_votes < 2 THEN NULL
+      |             ELSE 1000000 - (oc_sum // n_votes) END AS do_micro,
+      |        CASE WHEN n_votes IS NULL OR n_votes < 2 THEN NULL
+      |             ELSE 1000000 - CAST((1000000 * tc1) // (CAST(n_votes AS HUGEINT) * (n_votes - 1)) AS BIGINT) END AS de_micro
+      |      FROM itot, ltot)
+      |SELECT n_items, n_votes, n_labels, po_micro, pe_micro,
+      |  CASE WHEN pe_micro IS NULL OR po_micro IS NULL OR pe_micro >= 1000000 THEN NULL
+      |       WHEN po_micro >= pe_micro THEN (10000 * (po_micro - pe_micro)) // (1000000 - pe_micro)
+      |       ELSE -((10000 * (pe_micro - po_micro)) // (1000000 - pe_micro)) END AS kappa_bp,
+      |  do_micro, de_micro,
+      |  CASE WHEN de_micro IS NULL OR do_micro IS NULL OR de_micro <= 0 THEN NULL
+      |       WHEN de_micro >= do_micro THEN (10000 * (de_micro - do_micro)) // de_micro
+      |       ELSE -((10000 * (do_micro - de_micro)) // de_micro) END AS alpha_bp
+      |FROM m
+      |ORDER BY n_items""".stripMargin) { (s, d) =>
+    val v = Tables.events(s, d)
+      .groupBy(col("user_id"), col("event_type"))
+      .agg(count(lit(1)).as("c"))
+    val it = v.groupBy(col("user_id"))
+      .agg(sum(col("c")).as("n"), sum(col("c") * (col("c") - 1)).as("sp"))
+      .filter(col("n") >= 2)
+    val per = it.select(col("n"),
+      expr("(1000000 * sp) div (n * (n - 1))").as("po_i"),
+      expr("(1000000 * sp) div (n - 1)").as("oc_i"))
+    val itot = per.agg(count(lit(1)).as("n_items"), sum(col("n")).as("n_votes"),
+      sum(col("po_i")).as("po_sum"), sum(col("oc_i")).as("oc_sum"))
+    // label marginals over the SAME n≥2 universe — join-back through a
+    // RENAMED key (`it` is an aggregate OF `v`, the q155 idiom)
+    val itr = it.select(col("user_id").as("uid"))
+    val lv = v.join(itr, col("user_id") === col("uid"))
+      .groupBy(col("event_type")).agg(sum(col("c")).as("tc"))
+    val ltot = lv.agg(count(lit(1)).as("n_labels"),
+      sum(expr("cast(tc as decimal(38,0)) * tc")).as("tc2"),
+      sum(expr("cast(tc as decimal(38,0)) * (tc - 1)")).as("tc1"))
+    itot.crossJoin(broadcast(ltot))
+      .select(col("n_items"), col("n_votes"), col("n_labels"),
+        when(col("n_items") === 0, lit(null).cast("long"))
+          .otherwise(expr("po_sum div n_items")).as("po_micro"),
+        when(col("n_votes").isNull || col("n_votes") < 2, lit(null).cast("long"))
+          .otherwise(expr("cast((cast(1000000 as decimal(38,0)) * tc2) div (cast(n_votes as decimal(38,0)) * n_votes) as bigint)"))
+          .as("pe_micro"),
+        when(col("n_votes").isNull || col("n_votes") < 2, lit(null).cast("long"))
+          .otherwise(lit(1000000L) - expr("oc_sum div n_votes")).as("do_micro"),
+        when(col("n_votes").isNull || col("n_votes") < 2, lit(null).cast("long"))
+          .otherwise(lit(1000000L) -
+            expr("cast((cast(1000000 as decimal(38,0)) * tc1) div (cast(n_votes as decimal(38,0)) * (n_votes - 1)) as bigint)"))
+          .as("de_micro"))
+      .select(col("n_items"), col("n_votes"), col("n_labels"),
+        col("po_micro"), col("pe_micro"),
+        when(col("pe_micro").isNull || col("po_micro").isNull ||
+          col("pe_micro") >= 1000000, lit(null).cast("long"))
+          .when(col("po_micro") >= col("pe_micro"),
+            expr("(10000 * (po_micro - pe_micro)) div (1000000 - pe_micro)"))
+          .otherwise(-expr("(10000 * (pe_micro - po_micro)) div (1000000 - pe_micro)"))
+          .as("kappa_bp"),
+        col("do_micro"), col("de_micro"),
+        when(col("de_micro").isNull || col("do_micro").isNull ||
+          col("de_micro") <= 0, lit(null).cast("long"))
+          .when(col("de_micro") >= col("do_micro"),
+            expr("(10000 * (de_micro - do_micro)) div de_micro"))
+          .otherwise(-expr("(10000 * (do_micro - de_micro)) div de_micro"))
+          .as("alpha_bp"))
+      .orderBy(col("n_items"))
+  }
+
   val all: Seq[QueryDef] =
-    Seq(q155LabelConsolidation, q156PreferenceCopeland, q186BradleyTerry)
+    Seq(q155LabelConsolidation, q156PreferenceCopeland, q186BradleyTerry,
+      q237AgreementKappa)
 }

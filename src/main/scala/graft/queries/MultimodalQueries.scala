@@ -220,6 +220,81 @@ object MultimodalQueries {
       .orderBy(col("doc_id"))
   }
 
-  val all: Seq[QueryDef] = Seq(q48MultimodalFeatures, q157ImageDhashNeardup,
-    q211AudioFramesample, q212VideoFramesample)
+  lazy val all: Seq[QueryDef] = Seq(q48MultimodalFeatures, q157ImageDhashNeardup,
+    q211AudioFramesample, q212VideoFramesample, q240AudioFingerprintNeardup)
+
+  /** Audio near-duplicate detection by acoustic fingerprint —
+    * completes the modality dedup trio next to q157's image dHash
+    * and the text family: the audio slice carries a PLANTED gallery
+    * (five prototype recordings, per-doc sample-level perturbation),
+    * the engine REALLY parses each WAV (`MediaOps.parseWav`: RIFF
+    * chunk walk, PCM16 decode), computes overlapping frame energies,
+    * and packs the SIGN of each consecutive-frame energy delta into
+    * a 30-bit fingerprint (Haitsma–Kalker's energy-contour-direction
+    * bit — level/perturbation-invariant because the gallery's
+    * hop-aligned sawtooth makes every delta ±8128·Δm against ≤2 of
+    * perturbation noise, a proof not a tuning). Near-dups are then
+    * the q157/q35 machinery verbatim: 5-band × 6-bit pigeonhole join
+    * (hamming ≤ 3 must collide on ≥ 1 exact band), bit_count XOR
+    * verify on candidates only, min-id survivorship so output stays
+    * LINEAR in the corpus.
+    *
+    * Scale shape: decode+fingerprint are map-side per-partition work
+    * over opaque binary columns; the band join carries (band, 6-bit
+    * key, fp, id) — never PCM; candidates are banded, verified
+    * exactly, then collapsed by a per-doc min aggregate.
+    *
+    * Oracle: the synthesis is closed-form, so the delta sign is the
+    * pure function `[(2·proto + f) mod 7 < 5]` — the oracle builds
+    * every fingerprint symbolically (pixels-never-materialize, the
+    * q211/q212 convention) and replays the identical band join,
+    * hamming verify, and survivorship decision.
+    */
+  val q240AudioFingerprintNeardup = QueryDef(
+    "q240_audio_fingerprint_neardup",
+    "audio near-dup: real WAV parse -> delta-sign energy fingerprint -> banded hamming<=3 join -> min-id survivorship",
+    """WITH a AS (SELECT doc_id, (doc_id // 5) % 5 AS proto
+      |          FROM documents WHERE doc_id % 5 = 2),
+      |fp AS (SELECT doc_id,
+      |         CAST(list_sum(list_transform(range(0, 30),
+      |           f -> CASE WHEN (2 * proto + f) % 7 < 5
+      |                THEN (CAST(1 AS BIGINT) << f) ELSE 0 END)) AS BIGINT) AS fp
+      |       FROM a),
+      |bd AS (SELECT doc_id, fp, b, (fp >> (6 * CAST(b AS INT))) & 63 AS key
+      |       FROM fp, unnest(range(0, 5)) AS v(b)),
+      |cand AS (SELECT DISTINCT x.doc_id AS u, y.doc_id AS w, x.fp AS fu, y.fp AS fw
+      |         FROM bd x JOIN bd y ON x.b = y.b AND x.key = y.key
+      |                            AND x.doc_id <> y.doc_id),
+      |nb AS (SELECT u, CAST(min(w) AS BIGINT) AS best FROM cand
+      |       WHERE bit_count(xor(fu, fw)) <= 3 GROUP BY u)
+      |SELECT f.doc_id, CAST(31 AS BIGINT) AS n_frames, f.fp,
+      |  least(coalesce(nb.best, f.doc_id), f.doc_id) AS dup_of,
+      |  CAST(CASE WHEN coalesce(nb.best, f.doc_id) >= f.doc_id THEN 1 ELSE 0 END AS INT) AS keep
+      |FROM fp f LEFT JOIN nb ON nb.u = f.doc_id
+      |ORDER BY f.doc_id""".stripMargin) { (s, d) =>
+    import org.apache.spark.sql.functions._
+    val fps = MediaOps.audioFingerprints(s, MediaOps.synthesizeAudioGallery(s, d))
+      .toDF().select(col("doc_id"), col("n_frames"), col("fp"))
+    val bd = fps.select(col("doc_id"), col("fp"),
+      explode(array((0 until 5).map(b =>
+        struct(lit(b.toLong).as("b"),
+          (shiftrightunsigned(col("fp"), 6 * b).bitwiseAND(lit(63L))).as("key"))): _*))
+        .as("bk"))
+      .select(col("doc_id"), col("fp"), col("bk.b").as("b"), col("bk.key").as("key"))
+    val cand = bd.as("x")
+      .join(bd.select(col("doc_id").as("w"), col("fp").as("fw"),
+        col("b").as("b2"), col("key").as("key2")),
+        col("b") === col("b2") && col("key") === col("key2") &&
+          col("doc_id") =!= col("w"))
+      .select(col("doc_id").as("u"), col("w"), col("fp").as("fu"), col("fw"))
+      .distinct()
+    val nb = cand.filter(expr("bit_count(fu ^ fw) <= 3"))
+      .groupBy(col("u")).agg(min(col("w")).as("best"))
+    fps.join(nb, col("doc_id") === col("u"), "left_outer")
+      .select(col("doc_id"), col("n_frames"), col("fp"),
+        least(coalesce(col("best"), col("doc_id")), col("doc_id")).as("dup_of"),
+        when(coalesce(col("best"), col("doc_id")) >= col("doc_id"), 1)
+          .otherwise(0).cast("int").as("keep"))
+      .orderBy(col("doc_id"))
+  }
 }

@@ -1565,10 +1565,239 @@ object SimilarityQueries {
         expr("self_sum div n").as("mean_self_micro"))
   }
 
+  /** Bitext mining via margin-based scoring — the parallel-corpus
+    * miner (Artetxe & Schwenk 2019's margin criterion, the CCMatrix
+    * recipe every multilingual-LLM data pipeline runs over aligned
+    * embedding spaces): the corpus splits into two sides (label
+    * parity stands in for the language pair), every cross-side
+    * candidate pair is scored by its similarity RELATIVE to each
+    * endpoint's neighborhood — margin = sim(x,y) / mean of the two
+    * endpoints' k-NN mean sims — and a pair is mined only when it is
+    * the MUTUAL best match and its margin clears 1.0 (absolute-cosine
+    * thresholds fail because "hub" vectors are near everything;
+    * the margin normalizes hubness out — the whole point).
+    *
+    * Scale shape: the q203/q228 cell-blocked convention — candidates
+    * and k-NN neighborhoods come from the shared corpus-derived IVF
+    * assignment (memoized `corpusCentroids`, Σ|cell|² ≈ N^1.5 pair
+    * stage, never N²); per-endpoint k-NN sums ride the bounded
+    * `topk_by_score` partial aggregate (no data-sized windows);
+    * mutual-best is two `max_by` aggregates of the pair relation.
+    * The pair relation is computed once and scope-persisted — three
+    * consumers (two endpoint k-NN passes + the scoring join).
+    *
+    * Exactness: vectors ride the q229 milli quantization so pair
+    * sims, k-NN sums, and the margin ratio are ALL integer
+    * (margin_bp = 2·nₐ·n_b·sim·10⁴ ÷ (nₐ·S_b + n_b·Sₐ), worst case
+    * ≈ 3·10¹¹ ≪ int64); only sim>0 pairs are scored so integer
+    * division never sees a negative numerator (Spark `div` truncates
+    * where DuckDB `//` floors). Ties break (margin, sim, lower id).
+    */
+  val q236BitextMining = QueryDef(
+    "q236_bitext_mining",
+    "bitext mining: margin-scored (CSLS-style) mutual best cross-side matches within IVF cells, integer micro units",
+    s"""${ivfPreambleSql(6, "(SELECT greatest(16, least(CAST(ceil(sqrt(count(*))) AS BIGINT), count(*) // 32)) FROM t)")},
+       |lab AS (SELECT vec_id, label % 2 AS side FROM embeddings),
+       |q AS (SELECT a.vec_id, a.c_id, l.side,
+       |        list_transform(a.v, x -> CAST(floor(1000.0 * x /
+       |          sqrt(list_reduce(list_transform(a.v, y -> y * y), (p, r) -> p + r)) + 0.5) AS BIGINT)) AS qu
+       |      FROM asgn a JOIN lab l USING (vec_id)
+       |      WHERE list_reduce(list_transform(a.v, y -> y * y), (p, r) -> p + r) > 0),
+       |pr AS (SELECT a.vec_id AS u, b.vec_id AS w,
+       |         CAST(list_reduce(list_transform(range(1, len(a.qu) + 1),
+       |           i -> a.qu[i] * b.qu[i]), (x, y) -> x + y) AS BIGINT) AS qd
+       |       FROM q a JOIN q b ON a.c_id = b.c_id AND a.side = 0 AND b.side = 1),
+       |su AS (SELECT u, CAST(sum(qd) AS BIGINT) AS s, CAST(count(*) AS BIGINT) AS n
+       |       FROM (SELECT u, qd, row_number() OVER (PARTITION BY u ORDER BY qd DESC, w) AS rn FROM pr)
+       |       WHERE rn <= 4 GROUP BY u),
+       |sw AS (SELECT w, CAST(sum(qd) AS BIGINT) AS s, CAST(count(*) AS BIGINT) AS n
+       |       FROM (SELECT w, qd, row_number() OVER (PARTITION BY w ORDER BY qd DESC, u) AS rn FROM pr)
+       |       WHERE rn <= 4 GROUP BY w),
+       |sc AS (SELECT pr.u, pr.w, pr.qd,
+       |         (10000 * 2 * su.n * sw.n * pr.qd) // (su.n * sw.s + sw.n * su.s) AS margin_bp
+       |       FROM pr JOIN su ON su.u = pr.u JOIN sw ON sw.w = pr.w
+       |       WHERE pr.qd > 0 AND (su.n * sw.s + sw.n * su.s) > 0),
+       |bu AS (SELECT u, w, qd, margin_bp FROM (
+       |         SELECT u, w, qd, margin_bp,
+       |           row_number() OVER (PARTITION BY u ORDER BY margin_bp DESC, qd DESC, w) AS rn
+       |         FROM sc) WHERE rn = 1),
+       |bw AS (SELECT u, w FROM (
+       |         SELECT u, w,
+       |           row_number() OVER (PARTITION BY w ORDER BY margin_bp DESC, qd DESC, u) AS rn
+       |         FROM sc) WHERE rn = 1)
+       |SELECT bu.u AS src_id, bu.w AS tgt_id, bu.qd AS sim_micro, bu.margin_bp
+       |FROM bu JOIN bw ON bw.u = bu.u AND bw.w = bu.w
+       |WHERE bu.margin_bp > 10000
+       |ORDER BY src_id""".stripMargin) { (s, d) =>
+    GraftFunctions.register(s)
+    val k = s.conf.getOption("spark.graft.isolation.k").map(_.toInt)
+      .getOrElse(graft.api.AutoTune.isolationK(graft.api.AutoTune.corpusRows(s, d)))
+    val t = Tables.embeddings(s, d)
+      .select(col("vec_id"), col("embedding"), (col("label") % 2).as("side"))
+    val cents = corpusCentroids(s, d, k = k, iters = 6)
+    // the assignment+quantization pipeline feeds both join sides —
+    // persist for the query's scope so the broadcast argmax runs once
+    val assigned = graft.AutoUnpersist.scoped(t.crossJoin(broadcast(cents))
+      .withColumn("csim", GraftFunctions.cosineSim(col("embedding"), col("ce")))
+      .groupBy(col("vec_id"))
+      .agg(max_by(struct(col("c_id"), col("embedding"), col("side")),
+        struct(col("csim"), (-col("c_id")).as("nc"))).as("best"))
+      .select(col("vec_id"), col("best.c_id").as("c_id"),
+        col("best.embedding").cast("array<double>").as("v"),
+        col("best.side").as("side"))
+      .withColumn("nrm2", aggregate(col("v"), lit(0.0), (acc, x) => acc + x * x))
+      .filter(col("nrm2") > 0)
+      .select(col("vec_id"), col("c_id"), col("side"),
+        transform(col("v"),
+          x => floor(lit(1000.0) * x / sqrt(col("nrm2")) + lit(0.5))
+            .cast("long")).as("qu")))
+    val a = assigned.filter(col("side") === 0)
+      .select(col("vec_id").as("u"), col("c_id"), col("qu").as("qa"))
+    val b = assigned.filter(col("side") === 1)
+      .select(col("vec_id").as("w"), col("c_id").as("c2"), col("qu").as("qb"))
+    // the pair relation feeds three consumers (two endpoint k-NN
+    // aggregates + the scoring join) — persist for the query's scope
+    val pr = graft.AutoUnpersist.scoped(
+      a.join(b, col("c_id") === col("c2"))
+        .select(col("u"), col("w"),
+          aggregate(zip_with(col("qa"), col("qb"), (x, y) => x * y),
+            lit(0L), (acc, z) => acc + z).as("qd")))
+    def knn4(key: String, other: String): DataFrame =
+      pr.groupBy(col(key))
+        .agg(GraftFunctions.topkByScore(col("qd").cast("double"), col(other), 4).as("top"))
+        .select(col(key).as(s"${key}k"),
+          aggregate(col("top"), lit(0L), (acc, e) => acc + e.getField("score").cast("long"))
+            .as(s"${key}_s"),
+          size(col("top")).cast("long").as(s"${key}_n"))
+    // sc feeds BOTH mutual-best aggregates — persist so the two
+    // endpoint k-NN aggregates run once, not once per direction
+    val sc = graft.AutoUnpersist.scoped(pr
+      .join(knn4("u", "w"), col("u") === col("uk"))
+      .join(knn4("w", "u"), col("w") === col("wk"))
+      .filter(col("qd") > 0 &&
+        col("u_n") * col("w_s") + col("w_n") * col("u_s") > 0)
+      .select(col("u"), col("w"), col("qd"),
+        expr("(10000 * 2 * u_n * w_n * qd) div (u_n * w_s + w_n * u_s)")
+          .as("margin_bp")))
+    val bu = sc.groupBy(col("u"))
+      .agg(max_by(struct(col("w"), col("qd"), col("margin_bp")),
+        struct(col("margin_bp"), col("qd"), (-col("w")).as("nw"))).as("best"))
+      .select(col("u"), col("best.w").as("w"), col("best.qd").as("qd"),
+        col("best.margin_bp").as("margin_bp"))
+    val bw = sc.groupBy(col("w"))
+      .agg(max_by(struct(col("u")),
+        struct(col("margin_bp"), col("qd"), (-col("u")).as("nu"))).as("best"))
+      .select(col("w").as("bw_w"), col("best.u").as("bw_u"))
+    bu.join(bw, col("u") === col("bw_u") && col("w") === col("bw_w"))
+      .filter(col("margin_bp") > 10000)
+      .select(col("u").as("src_id"), col("w").as("tgt_id"),
+        col("qd").as("sim_micro"), col("margin_bp"))
+      .orderBy(col("src_id"))
+  }
+
+  /** Johnson–Lindenstrauss random-projection distortion audit — the
+    * pre-flight check before swapping a d-dim embedding column for a
+    * d′≪d sketch in the similarity pipeline (at 100 TB the projected
+    * column is what you actually shuffle/index; JL says pairwise
+    * distances survive, this measures BY HOW MUCH on this corpus):
+    * every vector is projected to d′=16 dims with a deterministic
+    * Rademacher (±1) matrix — signs from the mix64 parity bit keyed
+    * on (input dim, output dim), no materialized matrix, E‖Px−Py‖² =
+    * d′·‖x−y‖² — and the audit reports the distribution of
+    * `10000·‖Pu−Pv‖² / (d′·‖u−v‖²)` over the deterministic
+    * (2m, 2m+1) vec_id pairing (JL's guarantee is for ANY fixed pair
+    * set, so the audit pair set needs no sampling machinery).
+    *
+    * Exactness: vectors ride the q229 milli quantization, so
+    * projections, squared distances, and the ratio are ALL integer
+    * (sign·qu sums are exact in both engines; worst-case ‖Pu−Pv‖²
+    * ≈ 16·(2·64·10³)² ≈ 2.6·10¹¹ ≪ int64).
+    *
+    * Scale shape: projection is map-side O(d·d′) per row; the pair
+    * stage is ONE equi join on vec_id+1; output is a ≤ ~20-bucket
+    * histogram. No windows, no all-pairs anything.
+    */
+  val q238JlDistortion = QueryDef(
+    "q238_jl_distortion",
+    "JL random-projection audit: Rademacher project to 16 dims, integer distortion histogram over fixed vec_id pairs",
+    """WITH t AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      |u AS (SELECT vec_id,
+      |        list_transform(v, x -> CAST(floor(1000.0 * x /
+      |          sqrt(list_reduce(list_transform(v, y -> y * y), (a, b) -> a + b)) + 0.5) AS BIGINT)) AS qu
+      |      FROM t
+      |      WHERE list_reduce(list_transform(v, y -> y * y), (a, b) -> a + b) > 0),
+      |ks AS (SELECT unnest(range(0, 16)) AS k),
+      |js AS (SELECT vec_id, qu[j + 1] AS q, j
+      |       FROM (SELECT vec_id, qu, unnest(range(0, len(qu))) AS j FROM u)),
+      |sg0 AS (SELECT vec_id, k.k, q,
+      |          CAST(j * 131071 + k.k * 524287 + 12345 AS HUGEINT) AS z
+      |        FROM js CROSS JOIN ks k),
+      |sg1 AS (SELECT vec_id, k, q, (xor(z, z >> 30) * 2685821657736338717) % 18446744073709551616 AS z FROM sg0),
+      |sg2 AS (SELECT vec_id, k, q, (xor(z, z >> 27) * 1181783497276652981) % 18446744073709551616 AS z FROM sg1),
+      |proj AS (SELECT vec_id, k,
+      |           CAST(sum(CASE WHEN (xor(z, z >> 31) // 4096) % 2 = 0 THEN q ELSE -q END) AS BIGINT) AS p
+      |         FROM sg2 GROUP BY vec_id, k),
+      |pv AS (SELECT vec_id, list(p ORDER BY k) AS pl FROM proj GROUP BY vec_id),
+      |pd AS (SELECT a.vec_id AS ui, b.vec_id AS vi, a.qu AS qa, b.qu AS qb,
+      |              pa.pl AS pla, pb.pl AS plb
+      |       FROM u a JOIN u b ON b.vec_id = a.vec_id + 1 AND a.vec_id % 2 = 0
+      |       JOIN pv pa ON pa.vec_id = a.vec_id
+      |       JOIN pv pb ON pb.vec_id = b.vec_id),
+      |dd AS (SELECT ui, vi,
+      |        CAST(list_reduce(list_transform(range(1, len(qa) + 1),
+      |          i -> (qa[i] - qb[i]) * (qa[i] - qb[i])), (x, y) -> x + y) AS BIGINT) AS od2,
+      |        CAST(list_reduce(list_transform(range(1, 17),
+      |          i -> (pla[i] - plb[i]) * (pla[i] - plb[i])), (x, y) -> x + y) AS BIGINT) AS pd2
+      |       FROM pd),
+      |db AS (SELECT (10000 * pd2) // (16 * od2) AS bp FROM dd WHERE od2 > 0)
+      |SELECT bp // 1000 AS bucket, CAST(count(*) AS BIGINT) AS n_pairs,
+      |  CAST(min(bp) AS BIGINT) AS min_bp, CAST(max(bp) AS BIGINT) AS max_bp,
+      |  CAST(sum(bp) // count(*) AS BIGINT) AS mean_bp
+      |FROM db GROUP BY 1
+      |ORDER BY bucket""".stripMargin) { (s, d) =>
+    GraftFunctions.register(s)
+    val t = Tables.embeddings(s, d)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      .withColumn("nrm2", aggregate(col("v"), lit(0.0), (acc, x) => acc + x * x))
+      .filter(col("nrm2") > 0)
+      .select(col("vec_id"),
+        transform(col("v"),
+          x => floor(lit(1000.0) * x / sqrt(col("nrm2")) + lit(0.5))
+            .cast("long")).as("qu"))
+    // map-side Rademacher projection: sign = mix64 parity bit on the
+    // (input dim, output dim) key — the q232 u52 replay convention.
+    // Persisted for the query's scope: both pair sides read it.
+    val proj = graft.AutoUnpersist.scoped(t.withColumn("pl",
+      transform(sequence(lit(0L), lit(15L)), k =>
+        aggregate(sequence(lit(0L), size(col("qu")).cast("long") - 1), lit(0L),
+          (acc, j) => acc +
+            when(shiftrightunsigned(
+              GraftFunctions.mix64(j * 131071L + k * 524287L + 12345L), 12) % 2 === 0,
+              element_at(col("qu"), (j + 1).cast("int")))
+              .otherwise(-element_at(col("qu"), (j + 1).cast("int")))))))
+    val a = proj.select(col("vec_id").as("ui"), col("qu").as("qa"), col("pl").as("pla"))
+      .filter(col("ui") % 2 === 0)
+    val b = proj.select(col("vec_id").as("vi"), col("qu").as("qb"), col("pl").as("plb"))
+    val dd = a.join(b, col("vi") === col("ui") + 1)
+      .select(col("ui"), col("vi"),
+        aggregate(zip_with(col("qa"), col("qb"), (x, y) => (x - y) * (x - y)),
+          lit(0L), (acc, z) => acc + z).as("od2"),
+        aggregate(zip_with(col("pla"), col("plb"), (x, y) => (x - y) * (x - y)),
+          lit(0L), (acc, z) => acc + z).as("pd2"))
+    dd.filter(col("od2") > 0)
+      .select(expr("(10000 * pd2) div (16 * od2)").as("bp"))
+      .groupBy(expr("bp div 1000").as("bucket"))
+      .agg(count(lit(1)).as("n_pairs"), min(col("bp")).as("min_bp"),
+        max(col("bp")).as("max_bp"),
+        expr("sum(bp) div count(1)").as("mean_bp"))
+      .orderBy(col("bucket"))
+  }
+
   val all: Seq[QueryDef] =
     Seq(q38CosineTopk, q39AnnIvf, q60HyperplaneLsh, q76QuantizedTopk,
       q89SemanticDedup, q110CentroidDrift, q134NegativeSampling,
       q188PowerIteration, q191IsolationAudit, q200MmrDiversified,
       q202PqAdcTopk, q203MutualKnn, q210AnnRecall,
-      q228HardNegatives, q229AnisotropyAudit)
+      q228HardNegatives, q229AnisotropyAudit, q236BitextMining,
+      q238JlDistortion)
 }

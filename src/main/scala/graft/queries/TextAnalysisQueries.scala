@@ -863,10 +863,114 @@ object TextAnalysisQueries {
           .cast("long").as("slope_micro"))
   }
 
+  /** Within-document code-switch segmentation — the per-WINDOW
+    * refinement of q30's per-doc language ID: a document is cut into
+    * fixed 10-token windows, each window language-ID'd by the same
+    * stopword-profile argmax, and the doc summarized by its window-
+    * language sequence (window count, switch count, distinct
+    * languages, dominant language + share). Multilingual curation
+    * needs this because per-doc lang ID silently mislabels mixed
+    * documents — a 60/40 en/es doc is neither, and both the
+    * mixing-ratio audit (route to a bitext pipeline) and the
+    * quality gate (drop heavy switchers) key off the WINDOW
+    * sequence, not the doc argmax.
+    *
+    * Scale shape: entirely map-side — tokenize, window, score, and
+    * summarize are higher-order functions over the token array of
+    * one row (the q27 no-explode idiom), so the plan is scan →
+    * project → sort; ZERO shuffles before the output order. Window
+    * scoring is O(tokens · |profiles|) per doc, independent of
+    * corpus size.
+    *
+    * Determinism: window count ⌈n/10⌉ and all shares are exact
+    * integers; window/dominant argmax ties break on the fixed
+    * en→es→de→fr priority exactly like q30; the switch count guards
+    * nw=1 explicitly because Spark's `sequence(2, 1)` DESCENDS
+    * where DuckDB's `range(2, 2)` is empty.
+    */
+  val q239CodeSwitch = QueryDef(
+    "q239_code_switch",
+    "within-doc code-switching audit: 10-token windows language-ID'd, switch count + dominant-language share per doc",
+    s"""WITH w0 AS (SELECT doc_id, list_filter(string_split(text, ' '), t -> length(t) > 0) AS w
+      |            FROM documents),
+      |d AS (SELECT doc_id, w, CAST((len(w) + 9) // 10 AS BIGINT) AS nw
+      |      FROM w0 WHERE len(w) > 0),
+      |l AS (SELECT doc_id, nw,
+      |  list_transform(range(0, nw), g ->
+      |    CASE WHEN len(list_filter(list_slice(w, g*10+1, g*10+10), t -> t IN ${sqlList(LangProfiles(0)._2)}))
+      |              >= len(list_filter(list_slice(w, g*10+1, g*10+10), t -> t IN ${sqlList(LangProfiles(1)._2)}))
+      |         AND len(list_filter(list_slice(w, g*10+1, g*10+10), t -> t IN ${sqlList(LangProfiles(0)._2)}))
+      |              >= len(list_filter(list_slice(w, g*10+1, g*10+10), t -> t IN ${sqlList(LangProfiles(2)._2)}))
+      |         AND len(list_filter(list_slice(w, g*10+1, g*10+10), t -> t IN ${sqlList(LangProfiles(0)._2)}))
+      |              >= len(list_filter(list_slice(w, g*10+1, g*10+10), t -> t IN ${sqlList(LangProfiles(3)._2)})) THEN 'en'
+      |         WHEN len(list_filter(list_slice(w, g*10+1, g*10+10), t -> t IN ${sqlList(LangProfiles(1)._2)}))
+      |              >= len(list_filter(list_slice(w, g*10+1, g*10+10), t -> t IN ${sqlList(LangProfiles(2)._2)}))
+      |         AND len(list_filter(list_slice(w, g*10+1, g*10+10), t -> t IN ${sqlList(LangProfiles(1)._2)}))
+      |              >= len(list_filter(list_slice(w, g*10+1, g*10+10), t -> t IN ${sqlList(LangProfiles(3)._2)})) THEN 'es'
+      |         WHEN len(list_filter(list_slice(w, g*10+1, g*10+10), t -> t IN ${sqlList(LangProfiles(2)._2)}))
+      |              >= len(list_filter(list_slice(w, g*10+1, g*10+10), t -> t IN ${sqlList(LangProfiles(3)._2)})) THEN 'de'
+      |         ELSE 'fr' END) AS langs
+      |  FROM d),
+      |c AS (SELECT doc_id, nw, langs,
+      |        CAST(CASE WHEN nw <= 1 THEN 0
+      |             ELSE len(list_filter(range(2, nw + 1), i -> langs[i] <> langs[i-1])) END AS BIGINT) AS n_switches,
+      |        CAST(len(list_distinct(langs)) AS BIGINT) AS n_langs,
+      |        CAST(len(list_filter(langs, x -> x = 'en')) AS BIGINT) AS c_en,
+      |        CAST(len(list_filter(langs, x -> x = 'es')) AS BIGINT) AS c_es,
+      |        CAST(len(list_filter(langs, x -> x = 'de')) AS BIGINT) AS c_de,
+      |        CAST(len(list_filter(langs, x -> x = 'fr')) AS BIGINT) AS c_fr
+      |      FROM l)
+      |SELECT doc_id, nw AS n_windows, n_switches, n_langs,
+      |  CASE WHEN c_en >= c_es AND c_en >= c_de AND c_en >= c_fr THEN 'en'
+      |       WHEN c_es >= c_de AND c_es >= c_fr THEN 'es'
+      |       WHEN c_de >= c_fr THEN 'de'
+      |       ELSE 'fr' END AS dom_lang,
+      |  (10000 * greatest(c_en, c_es, c_de, c_fr)) // nw AS dom_share_bp
+      |FROM c
+      |ORDER BY doc_id""".stripMargin) { (s, d) =>
+    def winCount(sw: Column, ws: Seq[String]): Column =
+      size(filter(sw, t => t.isin(ws: _*))).cast("long")
+    val base = Tables.documents(s, d)
+      .select(col("doc_id"), toks(col("text")).as("w"))
+      .filter(size(col("w")) > 0)
+      .withColumn("nw", expr("(size(w) + 9) div 10").cast("long"))
+    val withLangs = base.withColumn("langs",
+      transform(sequence(lit(0L), col("nw") - 1), g => {
+        val sw = slice(col("w"), (g * 10 + 1).cast("int"), lit(10))
+        val Seq(en, es, de, fr) = LangProfiles.map { case (_, ws) => winCount(sw, ws) }
+        when(en >= es && en >= de && en >= fr, "en")
+          .when(es >= de && es >= fr, "es")
+          .when(de >= fr, "de")
+          .otherwise("fr")
+      }))
+    val counted = withLangs.select(
+      col("doc_id"), col("nw"),
+      when(col("nw") <= 1, lit(0L))
+        .otherwise(size(filter(sequence(lit(2L), col("nw")),
+          i => element_at(col("langs"), i.cast("int")) =!=
+            element_at(col("langs"), (i - 1).cast("int")))).cast("long"))
+        .as("n_switches"),
+      size(array_distinct(col("langs"))).cast("long").as("n_langs"),
+      size(filter(col("langs"), x => x === "en")).cast("long").as("c_en"),
+      size(filter(col("langs"), x => x === "es")).cast("long").as("c_es"),
+      size(filter(col("langs"), x => x === "de")).cast("long").as("c_de"),
+      size(filter(col("langs"), x => x === "fr")).cast("long").as("c_fr"))
+    counted.select(col("doc_id"), col("nw").as("n_windows"),
+        col("n_switches"), col("n_langs"),
+        when(col("c_en") >= col("c_es") && col("c_en") >= col("c_de") &&
+          col("c_en") >= col("c_fr"), "en")
+          .when(col("c_es") >= col("c_de") && col("c_es") >= col("c_fr"), "es")
+          .when(col("c_de") >= col("c_fr"), "de")
+          .otherwise("fr").as("dom_lang"),
+        expr("(10000 * greatest(c_en, c_es, c_de, c_fr)) div nw")
+          .as("dom_share_bp"))
+      .orderBy(col("doc_id"))
+  }
+
   val all: Seq[QueryDef] = Seq(
     q27TokenStats, q28LangStats, q29QualityScore, q30Langid,
     q31Fingerprint, q32NgramStats, q55Tfidf, q66BpeTokens, q96Textrank,
     q117VocabGrowth, q171Readability, q172LangConfusion,
     q187PmiCollocations, q199NaiveBayesLangid, q217SourceSaliency,
-    q222ZipfFit)
+    q222ZipfFit, q239CodeSwitch)
 }

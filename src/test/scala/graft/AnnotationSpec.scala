@@ -151,4 +151,74 @@ class AnnotationSpec extends SparkSpec {
       assert(strength >= 1, s"$i strength positive")
     }
   }
+
+  test("q237 matches a driver-side Fleiss/Krippendorff recompute from first principles") {
+    val r = AnnotationQueries.q237AgreementKappa.fn(spark, sfDir).collect().head
+
+    val votes = Tables.events(spark, sfDir)
+      .select("user_id", "event_type").collect()
+      .map(row => (row.getLong(0), row.getString(1)))
+    val byItem = votes.groupBy(_._1).map { case (u, vs) =>
+      u -> vs.groupBy(_._2).map { case (l, ls) => l -> ls.size.toLong }
+    }.filter(_._2.values.sum >= 2)
+
+    val poIs = byItem.values.map { c =>
+      val n = c.values.sum; val sp = c.values.map(x => x * (x - 1)).sum
+      1000000L * sp / (n * (n - 1))
+    }
+    val ocIs = byItem.values.map { c =>
+      val n = c.values.sum; val sp = c.values.map(x => x * (x - 1)).sum
+      1000000L * sp / (n - 1)
+    }
+    val nItems = byItem.size.toLong
+    val tc = byItem.values.flatten
+      .groupBy(_._1).map { case (l, xs) => l -> xs.map(_._2).sum }
+    val t = tc.values.sum
+    val poMicro = poIs.sum / nItems
+    val peMicro = (BigInt(1000000) * tc.values.map(x => BigInt(x) * x).sum /
+      (BigInt(t) * t)).toLong
+    val doMicro = 1000000L - ocIs.sum / t
+    val deMicro = 1000000L - (BigInt(1000000) *
+      tc.values.map(x => BigInt(x) * (x - 1)).sum / (BigInt(t) * (t - 1))).toLong
+    def signedDiv(num: Long, den: Long): Long =
+      if (num >= 0) num / den else -((-num) / den)
+    val kappa = signedDiv(10000 * (poMicro - peMicro), 1000000 - peMicro)
+    val alpha = signedDiv(10000 * (deMicro - doMicro), deMicro)
+
+    assert(r.getAs[Long]("n_items") == nItems)
+    assert(r.getAs[Long]("n_votes") == t)
+    assert(r.getAs[Long]("n_labels") == tc.size.toLong)
+    assert(r.getAs[Long]("po_micro") == poMicro)
+    assert(r.getAs[Long]("pe_micro") == peMicro)
+    assert(r.getAs[Long]("kappa_bp") == kappa)
+    assert(r.getAs[Long]("do_micro") == doMicro)
+    assert(r.getAs[Long]("de_micro") == deMicro)
+    assert(r.getAs[Long]("alpha_bp") == alpha)
+  }
+
+  test("q237 fixture poles: unanimous items score kappa=alpha=10000; random labels score ~0") {
+    import org.apache.spark.sql.functions._
+    val dir = java.nio.file.Files.createTempDirectory("graft_kappa")
+      .toFile.getAbsolutePath
+    // 20 items × 3 raters, everyone agrees; two labels used across
+    // items so chance agreement is not 1 (kappa would be 0/0 on a
+    // single-label corpus — that degenerate pole is the NULL guard)
+    val rows = for (i <- 0L until 20L; rtr <- 0 until 3) yield
+      (i * 10 + rtr, java.sql.Timestamp.valueOf("2024-01-01 00:00:00"),
+        i, if (i % 2 == 0) "click" else "view", 1.0, "{}")
+    spark.createDataFrame(rows)
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val r = AnnotationQueries.q237AgreementKappa.fn(spark, dir).collect().head
+    assert(r.getAs[Long]("po_micro") == 1000000L)
+    assert(r.getAs[Long]("kappa_bp") == 10000L, "unanimous => kappa 1.0")
+    assert(r.getAs[Long]("alpha_bp") == 10000L, "unanimous => alpha 1.0")
+    // the real corpus assigns labels independently of items, so both
+    // coefficients must sit near zero (the chance-corrected point)
+    val real = AnnotationQueries.q237AgreementKappa.fn(spark, sfDir).collect().head
+    assert(math.abs(real.getAs[Long]("kappa_bp")) < 500,
+      s"independent labels => kappa ~ 0, got ${real.getAs[Long]("kappa_bp")}")
+    assert(math.abs(real.getAs[Long]("alpha_bp")) < 500,
+      s"independent labels => alpha ~ 0, got ${real.getAs[Long]("alpha_bp")}")
+  }
 }

@@ -176,4 +176,33 @@ class ClassifierSpec extends SparkSpec {
     assert(got == Seq((1L, "A", 1L), (3L, "A", 1L),
       (11L, "B", 1L), (13L, "B", 1L)), s"got $got")
   }
+
+  test("q239 detects the planted code-switch that per-doc lang ID misses") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_cswitch")
+      .toFile.getAbsolutePath
+    val en = "the of and to in is a the of and"   // 10 tokens, en stopwords
+    val es = "el la de y en es un el la de"       // 10 tokens, es stopwords
+    val rows = Seq(
+      (1L, s"$en $es", "xx"),   // two windows: en then es -> 1 switch
+      (2L, en, "en"),           // one window: pure en, no switch
+      (3L, s"$en $en $es", "xx")) // three windows: en en es -> 1 switch, dom en 2/3
+    import spark.implicits._
+    rows.toDF("doc_id", "text", "lang")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = Registry.byName("q239_code_switch").fn(spark, dir)
+      .collect()
+      .map(r => r.getLong(0) -> (r.getAs[Long]("n_windows"),
+        r.getAs[Long]("n_switches"), r.getAs[Long]("n_langs"),
+        r.getAs[String]("dom_lang"), r.getAs[Long]("dom_share_bp"))).toMap
+    assert(got(1L) == ((2L, 1L, 2L, "en", 5000L)),
+      s"mixed doc must report the switch (en tie-priority on the 1-1 split): ${got(1L)}")
+    assert(got(2L) == ((1L, 0L, 1L, "en", 10000L)), s"pure doc: ${got(2L)}")
+    assert(got(3L) == ((3L, 1L, 2L, "en", 6666L)),
+      s"2/3-en doc: ${got(3L)}")
+    // the per-doc q30 argmax on doc 1 can only answer ONE language —
+    // the window audit is what exposes the 50/50 composition
+    val q30 = Registry.byName("q30_langid").fn(spark, dir)
+      .collect().map(r => r.getLong(0) -> r.getString(5)).toMap
+    assert(q30(1L) == "en" || q30(1L) == "es")
+  }
 }

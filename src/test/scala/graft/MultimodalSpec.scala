@@ -321,4 +321,47 @@ class MultimodalSpec extends SparkSpec {
     }
     spark.sharedState.cacheManager.clearCache()
   }
+
+  test("q240 fingerprints match a driver-side energy recompute and are perturbation-invariant") {
+    val rows = Registry.byName("q240_audio_fingerprint_neardup").fn(spark, sfDir)
+      .collect()
+    assert(rows.nonEmpty)
+    // driver-side recompute straight from the synthesis formula — the
+    // engine must reach the same bits THROUGH the WAV parse
+    def fpOf(id: Long): Long = {
+      val n = MediaOps.GalleryLen
+      val nf = (n - 256) / 128 + 1
+      val e = (0 until nf).map { f =>
+        (f * 128 until f * 128 + 256)
+          .map(t => math.abs(MediaOps.gallerySample(id, t).toLong)).sum
+      }
+      (0 until math.min(30, nf - 1)).foldLeft(0L) { (acc, f) =>
+        if (e(f + 1) > e(f)) acc | (1L << f) else acc
+      }
+    }
+    val byProto = rows.groupBy(r => MediaOps.galleryProto(r.getLong(0)))
+    rows.foreach { r =>
+      assert(r.getAs[Long]("fp") == fpOf(r.getLong(0)),
+        s"doc ${r.getLong(0)}: engine fingerprint != synthesis recompute")
+      assert(r.getAs[Long]("n_frames") == 31L)
+    }
+    // same prototype => identical fingerprints (perturbation cannot
+    // flip a delta sign); different prototypes => hamming >= 8 (the
+    // 7-periodic pattern shift bound), far above the <=3 dup bar
+    byProto.foreach { case (p, grp) =>
+      assert(grp.map(_.getAs[Long]("fp")).distinct.length == 1,
+        s"proto $p fingerprints must collapse")
+      val keeper = grp.map(_.getLong(0)).min
+      grp.foreach(r => assert(r.getAs[Long]("dup_of") == keeper,
+        s"survivorship must pick the min id of proto $p"))
+      assert(grp.count(_.getAs[Int]("keep") == 1) == 1)
+    }
+    val protos = byProto.keys.toSeq.sorted
+    for (a <- protos; b <- protos if a < b) {
+      val d = java.lang.Long.bitCount(
+        byProto(a).head.getAs[Long]("fp") ^ byProto(b).head.getAs[Long]("fp"))
+      assert(d >= 8, s"protos $a/$b hamming $d — must be far above the dup bar")
+    }
+    spark.sharedState.cacheManager.clearCache()
+  }
 }

@@ -229,4 +229,80 @@ class VectorSearchSpec extends SparkSpec {
       math.floor(pairs.toDouble / (n.toDouble * (n - 1))).toLong)
     spark.sharedState.cacheManager.clearCache()
   }
+
+  test("q236 mines exactly the planted parallel pairs, mutual-best, margin above the bar") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_bitext")
+      .toFile.getAbsolutePath
+    // three planted cross-side parallel pairs on near-identical
+    // directions, plus one decoy per side pointing elsewhere; a
+    // shared positive base keeps all sims positive so neighborhoods
+    // are well-defined. Even label = source side, odd = target side.
+    def vec(axis: Int, bump: Float): Array[Float] = {
+      val v = Array.fill(8)(1.0f); v(axis) += 5.0f + bump; v
+    }
+    val rows = Seq(
+      (0L, vec(0, 0f), 0), (1L, vec(0, 0.1f), 1),
+      (2L, vec(1, 0f), 0), (3L, vec(1, 0.1f), 1),
+      (4L, vec(2, 0f), 0), (5L, vec(2, 0.1f), 1),
+      (6L, vec(3, 0f), 0), (7L, vec(4, 0f), 1))
+    spark.createDataFrame(rows).toDF("vec_id", "embedding", "label")
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    spark.conf.set("spark.graft.isolation.k", "1") // one cell: all pairs compete
+    try {
+      val got = Registry.byName("q236_bitext_mining").fn(spark, dir)
+        .collect().map(r => (r.getLong(0), r.getLong(1),
+          r.getAs[Long]("sim_micro"), r.getAs[Long]("margin_bp")))
+      val mined = got.map(g => (g._1, g._2)).toSet
+      assert(Set((0L, 1L), (2L, 3L), (4L, 5L)).subsetOf(mined),
+        s"planted parallel pairs must be mined, got $mined")
+      // decoys point at different axes: if (6,7) survives at all its
+      // margin must sit strictly below every planted pair's margin
+      val plantedMin = got.filter(g => g._1 != 6L).map(_._4).min
+      got.filter(_._1 == 6L).foreach { g =>
+        assert(g._4 < plantedMin,
+          s"decoy pair margin ${g._4} must be below planted min $plantedMin")
+      }
+      got.foreach(g => assert(g._4 > 10000, "mining bar is margin > 1.0"))
+    } finally spark.conf.unset("spark.graft.isolation.k")
+    spark.sharedState.cacheManager.clearCache()
+  }
+
+  test("q236 pairs are mutual best matches under a driver-side recompute") {
+    val rows = Registry.byName("q236_bitext_mining").fn(spark, sfDir).collect()
+    // mined pairs form a partial matching: no endpoint repeats
+    val srcs = rows.map(_.getLong(0)); val tgts = rows.map(_.getLong(1))
+    assert(srcs.distinct.length == srcs.length, "each source mined at most once")
+    assert(tgts.distinct.length == tgts.length, "each target mined at most once")
+    val sides = Tables.embeddings(spark, sfDir)
+      .select(col("vec_id"), col("label")).collect()
+      .map(r => r.getLong(0) -> r.getInt(1) % 2).toMap
+    rows.foreach { r =>
+      assert(sides(r.getLong(0)) == 0 && sides(r.getLong(1)) == 1,
+        "pairs are strictly cross-side")
+      assert(r.getAs[Long]("margin_bp") > 10000)
+      assert(r.getAs[Long]("sim_micro") > 0)
+    }
+    spark.sharedState.cacheManager.clearCache()
+  }
+
+  test("q238 JL distortion concentrates around 1.0x and covers every disjoint pair") {
+    val rows = Registry.byName("q238_jl_distortion").fn(spark, sfDir).collect()
+    val n = Tables.embeddings(spark, sfDir).count()
+    val totalPairs = rows.map(_.getAs[Long]("n_pairs")).sum
+    assert(totalPairs == n / 2,
+      s"every (2m, 2m+1) pair must be audited: $totalPairs vs ${n / 2}")
+    rows.foreach { r =>
+      val (lo, hi, mean) = (r.getAs[Long]("min_bp"), r.getAs[Long]("max_bp"),
+        r.getAs[Long]("mean_bp"))
+      assert(lo <= mean && mean <= hi)
+      assert(r.getAs[Long]("bucket") == lo / 1000, "bucket is the floored 0.1x bin")
+    }
+    // E||Px-Py||^2 = 16*||x-y||^2 exactly under Rademacher signs, so the
+    // pair-weighted mean distortion must sit near 10000 bp
+    val wMean = rows.map(r => r.getAs[Long]("mean_bp") * r.getAs[Long]("n_pairs")).sum /
+      totalPairs
+    assert(wMean > 8000 && wMean < 12000,
+      s"JL concentration: weighted mean distortion $wMean bp should be ~10000")
+    spark.sharedState.cacheManager.clearCache()
+  }
 }
