@@ -572,9 +572,74 @@ object SamplingQueries {
       .orderBy(col("rank"))
   }
 
+  /** Context-length frontier — the sweep a training team runs before
+    * committing `max_seq_len`: for each candidate length L, what the
+    * two standard packing regimes cost on THIS corpus. Under
+    * chunk-with-padding (T5-style: each doc split into ⌈len/L⌉
+    * chunks, last chunk padded) the cost is pad waste; under
+    * truncate-to-L (BERT-style: one chunk, tail dropped) the cost is
+    * lost tokens. q84 audits ONE serving configuration; this is the
+    * DESIGN-TIME frontier across L — pad_bp falls and trunc_bp rises
+    * in L, and the table is where those curves cross.
+    *
+    * Scale shape: ONE corpus scan computes the per-doc token count;
+    * the 4-row candidate grid rides a broadcast cross join and the
+    * result is a 4-row aggregate — the corpus never moves twice and
+    * nothing shuffles but the final 4-key groupBy. All integer
+    * (ceil = (n + L − 1) div L; shares in basis points).
+    */
+  val q241ContextFrontier = QueryDef(
+    "q241_context_frontier",
+    "context-length frontier: padding-waste vs truncation-loss per candidate max_seq_len, one scan + broadcast grid",
+    """WITH tok AS (
+      |  SELECT doc_id,
+      |         CAST(len(list_filter(string_split(text, ' '), t -> length(t) > 0)) AS BIGINT) AS n
+      |  FROM documents),
+      |t AS (SELECT doc_id, n FROM tok WHERE n > 0),
+      |ls AS (SELECT unnest([64, 128, 256, 512]) AS l),
+      |g AS (SELECT CAST(ls.l AS BIGINT) AS max_len, t.n,
+      |        (t.n + ls.l - 1) // ls.l AS chunks,
+      |        least(t.n, CAST(ls.l AS BIGINT)) AS kept,
+      |        CASE WHEN t.n > ls.l THEN 1 ELSE 0 END AS over
+      |      FROM t CROSS JOIN ls)
+      |SELECT max_len,
+      |  CAST(count(*) AS BIGINT) AS n_docs,
+      |  CAST(sum(n) AS BIGINT) AS total_tokens,
+      |  CAST(sum(chunks) AS BIGINT) AS pad_chunks,
+      |  CAST(sum(chunks) * max_len - sum(n) AS BIGINT) AS pad_tokens,
+      |  CAST((10000 * (sum(chunks) * max_len - sum(n))) // (sum(chunks) * max_len) AS BIGINT) AS pad_bp,
+      |  CAST(sum(n) - sum(kept) AS BIGINT) AS trunc_tokens,
+      |  CAST((10000 * (sum(n) - sum(kept))) // sum(n) AS BIGINT) AS trunc_bp,
+      |  CAST(sum(over) AS BIGINT) AS docs_over
+      |FROM g GROUP BY max_len
+      |ORDER BY max_len""".stripMargin) { (s, d) =>
+    val t = Tables.documents(s, d)
+      .select(col("doc_id"),
+        size(filter(split(col("text"), " "), x => length(x) > 0))
+          .cast("long").as("n"))
+      .filter(col("n") > 0)
+    val ls = s.createDataFrame(Seq(64L, 128L, 256L, 512L).map(Tuple1(_)))
+      .toDF("max_len")
+    t.crossJoin(broadcast(ls))
+      .select(col("max_len"), col("n"),
+        expr("(n + max_len - 1) div max_len").as("chunks"),
+        least(col("n"), col("max_len")).as("kept"),
+        when(col("n") > col("max_len"), 1L).otherwise(0L).as("over"))
+      .groupBy(col("max_len"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n")).as("total_tokens"),
+        sum(col("chunks")).as("pad_chunks"),
+        (sum(col("chunks")) * col("max_len") - sum(col("n"))).as("pad_tokens"),
+        expr("(10000 * (sum(chunks) * max_len - sum(n))) div (sum(chunks) * max_len)")
+          .as("pad_bp"),
+        (sum(col("n")) - sum(col("kept"))).as("trunc_tokens"),
+        expr("(10000 * (sum(n) - sum(kept))) div sum(n)").as("trunc_bp"),
+        sum(col("over")).as("docs_over"))
+      .orderBy(col("max_len"))
+  }
+
   val all: Seq[QueryDef] =
     Seq(q56DeterministicSample, q57StratifiedMix, q77ShardStats,
       q81TokenBudgetMix, q84LengthBatches, q88TemperatureMix,
       q106SystematicSample, q133SourceUpsampling, q151DsirWeights,
-      q219TimeSeriesCv, q232WeightedSample)
+      q219TimeSeriesCv, q232WeightedSample, q241ContextFrontier)
 }

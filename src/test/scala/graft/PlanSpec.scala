@@ -107,6 +107,26 @@ class PlanSpec extends SparkSpec {
     assert(!plan.contains("Join"), s"unpivot must not join:\n$plan")
   }
 
+  test("q239 code-switch is pure map-side: no join, no aggregate exchange before the sort") {
+    val df = Registry.byName("q239_code_switch").fn(spark, sfDir)
+    val plan = planString(df)
+    assert(!plan.contains("Join"), s"q239 must not join:\n$plan")
+    assert(!plan.contains("HashAggregate"), s"q239 must not aggregate:\n$plan")
+    // exactly one exchange: the rangepartitioning for the output sort
+    val exchanges = "Exchange".r.findAllIn(plan).length
+    assert(exchanges <= 1, s"q239 must shuffle only for the sort, got $exchanges:\n$plan")
+  }
+
+  test("q241 context frontier is one scan + broadcast grid + one aggregate exchange") {
+    val df = Registry.byName("q241_context_frontier").fn(spark, sfDir)
+    val plan = planString(df)
+    assert(plan.contains("BroadcastNestedLoopJoin") || plan.contains("BroadcastExchange"),
+      s"the 4-row candidate grid must broadcast:\n$plan")
+    val scans = "Scan parquet".r.findAllIn(plan).length
+    assert(scans == 1, s"q241 must scan the corpus once, got $scans:\n$plan")
+    assert(!plan.contains("CartesianProduct"), s"no cartesian:\n$plan")
+  }
+
   test("native cosine_sim equals the HOF cosine bit-for-bit") {
     GraftFunctions.register(spark)
     val e = Tables.embeddings(spark, sfDir).limit(100)

@@ -157,4 +157,34 @@ class SamplingSpec extends SparkSpec {
       s"winners' mean weight $avgWin not above corpus mean $avgAll")
     spark.sharedState.cacheManager.clearCache()
   }
+
+  test("q241 context frontier matches a driver recompute; truncation falls and docs_over shrinks in L") {
+    val rows = Registry.byName("q241_context_frontier").fn(spark, sfDir)
+      .collect().sortBy(_.getLong(0))
+    assert(rows.map(_.getLong(0)).toSeq == Seq(64L, 128L, 256L, 512L))
+    val lens = Tables.documents(spark, sfDir)
+      .select(col("text")).collect()
+      .map(_.getString(0).split(" ").count(_.nonEmpty).toLong)
+      .filter(_ > 0)
+    rows.foreach { r =>
+      val l = r.getLong(0)
+      val chunks = lens.map(n => (n + l - 1) / l).sum
+      val kept = lens.map(n => math.min(n, l)).sum
+      assert(r.getAs[Long]("n_docs") == lens.length.toLong)
+      assert(r.getAs[Long]("total_tokens") == lens.sum)
+      assert(r.getAs[Long]("pad_chunks") == chunks)
+      assert(r.getAs[Long]("pad_tokens") == chunks * l - lens.sum)
+      assert(r.getAs[Long]("pad_bp") ==
+        10000 * (chunks * l - lens.sum) / (chunks * l))
+      assert(r.getAs[Long]("trunc_tokens") == lens.sum - kept)
+      assert(r.getAs[Long]("trunc_bp") == 10000 * (lens.sum - kept) / lens.sum)
+      assert(r.getAs[Long]("docs_over") == lens.count(_ > l).toLong)
+    }
+    // the frontier shape: truncation loss and over-length docs are
+    // monotone non-increasing in the candidate length
+    val trunc = rows.map(_.getAs[Long]("trunc_bp"))
+    val over = rows.map(_.getAs[Long]("docs_over"))
+    assert(trunc.zip(trunc.tail).forall { case (a, b) => b <= a })
+    assert(over.zip(over.tail).forall { case (a, b) => b <= a })
+  }
 }

@@ -267,6 +267,44 @@ class VectorSearchSpec extends SparkSpec {
     spark.sharedState.cacheManager.clearCache()
   }
 
+  test("q236 margin normalizes hubness away: the pair raw cosine gets wrong is re-routed") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_hub")
+      .toFile.getAbsolutePath
+    // side 0: a HUB h near everything (the degenerate direction real
+    // embedding spaces grow) and a specific source s1; side 1: t_a is
+    // RAW-COSINE-closer to the hub than to its true partner s1, and
+    // three decoys keep the hub's neighborhood mean high. The margin
+    // criterion divides by that mean, so t_a's best MARGIN match is
+    // s1 — the exact failure mode margin scoring exists to fix.
+    val rows = Seq(
+      (0L, Array(1f, 1f, 1f, 1f), 0),                        // hub, side 0
+      (2L, Array(2f, 0f, 0f, 0f), 2),                        // s1, side 0
+      (1L, Array(0.75f, 0.2833f, 0.2833f, 0.2833f), 1),      // t_a, side 1
+      (3L, Array(1f, 1f, 1f, 0.9f), 3),                      // decoys near hub
+      (5L, Array(1f, 1f, 0.9f, 1f), 5),
+      (7L, Array(1f, 0.9f, 1f, 1f), 7))
+    spark.createDataFrame(rows).toDF("vec_id", "embedding", "label")
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    // precondition that makes the fixture meaningful: raw cosine
+    // REALLY prefers the hub for t_a
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      val d = a.zip(b).map { case (x, y) => x.toDouble * y }.sum
+      d / math.sqrt(a.map(x => x.toDouble * x).sum * b.map(x => x.toDouble * x).sum)
+    }
+    assert(cos(rows(0)._2, rows(2)._2) > cos(rows(1)._2, rows(2)._2),
+      "fixture: hub must beat the true partner on raw cosine")
+    spark.conf.set("spark.graft.isolation.k", "1")
+    try {
+      val mined = Registry.byName("q236_bitext_mining").fn(spark, dir)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(mined.contains((2L, 1L)),
+        s"margin must re-route t_a to its true partner s1, got $mined")
+      assert(!mined.contains((0L, 1L)),
+        s"the raw-cosine hub match must NOT be mined, got $mined")
+    } finally spark.conf.unset("spark.graft.isolation.k")
+    spark.sharedState.cacheManager.clearCache()
+  }
+
   test("q236 pairs are mutual best matches under a driver-side recompute") {
     val rows = Registry.byName("q236_bitext_mining").fn(spark, sfDir).collect()
     // mined pairs form a partial matching: no endpoint repeats
