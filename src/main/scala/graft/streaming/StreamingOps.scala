@@ -467,6 +467,123 @@ object StreamingOps {
         OutputMode.Append())
   }
 
+  /** Greenwald–Khanna sketch state: the classic (v, g, Δ) tuple list
+    * as parallel sequences (flat product encoder) plus the stream-
+    * prefix count. Size is O((1/ε)·log(εN)) REGARDLESS of stream
+    * length — the bounded-state contract.
+    */
+  case class GkState(n: Long, vs: Seq[Double], gs: Seq[Long], ds: Seq[Long])
+
+  /** Streaming quantile monitor — the CONTINUOUS twin of q112's
+    * batch `approx_percentile` (GK sketch) gate, and the latency/SLO
+    * monitor every event pipeline runs: per key, a Greenwald–Khanna
+    * ε-sketch lives in `ValueState`, absorbs each micro-batch
+    * (insert + one compress pass), and re-emits the key's current
+    * p50/p95 with the GK guarantee — emitted value's rank within
+    * ±εN of the target — over the WHOLE stream prefix, not per
+    * batch. The emitted `state_size` makes the bounded-state
+    * contract observable from the outside (the spec pins it), the
+    * same way a watermarkless exact percentile over a raw buffer
+    * could not be bounded.
+    *
+    * Determinism note: within-batch insertion order depends on
+    * shuffle arrival, so two runs may emit different (equally valid)
+    * ε-approximations — consumers get the BOUND, not a bit-exact
+    * value; the spec asserts exactly that contract (SURVEY §5's
+    * no-DuckDB-twin class).
+    */
+  class QuantileMonitorProcessor(eps: Double)
+      extends org.apache.spark.sql.streaming.StatefulProcessor[
+        String, Event, (String, Long, Double, Double, Int)] {
+    @transient private var st
+        : org.apache.spark.sql.streaming.ValueState[GkState] = _
+
+    override def init(
+        outputMode: OutputMode,
+        timeMode: org.apache.spark.sql.streaming.TimeMode): Unit = {
+      st = getHandle.getValueState[GkState](
+        "gk",
+        org.apache.spark.sql.Encoders.product[GkState],
+        org.apache.spark.sql.streaming.TTLConfig.NONE)
+    }
+
+    // tuples as a mutable buffer of (v, g, delta), sorted by v
+    private def insert(
+        buf: scala.collection.mutable.ArrayBuffer[(Double, Long, Long)],
+        v: Double, n: Long): Unit = {
+      var i = 0
+      while (i < buf.length && buf(i)._1 <= v) i += 1
+      val delta =
+        if (i == 0 || i == buf.length) 0L
+        else math.floor(2 * eps * n).toLong
+      buf.insert(i, (v, 1L, delta))
+    }
+
+    private def compress(
+        buf: scala.collection.mutable.ArrayBuffer[(Double, Long, Long)],
+        n: Long): Unit = {
+      val band = math.floor(2 * eps * n).toLong
+      // merge right-to-left; index 0 is kept so the minimum survives
+      var i = buf.length - 2
+      while (i >= 1) {
+        val (_, gi, _) = buf(i)
+        val (v1, g1, d1) = buf(i + 1)
+        if (gi + g1 + d1 <= band) {
+          buf(i + 1) = (v1, gi + g1, d1)
+          buf.remove(i)
+        }
+        i -= 1
+      }
+    }
+
+    private def query(
+        buf: scala.collection.mutable.ArrayBuffer[(Double, Long, Long)],
+        n: Long, phi: Double): Double = {
+      val r = math.ceil(phi * n).toLong
+      val bound = eps * n
+      var acc = 0L
+      var i = 0
+      while (i < buf.length) {
+        acc += buf(i)._2
+        if (acc + buf(i)._3 > r + bound)
+          return buf(math.max(0, i - 1))._1
+        i += 1
+      }
+      buf.last._1
+    }
+
+    override def handleInputRows(
+        key: String,
+        rows: Iterator[Event],
+        timerValues: org.apache.spark.sql.streaming.TimerValues)
+        : Iterator[(String, Long, Double, Double, Int)] = {
+      val prev = Option(st.get()).getOrElse(GkState(0L, Nil, Nil, Nil))
+      val buf = scala.collection.mutable.ArrayBuffer.empty[(Double, Long, Long)]
+      prev.vs.indices.foreach(i => buf += ((prev.vs(i), prev.gs(i), prev.ds(i))))
+      var n = prev.n
+      rows.foreach { e => insert(buf, e.value, n); n += 1 }
+      compress(buf, n)
+      st.update(GkState(n, buf.map(_._1).toSeq, buf.map(_._2).toSeq,
+        buf.map(_._3).toSeq))
+      if (n == 0) Iterator.empty
+      else Iterator.single(
+        (key, n, query(buf, n, 0.5), query(buf, n, 0.95), buf.length))
+    }
+  }
+
+  /** Streaming p50/p95 per event_type (Update mode: each batch
+    * re-emits the keys' current sketch quantiles + state size).
+    */
+  def quantileMonitor(spark: SparkSession, events: Dataset[Event],
+      eps: Double = 0.05): Dataset[(String, Long, Double, Double, Int)] = {
+    import spark.implicits._
+    events
+      .groupByKey(_.event_type)
+      .transformWithState(new QuantileMonitorProcessor(eps),
+        org.apache.spark.sql.streaming.TimeMode.None(),
+        OutputMode.Update())
+  }
+
   /** Streaming exact dedup — the ingest-time twin of q33's batch
     * dedup: drop events identical on (user_id, event_type, ts) while
     * their event time is within the watermark, with per-key state

@@ -749,4 +749,49 @@ class StreamingSpec extends SparkSpec {
       assert(spark.table("replay_t").count() > 0)
     } finally q.stop()
   }
+
+  test("streaming GK quantile monitor: eps-rank guarantee over the stream prefix, bounded state") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val input = MemoryStream[Event]
+      val eps = 0.05
+      val q = StreamingOps.quantileMonitor(spark, input.toDS(), eps)
+        .toDF("event_type", "n", "p50", "p95", "state_size")
+        .writeStream.format("memory").queryName("qm_t")
+        .outputMode("update").start()
+      try {
+        // two batches; the second SHIFTS the distribution so a
+        // correct whole-prefix quantile must move — per-batch-only
+        // state would report the second batch's median instead
+        val batch1 = (1 to 400).map(i => Event(ts(i), i.toLong, "click", i.toDouble))
+        val batch2 = (401 to 800).map(i => Event(ts(i), i.toLong, "click", i.toDouble))
+        input.addData(batch1: _*); runAll(q)
+        input.addData(batch2: _*); runAll(q)
+        val rows = spark.table("qm_t")
+          .select($"n", $"p50", $"p95", $"state_size")
+          .as[(Long, Double, Double, Int)].collect().sortBy(_._1)
+        assert(rows.map(_._1).toSeq == Seq(400L, 800L),
+          s"one emission per batch with the prefix count: ${rows.toSeq}")
+        // exact values are 1..n, so rank(v) = v; GK guarantees the
+        // emitted value's rank within eps*n of ceil(phi*n)
+        rows.foreach { case (n, p50, p95, size) =>
+          val b = eps * n
+          assert(math.abs(p50 - math.ceil(0.5 * n)) <= b,
+            s"p50 $p50 outside +-$b of ${0.5 * n} at n=$n")
+          assert(math.abs(p95 - math.ceil(0.95 * n)) <= b,
+            s"p95 $p95 outside +-$b of ${0.95 * n} at n=$n")
+          // bounded state: far below n (exact buffering would be n)
+          assert(size < 3 * (1 / eps) * (math.log(eps * n + 1) / math.log(2) + 2),
+            s"sketch size $size not logarithmic at n=$n")
+        }
+        // the prefix median MOVED with the second batch — state carried
+        assert(rows(1)._2 > rows(0)._2 + 100,
+          s"median must shift with the prefix: ${rows.toSeq}")
+      } finally q.stop()
+    } finally
+      spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+  }
 }
