@@ -1766,15 +1766,29 @@ object SimilarityQueries {
             .cast("long")).as("qu"))
     // map-side Rademacher projection: sign = mix64 parity bit on the
     // (input dim, output dim) key — the q232 u52 replay convention.
+    // The sign matrix is ROW-INDEPENDENT (a pure function of (j, k)),
+    // so it is materialized ONCE driver-side as a d′×d literal — the
+    // same mix64 the oracle replays, hoisted out of the per-row loop
+    // (the HOF form re-evaluated d·d′ hash chains on EVERY row).
+    // Width follows the corpus's max dimensionality: bounded metadata
+    // (one scalar aggregate), the centroid-collect convention.
+    val dMax = Tables.embeddings(s, d)
+      .agg(coalesce(max(size(col("embedding"))), lit(0)))
+      .head().getInt(0)
+    val signs: Seq[Seq[Long]] = (0L until 16L).map(k =>
+      (0L until dMax.toLong).map { j =>
+        if (((graft.plans.Mix64.mix(j * 131071L + k * 524287L + 12345L) >>> 12) & 1L) == 0L) 1L
+        else -1L
+      })
     // Persisted for the query's scope: both pair sides read it.
     val proj = graft.AutoUnpersist.scoped(t.withColumn("pl",
       transform(sequence(lit(0L), lit(15L)), k =>
-        aggregate(sequence(lit(0L), size(col("qu")).cast("long") - 1), lit(0L),
-          (acc, j) => acc +
-            when(shiftrightunsigned(
-              GraftFunctions.mix64(j * 131071L + k * 524287L + 12345L), 12) % 2 === 0,
-              element_at(col("qu"), (j + 1).cast("int")))
-              .otherwise(-element_at(col("qu"), (j + 1).cast("int")))))))
+        aggregate(
+          zip_with(col("qu"),
+            slice(element_at(typedLit(signs), (k + 1).cast("int")),
+              lit(1), size(col("qu"))),
+            (x, sgn) => x * sgn),
+          lit(0L), (acc, z) => acc + z))))
     val a = proj.select(col("vec_id").as("ui"), col("qu").as("qa"), col("pl").as("pla"))
       .filter(col("ui") % 2 === 0)
     val b = proj.select(col("vec_id").as("vi"), col("qu").as("qb"), col("pl").as("plb"))
