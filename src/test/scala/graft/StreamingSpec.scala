@@ -477,6 +477,47 @@ class StreamingSpec extends SparkSpec {
       spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
   }
 
+  test("GK quantile monitor state survives kill + restart from checkpoint") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val ckpt = java.nio.file.Files.createTempDirectory("graft_gk_ckpt")
+        .toFile.getAbsolutePath
+      val input = MemoryStream[Event]
+      val out = new scala.collection.mutable.ArrayBuffer[(Long, Double)]()
+      def start() = StreamingOps.quantileMonitor(spark, input.toDS(), eps = 0.05)
+        .toDF("event_type", "n", "p50", "p95", "state_size")
+        .writeStream
+        .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+          val rows = df.select($"n", $"p50").as[(Long, Double)].collect()
+          out.synchronized(rows.foreach(out += _))
+        }
+        .option("checkpointLocation", ckpt)
+        .outputMode("update").start()
+      val q1 = start()
+      try {
+        input.addData((1 to 200).map(i => Event(ts(i), i.toLong, "click", i.toDouble)): _*)
+        runAll(q1)
+      } finally q1.stop()
+      // second half arrives while the query is DOWN; the restarted
+      // query must resume the SKETCH, not restart it — its prefix
+      // count reads 400 and its median moves to ~200 (a state loss
+      // would report n=200 with median ~300)
+      input.addData((201 to 400).map(i => Event(ts(i), i.toLong, "click", i.toDouble)): _*)
+      val q2 = start()
+      try runAll(q2) finally q2.stop()
+      val emitted = out.synchronized(out.toList)
+      assert(emitted.map(_._1).sorted == List(200L, 400L),
+        s"prefix counts wrong across restart: $emitted")
+      val p50After = emitted.find(_._1 == 400L).get._2
+      assert(math.abs(p50After - 200.0) <= 0.05 * 400,
+        s"sketch state lost across restart: p50 $p50After should be ~200")
+    } finally
+      spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+  }
+
   test("dropDuplicatesWithinWatermark dedups the stream on the event key") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
