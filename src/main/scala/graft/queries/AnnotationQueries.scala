@@ -355,9 +355,12 @@ object AnnotationQueries {
       |       ELSE -((10000 * (do_micro - de_micro)) // de_micro) END AS alpha_bp
       |FROM m
       |ORDER BY n_items""".stripMargin) { (s, d) =>
-    val v = Tables.events(s, d)
+    // the (item, label) relation feeds BOTH the item aggregate and the
+    // label-marginal branch — persist for the query's scope so the
+    // event log is scanned once
+    val v = graft.AutoUnpersist.scoped(Tables.events(s, d)
       .groupBy(col("user_id"), col("event_type"))
-      .agg(count(lit(1)).as("c"))
+      .agg(count(lit(1)).as("c")))
     val it = v.groupBy(col("user_id"))
       .agg(sum(col("c")).as("n"), sum(col("c") * (col("c") - 1)).as("sp"))
       .filter(col("n") >= 2)

@@ -273,8 +273,12 @@ object MultimodalQueries {
       |FROM fp f LEFT JOIN nb ON nb.u = f.doc_id
       |ORDER BY f.doc_id""".stripMargin) { (s, d) =>
     import org.apache.spark.sql.functions._
-    val fps = MediaOps.audioFingerprints(s, MediaOps.synthesizeAudioGallery(s, d))
-      .toDF().select(col("doc_id"), col("n_frames"), col("fp"))
+    // fingerprints feed both band-join sides AND the survivorship
+    // join-back — persist for the query's scope so the WAV parse runs
+    // once per blob, not three times
+    val fps = graft.AutoUnpersist.scoped(
+      MediaOps.audioFingerprints(s, MediaOps.synthesizeAudioGallery(s, d))
+        .toDF().select(col("doc_id"), col("n_frames"), col("fp")))
     val bd = fps.select(col("doc_id"), col("fp"),
       explode(array((0 until 5).map(b =>
         struct(lit(b.toLong).as("b"),
