@@ -617,7 +617,7 @@ object MiningQueries {
     "exponential time-decayed part popularity: per-row integer decay micros, one aggregate pass, top-20",
     """WITH a AS (
       |  SELECT l_partkey AS part,
-      |    (epoch_us(TIMESTAMP '2002-01-01 00:00:00') - epoch_us(CAST(l_shipdate AS TIMESTAMP))) // 86400000000 AS age_days
+      |    greatest(0, (epoch_us(TIMESTAMP '2002-01-01 00:00:00') - epoch_us(CAST(l_shipdate AS TIMESTAMP))) // 86400000000) AS age_days
       |  FROM lineitem),
       |wgt AS (SELECT part,
       |    CAST(floor(1000000.0 * pow(2.0, -CAST(age_days AS DOUBLE) / 365.0)) AS BIGINT) AS w_micro
@@ -629,9 +629,13 @@ object MiningQueries {
       |FROM sc
       |ORDER BY decayed_micro DESC, part
       |LIMIT 20""".stripMargin) { (s, d) =>
+    // greatest(0, ·): rows shipped AFTER the fixed reference date clamp
+    // to age 0 (weight 1) instead of extrapolating >1 weights — and a
+    // negative numerator would be the one place Spark's truncating
+    // `div` and DuckDB's flooring `//` disagree
     Tables.lineitem(s, d)
       .select(col("l_partkey").as("part"),
-        expr("(1009843200000000 - unix_micros(cast(l_shipdate as timestamp))) div 86400000000")
+        expr("greatest(0L, (1009843200000000 - unix_micros(cast(l_shipdate as timestamp))) div 86400000000)")
           .as("age_days"))
       .select(col("part"),
         floor(lit(1000000.0) *
