@@ -967,10 +967,101 @@ object TextAnalysisQueries {
       .orderBy(col("doc_id"))
   }
 
+  /** Pairwise source-distribution divergence — the lexical
+    * similarity matrix a mixture designer reads before weighting
+    * sources (q88/q133 set the WEIGHTS; this says which sources are
+    * statistically redundant vs complementary): Jensen–Shannon
+    * divergence between every two sources' unigram distributions.
+    * JSD (symmetric, bounded by ln 2, defined on disjoint supports)
+    * is the standard corpus-comparison divergence where raw KL blows
+    * up on any token one side lacks. Distinct from q173 (doc-HASH
+    * overlap — near-identical documents) and q153 (PSI on one
+    * metric): two sources can share zero documents yet be lexically
+    * interchangeable, and that redundancy is exactly what this
+    * surfaces.
+    *
+    * Scale shape: ONE (source, token) partial-aggregable shuffle off
+    * the corpus scan; everything after lives on the vocab×|sources|
+    * dense grid (vocabulary-bounded metadata, NOT corpus-bounded) —
+    * the pair stage is |sources|²·|vocab| rows of integers. Totals
+    * ride a broadcast.
+    *
+    * Determinism: per-(pair, token) JSD terms floor to integer
+    * MICROS — IEEE double ratio + `ln` on identical spelled
+    * expressions (the q121 micro-log convention, hash-proven at
+    * three scales) — so the per-pair sums are order-independent
+    * integer adds.
+    */
+  val q242SourceDivergence = QueryDef(
+    "q242_source_divergence",
+    "pairwise Jensen-Shannon divergence between source unigram distributions (integer micros, vocab-bounded grid)",
+    """WITH cv AS (SELECT source, t AS token, CAST(count(*) AS BIGINT) AS c
+      |            FROM (SELECT source, unnest(list_filter(string_split(text, ' '), x -> length(x) > 0)) AS t
+      |                  FROM documents)
+      |            GROUP BY source, t),
+      |tok AS (SELECT DISTINCT token FROM cv),
+      |src AS (SELECT source, CAST(sum(c) AS BIGINT) AS t FROM cv GROUP BY source),
+      |grid AS (SELECT s.source, s.t, tok.token, coalesce(cv.c, 0) AS c
+      |         FROM src s CROSS JOIN tok
+      |         LEFT JOIN cv ON cv.source = s.source AND cv.token = tok.token),
+      |pair AS (SELECT a.source AS src_a, b.source AS src_b,
+      |           CAST(a.c AS DOUBLE) / a.t AS pa, CAST(b.c AS DOUBLE) / b.t AS pb,
+      |           a.c AS ca, b.c AS cb
+      |         FROM grid a JOIN grid b ON a.token = b.token AND a.source < b.source
+      |         WHERE a.c + b.c > 0),
+      |term AS (SELECT src_a, src_b, ca, cb,
+      |           CAST(floor(1000000.0 * (
+      |             (CASE WHEN pa > 0 THEN pa * ln(2.0 * pa / (pa + pb)) ELSE 0.0 END
+      |            + CASE WHEN pb > 0 THEN pb * ln(2.0 * pb / (pa + pb)) ELSE 0.0 END) / 2.0)) AS BIGINT) AS m
+      |         FROM pair)
+      |SELECT src_a, src_b,
+      |  CAST(count(*) AS BIGINT) AS union_tokens,
+      |  CAST(sum(CASE WHEN ca > 0 AND cb > 0 THEN 1 ELSE 0 END) AS BIGINT) AS shared_tokens,
+      |  CAST(sum(m) AS BIGINT) AS jsd_micro
+      |FROM term
+      |GROUP BY src_a, src_b
+      |ORDER BY src_a, src_b""".stripMargin) { (s, d) =>
+    // vocab×|sources|-bounded; feeds three branches — persist for the
+    // query's scope so the corpus tokenization runs once
+    val cv = graft.AutoUnpersist.scoped(Tables.documents(s, d)
+      .select(col("source"), explode(toks(col("text"))).as("token"))
+      .groupBy(col("source"), col("token")).agg(count(lit(1)).as("c")))
+    val tok = cv.select(col("token")).distinct()
+    val src = cv.groupBy(col("source")).agg(sum(col("c")).as("t"))
+    val grid = src.crossJoin(broadcast(tok))
+      .join(cv, Seq("source", "token"), "left_outer")
+      .select(col("source"), col("t"), col("token"),
+        coalesce(col("c"), lit(0L)).as("c"))
+    val a = grid.select(col("source").as("src_a"), col("t").as("ta"),
+      col("token"), col("c").as("ca"))
+    val b = grid.select(col("source").as("src_b"), col("t").as("tb"),
+      col("token").as("token_b"), col("c").as("cb"))
+    a.join(b, col("token") === col("token_b") && col("src_a") < col("src_b"))
+      .filter(col("ca") + col("cb") > 0)
+      .select(col("src_a"), col("src_b"), col("ca"), col("cb"),
+        (col("ca").cast("double") / col("ta")).as("pa"),
+        (col("cb").cast("double") / col("tb")).as("pb"))
+      .select(col("src_a"), col("src_b"), col("ca"), col("cb"),
+        floor(lit(1000000.0) * (
+          (when(col("pa") > 0,
+            col("pa") * log(lit(2.0) * col("pa") / (col("pa") + col("pb"))))
+            .otherwise(lit(0.0)) +
+           when(col("pb") > 0,
+             col("pb") * log(lit(2.0) * col("pb") / (col("pa") + col("pb"))))
+            .otherwise(lit(0.0))) / lit(2.0)))
+          .cast("long").as("m"))
+      .groupBy(col("src_a"), col("src_b"))
+      .agg(count(lit(1)).as("union_tokens"),
+        sum(when(col("ca") > 0 && col("cb") > 0, 1L).otherwise(0L))
+          .as("shared_tokens"),
+        sum(col("m")).as("jsd_micro"))
+      .orderBy(col("src_a"), col("src_b"))
+  }
+
   val all: Seq[QueryDef] = Seq(
     q27TokenStats, q28LangStats, q29QualityScore, q30Langid,
     q31Fingerprint, q32NgramStats, q55Tfidf, q66BpeTokens, q96Textrank,
     q117VocabGrowth, q171Readability, q172LangConfusion,
     q187PmiCollocations, q199NaiveBayesLangid, q217SourceSaliency,
-    q222ZipfFit, q239CodeSwitch)
+    q222ZipfFit, q239CodeSwitch, q242SourceDivergence)
 }

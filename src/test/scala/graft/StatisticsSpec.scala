@@ -970,4 +970,57 @@ class StatisticsSpec extends SparkSpec {
     assert(got.values.map(_._2).sum > 0, "no duplicates flagged — window miscalibrated")
     spark.sharedState.cacheManager.clearCache()
   }
+
+  test("q242 JSD matches a driver recompute and hits both poles on constructed fixtures") {
+    // real corpus: exact per-pair recompute with the same per-token floors
+    val docs = Tables.documents(spark, sfDir)
+      .select(col("source"), col("text")).collect()
+      .map(r => (r.getString(0), r.getString(1)))
+    val counts: Map[String, Map[String, Long]] = docs.groupBy(_._1).map {
+      case (s, ds) =>
+        s -> ds.flatMap(_._2.split(" ").filter(_.nonEmpty))
+          .groupBy(identity).map { case (t, xs) => t -> xs.size.toLong }
+    }
+    val vocab = counts.values.flatMap(_.keys).toSet
+    def jsd(a: Map[String, Long], b: Map[String, Long]): (Long, Long, Long) = {
+      val (ta, tb) = (a.values.sum, b.values.sum)
+      var (m, shared, union) = (0L, 0L, 0L)
+      vocab.foreach { t =>
+        val (ca, cb) = (a.getOrElse(t, 0L), b.getOrElse(t, 0L))
+        if (ca + cb > 0) {
+          union += 1; if (ca > 0 && cb > 0) shared += 1
+          val pa = ca.toDouble / ta; val pb = cb.toDouble / tb
+          val term = ((if (pa > 0) pa * math.log(2.0 * pa / (pa + pb)) else 0.0) +
+            (if (pb > 0) pb * math.log(2.0 * pb / (pa + pb)) else 0.0)) / 2.0
+          m += math.floor(1000000.0 * term).toLong
+        }
+      }
+      (union, shared, m)
+    }
+    val got = Registry.byName("q242_source_divergence").fn(spark, sfDir)
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        (r.getAs[Long]("union_tokens"), r.getAs[Long]("shared_tokens"),
+          r.getAs[Long]("jsd_micro"))).toMap
+    val srcs = counts.keys.toSeq.sorted
+    assert(got.size == srcs.size * (srcs.size - 1) / 2, "one row per unordered pair")
+    for (a <- srcs; b <- srcs if a < b)
+      assert(got((a, b)) == jsd(counts(a), counts(b)), s"pair ($a,$b)")
+
+    // poles: identical distributions -> 0; disjoint vocabularies -> ~ln 2
+    val dir = java.nio.file.Files.createTempDirectory("graft_jsd")
+      .toFile.getAbsolutePath
+    import spark.implicits._
+    Seq((1L, "a b c a", "s1"), (2L, "a b c a", "s2"),
+      (3L, "x y z x y z", "s3"))
+      .toDF("doc_id", "text", "source")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val p = Registry.byName("q242_source_divergence").fn(spark, dir)
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        r.getAs[Long]("jsd_micro")).toMap
+    assert(p(("s1", "s2")) == 0L, s"identical sources must read 0: $p")
+    val ln2 = math.floor(1000000.0 * math.log(2.0)).toLong
+    assert(p(("s1", "s3")) >= ln2 - 10 && p(("s1", "s3")) <= ln2,
+      s"disjoint vocabularies must read ~ln2 micro: $p")
+    spark.sharedState.cacheManager.clearCache()
+  }
 }
