@@ -408,7 +408,77 @@ object AnnotationQueries {
       .orderBy(col("n_items"))
   }
 
+  /** Per-annotator reliability scoring — the rater audit that closes
+    * the annotation-QA loop (q155 scores ITEMS, q237 scores the
+    * CORPUS; this scores the RATERS): each judgment is attributed to
+    * its annotator (the `props.k` rater id), every item's consensus
+    * is the q155 majority label (max votes, lexicographic tie), and
+    * each rater reports votes, consensus hits, hit rate, and the
+    * deviation from the corpus-wide mean hit rate — the signal that
+    * routes low-agreement raters to re-training and their labels to
+    * re-review. NULL rater ids (unattributable judgments) are
+    * excluded by contract — and because Spark orders NULLs first
+    * where DuckDB orders them last.
+    *
+    * Scale shape: ONE (item, label, rater) partial-aggregable shuffle
+    * compresses the judgment log; the consensus relation derives from
+    * its (item, label) roll-up (no second corpus scan — the
+    * compressed relation is scope-persisted and feeds both branches);
+    * the rater roll-up is one more keyed aggregate; the corpus mean
+    * rides a broadcast 1-row cross join. dev_bp is a SUBTRACTION of
+    * two non-negative floors, so the signed value never meets integer
+    * division (the q237 truncate-vs-floor rule).
+    */
+  val q243AnnotatorQuality = QueryDef(
+    "q243_annotator_quality",
+    "per-annotator reliability: consensus-hit rate + deviation from the corpus mean, one compressed judgment shuffle",
+    """WITH v AS (SELECT user_id AS item, event_type AS label,
+      |                  CAST(json_extract_string(props, '$.k') AS BIGINT) AS rater
+      |           FROM events
+      |           WHERE json_extract_string(props, '$.k') IS NOT NULL),
+      |vr AS (SELECT item, label, rater, CAST(count(*) AS BIGINT) AS cnt
+      |       FROM v GROUP BY item, label, rater),
+      |c AS (SELECT item, label, CAST(sum(cnt) AS BIGINT) AS n FROM vr GROUP BY item, label),
+      |mx AS (SELECT item, CAST(max(n) AS BIGINT) AS top FROM c GROUP BY item),
+      |mj AS (SELECT c.item, min(c.label) AS top_label
+      |       FROM c JOIN mx ON mx.item = c.item AND c.n = mx.top
+      |       GROUP BY c.item),
+      |h AS (SELECT vr.rater, CAST(sum(vr.cnt) AS BIGINT) AS n_votes,
+      |             CAST(sum(CASE WHEN vr.label = mj.top_label THEN vr.cnt ELSE 0 END) AS BIGINT) AS n_hit
+      |      FROM vr JOIN mj ON mj.item = vr.item GROUP BY vr.rater),
+      |t AS (SELECT CAST(sum(n_votes) AS BIGINT) AS tv, CAST(sum(n_hit) AS BIGINT) AS th FROM h)
+      |SELECT h.rater, h.n_votes, h.n_hit,
+      |  (10000 * h.n_hit) // h.n_votes AS hit_bp,
+      |  (10000 * h.n_hit) // h.n_votes - (10000 * t.th) // t.tv AS dev_bp
+      |FROM h, t
+      |ORDER BY h.rater""".stripMargin) { (s, d) =>
+    val vr = graft.AutoUnpersist.scoped(Tables.events(s, d)
+      .select(col("user_id").as("item"), col("event_type").as("label"),
+        get_json_object(col("props"), "$.k").cast("bigint").as("rater"))
+      .filter(col("rater").isNotNull)
+      .groupBy(col("item"), col("label"), col("rater"))
+      .agg(count(lit(1)).as("cnt")))
+    val c = vr.groupBy(col("item"), col("label")).agg(sum(col("cnt")).as("n"))
+    val mx = c.groupBy(col("item")).agg(max(col("n")).as("top"))
+      .select(col("item").as("mitem"), col("top"))
+    val mj = c.join(mx, col("item") === col("mitem") && col("n") === col("top"))
+      .groupBy(col("item")).agg(min(col("label")).as("top_label"))
+      .select(col("item").as("jitem"), col("top_label"))
+    val h = vr.join(mj, col("item") === col("jitem"))
+      .groupBy(col("rater"))
+      .agg(sum(col("cnt")).as("n_votes"),
+        sum(when(col("label") === col("top_label"), col("cnt")).otherwise(0L))
+          .as("n_hit"))
+    val t = h.agg(sum(col("n_votes")).as("tv"), sum(col("n_hit")).as("th"))
+    h.crossJoin(broadcast(t))
+      .select(col("rater"), col("n_votes"), col("n_hit"),
+        expr("(10000 * n_hit) div n_votes").as("hit_bp"),
+        (expr("(10000 * n_hit) div n_votes") - expr("(10000 * th) div tv"))
+          .as("dev_bp"))
+      .orderBy(col("rater"))
+  }
+
   val all: Seq[QueryDef] =
     Seq(q155LabelConsolidation, q156PreferenceCopeland, q186BradleyTerry,
-      q237AgreementKappa)
+      q237AgreementKappa, q243AnnotatorQuality)
 }

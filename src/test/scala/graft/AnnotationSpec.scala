@@ -221,4 +221,48 @@ class AnnotationSpec extends SparkSpec {
     assert(math.abs(real.getAs[Long]("alpha_bp")) < 500,
       s"independent labels => alpha ~ 0, got ${real.getAs[Long]("alpha_bp")}")
   }
+
+  test("q243 matches a driver-side rater recompute; a planted bad rater reads 0 hits") {
+    // real corpus: exact recompute of hits-vs-majority per rater
+    val votes = Tables.events(spark, sfDir)
+      .selectExpr("user_id", "event_type",
+        "cast(get_json_object(props, '$.k') as bigint) as rater")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    val majority = votes.groupBy(_._1).map { case (item, vs) =>
+      val byLabel = vs.groupBy(_._2).map { case (l, xs) => l -> xs.size }
+      val top = byLabel.values.max
+      item -> byLabel.filter(_._2 == top).keys.min
+    }
+    val perRater = votes.groupBy(_._3).map { case (r, vs) =>
+      r -> (vs.size.toLong, vs.count(v => majority(v._1) == v._2).toLong)
+    }
+    val tv = perRater.values.map(_._1).sum
+    val th = perRater.values.map(_._2).sum
+    val got = AnnotationQueries.q243AnnotatorQuality.fn(spark, sfDir)
+      .collect().map(r => r.getLong(0) ->
+        (r.getAs[Long]("n_votes"), r.getAs[Long]("n_hit"),
+          r.getAs[Long]("hit_bp"), r.getAs[Long]("dev_bp"))).toMap
+    assert(got.keySet == perRater.keySet, "one row per attributed rater")
+    perRater.foreach { case (r, (n, hit)) =>
+      assert(got(r) == ((n, hit, 10000 * hit / n,
+        10000 * hit / n - 10000 * th / tv)), s"rater $r")
+    }
+
+    // planted fixture: rater 99 contradicts every 3-rater consensus,
+    // raters 1-3 always agree — the audit must separate them cleanly
+    val dir = java.nio.file.Files.createTempDirectory("graft_rater")
+      .toFile.getAbsolutePath
+    val rows = for (i <- 0L until 10L; r <- Seq(1, 2, 3, 99)) yield
+      (i * 10 + r, java.sql.Timestamp.valueOf("2024-01-01 00:00:00"),
+        i, if (r == 99) "error" else "click", 1.0, s"""{"k": $r}""")
+    spark.createDataFrame(rows)
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val p = AnnotationQueries.q243AnnotatorQuality.fn(spark, dir)
+      .collect().map(r => r.getLong(0) ->
+        (r.getAs[Long]("hit_bp"), r.getAs[Long]("dev_bp"))).toMap
+    assert(p(99L) == ((0L, -7500L)), s"bad rater must read 0 hits: $p")
+    Seq(1L, 2L, 3L).foreach(r =>
+      assert(p(r) == ((10000L, 2500L)), s"consensus rater $r: $p"))
+  }
 }
