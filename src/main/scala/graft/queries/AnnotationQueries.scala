@@ -464,11 +464,14 @@ object AnnotationQueries {
     val mj = c.join(mx, col("item") === col("mitem") && col("n") === col("top"))
       .groupBy(col("item")).agg(min(col("label")).as("top_label"))
       .select(col("item").as("jitem"), col("top_label"))
-    val h = vr.join(mj, col("item") === col("jitem"))
-      .groupBy(col("rater"))
-      .agg(sum(col("cnt")).as("n_votes"),
-        sum(when(col("label") === col("top_label"), col("cnt")).otherwise(0L))
-          .as("n_hit"))
+    // h feeds the corpus-mean aggregate AND the final projection —
+    // persist (≤ |raters| rows) so the consensus join runs once
+    val h = graft.AutoUnpersist.scoped(
+      vr.join(mj, col("item") === col("jitem"))
+        .groupBy(col("rater"))
+        .agg(sum(col("cnt")).as("n_votes"),
+          sum(when(col("label") === col("top_label"), col("cnt")).otherwise(0L))
+            .as("n_hit")))
     val t = h.agg(sum(col("n_votes")).as("tv"), sum(col("n_hit")).as("th"))
     h.crossJoin(broadcast(t))
       .select(col("rater"), col("n_votes"), col("n_hit"),
