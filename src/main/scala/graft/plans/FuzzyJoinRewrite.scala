@@ -13,12 +13,15 @@ import org.apache.spark.sql.types._
   *
   * {{{
   *   Join(l, r, Inner, fuzzy_match(ls, rs, k) AND residual...)
-  * ──▶
+  * ──▶   (slim band → key-pair dedup → payload re-fetch → verify;
+  *        unkeyed forms synthesize key = xxhash64(string))
   *   Filter(fuzzy_verify(ls, rs, k) AND residual...,
-  *     Aggregate(out, out,                  // dedup multi-segment hits
-  *       Project(out,
-  *         Join(explodeSegments(l, ls), explodeProbes(r, rs),
-  *              Inner, l.segKey = r.segKey))))
+  *     Join(Join(Aggregate((lkey, rkey),    // dedup candidate key pairs
+  *                 Join(explodeSegments(slim_l, ls),
+  *                      explodeProbes(slim_r, rs),
+  *                      Inner, l.segKey = r.segKey)),
+  *               l, lkey <=> lkey'),        // re-fetch left payload
+  *          r, rkey <=> rkey'))             // re-fetch right payload
   * }}}
   *
   * The dedup runs BEFORE the verify (the hand-written
@@ -39,9 +42,11 @@ import org.apache.spark.sql.types._
   * shuffle at 100 TB, never all-pairs — and the verify predicate is
   * the exact bounded kernel. Unlike [[SimilarityJoinRewrite]] (LSH
   * recall trade-off), this banding is COMPLETE: the rewritten plan is
-  * exactly equivalent to the nested-loop plan on every input (set
-  * semantics on duplicate rows aside), which `PlanSpec` pins against
-  * brute force including alignment-shift fixtures.
+  * exactly equivalent to the nested-loop plan on every input — exact
+  * BAG semantics even with duplicate rows, because candidates are key
+  * PAIRS and the re-fetch re-expands every row combination — which
+  * `PlanSpec` pins against brute force including alignment-shift
+  * fixtures.
   *
   * Registration: `GraftExtensions` (injectOptimizerRule) or
   * `GraftFunctions.register` (experimental.extraOptimizations).
@@ -153,40 +158,29 @@ object FuzzyJoinRewrite extends Rule[LogicalPlan] {
     (gen, keyAttr)
   }
 
+  /** UNKEYED form: routed through the keyed recipe on a SYNTHETIC
+    * key = xxhash64(string) — so prefix payloads stop riding the
+    * ≤(k+1)(2k+1)-probe fan-out (the round-13 ladder residual: the
+    * old shape banded the full `j.output` row, multiplying every
+    * payload byte by the probe count on the shuffle). The hash key is
+    * sound here exactly where a `monotonically_increasing_id` would
+    * NOT be: the fetch branches re-SCAN `l`/`r`, so the key must be a
+    * deterministic pure function of row values. Collisions are
+    * harmless both ways — two rows with equal strings SHOULD share a
+    * key (the pair dedup collapses them, the re-fetch re-expands every
+    * row combination = exact bag semantics), and a 64-bit cross-string
+    * collision only re-fetches extra combinations that the exact
+    * `fuzzy_verify` + residual post-filter removes. Completeness is
+    * untouched: every true pair still bands (pigeonhole) and its
+    * (hash, hash) key pair survives the dedup. q82-shape ladder win:
+    * the band shuffle carries 16 bytes/row instead of the document
+    * prefix payload.
+    */
   private def rewrite(j: Join, l: LogicalPlan, r: LogicalPlan,
       ls: Expression, rs: Expression, k: Int,
-      residual: Seq[Expression]): LogicalPlan = {
-    // NULL strings can never satisfy fuzzy_match (the predicate is
-    // null ⇒ the inner join drops the row), but xxhash64 SKIPS null
-    // children, so an un-filtered NULL row would band under hash(i)
-    // alone and every NULL row would collide into the same k+1 buckets
-    // — a quadratic candidate blow-up in the NULL count on null-heavy
-    // columns (advisor find, round 12). Filtering them before the
-    // explode is exactly output-equivalent and prunes the work.
-    val lnn: LogicalPlan = if (ls.nullable) Filter(IsNotNull(ls), l) else l
-    val rnn: LogicalPlan = if (rs.nullable) Filter(IsNotNull(rs), r) else r
-    val (lb, lk) = explodeSegments(lnn, ls, k)
-    val (rb, rk) = explodeProbes(rnn, rs, k)
-    // never BROADCAST a segment-band side: both sides are the corpus
-    // exploded ~(k+1)–(2k+1)(k+1)× into string segments, so their
-    // size GROWS with the data while the size ESTIMATE (prefix
-    // substrings) stays under the broadcast threshold far too long —
-    // at 10× gate scale the planner chose a ~250k-row broadcast whose
-    // single-threaded driver build was ~half the query (3.6 vs 2.6 s
-    // measured). NO_BROADCAST_HASH leaves AQE free to pick
-    // shuffle-hash vs sort-merge, both corpus-scalable.
-    val noBc = JoinHint(
-      Some(HintInfo(strategy = Some(NO_BROADCAST_HASH))),
-      Some(HintInfo(strategy = Some(NO_BROADCAST_HASH))))
-    val bandJoin = Join(lb, rb, Inner, Some(EqualTo(lk, rk)), noBc)
-    val out: Seq[Attribute] = j.output
-    // dedup multi-segment candidate hits FIRST so each pair pays the
-    // exact verify kernel once (the editDistancePairs recipe's shape)
-    val dedup = Aggregate(out, out, Project(out, bandJoin))
-    // exact verify via the FuzzyVerify twin (see scaladoc re: re-match)
-    val verify: Expression = FuzzyVerify(ls, rs, Literal(k))
-    Filter((verify +: residual).reduce(And), dedup)
-  }
+      residual: Seq[Expression]): LogicalPlan =
+    rewriteKeyed(j, l, r, ls, rs, k,
+      new XxHash64(Seq(ls)), new XxHash64(Seq(rs)), residual)
 
   /** The KEYED rewrite ([[FuzzyMatchKeyed]]): band (key, segment-hash)
     * pairs ONLY — 16 bytes per exploded row instead of the full string

@@ -432,10 +432,11 @@ object AnnotationQueries {
   val q243AnnotatorQuality = QueryDef(
     "q243_annotator_quality",
     "per-annotator reliability: consensus-hit rate + deviation from the corpus mean, one compressed judgment shuffle",
-    """WITH v AS (SELECT user_id AS item, event_type AS label,
-      |                  CAST(json_extract_string(props, '$.k') AS BIGINT) AS rater
-      |           FROM events
-      |           WHERE json_extract_string(props, '$.k') IS NOT NULL),
+    """WITH v AS (SELECT item, label, rater FROM (
+      |             SELECT user_id AS item, event_type AS label,
+      |                    TRY_CAST(json_extract_string(props, '$.k') AS BIGINT) AS rater
+      |             FROM events)
+      |           WHERE rater IS NOT NULL),
       |vr AS (SELECT item, label, rater, CAST(count(*) AS BIGINT) AS cnt
       |       FROM v GROUP BY item, label, rater),
       |c AS (SELECT item, label, CAST(sum(cnt) AS BIGINT) AS n FROM vr GROUP BY item, label),
@@ -454,7 +455,7 @@ object AnnotationQueries {
       |ORDER BY h.rater""".stripMargin) { (s, d) =>
     val vr = graft.AutoUnpersist.scoped(Tables.events(s, d)
       .select(col("user_id").as("item"), col("event_type").as("label"),
-        get_json_object(col("props"), "$.k").cast("bigint").as("rater"))
+        expr("try_cast(get_json_object(props, '$.k') AS bigint)").as("rater"))
       .filter(col("rater").isNotNull)
       .groupBy(col("item"), col("label"), col("rater"))
       .agg(count(lit(1)).as("cnt")))

@@ -526,9 +526,10 @@ object SamplingQueries {
     * Scale shape: the draw is MAP-SIDE (a HOF over sequence(1, w) —
     * O(Σ weight) = O(corpus tokens) hash evals, fully parallel, zero
     * shuffle) into one bounded TakeOrdered(50); the final ranks ride a
-    * 50-row window. A pathological giant weight bounds a single row's
-    * cost at its own token count — chunk the sequence per row if that
-    * ever dominates.
+    * 50-row window. The fold is CHUNKED at stride 4096: a pathological
+    * multi-million-token row still costs its token count in TIME but
+    * only O(stride) in live memory (one inner chunk array at a time),
+    * instead of materializing a w-sized long array in one row.
     */
   val q232WeightedSample = QueryDef(
     "q232_weighted_sample",
@@ -560,11 +561,20 @@ object SamplingQueries {
         size(filter(split(col("text"), " "), t => length(t) > 0))
           .cast("long").as("weight"))
       .filter(col("weight") > 0)
+      // chunked max fold: stride-4096 inner arrays (one live at a time
+      // under transform's per-element eval) + a ⌈w/4096⌉-long outer
+      // array, so a multi-million-token doc costs O(stride) live memory
+      // instead of one w-sized array — bit-identical max over the same
+      // j = 1..w domain (stride is 2^12, so the chunk-count shiftright
+      // is exact integer math)
       .withColumn("skey",
-        array_max(transform(sequence(lit(1L), col("weight")),
-          j => shiftrightunsigned(
-            graft.plans.GraftFunctions.mix64(col("doc_id") * 1000003L + j),
-            12))))
+        array_max(transform(
+          sequence(lit(0L), shiftright(col("weight") + 4095L, 12) - 1L),
+          c => array_max(transform(
+            sequence(c * 4096L + 1L, least(col("weight"), (c + 1L) * 4096L)),
+            j => shiftrightunsigned(
+              graft.plans.GraftFunctions.mix64(col("doc_id") * 1000003L + j),
+              12))))))
       .orderBy(col("skey").desc, col("doc_id")).limit(50)
       .withColumn("rank", row_number()
         .over(Window.orderBy(col("skey").desc, col("doc_id"))).cast("long"))

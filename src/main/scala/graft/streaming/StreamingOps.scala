@@ -508,15 +508,45 @@ object StreamingOps {
     }
 
     // tuples as a mutable buffer of (v, g, delta), sorted by v
-    private def insert(
-        buf: scala.collection.mutable.ArrayBuffer[(Double, Long, Long)],
-        v: Double, n: Long): Unit = {
-      var i = 0
-      while (i < buf.length && buf(i)._1 <= v) i += 1
-      val delta =
-        if (i == 0 || i == buf.length) 0L
-        else math.floor(2 * eps * n).toLong
-      buf.insert(i, (v, 1L, delta))
+    /** Merge a whole micro-batch into the sketch in ONE pass: sort the
+      * batch once, then walk (existing tuples × sorted new values) in
+      * ascending order. Each new value gets the GK insert tuple
+      * (g=1, Δ=max(0,⌊2εn⌋−1) interior — the −1 keeps the invariant
+      * g+Δ ≤ 2εn exactly, not εN+½ — Δ=0 at the running min/max,
+      * which is what one-at-a-time ascending insertion would assign).
+      * Compress interleaves every ⌈1/(2ε)⌉ inserts so the working
+      * buffer stays O((1/ε)·log(εN)) instead of growing by the whole
+      * batch: O(B log B + B·log(εN)) per key per batch, not O(B²).
+      * Mid-merge compress uses the running n — the band only widens
+      * as n grows, so every surviving tuple also satisfies the final-n
+      * invariant.
+      */
+    private def mergeBatch(
+        old: scala.collection.mutable.ArrayBuffer[(Double, Long, Long)],
+        batch: Array[Double], n0: Long)
+        : (scala.collection.mutable.ArrayBuffer[(Double, Long, Long)], Long) = {
+      java.util.Arrays.sort(batch)
+      val out = scala.collection.mutable.ArrayBuffer.empty[(Double, Long, Long)]
+      var n = n0
+      var i = 0 // cursor into old (already sorted by v)
+      var j = 0 // cursor into sorted batch
+      var sinceCompress = 0
+      val compressEvery = math.max(1, math.ceil(1.0 / (2 * eps)).toInt)
+      while (j < batch.length) {
+        val v = batch(j)
+        while (i < old.length && old(i)._1 <= v) { out += old(i); i += 1 }
+        val delta =
+          if (out.isEmpty || i == old.length) 0L // running min / running max
+          else math.max(0L, math.floor(2 * eps * n).toLong - 1)
+        out += ((v, 1L, delta))
+        n += 1
+        j += 1
+        sinceCompress += 1
+        if (sinceCompress >= compressEvery) { compress(out, n); sinceCompress = 0 }
+      }
+      while (i < old.length) { out += old(i); i += 1 }
+      compress(out, n)
+      (out, n)
     }
 
     private def compress(
@@ -558,11 +588,9 @@ object StreamingOps {
         timerValues: org.apache.spark.sql.streaming.TimerValues)
         : Iterator[(String, Long, Double, Double, Int)] = {
       val prev = Option(st.get()).getOrElse(GkState(0L, Nil, Nil, Nil))
-      val buf = scala.collection.mutable.ArrayBuffer.empty[(Double, Long, Long)]
-      prev.vs.indices.foreach(i => buf += ((prev.vs(i), prev.gs(i), prev.ds(i))))
-      var n = prev.n
-      rows.foreach { e => insert(buf, e.value, n); n += 1 }
-      compress(buf, n)
+      val old = scala.collection.mutable.ArrayBuffer.empty[(Double, Long, Long)]
+      prev.vs.indices.foreach(i => old += ((prev.vs(i), prev.gs(i), prev.ds(i))))
+      val (buf, n) = mergeBatch(old, rows.map(_.value).toArray, prev.n)
       st.update(GkState(n, buf.map(_._1).toSeq, buf.map(_._2).toSeq,
         buf.map(_._3).toSeq))
       if (n == 0) Iterator.empty

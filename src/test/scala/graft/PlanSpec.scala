@@ -390,6 +390,42 @@ class PlanSpec extends SparkSpec {
     assert(bruteBag.values.exists(_ > 1), s"fixture lost its duplicates: $bruteBag")
   }
 
+  test("unkeyed fuzzy_match routes through the slim recipe (synthetic hash key) with exact bag semantics") {
+    GraftFunctions.register(spark)
+    import spark.implicits._
+    // the unkeyed form synthesizes key = xxhash64(string): the band
+    // fan-out must be slimmed to (key, segment-hash) longs exactly like
+    // the keyed form — the payload no longer rides the probe explode —
+    // and duplicate rows (which COLLAPSE to one synthetic key, then
+    // re-expand through the re-fetch) must keep bag multiplicities
+    val base = "the quick brown fox jumps over the lazy dog near the rivers!"
+    val l = Seq((1L, base), (2L, base), (3L, base.updated(2, 'q')))
+      .toDF("id_a", "s_a")
+    val r = Seq((7L, base), (7L, base), (8L, ("XX" + base).take(60)))
+      .toDF("id_b", "s_b")
+    val joined = l.join(r,
+      GraftFunctions.fuzzyMatch(col("s_a"), col("s_b"), 4))
+      .select(col("id_a"), col("id_b"))
+    val opt = joined.queryExecution.optimizedPlan
+    val slimProjects = opt.collect {
+      case p: org.apache.spark.sql.catalyst.plans.logical.Project
+          if p.child.isInstanceOf[org.apache.spark.sql.catalyst.plans.logical.Generate] &&
+            p.output.size == 2 &&
+            p.output.forall(_.dataType == org.apache.spark.sql.types.LongType) => p
+    }
+    assert(slimProjects.size == 2,
+      s"unkeyed banded sides must be slimmed to 2 long columns each:\n$opt")
+    val gotBag = joined.collect().map(x => (x.getLong(0), x.getLong(1)))
+      .groupBy(identity).view.mapValues(_.length).toMap
+    val bruteBag = l.join(r, levenshtein(col("s_a"), col("s_b")) <= 4)
+      .select(col("id_a"), col("id_b"))
+      .collect().map(x => (x.getLong(0), x.getLong(1)))
+      .groupBy(identity).view.mapValues(_.length).toMap
+    assert(gotBag == bruteBag,
+      s"unkeyed rewrite bag != brute bag: got=$gotBag brute=$bruteBag")
+    assert(bruteBag.values.exists(_ > 1), s"fixture lost its duplicates: $bruteBag")
+  }
+
   test("keyed fuzzy_match is SQL-callable with 5 args and rewritten there too") {
     GraftFunctions.register(spark)
     fuzzyFixture.createOrReplaceTempView("fuzzy_docs_k")

@@ -158,6 +158,28 @@ class SamplingSpec extends SparkSpec {
     spark.sharedState.cacheManager.clearCache()
   }
 
+  test("q232 chunked draw is exact on long docs (stride boundaries + a multi-chunk giant)") {
+    // fixture corpus exercising the 4096-stride chunk fold: weights
+    // exactly at, one over, and far past the stride, plus small docs —
+    // the chunked max must equal the flat max over j = 1..w for all
+    import spark.implicits._
+    val weights = Seq(1L, 7L, 4095L, 4096L, 4097L, 12345L)
+    val dir = java.nio.file.Files.createTempDirectory("graft_q232_long").toString
+    weights.zipWithIndex.map { case (w, i) =>
+      (i + 1L, Seq.fill(w.toInt)("tok").mkString(" "), "en", "fixture", 3L * w)
+    }.toDF("doc_id", "text", "lang", "source", "n_chars")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = Registry.byName("q232_weighted_sample").fn(spark, dir)
+      .collect().map(r => (r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    val want = weights.zipWithIndex.map { case (w, i) =>
+      val id = i + 1L
+      val key = (1L to w).map(j => graft.plans.Mix64.mix(id * 1000003L + j) >>> 12).max
+      (id, w, key)
+    }.sortBy { case (id, _, k) => (-k, id) }
+    assert(got == want, "chunked fold diverged from the flat 1..w max")
+    spark.sharedState.cacheManager.clearCache()
+  }
+
   test("q241 context frontier matches a driver recompute; truncation falls and docs_over shrinks in L") {
     val rows = Registry.byName("q241_context_frontier").fn(spark, sfDir)
       .collect().sortBy(_.getLong(0))
