@@ -518,14 +518,25 @@ object DedupQueries {
       minhashVerifiedPairs(s, d).localCheckpoint()
     }
 
+  /** The cluster-assignment relation behind q78/q93/q170/q190/q206 —
+    * durable through [[graft.api.MemoCatalog]] when
+    * `spark.graft.memo.dir` is set: the LSH + verify + component
+    * pipeline is then paid once per CORPUS SNAPSHOT (fingerprint of
+    * (doc_id, lang, text)), not once per session. Conf-override caps
+    * (spec-only) are NOT part of the key — production invalidation is
+    * data-driven; tests that flip caps leave the catalog off.
+    */
   def clusterAssignments(s: SparkSession, d: String): DataFrame =
     graft.SessionMemo.getOrCompute(s, "dedup.clusters:" + d) {
-      val pairs = verifiedPairs(s, d)
-        .select(col("doc_a").as("u"), col("doc_b").as("v"))
-      val nodes = Tables.documents(s, d).select(col("doc_id").as("id"))
-      graft.api.ConnectedComponents.label(nodes, pairs)
-        .select(col("id").as("doc_id"), col("component").as("cluster_id"))
-        .localCheckpoint()
+      graft.api.MemoCatalog.readThrough(s, "clusters:" + d,
+        Seq(Tables.documents(s, d)
+          .select(col("doc_id"), col("lang"), col("text")))) {
+        val pairs = verifiedPairs(s, d)
+          .select(col("doc_a").as("u"), col("doc_b").as("v"))
+        val nodes = Tables.documents(s, d).select(col("doc_id").as("id"))
+        graft.api.ConnectedComponents.label(nodes, pairs)
+          .select(col("id").as("doc_id"), col("component").as("cluster_id"))
+      }
     }
 
   /** Leakage-safe split as a standalone operator over a PRECOMPUTED

@@ -609,12 +609,18 @@ object SimilarityQueries {
   private[graft] def semanticPairs(s: SparkSession, d: String): DataFrame =
     graft.SessionMemo.getOrCompute(s, "sem.pairs:" + d) {
       GraftFunctions.register(s)
-      DedupQueries.saltedLabelPairs(semanticAssigned(s, d),
-          DedupQueries.MaxLabelBlock)
-        .filter(round(GraftFunctions.cosineSim(col("ea"), col("eb")), 4)
-          >= 0.85)
-        .select(col("vec_a"), col("vec_b"))
-        .localCheckpoint()
+      // durable when spark.graft.memo.dir is set: keyed by the
+      // embeddings corpus fingerprint, so the Lloyd iterations and
+      // salted pair scan are paid once per snapshot, not per session
+      graft.api.MemoCatalog.readThrough(s, "sempairs:" + d,
+        Seq(Tables.embeddings(s, d)
+          .select(col("vec_id"), col("embedding")))) {
+        DedupQueries.saltedLabelPairs(semanticAssigned(s, d),
+            DedupQueries.MaxLabelBlock)
+          .filter(round(GraftFunctions.cosineSim(col("ea"), col("eb")), 4)
+            >= 0.85)
+          .select(col("vec_a"), col("vec_b"))
+      }
     }
 
   /** Semantic dedup over the embeddings table. FULLY oracle-checked

@@ -1,0 +1,153 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.api.MemoCatalog
+
+/** The durable memo catalog's contract: reuse on fingerprint match,
+  * rebuild on content change, layout-independence of the fingerprint,
+  * pass-through when the conf is unset, and the q78/q93/q234 family
+  * actually reading through it.
+  */
+class MemoCatalogSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def freshRoot(): String =
+    Files.createTempDirectory("graft_memo").toString
+
+  private def withMemoDir[T](root: String)(f: => T): T = {
+    spark.conf.set(MemoCatalog.DirConf, root)
+    try f
+    finally spark.conf.unset(MemoCatalog.DirConf)
+  }
+
+  private def corpus(tag: String): DataFrame =
+    Seq((1L, s"alpha $tag"), (2L, s"beta $tag"), (3L, s"gamma $tag"))
+      .toDF("id", "txt")
+
+  test("readThrough builds once, then reuses on fingerprint match") {
+    val root = freshRoot()
+    var builds = 0
+    def get(): Map[Long, String] = withMemoDir(root) {
+      MemoCatalog.readThrough(spark, "m1", Seq(corpus("a"))) {
+        builds += 1
+        corpus("a").select(col("id"), upper(col("txt")).as("txt"))
+      }.collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    }
+    val first = get()
+    val second = get()
+    assert(builds == 1, s"expected one build, saw $builds")
+    assert(first == second)
+    assert(first(1L) == "ALPHA A")
+    // on-disk layout: manifest + exactly one data dir
+    val dir = new java.io.File(s"$root/m1")
+    assert(new java.io.File(dir, "manifest.json").isFile)
+    assert(dir.listFiles().count(f =>
+      f.isDirectory && f.getName.startsWith("data-")) == 1)
+  }
+
+  test("content change rebuilds and the superseded data dir is cleaned") {
+    val root = freshRoot()
+    var builds = 0
+    def get(tag: String): Set[String] = withMemoDir(root) {
+      MemoCatalog.readThrough(spark, "m2", Seq(corpus(tag))) {
+        builds += 1
+        corpus(tag).select(col("txt"))
+      }.collect().map(_.getString(0)).toSet
+    }
+    assert(get("a") == Set("alpha a", "beta a", "gamma a"))
+    assert(get("b") == Set("alpha b", "beta b", "gamma b"),
+      "stale memo served after the input changed")
+    assert(builds == 2, s"expected rebuild on content change, saw $builds")
+    // old data dir dropped after the manifest swap
+    val dir = new java.io.File(s"$root/m2")
+    assert(dir.listFiles().count(f =>
+      f.isDirectory && f.getName.startsWith("data-")) == 1,
+      s"superseded data dir not cleaned: ${dir.listFiles().map(_.getName).toSeq}")
+    // and the match path still works post-rebuild
+    assert(get("b").size == 3 && builds == 2)
+  }
+
+  test("fingerprint is order/partition/layout independent, content sensitive") {
+    val base = corpus("x")
+    val fp = MemoCatalog.fingerprint(base)
+    assert(MemoCatalog.fingerprint(base.orderBy(col("txt").desc)) == fp,
+      "row order changed the fingerprint")
+    assert(MemoCatalog.fingerprint(base.repartition(7)) == fp,
+      "partitioning changed the fingerprint")
+    // a rewrite through parquet (fresh layout, fresh file order) matches
+    val tmp = Files.createTempDirectory("graft_fp").toString
+    base.repartition(3).write.mode("overwrite").parquet(tmp)
+    assert(MemoCatalog.fingerprint(
+      spark.read.parquet(tmp).select(col("id"), col("txt"))) == fp,
+      "a reshard of identical content must not invalidate")
+    assert(MemoCatalog.fingerprint(corpus("y")) != fp,
+      "content change must invalidate")
+    assert(MemoCatalog.fingerprint(base.filter(col("id") =!= 2L)) != fp,
+      "dropped row must invalidate")
+    assert(MemoCatalog.fingerprint(base.limit(0)) ==
+      MemoCatalog.fingerprint(base.filter(lit(false))),
+      "empty relations must fingerprint consistently")
+  }
+
+  test("a corrupt manifest is treated as a miss (rebuild, not crash)") {
+    val root = freshRoot()
+    var builds = 0
+    def get(): Long = withMemoDir(root) {
+      MemoCatalog.readThrough(spark, "m3", Seq(corpus("a"))) {
+        builds += 1; corpus("a").select(col("id"))
+      }.count()
+    }
+    assert(get() == 3 && builds == 1)
+    Files.writeString(java.nio.file.Paths.get(s"$root/m3/manifest.json"),
+      "{ not json at all")
+    assert(get() == 3 && builds == 2, "corrupt manifest must rebuild")
+  }
+
+  test("conf unset: pure pass-through, nothing written, result stable") {
+    assert(spark.conf.getOption(MemoCatalog.DirConf).isEmpty)
+    var builds = 0
+    val df = MemoCatalog.readThrough(spark, "m4", Seq(corpus("a"))) {
+      builds += 1
+      corpus("a").select((col("id") * 2).as("v"))
+    }
+    assert(df.collect().map(_.getLong(0)).toSet == Set(2L, 4L, 6L))
+    assert(builds == 1)
+  }
+
+  test("q78/q93/q234 read through the catalog: second session-cleared run hits the disk memo") {
+    val root = freshRoot()
+    withMemoDir(root) {
+      val a = Registry.byName("q78_dup_clusters").fn(spark, sfDir).collect()
+      val s234 = Registry.byName("q234_semantic_split").fn(spark, sfDir).collect()
+      assert(a.nonEmpty && s234.nonEmpty)
+      // the durable memos materialized under the catalog root
+      val names = new java.io.File(root).listFiles().map(_.getName).toSet
+      assert(names.exists(_.startsWith("clusters")), s"no clusters memo: $names")
+      assert(names.exists(_.startsWith("sempairs")), s"no sempairs memo: $names")
+      // drop the SESSION layer (as a fresh process would) and re-run:
+      // results identical, and the manifests' data dirs were NOT
+      // rebuilt (same directory nonce ⇒ the build was skipped)
+      def dataDirs(): Map[String, String] =
+        new java.io.File(root).listFiles().filter(_.isDirectory).map { d =>
+          d.getName -> d.listFiles()
+            .filter(f => f.isDirectory && f.getName.startsWith("data-"))
+            .map(_.getName).sorted.mkString(",")
+        }.toMap
+      val before = dataDirs()
+      SessionMemo.invalidate(spark, "dedup.clusters:" + sfDir)
+      SessionMemo.invalidate(spark, "sem.pairs:" + sfDir)
+      val a2 = Registry.byName("q78_dup_clusters").fn(spark, sfDir).collect()
+      val s2 = Registry.byName("q93_leakage_safe_split").fn(spark, sfDir).collect()
+      assert(a2.map(_.toString).sorted.toSeq == a.map(_.toString).sorted.toSeq,
+        "disk-memo path diverged from the built path")
+      assert(s2.nonEmpty)
+      assert(dataDirs() == before,
+        "second run rebuilt instead of reusing the durable memo")
+    }
+    spark.sharedState.cacheManager.clearCache()
+  }
+}
