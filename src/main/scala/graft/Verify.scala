@@ -18,6 +18,11 @@ object Verify {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // metadata-sized unpartitioned windows are structurally gated in
+    // PlanSpec; the per-operator WindowExec WARN is noise here
+    org.apache.logging.log4j.core.config.Configurator.setLevel(
+      "org.apache.spark.sql.execution.window.WindowExec",
+      org.apache.logging.log4j.Level.ERROR)
     run(spark, sfDir, outDir, only)
     spark.stop()
   }

@@ -102,13 +102,45 @@ object BpeTrainer {
       }
     }
 
+    // Argmax via a lazy-deletion max-heap: popping the true maximum is
+    // O(log H) instead of the O(|pairs|) full-map scan a minBy pays —
+    // the difference between a 32k-merge production vocabulary being
+    // seconds vs hours (BpeTrainerSpec carries the wall-clock gate).
+    // An entry is valid iff its recorded count equals the live count;
+    // every count change enqueues a fresh entry, so the live maximum
+    // always has a valid entry and stale ones are discarded on pop.
+    // Ordering matches the previous minBy((-c, l, r)) exactly: highest
+    // count first, ties by (left, right) ascending — dequeue returns
+    // the LARGEST, so count compares ascending and strings reversed.
+    val heapOrd = new Ordering[(Long, String, String)] {
+      def compare(a: (Long, String, String), b: (Long, String, String)): Int = {
+        val c = java.lang.Long.compare(a._1, b._1)
+        if (c != 0) c
+        else {
+          val l = b._2.compareTo(a._2)
+          if (l != 0) l else b._3.compareTo(a._3)
+        }
+      }
+    }
+    val heap = mutable.PriorityQueue.empty(heapOrd)
+    counts.foreach { case ((l, r), c) => heap.enqueue((c, l, r)) }
+    def popBest(): Option[((String, String), Long)] = {
+      while (heap.nonEmpty) {
+        val (c, l, r) = heap.dequeue()
+        if (counts.get((l, r)).contains(c)) return Some(((l, r), c))
+      }
+      None
+    }
+
     val merges = mutable.ArrayBuffer.empty[Merge]
     var rank = 1
-    while (rank <= nMerges && counts.nonEmpty) {
-      val (best, cnt) = counts.minBy { case ((l, r), c) => (-c, l, r) }
+    var next = popBest()
+    while (rank <= nMerges && next.isDefined) {
+      val (best, cnt) = next.get
       merges += Merge(rank, best._1, best._2, cnt)
       // touch only the words that contain the merged pair.
       val affected = occurs.getOrElse(best, mutable.Set.empty).toArray
+      val touched = mutable.Set.empty[(String, String)]
       affected.foreach { i =>
         val (syms, n) = words(i)
         val before = pairsOf(syms).toVector
@@ -119,15 +151,25 @@ object BpeTrainer {
         before.foreach { p =>
           val c = counts(p) - n
           if (c == 0L) counts.remove(p) else counts(p) = c
+          touched += p
         }
-        now.foreach { p => counts(p) = counts.getOrElse(p, 0L) + n }
+        now.foreach { p =>
+          counts(p) = counts.getOrElse(p, 0L) + n
+          touched += p
+        }
         // re-index this word's pair membership.
         val gone = before.toSet -- now.toSet
         gone.foreach { p => occurs.get(p).foreach(_ -= i) }
         now.foreach { p => occurs.getOrElseUpdate(p, mutable.Set.empty) += i }
       }
       occurs.remove(best)
+      // one fresh heap entry per touched pair at its settled count
+      // (not one per word) — the valid-entry invariant at O(|touched|)
+      touched.foreach { p =>
+        counts.get(p).foreach(c => heap.enqueue((c, p._1, p._2)))
+      }
       rank += 1
+      next = popBest()
     }
     merges.toSeq
   }

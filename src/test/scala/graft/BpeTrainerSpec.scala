@@ -111,6 +111,40 @@ class BpeTrainerSpec extends SparkSpec {
     assert(a == b)
   }
 
+  test("32k-merge production vocabulary trains under the wall-clock gate") {
+    // The scale claim made concrete: a production-size merge count on
+    // a production-shape vocabulary (50k distinct Zipf-weighted words,
+    // the post-minCount collect size a 100 TB corpus yields) must be
+    // driver-CPU seconds, not hours — i.e. the heap argmax must hold,
+    // since a full-scan argmax is O(|pairs|·merges) and visibly blows
+    // this budget. Deterministic synthetic vocab (mix64 letters).
+    def mix(z0: Long): Long = {
+      var z = z0 + 0x9e3779b97f4a7c15L
+      z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+      z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+      z ^ (z >>> 31)
+    }
+    val vocab = (0 until 50000).map { i =>
+      val len = 5 + (math.abs(mix(i * 31L + 7)) % 11).toInt
+      val w = new StringBuilder
+      (0 until len).foreach { j =>
+        w += ('a' + (math.abs(mix(i * 131071L + j)) % 26).toInt).toChar
+      }
+      (w.toString, 1L + 100000L / (i + 1)) // Zipf-ish weights
+    }
+    val t0 = System.nanoTime()
+    val merges = BpeTrainer.trainLocal(vocab, 32000)
+    val secs = (System.nanoTime() - t0) / 1e9
+    assert(merges.length == 32000, s"vocab exhausted at ${merges.length}")
+    // counts must be non-increasing in rank (the argmax invariant —
+    // a heap bug that returned a stale non-maximal pair breaks this)
+    merges.sliding(2).foreach { case Seq(a, b) =>
+      assert(b.count <= a.count, s"rank ${b.rank} count rose: $a -> $b")
+    }
+    assert(secs < 120.0, f"32k merges took $secs%.1f s (gate: 120 s)")
+    info(f"32k merges over 50k words: $secs%.1f s")
+  }
+
   test("tokenCounts shrinks monotonically with more merges and joins back exactly") {
     val docs = Tables.documents(spark, sfDir).limit(50)
     val merges = BpeTrainer.train(docs, "text", 10)

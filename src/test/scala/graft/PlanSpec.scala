@@ -631,4 +631,46 @@ class PlanSpec extends SparkSpec {
     assert(offenders.isEmpty,
       s"queries planning a data-sized cartesian: ${offenders.mkString(", ")}")
   }
+
+  test("no registered query plans a DATA-sized unpartitioned window (suite-wide gate)") {
+    // An unpartitioned Window funnels its whole input through ONE
+    // task. That is fine on METADATA (post-limit survivors, value-
+    // compressed counts, calendar spines) and a scale-killer on the
+    // corpus. Structural proxy for "provably metadata-sized": every
+    // leaf-to-window path passes through a cardinality compressor
+    // (Aggregate / Limit / constant-size leaf) — a raw scan→window
+    // has no such node and fails. This is the q80/q109/q111 per-query
+    // gate made suite-wide; the WindowExec WARN suppression in
+    // SparkSpec is justified by exactly this gate.
+    // gate on the ANALYZED plan: cache substitution (withCachedData)
+    // would replace AutoUnpersist-scoped aggregates with opaque
+    // InMemoryRelation leaves and hide the compressor that proves the
+    // window metadata-sized
+    import org.apache.spark.sql.catalyst.plans.logical._
+    def compressed(p: LogicalPlan): Boolean = p match {
+      case _: Aggregate | _: GlobalLimit | _: LocalLimit | _: Distinct => true
+      case _: LocalRelation | _: OneRowRelation | _: Range => true
+      case j: Join => compressed(j.left) && compressed(j.right)
+      case l: LeafNode => false // parquet scan / checkpointed corpus RDD
+      case o => o.children.nonEmpty && o.children.forall(compressed)
+    }
+    // Checkpointed METADATA memos are opaque LogicalRDD leaves the
+    // structural proxy cannot see through (localCheckpoint is load-
+    // bearing: it survives the per-query clearCache that Verify runs,
+    // which a scoped persist would not). Each allowlisted window input
+    // is bounded by TIME SPAN, never data volume:
+    //  - q189: the hourlySeries spine — |hours in corpus span| rows
+    //  - q201: the monthly series and its theta pairs — |months| and
+    //    |months|² rows
+    val checkpointedMetadata = Set("q189_cusum_changepoint", "q201_theil_sen")
+    val offenders = Registry.queries.flatMap { q =>
+      val ws = q.fn(spark, sfDir).queryExecution.analyzed.collect {
+        case w: Window if w.partitionSpec.isEmpty && !compressed(w.child) => w
+      }
+      spark.sharedState.cacheManager.clearCache()
+      if (ws.nonEmpty && !checkpointedMetadata(q.name)) Some(q.name) else None
+    }
+    assert(offenders.isEmpty,
+      s"queries windowing uncompressed data in one partition: ${offenders.mkString(", ")}")
+  }
 }

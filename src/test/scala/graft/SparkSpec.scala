@@ -22,6 +22,14 @@ trait SparkSpec extends AnyFunSuite with BeforeAndAfterAll {
 
   override def beforeAll(): Unit = {
     spark.sparkContext.setLogLevel("WARN")
+    // WindowExec warns on EVERY unpartitioned window; all of ours run
+    // on metadata-sized relations — proven structurally by PlanSpec's
+    // suite-wide "DATA-sized unpartitioned window" gate — so the
+    // per-operator warning is pure noise that buries real signals in
+    // the test log (100+ lines per run).
+    org.apache.logging.log4j.core.config.Configurator.setLevel(
+      "org.apache.spark.sql.execution.window.WindowExec",
+      org.apache.logging.log4j.Level.ERROR)
     super.beforeAll()
   }
 

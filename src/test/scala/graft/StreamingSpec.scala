@@ -518,6 +518,187 @@ class StreamingSpec extends SparkSpec {
       spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
   }
 
+  test("state-schema EVOLUTION: upgraded processor with an added state field restarts from a V1 checkpoint (avro encoding)") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    // The production restart that the kill/restart specs do NOT cover:
+    // the operator comes back UPGRADED — same state variable name, one
+    // field appended to its schema. With the default UnsafeRow state
+    // encoding this is a pinned incompatibility; with avro encoding
+    // (set BEFORE the first run — the format is fixed at checkpoint
+    // creation) Avro schema evolution reads V1 rows into the V2 schema
+    // with the added field defaulted, so the upgrade keeps the state.
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    spark.conf.set("spark.sql.streaming.stateStore.encodingFormat", "avro")
+    try {
+      val ckpt = java.nio.file.Files.createTempDirectory("graft_evo_ckpt")
+        .toFile.getAbsolutePath
+      val input = MemoryStream[Event]
+      val out = new scala.collection.mutable.ArrayBuffer[(Long, Long, Double, Double)]()
+
+      // V2: same "totals" state variable, schema (n, total) -> (n,
+      // total, maxv); emits the migrated max so the spec can see what
+      // V1 state became. Spec-local on purpose — the upgrade artifact.
+      class RunningTotalsProcessorV2
+          extends org.apache.spark.sql.streaming.StatefulProcessor[
+            Long, Event, (Long, Long, Double, Double)] {
+        @transient private var totals
+            : org.apache.spark.sql.streaming.ValueState[(Long, Double, Double)] = _
+        override def init(
+            outputMode: org.apache.spark.sql.streaming.OutputMode,
+            timeMode: org.apache.spark.sql.streaming.TimeMode): Unit = {
+          totals = getHandle.getValueState[(Long, Double, Double)](
+            "totals",
+            org.apache.spark.sql.Encoders.tuple(
+              org.apache.spark.sql.Encoders.scalaLong,
+              org.apache.spark.sql.Encoders.scalaDouble,
+              org.apache.spark.sql.Encoders.scalaDouble),
+            org.apache.spark.sql.streaming.TTLConfig.NONE)
+        }
+        override def handleInputRows(
+            key: Long, rows: Iterator[Event],
+            timerValues: org.apache.spark.sql.streaming.TimerValues)
+            : Iterator[(Long, Long, Double, Double)] = {
+          val (pn, pv, pm) =
+            if (totals.exists()) totals.get() else (0L, 0.0, 0.0)
+          var (n, total, maxv) = (pn, pv, pm)
+          rows.foreach { e =>
+            n += 1; total += e.value; maxv = math.max(maxv, e.value)
+          }
+          totals.update((n, total, maxv))
+          Iterator((key, n, total, maxv))
+        }
+      }
+
+      def startV1() = StreamingOps.runningTotals(spark, input.toDS())
+        .toDF("user_id", "n", "total")
+        .writeStream
+        .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+          val rows = df.select($"user_id", $"n", $"total")
+            .as[(Long, Long, Double)].collect()
+          out.synchronized(rows.foreach { case (u, n, t) =>
+            out += ((u, n, t, Double.NaN))
+          })
+        }
+        .option("checkpointLocation", ckpt)
+        .outputMode("update").start()
+
+      def startV2() = input.toDS()
+        .groupByKey(_.user_id)
+        .transformWithState(new RunningTotalsProcessorV2,
+          org.apache.spark.sql.streaming.TimeMode.None(),
+          org.apache.spark.sql.streaming.OutputMode.Update())
+        .toDF("user_id", "n", "total", "maxv")
+        .writeStream
+        .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+          val rows = df.select($"user_id", $"n", $"total", $"maxv")
+            .as[(Long, Long, Double, Double)].collect()
+          out.synchronized(rows.foreach(out += _))
+        }
+        .option("checkpointLocation", ckpt)
+        .outputMode("update").start()
+
+      val q1 = startV1()
+      try {
+        input.addData(Event(ts(0), 1L, "view", 1.0), Event(ts(1), 1L, "view", 2.0))
+        runAll(q1)
+      } finally q1.stop() // kill; the upgrade deploys while we're down
+      assert(out.synchronized(out.toSet)
+        .map { case (u, n, t, _) => (u, n, t) } == Set((1L, 2L, 3.0)))
+
+      input.addData(Event(ts(2), 1L, "click", 3.5))
+      val q2 = startV2() // V2 processor, SAME checkpoint
+      try runAll(q2) finally q2.stop()
+      val emitted = out.synchronized(out.toList)
+      // state kept: count continues 2 -> 3, total 3.0 -> 6.5; the NEW
+      // field starts from its default (0.0), so max reflects only the
+      // post-upgrade event — exactly Avro's added-field semantics
+      assert(emitted.map { case (u, n, t, _) => (u, n, t) }
+        .contains((1L, 3L, 6.5)),
+        s"V1 state lost across the schema upgrade: $emitted")
+      val v2row = emitted.find { case (_, n, _, _) => n == 3L }.get
+      assert(v2row._4 == 3.5,
+        s"added field should default then absorb new data: $v2row")
+    } finally {
+      spark.conf.unset("spark.sql.streaming.stateStore.encodingFormat")
+      spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+    }
+  }
+
+  test("state-schema evolution under the DEFAULT UnsafeRow encoding is a pinned failure (migration requires avro)") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    // The contrast case, pinned so an operator upgrade on a default-
+    // encoded checkpoint fails LOUDLY in CI rather than silently in
+    // production: UnsafeRow state bytes carry no schema, so Spark
+    // refuses the widened schema at restart instead of misreading them.
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val ckpt = java.nio.file.Files.createTempDirectory("graft_evo_ur_ckpt")
+        .toFile.getAbsolutePath
+      val input = MemoryStream[Event]
+      val q1 = StreamingOps.runningTotals(spark, input.toDS())
+        .writeStream
+        // the sink must run an ACTION or the state stores never
+        // load/commit and Spark 4's commit validation trips instead
+        .foreachBatch { (df: org.apache.spark.sql.Dataset[(Long, Long, Double)], _: Long) =>
+          df.collect(); ()
+        }
+        .option("checkpointLocation", ckpt)
+        .outputMode("update").start()
+      try {
+        input.addData(Event(ts(0), 1L, "view", 1.0))
+        runAll(q1)
+      } finally q1.stop()
+
+      class WidenedProcessor
+          extends org.apache.spark.sql.streaming.StatefulProcessor[
+            Long, Event, (Long, Long)] {
+        @transient private var totals
+            : org.apache.spark.sql.streaming.ValueState[(Long, Double, Double)] = _
+        override def init(
+            outputMode: org.apache.spark.sql.streaming.OutputMode,
+            timeMode: org.apache.spark.sql.streaming.TimeMode): Unit = {
+          totals = getHandle.getValueState[(Long, Double, Double)](
+            "totals",
+            org.apache.spark.sql.Encoders.tuple(
+              org.apache.spark.sql.Encoders.scalaLong,
+              org.apache.spark.sql.Encoders.scalaDouble,
+              org.apache.spark.sql.Encoders.scalaDouble),
+            org.apache.spark.sql.streaming.TTLConfig.NONE)
+        }
+        override def handleInputRows(
+            key: Long, rows: Iterator[Event],
+            timerValues: org.apache.spark.sql.streaming.TimerValues)
+            : Iterator[(Long, Long)] = Iterator((key, rows.size.toLong))
+      }
+      val q2 = input.toDS().groupByKey(_.user_id)
+        .transformWithState(new WidenedProcessor,
+          org.apache.spark.sql.streaming.TimeMode.None(),
+          org.apache.spark.sql.streaming.OutputMode.Update())
+        .writeStream
+        .foreachBatch { (df: org.apache.spark.sql.Dataset[(Long, Long)], _: Long) =>
+          df.collect(); ()
+        }
+        .option("checkpointLocation", ckpt)
+        .outputMode("update").start()
+      input.addData(Event(ts(2), 1L, "click", 3.5))
+      val err = intercept[Exception] {
+        q2.processAllAvailable()
+      }
+      q2.stop()
+      def chain(t: Throwable): List[Throwable] =
+        if (t == null) Nil else t :: chain(t.getCause)
+      val msgs = chain(err).map(e =>
+        s"${e.getClass.getName}: ${Option(e.getMessage).getOrElse("")}")
+      assert(msgs.exists(m => m.toLowerCase.contains("schema")),
+        s"expected a state-schema incompatibility, got: ${msgs.mkString(" <- ")}")
+    } finally
+      spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+  }
+
   test("dropDuplicatesWithinWatermark dedups the stream on the event key") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._

@@ -31,7 +31,8 @@ def norm(df: pd.DataFrame) -> pd.DataFrame:
     return df
 
 
-def main(sf_dir: str, out_dir: str, json_path: str = None) -> int:
+def main(sf_dir: str, out_dir: str, json_path: str = None,
+         skip=(), timeout: float = None) -> int:
     con = duckdb.connect()
     for t in TABLES:
         # driver-generated SFs are single files; Spark-written rescales
@@ -42,6 +43,29 @@ def main(sf_dir: str, out_dir: str, json_path: str = None) -> int:
             path = f"{path}/*.parquet"
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{path}'")
     oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
+    for s in skip:
+        oracle.pop(s, None)
+
+    def run_sql(sql):
+        """Run one oracle query, interrupting it after `timeout` s —
+        a spilling DuckDB plan (e.g. an unrolled iteration oracle at
+        10x scale) must surface as a per-query 'oracle timeout', not
+        eat the disk."""
+        if not timeout:
+            return con.sql(sql).df()
+        import threading
+        done = threading.Event()
+
+        def watchdog():
+            if not done.wait(timeout):
+                con.interrupt()
+        t = threading.Thread(target=watchdog, daemon=True)
+        t.start()
+        try:
+            return con.sql(sql).df()
+        finally:
+            done.set()
+
     failures = 0
     records = {}
     for name, sql in sorted(oracle.items()):
@@ -58,7 +82,7 @@ def main(sf_dir: str, out_dir: str, json_path: str = None) -> int:
         try:
             got = norm(con.sql(
                 f"SELECT * FROM read_parquet({files!r})").df())
-            want = norm(con.sql(sql).df())
+            want = norm(run_sql(sql))
         except Exception as e:
             print(f"FAIL {name}: oracle error {e}")
             rec["err"] = f"oracle error {str(e)[:200]}"
@@ -101,9 +125,19 @@ def main(sf_dir: str, out_dir: str, json_path: str = None) -> int:
 
 
 if __name__ == "__main__":
-    args = [a for a in sys.argv[1:] if not a.startswith("--")]
-    jp = None
-    if "--json" in sys.argv:
-        jp = sys.argv[sys.argv.index("--json") + 1]
-        args = [a for a in args if a != jp]
-    sys.exit(main(args[0], args[1], jp))
+    argv = sys.argv[1:]
+    jp = skip = None
+    to = None
+    drop = set()
+    if "--json" in argv:
+        jp = argv[argv.index("--json") + 1]
+        drop.add(argv.index("--json") + 1)
+    if "--skip" in argv:
+        skip = argv[argv.index("--skip") + 1].split(",")
+        drop.add(argv.index("--skip") + 1)
+    if "--timeout" in argv:
+        to = float(argv[argv.index("--timeout") + 1])
+        drop.add(argv.index("--timeout") + 1)
+    args = [a for i, a in enumerate(argv)
+            if not a.startswith("--") and i not in drop]
+    sys.exit(main(args[0], args[1], jp, skip or (), to))
