@@ -100,7 +100,11 @@ object MediaOps {
           val (w, h) = pngDims(id)
           MediaRow(id, syntheticPng(id), "image/png", w, h)
         } else {
-          val b = text.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+          // NULL text → empty blob: its 0-byte / 0-sum features
+          // contribute exactly what the SQL twin's NULL terms do
+          // (sum skips them) while the row still counts in n_media
+          val b = (if (text == null) "" else text)
+            .getBytes(java.nio.charset.StandardCharsets.UTF_8)
           MediaRow(id, b, "image/fake", b.length % 64 + 1, b.length % 48 + 1)
         }
       }

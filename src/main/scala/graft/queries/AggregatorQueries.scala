@@ -117,7 +117,10 @@ object AggregatorQueries {
     import s.implicits._
     Tables.documents(s, d)
       .select(col("text")).as[String]
-      .flatMap(_.split(" "))
+      // NULL text yields no words (string_split(NULL) is NULL and
+      // unnest(NULL) is empty in the twin) — typed lambdas see the
+      // raw null, unlike Column expressions
+      .flatMap(t => if (t == null) Iterator.empty else t.split(" ").iterator)
       .filter(_.nonEmpty)
       .groupByKey(identity)
       .count()
@@ -220,7 +223,7 @@ object AggregatorQueries {
       "l_quantity", "l_extendedprice", "l_discount", "l_tax")
       .map(c =>
         s"""SELECT '$c' AS col_name,
-           |  CAST(sum(CASE WHEN $c IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null,
+           |  CAST(coalesce(sum(CASE WHEN $c IS NULL THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_null,
            |  CAST(count(DISTINCT $c) AS BIGINT) AS n_distinct,
            |  CAST(min($c) AS DOUBLE) AS min_v,
            |  CAST(max($c) AS DOUBLE) AS max_v,

@@ -309,16 +309,28 @@ object CurationQueries {
       |SELECT doc_id, n_chars,
       |  CAST(least(3, ((cum - n_chars) * 4) // total) AS INT) AS stage
       |FROM c ORDER BY doc_id""".stripMargin) { (s, d) =>
-    val docs = Tables.documents(s, d)
-      .select(col("doc_id"), col("n_chars"),
-        (col("n_chars") * lit(1000000000L) + col("doc_id")).as("ord"))
+    // NULL n_chars rows (fuzz class): they contribute nothing to cum
+    // or total in the oracle's window sums (SQL sum skips NULLs) and
+    // their own stage is NULL — packing them would crash the packer's
+    // non-null tuple encoder, so they bypass it and rejoin with a
+    // NULL stage
+    val base = Tables.documents(s, d).select(col("doc_id"), col("n_chars"))
+    val docs = base.filter(col("n_chars").isNotNull)
+      .withColumn("ord", col("n_chars") * lit(1000000000L) + col("doc_id"))
     val packed = SequencePacker.pack(docs, "ord", "n_chars", 1L)
       .select(col("doc_id"), col("n_chars"), col("cum"))
-    val total = Tables.documents(s, d).agg(sum(col("n_chars")).as("total"))
+    val total = base.agg(sum(col("n_chars")).as("total"))
     packed.crossJoin(broadcast(total))
       .select(col("doc_id"), col("n_chars"),
         least(lit(3L), expr("((cum - n_chars) * 4) div total"))
           .cast("int").as("stage"))
+      .unionByName(base.filter(col("n_chars").isNull)
+        .select(col("doc_id"), col("n_chars"),
+          // least(3, NULL div total) = 3 in BOTH engines (least skips
+          // NULLs), and a NULL-length doc sorts after every sized doc
+          // in the twin's NULLS-LAST cum window — so its stage is the
+          // final one
+          lit(3).cast("int").as("stage")))
       .orderBy(col("doc_id"))
   }
 
@@ -383,8 +395,71 @@ object CurationQueries {
       .orderBy(col("shard"))
   }
 
+  /** Blocklist / phrase-list filter audit — the unsafe-content and
+    * compliance pre-flight every curation pipeline runs before
+    * training: given a term list and a phrase list, per source: how
+    * many documents match, how many total hits, and the flagged
+    * share. The lists ride as broadcast LITERALS into a fully
+    * MAP-SIDE scan (token membership + adjacent-bigram membership via
+    * array HOFs — no explode, no join, zero shuffles before the
+    * per-source aggregate), which is exactly how a 100 TB blocklist
+    * pass must run: O(corpus tokens) work, one small aggregate out.
+    * Case-folded tokens; phrases match ADJACENT token pairs, so
+    * "group by" never fires across a document boundary or a shuffled
+    * word bag — the FlashText-style contract, expressed in Spark HOFs.
+    */
+  val q245BlocklistFilter = QueryDef(
+    "q245_blocklist_filter",
+    "blocklist term + adjacent-bigram phrase filter audit per source: map-side HOF matching, flagged share in bp",
+    """WITH toks AS (
+      |  SELECT source,
+      |         list_filter(string_split(lower(text), ' '), t -> length(t) > 0) AS t
+      |  FROM documents),
+      |h AS (SELECT source,
+      |        len(list_filter(t, x -> list_contains(['merge', 'drop', 'vacuum'], x))) AS th,
+      |        len(list_filter(
+      |          list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i + 1]),
+      |          b -> list_contains(['order fast', 'stream column'], b))) AS ph
+      |      FROM toks)
+      |SELECT coalesce(source, '*') AS source,
+      |  CAST(count(*) AS BIGINT) AS n_docs,
+      |  CAST(sum(CASE WHEN th + ph > 0 THEN 1 ELSE 0 END) AS BIGINT) AS flagged_docs,
+      |  CAST(sum(th) AS BIGINT) AS term_hits,
+      |  CAST(sum(ph) AS BIGINT) AS phrase_hits,
+      |  (10000 * CAST(sum(CASE WHEN th + ph > 0 THEN 1 ELSE 0 END) AS BIGINT))
+      |    // count(*) AS flag_bp
+      |FROM h
+      |GROUP BY ROLLUP (source)
+      |ORDER BY source""".stripMargin) { (s, d) =>
+    val terms = array(Seq("merge", "drop", "vacuum").map(lit): _*)
+    val phrases = array(Seq("order fast", "stream column").map(lit): _*)
+    val toks = Tables.documents(s, d)
+      .select(col("source"),
+        filter(split(lower(col("text")), " "), t => length(t) > 0).as("t"))
+    val h = toks.select(col("source"),
+      size(filter(col("t"), x => array_contains(terms, x))).cast("long").as("th"),
+      // guard: Spark's sequence(1, n-1) DESCENDS for n < 2 (DuckDB's
+      // range is empty there), so short docs skip the bigram pass
+      when(size(col("t")) < 2, lit(0L)).otherwise(
+        size(filter(
+          transform(sequence(lit(1), size(col("t")) - 1),
+            i => concat(element_at(col("t"), i), lit(" "),
+              element_at(col("t"), i + 1))),
+          b => array_contains(phrases, b))).cast("long")).as("ph"))
+    h.rollup(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("th") + col("ph") > 0, 1L).otherwise(0L)).as("flagged_docs"),
+        sum(col("th")).as("term_hits"),
+        sum(col("ph")).as("phrase_hits"))
+      .select(coalesce(col("source"), lit("*")).as("source"),
+        col("n_docs"), col("flagged_docs"), col("term_hits"),
+        col("phrase_hits"),
+        expr("(10000 * flagged_docs) div n_docs").as("flag_bp"))
+      .orderBy(col("source"))
+  }
+
   val all: Seq[QueryDef] =
     Seq(q61CurationPipeline, q80SequencePack, q83PackSlices, q86ChunkOverlap,
       q99SourceTopFraction, q103CorpusShuffle, q111CurriculumStages,
-      q214ShardBalance)
+      q214ShardBalance, q245BlocklistFilter)
 }

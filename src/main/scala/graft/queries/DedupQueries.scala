@@ -1940,18 +1940,185 @@ object DedupQueries {
        |  CAST(count(DISTINCT text) AS BIGINT) AS n_variants
        |FROM n GROUP BY norm
        |ORDER BY keep_id""".stripMargin) { (s, d) =>
+    // null-PRESERVING hashes: xxhash64 skips null children (returns
+    // the seed chain), which would count a NULL text as a distinct
+    // variant and collide the NULL-norm group with the empty-string
+    // group — the SQL twin's count(DISTINCT) skips NULLs and GROUP BY
+    // keeps them apart
     Tables.documents(s, d)
       .select(col("doc_id"),
-        xxhash64(col("text")).as("th"),
-        xxhash64(concat_ws(" ",
-          filter(split(translate(lower(col("text")), NormPunct, ""), " "),
-            t => length(t) > 0))).as("nh"))
+        when(col("text").isNull, lit(null).cast("long"))
+          .otherwise(xxhash64(col("text"))).as("th"),
+        when(col("text").isNull, lit(null).cast("long"))
+          .otherwise(xxhash64(concat_ws(" ",
+            filter(split(translate(lower(col("text")), NormPunct, ""), " "),
+              t => length(t) > 0)))).as("nh"))
       .groupBy(col("nh"))
       .agg(min(col("doc_id")).as("keep_id"),
         count(lit(1)).as("n_copies"),
         countDistinct(col("th")).as("n_variants"))
       .select(col("keep_id"), col("n_copies"), col("n_variants"))
       .orderBy(col("keep_id"))
+  }
+
+  /** Cluster-cohesion (chaining-risk) audit: connected components
+    * inherit membership TRANSITIVELY, so a cluster can contain pairs
+    * with no direct near-dup evidence — A~B~C chains where A and C
+    * share nothing. Per cluster-size class: possible pairs c(c−1)/2,
+    * DIRECT verified pairs, and the worst / aggregate completeness in
+    * bp. Low completeness at large sizes is the signature of LSH
+    * chaining (one hub document gluing unrelated docs), the thing a
+    * survivorship pass (q190) should check before deleting the
+    * "duplicates". All-integer; pair counts come from the SAME
+    * memoized relations the clustering was built from.
+    *
+    * Scale shape: two keyed joins of the verified-pair relation
+    * against [[clusterAssignments]] (both memoized/durable), one
+    * cluster aggregate, then size-class metadata.
+    */
+  val q246ClusterCohesion = QueryDef(
+    "q246_cluster_cohesion",
+    "near-dup cluster cohesion: direct-pair completeness per cluster-size class, the LSH chaining-risk read",
+    """WITH RECURSIVE t AS (
+      |  SELECT doc_id,
+      |    list_distinct(list_transform(range(1, len(w)-1),
+      |                  i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS sh
+      |  FROM (SELECT doc_id, list_filter(string_split(text, ' '), t -> length(t) > 0) AS w
+      |        FROM documents)),
+      |tb AS (SELECT doc_id, len(sh) AS n, sh FROM t WHERE len(sh) > 0),
+      |inv AS (SELECT doc_id, unnest(sh) AS g FROM tb),
+      |co AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+      |       FROM inv a JOIN inv b ON a.g = b.g AND a.doc_id < b.doc_id
+      |       GROUP BY a.doc_id, b.doc_id),
+      |pairs AS (
+      |  SELECT doc_a, doc_b FROM (
+      |    SELECT doc_a, doc_b,
+      |      round(CAST(inter AS DOUBLE) / (na.n + nb.n - inter), 4) AS jaccard
+      |    FROM co JOIN tb na ON na.doc_id = co.doc_a
+      |            JOIN tb nb ON nb.doc_id = co.doc_b)
+      |  WHERE jaccard >= 0.8),
+      |edges AS (SELECT doc_a AS u, doc_b AS v FROM pairs
+      |          UNION ALL SELECT doc_b AS u, doc_a AS v FROM pairs),
+      |reach AS (
+      |  SELECT doc_id AS u, doc_id AS lbl FROM documents
+      |  UNION
+      |  SELECT e.u, r.lbl FROM edges e JOIN reach r ON r.u = e.v),
+      |lab AS (SELECT u AS doc_id, min(lbl) AS cluster_id FROM reach GROUP BY u),
+      |pc AS (SELECT la.cluster_id, CAST(count(*) AS BIGINT) AS dd
+      |       FROM pairs p JOIN lab la ON la.doc_id = p.doc_a
+      |       GROUP BY la.cluster_id),
+      |cs AS (SELECT cluster_id, CAST(count(*) AS BIGINT) AS c FROM lab GROUP BY cluster_id),
+      |per AS (SELECT cs.c, coalesce(pc.dd, 0) AS dd,
+      |          (cs.c * (cs.c - 1)) // 2 AS pp
+      |        FROM cs LEFT JOIN pc ON pc.cluster_id = cs.cluster_id
+      |        WHERE cs.c >= 2)
+      |SELECT CAST(c AS BIGINT) AS cluster_size,
+      |  CAST(count(*) AS BIGINT) AS n_clusters,
+      |  CAST(sum(pp) AS BIGINT) AS possible_pairs,
+      |  CAST(sum(dd) AS BIGINT) AS direct_pairs,
+      |  CAST(min((10000 * dd) // pp) AS BIGINT) AS min_completeness_bp,
+      |  CAST((10000 * sum(dd)) // sum(pp) AS BIGINT) AS mean_completeness_bp
+      |FROM per GROUP BY c
+      |ORDER BY c""".stripMargin) { (s, d) =>
+    val ca = clusterAssignments(s, d)
+    val vp = verifiedPairs(s, d)
+    val pc = vp
+      .join(ca.select(col("doc_id").as("doc_a"),
+        col("cluster_id")), "doc_a")
+      .groupBy(col("cluster_id")).agg(count(lit(1)).as("dd"))
+    val cs = ca.groupBy(col("cluster_id")).agg(count(lit(1)).as("c"))
+    val per = cs.filter(col("c") >= 2)
+      .join(pc, Seq("cluster_id"), "left_outer")
+      .select(col("c"), coalesce(col("dd"), lit(0L)).as("dd"),
+        expr("(c * (c - 1)) div 2").as("pp"))
+    per.groupBy(col("c"))
+      .agg(count(lit(1)).as("n_clusters"),
+        sum(col("pp")).as("possible_pairs"),
+        sum(col("dd")).as("direct_pairs"),
+        min(expr("(10000 * dd) div pp")).as("min_completeness_bp"),
+        expr("(10000 * sum(dd)) div sum(pp)").as("mean_completeness_bp"))
+      .select(col("c").as("cluster_size"), col("n_clusters"),
+        col("possible_pairs"), col("direct_pairs"),
+        col("min_completeness_bp"), col("mean_completeness_bp"))
+      .orderBy(col("cluster_size"))
+  }
+
+  /** Soft dedup — count-based LOSS DOWN-WEIGHTING instead of hard
+    * removal: every document in a near-dup cluster of size c trains
+    * with weight 1/c, so each piece of CONTENT contributes one unit
+    * of gradient regardless of how many copies the crawl collected —
+    * the standard alternative when hard dedup (q78 survivorship)
+    * would throw away copies whose metadata still matters. Emitted
+    * value-compressed by cluster-size class (weight_ppm = ⌊10⁶/c⌋,
+    * exact integer) plus a rollup row whose eff_docs_ppm is the
+    * EFFECTIVE corpus size Σ_docs 1/c in ppm — the number a token
+    *-budget plan (q81/q88) should use instead of the raw doc count.
+    *
+    * Scale shape: a pure projection of the memoized (and, with the
+    * memo catalog on, DURABLE) [[clusterAssignments]] relation —
+    * one size aggregate over cluster ids, then size-class metadata.
+    */
+  val q247SoftDedupWeights = QueryDef(
+    "q247_soft_dedup_weights",
+    "soft-dedup loss weights: 1/cluster-size per doc by size class + effective corpus size in ppm",
+    """WITH RECURSIVE t AS (
+      |  SELECT doc_id,
+      |    list_distinct(list_transform(range(1, len(w)-1),
+      |                  i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS sh
+      |  FROM (SELECT doc_id, list_filter(string_split(text, ' '), t -> length(t) > 0) AS w
+      |        FROM documents)),
+      |tb AS (SELECT doc_id, len(sh) AS n, sh FROM t WHERE len(sh) > 0),
+      |inv AS (SELECT doc_id, unnest(sh) AS g FROM tb),
+      |co AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+      |       FROM inv a JOIN inv b ON a.g = b.g AND a.doc_id < b.doc_id
+      |       GROUP BY a.doc_id, b.doc_id),
+      |pairs AS (
+      |  SELECT doc_a, doc_b FROM (
+      |    SELECT doc_a, doc_b,
+      |      round(CAST(inter AS DOUBLE) / (na.n + nb.n - inter), 4) AS jaccard
+      |    FROM co JOIN tb na ON na.doc_id = co.doc_a
+      |            JOIN tb nb ON nb.doc_id = co.doc_b)
+      |  WHERE jaccard >= 0.8),
+      |edges AS (SELECT doc_a AS u, doc_b AS v FROM pairs
+      |          UNION ALL SELECT doc_b AS u, doc_a AS v FROM pairs),
+      |reach AS (
+      |  SELECT doc_id AS u, doc_id AS lbl FROM documents
+      |  UNION
+      |  SELECT e.u, r.lbl FROM edges e JOIN reach r ON r.u = e.v),
+      |lab AS (SELECT u AS doc_id, min(lbl) AS cluster_id FROM reach GROUP BY u),
+      |cs AS (SELECT cluster_id, CAST(count(*) AS BIGINT) AS c FROM lab GROUP BY cluster_id),
+      |k AS (SELECT c AS cluster_size, CAST(count(*) AS BIGINT) AS n_clusters,
+      |        CAST(c * count(*) AS BIGINT) AS n_docs,
+      |        1000000 // c AS weight_ppm,
+      |        CAST(c * count(*) * (1000000 // c) AS BIGINT) AS eff_docs_ppm
+      |      FROM cs GROUP BY c)
+      |SELECT CAST(coalesce(cluster_size, 0) AS BIGINT) AS cluster_size,
+      |  CAST(sum(n_clusters) AS BIGINT) AS n_clusters,
+      |  CAST(sum(n_docs) AS BIGINT) AS n_docs,
+      |  CASE WHEN cluster_size IS NULL THEN NULL
+      |       ELSE CAST(max(weight_ppm) AS BIGINT) END AS weight_ppm,
+      |  CAST(sum(eff_docs_ppm) AS BIGINT) AS eff_docs_ppm
+      |FROM k GROUP BY ROLLUP (cluster_size)
+      |ORDER BY cluster_size""".stripMargin) { (s, d) =>
+    val cs = clusterAssignments(s, d)
+      .groupBy(col("cluster_id")).agg(count(lit(1)).as("c"))
+    val k = cs.groupBy(col("c")).agg(count(lit(1)).as("n_clusters"))
+      .select(col("c").as("cluster_size"), col("n_clusters"),
+        (col("c") * col("n_clusters")).as("n_docs"),
+        expr("1000000 div c").as("weight_ppm"),
+        (col("c") * col("n_clusters") * expr("1000000 div c"))
+          .as("eff_docs_ppm"))
+    k.rollup(col("cluster_size"))
+      .agg(sum(col("n_clusters")).as("n_clusters"),
+        sum(col("n_docs")).as("n_docs"),
+        max(col("weight_ppm")).as("w"),
+        sum(col("eff_docs_ppm")).as("eff_docs_ppm"))
+      .select(coalesce(col("cluster_size"), lit(0L)).as("cluster_size"),
+        col("n_clusters"), col("n_docs"),
+        when(col("cluster_size").isNull, lit(null).cast("long"))
+          .otherwise(col("w")).as("weight_ppm"),
+        col("eff_docs_ppm"))
+      .orderBy(col("cluster_size"))
   }
 
   val all: Seq[QueryDef] = Seq(
@@ -1961,5 +2128,6 @@ object DedupQueries {
     q161MinimizerDedup, q169JaccardHistogram, q170ClusterSizes,
     q173SourceOverlap, q190Survivorship, q206DedupSavings,
     q208ContainmentDedup, q215CdcChunkDedup, q221WeightedJaccard,
-    q227NormalizedDedup, q234SemanticSplit)
+    q227NormalizedDedup, q234SemanticSplit, q246ClusterCohesion,
+    q247SoftDedupWeights)
 }

@@ -23,7 +23,7 @@ object ScalarQueries {
       |  upper(p_brand) AS brand_uc,
       |  length(p_name) AS name_len,
       |  substring(p_name, 1, 8) AS name_prefix,
-      |  concat(p_brand, ':', p_type) AS brand_type,
+      |  p_brand || ':' || p_type AS brand_type,
       |  replace(p_type, ' ', '_') AS type_snake,
       |  regexp_extract(p_name, '^([a-z]+)', 1) AS first_word,
       |  CAST(contains(p_type, 'BRASS') AS BOOLEAN) AS is_brass

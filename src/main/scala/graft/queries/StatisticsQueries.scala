@@ -1901,6 +1901,100 @@ object StatisticsQueries {
       .orderBy(col("day"))
   }
 
+  /** Wasserstein-1 (earth-mover) drift of each source's token-length
+    * distribution against the corpus — the DISTANCE companion to
+    * q138's KS statistic: KS reads the worst single CDF gap (sharp
+    * but local), W1 integrates |F_source − F_corpus| over the value
+    * axis, so a long mild tail shift — exactly what a contaminated or
+    * re-crawled source looks like — registers even when no single
+    * quantile moves much. On a discrete support W1 is EXACT INTEGER
+    * arithmetic: Σᵢ |F_a(vᵢ) − F_b(vᵢ)|·(vᵢ₊₁ − vᵢ) with CDFs kept as
+    * count cross-products (the q138 convention), so the micro-scaled
+    * result hashes across engines.
+    *
+    * Scale shape: ONE corpus scan computes per-doc token counts; a
+    * (source, len) partial-aggregable aggregate value-compresses it;
+    * everything after lives on the |sources| × |distinct lens| grid —
+    * metadata-sized (the support of a length distribution), never
+    * corpus-sized. The per-source CDF windows partition by source;
+    * products ride decimal(38,0) (cum·N ≤ 10¹⁶ × gap ≤ 10⁵ overflows
+    * a long at corpus scale).
+    */
+  val q244LengthDrift = QueryDef(
+    "q244_length_drift",
+    "Wasserstein-1 token-length drift per source vs the corpus: integer CDF cross-products on the value-compressed length grid",
+    """WITH tok AS (
+      |  SELECT source,
+      |         CAST(len(list_filter(string_split(text, ' '), t -> length(t) > 0)) AS BIGINT) AS n
+      |  FROM documents WHERE source IS NOT NULL),
+      |t AS (SELECT source, n FROM tok WHERE n > 0),
+      |c AS (SELECT source, n, CAST(count(*) AS BIGINT) AS m FROM t GROUP BY source, n),
+      |lens AS (SELECT DISTINCT n FROM c),
+      |srcs AS (SELECT source, CAST(sum(m) AS BIGINT) AS ns FROM c GROUP BY source),
+      |tot AS (SELECT CAST(sum(m) AS BIGINT) AS nn FROM c),
+      |corp AS (SELECT n, CAST(sum(m) AS BIGINT) AS cm FROM c GROUP BY n),
+      |grid AS (SELECT s.source, l.n, coalesce(cc.m, 0) AS m, corp.cm
+      |         FROM srcs s CROSS JOIN lens l
+      |         LEFT JOIN c cc ON cc.source = s.source AND cc.n = l.n
+      |         JOIN corp ON corp.n = l.n),
+      |cum AS (SELECT source, n,
+      |          CAST(sum(m) OVER w AS BIGINT) AS cs,
+      |          CAST(sum(cm) OVER w AS BIGINT) AS cc,
+      |          lead(n) OVER w AS nxt
+      |        FROM grid WINDOW w AS (PARTITION BY source ORDER BY n)),
+      |term AS (SELECT cum.source,
+      |           abs(CAST(cs AS HUGEINT) * tot.nn - CAST(cc AS HUGEINT) * srcs.ns)
+      |             * (nxt - n) AS v
+      |         FROM cum JOIN srcs ON srcs.source = cum.source CROSS JOIN tot
+      |         WHERE nxt IS NOT NULL),
+      |agg AS (SELECT source, sum(v) AS num FROM term GROUP BY source)
+      |SELECT s.source, s.ns AS n_docs, tot.nn AS corpus_docs,
+      |  CAST((1000000 * coalesce(a.num, 0)) //
+      |       (CAST(s.ns AS HUGEINT) * tot.nn) AS BIGINT) AS w1_micro_tokens
+      |FROM srcs s CROSS JOIN tot LEFT JOIN agg a ON a.source = s.source
+      |ORDER BY s.source""".stripMargin) { (s, d) =>
+    val t = Tables.documents(s, d)
+      .filter(col("source").isNotNull)
+      .select(col("source"),
+        size(filter(split(col("text"), " "), x => length(x) > 0))
+          .cast("long").as("n"))
+      .filter(col("n") > 0)
+    // value-compressed (source, len) support — persisted: feeds the
+    // grid, the per-source totals, and the corpus marginal
+    val c = graft.AutoUnpersist.scoped(
+      t.groupBy(col("source"), col("n")).agg(count(lit(1)).as("m")))
+    val lens = c.select(col("n")).distinct()
+    val srcs = c.groupBy(col("source")).agg(sum(col("m")).as("ns"))
+    val tot = c.agg(sum(col("m")).as("nn"))
+    val corp = c.groupBy(col("n")).agg(sum(col("m")).as("cm"))
+    val grid = srcs.select(col("source"), col("ns"))
+      .crossJoin(broadcast(lens))
+      .join(c.select(col("source"), col("n"), col("m")), Seq("source", "n"), "left")
+      .join(broadcast(corp), Seq("n"))
+      .select(col("source"), col("ns"), col("n"),
+        coalesce(col("m"), lit(0L)).as("m"), col("cm"))
+    val w = Window.partitionBy(col("source")).orderBy(col("n"))
+    val cum = grid.select(col("source"), col("ns"), col("n"),
+      sum(col("m")).over(w).as("cs"), sum(col("cm")).over(w).as("cc"),
+      lead(col("n"), 1).over(w).as("nxt"))
+    val term = cum.crossJoin(broadcast(tot))
+      .filter(col("nxt").isNotNull)
+      .select(col("source"), col("ns"), col("nn"),
+        (abs(col("cs").cast("decimal(38,0)") * col("nn") -
+          col("cc").cast("decimal(38,0)") * col("ns")) *
+          (col("nxt") - col("n"))).as("v"))
+    val agg = term.groupBy(col("source")).agg(sum(col("v")).as("num"))
+    srcs.crossJoin(broadcast(tot))
+      .join(agg, Seq("source"), "left_outer")
+      .select(col("source"), col("ns").as("n_docs"),
+        col("nn").as("corpus_docs"),
+        expr("""cast((cast(1000000 as decimal(38,0)) *
+                coalesce(num, cast(0 as decimal(38,0)))) div
+                (cast(ns as decimal(38,0)) * nn) as bigint)""")
+          .as("w1_micro_tokens"))
+      .orderBy(col("source"))
+  }
+
   val all: Seq[QueryDef] =
     Seq(q136BloomFilter, q137RankSumAuc, q138KsDrift, q139SourceImpurity,
       q141BenfordAudit, q143AbTest, q145MadOutliers, q147Calibration,
@@ -1909,5 +2003,6 @@ object StatisticsQueries {
       q163SeasonalAnomaly, q165ForecastEval, q166ActiveUsers,
       q167DidUplift, q175QqDrift, q176AbPower, q184BootstrapCi,
       q189CusumChangepoint, q195SurvivalHazard, q201TheilSen,
-      q218QuantileNormalization, q220ConformalIntervals, q224Sprt)
+      q218QuantileNormalization, q220ConformalIntervals, q224Sprt,
+      q244LengthDrift)
 }

@@ -643,6 +643,55 @@ object TextAnalysisQueries {
     * model when it fits) + one partial-aggregable (doc, class) sum +
     * a 5-row-per-doc max_by — never a per-doc window over the corpus.
     */
+  /** Memoized held-out Naive-Bayes score matrix (doc_id, lang=class,
+    * score_micro) — the q199 model (fit on even doc_ids, Laplace-
+    * smoothed micro log-probs) scored over the odd held-out docs,
+    * shared by q199's argmax accuracy read and q248's confident-
+    * learning label-noise audit so the fit + score join is paid once
+    * per (session, corpus).
+    */
+  private[graft] def nbScores(
+      s: org.apache.spark.sql.SparkSession, d: String)
+      : org.apache.spark.sql.DataFrame =
+    graft.SessionMemo.getOrCompute(s, "text.nbscores:" + d) {
+      val docs = Tables.documents(s, d)
+      val tok = docs.select(col("doc_id"), col("lang"),
+        explode(toks(col("text"))).as("t"))
+      val trtok = tok.filter(col("doc_id") % 2 === 0)
+      val cls = docs.filter(col("doc_id") % 2 === 0)
+        .groupBy(col("lang")).agg(count(lit(1)).as("n_docs"))
+      val tot = docs.filter(col("doc_id") % 2 === 0)
+        .agg(count(lit(1)).as("n_all"))
+      val cnt = trtok.groupBy(col("lang"), col("t")).agg(count(lit(1)).as("c"))
+      val ltot = cnt.groupBy(col("lang")).agg(sum(col("c")).as("tc"))
+      val voc = trtok.agg(countDistinct(col("t")).as("v"))
+      // vocab × classes grid via a 5-row broadcast (never a cartesian
+      // of two data-sized relations)
+      val grid = trtok.select(col("t")).distinct()
+        .crossJoin(broadcast(cls.select(col("lang"))))
+      val lp = grid
+        .join(ltot, "lang")
+        .crossJoin(broadcast(voc))
+        .join(cnt, Seq("lang", "t"), "left_outer")
+        .select(col("t"), col("lang"),
+          floor(lit(1000000.0) *
+            log((coalesce(col("c"), lit(0L)) + lit(1.0)) / (col("tc") + col("v"))))
+            .cast("long").as("lp"))
+      val pri = cls.crossJoin(broadcast(tot))
+        .select(col("lang"),
+          floor(lit(1000000.0) * log(col("n_docs").cast("double") / col("n_all")))
+            .cast("long").as("prior"))
+      // drop the true label before scoring: `lang` below is the CLASS
+      // dimension from the model, not the document's label
+      tok.filter(col("doc_id") % 2 === 1)
+        .select(col("doc_id"), col("t"))
+        .join(lp, "t")
+        .join(broadcast(pri), "lang")
+        .groupBy(col("doc_id"), col("lang"))
+        .agg((sum(col("lp")) + first(col("prior"))).as("score"))
+        .localCheckpoint()
+    }
+
   val q199NaiveBayesLangid = QueryDef(
     "q199_naive_bayes_langid",
     "multinomial Naive Bayes lang classifier: Laplace-smoothed micro log-probs fit on even docs, argmax scoring of held-out odd docs",
@@ -681,40 +730,7 @@ object TextAnalysisQueries {
       |FROM documents d JOIN pred p ON p.doc_id = d.doc_id AND p.rn = 1
       |ORDER BY d.doc_id""".stripMargin) { (s, d) =>
     val docs = Tables.documents(s, d)
-    val tok = docs.select(col("doc_id"), col("lang"),
-      explode(toks(col("text"))).as("t"))
-    val trtok = tok.filter(col("doc_id") % 2 === 0)
-    val cls = docs.filter(col("doc_id") % 2 === 0)
-      .groupBy(col("lang")).agg(count(lit(1)).as("n_docs"))
-    val tot = docs.filter(col("doc_id") % 2 === 0)
-      .agg(count(lit(1)).as("n_all"))
-    val cnt = trtok.groupBy(col("lang"), col("t")).agg(count(lit(1)).as("c"))
-    val ltot = cnt.groupBy(col("lang")).agg(sum(col("c")).as("tc"))
-    val voc = trtok.agg(countDistinct(col("t")).as("v"))
-    // vocab × classes grid via a 5-row broadcast (never a cartesian
-    // of two data-sized relations)
-    val grid = trtok.select(col("t")).distinct()
-      .crossJoin(broadcast(cls.select(col("lang"))))
-    val lp = grid
-      .join(ltot, "lang")
-      .crossJoin(broadcast(voc))
-      .join(cnt, Seq("lang", "t"), "left_outer")
-      .select(col("t"), col("lang"),
-        floor(lit(1000000.0) *
-          log((coalesce(col("c"), lit(0L)) + lit(1.0)) / (col("tc") + col("v"))))
-          .cast("long").as("lp"))
-    val pri = cls.crossJoin(broadcast(tot))
-      .select(col("lang"),
-        floor(lit(1000000.0) * log(col("n_docs").cast("double") / col("n_all")))
-          .cast("long").as("prior"))
-    // drop the true label before scoring: `lang` below is the CLASS
-    // dimension from the model, not the document's label
-    val sc = tok.filter(col("doc_id") % 2 === 1)
-      .select(col("doc_id"), col("t"))
-      .join(lp, "t")
-      .join(broadcast(pri), "lang")
-      .groupBy(col("doc_id"), col("lang"))
-      .agg((sum(col("lp")) + first(col("prior"))).as("score"))
+    val sc = nbScores(s, d)
     // argmax with (score desc, lang asc) tiebreak: min_by over the
     // (−score, lang) key — the string class can't be negated, so the
     // whole ordering is inverted instead (the q192 argmax convention)
@@ -854,7 +870,9 @@ object TextAnalysisQueries {
       sum(col("y").cast("decimal(38,0)")).as("sy"),
       sum((col("x").cast("decimal(38,0)") * col("y"))).as("sxy"),
       sum((col("x").cast("decimal(38,0)") * col("x"))).as("sxx"))
-    val tt = cv.agg(sum(col("c")).as("n_tokens"))
+    // coalesce: the twin's count(*) reads 0 on an empty corpus where
+    // sum() reads NULL
+    val tt = cv.agg(coalesce(sum(col("c")), lit(0L)).as("n_tokens"))
     sums.crossJoin(broadcast(tt))
       .select(col("n").as("vocab"), col("n_tokens"),
         floor(lit(1000000.0) *
@@ -1058,10 +1076,96 @@ object TextAnalysisQueries {
       .orderBy(col("src_a"), col("src_b"))
   }
 
+  /** Confident-learning label-noise audit (Northcutt et al. 2021's
+    * counting idea on the q199 classifier): a held-out document with
+    * GIVEN label i is a noise CANDIDATE toward class j ≠ i when its
+    * class-j score clears class j's self-confidence threshold — the
+    * mean class-j score over documents actually labeled j. The
+    * (given, predicted-confidently) grid is the estimated joint of
+    * given vs true labels; its off-diagonal mass is the label-noise
+    * rate a relabeling pass should budget for. The mean-threshold
+    * comparison is kept EXACT INTEGER by cross-multiplying
+    * (score·n_j ≥ Σ_j, both in decimal(38,0)) — no division, so no
+    * truncate-vs-floor hazard on the negative log-scores.
+    *
+    * Scale shape: one read of the memoized [[nbScores]] matrix (paid
+    * once with q199), a |classes|-row threshold aggregate broadcast
+    * back, and a |classes|²-cell output aggregate — after the shared
+    * score join, everything is class-grid metadata.
+    */
+  val q248LabelNoise = QueryDef(
+    "q248_label_noise",
+    "confident-learning label-noise audit: given-vs-confident class grid off the shared NB score matrix, integer cross-multiplied thresholds",
+    """WITH w AS (SELECT doc_id, lang,
+      |         list_filter(string_split(text, ' '), t -> length(t) > 0) AS w
+      |       FROM documents),
+      |tok AS (SELECT doc_id, lang, unnest(w) AS t FROM w),
+      |trtok AS (SELECT * FROM tok WHERE doc_id % 2 = 0),
+      |cls AS (SELECT lang, CAST(count(*) AS BIGINT) AS n_docs
+      |        FROM documents WHERE doc_id % 2 = 0 GROUP BY lang),
+      |tot AS (SELECT CAST(count(*) AS BIGINT) AS n_all
+      |        FROM documents WHERE doc_id % 2 = 0),
+      |cnt AS (SELECT lang, t, CAST(count(*) AS BIGINT) AS c
+      |        FROM trtok GROUP BY lang, t),
+      |ltot AS (SELECT lang, CAST(sum(c) AS BIGINT) AS tc FROM cnt GROUP BY lang),
+      |voc AS (SELECT CAST(count(DISTINCT t) AS BIGINT) AS v FROM trtok),
+      |grid AS (SELECT vt.t, c.lang
+      |         FROM (SELECT DISTINCT t FROM trtok) vt CROSS JOIN (SELECT lang FROM cls) c),
+      |lp AS (SELECT g.t, g.lang,
+      |         CAST(floor(1000000.0 * ln((coalesce(cnt.c, 0) + 1.0) / (ltot.tc + voc.v))) AS BIGINT) AS lp
+      |       FROM grid g JOIN ltot ON ltot.lang = g.lang CROSS JOIN voc
+      |       LEFT JOIN cnt ON cnt.lang = g.lang AND cnt.t = g.t),
+      |pri AS (SELECT cls.lang,
+      |          CAST(floor(1000000.0 * ln(CAST(cls.n_docs AS DOUBLE) / tot.n_all)) AS BIGINT) AS prior
+      |        FROM cls CROSS JOIN tot),
+      |sc AS (SELECT tok.doc_id, lp.lang,
+      |         CAST(sum(lp.lp) AS BIGINT) + any_value(pri.prior) AS score
+      |       FROM tok JOIN lp ON lp.t = tok.t JOIN pri ON pri.lang = lp.lang
+      |       WHERE tok.doc_id % 2 = 1
+      |       GROUP BY tok.doc_id, lp.lang),
+      |hd AS (SELECT doc_id, lang AS given FROM documents WHERE doc_id % 2 = 1),
+      |jj AS (SELECT sc.doc_id, sc.lang AS cls, sc.score, hd.given
+      |       FROM sc JOIN hd ON hd.doc_id = sc.doc_id),
+      |th AS (SELECT cls, CAST(sum(score) AS HUGEINT) AS sj,
+      |              CAST(count(*) AS BIGINT) AS nj
+      |       FROM jj WHERE cls = given GROUP BY cls),
+      |cand AS (SELECT jj.given, jj.cls,
+      |           CASE WHEN CAST(jj.score AS HUGEINT) * th.nj >= th.sj
+      |                THEN 1 ELSE 0 END AS conf
+      |         FROM jj JOIN th ON th.cls = jj.cls)
+      |SELECT given AS lang_given, cls AS lang_pred,
+      |  CAST(count(*) AS BIGINT) AS n_docs,
+      |  CAST(sum(conf) AS BIGINT) AS n_confident,
+      |  CAST(CASE WHEN given = cls THEN 0 ELSE sum(conf) END AS BIGINT) AS n_noise
+      |FROM cand GROUP BY given, cls
+      |ORDER BY given, cls""".stripMargin) { (s, d) =>
+    val hd = Tables.documents(s, d)
+      .filter(col("doc_id") % 2 === 1)
+      .select(col("doc_id"), col("lang").as("given"))
+    val jj = nbScores(s, d).select(col("doc_id"),
+        col("lang").as("cls"), col("score"))
+      .join(hd, "doc_id")
+    val th = jj.filter(col("cls") === col("given"))
+      .groupBy(col("cls"))
+      .agg(sum(col("score")).cast("decimal(38,0)").as("sj"),
+        count(lit(1)).as("nj"))
+    jj.join(broadcast(th), "cls")
+      .select(col("given"), col("cls"),
+        when(col("score").cast("decimal(38,0)") * col("nj") >= col("sj"), 1L)
+          .otherwise(0L).as("conf"))
+      .groupBy(col("given"), col("cls"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("conf")).as("n_confident"))
+      .select(col("given").as("lang_given"), col("cls").as("lang_pred"),
+        col("n_docs"), col("n_confident"),
+        when(col("given") === col("cls"), 0L)
+          .otherwise(col("n_confident")).as("n_noise"))
+      .orderBy(col("lang_given"), col("lang_pred"))
+  }
+
   val all: Seq[QueryDef] = Seq(
     q27TokenStats, q28LangStats, q29QualityScore, q30Langid,
     q31Fingerprint, q32NgramStats, q55Tfidf, q66BpeTokens, q96Textrank,
     q117VocabGrowth, q171Readability, q172LangConfusion,
     q187PmiCollocations, q199NaiveBayesLangid, q217SourceSaliency,
-    q222ZipfFit, q239CodeSwitch, q242SourceDivergence)
+    q222ZipfFit, q239CodeSwitch, q242SourceDivergence, q248LabelNoise)
 }

@@ -60,7 +60,10 @@ object UdxQueries {
       |FROM orders
       |GROUP BY prio_rank
       |ORDER BY prio_rank""".stripMargin) { (s, d) =>
-    val rankOf = udf((p: String) => p.split("-")(0).toInt)
+    // Option-valued: a String-typed Scala UDF receives NULLs (ref
+    // types are not null-skipped like primitives) — the SQL twin's
+    // string_split(NULL) is NULL, so null priorities map to null rank
+    val rankOf = udf((p: String) => Option(p).map(_.split("-")(0).toInt))
     Tables.orders(s, d)
       .select(rankOf(col("o_orderpriority")).as("prio_rank"), col("o_totalprice"))
       .groupBy(col("prio_rank"))

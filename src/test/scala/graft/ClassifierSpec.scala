@@ -177,6 +177,56 @@ class ClassifierSpec extends SparkSpec {
       (11L, "B", 1L), (13L, "B", 1L)), s"got $got")
   }
 
+  test("q248 grid invariants on the corpus: complete class grid, zero diagonal noise, confident <= total") {
+    val rows = Registry.byName("q248_label_noise").fn(spark, sfDir)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        r.getLong(3), r.getLong(4)))
+    val givens = rows.map(_._1).distinct.sorted
+    val preds = rows.map(_._2).distinct.sorted
+    assert(rows.length == givens.length * preds.length,
+      s"grid incomplete: ${rows.length} cells for ${givens.length}x${preds.length}")
+    rows.foreach { case (g, p, n, conf, noise) =>
+      assert(conf >= 0 && conf <= n, s"($g,$p): confident out of range")
+      if (g == p) assert(noise == 0L, s"diagonal must carry no noise: ($g,$p)")
+      else assert(noise == conf, s"off-diagonal noise must equal confident count")
+    }
+    // every given row scores each class on the same doc universe
+    givens.foreach { g =>
+      val ns = rows.filter(_._1 == g).map(_._3).distinct
+      assert(ns.length == 1, s"given $g sees differing doc universes: $ns")
+    }
+    spark.sharedState.cacheManager.clearCache()
+  }
+
+  test("q248 flags a planted mislabeled document toward its true class") {
+    import spark.implicits._
+    // identical texts within each class make every genuine doc's
+    // self-score EQUAL to its class threshold (mean), so the planted
+    // doc — B-labeled but carrying pure A text — clears class A's
+    // threshold exactly and must land in the (B given, A pred) cell;
+    // genuine B docs' A-scores are OOV-smoothed far below it.
+    val a = "aa bb cc dd"
+    val b = "xx yy zz ww"
+    val rows =
+      (0 until 10).map(i => (i * 2L, a, "A")) ++ // train A
+      (0 until 10).map(i => (100L + i * 2, b, "B")) ++ // train B
+      (0 until 5).map(i => (i * 2 + 1L, a, "A")) ++ // held-out A
+      (0 until 5).map(i => (101L + i * 2, b, "B")) ++ // held-out B
+      Seq((201L, a, "B")) // PLANTED: A text, B label, held out
+    val dir = java.nio.file.Files.createTempDirectory("graft_cl")
+      .toFile.getAbsolutePath
+    rows.toDF("doc_id", "text", "lang")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val grid = Registry.byName("q248_label_noise").fn(spark, dir)
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getLong(4))).toMap
+    assert(grid(("B", "A"))._2 >= 1L,
+      s"planted mislabel not flagged: $grid")
+    assert(grid(("A", "B"))._2 == 0L,
+      s"clean class A spuriously flagged toward B: $grid")
+    spark.sharedState.cacheManager.clearCache()
+  }
+
   test("q239 detects the planted code-switch that per-doc lang ID misses") {
     val dir = java.nio.file.Files.createTempDirectory("graft_cswitch")
       .toFile.getAbsolutePath

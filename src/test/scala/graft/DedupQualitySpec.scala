@@ -890,4 +890,66 @@ class DedupQualitySpec extends SparkSpec {
     assert(exact == 4L, s"q33 should keep 4 byte-distinct groups, got $exact")
     spark.sharedState.cacheManager.clearCache()
   }
+
+  test("q246 cohesion matches a driver recompute from q78 clusters + q34 pairs") {
+    val clusters = Registry.byName("q78_dup_clusters").fn(spark, sfDir)
+      .select(org.apache.spark.sql.functions.col("doc_id"),
+        org.apache.spark.sql.functions.col("cluster_id"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val pairs = Registry.byName("q34_minhash_lsh").fn(spark, sfDir)
+      .select("doc_a", "doc_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val sizes = clusters.values.groupBy(identity).view.mapValues(_.size.toLong)
+      .toMap
+    val direct = pairs.groupBy(p => clusters(p._1)).view
+      .mapValues(_.length.toLong).toMap
+    val want = sizes.filter(_._2 >= 2).toSeq
+      .map { case (cid, c) => (c, direct.getOrElse(cid, 0L)) }
+      .groupBy(_._1).toSeq.sortBy(_._1)
+      .map { case (c, xs) =>
+        val pp = xs.map(_ => c * (c - 1) / 2).sum
+        val dd = xs.map(_._2).sum
+        (c, xs.length.toLong, pp, dd,
+          xs.map(x => 10000L * x._2 / (c * (c - 1) / 2)).min,
+          10000L * dd / pp)
+      }
+    val got = Registry.byName("q246_cluster_cohesion").fn(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5))).toSeq
+    assert(got == want, s"cohesion diverged:\n got=$got\nwant=$want")
+    // every completeness is a valid bp and direct never exceeds possible
+    got.foreach { case (_, _, pp, dd, mn, mean) =>
+      assert(dd <= pp && mn <= mean && mean <= 10000L)
+    }
+    spark.sharedState.cacheManager.clearCache()
+  }
+
+  test("q247 soft-dedup weights: per-class identities and the effective-size rollup") {
+    val rows = Registry.byName("q247_soft_dedup_weights").fn(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        if (r.isNullAt(3)) -1L else r.getLong(3), r.getLong(4)))
+    val (total, classes) = rows.partition(_._1 == 0L)
+    assert(total.length == 1, s"exactly one rollup row: ${rows.toSeq}")
+    classes.foreach { case (c, nc, nd, w, eff) =>
+      assert(w == 1000000L / c, s"weight_ppm wrong for size $c")
+      assert(nd == c * nc, s"n_docs must be size*clusters for size $c")
+      assert(eff == nd * w, s"eff_docs_ppm identity broken for size $c")
+    }
+    assert(total.head._2 == classes.map(_._2).sum &&
+      total.head._3 == classes.map(_._3).sum &&
+      total.head._5 == classes.map(_._5).sum,
+      s"rollup must sum the size classes: ${rows.toSeq}")
+    assert(total.head._4 == -1L, "rollup weight_ppm must be NULL")
+    // effective size never exceeds the raw doc count (ppm-scaled) and
+    // equals it only when every cluster is a singleton
+    assert(total.head._5 <= total.head._3 * 1000000L)
+    // cross-check the class histogram against q78's cluster relation
+    val sizes = Registry.byName("q78_dup_clusters").fn(spark, sfDir)
+      .groupBy("cluster_id").count().collect()
+      .map(_.getLong(1)).groupBy(identity).view.mapValues(_.size.toLong).toMap
+    classes.foreach { case (c, nc, _, _, _) =>
+      assert(sizes(c) == nc, s"size-$c cluster count mismatch")
+    }
+    spark.sharedState.cacheManager.clearCache()
+  }
 }

@@ -572,4 +572,58 @@ class HygieneSpec extends SparkSpec {
     } finally spark.conf.unset(HygieneQueries.MaxSuffixConf)
     spark.sharedState.cacheManager.clearCache()
   }
+
+  test("q245 blocklist audit matches a driver recompute; phrases fire only on ADJACENT tokens") {
+    val got = Registry.byName("q245_blocklist_filter").fn(spark, sfDir)
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5))).toMap
+    val terms = Set("merge", "drop", "vacuum")
+    val phrases = Set("order fast", "stream column")
+    val docs = Tables.documents(spark, sfDir)
+      .select(col("source"), col("text")).collect()
+      .map(r => (r.getString(0), r.getString(1).toLowerCase
+        .split(" ").filter(_.nonEmpty)))
+    val want = docs.groupBy(_._1).map { case (src, ds) =>
+      val per = ds.map { case (_, t) =>
+        val th = t.count(terms)
+        val ph = t.iterator.zip(t.iterator.drop(1))
+          .count { case (x, y) => phrases(s"$x $y") }
+        (th.toLong, ph.toLong)
+      }
+      src -> (ds.length.toLong, per.count(p => p._1 + p._2 > 0).toLong,
+        per.map(_._1).sum, per.map(_._2).sum)
+    }
+    want.foreach { case (src, (n, fl, th, ph)) =>
+      assert(got(src) == ((n, fl, th, ph, 10000L * fl / n)),
+        s"$src: got ${got(src)}, want ($n, $fl, $th, $ph)")
+    }
+    // rollup row sums the sources
+    val tot = got("*")
+    assert(tot._1 == want.values.map(_._1).sum &&
+      tot._2 == want.values.map(_._2).sum &&
+      tot._3 == want.values.map(_._3).sum &&
+      tot._4 == want.values.map(_._4).sum, s"rollup drifted: $tot")
+    // fixture has signal: at least one term and one phrase hit somewhere
+    assert(tot._3 > 0 && tot._4 > 0, s"blocklist fixture lost its hits: $tot")
+    spark.sharedState.cacheManager.clearCache()
+  }
+
+  test("q245 phrase matching never fires across a shuffled word bag (adjacency contract)") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_bl")
+      .toFile.getAbsolutePath
+    Seq(
+      (1L, "please order fast now", "s1"), // phrase adjacent -> fires
+      (2L, "order it fast there", "s1"), // words present, not adjacent
+      (3L, "merge sort then DROP", "s2"), // terms, case-folded
+      (4L, "clean row", "s2"))
+      .toDF("doc_id", "text", "source")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = Registry.byName("q245_blocklist_filter").fn(spark, dir)
+      .collect().map(r => r.getString(0) -> (r.getLong(2), r.getLong(3),
+        r.getLong(4))).toMap
+    assert(got("s1") == ((1L, 0L, 1L)), s"s1: ${got("s1")}") // only doc 1 flagged
+    assert(got("s2") == ((1L, 2L, 0L)), s"s2: ${got("s2")}") // merge+drop, no phrase
+    spark.sharedState.cacheManager.clearCache()
+  }
 }

@@ -121,6 +121,11 @@ class MemoCatalogSpec extends SparkSpec {
   test("q78/q93/q234 read through the catalog: second session-cleared run hits the disk memo") {
     val root = freshRoot()
     withMemoDir(root) {
+      // other suites in this JVM may have warmed the SESSION memo with
+      // the catalog off — drop it so the first run exercises the
+      // catalog's build path rather than short-circuiting above it
+      SessionMemo.invalidate(spark, "dedup.clusters:" + sfDir)
+      SessionMemo.invalidate(spark, "sem.pairs:" + sfDir)
       val a = Registry.byName("q78_dup_clusters").fn(spark, sfDir).collect()
       val s234 = Registry.byName("q234_semantic_split").fn(spark, sfDir).collect()
       assert(a.nonEmpty && s234.nonEmpty)
@@ -148,6 +153,10 @@ class MemoCatalogSpec extends SparkSpec {
       assert(dataDirs() == before,
         "second run rebuilt instead of reusing the durable memo")
     }
+    // don't leave catalog-backed relations in the session memo for
+    // later suites that run with the catalog off
+    SessionMemo.invalidate(spark, "dedup.clusters:" + sfDir)
+    SessionMemo.invalidate(spark, "sem.pairs:" + sfDir)
     spark.sharedState.cacheManager.clearCache()
   }
 }

@@ -1023,4 +1023,37 @@ class StatisticsSpec extends SparkSpec {
       s"disjoint vocabularies must read ~ln2 micro: $p")
     spark.sharedState.cacheManager.clearCache()
   }
+
+  test("q244 W1 length drift matches an exact BigInt driver recompute") {
+    val rows = Registry.byName("q244_length_drift").fn(spark, sfDir)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    val docs = Tables.documents(spark, sfDir)
+      .select(col("source"), col("text")).collect()
+      .map(r => (r.getString(0), r.getString(1).split(" ").count(_.nonEmpty).toLong))
+      .filter(_._2 > 0)
+    val n = docs.length.toLong
+    val lens = docs.map(_._2).distinct.sorted
+    def cums(sub: Seq[Long]): Seq[Long] = {
+      val cnt = sub.groupBy(identity).view.mapValues(_.length.toLong).toMap
+      lens.scanLeft(0L)((acc, l) => acc + cnt.getOrElse(l, 0L)).tail
+    }
+    val corpusCum = cums(docs.map(_._2).toSeq)
+    docs.groupBy(_._1).foreach { case (src, sd) =>
+      val ns = sd.length.toLong
+      val srcCum = cums(sd.map(_._2).toSeq)
+      // W1 numerator: Σ |F_s·N − F_c·ns| · Δlen, exact in BigInt
+      val num = lens.indices.dropRight(1).map { i =>
+        (BigInt(srcCum(i)) * n - BigInt(corpusCum(i)) * ns).abs *
+          (lens(i + 1) - lens(i))
+      }.sum
+      val w1 = (BigInt(1000000) * num / (BigInt(ns) * n)).toLong
+      assert(rows(src) == (ns, n, w1),
+        s"$src: got ${rows(src)}, want ($ns, $n, $w1)")
+    }
+    // a source shifted against the corpus must read strictly positive
+    assert(rows.values.map(_._3).max > 0,
+      "no source shows any drift — fixture lost its signal")
+    spark.sharedState.cacheManager.clearCache()
+  }
 }

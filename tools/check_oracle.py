@@ -32,7 +32,7 @@ def norm(df: pd.DataFrame) -> pd.DataFrame:
 
 
 def main(sf_dir: str, out_dir: str, json_path: str = None,
-         skip=(), timeout: float = None) -> int:
+         skip=(), timeout: float = None, sort_rows: bool = False) -> int:
     con = duckdb.connect()
     for t in TABLES:
         # driver-generated SFs are single files; Spark-written rescales
@@ -88,6 +88,15 @@ def main(sf_dir: str, out_dir: str, json_path: str = None,
             rec["err"] = f"oracle error {str(e)[:200]}"
             failures += 1
             continue
+        if sort_rows and len(got.columns):
+            # row-order-INSENSITIVE compare (fuzz mode): NULL sort keys
+            # order NULLS FIRST in Spark and NULLS LAST in DuckDB — a
+            # documented presentation divergence, not a value one —
+            # so canonicalize both sides by a full-column sort
+            got = got.sort_values(by=list(got.columns),
+                                  na_position="last").reset_index(drop=True)
+            want = want.sort_values(by=list(want.columns),
+                                    na_position="last").reset_index(drop=True)
         rec["spark_rows"] = len(got)
         rec["oracle_rows"] = len(want)
         rec["schema_match"] = list(got.columns) == list(want.columns)
@@ -140,4 +149,5 @@ if __name__ == "__main__":
         drop.add(argv.index("--timeout") + 1)
     args = [a for i, a in enumerate(argv)
             if not a.startswith("--") and i not in drop]
-    sys.exit(main(args[0], args[1], jp, skip or (), to))
+    sys.exit(main(args[0], args[1], jp, skip or (), to,
+                  "--sort-rows" in argv))
