@@ -389,7 +389,90 @@ object RetrievalQueries {
       .orderBy(col("s_div").desc, col("doc_id"))
   }
 
+  /** Rank-biased overlap (Webber/Moffat/Zobel 2010) between the two
+    * quality rankers q160 fuses — the DECISION input before fusing:
+    * RBO@10 near 1 means the rankers are redundant and fusion adds
+    * nothing; near 0 means they disagree and RRF is load-bearing.
+    * Unlike Spearman/Kendall over full rankings (q159's class), RBO
+    * is TOP-WEIGHTED and defined on indefinite/truncated lists — the
+    * right agreement measure for top-k ranker output.
+    *
+    * Exactness: RBO@K = (1−p)·Σ_{d≤K} p^{d−1}·|S_d∩T_d|/d with
+    * p = 9/10, K = 10 is a RATIONAL with fixed denominator
+    * D = 2520·10¹⁰ (2520 = lcm 1..10) — each depth's weight
+    * 9^{d−1}·10^{10−d}·(2520/d) ships as a LITERAL spine (no pow()
+    * in either engine), overlaps are o_d = |{doc: r_len≤d ∧ r_div≤d}|
+    * straight off the shared rank relation, and the cumulative
+    * numerator rides decimal(38,0)/HUGEINT. Output: per depth —
+    * overlap, agreement bp, and the running rbo_ppm whose d=10 row
+    * IS RBO@10 (identical rankings read ⌊10⁶(1−0.9¹⁰)⌋ = 651321).
+    *
+    * Scale shape: third consumer of the memoized
+    * [[rankedQualitySignals]] relation; only docs with either rank
+    * ≤ 10 survive the pre-filter (≤ 2K rows), so the spine fan-out,
+    * counts, and windows are all metadata-sized.
+    */
+  val q249RankAgreement = QueryDef(
+    "q249_rank_agreement",
+    "rank-biased overlap of the length vs diversity rankers at top-10: exact rational p=9/10 weights, running rbo_ppm",
+    """WITH per AS (
+      |  SELECT doc_id,
+      |    CAST(n_chars AS BIGINT) AS s_len,
+      |    CAST(floor(10000.0 * len(list_distinct(w)) / len(w)) AS BIGINT) AS s_div
+      |  FROM (SELECT doc_id, n_chars,
+      |          list_filter(string_split(text, ' '), t -> length(t) > 0) AS w
+      |        FROM documents)
+      |  WHERE len(w) > 0),
+      |ranked AS (
+      |  SELECT doc_id,
+      |    CAST(row_number() OVER (ORDER BY s_len DESC, doc_id) AS BIGINT) AS r_len,
+      |    CAST(row_number() OVER (ORDER BY s_div DESC, doc_id) AS BIGINT) AS r_div
+      |  FROM per),
+      |spine AS (
+      |  SELECT * FROM (VALUES
+      |    (1, 2520000000000), (2, 1134000000000), (3, 680400000000),
+      |    (4, 459270000000), (5, 330674400000), (6, 248005800000),
+      |    (7, 191318760000), (8, 150663523500), (9, 120530818800),
+      |    (10, 97629963228)) AS t(depth, w_num)),
+      |o AS (SELECT s.depth, s.w_num,
+      |        CAST(count(r.doc_id) AS BIGINT) AS overlap
+      |      FROM spine s LEFT JOIN ranked r
+      |        ON r.r_len <= s.depth AND r.r_div <= s.depth
+      |      GROUP BY s.depth, s.w_num)
+      |SELECT CAST(depth AS BIGINT) AS depth, overlap,
+      |  (10000 * overlap) // depth AS agreement_bp,
+      |  CAST((1000000 * sum(CAST(overlap AS HUGEINT) * w_num)
+      |          OVER (ORDER BY depth))
+      |       // 25200000000000 AS BIGINT) AS rbo_ppm
+      |FROM o
+      |ORDER BY depth""".stripMargin) { (s, d) =>
+    import s.implicits._
+    val spine = Seq.tabulate(10) { i =>
+      val dep = i + 1
+      (dep.toLong,
+        (BigInt(9).pow(dep - 1) * BigInt(10).pow(10 - dep) * (2520 / dep))
+          .toLong)
+    }.toDF("depth", "w_num")
+    val top = rankedQualitySignals(s, d)
+      .filter(col("r_len") <= 10 || col("r_div") <= 10)
+      .select(col("r_len"), col("r_div"))
+    val o = broadcast(spine).join(top,
+        col("r_len") <= col("depth") && col("r_div") <= col("depth"),
+        "left_outer")
+      .groupBy(col("depth"), col("w_num"))
+      .agg(count(col("r_len")).as("overlap"))
+    val w = org.apache.spark.sql.expressions.Window.orderBy(col("depth"))
+    o.select(col("depth"), col("overlap"),
+        expr("(10000 * overlap) div depth").as("agreement_bp"),
+        expr("""cast((cast(1000000 as decimal(38,0)) *
+                sum(cast(overlap as decimal(38,0)) * w_num)
+                  over (order by depth))
+                div cast(25200000000000 as decimal(38,0)) as bigint)""")
+          .as("rbo_ppm"))
+      .orderBy(col("depth"))
+  }
+
   val all: Seq[QueryDef] =
     Seq(q114Bm25, q127QualityEnsemble, q160RrfFusion, q183FilterSweep,
-      q193ParetoFrontier)
+      q193ParetoFrontier, q249RankAgreement)
 }

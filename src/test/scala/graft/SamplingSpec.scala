@@ -180,6 +180,63 @@ class SamplingSpec extends SparkSpec {
     spark.sharedState.cacheManager.clearCache()
   }
 
+  test("q249 RBO poles: identical rankers read 651321 ppm, disjoint top-10s read 0") {
+    import spark.implicits._
+    // identical: TTR ties everywhere (all-distinct tokens) make r_div
+    // the doc_id order; lengths DESCEND in doc_id so r_len matches it
+    val words = (1 to 12).map(i => ('a' + i - 1).toChar.toString * 3)
+    val same = (1 to 12).map { i =>
+      val t = words.take(13 - i).mkString(" ")
+      (i.toLong, t, "en", "s", t.length.toLong)
+    }
+    val dir1 = java.nio.file.Files.createTempDirectory("graft_rbo1").toString
+    same.toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir1/documents.parquet")
+    val r1 = Registry.byName("q249_rank_agreement").fn(spark, dir1)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(3)))
+    assert(r1.map(_._1).toSeq == (1L to 10L), s"depth spine wrong: ${r1.toSeq}")
+    r1.foreach { case (d, o, _) => assert(o == d, s"identical rankers: o_$d != $d") }
+    assert(r1.last._3 == 651321L, // floor(1e6 * (1 - 0.9^10))
+      s"identical-ranker RBO@10 must read 651321 ppm: ${r1.toSeq}")
+    // disjoint: long-but-repetitive docs vs short-but-diverse docs
+    val low = "xx " * 40 // 40 tokens, 1 distinct -> low TTR, long
+    val disj = (1 to 12).map(i => (i.toLong, low + "y" * i, "en", "s",
+        (low.length + i).toLong)) ++
+      (13 to 24).map(i => (i.toLong, words.take(5).mkString(" ") + " z" + i,
+        "en", "s", 25L))
+    val dir2 = java.nio.file.Files.createTempDirectory("graft_rbo2").toString
+    disj.toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir2/documents.parquet")
+    val r2 = Registry.byName("q249_rank_agreement").fn(spark, dir2)
+      .collect().map(r => (r.getLong(1), r.getLong(3)))
+    assert(r2.forall(x => x._1 == 0L && x._2 == 0L),
+      s"disjoint top-10s must read 0 everywhere: ${r2.toSeq}")
+    spark.sharedState.cacheManager.clearCache()
+  }
+
+  test("q249 running rbo_ppm is monotone and matches a BigInt driver recompute on the corpus") {
+    val got = Registry.byName("q249_rank_agreement").fn(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val sig = graft.queries.RetrievalQueries.rankedQualitySignals(spark, sfDir)
+      .select(col("r_len"), col("r_div")).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val want = (1 to 10).map { d =>
+      val o = sig.count { case (a, b) => a <= d && b <= d }.toLong
+      (d.toLong, o, 10000L * o / d)
+    }
+    assert(got.map(t => (t._1, t._2, t._3)).toSeq == want, s"overlaps diverged: ${got.toSeq}")
+    var cum = BigInt(0)
+    got.foreach { case (d, o, _, ppm) =>
+      cum += BigInt(o) * (BigInt(9).pow(d.toInt - 1) *
+        BigInt(10).pow(10 - d.toInt) * (2520 / d.toInt))
+      assert(BigInt(ppm) == cum * 1000000 / BigInt("25200000000000"),
+        s"rbo_ppm at depth $d diverged")
+    }
+    assert(got.map(_._4).toSeq == got.map(_._4).sorted.toSeq,
+      "running RBO must be monotone non-decreasing")
+    spark.sharedState.cacheManager.clearCache()
+  }
+
   test("q241 context frontier matches a driver recompute; truncation falls and docs_over shrinks in L") {
     val rows = Registry.byName("q241_context_frontier").fn(spark, sfDir)
       .collect().sortBy(_.getLong(0))
