@@ -125,9 +125,19 @@ object SimilarityQueries {
   private[graft] def corpusCentroids(
       s: SparkSession, d: String, k: Int, iters: Int): DataFrame =
     graft.SessionMemo.getOrCompute(s, s"sim.cents:$d:$k:$iters") {
-      trainCentroids(s,
-        Tables.embeddings(s, d).select(col("vec_id"), col("embedding")),
-        k, iters)
+      // durable when spark.graft.memo.dir is set: the Lloyd rounds are
+      // driver-synchronized SEQUENTIAL passes over the corpus — at
+      // 100 TB that is hours per (k, iters) config, exactly what a
+      // pipeline persists per corpus snapshot and re-reads until the
+      // embeddings change. (k, iters) is part of the memo NAME, the
+      // corpus fingerprint is the invalidation key.
+      graft.api.MemoCatalog.readThrough(s, s"cents:$d:$k:$iters",
+        Seq(Tables.embeddings(s, d)
+          .select(col("vec_id"), col("embedding")))) {
+        trainCentroids(s,
+          Tables.embeddings(s, d).select(col("vec_id"), col("embedding")),
+          k, iters)
+      }
     }
 
   private def trainCentroidsOn(

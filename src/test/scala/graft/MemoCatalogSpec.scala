@@ -118,6 +118,41 @@ class MemoCatalogSpec extends SparkSpec {
     assert(builds == 1)
   }
 
+  test("corpusCentroids reads through the catalog: Lloyd training skipped on the second session-cleared run") {
+    val root = freshRoot()
+    withMemoDir(root) {
+      SessionMemo.invalidate(spark, s"sim.cents:$sfDir:16:4")
+      SessionMemo.invalidate(spark, "sem.assigned:" + sfDir)
+      SessionMemo.invalidate(spark, "sem.pairs:" + sfDir)
+      val a = Registry.byName("q89_semantic_dedup").fn(spark, sfDir).collect()
+      assert(a.nonEmpty)
+      val names = new java.io.File(root).listFiles()
+        .map(_.getName).filter(_.startsWith("cents")).toSet
+      assert(names.nonEmpty, "no durable centroid memo materialized")
+      def dataDirs(): Set[String] = names.flatMap { n =>
+        new java.io.File(s"$root/$n").listFiles()
+          .filter(f => f.isDirectory && f.getName.startsWith("data-"))
+          .map(d => s"$n/${d.getName}")
+      }
+      val before = dataDirs()
+      // a fresh process = no session memo; the catalog must serve the
+      // trained centroids without re-running the Lloyd rounds (same
+      // data dir nonce ⇒ build skipped), and the result must match
+      SessionMemo.invalidate(spark, s"sim.cents:$sfDir:16:4")
+      SessionMemo.invalidate(spark, "sem.assigned:" + sfDir)
+      SessionMemo.invalidate(spark, "sem.pairs:" + sfDir)
+      val b = Registry.byName("q89_semantic_dedup").fn(spark, sfDir).collect()
+      assert(b.map(_.toString).sorted.toSeq == a.map(_.toString).sorted.toSeq,
+        "catalog-served centroids changed the dedup decision")
+      assert(dataDirs() == before,
+        "second entry re-trained instead of reusing the durable centroids")
+    }
+    SessionMemo.invalidate(spark, s"sim.cents:$sfDir:16:4")
+    SessionMemo.invalidate(spark, "sem.assigned:" + sfDir)
+    SessionMemo.invalidate(spark, "sem.pairs:" + sfDir)
+    spark.sharedState.cacheManager.clearCache()
+  }
+
   test("q78/q93/q234 read through the catalog: second session-cleared run hits the disk memo") {
     val root = freshRoot()
     withMemoDir(root) {
