@@ -599,6 +599,102 @@ object StreamingOps {
     }
   }
 
+  /** HLL register state: 2^P = 64 six-bit registers as a fixed-size
+    * byte sequence — bounded REGARDLESS of how many distinct values
+    * the stream carries, which is the whole point vs a per-key
+    * `dropDuplicates`-style exact state that grows with cardinality.
+    */
+  case class HllState(regs: Seq[Byte])
+
+  /** Streaming approximate DISTINCT COUNT per key — completes the
+    * streaming sketch trio next to [[HeavyHittersProcessor]]
+    * (Misra–Gries frequencies) and [[QuantileMonitorProcessor]]
+    * (GK quantiles): a 64-register HyperLogLog in `ValueState`
+    * absorbing each micro-batch (register max-merge — commutative and
+    * idempotent, so retries and batch splits never double-count) and
+    * re-emitting the key's whole-stream-prefix distinct estimate plus
+    * the CONSTANT state size that makes the bounded-state contract
+    * observable. m = 64 gives the standard ~1.04/√m ≈ 13% relative
+    * error — the ops-counter regime (distinct users per event type),
+    * not the billing regime; the batch twin with an exact oracle is
+    * q46's approx_count_distinct.
+    *
+    * Determinism: values hash through the fixed mix64 chain, and
+    * register max is order-independent — unlike the GK sketch, two
+    * runs of ANY interleaving emit the SAME estimate, which the spec
+    * pins (merge-order invariance is what makes HLL the canonical
+    * distributed-sketch example).
+    */
+  class DistinctCountProcessor
+      extends org.apache.spark.sql.streaming.StatefulProcessor[
+        String, Event, (String, Long, Int)] {
+    private val P = 6
+    private val M = 1 << P // 64 registers
+
+    @transient private var st
+        : org.apache.spark.sql.streaming.ValueState[HllState] = _
+
+    override def init(
+        outputMode: OutputMode,
+        timeMode: org.apache.spark.sql.streaming.TimeMode): Unit = {
+      st = getHandle.getValueState[HllState](
+        "hll",
+        org.apache.spark.sql.Encoders.product[HllState],
+        org.apache.spark.sql.streaming.TTLConfig.NONE)
+    }
+
+    private def estimate(regs: Array[Byte]): Long = {
+      var sum = 0.0
+      var zeros = 0
+      var i = 0
+      while (i < M) {
+        sum += math.pow(2.0, -regs(i).toDouble)
+        if (regs(i) == 0) zeros += 1
+        i += 1
+      }
+      val alpha = 0.709 // alpha_64
+      val raw = alpha * M * M / sum
+      // small-range (linear counting) correction below 2.5m
+      val est =
+        if (raw <= 2.5 * M && zeros > 0) M * math.log(M.toDouble / zeros)
+        else raw
+      math.round(est)
+    }
+
+    override def handleInputRows(
+        key: String,
+        rows: Iterator[Event],
+        timerValues: org.apache.spark.sql.streaming.TimerValues)
+        : Iterator[(String, Long, Int)] = {
+      val prev = Option(st.get()).map(_.regs.toArray)
+        .getOrElse(new Array[Byte](M))
+      rows.foreach { e =>
+        val h = graft.plans.Mix64.mix(e.user_id)
+        val idx = (h & (M - 1)).toInt
+        // rank of the first 1-bit in the remaining 58 bits (1-based)
+        val rest = h >>> P
+        val rho = (if (rest == 0L) 64 - P
+                   else java.lang.Long.numberOfTrailingZeros(rest) + 1).toByte
+        if (rho > prev(idx)) prev(idx) = rho
+      }
+      st.update(HllState(prev.toSeq))
+      Iterator.single((key, estimate(prev), M))
+    }
+  }
+
+  /** Streaming distinct users per event_type (Update mode: each batch
+    * re-emits the key's whole-prefix HLL estimate + register count).
+    */
+  def distinctMonitor(spark: SparkSession, events: Dataset[Event])
+      : Dataset[(String, Long, Int)] = {
+    import spark.implicits._
+    events
+      .groupByKey(_.event_type)
+      .transformWithState(new DistinctCountProcessor,
+        org.apache.spark.sql.streaming.TimeMode.None(),
+        OutputMode.Update())
+  }
+
   /** Streaming p50/p95 per event_type (Update mode: each batch
     * re-emits the keys' current sketch quantiles + state size).
     */

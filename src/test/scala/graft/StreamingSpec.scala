@@ -699,6 +699,94 @@ class StreamingSpec extends SparkSpec {
       spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
   }
 
+  test("streaming HLL distinct monitor: bounded state, tolerance vs exact, order-invariant across batch splits") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      // 600 distinct users on 'click' (each seen twice — duplicates
+      // must not inflate), 40 on 'view'
+      val clicks = (1 to 600).flatMap(u =>
+        Seq(Event(ts(u), u.toLong, "click", 1.0),
+          Event(ts(u + 1), u.toLong, "click", 2.0)))
+      val views = (1 to 40).map(u => Event(ts(u), 10000L + u, "view", 1.0))
+      def run(batches: Seq[Seq[Event]]): Map[String, (Long, Int)] = {
+        val input = MemoryStream[Event]
+        val out = scala.collection.mutable.Map.empty[String, (Long, Int)]
+        val ckpt = java.nio.file.Files
+          .createTempDirectory("graft_hll").toFile.getAbsolutePath
+        val q = StreamingOps.distinctMonitor(spark, input.toDS())
+          .toDF("event_type", "approx_users", "m")
+          .writeStream
+          .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+            df.as[(String, Long, Int)].collect()
+              .foreach { case (k, e, m) => out.synchronized {
+                out(k) = (e, m) } }
+          }
+          .option("checkpointLocation", ckpt)
+          .outputMode("update").start()
+        try batches.foreach { b => input.addData(b: _*); runAll(q) }
+        finally q.stop()
+        out.synchronized(out.toMap)
+      }
+      val oneShot = run(Seq(clicks ++ views))
+      val split = run(Seq(clicks.take(300), views, clicks.drop(300)))
+      // register max-merge is order/batching-invariant: identical
+      // estimates however the stream is chopped (the GK sketch can't
+      // promise this; HLL can, and this is the pin)
+      assert(oneShot == split,
+        s"HLL estimate depends on batching: $oneShot vs $split")
+      val (cEst, m) = oneShot("click")
+      assert(m == 64, "state must be the constant 64 registers")
+      assert(math.abs(cEst - 600.0) <= 0.30 * 600,
+        s"click estimate $cEst outside 30% of 600 (m=64 → ~13% rse)")
+      val (vEst, _) = oneShot("view")
+      assert(math.abs(vEst - 40.0) <= 0.30 * 40,
+        s"view estimate $vEst outside 30% of 40 (linear-counting range)")
+    } finally
+      spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+  }
+
+  test("streaming HLL distinct monitor survives kill + restart from checkpoint") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val ckpt = java.nio.file.Files.createTempDirectory("graft_hll_ck")
+        .toFile.getAbsolutePath
+      val input = MemoryStream[Event]
+      val out = scala.collection.mutable.ArrayBuffer.empty[Long]
+      def start() = StreamingOps.distinctMonitor(spark, input.toDS())
+        .toDF("event_type", "approx_users", "m")
+        .writeStream
+        .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+          df.as[(String, Long, Int)].collect()
+            .foreach(r => out.synchronized { out += r._2 })
+        }
+        .option("checkpointLocation", ckpt)
+        .outputMode("update").start()
+      val q1 = start()
+      try {
+        input.addData((1 to 300).map(u => Event(ts(u), u.toLong, "click", 1.0)): _*)
+        runAll(q1)
+      } finally q1.stop()
+      val firstEst = out.synchronized(out.last)
+      // second half arrives while DOWN; the restart must RESUME the
+      // registers — a fresh sketch would estimate ~300, not ~600
+      input.addData((301 to 600).map(u => Event(ts(u), u.toLong, "click", 1.0)): _*)
+      val q2 = start()
+      try runAll(q2) finally q2.stop()
+      val resumed = out.synchronized(out.last)
+      assert(math.abs(firstEst - 300.0) <= 0.30 * 300, s"pre-kill $firstEst")
+      assert(math.abs(resumed - 600.0) <= 0.30 * 600,
+        s"sketch state lost across restart: $resumed should read ~600")
+      assert(resumed > firstEst, "estimate must grow after recovery")
+    } finally
+      spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+  }
+
   test("dropDuplicatesWithinWatermark dedups the stream on the event key") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
