@@ -458,8 +458,71 @@ object CurationQueries {
       .orderBy(col("source"))
   }
 
+  /** Prefix-sharing audit — the SERVING-side twin of q80's training
+    * packer: modern inference servers (paged/prefix KV caching) reuse
+    * the KV cache of any request whose token prefix matches an
+    * already-cached one, so the planning question before sizing a
+    * cache is "at prefix depth k, how much of this corpus shares?".
+    * Per depth ∈ {8, 16, 32}: distinct prefix groups, documents in a
+    * shared group (≥2 members), the shared share in bp, and
+    * `cache_hits` = n_docs − n_groups (each group pays one cold fill;
+    * every other member is a hit) — the upper bound on prefix-cache
+    * reuse at that depth. Docs shorter than k share on their full
+    * token list (exact-duplicate shorts still share, the cache
+    * semantics). Depth monotonicity is structural: deepening a prefix
+    * only splits groups, so cache_hits is non-increasing in k (the
+    * spec pins it).
+    *
+    * Scale shape: one corpus scan exploding 3 (depth, prefix-hash)
+    * rows per doc — Spark groups on xxhash64 of the joined prefix
+    * (8-byte shuffle keys; the oracle groups the raw prefix string,
+    * equal up to the documented 64-bit collision class) — then one
+    * keyed aggregate and a 3-row depth rollup.
+    */
+  val q250PrefixSharing = QueryDef(
+    "q250_prefix_sharing",
+    "prefix-cache sharing audit: per depth k, prefix groups / shared docs / upper-bound cache hits",
+    """WITH tok AS (
+      |  SELECT doc_id, list_filter(string_split(text, ' '), t -> length(t) > 0) AS w
+      |  FROM documents),
+      |t AS (SELECT doc_id, w FROM tok WHERE len(w) > 0),
+      |d AS (SELECT unnest([8, 16, 32]) AS depth),
+      |p AS (SELECT CAST(d.depth AS BIGINT) AS depth,
+      |        array_to_string(t.w[1:d.depth], ' ') AS pfx
+      |      FROM t CROSS JOIN d),
+      |g AS (SELECT depth, pfx, CAST(count(*) AS BIGINT) AS c
+      |      FROM p GROUP BY depth, pfx)
+      |SELECT depth,
+      |  CAST(sum(c) AS BIGINT) AS n_docs,
+      |  CAST(count(*) AS BIGINT) AS n_groups,
+      |  CAST(sum(CASE WHEN c >= 2 THEN c ELSE 0 END) AS BIGINT) AS docs_sharing,
+      |  CAST((10000 * sum(CASE WHEN c >= 2 THEN c ELSE 0 END)) // sum(c) AS BIGINT) AS shared_bp,
+      |  CAST(sum(c) - count(*) AS BIGINT) AS cache_hits
+      |FROM g GROUP BY depth
+      |ORDER BY depth""".stripMargin) { (s, d) =>
+    val depths = Seq(8, 16, 32)
+    val t = Tables.documents(s, d)
+      .select(col("doc_id"), toks(col("text")).as("w"))
+      .filter(size(col("w")) > 0)
+    val p = t.select(explode(array(depths.map(k =>
+        struct(lit(k.toLong).as("depth"),
+          xxhash64(concat_ws(" ", slice(col("w"), 1, k))).as("ph"))): _*))
+        .as("x"))
+      .select(col("x.depth").as("depth"), col("x.ph").as("ph"))
+    val g = p.groupBy(col("depth"), col("ph")).agg(count(lit(1)).as("c"))
+    g.groupBy(col("depth"))
+      .agg(sum(col("c")).as("n_docs"),
+        count(lit(1)).as("n_groups"),
+        sum(when(col("c") >= 2, col("c")).otherwise(0L)).as("docs_sharing"))
+      .select(col("depth"), col("n_docs"), col("n_groups"),
+        col("docs_sharing"),
+        expr("(10000 * docs_sharing) div n_docs").as("shared_bp"),
+        (col("n_docs") - col("n_groups")).as("cache_hits"))
+      .orderBy(col("depth"))
+  }
+
   val all: Seq[QueryDef] =
     Seq(q61CurationPipeline, q80SequencePack, q83PackSlices, q86ChunkOverlap,
       q99SourceTopFraction, q103CorpusShuffle, q111CurriculumStages,
-      q214ShardBalance, q245BlocklistFilter)
+      q214ShardBalance, q245BlocklistFilter, q250PrefixSharing)
 }

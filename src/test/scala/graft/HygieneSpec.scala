@@ -626,4 +626,54 @@ class HygieneSpec extends SparkSpec {
     assert(got("s2") == ((1L, 2L, 0L)), s"s2: ${got("s2")}") // merge+drop, no phrase
     spark.sharedState.cacheManager.clearCache()
   }
+
+  test("q250 prefix sharing matches a driver recompute; groups split and hits shrink as depth grows") {
+    val rows = Registry.byName("q250_prefix_sharing").fn(spark, sfDir)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5))).toMap
+    assert(rows.keySet == Set(8L, 16L, 32L))
+    val docs = Tables.documents(spark, sfDir)
+      .select(col("text")).collect()
+      .map(_.getString(0).split(" ").filter(_.nonEmpty))
+      .filter(_.nonEmpty)
+    Seq(8, 16, 32).foreach { k =>
+      val groups = docs.groupBy(_.take(k).mkString(" "))
+        .view.mapValues(_.length.toLong).toMap
+      val n = docs.length.toLong
+      val sharing = groups.values.filter(_ >= 2).sum
+      val want = (n, groups.size.toLong, sharing, 10000L * sharing / n,
+        n - groups.size)
+      assert(rows(k.toLong) == want,
+        s"depth $k: got ${rows(k.toLong)}, want $want")
+    }
+    // structural monotonicity: deeper prefixes only SPLIT groups
+    val byDepth = Seq(8L, 16L, 32L).map(rows)
+    assert(byDepth.map(_._2).sliding(2).forall { case Seq(a, b) => b >= a },
+      s"n_groups must be non-decreasing in depth: $byDepth")
+    assert(byDepth.map(_._5).sliding(2).forall { case Seq(a, b) => b <= a },
+      s"cache_hits must be non-increasing in depth: $byDepth")
+    spark.sharedState.cacheManager.clearCache()
+  }
+
+  test("q250 planted shared prefixes are counted at the right depths") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_pfx").toString
+    val stem8 = (1 to 8).map(i => s"t$i").mkString(" ")
+    Seq(
+      (1L, stem8 + " alpha beta gamma", "en", "s", 1L),
+      (2L, stem8 + " delta epsilon zeta", "en", "s", 1L), // shares ONLY at depth 8
+      (3L, "unique one two three four five six seven", "en", "s", 1L),
+      (4L, "short doc", "en", "s", 1L),
+      (5L, "short doc", "en", "s", 1L)) // exact short dup: shares at EVERY depth
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val rows = Registry.byName("q250_prefix_sharing").fn(spark, dir)
+      .collect().map(r => r.getLong(0) -> (r.getLong(3), r.getLong(5))).toMap
+    assert(rows(8L) == ((4L, 2L)), // docs 1+2 and 4+5 share; 2 cold fills saved
+      s"depth 8: ${rows(8L)}")
+    assert(rows(16L) == ((2L, 1L)), // only the short dups still share
+      s"depth 16: ${rows(16L)}")
+    assert(rows(32L) == ((2L, 1L)), s"depth 32: ${rows(32L)}")
+    spark.sharedState.cacheManager.clearCache()
+  }
 }
