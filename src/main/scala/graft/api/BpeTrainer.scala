@@ -30,6 +30,23 @@ object BpeTrainer {
     */
   final case class Merge(rank: Int, left: String, right: String, count: Long)
 
+  /** Initial character-level symbols of a word: one symbol per Unicode
+    * CODEPOINT (the alphabet BPE specifies), never per UTF-16 code
+    * unit — splitting a surrogate pair would seed the trainer with
+    * two unpairable half-symbols and diverge from any byte/codepoint
+    * tokenizer twin (fuzz `unicode` variant, SURVEY §5 class D).
+    */
+  private[graft] def charSyms(w: String): Seq[String] = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[String]
+    var i = 0
+    while (i < w.length) {
+      val cp = w.codePointAt(i)
+      out += new String(Character.toChars(cp))
+      i += Character.charCount(cp)
+    }
+    out.toSeq
+  }
+
   /** Left-to-right single-pass application of one merge to a symbol
     * sequence — the sequential semantics BPE specifies ("aaa" with
     * merge (a,a) → ["aa","a"], not ["a","aa"]).
@@ -88,7 +105,7 @@ object BpeTrainer {
       wordFreq: Seq[(String, Long)], nMerges: Int): Seq[Merge] = {
     import scala.collection.mutable
     val words = wordFreq.map { case (w, n) =>
-      (mutable.ArrayBuffer[String](w.map(_.toString): _*), n)
+      (mutable.ArrayBuffer[String](charSyms(w): _*), n)
     }.toArray
 
     val counts = mutable.HashMap.empty[(String, String), Long]
@@ -189,7 +206,7 @@ object BpeTrainer {
       .map { case (id, text) =>
         val words = text.split(" ").filter(_.nonEmpty)
         val n = words.iterator.map { w =>
-          var syms: Seq[String] = w.map(_.toString).toSeq
+          var syms: Seq[String] = charSyms(w)
           ordered.foreach { case (l, r) => syms = applyMerge(syms, l, r) }
           syms.length.toLong
         }.sum
@@ -220,7 +237,7 @@ object BpeTrainer {
       .mapPartitions { it =>
         val cache = scala.collection.mutable.HashMap.empty[String, Seq[String]]
         def enc(w: String): Seq[String] = cache.getOrElseUpdate(w, {
-          var syms: Seq[String] = w.map(_.toString).toSeq
+          var syms: Seq[String] = charSyms(w)
           ordered.foreach { case (l, r) => syms = applyMerge(syms, l, r) }
           syms
         })

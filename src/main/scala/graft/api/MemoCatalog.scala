@@ -19,12 +19,17 @@ import org.apache.spark.sql.functions._
   *  - data lives in `data-<fp>-<nonce>` (nonce = build timestamp, so
   *    concurrent rebuilds never clobber each other's files);
   *  - a rebuild writes the NEW data dir first, then swaps the
-  *    manifest via write-temp + atomic rename, then best-effort
-  *    deletes the superseded data dir. A reader that raced the swap
-  *    still holds a complete old directory (parquet dirs are
-  *    immutable once the manifest stops naming them, and the delete
-  *    is deferred to the next successful swap's cleanup — a reader
-  *    mid-scan on HDFS keeps its open blocks either way).
+  *    manifest via write-temp + OVERWRITING atomic rename (readers
+  *    always see a complete manifest — never a missing-manifest
+  *    window that would stampede concurrent sessions into redundant
+  *    rebuilds). Each manifest also records the dir it REPLACED
+  *    (`prevDataDir`), and GC deletes exactly the dir superseded two
+  *    swaps ago (the replaced manifest's own `prevDataDir`): the
+  *    just-superseded dir survives until the swap after this one, so
+  *    a session that read the old manifest moments before the swap
+  *    still opens its parquet files, and a CONCURRENT rebuild's
+  *    freshly-written dir (unknown to any manifest yet) is never
+  *    touched. A losing racer's dir leaks space, never correctness.
   *
   * Invalidation: the FINGERPRINT of the declared input relations —
   * order/partition/layout-independent (count + modular sum of
@@ -77,7 +82,8 @@ object MemoCatalog {
   private def sanitize(name: String): String =
     name.map(c => if (c.isLetterOrDigit || c == '.' || c == '-') c else '_')
 
-  private case class Manifest(fingerprint: String, dataDir: String)
+  private case class Manifest(fingerprint: String, dataDir: String,
+      prevDataDir: Option[String])
 
   private def readManifest(fs: org.apache.hadoop.fs.FileSystem,
       mf: Path): Option[Manifest] =
@@ -86,15 +92,45 @@ object MemoCatalog {
       val in = fs.open(mf)
       val txt = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
       finally in.close()
-      // two known string fields — a 2-entry flat object; keep the
-      // parse dependency-free and strict (corrupt ⇒ None ⇒ rebuild)
+      // known string fields of a flat object; keep the parse
+      // dependency-free and strict (corrupt ⇒ None ⇒ rebuild);
+      // prevDataDir is optional (absent in first-build manifests)
       def field(k: String): Option[String] = {
         val m = ("\"" + k + "\"\\s*:\\s*\"([^\"]*)\"").r
         m.findFirstMatchIn(txt).map(_.group(1))
       }
       for (fp <- field("fingerprint"); dd <- field("dataDir"))
-        yield Manifest(fp, dd)
+        yield Manifest(fp, dd, field("prevDataDir"))
     } catch { case _: java.io.IOException => None }
+
+  /** Overwriting atomic rename of `tmp` onto `dst`. HDFS-like
+    * filesystems get FileContext's Options.Rename.OVERWRITE (a single
+    * namenode op); the LOCAL filesystem needs java.nio's ATOMIC_MOVE
+    * because Hadoop's local rename-with-overwrite is internally
+    * delete-then-rename — exactly the missing-manifest flash this
+    * exists to close. Filesystems supporting neither fall back to
+    * delete+rename, whose window costs at worst a redundant rebuild.
+    */
+  private def atomicSwap(fs: org.apache.hadoop.fs.FileSystem,
+      tmp: Path, dst: Path, s: SparkSession): Unit = {
+    val scheme = Option(fs.getUri.getScheme).getOrElse("file")
+    if (scheme == "file") {
+      java.nio.file.Files.move(
+        java.nio.file.Paths.get(tmp.toUri.getPath),
+        java.nio.file.Paths.get(dst.toUri.getPath),
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    } else try {
+      val fc = org.apache.hadoop.fs.FileContext.getFileContext(
+        dst.toUri, s.sparkContext.hadoopConfiguration)
+      fc.rename(tmp, dst, org.apache.hadoop.fs.Options.Rename.OVERWRITE)
+    } catch {
+      case _: org.apache.hadoop.fs.UnsupportedFileSystemException =>
+        fs.delete(dst, false)
+        if (!fs.rename(tmp, dst))
+          throw new java.io.IOException(s"manifest swap failed for $dst")
+    }
+  }
 
   /** Read-through accessor: reuse the persisted memo when the inputs'
     * fingerprint matches the manifest, else run `build`, persist it,
@@ -122,23 +158,34 @@ object MemoCatalog {
             build.write.mode("overwrite")
               .parquet(new Path(dir, dataDir).toString)
             val tmp = new Path(dir, s"manifest.json.tmp-${System.nanoTime()}")
+            val prevField = prev.filter(_.dataDir != dataDir)
+              .map(m => s""", "prevDataDir": "${m.dataDir}"""")
+              .getOrElse("")
             val out = fs.create(tmp, true)
             try out.write(
-              s"""{"fingerprint": "$fp", "dataDir": "$dataDir"}"""
+              s"""{"fingerprint": "$fp", "dataDir": "$dataDir"$prevField}"""
                 .getBytes("UTF-8"))
             finally out.close()
-            fs.delete(mf, false)
-            if (!fs.rename(tmp, mf))
-              throw new java.io.IOException(s"manifest swap failed for $dir")
-            // superseded data dir: safe to drop once the manifest no
-            // longer names it (best effort — a crash here only leaks
-            // space, never correctness; the next swap retries nothing
-            // because the manifest already moved on)
-            prev.foreach { m =>
-              if (m.dataDir != dataDir)
-                try fs.delete(new Path(dir, m.dataDir), true)
+            // OVERWRITING atomic rename: a bare delete-then-rename
+            // would open a no-manifest window in which every racing
+            // reader misses and rebuilds (thundering herd). Racing
+            // rebuilds remain last-writer-wins over a complete
+            // manifest either way.
+            atomicSwap(fs, tmp, mf, s)
+            // Deferred GC: drop exactly the dir superseded TWO swaps
+            // ago (the replaced manifest's own prevDataDir). The
+            // just-superseded dir is deliberately KEPT until the next
+            // swap — a session that read the old manifest moments
+            // before this swap must still open its parquet — and a
+            // racing rebuild's fresh dir (named by no manifest yet)
+            // is never a deletion candidate. Best effort: a crash
+            // here only leaks space, never correctness.
+            prev.flatMap(_.prevDataDir)
+              .filterNot(d => d == dataDir || prev.exists(_.dataDir == d))
+              .foreach { d =>
+                try fs.delete(new Path(dir, d), true)
                 catch { case _: java.io.IOException => () }
-            }
+              }
             s.read.parquet(new Path(dir, dataDir).toString)
         }
     }

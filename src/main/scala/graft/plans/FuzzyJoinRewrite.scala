@@ -70,8 +70,18 @@ object FuzzyJoinRewrite extends Rule[LogicalPlan] {
     */
   val MaxRewriteDistance = 8
 
+  /** The rewrite embeds each input subtree TWICE (band branch +
+    * payload re-fetch). With a nondeterministic expression anywhere
+    * in an input (rand-based sample/filter, uuid, ...), the two scans
+    * could disagree and silently add or drop pairs relative to the
+    * unrewritten join — so such joins keep the honest BNLJ plan.
+    */
+  private def allDeterministic(p: LogicalPlan): Boolean =
+    p.find(n => !n.expressions.forall(_.deterministic)).isEmpty
+
   override def apply(plan: LogicalPlan): LogicalPlan = plan.transformUp {
-    case j @ Join(l, r, Inner, Some(cond), _) if j.resolved =>
+    case j @ Join(l, r, Inner, Some(cond), _)
+        if j.resolved && allDeterministic(l) && allDeterministic(r) =>
       val conjuncts = splitConjuncts(cond)
       // keyed form first: when the caller declares per-side keys the
       // slimmed band join is strictly better (see rewriteKeyed)

@@ -460,7 +460,8 @@ object AggregatorQueries {
     val perWord = lw.as[(String, String, Long)].mapPartitions { it =>
       val cache = scala.collection.mutable.HashMap.empty[String, Long]
       def nTok(w: String): Long = cache.getOrElseUpdate(w, {
-        var syms: Seq[String] = w.map(_.toString)
+        // codepoint symbols, never UTF-16 units (BpeTrainer.charSyms)
+        var syms: Seq[String] = graft.api.BpeTrainer.charSyms(w)
         ordered.foreach { case (l, r) =>
           syms = graft.api.BpeTrainer.applyMerge(syms, l, r) }
         syms.length.toLong

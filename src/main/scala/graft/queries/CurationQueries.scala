@@ -455,6 +455,14 @@ object CurationQueries {
         col("n_docs"), col("flagged_docs"), col("term_hits"),
         col("phrase_hits"),
         expr("(10000 * flagged_docs) div n_docs").as("flag_bp"))
+      // SQL emits the () grand-total row even over empty input
+      .unionByName(graft.api.Degenerate.emptyGrandTotal(
+        Tables.documents(s, d), Seq(
+          lit("*").as("source"), lit(0L).as("n_docs"),
+          lit(null).cast("long").as("flagged_docs"),
+          lit(null).cast("long").as("term_hits"),
+          lit(null).cast("long").as("phrase_hits"),
+          lit(null).cast("long").as("flag_bp"))))
       .orderBy(col("source"))
   }
 

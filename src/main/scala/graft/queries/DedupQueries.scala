@@ -2118,6 +2118,14 @@ object DedupQueries {
         when(col("cluster_size").isNull, lit(null).cast("long"))
           .otherwise(col("w")).as("weight_ppm"),
         col("eff_docs_ppm"))
+      // SQL emits the () grand-total row even over empty input
+      .unionByName(graft.api.Degenerate.emptyGrandTotal(
+        Tables.documents(s, d), Seq(
+          lit(0L).as("cluster_size"),
+          lit(null).cast("long").as("n_clusters"),
+          lit(null).cast("long").as("n_docs"),
+          lit(null).cast("long").as("weight_ppm"),
+          lit(null).cast("long").as("eff_docs_ppm"))))
       .orderBy(col("cluster_size"))
   }
 

@@ -27,11 +27,18 @@ object GroupingQueries {
       |      FROM orders)
       |GROUP BY ROLLUP (order_year, o_orderstatus)
       |ORDER BY order_year NULLS FIRST, o_orderstatus NULLS FIRST""".stripMargin) { (s, d) =>
-    Tables.orders(s, d)
+    val base = Tables.orders(s, d)
+    base
       .withColumn("order_year", year(col("o_orderdate")).cast("int"))
       .rollup(col("order_year"), col("o_orderstatus"))
       .agg(count(lit(1)).as("n_orders"),
         round(sum(col("o_totalprice")), 2).as("total_price"))
+      // SQL emits the () grand-total row even over empty input
+      .unionByName(graft.api.Degenerate.emptyGrandTotal(base, Seq(
+        lit(null).cast("int").as("order_year"),
+        lit(null).cast("string").as("o_orderstatus"),
+        lit(0L).as("n_orders"),
+        lit(null).cast("double").as("total_price"))))
       .orderBy(col("order_year").asc_nulls_first, col("o_orderstatus").asc_nulls_first)
   }
 
@@ -44,9 +51,16 @@ object GroupingQueries {
       |FROM lineitem
       |GROUP BY CUBE (l_returnflag, l_linestatus)
       |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin) { (s, d) =>
-    Tables.lineitem(s, d)
+    val base = Tables.lineitem(s, d)
+    base
       .cube(col("l_returnflag"), col("l_linestatus"))
       .agg(count(lit(1)).as("n_items"), sum(col("l_quantity")).as("sum_qty"))
+      // SQL emits the () grand-total row even over empty input
+      .unionByName(graft.api.Degenerate.emptyGrandTotal(base, Seq(
+        lit(null).cast("string").as("l_returnflag"),
+        lit(null).cast("string").as("l_linestatus"),
+        lit(0L).as("n_items"),
+        lit(null).cast("double").as("sum_qty"))))
       .orderBy(col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first)
   }
 
@@ -62,14 +76,21 @@ object GroupingQueries {
       |FROM customer
       |GROUP BY GROUPING SETS ((c_mktsegment), (c_nationkey), ())
       |ORDER BY c_mktsegment NULLS FIRST, nationkey NULLS FIRST""".stripMargin) { (s, d) =>
-    Tables.customer(s, d).createOrReplaceTempView("customer")
+    val base = Tables.customer(s, d)
+    base.createOrReplaceTempView("customer")
     s.sql(
       """SELECT c_mktsegment, CAST(c_nationkey AS INT) AS nationkey,
         |  count(*) AS n_customers,
         |  round(sum(c_acctbal), 2) AS total_bal
         |FROM customer
-        |GROUP BY GROUPING SETS ((c_mktsegment), (c_nationkey), ())
-        |ORDER BY c_mktsegment ASC NULLS FIRST, nationkey ASC NULLS FIRST""".stripMargin)
+        |GROUP BY GROUPING SETS ((c_mktsegment), (c_nationkey), ())""".stripMargin)
+      // SQL emits the () grouping-set row even over empty input
+      .unionByName(graft.api.Degenerate.emptyGrandTotal(base, Seq(
+        lit(null).cast("string").as("c_mktsegment"),
+        lit(null).cast("int").as("nationkey"),
+        lit(0L).as("n_customers"),
+        lit(null).cast("double").as("total_bal"))))
+      .orderBy(col("c_mktsegment").asc_nulls_first, col("nationkey").asc_nulls_first)
   }
 
   /** Set operators: customers active in 1998 vs 1999 — INTERSECT /

@@ -189,7 +189,7 @@ object HygieneQueries {
       |  CAST(len(regexp_extract_all(s, '[a-z0-9._]+@[a-z0-9.-]+')) AS INT) AS n_emails,
       |  CAST(len(regexp_extract_all(s, '555-[0-9]{4}')) AS INT) AS n_phones,
       |  CAST(length(r) AS INT) AS redacted_len,
-      |  substr(r, length(r) - 59, 60) AS redacted_tail
+      |  substr(r, greatest(length(r) - 59, 1), 60) AS redacted_tail
       |FROM red
       |ORDER BY doc_id""".stripMargin) { (s, d) =>
     val blob = Tables.documents(s, d).select(col("doc_id"),
@@ -202,12 +202,17 @@ object HygieneQueries {
     val redacted = regexp_replace(
       regexp_replace(col("s"), lit("[a-z0-9._]+@[a-z0-9.-]+"), lit("<EMAIL>")),
       lit("555-[0-9]{4}"), lit("<PHONE>"))
-    blob.select(
-      col("doc_id"),
-      regexp_count(col("s"), lit("[a-z0-9._]+@[a-z0-9.-]+")).cast("int").as("n_emails"),
-      regexp_count(col("s"), lit("555-[0-9]{4}")).cast("int").as("n_phones"),
-      length(redacted).cast("int").as("redacted_len"),
-      substring(redacted, -60, 60).as("redacted_tail"))
+    // tail window start is pinned to greatest(len-59, 1) on BOTH
+    // engines: for sub-60-char docs Spark's substring(-60) clamps to
+    // the whole string while DuckDB's negative substr counts from the
+    // end — the fuzz `unicode` variant's short-doc divergence
+    blob.withColumn("r", redacted)
+      .select(
+        col("doc_id"),
+        regexp_count(col("s"), lit("[a-z0-9._]+@[a-z0-9.-]+")).cast("int").as("n_emails"),
+        regexp_count(col("s"), lit("555-[0-9]{4}")).cast("int").as("n_phones"),
+        length(col("r")).cast("int").as("redacted_len"),
+        expr("substring(r, greatest(length(r) - 59, 1), 60)").as("redacted_tail"))
       .orderBy(col("doc_id"))
   }
 
@@ -335,8 +340,12 @@ object HygieneQueries {
       |WHERE n_chars > lang_median
       |ORDER BY doc_id""".stripMargin) { (s, d) =>
     val docs = Tables.documents(s, d)
-    // compressed per-(lang, value) counts: the only corpus-scale agg
-    val comp = docs.groupBy(col("lang"), col("n_chars"))
+    // compressed per-(lang, value) counts: the only corpus-scale agg.
+    // NULL lengths are excluded like the oracle's quantile_cont does —
+    // a NULL would otherwise ride the CDF as a phantom value (SURVEY
+    // §5, fuzz class A)
+    val comp = docs.filter(col("n_chars").isNotNull)
+      .groupBy(col("lang"), col("n_chars"))
       .agg(count(lit(1)).as("c"))
     // exact per-language median via [[graft.api.Quantiles.median2]]
     // (range-partitioned CDF — never `partitionBy(lang)` straight

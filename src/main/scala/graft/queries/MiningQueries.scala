@@ -195,13 +195,21 @@ object MiningQueries {
           col("a.v") === col("b.v") && col("pk_col") === col("b.cid"))
         .groupBy(col("fk_col"), col("pk_col"))
         .agg(count(lit(1)).as("n_contained"))
+      // LEFT joins from the pair list: the SQL twin's scalar
+      // subqueries emit all 10 profile rows even over EMPTY tables
+      // (n_distinct 0, containment NULL), so the profiled pair list —
+      // not the data — must drive the output (fuzz class C)
       broadcast(pairList)
-        .join(nd, col("cid") === col("fk_col"))
+        .join(nd, col("cid") === col("fk_col"), "left_outer")
         .join(inter, Seq("fk_col", "pk_col"), "left_outer")
-        .select(col("fk_col"), col("pk_col"), col("n_distinct"),
+        .select(col("fk_col"), col("pk_col"),
+          coalesce(col("n_distinct"), lit(0L)).as("n_distinct"),
           coalesce(col("n_contained"), lit(0L)).as("n_contained"),
-          floor(lit(10000.0) * coalesce(col("n_contained"), lit(0L)) /
-            col("n_distinct")).cast("long").as("containment_bp"))
+          when(coalesce(col("n_distinct"), lit(0L)) === 0,
+            lit(null).cast("long"))
+            .otherwise(floor(lit(10000.0) *
+              coalesce(col("n_contained"), lit(0L)) / col("n_distinct"))
+              .cast("long")).as("containment_bp"))
         .orderBy(col("fk_col"), col("pk_col"))
     }
   }

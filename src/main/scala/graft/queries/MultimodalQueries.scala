@@ -26,7 +26,20 @@ object MultimodalQueries {
       |         THEN (doc_id % 13 + 3) *
       |              list_sum(list_transform(range(0, doc_id % 7 + 3),
       |                                      y -> (doc_id * 7 + y) % 256))
-      |         ELSE list_sum(list_transform(string_split(text, ''), c -> ascii(c)))
+      |         -- stub sums the blob's UNSIGNED UTF-8 BYTES; replay it
+      |         -- from codepoints: an n-byte UTF-8 char contributes its
+      |         -- lead marker + continuation markers + payload sextets
+      |         ELSE list_sum(list_transform(string_split(text, ''), c ->
+      |           CASE WHEN ascii(c) < 128 THEN ascii(c)
+      |                WHEN ascii(c) < 2048
+      |                THEN 320 + (ascii(c) // 64) + (ascii(c) % 64)
+      |                WHEN ascii(c) < 65536
+      |                THEN 480 + (ascii(c) // 4096)
+      |                     + ((ascii(c) // 64) % 64) + (ascii(c) % 64)
+      |                ELSE 624 + (ascii(c) // 262144)
+      |                     + ((ascii(c) // 4096) % 64)
+      |                     + ((ascii(c) // 64) % 64) + (ascii(c) % 64)
+      |           END))
       |         END AS sum_raw
       |  FROM documents)
       |SELECT source,

@@ -24,9 +24,14 @@ object StatisticsQueries {
     */
   def rankedEvents(s: org.apache.spark.sql.SparkSession, d: String): org.apache.spark.sql.DataFrame =
     graft.SessionMemo.getOrCompute(s, "stats.ranked:" + d) {
-      val e = Tables.events(s, d).select(col("event_id"),
-        (col("event_type") === "purchase").as("pos"),
-        expr("cast(round(value * 100) as bigint)").as("y"))
+      // score statistics rank OBSERVED scores only: a NULL value has
+      // no place in a (y, event_id) total order — Spark sorts NULLs
+      // first, DuckDB last, and every consumer's oracle twin carries
+      // the same `value IS NOT NULL` guard (SURVEY §5, fuzz class A)
+      val e = Tables.events(s, d).filter(col("value").isNotNull)
+        .select(col("event_id"),
+          (col("event_type") === "purchase").as("pos"),
+          expr("cast(round(value * 100) as bigint)").as("y"))
       graft.api.Ranking.withRank(e, Nil, Seq(col("y"), col("event_id")))
         .localCheckpoint()
     }
@@ -41,7 +46,10 @@ object StatisticsQueries {
     */
   def compressedCents(s: org.apache.spark.sql.SparkSession, d: String): org.apache.spark.sql.DataFrame =
     graft.SessionMemo.getOrCompute(s, "stats.cents:" + d) {
-      Tables.events(s, d)
+      // observed values only — NULL cents would ride the CDF as a
+      // phantom group (Spark orders it first, DuckDB's quantile_cont
+      // ignores it); consumers' oracle twins filter identically
+      Tables.events(s, d).filter(col("value").isNotNull)
         .select(col("event_type"),
           expr("cast(round(value * 100) as bigint)").as("y"))
         .groupBy(col("event_type"), col("y")).agg(count(lit(1)).as("c"))
@@ -165,7 +173,8 @@ object StatisticsQueries {
     "q137_rank_sum_auc",
     "exact ROC AUC via rank-sum U statistic, scale-safe global ranking, integer basis points",
     """WITH e AS (SELECT event_id, event_type = 'purchase' AS pos,
-      |                  CAST(round(value * 100) AS BIGINT) AS y FROM events),
+      |                  CAST(round(value * 100) AS BIGINT) AS y
+      |           FROM events WHERE value IS NOT NULL),
       |r AS (SELECT pos, CAST(row_number() OVER (ORDER BY y, event_id) AS BIGINT) AS rn FROM e),
       |a AS (SELECT CAST(sum(CASE WHEN pos THEN rn ELSE 0 END) AS BIGINT) AS rank_sum,
       |             CAST(sum(CASE WHEN pos THEN 1 ELSE 0 END) AS BIGINT) AS p_cnt,
@@ -211,7 +220,8 @@ object StatisticsQueries {
     "q138_ks_drift",
     "binned two-sample KS drift statistic: integer CDF cross-products over a 256-bucket spine",
     """WITH src AS (SELECT event_type AS t, CAST(round(value * 100) AS BIGINT) AS y
-      |             FROM events WHERE event_type IN ('view', 'click')),
+      |             FROM events
+      |             WHERE event_type IN ('view', 'click') AND value IS NOT NULL),
       |b AS (SELECT min(y) AS lo, max(y) AS hi FROM src),
       |bu AS (SELECT t, CASE WHEN hi = lo THEN 0
       |                      ELSE least(255, ((y - lo) * 256) // (hi - lo)) END AS bin
@@ -416,7 +426,8 @@ object StatisticsQueries {
   val q145MadOutliers = QueryDef(
     "q145_mad_outliers",
     "robust MAD outlier counts per event type: two compressed-relation exact medians, integer flag test",
-    """WITH y AS (SELECT event_type, CAST(round(value * 100) AS BIGINT) AS y FROM events),
+    """WITH y AS (SELECT event_type, CAST(round(value * 100) AS BIGINT) AS y
+      |           FROM events WHERE value IS NOT NULL),
       |med AS (SELECT event_type,
       |          CAST(2 * quantile_cont(y, 0.5) AS BIGINT) AS med2,
       |          CAST(count(*) AS BIGINT) AS n
@@ -491,7 +502,8 @@ object StatisticsQueries {
     "q147_calibration",
     "decile calibration of score vs purchase outcome: rank-derived integer deciles, exact rates",
     """WITH e AS (SELECT event_id, event_type = 'purchase' AS pos,
-      |                  CAST(round(value * 100) AS BIGINT) AS y FROM events),
+      |                  CAST(round(value * 100) AS BIGINT) AS y
+      |           FROM events WHERE value IS NOT NULL),
       |r AS (SELECT pos, y, CAST(row_number() OVER (ORDER BY y, event_id) AS BIGINT) AS rn FROM e),
       |n AS (SELECT CAST(count(*) AS BIGINT) AS total FROM e),
       |dec AS (SELECT ((rn - 1) * 10) // total AS decile, pos, y FROM r, n)
@@ -592,7 +604,8 @@ object StatisticsQueries {
       val cumRows = (1 to NdcgK)
         .map(i => s"($i, ${NdcgCum(i - 1)})").mkString(", ")
       s"""WITH e AS (SELECT event_id, event_type = 'purchase' AS pos,
-         |                  CAST(round(value * 100) AS BIGINT) AS y FROM events),
+         |                  CAST(round(value * 100) AS BIGINT) AS y
+         |           FROM events WHERE value IS NOT NULL),
          |n AS (SELECT CAST(count(*) AS BIGINT) AS n_events,
          |             CAST(sum(CASE WHEN pos THEN 1 ELSE 0 END) AS BIGINT) AS n_pos
          |      FROM e),
@@ -662,7 +675,8 @@ object StatisticsQueries {
     "PSI drift between view/click value distributions: 20-bin spine, smoothed integer-count terms in micros",
     """WITH src AS (SELECT event_type AS t, CAST(round(value * 100) AS BIGINT) AS y,
       |                    CAST(count(*) AS BIGINT) AS w
-      |             FROM events WHERE event_type IN ('view', 'click')
+      |             FROM events
+      |             WHERE event_type IN ('view', 'click') AND value IS NOT NULL
       |             GROUP BY event_type, CAST(round(value * 100) AS BIGINT)),
       |b AS (SELECT min(y) AS lo, max(y) AS hi FROM src),
       |bu AS (SELECT t, w, CASE WHEN hi = lo THEN 0
@@ -732,7 +746,7 @@ object StatisticsQueries {
     "winsorized per-type mean: exact nearest-rank p05/p95 clamp bounds from one CDF pass, integer clamp sum",
     """WITH y AS (SELECT event_type, CAST(round(value * 100) AS BIGINT) AS y,
       |                  CAST(count(*) AS BIGINT) AS c
-      |           FROM events
+      |           FROM events WHERE value IS NOT NULL
       |           GROUP BY event_type, CAST(round(value * 100) AS BIGINT)),
       |cum AS (SELECT event_type, y, c,
       |         CAST(sum(c) OVER (PARTITION BY event_type ORDER BY y) AS BIGINT) AS hi
@@ -1223,7 +1237,8 @@ object StatisticsQueries {
     "Q-Q drift: exact nearest-rank deciles of view vs click values with signed gaps, one CDF pass",
     """WITH y AS (SELECT event_type, CAST(round(value * 100) AS BIGINT) AS y,
       |                  CAST(count(*) AS BIGINT) AS c
-      |           FROM events WHERE event_type IN ('view', 'click')
+      |           FROM events
+      |           WHERE event_type IN ('view', 'click') AND value IS NOT NULL
       |           GROUP BY event_type, CAST(round(value * 100) AS BIGINT)),
       |cum AS (SELECT event_type, y, c,
       |         CAST(sum(c) OVER (PARTITION BY event_type ORDER BY y) AS BIGINT) AS hi
@@ -1625,10 +1640,15 @@ object StatisticsQueries {
   val q201TheilSen = QueryDef(
     "q201_theil_sen",
     "Theil-Sen robust monthly-revenue trend: median pairwise slope + companion intercept over the calendar-bounded month series",
-    """WITH m AS (SELECT date_trunc('month', o_orderdate) AS mo,
+    """WITH m AS MATERIALIZED (
+      |          -- MATERIALIZED: DuckDB 1.0 missorts a NULL date_trunc
+      |          -- group key fed straight from the hash aggregate into
+      |          -- ORDER BY (ignores NULLS LAST, nondeterministic)
+      |          SELECT date_trunc('month', o_orderdate) AS mo,
       |            CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents
       |          FROM orders GROUP BY 1),
-      |ser AS (SELECT mo, cents, CAST(row_number() OVER (ORDER BY mo) AS BIGINT) AS i FROM m),
+      |ser AS (SELECT mo, cents,
+      |          CAST(row_number() OVER (ORDER BY mo NULLS LAST) AS BIGINT) AS i FROM m),
       |pairs AS (SELECT a.i AS i, b.i AS j,
       |            CAST(b.cents - a.cents AS DOUBLE) / (b.i - a.i) AS slope
       |          FROM ser a JOIN ser b ON b.i > a.i),
@@ -1647,7 +1667,12 @@ object StatisticsQueries {
     val ser = Tables.load(s, d, "orders")
       .groupBy(date_trunc("month", col("o_orderdate")).as("mo"))
       .agg(sum(expr("cast(round(o_totalprice * 100) as bigint)")).as("cents"))
-      .withColumn("i", row_number().over(Window.orderBy(col("mo"))).cast("long"))
+      // NULLS LAST pinned on both engines: a NULL month (null
+      // o_orderdate feed) must take the same series index i in both
+      // (SURVEY §5, fuzz class A)
+      .withColumn("i",
+        row_number().over(Window.orderBy(col("mo").asc_nulls_last))
+          .cast("long"))
       .localCheckpoint() // 80-row metadata; consumed by pairs AND residuals
     // theta self-join of the 80-row month metadata: broadcast the
     // right side so the plan is a BroadcastNestedLoopJoin, never a
@@ -1702,11 +1727,12 @@ object StatisticsQueries {
     "cross-source quantile normalization of doc length: within-source rank -> pooled order statistic, exact integer mapping",
     """WITH d AS (SELECT doc_id, source, n_chars FROM documents),
       |r AS (SELECT doc_id, source, n_chars,
-      |        row_number() OVER (PARTITION BY source ORDER BY n_chars, doc_id) AS rn,
+      |        row_number() OVER (PARTITION BY source
+      |                           ORDER BY n_chars NULLS LAST, doc_id) AS rn,
       |        count(*) OVER (PARTITION BY source) AS gn
       |      FROM d),
       |p AS (SELECT n_chars AS norm_chars,
-      |        row_number() OVER (ORDER BY n_chars, doc_id) AS p_rn
+      |        row_number() OVER (ORDER BY n_chars NULLS LAST, doc_id) AS p_rn
       |      FROM d),
       |g AS (SELECT count(*) AS nn FROM d)
       |SELECT r.doc_id, r.source, r.n_chars, CAST(r.rn AS BIGINT) AS src_rank,
@@ -1716,11 +1742,14 @@ object StatisticsQueries {
       |ORDER BY r.doc_id""".stripMargin) { (s, d) =>
     val docs = Tables.documents(s, d)
       .select(col("doc_id"), col("source"), col("n_chars"))
+    // NULLS LAST pinned on both engines: a doc with NULL n_chars must
+    // take the same rank in both orders (SURVEY §5, fuzz class A)
     val ranked = graft.api.Ranking.withRank(docs, Seq("source"),
-      Seq(col("n_chars"), col("doc_id")))
+      Seq(col("n_chars").asc_nulls_last, col("doc_id")))
     val pooled = graft.api.Ranking.withRank(
         docs.select(col("doc_id").as("p_id"), col("n_chars").as("norm_chars")),
-        Seq.empty, Seq(col("norm_chars"), col("p_id")), rankCol = "p_rn",
+        Seq.empty, Seq(col("norm_chars").asc_nulls_last, col("p_id")),
+        rankCol = "p_rn",
         totalCol = "p_n")
       .select(col("p_rn"), col("norm_chars"))
     val total = docs.agg(count(lit(1)).as("nn"))
@@ -1770,7 +1799,7 @@ object StatisticsQueries {
       |      FROM cal JOIN m USING (event_type)),
       |rk AS (SELECT event_type, n_cal, mean_cents, resid,
       |         row_number() OVER (PARTITION BY event_type
-      |           ORDER BY resid, event_id) AS rn
+      |           ORDER BY resid NULLS LAST, event_id) AS rn
       |       FROM r),
       |q AS (SELECT event_type, n_cal, mean_cents, resid AS q90_cents
       |      FROM rk WHERE rn = least((9 * (n_cal + 1) + 9) // 10, n_cal)),
@@ -1796,8 +1825,11 @@ object StatisticsQueries {
     val r = cal.join(m, "event_type")
       .select(col("event_type"), col("event_id"), col("n_cal"),
         col("mean_cents"), abs(col("cents") - col("mean_cents")).as("resid"))
+    // NULLS LAST pinned on both engines: a NULL residual (null value)
+    // must take the same calibration rank in both, so the order-
+    // statistic pick agrees (SURVEY §5, fuzz class A)
     val q = graft.api.Ranking.withRank(r, Seq("event_type"),
-        Seq(col("resid"), col("event_id")))
+        Seq(col("resid").asc_nulls_last, col("event_id")))
       .filter(col("rn") ===
         least(expr("(9 * (n_cal + 1) + 9) div 10"), col("n_cal")))
       .select(col("event_type"), col("n_cal"), col("mean_cents"),

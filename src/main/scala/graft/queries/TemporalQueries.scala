@@ -378,10 +378,16 @@ object TemporalQueries {
         (pmod(col("us"), lit(barUs)) * 1000000L + col("event_id")).as("ord"))
       .groupBy(col("event_type"), col("bucket"))
       .agg(
-        min_by(col("value"), col("ord")).as("open"),
+        // DuckDB arg_min/arg_max skip rows whose ARG is NULL; Spark
+        // min_by/max_by skip only NULL ORDERINGS — nulling the
+        // ordering when value is NULL pins both engines to the same
+        // (non-null) open/close pick (SURVEY §5, fuzz class A)
+        min_by(col("value"),
+          when(col("value").isNotNull, col("ord"))).as("open"),
         max(col("value")).as("high"),
         min(col("value")).as("low"),
-        max_by(col("value"), col("ord")).as("close"),
+        max_by(col("value"),
+          when(col("value").isNotNull, col("ord"))).as("close"),
         count(lit(1)).as("n_events"),
         sum(round(col("value") * 100).cast("long")).as("volume_cents"))
       .select(col("event_type"),
@@ -445,8 +451,11 @@ object TemporalQueries {
       .select(col("event_type"), col("value"),
         unix_micros(col("ts")).as("us"), col("event_id"))
       .groupBy(col("event_type"), expr(s"us div $hourUs").as("bucket"))
+      // null the ordering when value is NULL — the q122 arg_max
+      // parity pin (DuckDB skips NULL args, Spark only NULL orderings)
       .agg(max_by(col("value"),
-        pmod(col("us"), lit(hourUs)) * 1000000L + col("event_id"))
+        when(col("value").isNotNull,
+          pmod(col("us"), lit(hourUs)) * 1000000L + col("event_id")))
         .as("last_obs"))
       .select(col("event_type"),
         timestamp_micros(col("bucket") * hourUs).as("hour_start"),
@@ -487,15 +496,18 @@ object TemporalQueries {
       |    CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)) AS BIGINT)
       |      AS order_cents
       |  FROM lineitem GROUP BY l_orderkey),
-      |m AS (
+      |m AS MATERIALIZED (
+      |  -- MATERIALIZED: DuckDB 1.0 missorts a NULL date_trunc group
+      |  -- key fed straight from the hash aggregate into a window
+      |  -- ORDER BY (ignores NULLS LAST, nondeterministic placement)
       |  SELECT date_trunc('month', CAST(o_orderdate AS TIMESTAMP)) AS month,
       |    CAST(sum(order_cents) AS BIGINT) AS revenue_cents
       |  FROM li JOIN orders ON l_orderkey = o_orderkey
       |  GROUP BY 1)
       |SELECT month, revenue_cents,
       |  CAST(floor(10000.0 *
-      |    (revenue_cents - lag(revenue_cents, 12) OVER (ORDER BY month))
-      |    / lag(revenue_cents, 12) OVER (ORDER BY month)) AS BIGINT) AS yoy_bp
+      |    (revenue_cents - lag(revenue_cents, 12) OVER (ORDER BY month NULLS LAST))
+      |    / lag(revenue_cents, 12) OVER (ORDER BY month NULLS LAST)) AS BIGINT) AS yoy_bp
       |FROM m
       |ORDER BY month""".stripMargin) { (s, d) =>
     import org.apache.spark.sql.expressions.Window
@@ -510,8 +522,10 @@ object TemporalQueries {
       .groupBy(date_trunc("month", col("o_orderdate").cast("timestamp"))
         .as("month"))
       .agg(sum(col("order_cents")).as("revenue_cents"))
-    // the lag window runs on the ~80-row monthly series only
-    val w = Window.orderBy(col("month"))
+    // the lag window runs on the ~80-row monthly series only;
+    // NULLS LAST pinned on both engines so a NULL month (undated
+    // orders) takes the same lag position (SURVEY §5, class A)
+    val w = Window.orderBy(col("month").asc_nulls_last)
     m.select(col("month"), col("revenue_cents"),
       floor(lit(10000.0) *
         (col("revenue_cents") - lag(col("revenue_cents"), 12).over(w)) /
@@ -558,13 +572,18 @@ object TemporalQueries {
     val w = Window.partitionBy(col("user_id"))
       .orderBy(col("ts"), col("tag"), col("event_id"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    // ONE struct pick, not independent last(state)/last(sts): ASOF
+    // joins the most recent dim ROW even when its state is NULL —
+    // per-column ignoreNulls would instead reach back to an older
+    // non-null state (SURVEY §5, fuzz class A/B)
     dim.unionAll(f)
-      .withColumn("m_state", last(col("state"), ignoreNulls = true).over(w))
-      .withColumn("m_sts", last(col("sts"), ignoreNulls = true).over(w))
+      .withColumn("m",
+        last(when(col("tag") === 0, struct(col("sts"), col("state"))),
+          ignoreNulls = true).over(w))
       .filter(col("tag") === 1)
       .select(col("event_id"), col("user_id"), col("event_type"),
-        col("m_state").as("state_at_event"),
-        (unix_micros(col("ts")) - unix_micros(col("m_sts")))
+        col("m.state").as("state_at_event"),
+        (unix_micros(col("ts")) - unix_micros(col("m.sts")))
           .as("us_since_state"))
       .orderBy(col("event_id"))
   }

@@ -363,6 +363,13 @@ object VersioningQueries {
           .cast("long").as("fp62"))
       .select(coalesce(col("source"), lit("*")).as("source"),
         col("n_docs"), col("total_chars"), col("fp62"))
+      // SQL emits the () grand-total row even over empty input
+      .unionByName(graft.api.Degenerate.emptyGrandTotal(
+        Tables.documents(s, d), Seq(
+          lit("*").as("source"),
+          lit(0L).as("n_docs"),
+          lit(null).cast("long").as("total_chars"),
+          lit(null).cast("long").as("fp62"))))
       .orderBy(col("source"))
   }
 

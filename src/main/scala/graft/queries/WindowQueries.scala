@@ -44,14 +44,16 @@ object WindowQueries {
     "cumulative sum + count per customer over order date (unbounded preceding frame)",
     """SELECT o_custkey, o_orderkey,
       |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2)))
-      |    OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+      |    OVER (PARTITION BY o_custkey ORDER BY o_orderdate NULLS LAST, o_orderkey
       |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_total,
-      |  count(*) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+      |  count(*) OVER (PARTITION BY o_custkey ORDER BY o_orderdate NULLS LAST, o_orderkey
       |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS n_so_far
       |FROM orders
       |ORDER BY o_custkey, o_orderkey""".stripMargin) { (s, d) =>
+    // NULLS LAST pinned on both engines: an undated order must take
+    // the same running-frame position in both (SURVEY §5, class A)
     val w = Window.partitionBy(col("o_custkey"))
-      .orderBy(col("o_orderdate"), col("o_orderkey"))
+      .orderBy(col("o_orderdate").asc_nulls_last, col("o_orderkey"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     Tables.orders(s, d)
       .select(col("o_custkey"), col("o_orderkey"),

@@ -671,9 +671,11 @@ object StreamingOps {
       rows.foreach { e =>
         val h = graft.plans.Mix64.mix(e.user_id)
         val idx = (h & (M - 1)).toInt
-        // rank of the first 1-bit in the remaining 58 bits (1-based)
+        // rank of the first 1-bit in the remaining 64−P bits (1-based:
+        // all-zero remainder = 64−P observed zero bits ⇒ rho 64−P+1,
+        // the canonical estimator's convention)
         val rest = h >>> P
-        val rho = (if (rest == 0L) 64 - P
+        val rho = (if (rest == 0L) 64 - P + 1
                    else java.lang.Long.numberOfTrailingZeros(rest) + 1).toByte
         if (rho > prev(idx)) prev(idx) = rho
       }

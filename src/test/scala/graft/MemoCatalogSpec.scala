@@ -49,7 +49,7 @@ class MemoCatalogSpec extends SparkSpec {
       f.isDirectory && f.getName.startsWith("data-")) == 1)
   }
 
-  test("content change rebuilds and the superseded data dir is cleaned") {
+  test("content change rebuilds; superseded data dir GC is DEFERRED one swap") {
     val root = freshRoot()
     var builds = 0
     def get(tag: String): Set[String] = withMemoDir(root) {
@@ -58,17 +58,95 @@ class MemoCatalogSpec extends SparkSpec {
         corpus(tag).select(col("txt"))
       }.collect().map(_.getString(0)).toSet
     }
+    def dataDirs(): Seq[java.io.File] =
+      new java.io.File(s"$root/m2").listFiles()
+        .filter(f => f.isDirectory && f.getName.startsWith("data-")).toSeq
     assert(get("a") == Set("alpha a", "beta a", "gamma a"))
+    val firstDir = dataDirs() match { case Seq(d) => d }
     assert(get("b") == Set("alpha b", "beta b", "gamma b"),
       "stale memo served after the input changed")
     assert(builds == 2, s"expected rebuild on content change, saw $builds")
-    // old data dir dropped after the manifest swap
-    val dir = new java.io.File(s"$root/m2")
-    assert(dir.listFiles().count(f =>
-      f.isDirectory && f.getName.startsWith("data-")) == 1,
-      s"superseded data dir not cleaned: ${dir.listFiles().map(_.getName).toSeq}")
+    // the JUST-superseded dir survives this swap (a session that read
+    // the old manifest moments earlier must still open its parquet) …
+    assert(dataDirs().map(_.getName).contains(firstDir.getName),
+      s"superseded dir deleted under potential racing readers: " +
+        s"${dataDirs().map(_.getName)}")
+    assert(spark.read.parquet(firstDir.toString).count() == 3,
+      "kept superseded dir must remain a readable parquet relation")
+    assert(dataDirs().size == 2)
+    // … and is garbage-collected by the NEXT swap
+    assert(get("c") == Set("alpha c", "beta c", "gamma c") && builds == 3)
+    assert(!dataDirs().map(_.getName).contains(firstDir.getName),
+      "twice-superseded dir must be GCed by the following swap")
+    assert(dataDirs().size == 2,
+      s"expected new + once-superseded dirs: ${dataDirs().map(_.getName)}")
     // and the match path still works post-rebuild
-    assert(get("b").size == 3 && builds == 2)
+    assert(get("c").size == 3 && builds == 3)
+  }
+
+  test("two racing rebuilds: one wins, reader never sees a torn or missing manifest") {
+    val root = freshRoot()
+    val builds = new java.util.concurrent.atomic.AtomicInteger(0)
+    def get(): Set[String] = withMemoDir(root) {
+      MemoCatalog.readThrough(spark, "mrace", Seq(corpus("a"))) {
+        builds.incrementAndGet()
+        corpus("a").select(col("txt"))
+      }.collect().map(_.getString(0)).toSet
+    }
+    val expect = Set("alpha a", "beta a", "gamma a")
+    // warm once so the race below exercises the SWAP (manifest
+    // overwrite) path, not just parallel first-builds
+    assert(get() == expect && builds.get() == 1)
+    // force both racers to rebuild over the live manifest
+    val mf = java.nio.file.Paths.get(s"$root/mrace/manifest.json")
+    java.nio.file.Files.writeString(mf,
+      """{"fingerprint": "stale-0", "dataDir": "data-gone"}""")
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val stop = new java.util.concurrent.atomic.AtomicBoolean(false)
+    // polling reader: during the whole race the manifest file must
+    // always EXIST and parse (the overwrite-rename guarantee — a
+    // delete+rename swap would flash a missing manifest)
+    val reader = Future {
+      var missing = 0
+      while (!stop.get()) {
+        if (!java.nio.file.Files.exists(mf)) missing += 1
+        Thread.sleep(1)
+      }
+      missing
+    }
+    val racers = (1 to 2).map(_ => Future(get()))
+    val results = racers.map(Await.result(_, 120.seconds))
+    stop.set(true)
+    val missing = Await.result(reader, 10.seconds)
+    assert(results.forall(_ == expect), s"racing rebuild corrupted a result")
+    assert(missing == 0,
+      s"manifest vanished $missing time(s) mid-swap — swap is not atomic")
+    assert(builds.get() == 3, s"both racers must rebuild: ${builds.get()}")
+    // whoever lost, the surviving manifest names a complete data dir
+    assert(get() == expect && builds.get() == 3,
+      "post-race read must hit the winner's memo without rebuilding")
+  }
+
+  test("manifest naming a missing data dir recovers by rebuild") {
+    val root = freshRoot()
+    var builds = 0
+    def get(): Long = withMemoDir(root) {
+      MemoCatalog.readThrough(spark, "mgone", Seq(corpus("a"))) {
+        builds += 1; corpus("a").select(col("id"))
+      }.count()
+    }
+    assert(get() == 3 && builds == 1)
+    // simulate a crashed GC / manual cleanup: the manifest now points
+    // at a directory that is gone
+    val dir = new java.io.File(s"$root/mgone")
+    dir.listFiles().filter(f => f.isDirectory && f.getName.startsWith("data-"))
+      .foreach { d =>
+        d.listFiles().foreach(_.delete()); assert(d.delete())
+      }
+    assert(get() == 3 && builds == 2,
+      "missing data dir must fall through to a rebuild, not crash")
   }
 
   test("fingerprint is order/partition/layout independent, content sensitive") {

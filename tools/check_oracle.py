@@ -54,17 +54,31 @@ def main(sf_dir: str, out_dir: str, json_path: str = None,
         if not timeout:
             return con.sql(sql).df()
         import threading
+        # FRESH CURSOR per timed query: the watchdog interrupts only
+        # this cursor, so a query finishing right as the timeout
+        # elapses can no longer have a late interrupt() cancel the
+        # NEXT statement on the shared connection; the done-flag
+        # re-check under `lock` plus the join() keeps the interrupt
+        # from outliving the query it was armed for
+        cur = con.cursor()
         done = threading.Event()
+        lock = threading.Lock()
 
         def watchdog():
             if not done.wait(timeout):
-                con.interrupt()
+                with lock:
+                    if not done.is_set():
+                        cur.interrupt()
         t = threading.Thread(target=watchdog, daemon=True)
         t.start()
         try:
-            return con.sql(sql).df()
+            df = cur.sql(sql).df()
         finally:
-            done.set()
+            with lock:
+                done.set()
+            t.join()
+            cur.close()
+        return df
 
     failures = 0
     records = {}
