@@ -31,15 +31,15 @@ object Bench {
     * the JSON so a reader can see whether the gate held.
     * SPARK_GRAFT_LOAD_GATE=off disables (local iteration).
     */
-  private def waitForIdle(): (Double, Boolean) = {
+  private def waitForIdle(): (Double, Boolean, Boolean) = {
     val gateEnv = sys.env.getOrElse("SPARK_GRAFT_LOAD_GATE", "0.5")
-    if (gateEnv.equalsIgnoreCase("off")) return (loadAvg1m(), false)
+    if (gateEnv.equalsIgnoreCase("off")) return (loadAvg1m(), false, false)
     val gate = try gateEnv.toDouble catch { case _: Throwable => 0.5 }
     val maxWaitSec =
       sys.env.getOrElse("SPARK_GRAFT_LOAD_MAX_WAIT", "900").toLong
     val deadline = System.nanoTime() + maxWaitSec * 1000000000L
     var load = loadAvg1m()
-    if (load < 0) return (load, false) // /proc/loadavg unreadable
+    if (load < 0) return (load, false, false) // /proc/loadavg unreadable
     var waited = false
     while (load > gate && System.nanoTime() < deadline) {
       System.err.println(
@@ -51,12 +51,12 @@ object Bench {
     if (load > gate)
       System.err.println(
         f"[bench] load-gate: gave up after $maxWaitSec s (loadavg $load%.2f) — running anyway; treat this artifact as contended")
-    (load, waited)
+    (load, waited, load > gate)
   }
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val (loadAtStart, _) = waitForIdle()
+    val (loadAtStart, _, gateGaveUp) = waitForIdle()
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -97,9 +97,11 @@ object Bench {
       spark.sharedState.cacheManager.clearCache()
       if (ok) (System.nanoTime() - t0) / 1e9 else -1.0
     }
-    val firstPass = picked.map { case (name, fn) =>
-      name -> (1 to Runs).map(_ => runOnce(name, fn))
-    }
+    def timedSweep(): Map[String, IndexedSeq[Double]] =
+      picked.map { case (name, fn) =>
+        name -> (1 to Runs).map(_ => runOnce(name, fn))
+      }.toMap
+    val firstPass = timedSweep()
     // Outlier retry (round-13): a transient co-tenant can cover a
     // query's ENTIRE 3-run window, so its median — not just its max —
     // is poisoned, and rounds 8–12's canonical driver artifacts each
@@ -112,7 +114,8 @@ object Bench {
     // nothing. Idle-box cost: ~0–2 retried queries. Memoized queries
     // (q78's cluster table) are naturally exempt: their expensive pass
     // is the MAX, not the median, so med/min stays tight.
-    val results = firstPass.map { case (name, times) =>
+    def refine(pass: Map[String, IndexedSeq[Double]])
+        : Map[String, (Double, Double, Double)] = pass.map { case (name, times) =>
       val valid = times.filter(_ >= 0)
       val suspect = valid.nonEmpty && valid.min >= 0.25 && {
         val s = valid.sorted; s(s.size / 2) / s.head > 1.8
@@ -134,6 +137,42 @@ object Bench {
         else sorted(all.size / 2)
       name -> (sorted.min, med, sorted.max)
     }
+    def majorSpreadOf(rs: Map[String, (Double, Double, Double)]): Double =
+      rs.values.collect { case (mn, md, _) if mn >= 0.25 => md / mn }
+        .foldLeft(1.0)(math.max)
+    def outliersOf(rs: Map[String, (Double, Double, Double)]): Int =
+      rs.values.count { case (mn, md, _) => mn >= 0.25 && md / mn > 1.8 }
+    def totalOf(rs: Map[String, (Double, Double, Double)]): Double =
+      rs.values.map(_._2).filter(_ >= 0).sum
+    // Whole-sweep contention retry (round-15): round-14's committed
+    // artifact read 1.52× its clean close because contention ARRIVED
+    // MID-RUN — the start gate held, the diagnostics didn't. When the
+    // finished sweep's own spread evidence says "contended box"
+    // (many substantive queries with med/min over the 1.8 clean bar,
+    // or a major spread past 2.5), the bench re-gates on loadavg and
+    // re-runs the whole sweep ONCE, then keeps whichever pass is
+    // cleaner (major spread, then total) — so the committed artifact
+    // is self-repairing instead of self-diagnosing-but-poisoned.
+    // SPARK_GRAFT_BENCH_RETRY=off disables (local iteration).
+    var results = refine(firstPass)
+    var benchPasses = 1
+    val firstTotal = totalOf(results)
+    val retryOn = !sys.env.get("SPARK_GRAFT_BENCH_RETRY")
+      .exists(_.equalsIgnoreCase("off"))
+    if (retryOn && (outliersOf(results) > 2 || majorSpreadOf(results) > 2.5)) {
+      System.err.println(
+        s"[bench] pass 1 reads contended (outliers=${outliersOf(results)}, " +
+          f"med_spread_major=${majorSpreadOf(results)}%.2f) — re-gating and re-running once")
+      waitForIdle()
+      val second = refine(timedSweep())
+      benchPasses = 2
+      val (ms2, ms1) = (majorSpreadOf(second), majorSpreadOf(results))
+      val keepSecond =
+        ms2 < ms1 || (ms2 == ms1 && totalOf(second) < totalOf(results))
+      if (keepSecond) results = second
+      System.err.println(
+        s"[bench] kept pass ${if (keepSecond) 2 else 1} of 2")
+    }
     def r4(x: Double): String = "%.4f".formatLocal(java.util.Locale.ROOT, x)
     val qs = results.map { case (k, (_, med, _)) => s"\"" + k + "\":" + r4(med) }
       .mkString("{", ",", "}")
@@ -152,7 +191,7 @@ object Bench {
     // artifact. BASELINE.md treats non-empty flaky like non-empty
     // failed: the run needs a rerun or an explanation.
     val flaky = results.collect { case (k, (mn, med, _)) if mn < 0 && med >= 0 => k }.toSeq.sorted
-    val total = results.values.map(_._2).filter(_ >= 0).sum
+    val total = totalOf(results)
     // contention self-diagnosis: on an idle box 3 passes of one query
     // land within ~2x of each other; a contended driver shows 5-10x
     // per-query spread (rounds 1/4/5). max_spread = worst max/min over
@@ -178,16 +217,13 @@ object Bench {
     // (floors ≥ 0.25 s) is the contention signal BASELINE.md's ≤1.8
     // clean bar actually means — jitter on a 100 ms floor is not
     // contention.
-    val medSpreadMajor = results.values
-      .collect { case (mn, md, _) if mn >= 0.25 => md / mn }
-      .foldLeft(1.0)(math.max)
+    val medSpreadMajor = majorSpreadOf(results)
     // Contention is MANY majors over the bar; ONE ~0.3 s query at 2×
     // is scheduler jitter (round-12: two adjacent clean runs each had
     // exactly one such offender, a different query each time, while
     // every substantive query was tight). Emit the count so the
     // artifact distinguishes the two without a rerun.
-    val nSpreadOutliers = results.values
-      .count { case (mn, md, _) => mn >= 0.25 && md / mn > 1.8 }
+    val nSpreadOutliers = outliersOf(results)
     // stdout gets the COMPACT line only — and since round 11 that line
     // is BUDGETED: the driver stores only the last 2000 chars of
     // stdout ("tail") and parses a JSON object out of them, so from
@@ -202,8 +238,14 @@ object Bench {
     val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
     val flakyJson = flaky.map("\"" + _ + "\"").mkString("[", ",", "]")
     val loadEnd = loadAvg1m()
+    // the gate itself is part of the artifact: a reader can tell a
+    // gated-and-clean run from a gave-up-and-ran-anyway one, and a
+    // retried run carries its poisoned first total for comparison
+    val gateStr = sys.env.getOrElse("SPARK_GRAFT_LOAD_GATE", "0.5")
     val loads =
-      s""""loadavg_start":${r4(loadAtStart)},"loadavg_end":${r4(loadEnd)}"""
+      s""""loadavg_start":${r4(loadAtStart)},"loadavg_end":${r4(loadEnd)},""" +
+        s""""load_gate":"$gateStr","gate_gave_up":$gateGaveUp,""" +
+        s""""bench_passes":$benchPasses,"pass1_total":${r4(firstTotal)}"""
     val LineBudget = 1200
     // "metric"/"value"/"unit" lead the object: the driver contract is a
     // line shaped {"metric":...}, and round-11's canonical artifact

@@ -356,15 +356,21 @@ object DedupQueries {
     */
   /** The memoized default-cap candidate relation q36 and q169 both
     * consume — the df-capped self-join is paid once per (session, sf)
-    * and pinned with `localCheckpoint` (the clusterAssignments
-    * convention). `ngramCandidateCounts` stays parameterized for the
-    * spec's cap-binding fixtures.
+    * and, with `spark.graft.memo.dir` set, once per CORPUS SNAPSHOT
+    * through [[graft.api.MemoCatalog]] (fingerprint of (doc_id,
+    * text) — the postings' only upstream). Conf-override caps are
+    * spec-only and NOT part of the key (the clusterAssignments
+    * convention: cap-flipping tests leave the catalog off).
+    * `ngramCandidateCounts` stays parameterized for the spec's
+    * cap-binding fixtures.
     */
   private def candidateCounts(s: SparkSession, d: String): DataFrame =
     graft.SessionMemo.getOrCompute(s, "dedup.ngramcand:" + d) {
-      ngramCandidateCountsCap(shinglePostings(s, d),
-        autoCap(s, ShingleDfCapConf, ShingleDfFloor))
-        .localCheckpoint()
+      graft.api.MemoCatalog.readThrough(s, "ngramcand:" + d,
+        Seq(Tables.documents(s, d).select(col("doc_id"), col("text")))) {
+        ngramCandidateCountsCap(shinglePostings(s, d),
+          autoCap(s, ShingleDfCapConf, ShingleDfFloor))
+      }
     }
 
   private[graft] def ngramJaccardPairs(

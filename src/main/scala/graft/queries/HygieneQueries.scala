@@ -713,10 +713,15 @@ object HygieneQueries {
 
   /** Memoized corpus suffix-LCP per (session, dir, cap) — q179 (the
     * report) and q197 (the removal transform) both consume it, so the
-    * suffix sort is paid once per session. `localCheckpoint` pins the
-    * ~token-stream-sized (doc_id, i, l) relation (NOT the maxSfx×
-    * suffix blowup, which dies with the stage); at 100 TB this memo
-    * would be a persisted intermediate table — same pay-once shape.
+    * suffix sort is paid once per session, and with
+    * `spark.graft.memo.dir` set once per CORPUS SNAPSHOT through
+    * [[graft.api.MemoCatalog]] (fingerprint of (doc_id, text); the
+    * cap IS in the memo name — unlike the spec-only dedup caps it
+    * changes the relation's meaning, so each cap gets its own memo).
+    * The persisted relation is the ~token-stream-sized (doc_id, i, l)
+    * adjacency (NOT the maxSfx× suffix blowup, which dies with the
+    * stage) — at 100 TB exactly the intermediate table a pipeline
+    * materializes once per snapshot.
     */
   private[graft] def corpusSuffixLcp(s: org.apache.spark.sql.SparkSession,
       d: String): org.apache.spark.sql.DataFrame = {
@@ -724,7 +729,10 @@ object HygieneQueries {
     // (the q60 convention) — parity is only defined at default conf
     val cap = maxSuffix(s)
     graft.SessionMemo.getOrCompute(s, s"hygiene.suflcp:$d:$cap") {
-      suffixLcp(tokenized(Tables.documents(s, d)), cap).localCheckpoint()
+      graft.api.MemoCatalog.readThrough(s, s"suflcp:$d:$cap",
+        Seq(Tables.documents(s, d).select(col("doc_id"), col("text")))) {
+        suffixLcp(tokenized(Tables.documents(s, d)), cap)
+      }
     }
   }
 

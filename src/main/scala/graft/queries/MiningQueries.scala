@@ -756,9 +756,34 @@ object MiningQueries {
     * so the survivor set — and therefore the exact phase's plan — is
     * reproducible run to run.
     */
-  private[graft] def fdSketchSurvivors(
-      s: org.apache.spark.sql.SparkSession, d: String,
-      survBp: Long = 6000L): Seq[(String, String, String)] = {
+  /** Exact-confirm budget for q216 (estimated DISTINCT (A,B) pairs a
+    * single candidate may push through the exact phase's distinct
+    * exchange): conf `spark.graft.fd.maxExactPairs`, default 2²⁴
+    * (~16.7M — the point where one profiling candidate's distinct
+    * state stops being a trivially-absorbed exchange and starts
+    * competing with the pipelines the profiler is meant to serve).
+    * Candidates whose SKETCHED pair cardinality exceeds the budget
+    * are never exact-confirmed: they stay sketch-graded
+    * ([[fdSketchEstimates]]) and are excluded from the emitted exact
+    * report — the 100 TB sketch-first rule as CODE (`FdCapSpec`
+    * pins the drop and the absence of the distinct exchange). Every
+    * test corpus sits orders of magnitude below the default, so the
+    * DuckDB twin — which always confirms exactly — stays
+    * value-identical at the driver gate.
+    */
+  val FdMaxExactPairsConf = "spark.graft.fd.maxExactPairs"
+  val FdMaxExactPairsDefault: Long = 1L << 24
+
+  private def fdMaxExactPairs(s: org.apache.spark.sql.SparkSession): Long =
+    s.conf.getOption(FdMaxExactPairsConf).map(_.toLong)
+      .getOrElse(FdMaxExactPairsDefault)
+
+  /** Sketch estimates for every candidate: (candidate, (|A|_est,
+    * |(A,B)|_est)). See [[fdSketchSurvivors]] for the scan shape.
+    */
+  private[graft] def fdSketchEstimates(
+      s: org.apache.spark.sql.SparkSession, d: String)
+      : Seq[((String, String, String), (Long, Long))] = {
     import scala.concurrent.{Await, Future, ExecutionContext}
     import scala.concurrent.duration.Duration
     // one driver thread per table: each sketch agg is its own small
@@ -780,11 +805,15 @@ object MiningQueries {
     }
     val est = Await.result(Future.sequence(perTable), Duration.Inf)
       .flatten.map { case (fd, l, p) => fd -> ((l, p)) }.toMap
-    fdCandidates.filter { case (t, a, b) =>
-      val (l, p) = est(s"$t.$a->$b")
-      10000L * l >= survBp * p
-    }
+    fdCandidates.map(c => c -> est(s"${c._1}.${c._2}->${c._3}"))
   }
+
+  private[graft] def fdSketchSurvivors(
+      s: org.apache.spark.sql.SparkSession, d: String,
+      survBp: Long = 6000L): Seq[(String, String, String)] =
+    fdSketchEstimates(s, d).collect {
+      case (c, (l, p)) if 10000L * l >= survBp * p => c
+    }
 
   /** Functional-dependency discovery — the IN-table profiling twin of
     * q119's cross-table FK containment: A→B holds iff every A value
@@ -840,7 +869,16 @@ object MiningQueries {
       "q216_fd_discovery",
       "strong-FD discovery: HLL sketch refutes candidates cheaply, exact |distinct A| vs |distinct (A,B)| confirms survivors only",
       oracle) { (s, d) =>
-      val survivors = fdSketchSurvivors(s, d)
+      // sketch-first, twice over: the sketch refutes weak candidates,
+      // and the exact-confirm budget ([[FdMaxExactPairsConf]]) keeps
+      // any surviving candidate whose estimated distinct-pair volume
+      // exceeds the budget OUT of the exact distinct exchange — at
+      // 100 TB that candidate stays sketch-graded instead of owning
+      // the cluster's shuffle
+      val budget = fdMaxExactPairs(s)
+      val survivors = fdSketchEstimates(s, d).collect {
+        case (c, (l, p)) if 10000L * l >= 6000L * p && p <= budget => c
+      }
       val out = if (survivors.isEmpty) {
         s.range(0).select(lit("").as("fd"), lit(0L).as("n_lhs"),
           lit(0L).as("n_pairs"), lit(false).as("holds"), lit(0L).as("fd_bp"))

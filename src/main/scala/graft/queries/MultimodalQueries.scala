@@ -233,8 +233,106 @@ object MultimodalQueries {
       .orderBy(col("doc_id"))
   }
 
+  /** Modality token-budget audit — the mixture-planning read a
+    * MULTIMODAL training run needs before q81/q88's text-only token
+    * budgeting applies: per modality, how many items the corpus
+    * carries and how many TRAINING TOKENS they cost under the
+    * standard tokenization models — text = whitespace tokens, image =
+    * 2×2-patch grid ⌈w/2⌉·⌈h/2⌉ (the ViT patch-embedding count),
+    * audio = 256/128 analysis frames (q211's framing), video =
+    * frames × 4×4 patches — then each modality's share of the total
+    * token budget in bp against a declared target mixture
+    * (text 70% / image 10% / audio 10% / video 10%), signed deviation
+    * included. The numbers that decide per-modality up/downsampling
+    * before packing ([[graft.api.SequencePacker]] consumes the text
+    * side; this audit says whether the other modalities fit).
+    *
+    * Scale shape: each modality contributes ONE global partial-
+    * aggregable aggregate (text: token counts off the documents scan;
+    * image: patch grid off the media table's width/height metadata;
+    * audio/video: frame counts from the REAL container parses q211/
+    * q212 already exercise — WAV chunk walk, Y4M frame walk); the
+    * union is a 4-row metadata relation and the share arithmetic is
+    * integer bp. Total-on-empty stays total: global aggregates emit
+    * their zero rows over empty input on both engines.
+    */
+  val q252ModalityBudget = QueryDef(
+    "q252_modality_budget",
+    "modality token-budget audit: items + training tokens per modality (text words, image patches, audio frames, video frame-patches), share vs target mixture bp",
+    """WITH text_m AS (
+      |  SELECT 'text' AS modality, CAST(count(*) AS BIGINT) AS n_items,
+      |    CAST(coalesce(sum(len(list_filter(string_split(text, ' '), t -> length(t) > 0))), 0) AS BIGINT) AS n_tokens
+      |  FROM documents),
+      |img_m AS (
+      |  SELECT 'image' AS modality, CAST(count(*) AS BIGINT) AS n_items,
+      |    CAST(coalesce(sum(((doc_id % 13 + 3 + 1) // 2) * ((doc_id % 7 + 3 + 1) // 2)), 0) AS BIGINT) AS n_tokens
+      |  FROM documents WHERE (doc_id // 7) % 4 = 0),
+      |aud_m AS (
+      |  SELECT 'audio' AS modality, CAST(count(*) AS BIGINT) AS n_items,
+      |    CAST(coalesce(sum((4096 + (doc_id % 7) * 512 - 256) // 128 + 1), 0) AS BIGINT) AS n_tokens
+      |  FROM documents WHERE doc_id % 5 = 2),
+      |vid_m AS (
+      |  SELECT 'video' AS modality, CAST(count(*) AS BIGINT) AS n_items,
+      |    CAST(coalesce(sum((24 + (doc_id % 9) * 4) * (((16 + 3) // 4) * ((12 + 3) // 4))), 0) AS BIGINT) AS n_tokens
+      |  FROM documents WHERE doc_id % 5 = 3),
+      |m AS (SELECT * FROM text_m UNION ALL SELECT * FROM img_m
+      |      UNION ALL SELECT * FROM aud_m UNION ALL SELECT * FROM vid_m),
+      |tgt(modality, target_bp) AS (VALUES ('text', CAST(7000 AS BIGINT)),
+      |      ('image', 1000), ('audio', 1000), ('video', 1000)),
+      |tot AS (SELECT CAST(sum(n_tokens) AS BIGINT) AS total FROM m)
+      |SELECT m.modality, m.n_items, m.n_tokens,
+      |  (10000 * m.n_tokens) // tot.total AS share_bp,
+      |  tgt.target_bp,
+      |  (10000 * m.n_tokens) // tot.total - tgt.target_bp AS dev_bp
+      |FROM m JOIN tgt USING (modality), tot
+      |ORDER BY modality""".stripMargin) { (s, d) =>
+    import org.apache.spark.sql.functions._
+    val docs = graft.Tables.documents(s, d)
+    val textM = docs
+      .select(when(col("text").isNotNull,
+        size(filter(split(col("text"), " "), t => length(t) > 0)))
+        .otherwise(0).cast("long").as("tk"))
+      .agg(count(lit(1)).as("n_items"),
+        coalesce(sum(col("tk")), lit(0L)).as("n_tokens"))
+      .select(lit("text").as("modality"), col("n_items"), col("n_tokens"))
+    val imgM = MediaOps.synthesizeMedia(s, d).toDF()
+      .filter(col("mime") === "image/png")
+      .select(expr("(width + 1) div 2").cast("long").as("pw"),
+        expr("(height + 1) div 2").cast("long").as("ph"))
+      .agg(count(lit(1)).as("n_items"),
+        coalesce(sum(col("pw") * col("ph")), lit(0L)).as("n_tokens"))
+      .select(lit("image").as("modality"), col("n_items"), col("n_tokens"))
+    val audM = MediaOps.audioFrameFeatures(s, MediaOps.synthesizeAudio(s, d))
+      .toDF()
+      .agg(count(lit(1)).as("n_items"),
+        coalesce(sum(col("n_frames")), lit(0L)).as("n_tokens"))
+      .select(lit("audio").as("modality"), col("n_items"), col("n_tokens"))
+    val vidM = MediaOps.videoFrameFeatures(s, MediaOps.synthesizeVideo(s, d))
+      .toDF()
+      .select(col("n_frames"),
+        (expr("(width + 3) div 4") * expr("(height + 3) div 4")).as("ppf"))
+      .agg(count(lit(1)).as("n_items"),
+        coalesce(sum(col("n_frames") * col("ppf")), lit(0L)).as("n_tokens"))
+      .select(lit("video").as("modality"), col("n_items"), col("n_tokens"))
+    val m = textM.unionByName(imgM).unionByName(audM).unionByName(vidM)
+    val tot = m.agg(sum(col("n_tokens")).as("total"))
+    val tgt = Seq(("text", 7000L), ("image", 1000L),
+      ("audio", 1000L), ("video", 1000L))
+    val tgtDf = {
+      import s.implicits._
+      broadcast(tgt.toDF("modality", "target_bp"))
+    }
+    m.join(tgtDf, "modality").crossJoin(broadcast(tot))
+      .select(col("modality"), col("n_items"), col("n_tokens"),
+        expr("(10000 * n_tokens) div total").as("share_bp"),
+        col("target_bp"),
+        (expr("(10000 * n_tokens) div total") - col("target_bp")).as("dev_bp"))
+      .orderBy(col("modality"))
+  }
+
   lazy val all: Seq[QueryDef] = Seq(q48MultimodalFeatures, q157ImageDhashNeardup,
-    q211AudioFramesample, q212VideoFramesample, q240AudioFingerprintNeardup)
+    q211AudioFramesample, q212VideoFramesample, q240AudioFingerprintNeardup,
+    q252ModalityBudget)
 
   /** Audio near-duplicate detection by acoustic fingerprint —
     * completes the modality dedup trio next to q157's image dHash

@@ -117,13 +117,17 @@ object RetrievalQueries {
     * q160 (RRF) both consume: the three integer per-doc signals
     * (length, lexical diversity, mean token length) each ranked via
     * the scale-safe `api.Ranking.withRank`. Three range-repartition
-    * passes are paid ONCE per (session, sf) and pinned with
-    * `localCheckpoint` — the rankedEvents/compressedCents convention;
-    * in production the ranked-signal table is materialized once per
-    * corpus snapshot and every fusion strategy reads it.
+    * passes are paid ONCE per (session, sf) — and, with
+    * `spark.graft.memo.dir` set, once per CORPUS SNAPSHOT through
+    * [[graft.api.MemoCatalog]]: the ranked-signal table is exactly
+    * what production materializes per snapshot for every fusion
+    * strategy to read.
     */
   def rankedQualitySignals(s: org.apache.spark.sql.SparkSession, d: String): org.apache.spark.sql.DataFrame =
     graft.SessionMemo.getOrCompute(s, "retrieval.qranks:" + d) {
+      graft.api.MemoCatalog.readThrough(s, "qranks:" + d,
+        Seq(Tables.documents(s, d)
+          .select(col("doc_id"), col("n_chars"), col("text")))) {
       val per = Tables.documents(s, d)
         .select(col("doc_id"), col("n_chars"), toks(col("text")).as("w"))
         .filter(size(col("w")) > 0)
@@ -139,7 +143,7 @@ object RetrievalQueries {
             Seq(col(sig).desc, col("doc_id")), rk, s"__t_$rk")
             .drop(s"__t_$rk")
         }
-        .localCheckpoint()
+      }
     }
 
   /** Quality-ensemble ranking — rank aggregation (Borda count) over

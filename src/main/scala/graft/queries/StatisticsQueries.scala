@@ -803,6 +803,11 @@ object StatisticsQueries {
     */
   def hourlySeries(s: org.apache.spark.sql.SparkSession, d: String): org.apache.spark.sql.DataFrame =
     graft.SessionMemo.getOrCompute(s, "stats.hourly:" + d) {
+      // durable through the catalog like the other shared families:
+      // the series is calendar-sized, but its BUILD scans all of
+      // events — the scan, not the rows, is what the memo saves
+      graft.api.MemoCatalog.readThrough(s, "hourly:" + d,
+        Seq(Tables.events(s, d).select(col("ts")))) {
       val hc = Tables.events(s, d)
         .groupBy(date_trunc("hour", col("ts")).as("h"))
         .agg(count(lit(1)).as("x"))
@@ -813,7 +818,7 @@ object StatisticsQueries {
         .select(col("h"), coalesce(col("x"), lit(0L)).as("x"))
         .withColumn("i",
           row_number().over(Window.orderBy(col("h"))).cast("long"))
-        .localCheckpoint()
+      }
     }
 
   /** Sample autocorrelation function of the hourly event-count series
@@ -2027,6 +2032,160 @@ object StatisticsQueries {
       .orderBy(col("source"))
   }
 
+  /** Fixed hypothesis registry for q251: the metric set a readout
+    * pipeline REGISTERS statically (m is a design constant, so the
+    * Benjamini–Hochberg critical values are compile-time literals) —
+    * 5 event types × 2 metrics = 10 two-sided tests at α = 0.05.
+    */
+  private val BhTypes = Seq("click", "error", "purchase", "signup", "view")
+
+  /** z_{1−0.05·k/(2·10)} for BH rank k = 1..10 — Φ⁻¹ evaluated once
+    * offline (bisection on erf, 6 dp) and shipped as the SAME literal
+    * table to both engines (the q141/q152 no-runtime-transcendental
+    * convention): p_(k) ≤ kα/m ⟺ |z|_(k) ≥ crit(k), so BH runs on
+    * z-scores and no engine ever evaluates Φ or its inverse.
+    */
+  private val BhCrit: IndexedSeq[Double] = IndexedSeq(
+    2.807034, 2.575829, 2.432379, 2.326348, 2.241403,
+    2.17009, 2.108358, 2.053749, 2.004654, 1.959964)
+
+  /** Multi-metric A/B readout with Benjamini–Hochberg FDR control —
+    * the multiple-comparisons step q143 (one z-test) and q176 (power)
+    * leave open: an experimentation readout tests MANY metrics at
+    * once, and α per test inflates the family false-positive rate
+    * (10 tests at α=.05 ⇒ ~40% chance of a spurious "win"). BH
+    * (Benjamini–Hochberg 1995) sorts the m p-values ascending,
+    * finds kmax = max{k : p_(k) ≤ kα/m}, and rejects ranks 1..kmax —
+    * controlling the expected fraction of false discoveries at α.
+    *
+    * Exactness: the per-hypothesis z-scores are the q143/q176
+    * fixed-shape double expressions over exact integer cell moments
+    * (Welch z on value cents; two-sample Poisson z on event counts);
+    * the BH comparison is against the [[BhCrit]] literal table, and
+    * the rank-k rejection propagates by a SUFFIX-MAX over the
+    * m-row relation (reject j ⟺ ∃ k ≥ j with |z|_(k) ≥ crit(k)).
+    * Degenerate cells (missing type, n < 2, zero variance) carry
+    * NULL z on BOTH engines (never ±Inf — DuckDB 1.0 returns NULL
+    * for float division by zero where Spark returns Infinity, so the
+    * guard is explicit) and rank last, never rejected.
+    *
+    * Scale shape: ONE partial-aggregable (type, arm) moment scan of
+    * events; everything after lives on the m = 10-row registry
+    * (broadcast literal), including the ranking window — metadata,
+    * never data.
+    */
+  val q251FdrControl = QueryDef(
+    "q251_fdr_control",
+    "multi-metric A/B readout with Benjamini-Hochberg FDR control: literal z-critical table, suffix-max rejection, one moment scan",
+    {
+      val reg = BhTypes.map(t => s"('$t')").mkString(", ")
+      val crit = BhCrit.zipWithIndex
+        .map { case (c, i) => s"(${i + 1}, $c)" }.mkString(", ")
+      s"""WITH reg(event_type) AS (VALUES $reg),
+         |crit(k, z_crit) AS (VALUES $crit),
+         |cell AS (
+         |  SELECT event_type, CAST(user_id % 2 AS BIGINT) AS arm,
+         |    CAST(count(*) AS BIGINT) AS n,
+         |    CAST(count(CASE WHEN value IS NOT NULL THEN 1 END) AS BIGINT) AS ny,
+         |    CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sy,
+         |    CAST(sum(CAST(round(value * 100) AS BIGINT) * CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS ss
+         |  FROM events GROUP BY 1, 2),
+         |t AS (
+         |  SELECT reg.event_type,
+         |    coalesce(max(CASE WHEN arm = 0 THEN n END), 0) AS n0,
+         |    coalesce(max(CASE WHEN arm = 0 THEN ny END), 0) AS ny0,
+         |    max(CASE WHEN arm = 0 THEN sy END) AS sy0,
+         |    max(CASE WHEN arm = 0 THEN ss END) AS ss0,
+         |    coalesce(max(CASE WHEN arm = 1 THEN n END), 0) AS n1,
+         |    coalesce(max(CASE WHEN arm = 1 THEN ny END), 0) AS ny1,
+         |    max(CASE WHEN arm = 1 THEN sy END) AS sy1,
+         |    max(CASE WHEN arm = 1 THEN ss END) AS ss1
+         |  FROM reg LEFT JOIN cell USING (event_type) GROUP BY 1),
+         |h AS (
+         |  SELECT event_type, 'mean_cents' AS metric, ny0 AS n0, ny1 AS n1,
+         |    CASE WHEN ny0 >= 2 AND ny1 >= 2 THEN
+         |      CASE WHEN (CAST(ss0 AS DOUBLE) - CAST(sy0 AS DOUBLE) * sy0 / ny0) / (ny0 - 1) / ny0
+         |             + (CAST(ss1 AS DOUBLE) - CAST(sy1 AS DOUBLE) * sy1 / ny1) / (ny1 - 1) / ny1 > 0
+         |      THEN (CAST(sy0 AS DOUBLE) / ny0 - CAST(sy1 AS DOUBLE) / ny1)
+         |           / sqrt((CAST(ss0 AS DOUBLE) - CAST(sy0 AS DOUBLE) * sy0 / ny0) / (ny0 - 1) / ny0
+         |                + (CAST(ss1 AS DOUBLE) - CAST(sy1 AS DOUBLE) * sy1 / ny1) / (ny1 - 1) / ny1)
+         |      END END AS z
+         |  FROM t
+         |  UNION ALL
+         |  SELECT event_type, 'event_rate' AS metric, n0, n1,
+         |    CASE WHEN n0 + n1 > 0
+         |         THEN (CAST(n0 AS DOUBLE) - n1) / sqrt(CAST(n0 + n1 AS DOUBLE)) END AS z
+         |  FROM t),
+         |r AS (
+         |  SELECT event_type, metric, n0, n1, z,
+         |    row_number() OVER (ORDER BY coalesce(abs(z), -1) DESC, metric, event_type) AS k
+         |  FROM h),
+         |f AS (
+         |  SELECT r.*, CASE WHEN abs(z) >= c.z_crit THEN 1 ELSE 0 END AS hit
+         |  FROM r JOIN crit c USING (k))
+         |SELECT event_type, metric, n0, n1, round(z, 4) AS z,
+         |  CAST(k AS BIGINT) AS bh_rank,
+         |  max(hit) OVER (ORDER BY k DESC
+         |                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) = 1
+         |    AS rejected
+         |FROM f
+         |ORDER BY bh_rank""".stripMargin
+    }) { (s, d) =>
+    import s.implicits._
+    val cents = expr("cast(round(value * 100) as bigint)")
+    val cell = Tables.events(s, d)
+      .select(col("event_type"), (col("user_id") % 2).cast("long").as("arm"),
+        when(col("value").isNotNull, cents).as("y"))
+      .groupBy(col("event_type"), col("arm"))
+      .agg(count(lit(1)).as("n"), count(col("y")).as("ny"),
+        sum(col("y")).as("sy"), sum(col("y") * col("y")).as("ss"))
+    def side(a: Int, c: String, alias: String) =
+      max(when(col("arm") === a, col(c))).as(alias)
+    val t = broadcast(BhTypes.toDF("event_type"))
+      .join(cell, Seq("event_type"), "left_outer")
+      .groupBy(col("event_type"))
+      .agg(coalesce(side(0, "n", "x0"), lit(0L)).as("n0"),
+        coalesce(side(0, "ny", "x1"), lit(0L)).as("ny0"),
+        side(0, "sy", "sy0"), side(0, "ss", "ss0"),
+        coalesce(side(1, "n", "x2"), lit(0L)).as("n1"),
+        coalesce(side(1, "ny", "x3"), lit(0L)).as("ny1"),
+        side(1, "sy", "sy1"), side(1, "ss", "ss1"))
+    def vr(ss: org.apache.spark.sql.Column, sy: org.apache.spark.sql.Column,
+        ny: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+      (ss.cast("double") - sy.cast("double") * sy / ny) / (ny - 1) / ny
+    val varSum = vr(col("ss0"), col("sy0"), col("ny0")) +
+      vr(col("ss1"), col("sy1"), col("ny1"))
+    val hMean = t.select(col("event_type"), lit("mean_cents").as("metric"),
+      col("ny0").as("n0"), col("ny1").as("n1"),
+      when(col("ny0") >= 2 && col("ny1") >= 2,
+        // the variance-positivity guard keeps z NULL (both engines)
+        // instead of Spark-Inf-vs-DuckDB-NULL on zero variance
+        when(varSum > 0,
+          (col("sy0").cast("double") / col("ny0") -
+            col("sy1").cast("double") / col("ny1")) / sqrt(varSum)))
+        .as("z"))
+    val hRate = t.select(col("event_type"), lit("event_rate").as("metric"),
+      col("n0"), col("n1"),
+      when(col("n0") + col("n1") > 0,
+        (col("n0").cast("double") - col("n1")) /
+          sqrt((col("n0") + col("n1")).cast("double"))).as("z"))
+    val ranked = hMean.unionByName(hRate)
+      .withColumn("k",
+        row_number().over(Window.orderBy(
+          coalesce(abs(col("z")), lit(-1.0)).desc,
+          col("metric"), col("event_type"))).cast("long"))
+    val crit = broadcast(
+      BhCrit.zipWithIndex.map { case (c, i) => (i + 1L, c) }.toDF("k", "z_crit"))
+    ranked.join(crit, "k")
+      .withColumn("hit", when(abs(col("z")) >= col("z_crit"), 1).otherwise(0))
+      .withColumn("rejected",
+        max(col("hit")).over(Window.orderBy(col("k").desc)
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)) === 1)
+      .select(col("event_type"), col("metric"), col("n0"), col("n1"),
+        round(col("z"), 4).as("z"), col("k").as("bh_rank"), col("rejected"))
+      .orderBy(col("bh_rank"))
+  }
+
   val all: Seq[QueryDef] =
     Seq(q136BloomFilter, q137RankSumAuc, q138KsDrift, q139SourceImpurity,
       q141BenfordAudit, q143AbTest, q145MadOutliers, q147Calibration,
@@ -2036,5 +2195,5 @@ object StatisticsQueries {
       q167DidUplift, q175QqDrift, q176AbPower, q184BootstrapCi,
       q189CusumChangepoint, q195SurvivalHazard, q201TheilSen,
       q218QuantileNormalization, q220ConformalIntervals, q224Sprt,
-      q244LengthDrift)
+      q244LengthDrift, q251FdrControl)
 }

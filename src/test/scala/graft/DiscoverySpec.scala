@@ -260,6 +260,39 @@ class DiscoverySpec extends SparkSpec {
     spark.sharedState.cacheManager.clearCache()
   }
 
+  test("q216 exact-confirm budget: over-budget candidates stay sketch-graded, no exact exchange") {
+    import queries.MiningQueries
+    val est = MiningQueries.fdSketchEstimates(spark, sfDir)
+      .map { case ((t, a, b), lp) => (s"$t.$a->$b", t, lp) }
+    val nationP = est.collect { case (_, "nation", (_, p)) => p }.max
+    val otherMin = est.collect { case (_, t, (_, p)) if t != "nation" => p }.min
+    assert(nationP < otherMin,
+      s"fixture drift: nation must be the smallest candidate ($nationP vs $otherMin)")
+    spark.conf.set(MiningQueries.FdMaxExactPairsConf, nationP.toString)
+    try {
+      val df = Registry.byName("q216_fd_discovery").fn(spark, sfDir)
+      // only the in-budget strong FD is exact-confirmed and emitted …
+      val got = df.collect().map(_.getString(0)).toSet
+      assert(got == Set("nation.n_nationkey->n_regionkey"),
+        s"budget must keep only the nation FD in the exact phase: $got")
+      // … and the exact phase's PLAN touches no over-budget table:
+      // the sketch-graded candidates never reach a distinct exchange
+      val plan = df.queryExecution.executedPlan.toString
+      Seq("customer.parquet", "orders.parquet", "lineitem.parquet",
+        "documents.parquet").foreach { t =>
+        assert(!plan.contains(t),
+          s"over-budget table $t entered the exact-confirm plan")
+      }
+      // budget 0: nothing confirms, the report is empty and scan-free
+      spark.conf.set(MiningQueries.FdMaxExactPairsConf, "0")
+      val none = Registry.byName("q216_fd_discovery").fn(spark, sfDir)
+      assert(none.collect().isEmpty)
+      assert(!none.queryExecution.executedPlan.toString.contains(".parquet"),
+        "budget 0 must not scan anything in the exact phase")
+    } finally spark.conf.unset(MiningQueries.FdMaxExactPairsConf)
+    spark.sharedState.cacheManager.clearCache()
+  }
+
   test("q217 source saliency matches a driver log-odds recompute") {
     val got = Registry.byName("q217_source_saliency").fn(spark, sfDir).collect()
       .map(r => (r.getString(0), r.getLong(1), r.getString(2), r.getLong(3), r.getLong(4)))

@@ -364,4 +364,45 @@ class MultimodalSpec extends SparkSpec {
     }
     spark.sharedState.cacheManager.clearCache()
   }
+
+  test("q252 modality budget: parsed frame/patch tokens match the synthesis formulas exactly") {
+    val out = Registry.byName("q252_modality_budget").fn(spark, sfDir).collect()
+      .map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(5)))).toMap
+    assert(out.keySet == Set("text", "image", "audio", "video"))
+    // ground truth from doc ids + synthesis formulas (the ENGINE side
+    // reaches the same numbers through the real WAV/Y4M parses)
+    val ids = Tables.documents(spark, sfDir)
+      .select(col("doc_id")).collect().map(_.getLong(0))
+    val img = ids.filter(i => (i / 7) % 4 == 0)
+    val aud = ids.filter(_ % 5 == 2)
+    val vid = ids.filter(_ % 5 == 3)
+    assert(out("text")._1 == ids.length)
+    assert(out("image")._1 == img.length && out("audio")._1 == aud.length
+      && out("video")._1 == vid.length)
+    def imgTok(i: Long) = ((i % 13 + 3 + 1) / 2) * ((i % 7 + 3 + 1) / 2)
+    def audTok(i: Long) = (4096 + (i % 7) * 512 - 256) / 128 + 1
+    def vidTok(i: Long) = (24 + (i % 9) * 4) * 12
+    assert(out("image")._2 == img.map(imgTok).sum,
+      s"image patch tokens: ${out("image")._2}")
+    assert(out("audio")._2 == aud.map(audTok).sum,
+      s"audio frame tokens: ${out("audio")._2}")
+    assert(out("video")._2 == vid.map(vidTok).sum,
+      s"video frame-patch tokens: ${out("video")._2}")
+    // text tokens: driver recompute of the whitespace-token convention
+    val textTok = Tables.documents(spark, sfDir).select(col("text")).collect()
+      .map(r => if (r.isNullAt(0)) 0L
+        else r.getString(0).split(" ").count(_.nonEmpty).toLong).sum
+    assert(out("text")._2 == textTok, s"text tokens: ${out("text")._2}")
+    // shares: integer-bp floors sum to at most 10000 and within 4 of it
+    val shareSum = out.values.map(_._3).sum
+    assert(shareSum <= 10000 && shareSum > 10000 - 4, s"share sum $shareSum")
+    // dev is share - target by construction
+    val targets = Map("text" -> 7000L, "image" -> 1000L,
+      "audio" -> 1000L, "video" -> 1000L)
+    out.foreach { case (m, (_, _, share, dev)) =>
+      assert(dev == share - targets(m), s"$m dev mismatch")
+    }
+    spark.sharedState.cacheManager.clearCache()
+  }
 }

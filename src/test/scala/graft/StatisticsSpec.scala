@@ -1056,4 +1056,61 @@ class StatisticsSpec extends SparkSpec {
       "no source shows any drift — fixture lost its signal")
     spark.sharedState.cacheManager.clearCache()
   }
+
+  /** The q251 critical table, duplicated here so the spec recomputes
+    * BH independently of the query's own literals. */
+  private val BhCritSpec = IndexedSeq(
+    2.807034, 2.575829, 2.432379, 2.326348, 2.241403,
+    2.17009, 2.108358, 2.053749, 2.004654, 1.959964)
+
+  test("q251 BH control: driver recompute, prefix rejection, no false wins on the null split") {
+    val rows = Registry.byName("q251_fdr_control").fn(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3),
+        if (r.isNullAt(4)) None else Some(r.getDouble(4)),
+        r.getLong(5), r.getBoolean(6)))
+    assert(rows.length == 10, "fixed registry: 5 types x 2 metrics")
+    assert(rows.map(_._6).sorted.toSeq == (1L to 10L), "ranks must be 1..10")
+    // |z| non-increasing with rank (NULL z ranks last)
+    val byRank = rows.sortBy(_._6)
+    val zabs = byRank.map(_._5.map(math.abs).getOrElse(-1.0))
+    assert(zabs.zip(zabs.tail).forall { case (a, b) => a >= b },
+      s"rank order must be |z| descending: ${zabs.toSeq}")
+    // independent BH recompute from (|z|, rank)
+    val kmax = (1 to 10).filter(k => zabs(k - 1) >= BhCritSpec(k - 1))
+      .sorted.lastOption.getOrElse(0)
+    byRank.foreach { case (_, _, _, _, _, k, rej) =>
+      assert(rej == (k <= kmax), s"rank $k: BH recompute says ${k <= kmax}")
+    }
+    // the driver corpus's arm split is user_id parity — a NULL
+    // experiment, so nothing may clear FDR control
+    assert(kmax == 0 && rows.forall(!_._7),
+      s"null A/B split produced a 'significant' metric: kmax=$kmax")
+  }
+
+  test("q251 BH rejects a planted arm effect and only it") {
+    import spark.implicits._
+    // type 'click': arm 0 values hugely shifted, equal arm sizes so
+    // the rate metric stays null-effect; other registry types absent
+    val rows = (0 until 400).map { i =>
+      (i.toLong, java.sql.Timestamp.valueOf("2024-03-01 00:00:00"),
+        i.toLong, "click",
+        // deterministic jitter keeps within-arm variance positive
+        // (the zero-variance guard would otherwise NULL the z)
+        (if (i % 2 == 0) 50.0 else 1.0) + (i % 5) * 0.1, "{}")
+    }
+    val dir = java.nio.file.Files.createTempDirectory("graft_bh")
+      .toFile.getAbsolutePath
+    rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val out = Registry.byName("q251_fdr_control").fn(spark, dir).collect()
+      .map(r => ((r.getString(0), r.getString(1)), (r.getLong(5), r.getBoolean(6))))
+      .toMap
+    assert(out.size == 10, "absent registry types must still report")
+    val (rank, rejected) = out(("click", "mean_cents"))
+    assert(rank == 1L && rejected,
+      s"planted effect must be the top rejection: ${out(("click", "mean_cents"))}")
+    assert(out.filter(_._2._2).keySet == Set(("click", "mean_cents")),
+      s"only the planted effect may reject: ${out.filter(_._2._2).keySet}")
+    spark.sharedState.cacheManager.clearCache()
+  }
 }
