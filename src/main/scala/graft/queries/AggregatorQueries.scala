@@ -227,7 +227,9 @@ object AggregatorQueries {
            |  CAST(count(DISTINCT $c) AS BIGINT) AS n_distinct,
            |  CAST(min($c) AS DOUBLE) AS min_v,
            |  CAST(max($c) AS DOUBLE) AS max_v,
-           |  round(avg($c), 4) AS avg_v
+           |  CASE WHEN count($c) = 0 THEN NULL
+           |       ELSE CAST((100 * sum(CAST(round($c * 100) AS HUGEINT)))
+           |                 // count($c) AS DOUBLE) / 10000.0 END AS avg_v
            |FROM lineitem""".stripMargin)
       .mkString("SELECT * FROM (\n", "\nUNION ALL\n", "\n) ORDER BY col_name")) { (s, d) =>
     val cols = Seq("l_orderkey", "l_partkey", "l_suppkey", "l_linenumber",
@@ -241,10 +243,20 @@ object AggregatorQueries {
           count(col("v")).as("n_distinct"),
           min(col("v")).cast("double").as("min_v"),
           max(col("v")).cast("double").as("max_v"),
-          round(sum(when(col("v").isNotNull, col("v") * col("cnt")))
-            / sum(when(col("v").isNotNull, col("cnt"))), 4).as("avg_v"))
+          // EXACT mean at 4 decimals: integer-cent sum in
+          // decimal(38,0), integer floor-divide, ONE exact double at
+          // the end — a raw double avg is summation-order-dependent,
+          // and even an exact-sum round(.,4) hit a decimal round-half
+          // tie at sf1 (100009.80225); floor arithmetic has no ties
+          sum(when(col("v").isNotNull,
+            expr("cast(round(v * 100) as decimal(38,0))") * col("cnt")))
+            .as("s_cents"),
+          sum(when(col("v").isNotNull, col("cnt"))).as("n_nn"))
         .select(lit(c).as("col_name"), col("n_null"), col("n_distinct"),
-          col("min_v"), col("max_v"), col("avg_v"))
+          col("min_v"), col("max_v"),
+          when(col("n_nn") > 0,
+            expr("cast((100 * s_cents) div n_nn as double) / 10000.0"))
+            .as("avg_v"))
     }.reduce(_ unionAll _)
       .orderBy(col("col_name"))
   }

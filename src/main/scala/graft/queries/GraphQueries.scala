@@ -115,7 +115,19 @@ object GraphQueries {
           .as("anc"),
         when(col("node") >= 100, 1L).otherwise(0L).as("dist"))
       .localCheckpoint()
-    for (_ <- 1 to 8) {
+    // rounds derived from the DATA, not a constant: the deepest chain
+    // is max(key)/100 under the synthetic parent rule, and r doubling
+    // rounds cover depth 2^r — a fixed 8 silently under-resolved the
+    // 10x corpus (depth ~2000 needs 11; caught by the sf1 hash gate).
+    // One scalar max() job; overshoot rounds are fixpoint no-ops.
+    val maxKeyRow = anc.agg(max(col("node"))).head()
+    // empty forest: max is NULL — one round over nothing is a no-op
+    val maxDepth = math.max(1L,
+      (if (maxKeyRow.isNullAt(0)) 0L else maxKeyRow.getLong(0)) / 100L)
+    // ceil(log2(maxDepth)): after r rounds a jump spans 2^r parents
+    val rounds = math.max(1,
+      64 - java.lang.Long.numberOfLeadingZeros(math.max(1L, maxDepth - 1)))
+    for (_ <- 1 to rounds) {
       anc = anc.alias("a")
         .join(anc.alias("b"), col("a.anc") === col("b.node"))
         .select(col("a.node").as("node"), col("b.anc").as("anc"),

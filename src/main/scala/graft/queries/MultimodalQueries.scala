@@ -315,18 +315,28 @@ object MultimodalQueries {
         coalesce(sum(col("n_frames") * col("ppf")), lit(0L)).as("n_tokens"))
       .select(lit("video").as("modality"), col("n_items"), col("n_tokens"))
     val m = textM.unionByName(imgM).unionByName(audM).unionByName(vidM)
-    val tot = m.agg(sum(col("n_tokens")).as("total"))
     val tgt = Seq(("text", 7000L), ("image", 1000L),
       ("audio", 1000L), ("video", 1000L))
     val tgtDf = {
       import s.implicits._
       broadcast(tgt.toDF("modality", "target_bp"))
     }
-    m.join(tgtDf, "modality").crossJoin(broadcast(tot))
+    // total via an unpartitioned window over the 4-row modality
+    // relation (metadata — a separate m.agg() branch would re-evaluate
+    // all four corpus scans a second time)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy().rowsBetween(
+        org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.unboundedFollowing)
+    // empty-corpus totality: ANSI `div` throws on a zero total where
+    // DuckDB's `//` returns NULL — guard to NULL on both engines
+    val share = when(col("total") > 0,
+      expr("(10000 * n_tokens) div total"))
+    m.withColumn("total", sum(col("n_tokens")).over(w))
+      .join(tgtDf, "modality")
       .select(col("modality"), col("n_items"), col("n_tokens"),
-        expr("(10000 * n_tokens) div total").as("share_bp"),
-        col("target_bp"),
-        (expr("(10000 * n_tokens) div total") - col("target_bp")).as("dev_bp"))
+        share.as("share_bp"), col("target_bp"),
+        (share - col("target_bp")).as("dev_bp"))
       .orderBy(col("modality"))
   }
 

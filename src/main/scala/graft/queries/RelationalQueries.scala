@@ -22,33 +22,45 @@ object RelationalQueries {
 
   /** TPC-H Q1 style pricing summary: groupBy + 8 algebraic aggregates.
     * The direct generalization of the reference's reduce-side sum
-    * (reducer.c:23-38).
+    * (reducer.c:23-38). Money sums ride PER-ROW integer cents
+    * (`round(expr·100)` then an exact BIGINT sum) — `round(sum(...))`
+    * over raw doubles is summation-order-dependent, and at sf1 even
+    * the ORACLE's parallel sum flipped sum_charge's 2nd decimal
+    * between runs. Quantity is integral (exact in any order); the
+    * averages divide exact integer sums once at output.
     */
   val q01PricingSummary = QueryDef(
     "q01_pricing_summary",
     "groupBy(returnflag,linestatus) with sum/avg/count aggregates, partial+final HashAggregate",
     """SELECT l_returnflag, l_linestatus,
       |  round(sum(l_quantity), 2) AS sum_qty,
-      |  round(sum(l_extendedprice), 2) AS sum_base_price,
-      |  round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
-      |  round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
-      |  round(avg(l_quantity), 4) AS avg_qty,
-      |  round(avg(l_discount), 4) AS avg_disc,
+      |  CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS DOUBLE) / 100.0 AS sum_base_price,
+      |  CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)) AS DOUBLE) / 100.0 AS sum_disc_price,
+      |  CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * (1 + l_tax) * 100) AS BIGINT)) AS DOUBLE) / 100.0 AS sum_charge,
+      |  round(CAST(sum(CAST(l_quantity AS BIGINT)) AS DOUBLE) / count(*), 4) AS avg_qty,
+      |  round(CAST(sum(CAST(round(l_discount * 100) AS BIGINT)) AS DOUBLE) / (100.0 * count(*)), 4) AS avg_disc,
       |  count(*) AS count_order
       |FROM lineitem
       |WHERE l_shipdate <= TIMESTAMP '2000-09-02'
       |GROUP BY l_returnflag, l_linestatus
       |ORDER BY l_returnflag, l_linestatus""".stripMargin) { (s, d) =>
+    def cents(c: org.apache.spark.sql.Column) =
+      sum(round(c * 100).cast("long"))
     Tables.lineitem(s, d)
       .filter(col("l_shipdate") <= lit("2000-09-02").cast("timestamp"))
       .groupBy(col("l_returnflag"), col("l_linestatus"))
       .agg(
         round(sum(col("l_quantity")), 2).as("sum_qty"),
-        round(sum(col("l_extendedprice")), 2).as("sum_base_price"),
-        round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("sum_disc_price"),
-        round(sum(col("l_extendedprice") * (lit(1) - col("l_discount")) * (lit(1) + col("l_tax"))), 2).as("sum_charge"),
-        round(avg(col("l_quantity")), 4).as("avg_qty"),
-        round(avg(col("l_discount")), 4).as("avg_disc"),
+        (cents(col("l_extendedprice")).cast("double") / 100.0)
+          .as("sum_base_price"),
+        (cents(col("l_extendedprice") * (lit(1) - col("l_discount")))
+          .cast("double") / 100.0).as("sum_disc_price"),
+        (cents(col("l_extendedprice") * (lit(1) - col("l_discount"))
+          * (lit(1) + col("l_tax"))).cast("double") / 100.0).as("sum_charge"),
+        round(sum(col("l_quantity").cast("long")).cast("double")
+          / count(lit(1)), 4).as("avg_qty"),
+        round(cents(col("l_discount")).cast("double")
+          / (lit(100.0) * count(lit(1))), 4).as("avg_disc"),
         count(lit(1)).as("count_order"))
       .orderBy(col("l_returnflag"), col("l_linestatus"))
   }
@@ -65,14 +77,18 @@ object RelationalQueries {
       |WHERE l_shipdate >= TIMESTAMP '1999-01-01'
       |  AND l_shipdate < TIMESTAMP '1999-04-01'
       |  AND l_discount >= 0.05 AND l_quantity < 25
-      |ORDER BY l_orderkey, l_linenumber""".stripMargin) { (s, d) =>
+      |ORDER BY l_orderkey, l_linenumber, net_price""".stripMargin) { (s, d) =>
     Tables.lineitem(s, d)
       .filter(col("l_shipdate") >= lit("1999-01-01").cast("timestamp") &&
         col("l_shipdate") < lit("1999-04-01").cast("timestamp") &&
         col("l_discount") >= 0.05 && col("l_quantity") < 25)
       .select(col("l_orderkey"), col("l_linenumber"),
         (col("l_extendedprice") * (lit(1) - col("l_discount"))).as("net_price"))
-      .orderBy(col("l_orderkey"), col("l_linenumber"))
+      // net_price completes the total order: the synthetic corpus has
+      // duplicate (l_orderkey, l_linenumber) pairs (11785 at sf0.01),
+      // so a two-key sort left the dup block's internal order
+      // engine-dependent — first observed as a hash flip at sf1
+      .orderBy(col("l_orderkey"), col("l_linenumber"), col("net_price"))
   }
 
   /** Global sort + limit → Spark plans TakeOrderedAndProject (top-k

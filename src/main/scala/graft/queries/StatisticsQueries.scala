@@ -2155,21 +2155,25 @@ object StatisticsQueries {
       (ss.cast("double") - sy.cast("double") * sy / ny) / (ny - 1) / ny
     val varSum = vr(col("ss0"), col("sy0"), col("ny0")) +
       vr(col("ss1"), col("sy1"), col("ny1"))
-    val hMean = t.select(col("event_type"), lit("mean_cents").as("metric"),
-      col("ny0").as("n0"), col("ny1").as("n1"),
+    val zMean =
       when(col("ny0") >= 2 && col("ny1") >= 2,
         // the variance-positivity guard keeps z NULL (both engines)
         // instead of Spark-Inf-vs-DuckDB-NULL on zero variance
         when(varSum > 0,
           (col("sy0").cast("double") / col("ny0") -
             col("sy1").cast("double") / col("ny1")) / sqrt(varSum)))
-        .as("z"))
-    val hRate = t.select(col("event_type"), lit("event_rate").as("metric"),
-      col("n0"), col("n1"),
+    val zRate =
       when(col("n0") + col("n1") > 0,
         (col("n0").cast("double") - col("n1")) /
-          sqrt((col("n0") + col("n1")).cast("double"))).as("z"))
-    val ranked = hMean.unionByName(hRate)
+          sqrt((col("n0") + col("n1")).cast("double")))
+    // stack, never a self-union: a union of two projections of `t`
+    // would evaluate the whole upstream (the events scan) twice
+    val ranked = t
+      .select(col("event_type"), zMean.as("zm"), zRate.as("zr"),
+        col("ny0"), col("ny1"), col("n0"), col("n1"))
+      .select(col("event_type"),
+        expr("stack(2, 'mean_cents', ny0, ny1, zm," +
+          " 'event_rate', n0, n1, zr) as (metric, n0, n1, z)"))
       .withColumn("k",
         row_number().over(Window.orderBy(
           coalesce(abs(col("z")), lit(-1.0)).desc,
