@@ -229,64 +229,78 @@ object MiningQueries {
     * Scale shape: each rule is a `max_by` over a composite INTEGER
     * ordering (non-nullness · recency · priority folded into one
     * long), so the whole merge is a single partial-aggregable key
-    * shuffle — no window, no per-entity sort. The ordering keys are
-    * unique within every group (priority differs per feed), and
-    * non-nullness ranks FIRST where null args are possible — that
-    * pins both engines to the same winner (DuckDB `arg_max` skips
-    * null args; Spark `max_by` doesn't — with null-arg rows never
-    * winning, the divergence is unreachable, and an all-null group
-    * yields NULL in both).
+    * shuffle — no window, no per-entity sort. Every survivorship
+    * ordering is a TOTAL order: rule rank in the high bits, the
+    * source record id (custkey mod 2⁴⁰) in the low bits — without the
+    * id tiebreak a MERGED match key (e.g. the NULL-name group a
+    * null-bearing feed produces: hundreds of customers, many rows at
+    * the same rule rank) picks an engine-dependent winner, the fuzz
+    * class-B finding this closes. Non-nullness still ranks first
+    * where null args are possible (DuckDB `arg_max` skips null args;
+    * Spark `max_by` doesn't — a null-arg row never wins unless the
+    * whole group is null, which yields NULL in both).
     */
   val q120GoldenRecord = QueryDef(
     "q120_golden_record",
     "entity-resolution golden record: 3-feed survivorship merge (priority/non-null/recency rules), one key shuffle",
     """WITH feeds AS (
-      |  SELECT c_name AS name, 3 AS priority, c_custkey % 90 + 10 AS upd,
+      |  SELECT c_custkey AS rec, c_name AS name, 3 AS priority,
+      |    c_custkey % 90 + 10 AS upd,
       |    CASE WHEN c_custkey % 3 = 0 THEN NULL ELSE c_mktsegment END AS segment,
       |    c_acctbal AS acctbal
       |  FROM customer
       |  UNION ALL
-      |  SELECT upper(c_name), 2, c_custkey % 97 + 5, c_mktsegment,
+      |  SELECT c_custkey, upper(c_name), 2, c_custkey % 97 + 5, c_mktsegment,
       |    c_acctbal + 10.0
       |  FROM customer
       |  UNION ALL
-      |  SELECT c_name || '  ', 1, 3,
+      |  SELECT c_custkey, c_name || '  ', 1, 3,
       |    CASE WHEN c_custkey % 2 = 0 THEN NULL ELSE c_mktsegment END,
       |    0.0
       |  FROM customer)
       |SELECT lower(trim(name)) AS match_key,
       |  CAST(count(*) AS BIGINT) AS n_sources,
-      |  arg_max(name, priority) AS name,
+      |  arg_max(name, priority * 1099511627776 + rec % 1099511627776) AS name,
       |  arg_max(segment,
-      |    (CASE WHEN segment IS NOT NULL THEN 1 ELSE 0 END) * 10 + priority) AS segment,
-      |  arg_max(acctbal, upd * 10 + priority) AS acctbal,
+      |    ((CASE WHEN segment IS NOT NULL THEN 1 ELSE 0 END) * 10 + priority)
+      |      * 1099511627776 + rec % 1099511627776) AS segment,
+      |  arg_max(acctbal,
+      |    (upd * 10 + priority) * 1099511627776 + rec % 1099511627776) AS acctbal,
       |  CAST(max(upd) AS BIGINT) AS last_updated
       |FROM feeds
       |GROUP BY match_key
       |ORDER BY match_key""".stripMargin) { (s, d) =>
     val c = Tables.load(s, d, "customer")
-    val crm = c.select(col("c_name").as("name"), lit(3L).as("priority"),
+    val crm = c.select(col("c_custkey").as("rec"),
+      col("c_name").as("name"), lit(3L).as("priority"),
       (pmod(col("c_custkey"), lit(90L)) + 10L).as("upd"),
       when(pmod(col("c_custkey"), lit(3L)) === 0L, lit(null))
         .otherwise(col("c_mktsegment")).as("segment"),
       col("c_acctbal").as("acctbal"))
-    val web = c.select(upper(col("c_name")).as("name"), lit(2L).as("priority"),
+    val web = c.select(col("c_custkey").as("rec"),
+      upper(col("c_name")).as("name"), lit(2L).as("priority"),
       (pmod(col("c_custkey"), lit(97L)) + 5L).as("upd"),
       col("c_mktsegment").as("segment"),
       (col("c_acctbal") + 10.0).as("acctbal"))
-    val legacy = c.select(concat(col("c_name"), lit("  ")).as("name"),
+    val legacy = c.select(col("c_custkey").as("rec"),
+      concat(col("c_name"), lit("  ")).as("name"),
       lit(1L).as("priority"), lit(3L).as("upd"),
       when(pmod(col("c_custkey"), lit(2L)) === 0L, lit(null))
         .otherwise(col("c_mktsegment")).as("segment"),
       lit(0.0).as("acctbal"))
+    // record-id tiebreak in the low 40 bits totalizes every ordering
+    val tb = lit(1099511627776L) // 2^40
+    def ord(rank: org.apache.spark.sql.Column) =
+      rank * tb + pmod(col("rec"), tb)
     crm.unionAll(web).unionAll(legacy)
       .groupBy(lower(trim(col("name"))).as("match_key"))
       .agg(count(lit(1)).as("n_sources"),
-        max_by(col("name"), col("priority")).as("name"),
+        max_by(col("name"), ord(col("priority"))).as("name"),
         max_by(col("segment"),
-          col("segment").isNotNull.cast("long") * 10L + col("priority"))
+          ord(col("segment").isNotNull.cast("long") * 10L + col("priority")))
           .as("segment"),
-        max_by(col("acctbal"), col("upd") * 10L + col("priority")).as("acctbal"),
+        max_by(col("acctbal"), ord(col("upd") * 10L + col("priority")))
+          .as("acctbal"),
         max(col("upd")).as("last_updated"))
       .orderBy(col("match_key"))
   }

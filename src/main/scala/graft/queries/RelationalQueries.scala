@@ -378,7 +378,10 @@ object RelationalQueries {
       |FROM p a
       |WHERE NOT EXISTS (
       |  SELECT 1 FROM p b
-      |  WHERE b.p_brand = a.p_brand
+      |  -- null-safe brand match: the skyline GROUPS by brand, and a
+      |  -- NULL brand is one group (= the engine's groupBy semantics);
+      |  -- a bare `=` would exempt every NULL-brand row from dominance
+      |  WHERE b.p_brand IS NOT DISTINCT FROM a.p_brand
       |    AND b.price_c <= a.price_c AND b.p_size >= a.p_size
       |    AND (b.price_c < a.price_c OR b.p_size > a.p_size))
       |ORDER BY p_brand, p_partkey""".stripMargin) { (s, d) =>

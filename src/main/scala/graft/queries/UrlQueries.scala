@@ -326,15 +326,21 @@ object UrlQueries {
           UrlFunctions.urlHost(col("url")).as("domain"))
         .groupBy(col("canon_url"))
         .agg(min(col("domain")).as("domain"),
-          min_by(md5(col("text")), col("doc_id")).as("digest"))
+          // q122's arg_min parity pin: DuckDB skips NULL digests
+          // (null text), Spark min_by would return them
+          min_by(md5(col("text")),
+            when(col("text").isNotNull, col("doc_id"))).as("digest"))
     val a = urlView(v1).select(col("canon_url"),
       col("domain").as("dom_a"), col("digest").as("dig_a"))
     val b = urlView(v2).select(col("canon_url"),
       col("domain").as("dom_b"), col("digest").as("dig_b"))
     a.join(b, Seq("canon_url"), "full_outer")
       .select(coalesce(col("dom_a"), col("dom_b")).as("domain"),
-        when(col("dig_a").isNull, "added")
-          .when(col("dig_b").isNull, "deleted")
+        // presence is tested on the never-null DOMAIN, not the digest:
+        // a URL whose surviving text is NULL has a NULL digest while
+        // still existing on that side (the oracle tests canon_url)
+        when(col("dom_a").isNull, "added")
+          .when(col("dom_b").isNull, "deleted")
           .when(col("dig_a") =!= col("dig_b"), "changed")
           .otherwise("unchanged").as("status"))
       .groupBy(col("domain"), col("status"))

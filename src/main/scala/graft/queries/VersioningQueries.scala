@@ -273,7 +273,10 @@ object VersioningQueries {
       |  FROM documents s FULL OUTER JOIN delta d ON s.doc_id = d.doc_id
       |  WHERE coalesce(d.op, '') <> 'D')
       |SELECT lang, source, CAST(count(*) AS BIGINT) AS n_docs,
-      |  CAST(sum(length(text)) AS BIGINT) AS total_chars
+      |  -- coalesce: a group whose surviving texts are all NULL
+      |  -- reports 0 chars, matching the incremental side's exact
+      |  -- integer delta arithmetic
+      |  CAST(coalesce(sum(length(text)), 0) AS BIGINT) AS total_chars
       |FROM v2
       |GROUP BY lang, source
       |ORDER BY lang, source""".stripMargin) { (s, d) =>
@@ -289,14 +292,30 @@ object VersioningQueries {
       .select(col("lang"), col("source"),
         when(col("op") === "I", 1L).when(col("op") === "D", -1L)
           .otherwise(0L).as("d_docs"),
-        when(col("op") === "I", length(col("text")).cast("long"))
-          .when(col("op") === "D", -col("old_len"))
-          .otherwise(length(col("text")).cast("long") - col("old_len"))
+        // null-safe lengths: an Update that REPLACES text with NULL
+        // must still retract the old length (a bare NULL−old would
+        // drop the whole delta from the sum), and a NULL old side
+        // contributes zero — NULL text counts as zero chars
+        when(col("op") === "I",
+          coalesce(length(col("text")).cast("long"), lit(0L)))
+          .when(col("op") === "D", -coalesce(col("old_len"), lit(0L)))
+          .otherwise(coalesce(length(col("text")).cast("long"), lit(0L))
+            - coalesce(col("old_len"), lit(0L)))
           .as("d_chars"))
       .groupBy(col("lang"), col("source"))
       .agg(sum(col("d_docs")).as("d_docs"), sum(col("d_chars")).as("d_chars"))
-    base.join(contrib, Seq("lang", "source"), "full_outer")
-      .select(col("lang"), col("source"),
+    // NULL-SAFE merge keys: a (NULL-lang, src) group exists on BOTH
+    // sides under a NULL-bearing feed, and a plain equi full-outer
+    // would emit it twice (base row + contrib row) instead of merging
+    // — the engine-side twin of SQL's GROUP BY null-as-group
+    val cc = contrib
+      .withColumnRenamed("lang", "c_lang")
+      .withColumnRenamed("source", "c_source")
+    base.join(cc,
+        col("lang") <=> col("c_lang") && col("source") <=> col("c_source"),
+        "full_outer")
+      .select(coalesce(col("lang"), col("c_lang")).as("lang"),
+        coalesce(col("source"), col("c_source")).as("source"),
         (coalesce(col("b_docs"), lit(0L)) + coalesce(col("d_docs"), lit(0L)))
           .as("n_docs"),
         (coalesce(col("b_chars"), lit(0L)) + coalesce(col("d_chars"), lit(0L)))

@@ -38,17 +38,18 @@ CLASSES = {
          "(approx_percentile) flipping a boolean near the band edge",
 }
 # Round-15 closures: class A (NULL order keys) pinned engine-side
-# (asc_nulls_last / NULLS LAST / observed-values-only CDFs), class C
-# (empty-input () rows) via Degenerate.emptyGrandTotal, and three
-# class-D cells fixed for real (q74 tail clamp, q48 UTF-8 byte-sum
-# oracle, q235 codepoint BPE symbols). What remains documented below
-# is the irreducible cross-engine set: 3VL/argmax NULL semantics (B),
-# sketch-at-band-edge (E), and locale case folding İ/ß (D).
+# (asc_nulls_last / NULLS LAST / observed-values-only CDFs), class B
+# (NULL comparison/argmax) pinned via null-safe group matches,
+# record-id-totalized survivorship orderings and presence-vs-digest
+# separation (q102/q120/q130/q182), class C (empty-input () rows) via
+# Degenerate.emptyGrandTotal, and three class-D cells fixed for real
+# (q74 tail clamp, q48 UTF-8 byte-sum oracle, q235 codepoint BPE
+# symbols). What remains documented below is the irreducible
+# cross-engine set: sketch-at-band-edge (E) and locale case folding
+# İ/ß (D — JDK full mapping vs utf8proc simple mapping).
 DOCUMENTED = {
     "nulls": {
-        "q102_skyline": "B", "q112_quantile_sketch_gate": "E",
-        "q120_golden_record": "B", "q130_view_maintenance": "B",
-        "q182_recrawl_diff": "B",
+        "q112_quantile_sketch_gate": "E",
     },
     "empty": {},
     "unicode": {
