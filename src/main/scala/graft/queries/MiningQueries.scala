@@ -258,7 +258,9 @@ object MiningQueries {
       |    CASE WHEN c_custkey % 2 = 0 THEN NULL ELSE c_mktsegment END,
       |    0.0
       |  FROM customer)
-      |SELECT lower(trim(name)) AS match_key,
+      |SELECT replace(
+      |    regexp_replace(nfc_normalize(lower(trim(name))), '\pM', '', 'g'),
+      |    'ß', 'ss') AS match_key,
       |  CAST(count(*) AS BIGINT) AS n_sources,
       |  arg_max(name, priority * 1099511627776 + rec % 1099511627776) AS name,
       |  arg_max(segment,
@@ -270,6 +272,7 @@ object MiningQueries {
       |FROM feeds
       |GROUP BY match_key
       |ORDER BY match_key""".stripMargin) { (s, d) =>
+    graft.plans.GraftFunctions.register(s) // native unicode_normalize
     val c = Tables.load(s, d, "customer")
     val crm = c.select(col("c_custkey").as("rec"),
       col("c_name").as("name"), lit(3L).as("priority"),
@@ -292,8 +295,22 @@ object MiningQueries {
     val tb = lit(1099511627776L) // 2^40
     def ord(rank: org.apache.spark.sql.Column) =
       rank * tb + pmod(col("rec"), tb)
+    // MARK-INSENSITIVE, FULL-CASEFOLDED blocking key: NFC + strip
+    // \p{M} after the case fold, then ß→ss. Standard MDM blocking
+    // hygiene AND the engine-parity pin for locale folding: JDK
+    // lower('İ') is the FULL mapping i+U+0307 while utf8proc's is the
+    // simple 'i' (compose-then-strip-marks lands both on 'i'), and
+    // JDK upper('ß') is the full 'SS' while utf8proc keeps 'ß'
+    // (folding ß→ss lands both on 'ss'). ASCII keys are untouched;
+    // é survives as its NFC composition.
     crm.unionAll(web).unionAll(legacy)
-      .groupBy(lower(trim(col("name"))).as("match_key"))
+      .groupBy(
+        regexp_replace(
+          regexp_replace(
+            call_function("unicode_normalize", lower(trim(col("name"))),
+              lit("NFC")),
+            lit("\\p{M}"), lit("")),
+          lit("ß"), lit("ss")).as("match_key"))
       .agg(count(lit(1)).as("n_sources"),
         max_by(col("name"), ord(col("priority"))).as("name"),
         max_by(col("segment"),
