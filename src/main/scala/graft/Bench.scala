@@ -156,6 +156,12 @@ object Bench {
     // SPARK_GRAFT_BENCH_RETRY=off disables (local iteration).
     var results = refine(firstPass)
     var benchPasses = 1
+    // gate diagnostics must describe whichever passes actually ran:
+    // a pass-2 gate give-up folded in as OR, and pass 2's observed
+    // load recorded alongside pass 1's, so the kept numbers are never
+    // described by only the other pass's gate
+    var gateGaveUpAny = gateGaveUp
+    var pass2Load = Double.NaN
     val firstTotal = totalOf(results)
     val retryOn = !sys.env.get("SPARK_GRAFT_BENCH_RETRY")
       .exists(_.equalsIgnoreCase("off"))
@@ -163,7 +169,9 @@ object Bench {
       System.err.println(
         s"[bench] pass 1 reads contended (outliers=${outliersOf(results)}, " +
           f"med_spread_major=${majorSpreadOf(results)}%.2f) — re-gating and re-running once")
-      waitForIdle()
+      val (l2, _, g2) = waitForIdle()
+      pass2Load = l2
+      gateGaveUpAny ||= g2
       val second = refine(timedSweep())
       benchPasses = 2
       val (ms2, ms1) = (majorSpreadOf(second), majorSpreadOf(results))
@@ -242,9 +250,11 @@ object Bench {
     // gated-and-clean run from a gave-up-and-ran-anyway one, and a
     // retried run carries its poisoned first total for comparison
     val gateStr = sys.env.getOrElse("SPARK_GRAFT_LOAD_GATE", "0.5")
+    val pass2LoadField =
+      if (pass2Load.isNaN) "" else s""""loadavg_pass2":${r4(pass2Load)},"""
     val loads =
       s""""loadavg_start":${r4(loadAtStart)},"loadavg_end":${r4(loadEnd)},""" +
-        s""""load_gate":"$gateStr","gate_gave_up":$gateGaveUp,""" +
+        s""""load_gate":"$gateStr","gate_gave_up":$gateGaveUpAny,$pass2LoadField""" +
         s""""bench_passes":$benchPasses,"pass1_total":${r4(firstTotal)}"""
     val LineBudget = 1200
     // "metric"/"value"/"unit" lead the object: the driver contract is a

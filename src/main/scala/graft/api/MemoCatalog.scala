@@ -115,11 +115,25 @@ object MemoCatalog {
       tmp: Path, dst: Path, s: SparkSession): Unit = {
     val scheme = Option(fs.getUri.getScheme).getOrElse("file")
     if (scheme == "file") {
+      // The nio move bypasses Hadoop's ChecksumFileSystem, so the
+      // checksum sidecars must be cleared by hand: a stale
+      // `.manifest.json.crc` (left by an fs.rename from an older
+      // code path) would fail verification on EVERY later
+      // fs.open(manifest.json) — readManifest ⇒ None ⇒ the memo
+      // silently rebuilds forever, the exact stampede this swap
+      // exists to close — and `fs.create(tmp)`'s own sidecar would
+      // otherwise leak one orphan per swap. A missing .crc merely
+      // skips verification, so deleting is always safe.
+      def crc(p: Path) = new Path(p.getParent, s".${p.getName}.crc")
+      try fs.delete(crc(dst), false)
+      catch { case _: java.io.IOException => () }
       java.nio.file.Files.move(
         java.nio.file.Paths.get(tmp.toUri.getPath),
         java.nio.file.Paths.get(dst.toUri.getPath),
         java.nio.file.StandardCopyOption.ATOMIC_MOVE,
         java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      try fs.delete(crc(tmp), false)
+      catch { case _: java.io.IOException => () }
     } else try {
       val fc = org.apache.hadoop.fs.FileContext.getFileContext(
         dst.toUri, s.sparkContext.hadoopConfiguration)
@@ -145,7 +159,33 @@ object MemoCatalog {
       case None => build.localCheckpoint()
       case Some(root) =>
         require(inputs.nonEmpty, "memo inputs must be declared")
-        val fp = inputs.map(fingerprint).mkString("_")
+        readThroughFp(s, root, name, inputs.map(fingerprint).mkString("_"))(build)
+    }
+
+  /** Versioned-input variant: the caller vouches for input identity
+    * with an externally-meaningful snapshot/version token (a lakehouse
+    * snapshot id, a partition watermark, an ingest batch id), and the
+    * catalog skips the fingerprint scan entirely — zero input reads on
+    * a warm reuse. The token IS the invalidation key: the same token
+    * MUST always denote the same input content (the versioned-table
+    * contract); a different token forces a rebuild exactly like a
+    * fingerprint mismatch ("stale-token rebuild"). Use [[readThrough]]
+    * when no such token exists — the fingerprint scan remains the
+    * unversioned fallback. Token and fingerprint keyspaces are
+    * disjoint (`v-` prefix), so switching a memo between the two modes
+    * can never alias a reuse.
+    */
+  def readThroughVersioned(s: SparkSession, name: String, version: String)
+      (build: => DataFrame): DataFrame =
+    s.conf.getOption(DirConf) match {
+      case None => build.localCheckpoint()
+      case Some(root) =>
+        require(version.nonEmpty, "version token must be non-empty")
+        readThroughFp(s, root, name, s"v-${sanitize(version)}")(build)
+    }
+
+  private def readThroughFp(s: SparkSession, root: String, name: String,
+      fp: String)(build: => DataFrame): DataFrame = {
         val dir = new Path(root, sanitize(name))
         val fs = dir.getFileSystem(s.sparkContext.hadoopConfiguration)
         val mf = new Path(dir, "manifest.json")

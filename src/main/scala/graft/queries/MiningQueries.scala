@@ -805,6 +805,12 @@ object MiningQueries {
   val FdMaxExactPairsConf = "spark.graft.fd.maxExactPairs"
   val FdMaxExactPairsDefault: Long = 1L << 24
 
+  /** Sketch-survivorship bar in basis points, shared by
+    * [[fdSketchSurvivors]]'s default and q216's inline budget filter
+    * so the two refute paths cannot silently drift apart.
+    */
+  val FdSurvBpDefault: Long = 6000L
+
   private def fdMaxExactPairs(s: org.apache.spark.sql.SparkSession): Long =
     s.conf.getOption(FdMaxExactPairsConf).map(_.toLong)
       .getOrElse(FdMaxExactPairsDefault)
@@ -841,7 +847,7 @@ object MiningQueries {
 
   private[graft] def fdSketchSurvivors(
       s: org.apache.spark.sql.SparkSession, d: String,
-      survBp: Long = 6000L): Seq[(String, String, String)] =
+      survBp: Long = FdSurvBpDefault): Seq[(String, String, String)] =
     fdSketchEstimates(s, d).collect {
       case (c, (l, p)) if 10000L * l >= survBp * p => c
     }
@@ -908,7 +914,7 @@ object MiningQueries {
       // the cluster's shuffle
       val budget = fdMaxExactPairs(s)
       val survivors = fdSketchEstimates(s, d).collect {
-        case (c, (l, p)) if 10000L * l >= 6000L * p && p <= budget => c
+        case (c, (l, p)) if 10000L * l >= FdSurvBpDefault * p && p <= budget => c
       }
       val out = if (survivors.isEmpty) {
         s.range(0).select(lit("").as("fd"), lit(0L).as("n_lhs"),

@@ -123,10 +123,89 @@ class MemoCatalogSpec extends SparkSpec {
     assert(results.forall(_ == expect), s"racing rebuild corrupted a result")
     assert(missing == 0,
       s"manifest vanished $missing time(s) mid-swap — swap is not atomic")
-    assert(builds.get() == 3, s"both racers must rebuild: ${builds.get()}")
+    // timing-dependent: if one racer completes its swap before the
+    // other reads the stale manifest, the second REUSES (2 builds);
+    // if both read stale first, both rebuild (3). Either is correct —
+    // the invariant is no corruption, not a specific interleaving.
+    assert(builds.get() >= 2 && builds.get() <= 3,
+      s"unexpected build count under race: ${builds.get()}")
     // whoever lost, the surviving manifest names a complete data dir
-    assert(get() == expect && builds.get() == 3,
+    val settled = builds.get()
+    assert(get() == expect && builds.get() == settled,
       "post-race read must hit the winner's memo without rebuilding")
+  }
+
+  test("a stale checksum sidecar cannot poison the manifest forever") {
+    // Hadoop's LOCAL fs is a ChecksumFileSystem: a `.manifest.json.crc`
+    // left by an out-of-band writer (or an older fs.rename-based swap)
+    // fails verification on every fs.open — readManifest ⇒ None ⇒ the
+    // memo would silently rebuild on EVERY access. The swap must clear
+    // the sidecar so at most ONE rebuild is paid, and must not leak
+    // tmp-file sidecars of its own.
+    val root = freshRoot()
+    var builds = 0
+    def get(): Long = withMemoDir(root) {
+      MemoCatalog.readThrough(spark, "mcrc", Seq(corpus("a"))) {
+        builds += 1; corpus("a").select(col("id"))
+      }.count()
+    }
+    assert(get() == 3 && builds == 1)
+    val dir = java.nio.file.Paths.get(s"$root/mcrc")
+    Files.write(dir.resolve(".manifest.json.crc"),
+      Array[Byte](0x63, 0x72, 0x63, 0x00, 0x00, 0x00, 0x02, 0x00, 0x01))
+    val afterPoison = { get(); builds } // one rebuild is acceptable here
+    assert(get() == 3 && builds == afterPoison,
+      s"stale .crc still poisoning the manifest: $afterPoison -> $builds")
+    assert(get() == 3 && builds == afterPoison)
+    // no orphaned tmp sidecars accumulate across the swaps above
+    val orphans = new java.io.File(s"$root/mcrc").listFiles()
+      .map(_.getName).filter(n => n.startsWith(".manifest.json.tmp")).toSeq
+    assert(orphans.isEmpty, s"leaked checksum sidecars: $orphans")
+  }
+
+  test("versioned token: reuse without ANY input scan; stale token rebuilds") {
+    val root = freshRoot()
+    var builds = 0
+    def get(token: String, tag: String): Set[String] = withMemoDir(root) {
+      MemoCatalog.readThroughVersioned(spark, "mver", token) {
+        builds += 1
+        corpus(tag).select(col("txt"))
+      }.collect().map(_.getString(0)).toSet
+    }
+    assert(get("snap-001", "a") == Set("alpha a", "beta a", "gamma a"))
+    assert(builds == 1)
+    // warm reuse: the build closure must never run — readThroughVersioned
+    // takes no input relations, so reuse is zero-scan BY CONSTRUCTION
+    // (there is nothing to fingerprint); prove the closure stays cold
+    val reused = withMemoDir(root) {
+      MemoCatalog.readThroughVersioned(spark, "mver", "snap-001") {
+        fail("build must not run on a token match"); corpus("a")
+      }.collect().map(_.getString(0)).toSet
+    }
+    assert(reused == Set("alpha a", "beta a", "gamma a"))
+    // stale token ⇒ rebuild, and the served relation reflects the new build
+    assert(get("snap-002", "b") == Set("alpha b", "beta b", "gamma b"),
+      "stale token served the old snapshot's memo")
+    assert(builds == 2)
+    // returning to a previously-seen token is a MISMATCH against the
+    // live manifest (tokens are not a history): rebuild again
+    assert(get("snap-001", "a") == Set("alpha a", "beta a", "gamma a"))
+    assert(builds == 3)
+    // token keyspace is disjoint from fingerprints: an unversioned
+    // readThrough on the same name never aliases a token-built memo
+    val viaFp = withMemoDir(root) {
+      MemoCatalog.readThrough(spark, "mver", Seq(corpus("a"))) {
+        builds += 1; corpus("a").select(col("txt"))
+      }.collect().map(_.getString(0)).toSet
+    }
+    assert(viaFp == Set("alpha a", "beta a", "gamma a") && builds == 4,
+      "fingerprint mode aliased a version-token memo")
+    // conf off: pass-through, like readThrough
+    assert(spark.conf.getOption(MemoCatalog.DirConf).isEmpty)
+    val pt = MemoCatalog.readThroughVersioned(spark, "mver", "snap-001") {
+      builds += 1; corpus("c").select(col("txt"))
+    }
+    assert(pt.count() == 3 && builds == 5)
   }
 
   test("manifest naming a missing data dir recovers by rebuild") {
