@@ -110,16 +110,22 @@ object PageRank {
     */
   def personalizedOracleSql(edgesSql: String, seedsSql: String,
       k: Int): String = {
+    // MATERIALIZED throughout: DuckDB 1.0 otherwise INLINES each CTE
+    // at every reference, so `e` (often a corpus-sized self-join) is
+    // recomputed inside all k unrolled rounds — the q191 failure mode
+    // (measured ~1000× there; q225's sf1 replay blew the 600 s oracle
+    // budget the same way). Values are unchanged; only the replay
+    // cost moves.
     val base =
-      s"""e AS ($edgesSql),
-         |wdeg AS (SELECT src AS node, sum(w) AS wdeg FROM e GROUP BY src),
-         |sd AS ($seedsSql),
-         |pbase AS (SELECT wdeg.node, wdeg.wdeg, sd.node IS NOT NULL AS is_seed
+      s"""e AS MATERIALIZED ($edgesSql),
+         |wdeg AS MATERIALIZED (SELECT src AS node, sum(w) AS wdeg FROM e GROUP BY src),
+         |sd AS MATERIALIZED ($seedsSql),
+         |pbase AS MATERIALIZED (SELECT wdeg.node, wdeg.wdeg, sd.node IS NOT NULL AS is_seed
          |          FROM wdeg LEFT JOIN sd ON sd.node = wdeg.node),
-         |s0 AS (SELECT node, CAST(CASE WHEN is_seed THEN $Scale ELSE 0 END AS BIGINT) AS score
+         |s0 AS MATERIALIZED (SELECT node, CAST(CASE WHEN is_seed THEN $Scale ELSE 0 END AS BIGINT) AS score
          |       FROM pbase)""".stripMargin
     val iters = (1 to k).map { i =>
-      s"""s$i AS (
+      s"""s$i AS MATERIALIZED (
          |  SELECT pbase.node,
          |    CAST((CASE WHEN pbase.is_seed THEN ${150L * Scale / 1000L} ELSE 0 END)
          |      + coalesce(m.in_mass, 0) AS BIGINT) AS score
@@ -139,12 +145,14 @@ object PageRank {
     * `edgesSql` must SELECT (src, dst, w).
     */
   def oracleSql(edgesSql: String, k: Int): String = {
+    // MATERIALIZED for the same reason as [[personalizedOracleSql]]:
+    // without it DuckDB re-inlines `e` into every unrolled round.
     val base =
-      s"""e AS ($edgesSql),
-         |wdeg AS (SELECT src AS node, sum(w) AS wdeg FROM e GROUP BY src),
-         |s0 AS (SELECT node, CAST($Scale AS BIGINT) AS score FROM wdeg)""".stripMargin
+      s"""e AS MATERIALIZED ($edgesSql),
+         |wdeg AS MATERIALIZED (SELECT src AS node, sum(w) AS wdeg FROM e GROUP BY src),
+         |s0 AS MATERIALIZED (SELECT node, CAST($Scale AS BIGINT) AS score FROM wdeg)""".stripMargin
     val iters = (1 to k).map { i =>
-      s"""s$i AS (
+      s"""s$i AS MATERIALIZED (
          |  SELECT wdeg.node,
          |    ${150L * Scale / 1000L} + coalesce(m.in_mass, 0) AS score
          |  FROM wdeg LEFT JOIN (

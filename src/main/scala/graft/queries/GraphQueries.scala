@@ -498,21 +498,20 @@ object GraphQueries {
     "q225_personalized_pagerank",
     "personalized PageRank from 3 seed parts on the co-purchase graph: exact integer fixed-point, 4 rounds, top-30",
     s"""${graft.api.PageRank.personalizedOracleSql(
-      """SELECT u AS src, v AS dst, c AS w FROM (
+      // one pp evaluation, symmetrized by a 2-row dir relation —
+      // spelling the pp self-join twice (once per direction) doubled
+      // the heaviest subquery even under the MATERIALIZED `e`
+      """SELECT CASE d.dir WHEN 0 THEN pp.u ELSE pp.v END AS src,
+        |        CASE d.dir WHEN 0 THEN pp.v ELSE pp.u END AS dst,
+        |        pp.c AS w
+        |      FROM (
         |        SELECT a.p AS u, b.p AS v, count(*) AS c
         |        FROM (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem) a
         |        JOIN (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem) b
         |          ON a.o = b.o AND a.p < b.p
-        |        GROUP BY a.p, b.p) pp
-        |      WHERE c >= 2
-        |      UNION ALL
-        |      SELECT v AS src, u AS dst, c AS w FROM (
-        |        SELECT a.p AS u, b.p AS v, count(*) AS c
-        |        FROM (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem) a
-        |        JOIN (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem) b
-        |          ON a.o = b.o AND a.p < b.p
-        |        GROUP BY a.p, b.p) pp
-        |      WHERE c >= 2""".stripMargin,
+        |        GROUP BY a.p, b.p
+        |        HAVING count(*) >= 2) pp
+        |      CROSS JOIN (SELECT 0 AS dir UNION ALL SELECT 1) d""".stripMargin,
       "SELECT DISTINCT src AS node FROM e ORDER BY node LIMIT 3", 4)}
        |SELECT node AS p_partkey, score AS ppr_micro FROM s4
        |ORDER BY score DESC, node LIMIT 30""".stripMargin) { (s, d) =>

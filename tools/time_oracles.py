@@ -6,6 +6,7 @@ duplicate-CTE inlining re-evaluating unrolled iteration chains).
 Usage: python3 tools/time_oracles.py <sfDir> <verifyOutDir> [minSecs]
 """
 import json
+import os
 import sys
 import time
 
@@ -17,8 +18,12 @@ TABLES = ["region", "nation", "customer", "supplier", "part",
 def main(sf_dir, out_dir, min_secs=0.5):
     con = duckdb.connect()
     for t in TABLES:
-        con.execute(
-            f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+        # driver SFs are single files; ScaleData output is a DIRECTORY
+        # of part files — glob those (same convention as check_oracle)
+        path = f"{sf_dir}/{t}.parquet"
+        if os.path.isdir(path):
+            path = f"{path}/*.parquet"
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{path}'")
     oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
     rows = []
     for name, sql in sorted(oracle.items()):
