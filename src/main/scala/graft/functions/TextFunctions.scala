@@ -26,6 +26,29 @@ object TextFunctions {
   /** One row per non-empty token — the reference's flatMap contract. */
   def explodeTokens(text: Column): Column = explode(tokens(text))
 
+  /** Case-fold mode conf: `full` (default — the JVM's full Unicode
+    * lowercase, SpecialCasing.txt included) or `simple` (the 1:1
+    * UnicodeData.txt mapping — what C `towlower`, utf8proc, and
+    * therefore DuckDB's `lower()` apply). The two differ on exactly
+    * one non-locale lowercase mapping: U+0130 İ, which full-cases to
+    * "i"+U+0307 (two codepoints) but simple-folds to "i". Default
+    * stays `full` (the JVM-native behavior); `simple` opts into
+    * oracle/reference-matched folding — the documented escape hatch
+    * for the one irreducible fuzz-unicode cell.
+    */
+  val FoldConf = "spark.graft.fold"
+
+  /** [[tokens]] under SIMPLE case folding: İ→i pre-substituted (the
+    * sole toLowerCase special mapping), then the JVM lower — equal to
+    * utf8proc's simple fold on all inputs the full/simple modes
+    * disagree on.
+    */
+  def tokensSimple(text: Column): Column =
+    split(lower(translate(text, "İ", "i")), TokenDelim)
+
+  /** [[explodeTokens]] under simple folding (see [[FoldConf]]). */
+  def explodeTokensSimple(text: Column): Column = explode(tokensSimple(text))
+
   /** Whitespace token count without exploding (cheap path for quality
     * scoring): number of non-empty whitespace-separated tokens.
     */

@@ -652,6 +652,16 @@ object AggregatorQueries {
     * flag true iff within 2ε·n + 1 (lenient two-sided form covering
     * the ≤-vs-< rank convention). A sketch regression (or a broken
     * merge) flips a flag and fails the hash compare.
+    *
+    * NULL semantics (fuzz class E closure, round 16): the sketch sees
+    * only NON-NULL values, so the rank gate must too — `nn =
+    * count(value)` is the GK n the ε·n guarantee is stated over, while
+    * the emitted `n` stays count(*) (the group's size, NULLs
+    * included, matching the oracle). The ap-broadcast join is
+    * NULL-SAFE (`<=>`): a NULL event_type group must keep its row, not
+    * vanish through an inner equi-join. An all-NULL group gates true
+    * vacuously (le = 0, nn = 0). Output order pins NULLS LAST on both
+    * engines.
     */
   val q112QuantileSketchGate = QueryDef(
     "q112_quantile_sketch_gate",
@@ -660,23 +670,23 @@ object AggregatorQueries {
       |  true AS ok50, true AS ok90
       |FROM events
       |GROUP BY event_type
-      |ORDER BY event_type""".stripMargin) { (s, d) =>
+      |ORDER BY event_type NULLS LAST""".stripMargin) { (s, d) =>
     val ev = Tables.events(s, d).select(col("event_type"), col("value"))
     val aps = ev.groupBy(col("event_type"))
       .agg(expr("approx_percentile(value, array(0.5, 0.9), 100)").as("ap"),
-        count(lit(1)).as("n"))
-      .select(col("event_type"),
+        count(lit(1)).as("n"), count(col("value")).as("nn"))
+      .select(col("event_type").as("apt"),
         element_at(col("ap"), 1).as("ap50"),
-        element_at(col("ap"), 2).as("ap90"), col("n"))
-    ev.join(broadcast(aps), "event_type")
+        element_at(col("ap"), 2).as("ap90"), col("n"), col("nn"))
+    ev.join(broadcast(aps), col("event_type") <=> col("apt"))
       .groupBy(col("event_type"))
-      .agg(first(col("n")).as("n"),
+      .agg(first(col("n")).as("n"), first(col("nn")).as("nn"),
         sum(when(col("value") <= col("ap50"), 1L).otherwise(0L)).as("le50"),
         sum(when(col("value") <= col("ap90"), 1L).otherwise(0L)).as("le90"))
       .select(col("event_type"), col("n"),
-        (abs(col("le50") - col("n") * 0.5) <= col("n") * 0.02 + 1).as("ok50"),
-        (abs(col("le90") - col("n") * 0.9) <= col("n") * 0.02 + 1).as("ok90"))
-      .orderBy(col("event_type"))
+        (abs(col("le50") - col("nn") * 0.5) <= col("nn") * 0.02 + 1).as("ok50"),
+        (abs(col("le90") - col("nn") * 0.9) <= col("nn") * 0.02 + 1).as("ok90"))
+      .orderBy(asc_nulls_last("event_type"))
   }
 
   /** Statistical outlier detection (|z| > 3 per group) with EXACT

@@ -14,6 +14,12 @@ object TextQueries {
     * reference pipeline (read → map → combine → shuffle → reduce) in
     * one declarative plan; Spark's partial+final HashAggregate is the
     * mapper combiner (mapper.c:75-88) + reducer merge (reducer.c:23-38).
+    *
+    * Case folding follows [[TextFunctions.FoldConf]]: default `full`
+    * (JVM Unicode lowercase); `spark.graft.fold=simple` opts into the
+    * 1:1 simple mapping (İ→i) that C `towlower` (the reference,
+    * mapper.c:28) and DuckDB's utf8proc `lower()` apply — under it the
+    * fuzz-unicode corpus hash-matches the oracle exactly.
     */
   val wordcount = QueryDef(
     "wordcount",
@@ -24,8 +30,12 @@ object TextQueries {
       |WHERE word <> ''
       |GROUP BY word
       |ORDER BY word""".stripMargin) { (s, d) =>
+    val words =
+      if (s.conf.get(TextFunctions.FoldConf, "full") == "simple")
+        TextFunctions.explodeTokensSimple(col("text"))
+      else TextFunctions.explodeTokens(col("text"))
     Tables.documents(s, d)
-      .select(TextFunctions.explodeTokens(col("text")).as("word"))
+      .select(words.as("word"))
       .filter(length(col("word")) > 0)
       .groupBy(col("word"))
       .agg(count(lit(1)).as("cnt"))

@@ -30,6 +30,30 @@ class MapReduceApiSpec extends SparkSpec {
     assert(api.toSeq == query.toSeq)
   }
 
+  test("spark.graft.fold=simple folds İ 1:1 (towlower/utf8proc); default full keeps the JVM mapping") {
+    import spark.implicits._
+    val tmp = Files.createTempDirectory(
+      java.nio.file.Paths.get("target"), "fold").toString
+    Tables.documents(spark, sfDir).limit(1)
+      .withColumn("text", lit("İstanbul Merhaba"))
+      .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    def words(): Set[String] =
+      Registry.byName("wordcount").fn(spark, tmp)
+        .collect().map(_.getString(0)).toSet
+    // full (default): JVM İ→"i"+U+0307; the combining mark is not
+    // \p{L}\p{N}, so the token SPLITS — the observable divergence
+    val full = words()
+    assert(full == Set("i", "stanbul", "merhaba"), s"full fold: $full")
+    // simple: İ→i (one codepoint), the token survives intact — the
+    // reference's towlower and DuckDB's utf8proc behavior
+    spark.conf.set(graft.functions.TextFunctions.FoldConf, "simple")
+    try {
+      val simple = words()
+      assert(simple == Set("istanbul", "merhaba"), s"simple fold: $simple")
+    } finally spark.conf.unset(graft.functions.TextFunctions.FoldConf)
+    assert(words() == full, "unset conf must restore full folding")
+  }
+
   test("generic run() supports arbitrary key/value types and reduce fns") {
     import spark.implicits._
     val input = Seq(("f1", "3 1 4 1 5"), ("f2", "9 2 6 5 3")).toDS()

@@ -44,18 +44,22 @@ CLASSES = {
 # separation (q102/q120/q130/q182), class C (empty-input () rows) via
 # Degenerate.emptyGrandTotal, and three class-D cells fixed for real
 # (q74 tail clamp, q48 UTF-8 byte-sum oracle, q235 codepoint BPE
-# symbols). What remains documented below is the irreducible
-# cross-engine set: sketch-at-band-edge (E) and locale case folding
-# İ/ß (D — JDK full mapping vs utf8proc simple mapping).
+# symbols).
+# Round-16 closures: q112's class-E cell fixed for real (null-safe
+# ap-join keeps the NULL event_type group; the ε·n gate is measured
+# over count(value) — the non-NULL n the GK guarantee is stated over —
+# so a NULL flood can't flip the boolean).
 DOCUMENTED = {
-    "nulls": {
-        "q112_quantile_sketch_gate": "E",
-    },
+    "nulls": {},
     "empty": {},
     # q120's match key was closed too (NFC + strip-marks + ß→ss full
     # casefold, identical both engines); wordcount is the irreducible
-    # residual — its OUTPUT is the folded words themselves, so the
-    # JDK-vs-utf8proc İ mapping difference is the observable
+    # residual AT THE DEFAULT fold — its OUTPUT is the folded words
+    # themselves, so the JDK-vs-utf8proc İ mapping difference is the
+    # observable. `spark.graft.fold=simple` (round 16) opts into the
+    # 1:1 towlower/utf8proc mapping and turns this cell green
+    # (demonstrated via Verify -Dspark.graft.fold=simple on this
+    # corpus; MapReduceApiSpec pins both modes). Default unchanged.
     "unicode": {
         "wordcount": "D",
     },
