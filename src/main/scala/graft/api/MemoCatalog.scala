@@ -40,6 +40,10 @@ import org.apache.spark.sql.functions._
   * session, but a scan is the floor for noticing change without a
   * versioned-table contract, and it is orders cheaper than the
   * builds it guards (LSH banding, verify joins, component rounds).
+  * Callers who DO have a versioned-table contract (a lakehouse
+  * snapshot id, a partition watermark) should use
+  * [[readThroughVersioned]], which substitutes the token for the
+  * scan entirely — zero input reads on a warm reuse.
   *
   * Enablement: set session conf `spark.graft.memo.dir`. Unset (the
   * default, and what the driver's correctness runs use), the catalog

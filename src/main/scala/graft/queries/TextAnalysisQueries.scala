@@ -1162,10 +1162,83 @@ object TextAnalysisQueries {
       .orderBy(col("lang_given"), col("lang_pred"))
   }
 
+  /** Per-document UNIGRAM ENTROPY — the compression-ratio proxy the
+    * big curation pipelines threshold (a doc whose token distribution
+    * compresses too well is templated/spammy boilerplate): order-0
+    * Shannon entropy of the doc's own token distribution, H = ln n −
+    * (Σ c·ln c)/n in micro-nats, plus the NORMALIZED efficiency
+    * H / ln(v) in basis points (repetition signal independent of doc
+    * length and vocabulary size — 10000 = every token distinct, 0 =
+    * one token repeated). Complements q73's Gopher rules (top-gram
+    * MASS — sensitive to one dominant gram) and q121/q204's LM scores
+    * (cross-entropy under a corpus model — this is the doc's OWN
+    * distribution, model-free): a lorem-ipsum cycler passes q73's
+    * top-gram caps but its efficiency collapses here.
+    *
+    * Exactness: mln(x) = ⌊10⁶·ln x⌋ on INTEGER counts (the q121/q222
+    * idiom — IEEE-identical both engines), Σ c·mln(c) is an exact
+    * LONG sum (≤ n·mln(n) ≈ 2·10¹⁶ even at 10⁹-token docs), the per-
+    * doc division is integer `div` on non-negatives (truncate ≡
+    * floor), and eff_bp guards v = 1 with an explicit CASE (mln(1) =
+    * 0 — DuckDB raises on integer //0 where Spark returns NULL). keep
+    * = efficiency ≥ 5000 bp (half the achievable entropy).
+    *
+    * Scale shape: one (doc_id, term) partial-aggregable count — the
+    * wordcount shuffle keyed by doc — then one doc-keyed aggregate;
+    * both map-side combine, nothing corpus-sized crosses unreduced,
+    * no window, no join. At 100 TB this is exactly the wordcount
+    * plan with a composite key.
+    */
+  val q253UnigramEntropy = QueryDef(
+    "q253_unigram_entropy",
+    "per-doc order-0 token entropy (micro-nats) + normalized efficiency bp: the compression-proxy quality gate",
+    """WITH tc AS (
+      |  SELECT doc_id, term, CAST(count(*) AS BIGINT) AS c FROM (
+      |    SELECT doc_id,
+      |      unnest(list_filter(string_split(text, ' '), t -> length(t) > 0)) AS term
+      |    FROM documents)
+      |  GROUP BY doc_id, term),
+      |per AS (
+      |  SELECT doc_id, CAST(sum(c) AS BIGINT) AS n, CAST(count(*) AS BIGINT) AS v,
+      |    CAST(sum(c * CAST(floor(1000000.0 * ln(c)) AS BIGINT)) AS BIGINT) AS s
+      |  FROM tc GROUP BY doc_id),
+      |h AS (
+      |  SELECT doc_id, n, v,
+      |    CAST(floor(1000000.0 * ln(n)) AS BIGINT) - s // n AS h_micro,
+      |    CASE WHEN v > 1 THEN
+      |      (10000 * (CAST(floor(1000000.0 * ln(n)) AS BIGINT) - s // n))
+      |        // CAST(floor(1000000.0 * ln(v)) AS BIGINT)
+      |    END AS eff_bp
+      |  FROM per)
+      |SELECT doc_id, n AS n_tokens, v AS vocab, h_micro, eff_bp,
+      |  coalesce(eff_bp >= 5000, false) AS keep
+      |FROM h ORDER BY doc_id""".stripMargin) { (s, d) =>
+    def mln(c: Column): Column =
+      floor(lit(1000000.0) * log(c.cast("double"))).cast("long")
+    val tc = Tables.documents(s, d)
+      .select(col("doc_id"), explode(toks(col("text"))).as("term"))
+      .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("c"))
+    val per = tc.groupBy(col("doc_id")).agg(
+      sum(col("c")).as("n"), count(lit(1)).as("v"),
+      sum(col("c") * mln(col("c"))).as("s"))
+    per
+      .withColumn("mln_v", mln(col("v")))
+      .withColumn("h_micro", mln(col("n")) - expr("s div n"))
+      // h_micro ≥ 0 by construction (s div n ≤ ⌊10⁶·ln n⌋), so the
+      // truncating div equals DuckDB's flooring // on every input
+      .withColumn("eff_bp",
+        when(col("v") > 1, expr("(10000 * h_micro) div mln_v")))
+      .select(col("doc_id"), col("n").as("n_tokens"), col("v").as("vocab"),
+        col("h_micro"), col("eff_bp"),
+        coalesce(col("eff_bp") >= 5000L, lit(false)).as("keep"))
+      .orderBy(col("doc_id"))
+  }
+
   val all: Seq[QueryDef] = Seq(
     q27TokenStats, q28LangStats, q29QualityScore, q30Langid,
     q31Fingerprint, q32NgramStats, q55Tfidf, q66BpeTokens, q96Textrank,
     q117VocabGrowth, q171Readability, q172LangConfusion,
     q187PmiCollocations, q199NaiveBayesLangid, q217SourceSaliency,
-    q222ZipfFit, q239CodeSwitch, q242SourceDivergence, q248LabelNoise)
+    q222ZipfFit, q239CodeSwitch, q242SourceDivergence, q248LabelNoise,
+    q253UnigramEntropy)
 }

@@ -15,11 +15,15 @@ import org.apache.spark.sql.functions._
   *   FK pairs (orders→customer, lineitem→part/supplier/orders) remap
   *   consistently, so containment directions and join fan-outs are
   *   preserved exactly.
-  * - `documents.text` of copy c > 0 prefixes every token with `c{c}`:
-  *   zero cross-copy shingle overlap, so near-dup structure REPLICATES
-  *   (pair counts scale linearly) instead of every doc gaining F−1
-  *   exact twins (pair counts would scale quadratically — a different
-  *   workload, not a bigger one).
+  * - `documents.text` of copy c > 0 prefixes every token with `c{c}`
+  *   AND prepends a 10-char copy tag whose pairwise edit distance is
+  *   ≥ 5: zero cross-copy shingle overlap AND no cross-copy prefix
+  *   pair within levenshtein 4, so near-dup structure REPLICATES for
+  *   both the shingle and the edit-distance families (pair counts
+  *   scale linearly) instead of every doc gaining F−1 near-twins
+  *   (pair counts would scale quadratically — a different workload,
+  *   not a bigger one; the tag closed a measured 69×-per-decade
+  *   blowup in q82's true pair count, round 16).
   * - `embeddings.embedding` of copy c is the c-step cyclic shift: a
   *   permutation is orthogonal, so intra-copy geometry (all cosines/
   *   distances, cluster structure) is EXACTLY preserved while a vector
@@ -77,13 +81,30 @@ object ScaleData {
 
     replicated("documents", Seq("doc_id")) { (d, c) =>
       if (c == 0) d
-      else d
-        .withColumn("text",
-          array_join(
-            transform(split(col("text"), " "),
-              t => when(length(t) > 0, concat(lit(s"c$c"), t)).otherwise(t)),
-            " "))
-        .withColumn("n_chars", length(col("text")).cast("long"))
+      else {
+        // Copy tag (round 16): the token prefix alone leaves template
+        // docs of DIFFERENT copies within levenshtein 4 of each other
+        // over a 60-char window ("c3customer c…" vs "c7customer c…" —
+        // aligned, few substitutions), so the edit-distance family's
+        // TRUE pair count grew ~quadratically with copies (measured
+        // 69× per decade at sf10) while every shingle family
+        // replicated linearly as designed. A per-copy 10-char head
+        // tag — two 5-char repeated-letter blocks, so any two
+        // distinct copies differ in ≥5 aligned positions (ed ≥ 5 > 4)
+        // — pushes every cross-copy prefix pair past the threshold
+        // while shifting within-copy pairs identically (their
+        // distances are untouched). Shingle structure is unaffected:
+        // the tag is one extra c-prefixed token per doc.
+        val ch0 = ('a' + (c / 26) % 26).toChar
+        val ch1 = ('a' + c % 26).toChar
+        val tag = s"$ch0$ch0$ch0$ch0$ch0$ch1$ch1$ch1$ch1$ch1"
+        d.withColumn("text",
+            concat(lit(s"$tag "), array_join(
+              transform(split(col("text"), " "),
+                t => when(length(t) > 0, concat(lit(s"c$c"), t)).otherwise(t)),
+              " ")))
+          .withColumn("n_chars", length(col("text")).cast("long"))
+      }
     }
 
     replicated("embeddings", Seq("vec_id")) { (d, c) =>

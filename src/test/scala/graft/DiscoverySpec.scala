@@ -359,6 +359,47 @@ class DiscoverySpec extends SparkSpec {
     spark.sharedState.cacheManager.clearCache()
   }
 
+  test("q253 unigram entropy: driver parity; planted repetition/diversity extremes") {
+    import spark.implicits._
+    def mln(x: Long): Long = math.floor(1e6 * math.log(x.toDouble)).toLong
+    val got = Registry.byName("q253_unigram_entropy").fn(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3),
+        if (r.isNullAt(4)) None else Some(r.getLong(4)), r.getBoolean(5)))).toMap
+    val want = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => r.getLong(0) -> r.getString(1).split(" ").filter(_.nonEmpty))
+      .filter(_._2.nonEmpty)
+      .map { case (id, ts) =>
+        val cs = ts.groupBy(identity).values.map(_.size.toLong)
+        val n = cs.sum
+        val s = cs.map(c => c * mln(c)).sum
+        val h = mln(n) - s / n
+        val eff = if (cs.size > 1) Some(10000L * h / mln(cs.size.toLong)) else None
+        id -> ((n, cs.size.toLong, h, eff, eff.exists(_ >= 5000L)))
+      }.toMap
+    assert(got == want, s"entropy mismatch: ${got.size} vs ${want.size} docs")
+    // planted extremes: a one-token cycler collapses (eff NULL, keep
+    // false — the doc q73's top-gram mass also catches), an all-
+    // distinct doc reads exactly 10000 bp, and a two-token 50/50 doc
+    // reads H = ln 2 exactly
+    val dir = java.nio.file.Files.createTempDirectory("graft_ent")
+      .toFile.getAbsolutePath
+    Seq(
+      (1L, Seq.fill(64)("spam").mkString(" "), "en", "src0", 64L),
+      (2L, (1 to 64).map(i => s"w$i").mkString(" "), "en", "src0", 64L),
+      (3L, Seq.fill(32)("a b").mkString(" "), "en", "src0", 64L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val p = Registry.byName("q253_unigram_entropy").fn(spark, dir).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(3),
+        if (r.isNullAt(4)) None else Some(r.getLong(4)), r.getBoolean(5)))).toMap
+    assert(p(1L) == ((0L, None, false)), s"cycler: ${p(1L)}")
+    assert(p(2L)._2.contains(10000L) && p(2L)._3, s"all-distinct: ${p(2L)}")
+    assert(p(3L)._1 == mln(64L) - (64L * mln(32L)) / 64L &&
+      p(3L)._2.contains(10000L), s"50/50: ${p(3L)}")
+    spark.sharedState.cacheManager.clearCache()
+  }
+
   test("q230 k-anonymity matches a driver recompute of class sizes and band diversity") {
     val got = Registry.byName("q230_k_anonymity").fn(spark, sfDir).collect()
       .map(r => (r.getInt(0), r.getString(1)) ->
