@@ -15,15 +15,19 @@ import org.apache.spark.sql.functions._
   *   FK pairs (orders→customer, lineitem→part/supplier/orders) remap
   *   consistently, so containment directions and join fan-outs are
   *   preserved exactly.
-  * - `documents.text` of copy c > 0 prefixes every token with `c{c}`
-  *   AND prepends a 10-char copy tag whose pairwise edit distance is
-  *   ≥ 5: zero cross-copy shingle overlap AND no cross-copy prefix
-  *   pair within levenshtein 4, so near-dup structure REPLICATES for
-  *   both the shingle and the edit-distance families (pair counts
+  * - `documents.text` of copy c > 0 passes through a per-copy
+  *   CHARACTER BIJECTION (affine permutation of [a-z0-9] applied via
+  *   `translate`): token structure, TF profiles, shingle sets, string
+  *   lengths, and edit distances are all invariant under a bijection,
+  *   so within-copy workload shape replicates EXACTLY, while distinct
+  *   maps give zero cross-copy shingle overlap and cross-copy prefix
+  *   edit distance ≫ any threshold — near-dup structure REPLICATES
+  *   for both the shingle and the edit-distance families (pair counts
   *   scale linearly) instead of every doc gaining F−1 near-twins
   *   (pair counts would scale quadratically — a different workload,
-  *   not a bigger one; the tag closed a measured 69×-per-decade
-  *   blowup in q82's true pair count, round 16).
+  *   not a bigger one; a `c{c}` token prefix measured a 69×/decade
+  *   blowup in q82's true pairs, and fixed-position copy tags create
+  *   copy-constant PassJoin band cells — round 16).
   * - `embeddings.embedding` of copy c is the c-step cyclic shift: a
   *   permutation is orthogonal, so intra-copy geometry (all cosines/
   *   distances, cluster structure) is EXACTLY preserved while a vector
@@ -36,11 +40,33 @@ import org.apache.spark.sql.functions._
   * Usage: runMain graft.tools.ScaleData <srcSfDir> <outDir> <factor>
   */
 object ScaleData {
+
+  /** The bijection domain: the corpus alphabet (all-lowercase words;
+    * digits included for robustness). Characters outside it — spaces,
+    * punctuation — pass through, preserving token boundaries.
+    */
+  val Alpha = "abcdefghijklmnopqrstuvwxyz0123456789"
+
+  /** Copy c's character bijection as a translate() target string: the
+    * affine permutation x → a·x + b over Z₃₆ with a coprime to 36 and
+    * (a, b) = (coprime[c div 36], c mod 36) — distinct maps for every
+    * c < 432, identity at c = 0. Two distinct affine maps agree on at
+    * most gcd(a−a′, 36) ≤ 12 of the 36 characters, so cross-copy
+    * text is substituted at nearly every position.
+    */
+  def affineMap(c: Int): String = {
+    val as = Seq(1, 5, 7, 11, 13, 17, 19, 23, 25, 29, 31, 35)
+    val a = as((c / 36) % 12)
+    val b = c % 36
+    (0 until 36).map(i => Alpha((a * i + b) % 36)).mkString
+  }
+
   def main(args: Array[String]): Unit = {
     val src = args(0)
     val out = args(1)
     val f = args(2).toInt
-    require(f >= 1 && f <= 64, s"factor $f out of range (cyclic shift needs f <= dim)")
+    require(f >= 1 && f <= 128,
+      s"factor $f out of range (cyclic shift + negation covers f <= 2*dim = 128)")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -81,36 +107,45 @@ object ScaleData {
 
     replicated("documents", Seq("doc_id")) { (d, c) =>
       if (c == 0) d
-      else {
-        // Copy tag (round 16): the token prefix alone leaves template
-        // docs of DIFFERENT copies within levenshtein 4 of each other
-        // over a 60-char window ("c3customer c…" vs "c7customer c…" —
-        // aligned, few substitutions), so the edit-distance family's
-        // TRUE pair count grew ~quadratically with copies (measured
-        // 69× per decade at sf10) while every shingle family
-        // replicated linearly as designed. A per-copy 10-char head
-        // tag — two 5-char repeated-letter blocks, so any two
-        // distinct copies differ in ≥5 aligned positions (ed ≥ 5 > 4)
-        // — pushes every cross-copy prefix pair past the threshold
-        // while shifting within-copy pairs identically (their
-        // distances are untouched). Shingle structure is unaffected:
-        // the tag is one extra c-prefixed token per doc.
-        val ch0 = ('a' + (c / 26) % 26).toChar
-        val ch1 = ('a' + c % 26).toChar
-        val tag = s"$ch0$ch0$ch0$ch0$ch0$ch1$ch1$ch1$ch1$ch1"
+      else
+        // Per-copy CHARACTER BIJECTION (round 16): every structural
+        // statistic an operator measures is invariant under a char
+        // bijection — token equality/inequality, TF profiles, shingle
+        // sets, string LENGTHS, and (the round-16 find) LEVENSHTEIN
+        // DISTANCES — so within-copy workload shape replicates
+        // EXACTLY, while distinct maps make cross-copy tokens (zero
+        // shingle overlap) and cross-copy 60-char prefixes (substituted
+        // at nearly every character, ed ≫ 4) unrelated. The two
+        // rejected designs are documented here because both FAILED at
+        // sf10: a `c{c}` token prefix leaves cross-copy template docs
+        // within ed 4 (TRUE pairs grew 69×/decade — a quadratic
+        // workload, not a bigger one), and any fixed-position copy
+        // tag (head tag, stacked chained prefixes) turns a PassJoin
+        // segment window into a COPY-CONSTANT band key — one
+        // quadratic candidate cell of n/copies docs (measured 10⁹
+        // candidates at sf10). A bijection adds zero bytes and no
+        // fixed-position content.
         d.withColumn("text",
-            concat(lit(s"$tag "), array_join(
-              transform(split(col("text"), " "),
-                t => when(length(t) > 0, concat(lit(s"c$c"), t)).otherwise(t)),
-              " ")))
-          .withColumn("n_chars", length(col("text")).cast("long"))
-      }
+          translate(col("text"), ScaleData.Alpha, ScaleData.affineMap(c)))
     }
 
     replicated("embeddings", Seq("vec_id")) { (d, c) =>
       if (c == 0) d
-      else d.withColumn("embedding",
-        expr(s"concat(slice(embedding, ${c + 1}, size(embedding) - $c), slice(embedding, 1, $c))"))
+      else {
+        // copy c: cyclic shift by c mod 64; copies ≥ 64 additionally
+        // NEGATE (an orthogonal transform — intra-copy geometry is
+        // exactly preserved, and v vs −shift(v) reads cosine ≈ −1,
+        // decorrelated from every ≥0.9 near-dup threshold). Extends
+        // the honest replication to f ≤ 128 so sf10 is ONE ScaleData
+        // run (chained runs COMPOSE the text transforms, which is
+        // exactly what broke the prefix designs).
+        val s = c % 64
+        val shifted =
+          if (s == 0) col("embedding")
+          else expr(s"concat(slice(embedding, ${s + 1}, size(embedding) - $s), slice(embedding, 1, $s))")
+        d.withColumn("embedding",
+          if (c >= 64) transform(shifted, x => -x) else shifted)
+      }
     }
 
     println(s"[scale] done: $src x$f -> $out")
