@@ -80,8 +80,16 @@ object SimilarityJoinRewrite extends Rule[LogicalPlan] {
         (conf.getConfString(NBitsConf, NBits.toString).toInt,
           conf.getConfString(BitsPerBandConf, BitsPerBand.toString).toInt)
       else carried.getOrElse((NBits, BitsPerBand))
-    require(nb >= 1 && nb <= 256 && bpb >= 1 && bpb <= math.min(nb, 64) && nb % bpb == 0,
-      s"invalid LSH banding: nbits=$nb bitsPerBand=$bpb (need 1 <= bpb <= min(nbits,64) <= 256, bpb | nbits)")
+    // 1024-bit ceiling (round 16, was 256): the signature kernel is
+    // per-64-bit-WORD and r-agnostic, so wider signatures are purely a
+    // config. This is the production answer when the AutoTune r ∈
+    // [4,11] derivation's own ceiling binds (n > 128·2¹¹ ≈ 262k rows
+    // per blocking group — the sf10 ladder's q60 watch item): e.g.
+    // nbits=512/bitsPerBand=13 holds occupancy ≈ n/8192. AutoTune's
+    // DEFAULT derivation stays ≤ 2·11² so the DuckDB oracle replay
+    // (which re-derives r from count(*)) is untouched.
+    require(nb >= 1 && nb <= 1024 && bpb >= 1 && bpb <= math.min(nb, 64) && nb % bpb == 0,
+      s"invalid LSH banding: nbits=$nb bitsPerBand=$bpb (need 1 <= bpb <= min(nbits,64) <= 1024, bpb | nbits)")
     (nb, bpb)
   }
 

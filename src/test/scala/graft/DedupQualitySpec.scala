@@ -464,6 +464,49 @@ class DedupQualitySpec extends SparkSpec {
     }
   }
 
+  test("wide banding past the old 256-bit ceiling (512/8, 8 words) keeps recall through the rewrite") {
+    import spark.implicits._
+    // the round-16 sf10 ladder's q60 watch item: when AutoTune's
+    // r ∈ [4,11] derivation saturates (n > 128·2¹¹ per group), the
+    // production move is WIDER signatures via the session confs —
+    // 512 bits = 64 bands × 8 bits across EIGHT independent signature
+    // words. This pins that the per-word lane kernel is correct past
+    // the old 256-bit require (miss probability at these near-1.0
+    // cosines is ≈ 64·(bit-flip ≈ 0.014)·… — vanishing; more bands
+    // only ADD collisions, so recall dominates the 128/8 case).
+    plans.GraftFunctions.register(spark)
+    spark.conf.set(plans.SimilarityJoinRewrite.NBitsConf, "512")
+    spark.conf.set(plans.SimilarityJoinRewrite.BitsPerBandConf, "8")
+    try {
+      val rnd = new scala.util.Random(13)
+      val base = (0L until 100L).map(i =>
+        (i, Array.fill(64)(rnd.nextGaussian().toFloat)))
+      val dups = base.take(20).map { case (i, v) =>
+        (i + 1000L, v.map(x => x + 0.01f * rnd.nextGaussian().toFloat))
+      }
+      val t = (base ++ dups).toDF("vec_id", "embedding")
+      val a = t.select(col("vec_id").as("vec_a"), col("embedding").as("ea"))
+      val b = t.select(col("vec_id").as("vec_b"), col("embedding").as("eb"))
+      val joined = a.join(b,
+        plans.GraftFunctions.similarTo(col("ea"), col("eb"), 0.9) &&
+          col("vec_a") < col("vec_b"))
+      assert(!joined.queryExecution.executedPlan.toString
+          .contains("BroadcastNestedLoopJoin"),
+        "similar_to did not rewrite to the band join under the 512/8 conf")
+      val pairs = joined.select(col("vec_a"), col("vec_b"))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val want = (0L until 20L).map(i => (i, i + 1000L)).toSet
+      assert(want.subsetOf(pairs),
+        s"512/8 banding missed planted dups: ${want.diff(pairs)}")
+      // verify discipline intact: no false pair survives the exact check
+      assert(pairs.forall { case (x, y) => want((x, y)) || y < 1000L || x >= 1000L },
+        s"unexpected cross-pair shape: $pairs")
+    } finally {
+      spark.conf.unset(plans.SimilarityJoinRewrite.NBitsConf)
+      spark.conf.unset(plans.SimilarityJoinRewrite.BitsPerBandConf)
+    }
+  }
+
   test("approx_count_distinct within 5% of exact") {
     // the registered query now emits the tolerance INVARIANT (oracle
     // asserts it true); the numeric ±5% check recomputes the estimate
