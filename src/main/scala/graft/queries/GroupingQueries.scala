@@ -22,7 +22,7 @@ object GroupingQueries {
     "rollup (order year, status) with subtotals + grand total",
     """SELECT order_year, o_orderstatus,
       |  count(*) AS n_orders,
-      |  round(sum(o_totalprice), 2) AS total_price
+      |  CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS DOUBLE) / 100.0 AS total_price
       |FROM (SELECT CAST(year(o_orderdate) AS INT) AS order_year, o_orderstatus, o_totalprice
       |      FROM orders)
       |GROUP BY ROLLUP (order_year, o_orderstatus)
@@ -31,8 +31,11 @@ object GroupingQueries {
     base
       .withColumn("order_year", year(col("o_orderdate")).cast("int"))
       .rollup(col("order_year"), col("o_orderstatus"))
+      // per-row integer cents (q01 convention): the () grand total sums
+      // the WHOLE table, the first place raw-double order drift shows
       .agg(count(lit(1)).as("n_orders"),
-        round(sum(col("o_totalprice")), 2).as("total_price"))
+        (sum(round(col("o_totalprice") * 100).cast("long")).cast("double")
+          / 100.0).as("total_price"))
       // SQL emits the () grand-total row even over empty input
       .unionByName(graft.api.Degenerate.emptyGrandTotal(base, Seq(
         lit(null).cast("int").as("order_year"),
@@ -72,7 +75,7 @@ object GroupingQueries {
     "GROUPING SETS ((mktsegment), (nation), ()) via spark.sql",
     """SELECT c_mktsegment, CAST(c_nationkey AS INT) AS nationkey,
       |  count(*) AS n_customers,
-      |  round(sum(c_acctbal), 2) AS total_bal
+      |  CAST(sum(CAST(round(c_acctbal * 100) AS BIGINT)) AS DOUBLE) / 100.0 AS total_bal
       |FROM customer
       |GROUP BY GROUPING SETS ((c_mktsegment), (c_nationkey), ())
       |ORDER BY c_mktsegment NULLS FIRST, nationkey NULLS FIRST""".stripMargin) { (s, d) =>
@@ -81,7 +84,7 @@ object GroupingQueries {
     s.sql(
       """SELECT c_mktsegment, CAST(c_nationkey AS INT) AS nationkey,
         |  count(*) AS n_customers,
-        |  round(sum(c_acctbal), 2) AS total_bal
+        |  CAST(sum(CAST(round(c_acctbal * 100) AS BIGINT)) AS DOUBLE) / 100.0 AS total_bal
         |FROM customer
         |GROUP BY GROUPING SETS ((c_mktsegment), (c_nationkey), ())""".stripMargin)
       // SQL emits the () grouping-set row even over empty input

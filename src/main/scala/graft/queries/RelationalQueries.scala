@@ -115,15 +115,20 @@ object RelationalQueries {
   val q04JoinBroadcast = QueryDef(
     "q04_join_broadcast",
     "fact⋈dim broadcast hash join + agg on dim attribute",
-    """SELECT c.c_mktsegment, round(sum(o.o_totalprice), 2) AS total_price,
+    """SELECT c.c_mktsegment,
+      |  CAST(sum(CAST(round(o.o_totalprice * 100) AS BIGINT)) AS DOUBLE) / 100.0 AS total_price,
       |  count(*) AS n_orders
       |FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
       |GROUP BY c.c_mktsegment
       |ORDER BY c_mktsegment""".stripMargin) { (s, d) =>
+    // money sums ride per-row integer cents (the q01 convention):
+    // round(sum(raw doubles)) is summation-order-dependent, and the
+    // sf10 gate measured q05's last ulps drifting at 6M-row groups
     Tables.orders(s, d)
       .join(broadcast(Tables.customer(s, d)), col("o_custkey") === col("c_custkey"))
       .groupBy(col("c_mktsegment"))
-      .agg(round(sum(col("o_totalprice")), 2).as("total_price"),
+      .agg((sum(round(col("o_totalprice") * 100).cast("long")).cast("double")
+          / 100.0).as("total_price"),
         count(lit(1)).as("n_orders"))
       .orderBy(col("c_mktsegment"))
   }
@@ -136,15 +141,18 @@ object RelationalQueries {
     "q05_join_fact_fact",
     "lineitem⋈orders shuffle join, revenue by order priority",
     """SELECT o.o_orderpriority,
-      |  round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue,
+      |  CAST(sum(CAST(round(l.l_extendedprice * (1 - l.l_discount) * 100) AS BIGINT)) AS DOUBLE) / 100.0 AS revenue,
       |  count(*) AS n_items
       |FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
       |GROUP BY o.o_orderpriority
       |ORDER BY o_orderpriority""".stripMargin) { (s, d) =>
+    // per-row integer cents (q01 convention): the sf10 gate caught
+    // this exact query's raw-double sum drifting in the last ulps
     Tables.lineitem(s, d)
       .join(Tables.orders(s, d), col("l_orderkey") === col("o_orderkey"))
       .groupBy(col("o_orderpriority"))
-      .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"),
+      .agg((sum(round(col("l_extendedprice") * (lit(1) - col("l_discount"))
+          * 100).cast("long")).cast("double") / 100.0).as("revenue"),
         count(lit(1)).as("n_items"))
       .orderBy(col("o_orderpriority"))
   }
@@ -190,7 +198,7 @@ object RelationalQueries {
     "q08_star_schema",
     "5-way star join (2 broadcast dims + chained dim lookups), revenue by region/nation",
     """SELECT r.r_name, n.n_name,
-      |  round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+      |  CAST(sum(CAST(round(l.l_extendedprice * (1 - l.l_discount) * 100) AS BIGINT)) AS DOUBLE) / 100.0 AS revenue
       |FROM lineitem l
       |JOIN orders o ON l.l_orderkey = o.o_orderkey
       |JOIN customer c ON o.o_custkey = c.c_custkey
@@ -204,7 +212,8 @@ object RelationalQueries {
       .join(broadcast(Tables.nation(s, d)), col("c_nationkey") === col("n_nationkey"))
       .join(broadcast(Tables.region(s, d)), col("n_regionkey") === col("r_regionkey"))
       .groupBy(col("r_name"), col("n_name"))
-      .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"))
+      .agg((sum(round(col("l_extendedprice") * (lit(1) - col("l_discount"))
+          * 100).cast("long")).cast("double") / 100.0).as("revenue"))
       .orderBy(col("r_name"), col("n_name"))
   }
 

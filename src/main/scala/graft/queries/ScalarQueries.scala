@@ -69,7 +69,7 @@ object ScalarQueries {
     "get_json_object / from_json over events.props + agg on extracted key",
     """SELECT CAST(json_extract_string(props, '$.k') AS BIGINT) % 10 AS k_bucket,
       |  count(*) AS n_events,
-      |  round(sum(value), 2) AS sum_value
+      |  CAST(sum(CAST(round(value * 100) AS BIGINT)) AS DOUBLE) / 100.0 AS sum_value
       |FROM events
       |GROUP BY 1
       |ORDER BY k_bucket""".stripMargin) { (s, d) =>
@@ -77,8 +77,10 @@ object ScalarQueries {
       .withColumn("k_bucket",
         get_json_object(col("props"), "$.k").cast("bigint") % 10)
       .groupBy(col("k_bucket"))
+      // per-row integer cents (q01 convention) — order-independent sums
       .agg(count(lit(1)).as("n_events"),
-        round(sum(col("value")), 2).as("sum_value"))
+        (sum(round(col("value") * 100).cast("long")).cast("double")
+          / 100.0).as("sum_value"))
       .orderBy(col("k_bucket"))
   }
 
