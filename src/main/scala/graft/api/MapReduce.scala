@@ -109,6 +109,10 @@ object MapReduce {
     * directory of text files read whole (mapper.c:44-117) — on the
     * generic contract above: input records are (filename, contents),
     * map emits lowercase alnum-run tokens with count 1, reduce sums.
+    * Folding is the SIMPLE 1:1 mapping (İ pre-substituted before the
+    * JVM lower — `functions.TextFunctions.FoldConf`'s round-17
+    * default), matching the reference's `towlower` (mapper.c:28) and
+    * the `wordcount` query's default byte-for-byte on every input.
     */
   def wordCount(spark: SparkSession, dir: String): Dataset[(String, Long)] = {
     import spark.implicits._
@@ -116,7 +120,7 @@ object MapReduce {
       .select(input_file_name().as("f"), col("value"))
       .as[(String, String)]
     run(files) { (_, contents) =>
-      contents.toLowerCase.split("[^\\p{L}\\p{N}]+").iterator
+      contents.replace('İ', 'i').toLowerCase.split("[^\\p{L}\\p{N}]+").iterator
         .filter(_.nonEmpty).map(_ -> 1L)
     }(_ + _)(Encoders.STRING, Encoders.tuple(Encoders.STRING, Encoders.scalaLong))
   }

@@ -185,7 +185,17 @@ object MemoCatalog {
       case None => build.localCheckpoint()
       case Some(root) =>
         require(version.nonEmpty, "version token must be non-empty")
-        readThroughFp(s, root, name, s"v-${sanitize(version)}")(build)
+        // Injective key: sanitize() folds every non-[letter/digit/./-]
+        // char to '_', so distinct raw tokens like "snap:1" / "snap_1"
+        // would collide and a warm reuse could silently serve the
+        // other version's data. Appending a hash of the RAW bytes
+        // keeps the key filesystem-safe AND distinct per raw token.
+        val rawBytes = version.getBytes("UTF-8")
+        val rawHash = java.lang.Long.toHexString(
+          org.apache.spark.unsafe.hash.Murmur3_x86_32.hashUnsafeBytes(
+            rawBytes, org.apache.spark.unsafe.Platform.BYTE_ARRAY_OFFSET,
+            rawBytes.length, 42) & 0xffffffffL)
+        readThroughFp(s, root, name, s"v-${sanitize(version)}-$rawHash")(build)
     }
 
   private def readThroughFp(s: SparkSession, root: String, name: String,

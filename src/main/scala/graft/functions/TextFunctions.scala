@@ -26,15 +26,17 @@ object TextFunctions {
   /** One row per non-empty token — the reference's flatMap contract. */
   def explodeTokens(text: Column): Column = explode(tokens(text))
 
-  /** Case-fold mode conf: `full` (default — the JVM's full Unicode
-    * lowercase, SpecialCasing.txt included) or `simple` (the 1:1
-    * UnicodeData.txt mapping — what C `towlower`, utf8proc, and
-    * therefore DuckDB's `lower()` apply). The two differ on exactly
-    * one non-locale lowercase mapping: U+0130 İ, which full-cases to
-    * "i"+U+0307 (two codepoints) but simple-folds to "i". Default
-    * stays `full` (the JVM-native behavior); `simple` opts into
-    * oracle/reference-matched folding — the documented escape hatch
-    * for the one irreducible fuzz-unicode cell.
+  /** Case-fold mode conf: `simple` (default since round 17 — the 1:1
+    * UnicodeData.txt mapping: what C `towlower` (the reference,
+    * mapper.c:28), utf8proc, and therefore DuckDB's `lower()` apply)
+    * or `full` (the JVM's full Unicode lowercase, SpecialCasing.txt
+    * included). The two differ on exactly one non-locale lowercase
+    * mapping: U+0130 İ, which full-cases to "i"+U+0307 (two
+    * codepoints) but simple-folds to "i". Defaulting to the
+    * locale-independent simple fold makes the engine match BOTH the
+    * reference and the oracle on every input — it closed the last
+    * red fuzz-matrix cell (the wordcount İ cell, documented r14–r16);
+    * `full` remains the opt-in for JVM-ecosystem-identical folding.
     */
   val FoldConf = "spark.graft.fold"
 

@@ -82,12 +82,13 @@ object SimilarityJoinRewrite extends Rule[LogicalPlan] {
       else carried.getOrElse((NBits, BitsPerBand))
     // 1024-bit ceiling (round 16, was 256): the signature kernel is
     // per-64-bit-WORD and r-agnostic, so wider signatures are purely a
-    // config. This is the production answer when the AutoTune r ∈
-    // [4,11] derivation's own ceiling binds (n > 128·2¹¹ ≈ 262k rows
-    // per blocking group — the sf10 ladder's q60 watch item): e.g.
-    // nbits=512/bitsPerBand=13 holds occupancy ≈ n/8192. AutoTune's
-    // DEFAULT derivation stays ≤ 2·11² so the DuckDB oracle replay
-    // (which re-derives r from count(*)) is untouched.
+    // config. Round 17 extended AutoTune's DEFAULT derivation to
+    // r ∈ [4,22] (2·22² = 968 ≤ 1024) against this ceiling, so the
+    // n > 128·2¹¹ ≈ 262k-rows-per-group occupancy trap of the old
+    // r ≤ 11 cap is gone at default conf; the DuckDB oracle replay
+    // re-derives the identical r from count(*). Session confs remain
+    // the escape hatch for non-(2r², r) shapes (e.g. 512/8 recall
+    // boosts).
     require(nb >= 1 && nb <= 1024 && bpb >= 1 && bpb <= math.min(nb, 64) && nb % bpb == 0,
       s"invalid LSH banding: nbits=$nb bitsPerBand=$bpb (need 1 <= bpb <= min(nbits,64) <= 1024, bpb | nbits)")
     (nb, bpb)
@@ -138,14 +139,26 @@ object SimilarityJoinRewrite extends Rule[LogicalPlan] {
         Literal(Seed + w.toLong * 2685821657736338717L)), s"graft_sig$w")()
     }
     val proj = Project(side.output ++ sigs, side)
+    // Band index packed into the HIGH bits, disjoint from the value
+    // bits: totalBands <= 1024 fits in 10 bits, so `b << 54` never
+    // overlaps a value of <= 54 bits and never wraps (the old
+    // `b << bitsPerBand` packing wrapped at bpb = 64 — JVM shifts are
+    // mod 64 — and aliased distinct bands onto one keyspace whenever
+    // totalBands * 2^bpb > 2^63, exploding candidate volume in
+    // exactly the wide-signature configs the 1024-bit ceiling
+    // serves). A single band needs no index bits at all.
+    require(totalBands == 1 || bitsPerBand <= 54,
+      s"bitsPerBand=$bitsPerBand needs totalBands == 1 (band index can't share a 64-bit key with a > 54-bit band value)")
     val bandKeys = (0 until totalBands).map { b =>
       val w = b / bandsPerWord
       val off = (b % bandsPerWord) * bitsPerBand
-      BitwiseOr(
-        Literal(b.toLong << bitsPerBand),
-        BitwiseAnd(
+      val value: Expression =
+        if (bitsPerBand == 64) sigs(w).toAttribute
+        else BitwiseAnd(
           ShiftRightUnsigned(sigs(w).toAttribute, Literal(off)),
-          Literal((1L << bitsPerBand) - 1))): Expression
+          Literal((1L << bitsPerBand) - 1))
+      if (totalBands == 1) value
+      else BitwiseOr(Literal(b.toLong << 54), value): Expression
     }
     val keyAttr = AttributeReference("graft_band_key", LongType, nullable = false)()
     val gen = Generate(Explode(CreateArray(bandKeys)), unrequiredChildIndex = Nil,

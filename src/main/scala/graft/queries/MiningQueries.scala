@@ -805,15 +805,32 @@ object MiningQueries {
   val FdMaxExactPairsConf = "spark.graft.fd.maxExactPairs"
   val FdMaxExactPairsDefault: Long = 1L << 24
 
-  /** Sketch-survivorship bar in basis points, shared by
-    * [[fdSketchSurvivors]]'s default and q216's inline budget filter
-    * so the two refute paths cannot silently drift apart.
+  /** Sketch-survivorship bar in basis points — the q216 sketch
+    * PREFILTER rule as a conf, the way [[FdMaxExactPairsConf]] is
+    * (round-17 verdict task 8): `spark.graft.fd.sketchSurvBp`,
+    * default 6000. Candidates whose sketched strength estimates
+    * below the bar are refuted without ever entering a distinct
+    * exchange; the bar sits a guard band below the 9000 bp
+    * deliverable threshold sized for the rsd-0.03 HLL (a true
+    * ≥9000 bp candidate needs two ~6.7σ opposite-direction errors to
+    * be mis-refuted — the documented probabilistic residual). Raise
+    * it on clusters where sketch scans themselves are the cost
+    * driver (more refusals, more risk); lower toward 0 to force
+    * exact confirmation of everything (the profiler-correctness
+    * extreme). Shared by [[fdSketchSurvivors]]'s default and q216's
+    * inline budget filter so the two refute paths cannot silently
+    * drift apart.
     */
+  val FdSketchSurvBpConf = "spark.graft.fd.sketchSurvBp"
   val FdSurvBpDefault: Long = 6000L
 
   private def fdMaxExactPairs(s: org.apache.spark.sql.SparkSession): Long =
     s.conf.getOption(FdMaxExactPairsConf).map(_.toLong)
       .getOrElse(FdMaxExactPairsDefault)
+
+  private[graft] def fdSketchSurvBp(s: org.apache.spark.sql.SparkSession): Long =
+    s.conf.getOption(FdSketchSurvBpConf).map(_.toLong)
+      .getOrElse(FdSurvBpDefault)
 
   /** Sketch estimates for every candidate: (candidate, (|A|_est,
     * |(A,B)|_est)). See [[fdSketchSurvivors]] for the scan shape.
@@ -913,8 +930,9 @@ object MiningQueries {
       // 100 TB that candidate stays sketch-graded instead of owning
       // the cluster's shuffle
       val budget = fdMaxExactPairs(s)
+      val survBp = fdSketchSurvBp(s)
       val survivors = fdSketchEstimates(s, d).collect {
-        case (c, (l, p)) if 10000L * l >= FdSurvBpDefault * p && p <= budget => c
+        case (c, (l, p)) if 10000L * l >= survBp * p && p <= budget => c
       }
       val out = if (survivors.isEmpty) {
         s.range(0).select(lit("").as("fd"), lit(0L).as("n_lhs"),

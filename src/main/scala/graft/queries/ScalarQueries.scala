@@ -151,7 +151,8 @@ object ScalarQueries {
       |cleaned AS (
       |  SELECT o_orderkey, coalesce(st, 'UNKNOWN') AS st, price
       |  FROM t WHERE price IS NOT NULL)
-      |SELECT st, count(*) AS n, round(sum(price), 2) AS total
+      |SELECT st, count(*) AS n,
+      |       CAST(sum(CAST(round(price * 100) AS BIGINT)) AS DOUBLE) / 100.0 AS total
       |FROM cleaned
       |GROUP BY st
       |ORDER BY st""".stripMargin) { (s, d) =>
@@ -163,7 +164,11 @@ object ScalarQueries {
       .na.fill(Map("st" -> "UNKNOWN"))
       .na.drop(Seq("price"))
       .groupBy(col("st"))
-      .agg(count(lit(1)).as("n"), round(sum(col("price")), 2).as("total"))
+      // per-row integer cents (q01 convention): 3 status groups span
+      // the whole orders table — data-scaled money sums stay exact
+      .agg(count(lit(1)).as("n"),
+        (sum(round(col("price") * 100).cast("long")).cast("double") / 100.0)
+          .as("total"))
       .orderBy(col("st"))
   }
 

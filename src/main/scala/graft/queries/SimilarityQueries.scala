@@ -397,7 +397,8 @@ object SimilarityQueries {
     * round-8 sf1 ladder measured the fixed 32/4 default going 19.6×
     * for 10× data (bucket occupancy n/2^r doubles with the corpus),
     * so the band width is now `api.AutoTune.lshR(n)` — the smallest
-    * r ∈ [4,11] with 128·2^r ≥ n — with (nBits, bands) = (2r², 2r),
+    * r ∈ [4,22] with 128·2^r ≥ n (round 17: cap raised from 11 with
+    * the 1024-bit rewrite ceiling) — with (nBits, bands) = (2r², 2r),
     * carried explicitly on the predicate (session confs still
     * override). On the gate corpora (500 / 2000 rows) the derivation
     * yields r=4 → exactly the historical 32/4 plan; at sf1-scale
@@ -424,13 +425,13 @@ object SimilarityQueries {
     "q60_hyperplane_lsh",
     "cosine-LSH near-dup via the similar_to join operator (corpus-sized banding + exact verify ≥ 0.45)",
     """WITH t AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-      |rp AS MATERIALIZED (SELECT coalesce(min(i), 11) AS r
-      |      FROM (SELECT unnest(range(4, 12)) AS i)
+      |rp AS MATERIALIZED (SELECT coalesce(min(i), 22) AS r
+      |      FROM (SELECT unnest(range(4, 23)) AS i)
       |      WHERE (CAST(128 AS BIGINT) << i) >= (SELECT count(*) FROM t)),
       |-- per-BAND bit lanes (round 13): band b draws bits [off, off+r)
       |-- of signature word w = b // (64 // r), word w's lanes seeded at
       |-- 7 + w*2685821657736338717 (the engine's seed stride). Computing
-      |-- band keys lane-by-lane keeps every shift < r <= 11, so the
+      |-- band keys lane-by-lane keeps every shift < r <= 22, so the
       |-- replay also covers derived r > 5 (nBits > 64), where the old
       |-- single-word form overflowed BIGINT shifts at sf1 scale.
       |bd AS (SELECT b, r, b // (64 // r) AS w, (b % (64 // r)) * r AS off

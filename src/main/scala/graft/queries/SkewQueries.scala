@@ -20,7 +20,8 @@ object SkewQueries {
   val q51SaltedJoin = QueryDef(
     "q51_salted_join",
     "salted join on a 3-value skew key == plain join (oracle is the unsalted join)",
-    """SELECT f.flag, round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue,
+    """SELECT f.flag,
+      |       CAST(sum(CAST(round(l.l_extendedprice * (1 - l.l_discount) * 100) AS BIGINT)) AS DOUBLE) / 100.0 AS revenue,
       |       count(*) AS n
       |FROM lineitem l
       |JOIN (VALUES ('A', 0.10), ('N', 0.05), ('R', 0.25)) AS f(flag, penalty)
@@ -39,8 +40,12 @@ object SkewQueries {
     fact
       .join(dim, fact("l_returnflag") === dim("flag") && fact("salt") === dim("salt"))
       .groupBy(col("flag"))
-      .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
-        .as("revenue"),
+      // per-row integer cents (q01 convention): the 3-value skew key
+      // makes each group span ~1/3 of lineitem, exactly the
+      // data-scaled raw-double sum whose order-dependent ulp drift
+      // the sf10 gate caught in q05
+      .agg((sum(round(col("l_extendedprice") * (lit(1) - col("l_discount")) * 100)
+        .cast("long")).cast("double") / 100.0).as("revenue"),
         count(lit(1)).as("n"))
       .orderBy(col("flag"))
   }

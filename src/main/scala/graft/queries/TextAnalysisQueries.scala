@@ -1182,6 +1182,13 @@ object TextAnalysisQueries {
     * floor), and eff_bp guards v = 1 with an explicit CASE (mln(1) =
     * 0 — DuckDB raises on integer //0 where Spark returns NULL). keep
     * = efficiency ≥ 5000 bp (half the achievable entropy).
+    * Shared-ulp assumption (the q121/q222 idiom's stated risk): ⌊10⁶·
+    * ln x⌋ agrees across engines only because JVM `Math.log` and
+    * DuckDB's libm `ln` both stay within 1 ulp of true; an integer
+    * count whose 10⁶·ln(c) lands within ~1 ulp of an integer boundary
+    * could flip h_micro/eff_bp by 1 between engines. No fuzz cell has
+    * tripped it across q121/q222/q253; if one ever does, gate the
+    * compare at ±1 micro-nat rather than abandoning the integer form.
     *
     * Scale shape: one (doc_id, term) partial-aggregable count — the
     * wordcount shuffle keyed by doc — then one doc-keyed aggregate;

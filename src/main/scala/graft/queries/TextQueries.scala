@@ -15,11 +15,13 @@ object TextQueries {
     * one declarative plan; Spark's partial+final HashAggregate is the
     * mapper combiner (mapper.c:75-88) + reducer merge (reducer.c:23-38).
     *
-    * Case folding follows [[TextFunctions.FoldConf]]: default `full`
-    * (JVM Unicode lowercase); `spark.graft.fold=simple` opts into the
-    * 1:1 simple mapping (İ→i) that C `towlower` (the reference,
-    * mapper.c:28) and DuckDB's utf8proc `lower()` apply — under it the
-    * fuzz-unicode corpus hash-matches the oracle exactly.
+    * Case folding follows [[TextFunctions.FoldConf]]: default `simple`
+    * since round 17 — the locale-independent 1:1 mapping (İ→i) that C
+    * `towlower` (the reference, mapper.c:28) and DuckDB's utf8proc
+    * `lower()` both apply, so the default engine output hash-matches
+    * the oracle on EVERY corpus including fuzz-unicode (the formerly
+    * red İ cell). `spark.graft.fold=full` opts back into the JVM's
+    * full Unicode lowercase (İ → "i"+U+0307) for JVM-ecosystem parity.
     */
   val wordcount = QueryDef(
     "wordcount",
@@ -31,9 +33,9 @@ object TextQueries {
       |GROUP BY word
       |ORDER BY word""".stripMargin) { (s, d) =>
     val words =
-      if (s.conf.get(TextFunctions.FoldConf, "full") == "simple")
-        TextFunctions.explodeTokensSimple(col("text"))
-      else TextFunctions.explodeTokens(col("text"))
+      if (s.conf.get(TextFunctions.FoldConf, "simple") == "full")
+        TextFunctions.explodeTokens(col("text"))
+      else TextFunctions.explodeTokensSimple(col("text"))
     Tables.documents(s, d)
       .select(words.as("word"))
       .filter(length(col("word")) > 0)

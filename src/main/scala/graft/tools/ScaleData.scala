@@ -38,6 +38,9 @@ import org.apache.spark.sql.functions._
   *   metadata-sized while the pre-compression scan grows F×.
   *
   * Usage: runMain graft.tools.ScaleData <srcSfDir> <outDir> <factor>
+  * [comma-separated-tables] — the optional subset serves third-decade
+  * (×1000) corpora, where documents must be excluded (432 distinct
+  * affine maps) and skipping unmeasured tables saves disk.
   */
 object ScaleData {
 
@@ -65,8 +68,23 @@ object ScaleData {
     val src = args(0)
     val out = args(1)
     val f = args(2).toInt
-    require(f >= 1 && f <= 128,
-      s"factor $f out of range (cyclic shift + negation covers f <= 2*dim = 128)")
+    // optional 4th arg: comma-separated table subset (third-decade
+    // corpora only need the measured families' tables; skipping the
+    // rest keeps a ×1000 run inside the box's disk budget)
+    val tables: Option[Set[String]] = args.lift(3).map(_.split(",").map(_.trim).toSet)
+    // Factor ceilings are PER-GUARANTEE: the embedding transform
+    // (shift / negated shift / hash-sign diagonal — all orthogonal)
+    // is distinct per copy to f ≤ 4096 with overwhelming probability;
+    // the documents character bijection has exactly 432 distinct
+    // affine maps, so past 432 copies cross-copy text pairs repeat a
+    // map and the near-dup workload turns quadratic — refuse unless
+    // documents is excluded OR the caller accepts that dedup-family
+    // measurements on the output are invalid (we refuse; exclude the
+    // table instead).
+    require(f >= 1 && f <= 4096, s"factor $f out of range [1, 4096]")
+    require(f <= 432 || tables.exists(t => !t.contains("documents")),
+      s"factor $f > 432 exceeds the distinct affine-map count for documents.text " +
+        "(cross-copy near-dup structure would repeat); pass a table subset excluding documents")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -77,6 +95,8 @@ object ScaleData {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
+    def wanted(t: String): Boolean = tables.forall(_.contains(t))
+
     def write(df: DataFrame, t: String): Unit = {
       df.repartition(64)
         .write.mode("overwrite").parquet(s"$out/$t.parquet")
@@ -86,17 +106,28 @@ object ScaleData {
     def remap(df: DataFrame, c: Int, keys: String*): DataFrame =
       keys.foldLeft(df)((d, k) => d.withColumn(k, col(k) * f + lit(c)))
 
-    def replicated(t: String, keys: Seq[String])(extra: (DataFrame, Int) => DataFrame): Unit = {
-      val base = graft.Tables.load(spark, src, t)
-      val scaled = (0 until f)
-        .map(c => extra(remap(base, c, keys: _*), c))
-        .reduce(_.unionAll(_))
-      write(scaled, t)
-    }
+    def replicated(t: String, keys: Seq[String])(extra: (DataFrame, Int) => DataFrame): Unit =
+      if (wanted(t)) {
+        val base = graft.Tables.load(spark, src, t)
+        // chunked union+append: a single f-way union is fine to ~128
+        // children but a ×1000 plan stalls analysis and balloons the
+        // driver; 64-copy chunks keep every written plan small while
+        // the output stays one parquet dir
+        (0 until f).grouped(64).zipWithIndex.foreach { case (chunk, ci) =>
+          val scaled = chunk
+            .map(c => extra(remap(base, c, keys: _*), c))
+            .reduce(_.unionAll(_))
+          val mode = if (ci == 0) "overwrite" else "append"
+          scaled.repartition(math.max(8, 64 * chunk.size / f))
+            .write.mode(mode).parquet(s"$out/$t.parquet")
+        }
+        println(s"[scale] wrote $t")
+      }
 
     // tiny lookup tables pass through unscaled (their FKs from the
     // scaled side are untouched, so containment holds)
-    Seq("region", "nation").foreach(t => write(graft.Tables.load(spark, src, t), t))
+    Seq("region", "nation").filter(wanted)
+      .foreach(t => write(graft.Tables.load(spark, src, t), t))
 
     replicated("customer", Seq("c_custkey"))((d, _) => d)
     replicated("supplier", Seq("s_suppkey"))((d, _) => d)
@@ -132,19 +163,29 @@ object ScaleData {
     replicated("embeddings", Seq("vec_id")) { (d, c) =>
       if (c == 0) d
       else {
-        // copy c: cyclic shift by c mod 64; copies ≥ 64 additionally
-        // NEGATE (an orthogonal transform — intra-copy geometry is
-        // exactly preserved, and v vs −shift(v) reads cosine ≈ −1,
-        // decorrelated from every ≥0.9 near-dup threshold). Extends
-        // the honest replication to f ≤ 128 so sf10 is ONE ScaleData
-        // run (chained runs COMPOSE the text transforms, which is
-        // exactly what broke the prefix designs).
+        // copy c: cyclic shift by c mod 64; copies in [64, 128)
+        // additionally NEGATE; copies ≥ 128 (round 17, for the ×1000
+        // third-decade corpus) compose the shift with a HASH-SIGN
+        // DIAGONAL keyed by group g = c div 64 (component i flips
+        // sign iff xxhash64(g, i) is odd). Every variant is an
+        // orthogonal transform — a signed permutation — so intra-copy
+        // geometry (all cosines/distances, cluster structure) is
+        // EXACTLY preserved, while distinct copies' transforms
+        // decorrelate cross-copy vectors (two independent ±1
+        // patterns agree everywhere with prob 2⁻⁶⁴). Copies < 128
+        // keep the historical transforms bit-for-bit, so sf10
+        // corpora regenerate identically to round 16.
         val s = c % 64
+        val g = c / 64
         val shifted =
           if (s == 0) col("embedding")
           else expr(s"concat(slice(embedding, ${s + 1}, size(embedding) - $s), slice(embedding, 1, $s))")
-        d.withColumn("embedding",
-          if (c >= 64) transform(shifted, x => -x) else shifted)
+        val signed =
+          if (g == 0) shifted
+          else if (g == 1) transform(shifted, x => -x)
+          else transform(shifted, (x, i) =>
+            when(pmod(xxhash64(lit(g), i), lit(2)) === 0, x).otherwise(-x))
+        d.withColumn("embedding", signed)
       }
     }
 

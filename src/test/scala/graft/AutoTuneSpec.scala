@@ -11,7 +11,7 @@ import graft.plans.{GraftFunctions, SimilarityJoinRewrite}
   */
 class AutoTuneSpec extends SparkSpec {
 
-  test("lshR: smallest r in [4,11] with 128·2^r ≥ n, floored and capped") {
+  test("lshR: smallest r in [4,22] with 128·2^r ≥ n, floored and capped") {
     // floor regime: tiny corpora keep the recall-calibrated width 4
     assert(AutoTune.lshR(1) == 4)
     assert(AutoTune.lshR(500) == 4)     // sf0.01 gate corpus
@@ -20,17 +20,25 @@ class AutoTuneSpec extends SparkSpec {
     assert(AutoTune.lshR(2049) == 5)
     assert(AutoTune.lshR(4096) == 5)    // single-oracle-word ceiling
     assert(AutoTune.lshR(20000) == 8)   // sf1 ladder corpus
-    // cap regime: 2·11² = 242 ≤ the rewrite's 256-bit signature limit
-    assert(AutoTune.lshR(Long.MaxValue) == 11)
+    assert(AutoTune.lshR(200000) == 11) // sf10 ladder corpus — same r as the old cap
+    // round 17: past 128·2¹¹ = 262144 the OLD [4,11] cap saturated and
+    // occupancy grew linearly (the round-16 verdict's `weak` mark);
+    // the derivation now keeps doubling 2^r with the corpus
+    assert(AutoTune.lshR(262144) == 11) // exact old-cap boundary
+    assert(AutoTune.lshR(262145) == 12) // first n the old cap mishandled
+    assert(AutoTune.lshR(300000) == 12) // the round-17 ladder corpus
+    assert(AutoTune.lshR(128L << 21) == 21)
+    // cap regime: 2·22² = 968 ≤ the rewrite's 1024-bit signature limit
+    assert(AutoTune.lshR(Long.MaxValue) == 22)
   }
 
   test("lshParams reproduces BOTH measured ladder points: (32,4) and (128,8)") {
     assert(AutoTune.lshParams(2000) == ((32, 4)))   // the good sf0.1 default
     assert(AutoTune.lshParams(20000) == ((128, 8))) // the good sf1 re-tune
     // derived nBits always divisible by r (the rewrite's banding invariant)
-    (1L to 26L).map(1L << _).foreach { n =>
+    (1L to 44L).map(1L << _).foreach { n =>
       val (nb, r) = AutoTune.lshParams(n)
-      assert(nb == 2 * r * r && nb % r == 0 && nb <= 256, s"n=$n -> ($nb, $r)")
+      assert(nb == 2 * r * r && nb % r == 0 && nb <= 1024, s"n=$n -> ($nb, $r)")
     }
   }
 

@@ -466,9 +466,10 @@ class DedupQualitySpec extends SparkSpec {
 
   test("wide banding past the old 256-bit ceiling (512/8, 8 words) keeps recall through the rewrite") {
     import spark.implicits._
-    // the round-16 sf10 ladder's q60 watch item: when AutoTune's
-    // r ∈ [4,11] derivation saturates (n > 128·2¹¹ per group), the
-    // production move is WIDER signatures via the session confs —
+    // round 17 extended AutoTune's default derivation to r ∈ [4,22],
+    // so the old saturation point (n > 128·2¹¹ per group) no longer
+    // binds at default conf; session confs remain the move for
+    // non-(2r², r) recall/precision trade-offs —
     // 512 bits = 64 bands × 8 bits across EIGHT independent signature
     // words. This pins that the per-word lane kernel is correct past
     // the old 256-bit require (miss probability at these near-1.0
@@ -505,6 +506,37 @@ class DedupQualitySpec extends SparkSpec {
       spark.conf.unset(plans.SimilarityJoinRewrite.NBitsConf)
       spark.conf.unset(plans.SimilarityJoinRewrite.BitsPerBandConf)
     }
+  }
+
+  test("extended default derivation (r=12, the first post-old-cap point) keeps recall through the rewrite") {
+    import spark.implicits._
+    // round 17: AutoTune.lshR(300000) = 12 — the first r the old
+    // [4,11] cap could not reach. Pin the CARRIED-banding path at
+    // exactly the derived (2·12², 12) = (288, 12) shape (5 words,
+    // 24 bands) on planted near-dups, so the derivation's output is
+    // exercised end-to-end without a 300k-row fixture.
+    assert(api.AutoTune.lshParams(300000L) == ((288, 12)))
+    plans.GraftFunctions.register(spark)
+    val rnd = new scala.util.Random(17)
+    val base = (0L until 100L).map(i =>
+      (i, Array.fill(64)(rnd.nextGaussian().toFloat)))
+    val dups = base.take(20).map { case (i, v) =>
+      (i + 1000L, v.map(x => x + 0.01f * rnd.nextGaussian().toFloat))
+    }
+    val t = (base ++ dups).toDF("vec_id", "embedding")
+    val a = t.select(col("vec_id").as("vec_a"), col("embedding").as("ea"))
+    val b = t.select(col("vec_id").as("vec_b"), col("embedding").as("eb"))
+    val joined = a.join(b,
+      plans.GraftFunctions.similarTo(col("ea"), col("eb"), 0.9, 288, 12) &&
+        col("vec_a") < col("vec_b"))
+    assert(!joined.queryExecution.executedPlan.toString
+        .contains("BroadcastNestedLoopJoin"),
+      "similar_to did not rewrite to the band join under carried (288,12) banding")
+    val pairs = joined.select(col("vec_a"), col("vec_b"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val want = (0L until 20L).map(i => (i, i + 1000L)).toSet
+    assert(want.subsetOf(pairs),
+      s"(288,12) banding missed planted dups: ${want.diff(pairs)}")
   }
 
   test("approx_count_distinct within 5% of exact") {

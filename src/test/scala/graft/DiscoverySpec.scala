@@ -293,6 +293,34 @@ class DiscoverySpec extends SparkSpec {
     spark.sharedState.cacheManager.clearCache()
   }
 
+  test("q216 sketch-prefilter bar is a conf: raising it refutes more, lowering it confirms all exactly") {
+    import queries.MiningQueries
+    // absurdly high bar: every candidate sketch-refutes (an exact FD's
+    // two independent HLL estimates can coincide, so 10001 bp is NOT
+    // impossible — 10⁸ bp is), the report is empty and scan-free
+    spark.conf.set(MiningQueries.FdSketchSurvBpConf, "100000000")
+    try {
+      val none = Registry.byName("q216_fd_discovery").fn(spark, sfDir)
+      assert(none.collect().isEmpty,
+        "an impossible sketch bar must refute every candidate")
+      assert(!none.queryExecution.executedPlan.toString.contains(".parquet"),
+        "sketch-refuted candidates must not reach the exact phase's scans")
+      // bar 0: nothing sketch-refutes — every candidate is exact-
+      // confirmed (the profiler-correctness extreme), and the emitted
+      // strong set equals the default run's (the sketch prefilter
+      // only ever removes work, never answers)
+      spark.conf.set(MiningQueries.FdSketchSurvBpConf, "0")
+      val all = Registry.byName("q216_fd_discovery").fn(spark, sfDir)
+        .collect().map(_.getString(0)).toSet
+      spark.conf.unset(MiningQueries.FdSketchSurvBpConf)
+      val default = Registry.byName("q216_fd_discovery").fn(spark, sfDir)
+        .collect().map(_.getString(0)).toSet
+      assert(all == default,
+        s"sketch prefilter changed the emitted strong-FD set: $all vs $default")
+    } finally spark.conf.unset(MiningQueries.FdSketchSurvBpConf)
+    spark.sharedState.cacheManager.clearCache()
+  }
+
   test("q217 source saliency matches a driver log-odds recompute") {
     val got = Registry.byName("q217_source_saliency").fn(spark, sfDir).collect()
       .map(r => (r.getString(0), r.getLong(1), r.getString(2), r.getLong(3), r.getLong(4)))

@@ -30,7 +30,7 @@ class MapReduceApiSpec extends SparkSpec {
     assert(api.toSeq == query.toSeq)
   }
 
-  test("spark.graft.fold=simple folds İ 1:1 (towlower/utf8proc); default full keeps the JVM mapping") {
+  test("default simple fold folds İ 1:1 (towlower/utf8proc); spark.graft.fold=full opts into the JVM mapping") {
     import spark.implicits._
     val tmp = Files.createTempDirectory(
       java.nio.file.Paths.get("target"), "fold").toString
@@ -40,18 +40,19 @@ class MapReduceApiSpec extends SparkSpec {
     def words(): Set[String] =
       Registry.byName("wordcount").fn(spark, tmp)
         .collect().map(_.getString(0)).toSet
-    // full (default): JVM İ→"i"+U+0307; the combining mark is not
+    // simple (default since round 17): İ→i (one codepoint), the token
+    // survives intact — the reference's towlower and DuckDB's
+    // utf8proc behavior, so default output oracle-matches everywhere
+    val simple = words()
+    assert(simple == Set("istanbul", "merhaba"), s"simple fold: $simple")
+    // full (opt-in): JVM İ→"i"+U+0307; the combining mark is not
     // \p{L}\p{N}, so the token SPLITS — the observable divergence
-    val full = words()
-    assert(full == Set("i", "stanbul", "merhaba"), s"full fold: $full")
-    // simple: İ→i (one codepoint), the token survives intact — the
-    // reference's towlower and DuckDB's utf8proc behavior
-    spark.conf.set(graft.functions.TextFunctions.FoldConf, "simple")
+    spark.conf.set(graft.functions.TextFunctions.FoldConf, "full")
     try {
-      val simple = words()
-      assert(simple == Set("istanbul", "merhaba"), s"simple fold: $simple")
+      val full = words()
+      assert(full == Set("i", "stanbul", "merhaba"), s"full fold: $full")
     } finally spark.conf.unset(graft.functions.TextFunctions.FoldConf)
-    assert(words() == full, "unset conf must restore full folding")
+    assert(words() == simple, "unset conf must restore simple folding")
   }
 
   test("generic run() supports arbitrary key/value types and reduce fns") {

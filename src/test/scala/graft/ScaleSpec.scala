@@ -122,8 +122,12 @@ class ScaleSpec extends SparkSpec {
     val plain = Tables.lineitem(spark, sfDir)
       .join(dim, col("l_returnflag") === col("flag"))
       .groupBy(col("flag"))
-      .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
-        .as("revenue"), count(lit(1)).as("n"))
+      // per-row integer cents, matching q51's round-17 convention —
+      // the whole point: the salted and plain joins agree EXACTLY,
+      // not merely to ulp-drifting rounded doubles
+      .agg((sum(round(col("l_extendedprice") * (lit(1) - col("l_discount")) * 100)
+        .cast("long")).cast("double") / 100.0).as("revenue"),
+        count(lit(1)).as("n"))
       .orderBy(col("flag"))
     assert(salted.collect().toSeq == plain.collect().toSeq)
   }

@@ -52,17 +52,13 @@ CLASSES = {
 DOCUMENTED = {
     "nulls": {},
     "empty": {},
-    # q120's match key was closed too (NFC + strip-marks + ß→ss full
-    # casefold, identical both engines); wordcount is the irreducible
-    # residual AT THE DEFAULT fold — its OUTPUT is the folded words
-    # themselves, so the JDK-vs-utf8proc İ mapping difference is the
-    # observable. `spark.graft.fold=simple` (round 16) opts into the
-    # 1:1 towlower/utf8proc mapping and turns this cell green
-    # (demonstrated via Verify -Dspark.graft.fold=simple on this
-    # corpus; MapReduceApiSpec pins both modes). Default unchanged.
-    "unicode": {
-        "wordcount": "D",
-    },
+    # Round-17 closure: the last class-D cell (wordcount İ) is CLOSED
+    # engine-side — the default fold is now the locale-independent
+    # SIMPLE 1:1 mapping (İ→i, what towlower and DuckDB's utf8proc
+    # apply), so default output hash-matches the oracle on the
+    # unicode corpus; `spark.graft.fold=full` remains the opt-in JVM
+    # full-casing mode (MapReduceApiSpec pins both).
+    "unicode": {},
     "skew": {},
 }
 
