@@ -31,6 +31,20 @@ object AutoUnpersist {
   def scoped(df: DataFrame): DataFrame = {
     val spark = df.sparkSession
     val cached = df.persist()
+    // Materialize the cache EAGERLY (round 17): `persist` alone is
+    // lazy, and under AQE the final action's broadcast-exchange
+    // subqueries run on separate driver threads — every thread that
+    // reaches the still-empty cache recomputes the whole shared
+    // subplan (q161 measured 35 Spark jobs / 8.6 s of task time for a
+    // 2.4 s query: ~4 redundant rebuilds of the shingle stream; at
+    // cluster scale that is N redundant corpus scans). A raw RDD
+    // count populates the InMemoryRelation WITHOUT emitting a
+    // QueryExecutionListener event, so the release listener
+    // (registered after, and only matching Dataset actions) still
+    // fires on the first real consumer, never on the build.
+    try cached.queryExecution.toRdd.count()
+    catch { case _: Throwable => () } // broken inputs: stay lazy; the
+    // caller's own action will surface the real error unchanged
     val target = cached.queryExecution.analyzed
     val released = new AtomicBoolean(false)
     object L extends QueryExecutionListener {
