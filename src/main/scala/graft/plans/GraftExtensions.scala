@@ -127,12 +127,23 @@ object GraftFunctions {
       new ExpressionInfo(classOf[PortableHash64].getName, "portable_hash64"),
       (children: Seq[Expression]) => PortableHash64(children.head))
 
+  val vecDotDescriptor: Descriptor =
+    (FunctionIdentifier("vec_dot"),
+      new ExpressionInfo(classOf[VecDot].getName, "vec_dot"),
+      (children: Seq[Expression]) => VecDot(children(0), children(1)))
+
+  val vecDistSqDescriptor: Descriptor =
+    (FunctionIdentifier("vec_distsq"),
+      new ExpressionInfo(classOf[VecDistSq].getName, "vec_distsq"),
+      (children: Seq[Expression]) => VecDistSq(children(0), children(1)))
+
   val descriptors: Seq[Descriptor] =
     Seq(cosineSimDescriptor, minhashSigDescriptor, simhashDescriptor,
       topkDescriptor, similarToDescriptor, lshSigDescriptor,
       unicodeNormalizeDescriptor, quantizeI8Descriptor, vectorSumDescriptor,
       fuzzyMatchDescriptor, freqTopkDescriptor, gramSumsDescriptor,
-      mix64Descriptor, portableHash64Descriptor)
+      mix64Descriptor, portableHash64Descriptor,
+      vecDotDescriptor, vecDistSqDescriptor)
 
   /** Idempotent per-session registration: the native functions plus
     * the similarity-join optimizer rule (the in-library twin of the
@@ -218,6 +229,16 @@ object GraftFunctions {
 
   /** Column-API form of the native int8 max-abs quantizer. */
   def quantizeI8(vec: Column): Column = call_function("quantize_i8", vec)
+
+  /** Column-API form of the native dot product (long-exact on
+    * `array<bigint>`, sequential double fold on float/double arrays —
+    * the codegen'd replacement for `aggregate(zip_with(a,b,*),0,+)`).
+    */
+  def vecDot(a: Column, b: Column): Column = call_function("vec_dot", a, b)
+
+  /** Column-API form of the native squared euclidean distance. */
+  def vecDistSq(a: Column, b: Column): Column =
+    call_function("vec_distsq", a, b)
 
   /** Column-API form of the native element-wise vector-sum aggregate. */
   def vectorSum(vec: Column): Column = call_function("vector_sum", vec)

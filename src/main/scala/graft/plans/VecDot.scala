@@ -1,0 +1,185 @@
+package graft.plans
+
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types._
+
+/** Native codegen'd vector kernels (round 17) — the dot-product /
+  * squared-distance twins of [[CosineSimilarity]]: the HOF spellings
+  * (`aggregate(zip_with(a, b, ...))`) evaluate INTERPRETED, allocating
+  * a zipped array and boxing every element per row; on q202's
+  * 2.5M-row codebook join the three interpreted dots per row were the
+  * dominant cost. These compile to a tight primitive loop with zero
+  * allocation inside WholeStageCodegen.
+  *
+  * Element types: both `array<bigint>` → exact LONG accumulation
+  * (the integer-exactness contract paths — q203/q238 quantized
+  * vectors), or float/double arrays → DOUBLE accumulation in
+  * sequential element order, bit-identical to the left-to-right HOF
+  * fold and to DuckDB's `list_dot_product` / `list_reduce` spellings.
+  *
+  * Length contract: iteration runs over the LEFT array's length; the
+  * right array may be LONGER (q238 dots each row's d-length vector
+  * against a dMax-padded sign row — the pad is never read), but a
+  * SHORTER right throws rather than silently truncating, the
+  * [[CosineSimilarity]] refuse-to-truncate rule.
+  */
+abstract class VecBinaryKernel extends BinaryExpression {
+
+  protected def elemOk(dt: DataType): Boolean = dt match {
+    case ArrayType(FloatType, _) | ArrayType(DoubleType, _) |
+         ArrayType(LongType, _) => true
+    case _ => false
+  }
+
+  protected def elemType(e: Expression): DataType =
+    e.dataType.asInstanceOf[ArrayType].elementType
+
+  protected def bothLong: Boolean =
+    elemType(left) == LongType && elemType(right) == LongType
+
+  override def dataType: DataType =
+    if (bothLong) LongType else DoubleType
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (!elemOk(left.dataType) || !elemOk(right.dataType))
+      TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires array<bigint|float|double> inputs, " +
+          s"got ${left.dataType.sql} and ${right.dataType.sql}")
+    else if ((elemType(left) == LongType) != (elemType(right) == LongType))
+      TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires both-integer or both-floating arrays, " +
+          s"got ${left.dataType.sql} and ${right.dataType.sql}")
+    else TypeCheckResult.TypeCheckSuccess
+
+  /** java accessor name for an element type in generated code. */
+  protected def getter(dt: DataType): String = dt match {
+    case FloatType => "getFloat"
+    case DoubleType => "getDouble"
+    case LongType => "getLong"
+    case other => throw new IllegalStateException(s"unexpected $other")
+  }
+}
+
+/** Σ a(i)·b(i) over the left length — see [[VecBinaryKernel]]. */
+case class VecDot(left: Expression, right: Expression)
+    extends VecBinaryKernel {
+
+  override def prettyName: String = "vec_dot"
+
+  override def nullSafeEval(l: Any, r: Any): Any = {
+    val a = l.asInstanceOf[ArrayData]
+    val b = r.asInstanceOf[ArrayData]
+    val n = a.numElements()
+    VecDot.requireRightCovers(prettyName, n, b.numElements())
+    if (bothLong) {
+      var s = 0L; var i = 0
+      while (i < n) { s += a.getLong(i) * b.getLong(i); i += 1 }
+      s
+    } else {
+      val lf = elemType(left) == FloatType
+      val rf = elemType(right) == FloatType
+      var s = 0.0; var i = 0
+      while (i < n) {
+        val x = if (lf) a.getFloat(i).toDouble else a.getDouble(i)
+        val y = if (rf) b.getFloat(i).toDouble else b.getDouble(i)
+        s += x * y; i += 1
+      }
+      s
+    }
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val (jt, cast) = if (bothLong) ("long", "(long)") else ("double", "(double)")
+    val lGet = getter(elemType(left))
+    val rGet = getter(elemType(right))
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val s = ctx.freshName("s")
+      val i = ctx.freshName("i")
+      val n = ctx.freshName("n")
+      s"""
+         |$jt $s = 0;
+         |int $n = $a.numElements();
+         |graft.plans.VecDot.requireRightCovers("vec_dot", $n, $b.numElements());
+         |for (int $i = 0; $i < $n; $i++) {
+         |  $s += ($cast $a.$lGet($i)) * ($cast $b.$rGet($i));
+         |}
+         |${ev.value} = $s;
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): VecDot =
+    copy(left = newLeft, right = newRight)
+}
+
+/** Σ (a(i)−b(i))² over the left length — see [[VecBinaryKernel]]. */
+case class VecDistSq(left: Expression, right: Expression)
+    extends VecBinaryKernel {
+
+  override def prettyName: String = "vec_distsq"
+
+  override def nullSafeEval(l: Any, r: Any): Any = {
+    val a = l.asInstanceOf[ArrayData]
+    val b = r.asInstanceOf[ArrayData]
+    val n = a.numElements()
+    VecDot.requireRightCovers(prettyName, n, b.numElements())
+    if (bothLong) {
+      var s = 0L; var i = 0
+      while (i < n) {
+        val d = a.getLong(i) - b.getLong(i); s += d * d; i += 1
+      }
+      s
+    } else {
+      val lf = elemType(left) == FloatType
+      val rf = elemType(right) == FloatType
+      var s = 0.0; var i = 0
+      while (i < n) {
+        val x = if (lf) a.getFloat(i).toDouble else a.getDouble(i)
+        val y = if (rf) b.getFloat(i).toDouble else b.getDouble(i)
+        val d = x - y; s += d * d; i += 1
+      }
+      s
+    }
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val (jt, cast) = if (bothLong) ("long", "(long)") else ("double", "(double)")
+    val lGet = getter(elemType(left))
+    val rGet = getter(elemType(right))
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val s = ctx.freshName("s")
+      val dd = ctx.freshName("d")
+      val i = ctx.freshName("i")
+      val n = ctx.freshName("n")
+      s"""
+         |$jt $s = 0;
+         |int $n = $a.numElements();
+         |graft.plans.VecDot.requireRightCovers("vec_distsq", $n, $b.numElements());
+         |for (int $i = 0; $i < $n; $i++) {
+         |  $jt $dd = ($cast $a.$lGet($i)) - ($cast $b.$rGet($i));
+         |  $s += $dd * $dd;
+         |}
+         |${ev.value} = $s;
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): VecDistSq =
+    copy(left = newLeft, right = newRight)
+}
+
+object VecDot {
+  /** Shared by interpreted eval and generated code. The right side may
+    * be longer (padded literals); shorter is a data bug.
+    */
+  def requireRightCovers(name: String, nLeft: Int, nRight: Int): Unit =
+    if (nRight < nLeft)
+      throw new IllegalArgumentException(
+        s"$name: right vector has $nRight elements, left has $nLeft; " +
+          "refusing to truncate (right may be longer, never shorter)")
+}

@@ -1211,7 +1211,12 @@ object SimilarityQueries {
       |WHERE top.rn <= 10
       |ORDER BY top.q_id, top.rn""".stripMargin) { (s, d) =>
     GraftFunctions.register(s)
-    import graft.functions.VectorFunctions.dot
+    // native codegen'd dot (round 17): the HOF spelling evaluated
+    // interpreted on the 2.5M-row codebook join below — three dots per
+    // row dominated the query; vec_dot is the same sequential double
+    // fold compiled to a primitive loop (bit-identical results)
+    def dot(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
+      GraftFunctions.vecDot(a, b)
     val t = Tables.embeddings(s, d)
       .select(col("vec_id"), GraftFunctions.quantizeI8(col("embedding")).as("qv"))
     // 16 codeword donors: lowest mix64(vec_id) (the q134 u52 idiom)
@@ -1662,7 +1667,7 @@ object SimilarityQueries {
       .select(col("vec_id"), col("best.c_id").as("c_id"),
         col("best.embedding").cast("array<double>").as("v"),
         col("best.side").as("side"))
-      .withColumn("nrm2", aggregate(col("v"), lit(0.0), (acc, x) => acc + x * x))
+      .withColumn("nrm2", GraftFunctions.vecDot(col("v"), col("v")))
       .filter(col("nrm2") > 0)
       .select(col("vec_id"), col("c_id"), col("side"),
         transform(col("v"),
@@ -1677,8 +1682,9 @@ object SimilarityQueries {
     val pr = graft.AutoUnpersist.scoped(
       a.join(b, col("c_id") === col("c2"))
         .select(col("u"), col("w"),
-          aggregate(zip_with(col("qa"), col("qb"), (x, y) => x * y),
-            lit(0L), (acc, z) => acc + z).as("qd")))
+          // native exact-long dot (round 17): the interpreted HOF fold
+          // ran per candidate pair × d elements
+          GraftFunctions.vecDot(col("qa"), col("qb")).as("qd")))
     def knn4(key: String, other: String): DataFrame =
       pr.groupBy(col(key))
         .agg(GraftFunctions.topkByScore(col("qd").cast("double"), col(other), 4).as("top"))
@@ -1775,7 +1781,7 @@ object SimilarityQueries {
     GraftFunctions.register(s)
     val t = Tables.embeddings(s, d)
       .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
-      .withColumn("nrm2", aggregate(col("v"), lit(0.0), (acc, x) => acc + x * x))
+      .withColumn("nrm2", GraftFunctions.vecDot(col("v"), col("v")))
       .filter(col("nrm2") > 0)
       .select(col("vec_id"),
         transform(col("v"),
@@ -1798,23 +1804,21 @@ object SimilarityQueries {
         else -1L
       })
     // Persisted for the query's scope: both pair sides read it.
+    // Round 17: each of the 16 projections is a native exact-long
+    // vec_dot against its FULL dMax-length sign row (vec_dot iterates
+    // the left/row vector's length, so the pad is never read — same
+    // values as the old slice+zip_with HOF, which evaluated
+    // interpreted: 16 × d lambda steps per row).
     val proj = graft.AutoUnpersist.scoped(t.withColumn("pl",
-      transform(sequence(lit(0L), lit(15L)), k =>
-        aggregate(
-          zip_with(col("qu"),
-            slice(element_at(typedLit(signs), (k + 1).cast("int")),
-              lit(1), size(col("qu"))),
-            (x, sgn) => x * sgn),
-          lit(0L), (acc, z) => acc + z))))
+      array((0 until 16).map(k =>
+        GraftFunctions.vecDot(col("qu"), typedLit(signs(k)))): _*)))
     val a = proj.select(col("vec_id").as("ui"), col("qu").as("qa"), col("pl").as("pla"))
       .filter(col("ui") % 2 === 0)
     val b = proj.select(col("vec_id").as("vi"), col("qu").as("qb"), col("pl").as("plb"))
     val dd = a.join(b, col("vi") === col("ui") + 1)
       .select(col("ui"), col("vi"),
-        aggregate(zip_with(col("qa"), col("qb"), (x, y) => (x - y) * (x - y)),
-          lit(0L), (acc, z) => acc + z).as("od2"),
-        aggregate(zip_with(col("pla"), col("plb"), (x, y) => (x - y) * (x - y)),
-          lit(0L), (acc, z) => acc + z).as("pd2"))
+        GraftFunctions.vecDistSq(col("qa"), col("qb")).as("od2"),
+        GraftFunctions.vecDistSq(col("pla"), col("plb")).as("pd2"))
     dd.filter(col("od2") > 0)
       .select(expr("(10000 * pd2) div (16 * od2)").as("bp"))
       .groupBy(expr("bp div 1000").as("bucket"))
