@@ -25,20 +25,25 @@ object DedupQueries {
   /** Distinct word-3-gram shingle postings per doc, as (doc_id,
     * 64-bit shingle hash) rows. 3-shingles make the tiny shared
     * vocabulary discriminative — pairwise shingle-Jaccard on this
-    * corpus is bimodal ≤0.15 / ≥0.9. Shingles are produced by a
-    * window `lead` over the exploded token stream and hashed as the
+    * corpus is bimodal ≤0.15 / ≥0.9. Shingles are built MAP-SIDE from
+    * the token array ([[graft.functions.Ngrams.trigrams]] — zipped
+    * shifted slices, no window shuffle; round 17) and hashed as the
     * token TRIPLE directly (`xxhash64(t, t+1, t+2)`) — fully
     * codegen'd; the earlier higher-order-function array build
     * (`transform`+`concat_ws`+`slice` per position) evaluated
     * interpreted and dominated every dedup query's runtime.
     */
   private[graft] def shinglePostingsOf(docs: DataFrame): DataFrame = {
-    val w = Window.partitionBy(col("doc_id")).orderBy(col("p"))
-    docs
-      .select(col("doc_id"), posexplode(toks(col("text"))).as(Seq("p", "t")))
-      .select(col("doc_id"), col("p"), col("t"),
-        lead(col("t"), 1).over(w).as("t1"), lead(col("t"), 2).over(w).as("t2"))
-      .filter(col("t2").isNotNull)
+    // Repartition the DOCUMENTS (not the exploded stream) by doc_id
+    // before the map-side trigram build: the shuffle carries corpus
+    // bytes once (vs the historical window form's exploded
+    // token-stream exchange + sort), spreads the per-token hash work,
+    // and — because Generate/Project preserve the child partitioning —
+    // leaves the stream hash-clustered by doc_id, so the distinct AND
+    // every downstream per-doc groupBy (signatures, sizes, hot sets)
+    // plan with zero further exchanges (round 17).
+    val sp = docs.sparkSession.sparkContext.defaultParallelism
+    graft.functions.Ngrams.trigrams(docs.repartition(sp, col("doc_id")))
       .select(col("doc_id"), xxhash64(col("t"), col("t1"), col("t2")).as("gh"))
       .distinct()
   }
@@ -985,17 +990,15 @@ object DedupQueries {
   private def calibrationPairs(s: SparkSession, d: String): DataFrame =
     graft.SessionMemo.getOrCompute(s, "dedup.calib:" + d) {
       GraftFunctions.register(s)
-      val w = Window.partitionBy(col("doc_id")).orderBy(col("p"))
-      // portable shingle hashes: same lead-window shingle stream as
-      // shinglePostingsOf, hashed with portable_hash64 instead of
-      // xxhash64 so the oracle can replay the signatures
+      // portable shingle hashes: same trigram stream as
+      // shinglePostingsOf (map-side zipped slices; the repartition
+      // spreads the per-token hash work off a single-file scan),
+      // hashed with portable_hash64 instead of xxhash64 so the oracle
+      // can replay the signatures
       val posts = graft.AutoUnpersist.scoped(
-        Tables.documents(s, d)
-          .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
-          .select(col("doc_id"), posexplode(toks(col("text"))).as(Seq("p", "t")))
-          .select(col("doc_id"), col("p"), col("t"),
-            lead(col("t"), 1).over(w).as("t1"), lead(col("t"), 2).over(w).as("t2"))
-          .filter(col("t2").isNotNull)
+        graft.functions.Ngrams.trigrams(
+          Tables.documents(s, d)
+            .repartition(s.sparkContext.defaultParallelism, col("doc_id")))
           .select(col("doc_id"),
             GraftFunctions.portableHash64(
               concat_ws(" ", col("t"), col("t1"), col("t2"))).as("g"))
@@ -1414,18 +1417,15 @@ object DedupQueries {
       |WHERE co.shared >= 3
       |ORDER BY co.doc_a, co.doc_b""".stripMargin) { (s, d) =>
     GraftFunctions.register(s)
-    val lw = Window.partitionBy(col("doc_id")).orderBy(col("p"))
-    val fw = lw.rowsBetween(0, 7)
+    val fw = Window.partitionBy(col("doc_id")).orderBy(col("p")).rowsBetween(0, 7)
     // portable per-position shingle hashes (q158's stream, position
-    // kept): hash-repartition by doc_id first — parallelizes the
-    // serial per-token hash work off a single-file scan AND
-    // pre-satisfies both window panes' partitioning (the q35 idiom)
-    val stream = Tables.documents(s, d)
-      .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
-      .select(col("doc_id"), posexplode(toks(col("text"))).as(Seq("p", "t")))
-      .select(col("doc_id"), col("p"), col("t"),
-        lead(col("t"), 1).over(lw).as("t1"), lead(col("t"), 2).over(lw).as("t2"))
-      .filter(col("t2").isNotNull)
+    // kept — map-side zipped slices, round 17): hash-repartition by
+    // doc_id first — parallelizes the serial per-token hash work off
+    // a single-file scan AND pre-satisfies the minimizer window's
+    // partitioning, so fw only sorts within partitions
+    val stream = graft.functions.Ngrams.trigramsPos(
+        Tables.documents(s, d)
+          .repartition(s.sparkContext.defaultParallelism, col("doc_id")))
       .select(col("doc_id"), col("p"),
         GraftFunctions.portableHash64(
           concat_ws(" ", col("t"), col("t1"), col("t2"))).as("g"))
@@ -1845,12 +1845,11 @@ object DedupQueries {
     * of [[shinglePostingsOf]] (which dedups); q221's input.
     */
   private[graft] def countedShinglePostings(docs: DataFrame): DataFrame = {
-    val w = Window.partitionBy(col("doc_id")).orderBy(col("p"))
-    docs
-      .select(col("doc_id"), posexplode(toks(col("text"))).as(Seq("p", "t")))
-      .select(col("doc_id"), col("p"), col("t"),
-        lead(col("t"), 1).over(w).as("t1"), lead(col("t"), 2).over(w).as("t2"))
-      .filter(col("t2").isNotNull)
+    // docs repartitioned by doc_id before the map-side build — the
+    // count groupBy and q221's per-doc tots/hot-maps then need no
+    // exchange (same rationale as [[shinglePostingsOf]]; round 17)
+    val sp = docs.sparkSession.sparkContext.defaultParallelism
+    graft.functions.Ngrams.trigrams(docs.repartition(sp, col("doc_id")))
       .select(col("doc_id"), xxhash64(col("t"), col("t1"), col("t2")).as("gh"))
       .groupBy(col("doc_id"), col("gh")).agg(count(lit(1)).as("cnt"))
   }

@@ -23,19 +23,18 @@ object HygieneQueries {
   private def toks(text: Column): Column =
     filter(split(text, " "), t => length(t) > 0)
 
-  /** Word trigrams via two window leads over the exploded token
-    * stream — stays in whole-stage codegen, unlike the array-HOF
-    * slice/concat form (measured 5-30× slower interpreted; see
-    * q32's scaladoc).
+  /** Word trigrams, built MAP-SIDE from the token array
+    * ([[graft.functions.Ngrams.trigrams]] — zipped shifted slices,
+    * plain codegen projection; round 17). The historical window-`lead`
+    * form shuffled and sorted the entire exploded token stream first;
+    * now only the DOCUMENTS rows shuffle (by doc_id, which also
+    * pre-satisfies the consumers' per-doc aggregates — q72/q118 group
+    * by doc_id — and spreads the per-token work off a single-file
+    * scan).
     */
   private def trigrams(docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
-    val w = Window.partitionBy(col("doc_id")).orderBy(col("p"))
-    docs
-      .select(col("doc_id"), posexplode(toks(col("text"))).as(Seq("p", "t")))
-      .select(col("doc_id"), col("t"),
-        lead(col("t"), 1).over(w).as("t1"),
-        lead(col("t"), 2).over(w).as("t2"))
-      .filter(col("t2").isNotNull)
+    val sp = docs.sparkSession.sparkContext.defaultParallelism
+    graft.functions.Ngrams.trigrams(docs.repartition(sp, col("doc_id")))
       .select(col("doc_id"), concat_ws(" ", col("t"), col("t1"), col("t2")).as("g"))
   }
 
@@ -133,17 +132,20 @@ object HygieneQueries {
       |JOIN wc ON base.doc_id = wc.doc_id
       |JOIN bg ON base.doc_id = bg.doc_id
       |ORDER BY base.doc_id""".stripMargin) { (s, d) =>
+    // one docs shuffle by doc_id up front (round 17): explode/bigram
+    // builds preserve the clustering, so every per-doc aggregate below
+    // (base, wc's two levels, bg's two levels) and the final doc_id
+    // joins plan with no further exchange — the reused repartition is
+    // the plan's ONLY corpus-sized shuffle
     val docs = Tables.documents(s, d)
+      .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
     val tok = docs.select(col("doc_id"), explode(toks(col("text"))).as("t"))
     val base = tok.groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_tokens"), countDistinct(col("t")).as("n_distinct"))
     val wc = tok.groupBy(col("doc_id"), col("t")).agg(count(lit(1)).as("c"))
       .groupBy(col("doc_id")).agg(max(col("c")).as("top_word_cnt"))
-    val w = Window.partitionBy(col("doc_id")).orderBy(col("p"))
-    val bg = docs
-      .select(col("doc_id"), posexplode(toks(col("text"))).as(Seq("p", "t")))
-      .select(col("doc_id"), col("t"), lead(col("t"), 1).over(w).as("t1"))
-      .filter(col("t1").isNotNull)
+    // bigrams map-side (Ngrams.bigrams, round 17) — no token-stream shuffle
+    val bg = graft.functions.Ngrams.bigrams(docs)
       .select(col("doc_id"), concat_ws(" ", col("t"), col("t1")).as("b"))
       .groupBy(col("doc_id"), col("b")).agg(count(lit(1)).as("c"))
       .groupBy(col("doc_id"))
@@ -412,19 +414,19 @@ object HygieneQueries {
 
   /** The corpus bigram stream (doc_id, l, r) q121 (self-scored LM
     * quality) and q204 (held-out perplexity) both consume — one
-    * documents scan into a per-doc posexplode + lead window (doc_id
-    * is high-cardinality, every task busy), memoized per (session,
-    * dir) and localCheckpointed so the pair pays the tokenize +
-    * window once (the hourlySeries/clusterAssignments convention).
+    * documents scan into a MAP-SIDE bigram build
+    * ([[graft.functions.Ngrams.bigrams]]; no token-stream shuffle,
+    * round 17), memoized per (session, dir) and localCheckpointed so
+    * the pair pays the tokenize once (the hourlySeries/
+    * clusterAssignments convention).
     */
   private[queries] def corpusBigrams(
       s: org.apache.spark.sql.SparkSession, d: String): org.apache.spark.sql.DataFrame =
     graft.SessionMemo.getOrCompute(s, "hyg.bigrams:" + d) {
-      val w = Window.partitionBy(col("doc_id")).orderBy(col("p"))
-      Tables.documents(s, d)
-        .select(col("doc_id"), posexplode(toks(col("text"))).as(Seq("p", "t")))
-        .select(col("doc_id"), col("t").as("l"), lead(col("t"), 1).over(w).as("r"))
-        .filter(col("r").isNotNull)
+      graft.functions.Ngrams.bigrams(
+          Tables.documents(s, d).repartition(
+            s.sparkContext.defaultParallelism, col("doc_id")))
+        .select(col("doc_id"), col("t").as("l"), col("t1").as("r"))
         .localCheckpoint()
     }
 

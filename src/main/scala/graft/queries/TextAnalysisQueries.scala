@@ -233,13 +233,11 @@ object TextAnalysisQueries {
       |GROUP BY bigram
       |ORDER BY cnt DESC, bigram
       |LIMIT 100""".stripMargin) { (s, d) =>
-    // bigrams via window lead over the token stream (codegen'd) —
-    // the array-HOF form (transform+concat_ws+slice) runs interpreted
-    val w = Window.partitionBy(col("doc_id")).orderBy(col("p"))
-    Tables.documents(s, d)
-      .select(col("doc_id"), posexplode(toks(col("text"))).as(Seq("p", "t")))
-      .select(col("doc_id"), col("t"), lead(col("t"), 1).over(w).as("t1"))
-      .filter(col("t1").isNotNull)
+    // bigrams map-side from the token array (Ngrams.bigrams — zipped
+    // shifted slices, round 17): no token-stream shuffle; the groupBy
+    // shuffles aggregated partials only. (The array-HOF
+    // transform+concat_ws+slice form runs interpreted — still avoided.)
+    graft.functions.Ngrams.bigrams(Tables.documents(s, d))
       .select(concat_ws(" ", col("t"), col("t1")).as("bigram"))
       .groupBy(col("bigram"))
       .agg(count(lit(1)).as("cnt"))
@@ -599,14 +597,15 @@ object TextAnalysisQueries {
       |WHERE cxy >= 5
       |ORDER BY lift_ppm DESC, t1, t2
       |LIMIT 50""".stripMargin) { (s, d) =>
-    val w = Window.partitionBy(col("doc_id")).orderBy(col("p"))
     val tok = Tables.documents(s, d)
-      .select(col("doc_id"), posexplode(toks(col("text"))).as(Seq("p", "t")))
+      .select(col("doc_id"), explode(toks(col("text"))).as("t"))
     val uni = tok.groupBy(col("t")).agg(count(lit(1)).as("c"))
-    val bigc = tok
-      .select(col("doc_id"), col("t"), lead(col("t"), 1).over(w).as("tn"))
-      .filter(col("tn").isNotNull)
-      .groupBy(col("t").as("t1"), col("tn").as("t2"))
+    // bigrams map-side (Ngrams.bigrams, round 17): the historical
+    // window-lead form shuffled the whole token stream; now both uni
+    // and bigc shuffle aggregated partials only
+    val bigc = graft.functions.Ngrams.bigrams(Tables.documents(s, d))
+      .select(col("t").as("t1"), col("t1").as("t2"))
+      .groupBy(col("t1"), col("t2"))
       .agg(count(lit(1)).as("cxy"))
     val nb = bigc.agg(sum(col("cxy")).as("n"))
     bigc.filter(col("cxy") >= 5)
