@@ -137,13 +137,24 @@ object GraftFunctions {
       new ExpressionInfo(classOf[VecDistSq].getName, "vec_distsq"),
       (children: Seq[Expression]) => VecDistSq(children(0), children(1)))
 
+  val vecQMilliDescriptor: Descriptor =
+    (FunctionIdentifier("vec_qmilli"),
+      new ExpressionInfo(classOf[VecQMilli].getName, "vec_qmilli"),
+      (children: Seq[Expression]) => VecQMilli(children(0), children(1)))
+
+  val lcpTokensDescriptor: Descriptor =
+    (FunctionIdentifier("lcp_tokens"),
+      new ExpressionInfo(classOf[LcpTokens].getName, "lcp_tokens"),
+      (children: Seq[Expression]) => LcpTokens(children(0), children(1)))
+
   val descriptors: Seq[Descriptor] =
     Seq(cosineSimDescriptor, minhashSigDescriptor, simhashDescriptor,
       topkDescriptor, similarToDescriptor, lshSigDescriptor,
       unicodeNormalizeDescriptor, quantizeI8Descriptor, vectorSumDescriptor,
       fuzzyMatchDescriptor, freqTopkDescriptor, gramSumsDescriptor,
       mix64Descriptor, portableHash64Descriptor,
-      vecDotDescriptor, vecDistSqDescriptor)
+      vecDotDescriptor, vecDistSqDescriptor,
+      vecQMilliDescriptor, lcpTokensDescriptor)
 
   /** Idempotent per-session registration: the native functions plus
     * the similarity-join optimizer rule (the in-library twin of the
@@ -239,6 +250,21 @@ object GraftFunctions {
   /** Column-API form of the native squared euclidean distance. */
   def vecDistSq(a: Column, b: Column): Column =
     call_function("vec_distsq", a, b)
+
+  /** Column-API form of the native unit-norm milli quantizer:
+    * floor(1000·x/√nrm2 + 0.5) per component as exact longs — the
+    * codegen'd replacement for the IVF family's interpreted
+    * `transform(...)` lambda (see [[VecQMilli]]).
+    */
+  def vecQMilli(v: Column, nrm2: Column): Column =
+    call_function("vec_qmilli", v, nrm2)
+
+  /** Column-API form of the native token-level LCP of two
+    * space-joined token strings (see [[LcpTokens]]) — null if either
+    * side is null (callers coalesce to 0 at the corpus ends).
+    */
+  def lcpTokens(a: Column, b: Column): Column =
+    call_function("lcp_tokens", a, b)
 
   /** Column-API form of the native element-wise vector-sum aggregate. */
   def vectorSum(vec: Column): Column = call_function("vector_sum", vec)

@@ -17,14 +17,22 @@ import org.apache.spark.sql.types._
   * Element types: both `array<bigint>` → exact LONG accumulation
   * (the integer-exactness contract paths — q203/q238 quantized
   * vectors), or float/double arrays → DOUBLE accumulation in
-  * sequential element order, bit-identical to the left-to-right HOF
-  * fold and to DuckDB's `list_dot_product` / `list_reduce` spellings.
+  * sequential element order. For double arrays this is bit-identical
+  * to the left-to-right HOF fold and to DuckDB's `list_dot_product` /
+  * `list_reduce` spellings; float arrays are widened to double before
+  * multiplying (an all-double fold), which the float-in-float HOF
+  * fold was not — no caller feeds float arrays.
   *
-  * Length contract: iteration runs over the LEFT array's length; the
-  * right array may be LONGER (q238 dots each row's d-length vector
-  * against a dMax-padded sign row — the pad is never read), but a
-  * SHORTER right throws rather than silently truncating, the
-  * [[CosineSimilarity]] refuse-to-truncate rule.
+  * Length contract (round 18, the zip_with-faithful semantics the
+  * round-17 advisor asked for): iteration runs over the LEFT array's
+  * length; the right array may be LONGER (q238 dots each row's
+  * d-length vector against a dMax-padded sign row — the pad is never
+  * read), but a SHORTER right yields NULL — exactly what the replaced
+  * `aggregate(zip_with(...))` forms returned on a length mismatch
+  * (zip_with null-pads, the fold propagates null) and what the DuckDB
+  * oracle's out-of-range list index yields, so downstream filters
+  * (q238's `od2 > 0`) drop the pair instead of the query crashing.
+  * A null ELEMENT in the scanned range likewise yields NULL.
   */
 abstract class VecBinaryKernel extends BinaryExpression {
 
@@ -39,6 +47,17 @@ abstract class VecBinaryKernel extends BinaryExpression {
 
   protected def bothLong: Boolean =
     elemType(left) == LongType && elemType(right) == LongType
+
+  /** Skip per-element null checks when the schema proves there are
+    * none — keeps the hot loop branch-free on the common path.
+    */
+  protected def mayHaveNullElems: Boolean =
+    left.dataType.asInstanceOf[ArrayType].containsNull ||
+      right.dataType.asInstanceOf[ArrayType].containsNull
+
+  // a shorter right (or a null element) yields null even when the
+  // inputs themselves are non-nullable
+  override def nullable: Boolean = true
 
   override def dataType: DataType =
     if (bothLong) LongType else DoubleType
@@ -61,6 +80,30 @@ abstract class VecBinaryKernel extends BinaryExpression {
     case LongType => "getLong"
     case other => throw new IllegalStateException(s"unexpected $other")
   }
+
+  protected def genLoop(ctx: CodegenContext, ev: ExprCode,
+      a: String, b: String, body: (String, String, String) => String): String = {
+    val s = ctx.freshName("s")
+    val i = ctx.freshName("i")
+    val n = ctx.freshName("n")
+    val jt = if (bothLong) "long" else "double"
+    val nullChk = if (mayHaveNullElems)
+      s"if ($a.isNullAt($i) || $b.isNullAt($i)) { ${ev.isNull} = true; break; }"
+    else ""
+    s"""
+       |$jt $s = 0;
+       |int $n = $a.numElements();
+       |if ($b.numElements() < $n) {
+       |  ${ev.isNull} = true;
+       |} else {
+       |  for (int $i = 0; $i < $n; $i++) {
+       |    $nullChk
+       |    ${body(s, i, jt)}
+       |  }
+       |}
+       |${ev.value} = $s;
+     """.stripMargin
+  }
 }
 
 /** Σ a(i)·b(i) over the left length — see [[VecBinaryKernel]]. */
@@ -73,16 +116,21 @@ case class VecDot(left: Expression, right: Expression)
     val a = l.asInstanceOf[ArrayData]
     val b = r.asInstanceOf[ArrayData]
     val n = a.numElements()
-    VecDot.requireRightCovers(prettyName, n, b.numElements())
+    if (b.numElements() < n) return null
+    val chk = mayHaveNullElems
     if (bothLong) {
       var s = 0L; var i = 0
-      while (i < n) { s += a.getLong(i) * b.getLong(i); i += 1 }
+      while (i < n) {
+        if (chk && (a.isNullAt(i) || b.isNullAt(i))) return null
+        s += a.getLong(i) * b.getLong(i); i += 1
+      }
       s
     } else {
       val lf = elemType(left) == FloatType
       val rf = elemType(right) == FloatType
       var s = 0.0; var i = 0
       while (i < n) {
+        if (chk && (a.isNullAt(i) || b.isNullAt(i))) return null
         val x = if (lf) a.getFloat(i).toDouble else a.getDouble(i)
         val y = if (rf) b.getFloat(i).toDouble else b.getDouble(i)
         s += x * y; i += 1
@@ -92,23 +140,12 @@ case class VecDot(left: Expression, right: Expression)
   }
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
-    val (jt, cast) = if (bothLong) ("long", "(long)") else ("double", "(double)")
+    val cast = if (bothLong) "(long)" else "(double)"
     val lGet = getter(elemType(left))
     val rGet = getter(elemType(right))
-    nullSafeCodeGen(ctx, ev, (a, b) => {
-      val s = ctx.freshName("s")
-      val i = ctx.freshName("i")
-      val n = ctx.freshName("n")
-      s"""
-         |$jt $s = 0;
-         |int $n = $a.numElements();
-         |graft.plans.VecDot.requireRightCovers("vec_dot", $n, $b.numElements());
-         |for (int $i = 0; $i < $n; $i++) {
-         |  $s += ($cast $a.$lGet($i)) * ($cast $b.$rGet($i));
-         |}
-         |${ev.value} = $s;
-       """.stripMargin
-    })
+    nullSafeCodeGen(ctx, ev, (a, b) =>
+      genLoop(ctx, ev, a, b, (s, i, _) =>
+        s"$s += ($cast $a.$lGet($i)) * ($cast $b.$rGet($i));"))
   }
 
   override protected def withNewChildrenInternal(
@@ -126,10 +163,12 @@ case class VecDistSq(left: Expression, right: Expression)
     val a = l.asInstanceOf[ArrayData]
     val b = r.asInstanceOf[ArrayData]
     val n = a.numElements()
-    VecDot.requireRightCovers(prettyName, n, b.numElements())
+    if (b.numElements() < n) return null
+    val chk = mayHaveNullElems
     if (bothLong) {
       var s = 0L; var i = 0
       while (i < n) {
+        if (chk && (a.isNullAt(i) || b.isNullAt(i))) return null
         val d = a.getLong(i) - b.getLong(i); s += d * d; i += 1
       }
       s
@@ -138,6 +177,7 @@ case class VecDistSq(left: Expression, right: Expression)
       val rf = elemType(right) == FloatType
       var s = 0.0; var i = 0
       while (i < n) {
+        if (chk && (a.isNullAt(i) || b.isNullAt(i))) return null
         val x = if (lf) a.getFloat(i).toDouble else a.getDouble(i)
         val y = if (rf) b.getFloat(i).toDouble else b.getDouble(i)
         val d = x - y; s += d * d; i += 1
@@ -147,39 +187,18 @@ case class VecDistSq(left: Expression, right: Expression)
   }
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
-    val (jt, cast) = if (bothLong) ("long", "(long)") else ("double", "(double)")
+    val cast = if (bothLong) "(long)" else "(double)"
     val lGet = getter(elemType(left))
     val rGet = getter(elemType(right))
-    nullSafeCodeGen(ctx, ev, (a, b) => {
-      val s = ctx.freshName("s")
-      val dd = ctx.freshName("d")
-      val i = ctx.freshName("i")
-      val n = ctx.freshName("n")
-      s"""
-         |$jt $s = 0;
-         |int $n = $a.numElements();
-         |graft.plans.VecDot.requireRightCovers("vec_distsq", $n, $b.numElements());
-         |for (int $i = 0; $i < $n; $i++) {
-         |  $jt $dd = ($cast $a.$lGet($i)) - ($cast $b.$rGet($i));
-         |  $s += $dd * $dd;
-         |}
-         |${ev.value} = $s;
-       """.stripMargin
-    })
+    nullSafeCodeGen(ctx, ev, (a, b) =>
+      genLoop(ctx, ev, a, b, (s, i, jt) => {
+        val dd = ctx.freshName("d")
+        s"""$jt $dd = ($cast $a.$lGet($i)) - ($cast $b.$rGet($i));
+           |    $s += $dd * $dd;""".stripMargin
+      }))
   }
 
   override protected def withNewChildrenInternal(
       newLeft: Expression, newRight: Expression): VecDistSq =
     copy(left = newLeft, right = newRight)
-}
-
-object VecDot {
-  /** Shared by interpreted eval and generated code. The right side may
-    * be longer (padded literals); shorter is a data bug.
-    */
-  def requireRightCovers(name: String, nLeft: Int, nRight: Int): Unit =
-    if (nRight < nLeft)
-      throw new IllegalArgumentException(
-        s"$name: right vector has $nRight elements, left has $nLeft; " +
-          "refusing to truncate (right may be longer, never shorter)")
 }

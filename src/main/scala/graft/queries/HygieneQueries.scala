@@ -684,32 +684,35 @@ object HygieneQueries {
     * stage (suffix materialization ≈ maxSfx × token stream, one range
     * exchange).
     */
-  /** Token-array LCP: first mismatch over the element-wise zip (Spark
-    * zip_with pads the shorter side with nulls; null comparisons are
-    * null, which array_position(..., false) skips — so a
-    * longer-vs-shorter pair correctly falls through to min length).
+  /** Token-level LCP of two space-joined suffix strings — the native
+    * [[graft.plans.LcpTokens]] kernel (round 18; previously an
+    * interpreted `zip_with` fold over token ARRAYS, which also forced
+    * the token array to ride the suffix exchange alongside the joined
+    * string). Null neighbor (corpus ends) → 0, like the old form.
     * Shared by the same-corpus adjacency (suffixLcp) and the
     * cross-side contamination LCP (q207).
     */
-  private def lcpTok(a: Column, b: Column): Column = {
-    val fp = array_position(zip_with(a, b, (x, y) => x === y), lit(false))
-    when(b.isNull, lit(0L))
-      .when(fp > 0, fp - 1)
-      .otherwise(least(size(a), size(b)).cast("long"))
-  }
+  private def lcpStr(a: Column, b: Column): Column =
+    coalesce(graft.plans.GraftFunctions.lcpTokens(a, b), lit(0L))
 
   private[graft] def suffixLcp(tok: org.apache.spark.sql.DataFrame,
       maxSfx: Int): org.apache.spark.sql.DataFrame = {
+    graft.plans.GraftFunctions.register(tok.sparkSession)
+    // Explode token POSITIONS and build each (capped) suffix STRING in
+    // the same codegen stage — the suffix range exchange then carries
+    // (doc_id, i, s) only: no token-array twin of the payload (≈2×
+    // fewer bytes through the heaviest exchange of the ExactSubstr
+    // family), and no per-doc interpreted `transform` materializing
+    // all n slices before the explode (round 18; guide §2.3/§4).
     val suf = tok
       .select(col("doc_id"),
-        posexplode(transform(sequence(lit(0), size(col("w")) - 1),
-          i => slice(col("w"), i + 1, lit(maxSfx)))).as(Seq("i", "sfx")))
-      .select(col("doc_id"), col("i").cast("long").as("i"), col("sfx"),
-        array_join(col("sfx"), " ").as("s"))
+        explode(sequence(lit(0), size(col("w")) - 1)).as("i0"), col("w"))
+      .select(col("doc_id"), col("i0").cast("long").as("i"),
+        array_join(slice(col("w"), col("i0") + 1, lit(maxSfx)), " ").as("s"))
     val withNb = graft.api.Neighbors.withNeighbors(
-      suf, Seq(col("s"), col("doc_id"), col("i")), "sfx", "p", "nx")
+      suf, Seq(col("s"), col("doc_id"), col("i")), "s", "p", "nx")
     withNb.select(col("doc_id"), col("i"),
-      greatest(lcpTok(col("sfx"), col("p")), lcpTok(col("sfx"), col("nx")))
+      greatest(lcpStr(col("s"), col("p")), lcpStr(col("s"), col("nx")))
         .as("l"))
   }
 
@@ -1145,20 +1148,22 @@ object HygieneQueries {
     // longest_overlap saturates, so oracle parity is only defined at
     // default conf (round-11 ADVICE; the q60 pinned-default convention)
     val cap = maxSuffix(s)
+    graft.plans.GraftFunctions.register(s)
     val tok = tokenized(Tables.documents(s, d))
+    // suffix STRINGS only through the range exchange (the suffixLcp
+    // round-18 shape); the bench-side copy is null on 95% of rows
     val suf = tok
       .select(col("doc_id"),
-        posexplode(transform(sequence(lit(0), size(col("w")) - 1),
-          i => slice(col("w"), i + 1, lit(cap)))).as(Seq("i", "sfx")))
-      .select(col("doc_id"), col("i").cast("long").as("i"), col("sfx"),
-        array_join(col("sfx"), " ").as("s2"),
+        explode(sequence(lit(0), size(col("w")) - 1)).as("i0"), col("w"))
+      .select(col("doc_id"), col("i0").cast("long").as("i"),
+        array_join(slice(col("w"), col("i0") + 1, lit(cap)), " ").as("s2"),
         (col("doc_id") % 20 === 7).as("is_bench"))
-      .withColumn("bsfx", when(col("is_bench"), col("sfx")))
+      .withColumn("bs", when(col("is_bench"), col("s2")))
     val nb = graft.api.Neighbors.withNearestNonNull(
-      suf, Seq(col("s2"), col("doc_id"), col("i")), "bsfx", "pb", "nbx")
+      suf, Seq(col("s2"), col("doc_id"), col("i")), "bs", "pb", "nbx")
     val lcp = nb.filter(!col("is_bench"))
       .select(col("doc_id"), col("i"),
-        greatest(lcpTok(col("sfx"), col("pb")), lcpTok(col("sfx"), col("nbx")))
+        greatest(lcpStr(col("s2"), col("pb")), lcpStr(col("s2"), col("nbx")))
           .as("l"))
     val per = removalSpans(lcp, K)
       .groupBy(col("doc_id"))

@@ -1553,18 +1553,18 @@ object SimilarityQueries {
       |    (CAST(b.n AS DOUBLE) * (b.n - 1))) AS BIGINT) AS mean_cos_micro,
       |  CAST(b.self_sum // b.n AS BIGINT) AS mean_self_micro
       |FROM agg_a a, agg_b b""".stripMargin) { (s, d) =>
+    GraftFunctions.register(s)
     val t = Tables.embeddings(s, d)
       .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
-    // left-fold norm (Spark `aggregate` and DuckDB `list_reduce` both
-    // fold left in list order, so the double sum is bit-identical)
+    // native sequential-fold norm + native milli quantizer (round 18)
+    // — bit-identical to the interpreted aggregate/transform lambdas
+    // they replace (same IEEE ops in the same order; see VecQMilli)
     val withNorm = t.withColumn("nrm2",
-      aggregate(col("v"), lit(0.0), (acc, x) => acc + x * x))
+      GraftFunctions.vecDot(col("v"), col("v")))
     val u = graft.AutoUnpersist.scoped(
       withNorm.filter(col("nrm2") > 0)
         .select(col("vec_id"),
-          transform(col("v"),
-            x => floor(lit(1000.0) * x / sqrt(col("nrm2")) + lit(0.5))
-              .cast("long")).as("qu")))
+          GraftFunctions.vecQMilli(col("v"), col("nrm2")).as("qu")))
     val sd = u.select(posexplode(col("qu")).as(Seq("j", "q")))
       .groupBy(col("j")).agg(sum(col("q")).as("s"))
     // squares accumulate in decimal(38) — int64 would overflow at
@@ -1573,7 +1573,7 @@ object SimilarityQueries {
       sum(col("s").cast("decimal(19,0)") * col("s").cast("decimal(19,0)"))
         .as("ssq"))
     val aggB = u
-      .select(aggregate(col("qu"), lit(0L), (acc, x) => acc + x * x)
+      .select(GraftFunctions.vecDot(col("qu"), col("qu"))
         .as("self"), size(col("qu")).as("nd"))
       .agg(count(lit(1)).as("n"), sum(col("self")).as("self_sum"),
         max(col("nd")).cast("long").as("dims"))
@@ -1670,9 +1670,7 @@ object SimilarityQueries {
       .withColumn("nrm2", GraftFunctions.vecDot(col("v"), col("v")))
       .filter(col("nrm2") > 0)
       .select(col("vec_id"), col("c_id"), col("side"),
-        transform(col("v"),
-          x => floor(lit(1000.0) * x / sqrt(col("nrm2")) + lit(0.5))
-            .cast("long")).as("qu")))
+        GraftFunctions.vecQMilli(col("v"), col("nrm2")).as("qu")))
     val a = assigned.filter(col("side") === 0)
       .select(col("vec_id").as("u"), col("c_id"), col("qu").as("qa"))
     val b = assigned.filter(col("side") === 1)
@@ -1784,9 +1782,7 @@ object SimilarityQueries {
       .withColumn("nrm2", GraftFunctions.vecDot(col("v"), col("v")))
       .filter(col("nrm2") > 0)
       .select(col("vec_id"),
-        transform(col("v"),
-          x => floor(lit(1000.0) * x / sqrt(col("nrm2")) + lit(0.5))
-            .cast("long")).as("qu"))
+        GraftFunctions.vecQMilli(col("v"), col("nrm2")).as("qu"))
     // map-side Rademacher projection: sign = mix64 parity bit on the
     // (input dim, output dim) key — the q232 u52 replay convention.
     // The sign matrix is ROW-INDEPENDENT (a pure function of (j, k)),

@@ -22,7 +22,7 @@ object Explain {
     spark.sparkContext.setLogLevel("ERROR")
     val targets =
       if (name == "all") graft.Registry.queries.map(_.name)
-      else Seq(name)
+      else name.split(",").toSeq
     targets.foreach { n =>
       println(s"\n===== $n =====")
       graft.Registry.byName(n).fn(spark, sfDir).explain("formatted")
