@@ -704,7 +704,13 @@ object HygieneQueries {
     // fewer bytes through the heaviest exchange of the ExactSubstr
     // family), and no per-doc interpreted `transform` materializing
     // all n slices before the explode (round 18; guide §2.3/§4).
-    val suf = tok
+    // The compact DOCUMENT rows hash-shuffle once first (the r17
+    // n-grams convention): the ~cap× suffix expansion — and the range
+    // partitioner's sampling pass over it — then run at full
+    // parallelism instead of at the file count of the scan (job trace:
+    // both passes were single-task 1.2 s jobs on the one-file corpus).
+    val sp = tok.sparkSession.sparkContext.defaultParallelism
+    val suf = tok.repartition(sp, col("doc_id"))
       .select(col("doc_id"),
         explode(sequence(lit(0), size(col("w")) - 1)).as("i0"), col("w"))
       .select(col("doc_id"), col("i0").cast("long").as("i"),
@@ -1151,8 +1157,11 @@ object HygieneQueries {
     graft.plans.GraftFunctions.register(s)
     val tok = tokenized(Tables.documents(s, d))
     // suffix STRINGS only through the range exchange (the suffixLcp
-    // round-18 shape); the bench-side copy is null on 95% of rows
-    val suf = tok
+    // round-18 shape); the bench-side copy is null on 95% of rows;
+    // the pre-explode doc hash-shuffle parallelizes the cap× suffix
+    // expansion and the range sampling pass (see suffixLcp)
+    val sp = s.sparkContext.defaultParallelism
+    val suf = tok.repartition(sp, col("doc_id"))
       .select(col("doc_id"),
         explode(sequence(lit(0), size(col("w")) - 1)).as("i0"), col("w"))
       .select(col("doc_id"), col("i0").cast("long").as("i"),
