@@ -1757,7 +1757,12 @@ object DedupQueries {
     import graft.plans.GraftFunctions
     val w = Window.partitionBy(col("doc_id")).orderBy(col("i"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    // doc hash-shuffle BEFORE the posexplode (round 18): the per-token
+    // hash work runs at full parallelism off the single-file scan, and
+    // the chunk window's partitionBy(doc_id) is pre-satisfied — the
+    // exploded token stream itself never crosses an exchange
     val tok = Tables.documents(s, d)
+      .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
       .select(col("doc_id"), col("source"),
         posexplode(toks(col("text"))).as(Seq("i", "t")))
     val marked = tok.withColumn("b",

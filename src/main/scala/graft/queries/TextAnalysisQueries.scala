@@ -275,7 +275,11 @@ object TextAnalysisQueries {
       |WHERE rn <= 5
       |ORDER BY doc_id, rn""".stripMargin) { (s, d) =>
     import org.apache.spark.sql.expressions.Window
+    // doc hash-shuffle before the explode (round 18, the r17 n-grams
+    // convention): tokenization runs at full parallelism off a
+    // single-file scan, and doc_id clustering pre-satisfies tf and n
     val tok = Tables.documents(s, d)
+      .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
       .select(col("doc_id"), explode(toks(col("text"))).as("term"))
     val tf = tok.groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("c"))
     val n = tf.groupBy(col("doc_id")).agg(sum(col("c")).as("n_tokens"))
@@ -1221,7 +1225,10 @@ object TextAnalysisQueries {
       |FROM h ORDER BY doc_id""".stripMargin) { (s, d) =>
     def mln(c: Column): Column =
       floor(lit(1000000.0) * log(c.cast("double"))).cast("long")
+    // doc shuffle before the explode: parallel tokenization AND
+    // doc_id clustering pre-satisfies both per-doc aggregates
     val tc = Tables.documents(s, d)
+      .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
       .select(col("doc_id"), explode(toks(col("text"))).as("term"))
       .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("c"))
     val per = tc.groupBy(col("doc_id")).agg(
