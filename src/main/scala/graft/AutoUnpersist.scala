@@ -43,8 +43,14 @@ object AutoUnpersist {
     // (registered after, and only matching Dataset actions) still
     // fires on the first real consumer, never on the build.
     try cached.queryExecution.toRdd.count()
-    catch { case _: Throwable => () } // broken inputs: stay lazy; the
-    // caller's own action will surface the real error unchanged
+    catch {
+      // broken inputs: stay lazy; the caller's own action will
+      // surface the real error unchanged. NonFatal only (round-17
+      // advisor): OOM/LinkageError must propagate, and a cancellation
+      // during the count re-asserts the thread's interrupt flag.
+      case _: InterruptedException => Thread.currentThread().interrupt()
+      case scala.util.control.NonFatal(_) => ()
+    }
     val target = cached.queryExecution.analyzed
     val released = new AtomicBoolean(false)
     object L extends QueryExecutionListener {

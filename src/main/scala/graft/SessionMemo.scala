@@ -48,4 +48,20 @@ object SessionMemo {
     val t = memos.get(s)
     if (t != null) t.remove(key)
   }
+
+  /** Drop every entry under `prefix` except `keep` — Tables.load uses
+    * it to evict relations memoized under a STALE file fingerprint of
+    * the same path (round-17 advisor: repeated fixture rewrites would
+    * otherwise accumulate dead entries for the session's lifetime).
+    */
+  def invalidatePrefixExcept(s: SparkSession, prefix: String, keep: String): Unit = {
+    val t = memos.synchronized(memos.get(s))
+    if (t != null) {
+      val it = t.keySet().iterator()
+      while (it.hasNext) {
+        val k = it.next()
+        if (k.startsWith(prefix) && k != keep) it.remove()
+      }
+    }
+  }
 }

