@@ -801,17 +801,33 @@ object TextAnalysisQueries {
     val cv = sv.groupBy(col("term")).agg(sum(col("c_sv")).as("c_v"))
     val ns = sv.groupBy(col("source")).agg(sum(col("c_sv")).as("n_s"))
     val g = sv.agg(sum(col("c_sv")).as("n"), countDistinct(col("term")).as("v"))
-    val sc = sv.join(cv, "term").join(ns, "source").crossJoin(broadcast(g))
-      .select(col("source"), col("term"), col("c_sv"),
-        floor(lit(1000000.0) * log(
-          ((col("c_sv") + 1L) * (col("n") - col("n_s") + col("v"))).cast("double") /
-          ((col("n_s") + col("v")) * (col("c_v") - col("c_sv") + 1L)).cast("double")))
-          .cast("long").as("delta_micro"))
-    graft.api.Ranking.withRank(sc, Seq("source"),
-        Seq(col("delta_micro").desc, col("term")))
-      .filter(col("rn") <= 5)
-      .select(col("source"), col("rn").cast("long").as("rn"), col("term"),
-        col("c_sv"), col("delta_micro"))
+    // sc feeds the bounded top-5 aggregate AND the c_sv re-fetch join
+    // below — persist for the query's scope
+    val sc = graft.AutoUnpersist.scoped(
+      sv.join(cv, "term").join(ns, "source").crossJoin(broadcast(g))
+        .select(col("source"), col("term"), col("c_sv"),
+          floor(lit(1000000.0) * log(
+            ((col("c_sv") + 1L) * (col("n") - col("n_s") + col("v"))).cast("double") /
+            ((col("n_s") + col("v")) * (col("c_v") - col("c_sv") + 1L)).cast("double")))
+            .cast("long").as("delta_micro")))
+    // per-source top-5 via the BOUNDED string-id top-k aggregate
+    // (round 18; guide §2.4): one partial-aggregable groupBy — ≤ 5
+    // pairs of state per (partition, source) — replaces the
+    // range-repartition ranking machinery (range exchange + pid
+    // window + boundary-offset broadcast join, ~6 stages). delta fits
+    // a double exactly (|delta_micro| ≪ 2⁵³), and (score DESC, term
+    // ASC binary UTF-8) is exactly the replaced row_number order; the
+    // 5·|sources| winners re-fetch c_sv on a broadcast equi join.
+    graft.plans.GraftFunctions.register(s)
+    val winners = sc.groupBy(col("source"))
+      .agg(graft.plans.GraftFunctions.topkByScoreStr(
+        col("delta_micro").cast("double"), col("term"), 5).as("tk"))
+      .select(col("source"), posexplode(col("tk")).as(Seq("pos", "e")))
+      .select(col("source"), (col("pos") + 1L).as("rn"),
+        col("e.id").as("term"))
+    sc.join(broadcast(winners), Seq("source", "term"))
+      .select(col("source"), col("rn"), col("term"), col("c_sv"),
+        col("delta_micro"))
       .orderBy(col("source"), col("rn"))
   }
 

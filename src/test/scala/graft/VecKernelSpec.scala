@@ -89,6 +89,29 @@ class VecKernelSpec extends SparkSpec {
     assert(r.getLong(2) == 11L, "longer right still dots over left length")
   }
 
+  test("topk_by_score_str equals row_number (score DESC, id ASC) per group") {
+    val rnd = new scala.util.Random(7)
+    val rows = Seq.tabulate(500) { i =>
+      (s"g${i % 4}", s"t${rnd.nextInt(40)}_${i % 7}", rnd.nextInt(20).toLong)
+    }
+    val df = rows.toDF("g", "term", "score")
+      .groupBy(col("g"), col("term")).agg(max(col("score")).as("score"))
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("g"))
+      .orderBy(col("score").desc, col("term"))
+    val want = df.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 5)
+      .select(col("g"), col("rn").cast("long").as("rn"), col("term"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getString(2))).toSet
+    val got = df.groupBy(col("g"))
+      .agg(GraftFunctions.topkByScoreStr(
+        col("score").cast("double"), col("term"), 5).as("tk"))
+      .select(col("g"), posexplode(col("tk")).as(Seq("pos", "e")))
+      .select(col("g"), (col("pos") + 1L).as("rn"), col("e.id").as("term"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getString(2))).toSet
+    assert(got == want)
+  }
+
   test("vec_dot: null element in range yields NULL (fold semantics)") {
     val r = spark.sql(
       "SELECT vec_dot(array(1L, CAST(NULL AS BIGINT)), array(1L, 2L)) AS d, " +
