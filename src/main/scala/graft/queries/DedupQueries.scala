@@ -1779,7 +1779,9 @@ object DedupQueries {
       .groupBy(col("doc_id"), col("source"), col("cix"))
       .agg(sort_array(collect_list(struct(col("i"), col("t")))).as("st"))
       .select(col("source"),
-        xxhash64(transform(col("st"), x => x.getField("t"))).as("chunk_h"),
+        // native array-of-struct field extraction (GetArrayStructFields,
+        // codegen) — the transform(_.getField) HOF ran interpreted
+        xxhash64(col("st").getField("t")).as("chunk_h"),
         size(col("st")).cast("long").as("clen")))
     val tot = chunks.groupBy(col("source"))
       .agg(count(lit(1)).as("n_chunks"), sum(col("clen")).as("total_tokens"))

@@ -41,7 +41,10 @@ object TextAnalysisQueries {
         col("doc_id"),
         size(col("w")).as("n_tokens"),
         size(array_distinct(col("w"))).as("n_uniq"),
-        round(aggregate(col("w"), lit(0L), (a, t) => a + length(t))
+        // Σ token lengths = length of the separator-free join — a
+        // codegen expression (tokens are non-empty and space-free),
+        // replacing the interpreted per-token aggregate lambda
+        round(length(array_join(col("w"), ""))
           .cast("double") / size(col("w")), 4).as("avg_token_len"),
         array_max(transform(col("w"), t => length(t))).as("max_token_len"))
       .orderBy(col("doc_id"))
@@ -110,7 +113,7 @@ object TextAnalysisQueries {
           .cast("long").as("ttr_bp"),
         floor(lit(10000.0) * size(filter(col("w"), t => t.isin(Stopwords: _*))) /
           size(col("w"))).cast("long").as("stop_bp"),
-        floor(lit(100.0) * aggregate(col("w"), lit(0L), (a, t) => a + length(t)) /
+        floor(lit(100.0) * length(array_join(col("w"), "")) /
           size(col("w"))).cast("long").as("mean_len_c"))
       .withColumn("quality_bp",
         lit(4) * col("ttr_bp") + lit(3) * (lit(10000) - col("stop_bp")) +
